@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Det._
+import Tables._
+
+/** Aggregations (SURVEY.md §2.4): global, grouped, distinct, approximate,
+  * rollup/cube/grouping-sets, histogram.
+  *
+  * All compile to HashAggregateExec with automatic partial (map-side)
+  * aggregation — the MR "combiner" for free — so shuffle volume is
+  * #groups × #partitions, not #rows, at any scale. Money columns aggregate
+  * through exact DECIMAL (rule D2: double summation order is not
+  * associative; decimal is) with final casts aligning the type to DuckDB.
+  */
+object Aggregations {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "agg_global" -> ((s, d) =>
+      lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        lsum(col("l_quantity")).as("sum_qty"),
+        dsum4(col("l_extendedprice")).as("sum_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))),
+
+    "agg_groupby_q1" -> ((s, d) =>
+      // TPC-H Q1 shape; avgs are expressed as exact sums + counts (division
+      // scale rules differ between engines; sums are exact and associative).
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast(TimestampType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          lsum(col("l_quantity")).as("sum_qty"),
+          dsum2(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice"), 18, 2) * (lit(1) - dec(col("l_discount"), 6, 2)))
+            .cast(DecimalType(38, 4)).as("sum_disc_price"),
+          sum(dec(col("l_extendedprice"), 18, 2) * (lit(1) - dec(col("l_discount"), 6, 2))
+              * (lit(1) + dec(col("l_tax"), 6, 2)))
+            .cast(DecimalType(38, 6)).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "agg_distinct" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")),
+
+    "agg_approx_distinct" -> ((s, d) =>
+      // HLL sketch — mergeable, constant memory per group: the only way
+      // COUNT(DISTINCT) stays tractable at 100 TB. No SQL oracle (sketch
+      // values are engine-specific); scalatest checks ±5% vs exact.
+      events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")),
+
+    "agg_rollup" -> ((s, d) =>
+      // SQL form: referencing ROLLUP grouping columns above the Expand node
+      // from the DataFrame API trips Spark's ambiguous-self-join check; the
+      // SQL path resolves cleanly and plans identically.
+      s.sql(
+        s"""SELECT COALESCE(r_name, 'ALL') AS region,
+           |       COALESCE(n_name, 'ALL') AS nation,
+           |       count(*) AS n_cust,
+           |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_bal
+           |FROM parquet.`$d/customer.parquet`
+           |JOIN parquet.`$d/nation.parquet` ON c_nationkey = n_nationkey
+           |JOIN parquet.`$d/region.parquet` ON n_regionkey = r_regionkey
+           |GROUP BY ROLLUP(r_name, n_name)
+           |ORDER BY region, nation""".stripMargin)),
+
+    "agg_cube" -> ((s, d) =>
+      events(s, d)
+        .withColumn("day", date_trunc("day", col("ts")).cast(TimestampNTZType))
+        .cube("event_type", "day")
+        .agg(count(lit(1)).as("n"), dsum4(col("value")).as("sum_value"))
+        .select(
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("day"), lit("1900-01-01").cast(TimestampNTZType)).as("day"),
+          col("n"), col("sum_value"))
+        .orderBy("event_type", "day")),
+
+    "agg_grouping_sets" -> ((s, d) =>
+      s.sql(
+        s"""SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+           |       COALESCE(CAST(c_nationkey AS INT), -1) AS nationkey,
+           |       count(*) AS n_cust,
+           |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_bal
+           |FROM parquet.`$d/customer.parquet`
+           |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+           |ORDER BY segment, nationkey""".stripMargin)),
+
+    "agg_histogram" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(floor(col("o_totalprice") / 10000).cast(LongType).as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("sum_price"))
+        .orderBy("bucket"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_global" ->
+      (s"SELECT count(*) AS n_rows, ${oLsum("l_quantity")} AS sum_qty, " +
+       s"${oDsum4("l_extendedprice")} AS sum_price, " +
+       "min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price FROM lineitem"),
+
+    "agg_groupby_q1" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+       s"${oLsum("l_quantity")} AS sum_qty, " +
+       s"${oDsum2("l_extendedprice")} AS sum_base_price, " +
+       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS DECIMAL(38,4)) AS sum_disc_price, " +
+       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,2))) * (1 + CAST(l_tax AS DECIMAL(6,2)))) AS DECIMAL(38,6)) AS sum_charge, " +
+       "count(*) AS count_order " +
+       "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01' " +
+       "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+
+    "agg_distinct" ->
+      ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
+       "count(DISTINCT l_suppkey) AS n_supps FROM lineitem " +
+       "GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "agg_rollup" ->
+      ("SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation, " +
+       s"count(*) AS n_cust, ${oDsum2("c_acctbal")} AS sum_bal " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+       "JOIN region ON n_regionkey = r_regionkey " +
+       "GROUP BY ROLLUP(r_name, n_name) ORDER BY region, nation"),
+
+    "agg_cube" ->
+      ("SELECT COALESCE(event_type, 'ALL') AS event_type, " +
+       "COALESCE(day, TIMESTAMP '1900-01-01') AS day, " +
+       s"count(*) AS n, ${oDsum4("value")} AS sum_value " +
+       "FROM (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value FROM events) " +
+       "GROUP BY CUBE(event_type, day) ORDER BY event_type, day"),
+
+    "agg_grouping_sets" ->
+      ("SELECT COALESCE(c_mktsegment, 'ALL') AS segment, " +
+       "COALESCE(CAST(c_nationkey AS INT), -1) AS nationkey, " +
+       s"count(*) AS n_cust, ${oDsum2("c_acctbal")} AS sum_bal " +
+       "FROM customer GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ()) " +
+       "ORDER BY segment, nationkey"),
+
+    "agg_histogram" ->
+      ("SELECT CAST(floor(o_totalprice / 10000) AS BIGINT) AS bucket, " +
+       s"count(*) AS n, ${oDsum2("o_totalprice")} AS sum_price " +
+       "FROM orders GROUP BY 1 ORDER BY bucket")
+  )
+}

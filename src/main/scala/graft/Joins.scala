@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Det._
+import Tables._
+
+/** Join flavors (SURVEY.md §2.3).
+  *
+  * Scale notes baked into each plan:
+  *  - dimension tables (`customer`, `nation`, `region`) are `broadcast()`
+  *    hinted — a broadcast-hash join replicates the small side to every
+  *    executor instead of shuffling the 100 TB fact side;
+  *  - fact⋈fact joins (`lineitem ⋈ orders`) are left to Catalyst/AQE, which
+  *    picks sort-merge with both sides hash-partitioned on the key; AQE
+  *    handles skewed keys at runtime;
+  *  - the as-of join avoids an N×M time-range join entirely: one union +
+  *    one sort per key (a single shuffle) instead of a quadratic expansion.
+  */
+object Joins {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Flagship star join: revenue per region (used by SparkEntry.entry). */
+  def multiwayStar(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        (sum(dec(col("l_extendedprice"), 18, 4) * (lit(1) - dec(col("l_discount"), 18, 4))))
+          .cast(DecimalType(38, 8)).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name")
+
+  /** Scalable as-of join: for each event, the latest order of the same user
+    * with o_orderdate <= ts. Implemented as a tagged union + one running
+    * window per user (single sort, no N-per-event join) — the standard
+    * 100 TB-safe formulation; ties on date resolve to max o_orderkey.
+    */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(
+      col("o_custkey").as("uid"), col("o_orderdate").as("ats"),
+      col("o_orderkey"), col("o_orderdate"),
+      lit(null).cast(LongType).as("event_id"), lit(0).as("tag"))
+    val e = events(s, d).select(
+      col("user_id").as("uid"), col("ts").as("ats"),
+      lit(null).cast(LongType).as("o_orderkey"),
+      lit(null).cast(TimestampNTZType).as("o_orderdate"),
+      col("event_id"), lit(1).as("tag"))
+    val w = Window.partitionBy("uid")
+      .orderBy(col("ats"), col("tag"), col("o_orderkey"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.unionByName(e)
+      .withColumn("best",
+        last(
+          when(col("tag") === 0,
+            struct(col("o_orderdate").as("asof_date"), col("o_orderkey").as("asof_orderkey"))),
+          ignoreNulls = true).over(w))
+      .where(col("tag") === 1 && col("best").isNotNull)
+      .select(
+        col("event_id"),
+        col("best.asof_orderkey").as("asof_orderkey"),
+        col("best.asof_date").as("asof_date"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "join_inner_broadcast" -> ((s, d) =>
+      orders(s, d)
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    "join_inner_shuffle" -> ((s, d) =>
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_linenumber", "o_orderstatus", "l_quantity")
+        // (l_orderkey, l_linenumber) is not unique — sort all output columns.
+        .orderBy("l_orderkey", "l_linenumber", "o_orderstatus", "l_quantity")),
+
+    "join_multiway_star" -> (multiwayStar _),
+
+    "join_left_outer" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("order_cnt"))
+        .orderBy("c_custkey")),
+
+    "join_full_outer" -> ((s, d) => {
+      val cn = customer(s, d).groupBy(col("c_nationkey")).agg(count(lit(1)).as("cust_cnt"))
+      val sn = supplier(s, d).groupBy(col("s_nationkey")).agg(count(lit(1)).as("supp_cnt"))
+      cn.join(sn, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("cust_cnt"), lit(0L)).as("cust_cnt"),
+          coalesce(col("supp_cnt"), lit(0L)).as("supp_cnt"))
+        .orderBy("nationkey")
+    }),
+
+    "join_semi" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "join_anti" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "join_theta_range" -> ((s, d) => {
+      // Equi-part (user_id) drives the shuffle; the time-range part is a
+      // post-join filter — Spark plans SMJ on the equi key, never cartesian.
+      val sg = events(s, d).filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("s_ts"), col("event_id").as("signup_id"))
+      val pu = events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      sg.join(pu,
+          col("user_id") === col("p_uid") &&
+          col("p_ts") > col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
+        .select("signup_id", "purchase_id")
+        .orderBy("signup_id", "purchase_id")
+    }),
+
+    "join_asof" -> (asofJoin _),
+
+    "join_cross_limited" -> ((s, d) =>
+      region(s, d).crossJoin(nation(s, d))
+        .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+        .orderBy("r_regionkey", "n_nationkey"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_inner_broadcast" ->
+      ("SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice " +
+       "FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),
+
+    "join_inner_shuffle" ->
+      ("SELECT l_orderkey, l_linenumber, o_orderstatus, l_quantity " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "ORDER BY l_orderkey, l_linenumber, o_orderstatus, l_quantity"),
+
+    "join_multiway_star" ->
+      ("SELECT r_name, " +
+       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue, " +
+       "count(*) AS n_items " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "JOIN customer ON o_custkey = c_custkey " +
+       "JOIN nation ON c_nationkey = n_nationkey " +
+       "JOIN region ON n_regionkey = r_regionkey " +
+       "GROUP BY r_name ORDER BY r_name"),
+
+    "join_left_outer" ->
+      ("SELECT c_custkey, count(o_orderkey) AS order_cnt FROM customer " +
+       "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey ORDER BY c_custkey"),
+
+    "join_full_outer" ->
+      ("SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey, " +
+       "COALESCE(cust_cnt, 0) AS cust_cnt, COALESCE(supp_cnt, 0) AS supp_cnt FROM " +
+       "(SELECT c_nationkey, count(*) AS cust_cnt FROM customer GROUP BY c_nationkey) cn " +
+       "FULL OUTER JOIN " +
+       "(SELECT s_nationkey, count(*) AS supp_cnt FROM supplier GROUP BY s_nationkey) sn " +
+       "ON c_nationkey = s_nationkey ORDER BY nationkey"),
+
+    "join_semi" ->
+      ("SELECT c_custkey, c_name FROM customer c " +
+       "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey"),
+
+    "join_anti" ->
+      ("SELECT c_custkey, c_name FROM customer c " +
+       "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey"),
+
+    "join_theta_range" ->
+      ("SELECT s.event_id AS signup_id, p.event_id AS purchase_id FROM events s " +
+       "JOIN events p ON p.user_id = s.user_id AND s.event_type = 'signup' AND p.event_type = 'purchase' " +
+       "AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR " +
+       "ORDER BY signup_id, purchase_id"),
+
+    "join_asof" ->
+      ("SELECT event_id, o_orderkey AS asof_orderkey, o_orderdate AS asof_date FROM " +
+       "(SELECT e.event_id, o.o_orderkey, o.o_orderdate, " +
+       "row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn " +
+       "FROM events e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) " +
+       "WHERE rn = 1 ORDER BY event_id"),
+
+    "join_cross_limited" ->
+      ("SELECT r_regionkey, r_name, n_nationkey, n_name FROM region CROSS JOIN nation " +
+       "ORDER BY r_regionkey, n_nationkey")
+  )
+}

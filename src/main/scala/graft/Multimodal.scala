@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Multimodal column plumbing (BASELINE.json north-star).
+  *
+  * The fixtures carry no real image/audio bytes (and this container has no
+  * codec libraries — see the builder brief), so media decode is STUBBED with
+  * a deterministic fake: the Spark-side plumbing — binary columns with typed
+  * metadata, partition-preserving `mapPartitions` batch processing, schema
+  * of the decoded features, frame sampling as a generator — is real and
+  * tested; only the innermost "decode" is a clearly-marked fake.
+  *
+  * At 100 TB the same shape holds: binary payloads stay in parquet/object
+  * storage, the decode UDF runs partition-local with no shuffle, and all
+  * downstream analytics operate on the small typed feature columns.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Decoded-feature schema: what a real image decode would produce. */
+  case class MediaFeatures(
+    doc_id: Long, n_bytes: Int, fake_width: Int, fake_height: Int,
+    channels: Int, brightness: Long)
+
+  /** STUB decode: a real implementation would decode image bytes here
+    * (JPEG/PNG → pixels). Deterministic fake: dimensions derive from the
+    * payload length, "brightness" is the exact integer mean of the first
+    * 64 bytes. Signature and batch shape match the real thing.
+    */
+  def fakeDecode(docId: Long, bytes: Array[Byte]): MediaFeatures = {
+    val n = bytes.length
+    val head = bytes.take(64)
+    val bright = if (head.isEmpty) 0L else head.map(b => (b & 0xff).toLong).sum / head.length
+    MediaFeatures(docId, n, 64 + (n % 512), 64 + (n % 384), 3, bright)
+  }
+
+  /** documents.text encoded to a binary payload column — the stand-in for a
+    * real media column (opaque `binary` + typed metadata, per north-star).
+    */
+  def withBinaryPayload(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+      col("lang").as("meta_lang"), col("source").as("meta_source"))
+
+  val queries: Map[String, Q] = Map(
+    // Pure-SQL metadata over the binary column — oracle-checkable.
+    "mm_binary_meta" -> ((s, d) =>
+      withBinaryPayload(documents(s, d))
+        .select(col("doc_id"), length(col("payload")).as("n_bytes"), col("meta_lang"))
+        .orderBy("doc_id")),
+
+    // Partition-local batch decode via typed mapPartitions (no shuffle).
+    "mm_decode_features" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      withBinaryPayload(documents(s, d))
+        .select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) => fakeDecode(id, bytes) })
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
+    // Frame sampling as a generator: every 4th 16-byte block is a "frame".
+    "mm_frame_sample" -> ((s, d) =>
+      withBinaryPayload(documents(s, d))
+        .select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, CAST(greatest(floor((length(payload) - 16) / 64), 0) AS INT)), " +
+            "i -> xxhash64(substring(payload, i * 64 + 1, 16)))"))
+            .as(Seq("frame_idx", "frame_hash")))
+        .orderBy("doc_id", "frame_idx"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, " +
+       "lang AS meta_lang FROM documents ORDER BY doc_id")
+  )
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Det._
+import Tables._
+
+/** Scans, projections, filters, sorts, top-k, and set operations
+  * (SURVEY.md §2.1, §2.2, §2.6, §2.7).
+  *
+  * All are single declarative plans: Catalyst pushes the predicates and the
+  * column projection into the parquet scan (visible as `PushedFilters` /
+  * `ReadSchema` in `.explain("formatted")`), so at 100 TB only the needed
+  * row groups and columns are read. Every query ends in a total order (rule
+  * D1) so output is hash-stable under any partitioning.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "scan_project" -> ((s, d) =>
+      nation(s, d)
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")),
+
+    "scan_filter_pushdown" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast(TimestampType))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber", "l_shipdate")),
+
+    "filter_compound" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24 &&
+          col("l_returnflag").isin("A", "R"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+        // (l_orderkey, l_linenumber) is NOT unique in the fixtures — total
+        // order (D1) requires sorting on every output column.
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")),
+
+    "project_expr" -> ((s, d) =>
+      lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (dec(col("l_extendedprice"), 18, 4) * (lit(1) - dec(col("l_discount"), 18, 4)))
+            .cast(DecimalType(38, 8)).as("revenue"),
+          when(col("l_extendedprice") > 30000, "high")
+            .when(col("l_extendedprice") > 10000, "mid")
+            .otherwise("low").as("price_band"))
+        .orderBy("l_orderkey", "l_linenumber", "revenue", "price_band")),
+
+    "filter_like_regex" -> ((s, d) =>
+      part(s, d)
+        .filter(col("p_type").like("%ECO%") && col("p_name").rlike("^(cold|hot) .*t$"))
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey")),
+
+    "sort_multi_nulls" -> ((s, d) =>
+      orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy(
+          col("o_orderstatus").asc_nulls_first,
+          col("o_totalprice").desc_nulls_last,
+          col("o_orderkey").asc)),
+
+    "topk_global" -> ((s, d) =>
+      // Compiles to TakeOrderedAndProject: per-partition top-10 then a
+      // single-driver merge — no full sort/shuffle even at 100 TB.
+      orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)),
+
+    "set_union_all" -> ((s, d) =>
+      customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .unionByName(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+
+    "set_union_distinct" -> ((s, d) =>
+      customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy("nationkey")),
+
+    "set_intersect" -> ((s, d) =>
+      customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+
+    "set_except" -> ((s, d) =>
+      customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .except(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_project" ->
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+
+    "scan_filter_pushdown" ->
+      ("SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem " +
+       "WHERE l_shipdate >= TIMESTAMP '2000-01-01' ORDER BY l_orderkey, l_linenumber, l_shipdate"),
+
+    "filter_compound" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag FROM lineitem " +
+       "WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24 AND l_returnflag IN ('A','R') " +
+       "ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag"),
+
+    "project_expr" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+       "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS revenue, " +
+       "CASE WHEN l_extendedprice > 30000 THEN 'high' WHEN l_extendedprice > 10000 THEN 'mid' ELSE 'low' END AS price_band " +
+       "FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, price_band"),
+
+    "filter_like_regex" ->
+      ("SELECT p_partkey, p_name, p_type FROM part " +
+       "WHERE p_type LIKE '%ECO%' AND regexp_matches(p_name, '^(cold|hot) .*t$') " +
+       "ORDER BY p_partkey"),
+
+    "sort_multi_nulls" ->
+      ("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
+       "ORDER BY o_orderstatus ASC NULLS FIRST, o_totalprice DESC NULLS LAST, o_orderkey ASC"),
+
+    "topk_global" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+       "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"),
+
+    "set_union_all" ->
+      ("SELECT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer " +
+       "UNION ALL SELECT s_nationkey FROM supplier) ORDER BY nationkey"),
+
+    "set_union_distinct" ->
+      ("SELECT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer " +
+       "UNION SELECT s_nationkey FROM supplier) ORDER BY nationkey"),
+
+    "set_intersect" ->
+      ("SELECT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer " +
+       "INTERSECT SELECT s_nationkey FROM supplier) ORDER BY nationkey"),
+
+    "set_except" ->
+      ("SELECT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer " +
+       "EXCEPT SELECT s_nationkey FROM supplier) ORDER BY nationkey")
+  )
+}

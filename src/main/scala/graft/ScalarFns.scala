@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Det._
+import Tables._
+
+/** Scalar function families (SURVEY.md §2.8): string, date, math, array
+  * (higher-order functions), JSON extraction, map build/flatten.
+  *
+  * Everything here is a built-in `org.apache.spark.sql.functions` expression
+  * — whole-stage-codegen'd, no UDF serialization cost, and Catalyst can push
+  * or fold them. Cross-engine pitfalls handled: Spark int-typed results are
+  * matched by explicit CASTs on the DuckDB side (length/year/… are BIGINT
+  * there), `dayofweek` numbering is normalized to ISO, floats fold in a
+  * fixed left-to-right order on both engines.
+  */
+object ScalarFns {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "fn_string" -> ((s, d) =>
+      part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          lower(col("p_brand")).as("lbrand"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_name"), 1, 5).as("prefix5"),
+          concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), " ", "_").as("snake"),
+          size(split(col("p_name"), " ")).as("n_words"))
+        .orderBy("p_partkey")),
+
+    "fn_date" -> ((s, d) =>
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mth"),
+          (((dayofweek(col("o_orderdate")) + 5) % 7) + 1).as("isodow"),
+          date_trunc("month", col("o_orderdate")).cast(TimestampNTZType).as("month_start"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast(DateType)).as("days_since"))
+        .orderBy("o_orderkey")),
+
+    "fn_math" -> ((s, d) =>
+      part(s, d)
+        .select(
+          col("p_partkey"),
+          abs(col("p_size") - 25).as("abs_sz"),
+          ceil(col("p_retailprice")).as("ceil_price"),
+          floor(col("p_retailprice")).as("floor_price"),
+          round(dec(col("p_retailprice"), 12, 2) * dec(lit(1.1), 3, 1), 1)
+            .cast(DecimalType(18, 1)).as("round_up"),
+          sqrt(col("p_retailprice")).as("sqrt_price"),
+          pmod(col("p_partkey"), lit(7)).as("key_mod7"),
+          (col("p_size").cast(LongType) * col("p_size").cast(LongType)).as("size_sq"))
+        .orderBy("p_partkey")),
+
+    "fn_array" -> ((s, d) =>
+      embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).as("first_c"),
+          element_at(col("embedding"), 64).as("last_c"),
+          // Fixed left-to-right fold in DOUBLE: deterministic on both engines.
+          expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
+               "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("norm_sq"))
+        .orderBy("vec_id")),
+
+    "fn_json_extract" -> ((s, d) =>
+      events(s, d)
+        .select((get_json_object(col("props"), "$.k").cast(LongType) % 10).as("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k_bucket")),
+
+    "fn_map" -> ((s, d) =>
+      // Build a per-user map(event_type -> count), then flatten back to rows
+      // so the output is oracle-comparable (MapType exercised mid-plan).
+      events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("user_id")
+        .agg(map_from_entries(collect_list(struct(col("event_type"), col("cnt")))).as("m"))
+        .select(col("user_id"), explode(col("m")).as(Seq("event_type", "cnt")))
+        .orderBy("user_id", "event_type"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "fn_string" ->
+      ("SELECT p_partkey, upper(p_name) AS uname, lower(p_brand) AS lbrand, " +
+       "CAST(length(p_name) AS INT) AS name_len, substr(p_name, 1, 5) AS prefix5, " +
+       "p_brand || ':' || p_type AS brand_type, replace(p_name, ' ', '_') AS snake, " +
+       "CAST(len(string_split(p_name, ' ')) AS INT) AS n_words " +
+       "FROM part ORDER BY p_partkey"),
+
+    "fn_date" ->
+      ("SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr, " +
+       "CAST(month(o_orderdate) AS INT) AS mth, " +
+       "CAST(isodow(o_orderdate) AS INT) AS isodow, " +
+       "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start, " +
+       "CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since " +
+       "FROM orders ORDER BY o_orderkey"),
+
+    "fn_math" ->
+      ("SELECT p_partkey, CAST(abs(p_size - 25) AS INT) AS abs_sz, " +
+       "CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price, " +
+       "CAST(floor(p_retailprice) AS BIGINT) AS floor_price, " +
+       "CAST(round(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(3,1)), 1) AS DECIMAL(18,1)) AS round_up, " +
+       "sqrt(p_retailprice) AS sqrt_price, " +
+       "CAST(p_partkey % 7 AS BIGINT) AS key_mod7, " +
+       "CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT) AS size_sq " +
+       "FROM part ORDER BY p_partkey"),
+
+    "fn_array" ->
+      ("SELECT vec_id, CAST(len(embedding) AS INT) AS dim, " +
+       "embedding[1] AS first_c, embedding[64] AS last_c, " +
+       "list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
+       "(acc, x) -> acc + x) AS norm_sq " +
+       "FROM embeddings ORDER BY vec_id"),
+
+    "fn_json_extract" ->
+      ("SELECT CAST(props->>'k' AS BIGINT) % 10 AS k_bucket, count(*) AS n " +
+       "FROM events GROUP BY 1 ORDER BY k_bucket"),
+
+    "fn_map" ->
+      ("SELECT user_id, event_type, count(*) AS cnt FROM events " +
+       "GROUP BY user_id, event_type ORDER BY user_id, event_type")
+  )
+}

@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Det._
+import Tables._
+
+/** Near-duplicate detection and similarity search at scale (SURVEY.md §2.9
+  * hard tail + BASELINE.json north-star: MinHash-LSH, SimHash, n-gram
+  * Jaccard, embedding cosine — brute-force baseline and LSH-bucketed ANN).
+  *
+  * Determinism (rule D5): every hash is Spark's seeded xxhash64/murmur3 over
+  * column values — no JVM hashCode, no per-partition state, no rand(). The
+  * quadratic steps are always *blocked* (LSH band buckets, label blocks,
+  * hyperplane buckets) so candidate generation is a hash-join, not a
+  * cartesian product: this is what survives 100 TB, where an all-pairs join
+  * is impossible. Float outputs carry no SQL oracle (fold order and libm
+  * differences make cross-engine float hashing fragile — SURVEY §2.9);
+  * scalatest verifies against in-test exact oracles instead.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  val NumHashes = 16
+  val BandSize = 4
+  val NumBands: Int = NumHashes / BandSize
+
+  /** Distinct 3-token shingles per doc. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, greatest(size(toks) - 2, 1)), " +
+             "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")).as("g"))
+      .distinct()
+
+  /** MinHash signatures: h_i(doc) = min over shingles of xxhash64(i, g). */
+  private def minhashSigs(sh: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("g"))).as(s"h$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band buckets → verified candidate pairs (exact Jaccard >= t). */
+  def minhashCandidates(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val sh = shingles(s, d)
+    val sigs = minhashSigs(sh)
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array((0 until NumBands).map(b =>
+        xxhash64((b * BandSize until (b + 1) * BandSize).map(i => col(s"h$i")): _*)): _*))
+        .as(Seq("band", "sig")))
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "sig"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    // Verify candidates with exact Jaccard over shingle sets (integer
+    // cross-multiplication — no float division in the predicate).
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.withColumnRenamed("doc_id", "da"), "da")
+      .join(sh.withColumnRenamed("doc_id", "db").withColumnRenamed("g", "g2"), "db")
+      .where(col("g") === col("g2"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    val thrNum = math.round(threshold * 1000000).toInt
+    inter
+      .join(sz.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+      .join(sz.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+      .where(col("inter") * 1000000L >= (col("na") + col("nb") - col("inter")) * thrNum)
+      .select(col("da"), col("db"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_near_minhash" -> ((s, d) => {
+      // Cluster representative = min doc_id among self + verified neighbors.
+      val pairs = minhashCandidates(s, d, 0.8)
+      val neighbors = pairs.select(col("da").as("doc_id"), col("db").as("nb"))
+        .union(pairs.select(col("db").as("doc_id"), col("da").as("nb")))
+      documents(s, d).select(col("doc_id"))
+        .join(neighbors, Seq("doc_id"), "left")
+        .groupBy("doc_id")
+        .agg(least(min(col("nb")), first(col("doc_id"))).as("rep_id"))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      // Exact n-gram Jaccard >= 0.5 via shingle inverted index self-join —
+      // candidate generation shuffles on the shingle (bounded fan-out), and
+      // the predicate is all-integer, so this one IS oracle-checkable.
+      val sh = shingles(s, d)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .where(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+        .select(col("da"), col("db"), col("inter"),
+          (col("na") + col("nb") - col("inter")).as("uni"))
+        .orderBy("da", "db")
+    }),
+
+    "dedup_simhash" -> ((s, d) =>
+      // 64-bit SimHash: per-token xxhash64 bit votes folded through
+      // higher-order array functions — one pass, no shuffle beyond the scan.
+      documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("votes",
+          expr("transform(sequence(0, 63), bit -> aggregate(toks, 0L, (acc, t) -> " +
+               "acc + CASE WHEN (shiftright(xxhash64(t), bit) & 1) = 1 THEN 1L ELSE -1L END))"))
+        // Assemble bits with | / shiftleft (not acc*2: ANSI mode would raise
+        // on the signed-overflow of the top bit).
+        .select(col("doc_id"),
+          expr("aggregate(sequence(0, 63), 0L, (acc, i) -> " +
+               "acc | CASE WHEN votes[i] > 0 THEN shiftleft(1L, 63 - i) ELSE 0L END)")
+            .as("simhash"))
+        .orderBy("doc_id")),
+
+    "dedup_embedding_cosine" -> ((s, d) => {
+      // Embedding near-dup: label blocks bound the pair space (the blocking
+      // key at 100 TB would be an LSH bucket; labels play that role here).
+      val e = embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"),
+        expr("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
+             "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))").as("nrm"))
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+          (expr("aggregate(zip_with(a.embedding, b.embedding, " +
+                "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+                "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)") /
+            (col("a.nrm") * col("b.nrm"))).as("cos"))
+        .where(col("cos") >= 0.95)
+        .orderBy("va", "vb")
+    }),
+
+    "sim_topk_cosine" -> ((s, d) => {
+      // Brute-force half-triangular top-k — the exact baseline the ANN
+      // variant is measured against. O(n²) by construction: at scale use
+      // sim_ann_lsh; here n is small and the driver benches this as the
+      // exactness reference.
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        expr("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
+             "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))").as("nrm"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+          (expr("aggregate(zip_with(a.embedding, b.embedding, " +
+                "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+                "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)") /
+            (col("a.nrm") * col("b.nrm"))).as("cos"))
+        .orderBy(col("cos").desc, col("va").asc, col("vb").asc)
+        .limit(20)
+    }),
+
+    "sim_knn_per_label" -> ((s, d) => {
+      // Per-label centroid (exact decimal component sums → stable), then
+      // top-5 nearest members per label by L2 distance to own centroid.
+      val e = embeddings(s, d)
+      val comps = e.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      val cent = comps.groupBy("label", "pos")
+        .agg((sum(dec(col("v"), 27, 10)).cast(DoubleType) / count(lit(1))).as("c"))
+        .groupBy("label")
+        .agg(map_from_entries(collect_list(struct(col("pos"), col("c")))).as("cmap"))
+      val dist = e.join(cent, "label")
+        .select(col("label"), col("vec_id"),
+          expr("aggregate(transform(sequence(0, size(embedding) - 1), " +
+               "i -> (CAST(embedding[i] AS DOUBLE) - cmap[i]) * (CAST(embedding[i] AS DOUBLE) - cmap[i])), " +
+               "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("dist_sq"))
+      val w = Window.partitionBy("label").orderBy(col("dist_sq").asc, col("vec_id").asc)
+      dist.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select("label", "vec_id", "rn")
+        .orderBy("label", "rn")
+    }),
+
+    "sim_ann_lsh" -> ((s, d) => {
+      // ANN scale path: 8 seeded pseudo-random hyperplanes → sign-bit bucket;
+      // candidates = same-bucket pairs with the query set (labels 0 vectors
+      // with vec_id < 10). Deterministic: hyperplane components derive from
+      // xxhash64(plane, dim) — no RNG state.
+      val planes = expr(
+        """transform(sequence(0, 7), p ->
+          |  transform(sequence(0, 63), j ->
+          |    CAST(pmod(xxhash64(p, j), 2001L) - 1000L AS DOUBLE) / 1000.0D))""".stripMargin)
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .withColumn("planes", planes)
+        .withColumn("bucket",
+          expr("aggregate(transform(planes, pl -> " +
+               "CASE WHEN aggregate(zip_with(embedding, pl, (x, w) -> CAST(x AS DOUBLE) * w), " +
+               "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) >= 0.0D THEN 1L ELSE 0L END), " +
+               "0L, (acc, b) -> acc * 2L + b)"))
+        .select(col("vec_id"), col("embedding"), col("bucket"),
+          expr("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
+               "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))").as("nrm"))
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("bucket").as("qb"), col("nrm").as("qn"))
+      q.join(e, col("qb") === col("bucket") && col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("nn"),
+          (expr("aggregate(zip_with(qe, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+                "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)") / (col("qn") * col("nrm"))).as("cos"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("nn").asc)))
+        .where(col("rn") <= 10)
+        .select("qid", "nn", "rn")
+        .orderBy("qid", "rn")
+    })
+  )
+
+  /** Only the all-integer Jaccard query is SQL-expressible enough to oracle. */
+  val oracles: Map[String, String] = Map(
+    "dedup_ngram_jaccard" ->
+      ("WITH sh AS (SELECT DISTINCT doc_id, g FROM " +
+       "(SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(ts) - 2, 1)), " +
+       "i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))) AS g " +
+       "FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents))), " +
+       "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+       "p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter FROM sh a " +
+       "JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+       "SELECT da, db, inter, sa.n + sb.n - inter AS uni FROM p " +
+       "JOIN sz sa ON p.da = sa.doc_id JOIN sz sb ON p.db = sb.doc_id " +
+       "WHERE inter * 2 >= sa.n + sb.n - inter ORDER BY da, db")
+  )
+}

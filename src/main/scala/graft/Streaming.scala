@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Det._
+import Tables._
+
+/** Streaming operators (SURVEY.md §2.10) over the `events` surface.
+  *
+  * Strategy: each op ships as a batch twin (DuckDB-oracle-checked via
+  * `SparkEntry`) plus a Structured Streaming builder operating on any
+  * streaming DataFrame with the events schema (exercised by scalatest with
+  * a file/rate source — streaming output can't be oracle-hashed by the
+  * driver). The streaming builders use event-time watermarks so state is
+  * bounded: at 100 TB/day the state store only holds open windows, and
+  * late data beyond the watermark is dropped deterministically.
+  */
+object Streaming {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 30-minute inactivity gap, µs — shared by batch twin and stream. */
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000
+
+  // ---- Structured Streaming builders (input: streaming events frame) ----
+
+  /** Per-hour tumbling counts with a 10-minute watermark; append-safe. */
+  def tumblingCountsStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** 1-hour windows sliding every 15 minutes. */
+  def slidingAggStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("n"))
+
+  /** Native session windows (30-minute gap) per user. */
+  def sessionWindowStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+
+  /** Stateful dedup on event_id within the watermark horizon. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ---- Batch twins (driver-verified against DuckDB) ----
+
+  val queries: Map[String, Q] = Map(
+    "stream_tumbling_counts" -> ((s, d) =>
+      events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).cast(TimestampNTZType).as("hour_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum4(col("value")).as("sum_value"))
+        .orderBy("hour_start", "event_type")),
+
+    "stream_sliding_avg" -> ((s, d) =>
+      // Batch semantics of window(ts, 1h, 15m): each event lands in the 4
+      // sliding windows covering it; epoch-aligned starts match DuckDB's
+      // time_bucket (both anchored to UTC midnight).
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), dsum4(col("value")).as("sum_value"))
+        .select(col("w.start").cast(TimestampNTZType).as("ws"), col("n"), col("sum_value"))
+        .orderBy("ws")),
+
+    "stream_session_windows" -> ((s, d) => {
+      // Classic scalable sessionization: lag-gap flag + running sum = session
+      // id. One shuffle on user_id; state per user is a single row.
+      val byTs = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val run = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("us", unix_micros(col("ts").cast(TimestampType)))
+        .withColumn("prev_us", lag(col("us"), 1).over(byTs))
+        .withColumn("is_new",
+          when(col("prev_us").isNotNull &&
+               col("us") - col("prev_us") <= SessionGapUs, 0L).otherwise(1L))
+        .withColumn("session_id", sum(col("is_new")).over(run))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), dsum4(col("value")).as("sum_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    "stream_stateful_dedup" -> ((s, d) =>
+      // Batch twin of keep-first dedup: deterministic min-event_id per key
+      // (dropDuplicates keeps an arbitrary row — not hash-stable).
+      events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(min(col("event_id")).as("first_event_id"), count(lit(1)).as("n_dups"))
+        .orderBy("user_id", "event_type"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling_counts" ->
+      ("SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n, " +
+       s"${oDsum4("value")} AS sum_value " +
+       "FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"),
+
+    "stream_sliding_avg" ->
+      ("SELECT ws, count(*) AS n, " +
+       s"${oDsum4("value")} AS sum_value FROM " +
+       "(SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) " +
+       " - CAST(i AS INT) * INTERVAL '15 minutes' AS ws, value " +
+       "FROM events, (SELECT unnest(generate_series(0, 3)) AS i)) " +
+       "GROUP BY ws ORDER BY ws"),
+
+    "stream_session_windows" ->
+      ("SELECT user_id, session_id, count(*) AS n_events, " +
+       s"${oDsum4("value")} AS sum_value FROM " +
+       "(SELECT user_id, value, " +
+       "CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM " +
+       "(SELECT user_id, ts, event_id, value, " +
+       "CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) " +
+       "OVER (PARTITION BY user_id ORDER BY ts, event_id) <= 1800000000 THEN 0 ELSE 1 END AS is_new " +
+       "FROM events)) GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+
+    "stream_stateful_dedup" ->
+      ("SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n_dups " +
+       "FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type")
+  )
+}

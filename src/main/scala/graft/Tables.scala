@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Parquet table loaders over the driver-generated fixtures (TESTDATA.md).
+  *
+  * One parquet file per table; `spark.read.parquet` gives schema-on-read from
+  * the footer, and Catalyst pushes filters/column pruning into the scan — at
+  * 100 TB the same call reads a partitioned directory tree instead of one
+  * file, with partition pruning for free.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses natively;
+    // sessions set spark.sql.legacy.parquet.nanosAsLong and the loader
+    // truncates ns→µs here (integer div — same floor semantics DuckDB uses
+    // when casting its ns read down to µs; SURVEY.md §1.2 D4).
+    // The fixtures carry isAdjustedToUTC=false timestamps, which Spark 4
+    // infers as TimestampNTZ — so ts is normalized to NTZ too (identity under
+    // the pinned UTC session) to keep every timestamp in one family.
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case None => df
+    }
+  }
+
+  def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = t(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}
+
+/** Determinism helpers implementing SURVEY.md §2 rules D1–D5.
+  *
+  * Cross-engine (Spark vs DuckDB oracle) hash-matching requires bit-stable
+  * output: money math goes through exact decimal arithmetic with an explicit
+  * final cast that aligns the result *type* between engines (Spark
+  * SUM(DECIMAL(18,4)) is DECIMAL(28,4), DuckDB's is DECIMAL(38,4) — without
+  * the final cast the schemas differ even when values agree).
+  */
+object Det {
+  /** Exact decimal view of a double column (both engines round half-up). */
+  def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
+
+  /** SUM over DECIMAL(18,4) with type aligned to DuckDB's DECIMAL(38,4). */
+  def dsum4(c: Column): Column = sum(dec(c, 18, 4)).cast(DecimalType(38, 4))
+
+  /** SUM over DECIMAL(18,2) aligned to DECIMAL(38,2). */
+  def dsum2(c: Column): Column = sum(dec(c, 18, 2)).cast(DecimalType(38, 2))
+
+  /** Exact integer SUM (input must be integral-valued) as BIGINT. */
+  def lsum(c: Column): Column = sum(c.cast(LongType)).cast(LongType)
+
+  /** SQL fragment mirroring [[dsum4]] for the DuckDB oracle. */
+  def oDsum4(x: String): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DECIMAL(38,4))"
+
+  def oDsum2(x: String): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DECIMAL(38,2))"
+
+  /** DuckDB SUM over ints is HUGEINT — align to Spark's BIGINT. */
+  def oLsum(x: String): String = s"CAST(SUM(CAST($x AS BIGINT)) AS BIGINT)"
+}

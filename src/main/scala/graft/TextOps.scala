@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Det._
+import Tables._
+
+/** MapReduce-classic text jobs (word count, grep, inverted index — the
+  * OSDI'04 canon) plus LLM-data-pipeline text analysis: exact dedup,
+  * language-ID heuristic, quality scoring, BPE-ish token counting, and
+  * rolling-hash document fingerprints (SURVEY.md §2.9; BASELINE.json
+  * north-star).
+  *
+  * All tokenization is `split`/`explode` + hash-aggregation — the shuffle
+  * key is the token, so at 100 TB the word count is exactly the MR combiner
+  * pattern (partial agg per partition, one shuffle of distinct tokens).
+  * Fingerprints fold in fixed left-to-right order with integer arithmetic —
+  * bit-stable on any engine (rule D5: no engine-specific hash in oracle
+  * outputs).
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Deterministic language-ID heuristic: score each language by marker-token
+    * hits + a char-fingerprint tiebreak. (The fixture vocabulary is synthetic,
+    * so this demonstrates the *shape* of n-gram language ID — per-doc feature
+    * extraction, argmax over per-language scores — with a fully deterministic
+    * rule; no SQL oracle, scalatest asserts determinism + total coverage.)
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val markers: Map[String, Seq[String]] = Map(
+      "en" -> Seq("the", "a", "fast", "slow"),
+      "de" -> Seq("der", "die", "das", "und"),
+      "es" -> Seq("el", "la", "los", "que"),
+      "fr" -> Seq("le", "la", "les", "et"),
+      "zh" -> Seq("de", "shi", "le", "zai"))
+    val scored = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      val inSet = ms.map(m => s"x = '$m'").mkString(" OR ")
+      expr(s"size(filter(split(text, ' '), x -> $inSet))").as(s"score_$lang")
+    }
+    documents(s, d)
+      .select(col("doc_id") +: scored: _*)
+      .withColumn("predicted_lang",
+        expr("CASE WHEN score_en >= greatest(score_de, score_es, score_fr, score_zh) THEN 'en' " +
+             "WHEN score_de >= greatest(score_es, score_fr, score_zh) THEN 'de' " +
+             "WHEN score_es >= greatest(score_fr, score_zh) THEN 'es' " +
+             "WHEN score_fr >= score_zh THEN 'fr' ELSE 'zh' END"))
+      .select("doc_id", "predicted_lang", "score_en")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_wordcount" -> ((s, d) =>
+      documents(s, d)
+        .select(explode(toks(col("text"))).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc)),
+
+    "text_grep" -> ((s, d) =>
+      documents(s, d)
+        .filter(col("text").rlike("scan (table|merge)"))
+        .select("doc_id")
+        .orderBy("doc_id")),
+
+    "text_inverted_index" -> ((s, d) =>
+      // Flattened posting list: distinct (word, doc_id), totally ordered —
+      // the grouped `collect_list` form is equivalent but not oracle-hashable.
+      documents(s, d)
+        .select(explode(toks(col("text"))).as("word"), col("doc_id"))
+        .distinct()
+        .orderBy("word", "doc_id")),
+
+    "text_stats" -> ((s, d) =>
+      documents(s, d)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          lsum(col("n_chars")).as("sum_chars"),
+          lsum(size(toks(col("text")))).as("sum_tokens"))
+        .orderBy("lang")),
+
+    "text_lang_filter" -> ((s, d) =>
+      documents(s, d)
+        .filter(col("lang") === "en" && col("n_chars").between(50, 2000))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")),
+
+    "dedup_exact" -> ((s, d) =>
+      // Exact dedup at scale = one hash shuffle on the text (or its digest at
+      // 100 TB: groupBy(sha2(text)) keeps shuffle rows narrow).
+      documents(s, d)
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")),
+
+    "text_langid" -> (langId _),
+
+    "text_quality" -> ((s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          size(toks(col("text"))).as("n_tokens"),
+          size(array_distinct(toks(col("text")))).as("n_uniq"),
+          expr("size(filter(split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of'))")
+            .as("n_stop"))
+        .withColumn("uniq_ratio",
+          col("n_uniq").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+        .withColumn("quality",
+          when(col("uniq_ratio") >= 0.5 && col("n_tokens") >= 20, "good")
+            .when(col("uniq_ratio") >= 0.25, "fair")
+            .otherwise("poor"))
+        .orderBy("doc_id")),
+
+    "text_tokens" -> ((s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("n_bpe"),
+          size(toks(col("text"))).as("n_ws"))
+        .orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, d) =>
+      // Polynomial rolling hash over codepoints, mod 1e9+7, folded
+      // left-to-right in BIGINT — deterministic and engine-portable.
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          expr("aggregate(transform(split(text, ''), c -> ascii(c)), 0L, " +
+               "(acc, x) -> pmod(acc * 31 + x, 1000000007L))").as("fingerprint"))
+        .orderBy("doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_wordcount" ->
+      ("SELECT word, count(*) AS cnt FROM " +
+       "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
+       "GROUP BY word ORDER BY cnt DESC, word ASC"),
+
+    "text_grep" ->
+      ("SELECT doc_id FROM documents WHERE regexp_matches(text, 'scan (table|merge)') " +
+       "ORDER BY doc_id"),
+
+    "text_inverted_index" ->
+      ("SELECT DISTINCT word, doc_id FROM " +
+       "(SELECT unnest(string_split(text, ' ')) AS word, doc_id FROM documents) " +
+       "ORDER BY word, doc_id"),
+
+    "text_stats" ->
+      ("SELECT lang, count(*) AS n_docs, " +
+       s"${oLsum("n_chars")} AS sum_chars, " +
+       "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens " +
+       "FROM documents GROUP BY lang ORDER BY lang"),
+
+    "text_lang_filter" ->
+      ("SELECT doc_id, n_chars FROM documents " +
+       "WHERE lang = 'en' AND n_chars BETWEEN 50 AND 2000 ORDER BY doc_id"),
+
+    "dedup_exact" ->
+      ("SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents " +
+       "GROUP BY text ORDER BY doc_id"),
+
+    "text_quality" ->
+      ("SELECT doc_id, n_tokens, n_uniq, n_stop, " +
+       "CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS uniq_ratio, " +
+       "CASE WHEN CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.5 AND n_tokens >= 20 THEN 'good' " +
+       "WHEN CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.25 THEN 'fair' ELSE 'poor' END AS quality " +
+       "FROM (SELECT doc_id, " +
+       "CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, " +
+       "CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq, " +
+       "CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of')) AS INT) AS n_stop " +
+       "FROM documents) ORDER BY doc_id"),
+
+    "text_tokens" ->
+      ("SELECT doc_id, " +
+       "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe, " +
+       "CAST(len(string_split(text, ' ')) AS INT) AS n_ws " +
+       "FROM documents ORDER BY doc_id"),
+
+    "text_fingerprint" ->
+      ("SELECT doc_id, " +
+       "list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)), " +
+       "(acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint " +
+       "FROM documents ORDER BY doc_id")
+  )
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Det._
+import Tables._
+
+/** Window functions (SURVEY.md §2.5): ranking, per-group top-k, running and
+  * moving frames, lag/lead.
+  *
+  * Every window is partitioned by a real key (segment / brand / customer /
+  * user) so work distributes across executors; the only global-order window
+  * (`window_moving_avg`) runs over a pre-aggregated ~1 row/day frame, so the
+  * single-partition sort is over days, not events — safe at any event count.
+  */
+object Windows {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "window_rank" -> ((s, d) => {
+      val byBal = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc)
+      val byBalKey = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      customer(s, d)
+        .select(
+          col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          rank().over(byBal).as("rnk"),
+          dense_rank().over(byBal).as("drnk"),
+          row_number().over(byBalKey).as("rn"))
+        .orderBy("c_mktsegment", "rn")
+    }),
+
+    "window_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      part(s, d)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          row_number().over(w).as("rn"))
+        .where(col("rn") <= 3)
+        .orderBy("p_brand", "rn")
+    }),
+
+    "window_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(dec(col("o_totalprice"), 18, 2)).over(w)
+            .cast(DecimalType(38, 2)).as("run_total"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
+    "window_moving_avg" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(date_trunc("day", col("ts")).cast(TimestampNTZType).as("day"))
+        .agg(dsum4(col("value")).as("day_value"), count(lit(1)).as("day_n"))
+      val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+      daily
+        .select(col("day"),
+          sum(col("day_value")).over(w).cast(DecimalType(38, 4)).as("mov_value"),
+          sum(col("day_n")).over(w).cast(LongType).as("mov_n"))
+        .orderBy("day")
+    }),
+
+    "window_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      events(s, d)
+        .withColumn("us", unix_micros(col("ts").cast(TimestampType)))
+        .select(col("user_id"), col("event_id"),
+          (col("us") - lag(col("us"), 1).over(w)).as("gap_us"),
+          (lead(col("us"), 1).over(w) - col("us")).as("next_us"))
+        .where(col("gap_us").isNotNull && col("next_us").isNotNull)
+        .orderBy("user_id", "event_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "window_rank" ->
+      ("SELECT c_mktsegment, c_custkey, c_acctbal, " +
+       "CAST(rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS INT) AS rnk, " +
+       "CAST(dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS INT) AS drnk, " +
+       "CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rn " +
+       "FROM customer ORDER BY c_mktsegment, rn"),
+
+    "window_topk_per_group" ->
+      ("SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS INT) AS rn FROM " +
+       "(SELECT p_brand, p_partkey, p_retailprice, " +
+       "row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rn " +
+       "FROM part) WHERE rn <= 3 ORDER BY p_brand, rn"),
+
+    "window_running_sum" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate, " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER " +
+       "(PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS run_total " +
+       "FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"),
+
+    "window_moving_avg" ->
+      ("SELECT day, " +
+       "CAST(SUM(day_value) OVER w AS DECIMAL(38,4)) AS mov_value, " +
+       "CAST(SUM(day_n) OVER w AS BIGINT) AS mov_n FROM " +
+       "(SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
+       "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS day_value, count(*) AS day_n " +
+       "FROM events GROUP BY 1) " +
+       "WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY day"),
+
+    "window_lag_lead" ->
+      ("SELECT user_id, event_id, gap_us, next_us FROM " +
+       "(SELECT user_id, event_id, " +
+       "epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w AS gap_us, " +
+       "lead(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w - epoch_us(CAST(ts AS TIMESTAMP)) AS next_us " +
+       "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) " +
+       "WHERE gap_us IS NOT NULL AND next_us IS NOT NULL ORDER BY user_id, event_id")
+  )
+}

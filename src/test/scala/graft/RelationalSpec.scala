@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import TestSpark.{spark, Sf0001}
+
+class RelationalSpec extends AnyFunSuite {
+  private def q(name: String) = SparkEntry.queries(name)(spark, Sf0001)
+
+  test("scan_project returns all 25 nations in key order") {
+    val rows = q("scan_project").collect()
+    assert(rows.length == 25)
+    assert(rows.map(_.getInt(0)).toSeq == (0 until 25))
+  }
+
+  test("scan_filter_pushdown reaches the parquet scan") {
+    val plan = q("scan_filter_pushdown").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("IsNotNull(l_shipdate)"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("topk_global is 10 rows in strictly decreasing (price, key) order") {
+    val rows = q("topk_global").collect().map(r => (r.getDouble(2), r.getLong(0)))
+    assert(rows.length == 10)
+    assert(rows.sliding(2).forall { case Array((p1, k1), (p2, k2)) =>
+      p1 > p2 || (p1 == p2 && k1 < k2) })
+  }
+
+  test("set-operation algebra") {
+    val all      = q("set_union_all").collect().map(_.getInt(0))
+    val distinct = q("set_union_distinct").collect().map(_.getInt(0)).toSet
+    val inter    = q("set_intersect").collect().map(_.getInt(0)).toSet
+    val except   = q("set_except").collect().map(_.getInt(0)).toSet
+    assert(distinct == all.toSet)                       // distinct = dedup(all)
+    assert(inter.subsetOf(distinct))
+    assert((except & inter).isEmpty)                    // except ∩ intersect = ∅
+    assert((except | inter).subsetOf(distinct))
+  }
+
+  test("filter_compound respects every predicate") {
+    val rows = SparkEntry.queries("filter_compound")(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) < 24)                       // l_quantity
+      assert(r.getDouble(3) >= 0.05 && r.getDouble(3) <= 0.07)
+      assert(Set("A", "R").contains(r.getString(4)))
+    }
+  }
+
+  test("sort_multi_nulls is totally ordered") {
+    val rows = q("sort_multi_nulls").collect()
+      .map(r => (r.getString(1), -r.getDouble(2), r.getLong(0)))
+    assert(rows.sameElements(rows.sorted))
+  }
+}
