@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import TestSpark.{spark, Sf0001}
+
+class AggWindowSpec extends AnyFunSuite {
+  private def q(name: String) = SparkEntry.queries(name)(spark, Sf0001)
+
+  test("agg_global matches independent exact computation") {
+    val r = q("agg_global").collect()(0)
+    val li = Tables.lineitem(spark, Sf0001)
+      .select("l_quantity").collect().map(_.getDouble(0).toLong)
+    assert(r.getLong(0) == li.length)
+    assert(r.getLong(1) == li.sum)
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val approx = q("agg_approx_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, Sf0001)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(1, (n * 0.05).toLong), s"$k: ${approx(k)} vs $n")
+    }
+  }
+
+  test("rollup contains per-nation, per-region subtotals and grand total") {
+    val rows = q("agg_rollup").collect()
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length == 1)
+    assert(grand(0).getLong(2) == Tables.customer(spark, Sf0001).count())
+    val regionSubtotals = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) == "ALL")
+    assert(regionSubtotals.map(_.getLong(2)).sum == grand(0).getLong(2))
+  }
+
+  test("histogram buckets partition all orders") {
+    val rows = q("agg_histogram").collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, Sf0001).count())
+  }
+
+  test("running sum final value equals the customer total") {
+    val rows = q("window_running_sum").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.last.getDecimal(3)).toMap
+    val totals = Tables.orders(spark, Sf0001).groupBy("o_custkey")
+      .agg(Det.dsum2(col("o_totalprice")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    totals.foreach { case (ck, t) =>
+      assert(rows(ck).compareTo(t) == 0, s"cust $ck: ${rows(ck)} vs $t") }
+  }
+
+  test("window_topk_per_group emits at most 3 per brand, rank-ordered") {
+    val rows = q("window_topk_per_group").collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getInt(3)).sorted.sameElements(1 to rs.length))
+      val prices = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(prices.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
+  test("moving window covers at most 7 days") {
+    val rows = q("window_moving_avg").collect()
+    assert(rows.nonEmpty)
+    // first row = its own day only; later rows aggregate up to 7 days
+    assert(rows.map(_.getLong(2)).max <= Tables.events(spark, Sf0001).count())
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import TestSpark.{spark, Sf0001}
+
+class JoinsSpec extends AnyFunSuite {
+  private def q(name: String) = SparkEntry.queries(name)(spark, Sf0001)
+
+  test("semi + anti partition the customer table") {
+    val semi = q("join_semi").count()
+    val anti = q("join_anti").count()
+    val all  = Tables.customer(spark, Sf0001).count()
+    assert(semi + anti == all)
+  }
+
+  test("inner broadcast join uses BroadcastHashJoin") {
+    val plan = q("join_inner_broadcast").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("multiway star revenue is positive for all 5 regions") {
+    val rows = q("join_multiway_star").collect()
+    assert(rows.length == 5)
+    rows.foreach(r => assert(r.getDecimal(1).signum > 0 && r.getLong(2) > 0))
+  }
+
+  test("as-of join matches a per-event brute force") {
+    val out = q("join_asof").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getAs[java.time.LocalDateTime](2))).toMap
+    val orders = Tables.orders(spark, Sf0001)
+      .select("o_custkey", "o_orderkey", "o_orderdate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[java.time.LocalDateTime](2)))
+    val events = Tables.events(spark, Sf0001)
+      .select("event_id", "user_id", "ts").limit(50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[java.time.LocalDateTime](2)))
+    events.foreach { case (eid, uid, ts) =>
+      val cands = orders.filter(o => o._1 == uid && !o._3.isAfter(ts))
+      if (cands.isEmpty) assert(!out.contains(eid))
+      else {
+        val best = cands.maxBy(o => (o._3.toString, o._2)) // date then key
+        assert(out(eid) == ((best._2, best._3)), s"event $eid")
+      }
+    }
+  }
+
+  test("theta-range pairs satisfy the 1h window") {
+    val pairs = q("join_theta_range").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ev = Tables.events(spark, Sf0001)
+      .select("event_id", "user_id", "ts", "event_type").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getAs[java.time.LocalDateTime](2), r.getString(3))).toMap
+    pairs.foreach { case (sid, pid) =>
+      val (su, sts, st) = ev(sid); val (pu, pts, pt) = ev(pid)
+      assert(su == pu && st == "signup" && pt == "purchase")
+      assert(pts.isAfter(sts) && !pts.isAfter(sts.plusHours(1)))
+    }
+  }
+
+  test("full outer covers every nation present on either side") {
+    val rows = q("join_full_outer").collect()
+    val nations = rows.map(_.getInt(0)).toSet
+    val custN = Tables.customer(spark, Sf0001).select("c_nationkey").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val suppN = Tables.supplier(spark, Sf0001).select("s_nationkey").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(nations == (custN | suppN))
+  }
+}

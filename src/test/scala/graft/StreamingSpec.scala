@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import TestSpark.{spark, Sf0001}
+
+case class Evt(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Structured Streaming behavior: the real `readStream`-shaped pipeline over
+  * a MemoryStream, including watermark-driven late-data drop — semantics the
+  * DuckDB oracle cannot check (SURVEY.md §2.10).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  test("tumbling window stream aggregates per hour and drops late rows") {
+    val input = MemoryStream[Evt]
+    val q = Streaming.tumblingCountsStream(input.toDF())
+      .writeStream.format("memory").queryName("tumb").outputMode("append").start()
+    try {
+      // hour 0: 3 clicks; hour 1: 1 view; then advance watermark past hour 1
+      input.addData(
+        Evt(1, ts(5), 1, "click", 1.0), Evt(2, ts(20), 1, "click", 2.0),
+        Evt(3, ts(50), 2, "click", 3.0), Evt(4, ts(70), 2, "view", 4.0))
+      q.processAllAvailable()
+      input.addData(Evt(5, ts(200), 3, "click", 5.0)) // watermark -> 03:10
+      q.processAllAvailable()
+      // late row for hour 0 — behind the watermark, must be dropped
+      input.addData(Evt(6, ts(10), 9, "click", 99.0))
+      q.processAllAvailable()
+      input.addData(Evt(7, ts(400), 3, "click", 6.0)) // close remaining windows
+      q.processAllAvailable()
+      val rows = spark.table("tumb").collect()
+        .map(r => (r.getAs[Timestamp](0), r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains((Timestamp.valueOf("2024-01-01 00:00:00"), "click", 3L)),
+        s"hour-0 clicks wrong (late row must not count): $rows")
+      assert(rows.contains((Timestamp.valueOf("2024-01-01 01:00:00"), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("session window stream groups by 30-minute gaps") {
+    val input = MemoryStream[Evt]
+    val q = Streaming.sessionWindowStream(input.toDF())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // user 1: events at 0,10,20 (one session), then 120 (new session)
+      input.addData(
+        Evt(1, ts(0), 1, "click", 1.0), Evt(2, ts(10), 1, "click", 1.0),
+        Evt(3, ts(20), 1, "click", 1.0), Evt(4, ts(120), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Evt(5, ts(600), 2, "click", 1.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      assert(rows.contains((1L, 3L)), s"expected session of 3 events: ${rows.toSeq}")
+      assert(rows.contains((1L, 1L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes replayed event_ids") {
+    val input = MemoryStream[Evt]
+    val q = Streaming.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(Evt(1, ts(0), 1, "click", 1.0), Evt(1, ts(0), 1, "click", 1.0),
+        Evt(2, ts(1), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Evt(1, ts(2), 1, "click", 1.0)) // replay within watermark
+      q.processAllAvailable()
+      val n = spark.table("dedup").collect().count(_.getLong(0) == 1L)
+      assert(n == 1, s"event_id 1 emitted $n times")
+    } finally q.stop()
+  }
+
+  test("batch sliding windows place each event in 4 windows") {
+    val n = Tables.events(spark, Sf0001).count()
+    val windowed = SparkEntry.queries("stream_sliding_avg")(spark, Sf0001)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(windowed == 4 * n)
+  }
+
+  test("batch sessionization: session count bounded and gaps respected") {
+    val rows = SparkEntry.queries("stream_session_windows")(spark, Sf0001).collect()
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == Tables.events(spark, Sf0001).count())
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ids = rs.map(_.getLong(1)).sorted
+      assert(ids.head == 1 && ids.last == ids.length) // dense 1..n per user
+    }
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import TestSpark.{spark, Sf0001, Sf01}
+
+class TextSimilaritySpec extends AnyFunSuite {
+  private def q(name: String) = SparkEntry.queries(name)(spark, Sf0001)
+
+  test("wordcount total equals token count") {
+    val wc = q("text_wordcount").collect().map(_.getLong(1)).sum
+    val tokens = Tables.documents(spark, Sf0001)
+      .select(size(split(col("text"), " ")).as("n")).collect().map(_.getInt(0).toLong).sum
+    assert(wc == tokens)
+  }
+
+  test("dedup_exact finds exactly the 8 duplicate rows at sf0.1") {
+    val out = SparkEntry.queries("dedup_exact")(spark, Sf01)
+    val total = Tables.documents(spark, Sf01).count()
+    val kept = out.count()
+    assert(total - kept == 8, s"expected 8 dups, got ${total - kept}")
+  }
+
+  test("dedup idempotence: no duplicates remain among kept texts") {
+    val kept = SparkEntry.queries("dedup_exact")(spark, Sf01)
+      .join(Tables.documents(spark, Sf01), "doc_id")
+    assert(kept.groupBy("text").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("minhash: exact duplicates always share a representative (sf0.1)") {
+    val reps = SparkEntry.queries("dedup_near_minhash")(spark, Sf01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dupGroups = Tables.documents(spark, Sf01)
+      .groupBy("text").agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1).collect().map(_.getSeq[Long](1))
+    assert(dupGroups.nonEmpty)
+    dupGroups.foreach { ids =>
+      val rs = ids.map(reps).toSet
+      assert(rs.size == 1, s"dup group $ids maps to reps $rs")
+      // rep may be smaller than the group min when a genuine near-dup
+      // neighbor exists; it can never be larger.
+      assert(rs.head <= ids.min)
+    }
+  }
+
+  test("simhash: identical texts get identical simhash; deterministic across runs") {
+    val h1 = SparkEntry.queries("dedup_simhash")(spark, Sf01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dupGroups = Tables.documents(spark, Sf01)
+      .groupBy("text").agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1).collect().map(_.getSeq[Long](1))
+    assert(dupGroups.nonEmpty)
+    dupGroups.foreach(ids => assert(ids.map(h1).toSet.size == 1))
+    // determinism double-run at the small sf
+    val a = q("dedup_simhash").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = q("dedup_simhash").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b)
+  }
+
+  test("jaccard pairs all meet the 0.5 threshold, symmetric-free (a<b)") {
+    val rows = q("dedup_ngram_jaccard").collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) * 2 >= r.getLong(3)) // 2*inter >= union
+    }
+  }
+
+  test("sim_topk_cosine matches an exact in-test oracle") {
+    val out = q("sim_topk_cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val vecs = Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def dot(a: Array[Float], b: Array[Float]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    def nrm(a: Array[Float]) =
+      math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+    val exact = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+    } yield (ia, ib, dot(va, vb) / (nrm(va) * nrm(vb))))
+      .sortBy { case (a, b, c) => (-c, a, b) }.take(20)
+    assert(out.map(t => (t._1, t._2)).toSeq == exact.map(t => (t._1, t._2)).toSeq)
+    out.zip(exact).foreach { case ((_, _, c1), (_, _, c2)) =>
+      assert(math.abs(c1 - c2) < 1e-12) }
+  }
+
+  test("knn_per_label: rank 1..5 per label, 10 labels") {
+    val rows = q("sim_knn_per_label").collect()
+    val byLabel = rows.groupBy(_.getInt(0))
+    assert(byLabel.size == 10)
+    byLabel.values.foreach(rs => assert(rs.map(_.getInt(2)).sorted.sameElements(1 to 5)))
+  }
+
+  test("ann lsh: neighbors ranked, deterministic") {
+    val a = q("sim_ann_lsh").collect().toSeq
+    val b = q("sim_ann_lsh").collect().toSeq
+    assert(a == b)
+    a.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getInt(2)).sorted.sameElements(1 to rs.length)) }
+  }
+
+  test("langid is deterministic and total") {
+    val a = q("text_langid").collect().map(r => r.getLong(0) -> r.getString(1))
+    val b = q("text_langid").collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(a.sameElements(b))
+    assert(a.length == Tables.documents(spark, Sf0001).count())
+    assert(a.forall(p => Set("en", "de", "es", "fr", "zh").contains(p._2)))
+  }
+
+  test("fingerprint equals a reference implementation") {
+    val out = q("text_fingerprint").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text")
+      .limit(20).collect().map(r => (r.getLong(0), r.getString(1)))
+    docs.foreach { case (id, text) =>
+      val exp = text.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+      assert(out(id) == exp, s"doc $id")
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import TestSpark.{spark, Sf0001}
+
+class UdxMultimodalSpec extends AnyFunSuite {
+  private def q(name: String) = SparkEntry.queries(name)(spark, Sf0001)
+
+  test("udf_scalar equals the codegen'd built-in") {
+    val viaUdf = q("udf_scalar").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaBuiltin = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaUdf == viaBuiltin)
+  }
+
+  test("typed Aggregator moments match SQL aggregation") {
+    val agg = q("udaf_typed").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val sql = Tables.lineitem(spark, Sf0001)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("s"),
+        sum(col("l_quantity").cast("long") * col("l_quantity").cast("long")).as("ss"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(agg == sql)
+  }
+
+  test("udtf_explode emits length-3 grams at every interior position") {
+    val rows = q("udtf_explode").collect()
+    assert(rows.nonEmpty)
+    rows.filter(_.getInt(1) <= 15).foreach(r => assert(r.getString(2).length == 3))
+  }
+
+  test("fake decode is deterministic and schema-complete") {
+    val a = q("mm_decode_features").collect().toSeq
+    val b = q("mm_decode_features").collect().toSeq
+    assert(a == b)
+    assert(a.head.schema.fieldNames.toSeq ==
+      Seq("doc_id", "n_bytes", "fake_width", "fake_height", "channels", "brightness"))
+    a.foreach { r =>
+      assert(r.getInt(1) > 0)                       // n_bytes
+      assert(r.getInt(4) == 3)                      // channels
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 255)
+    }
+  }
+
+  test("binary meta byte length equals UTF-8 text length") {
+    val meta = q("mm_binary_meta").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    Tables.documents(spark, Sf0001).select("doc_id", "text").limit(20).collect()
+      .foreach { r =>
+        assert(meta(r.getLong(0)) == r.getString(1).getBytes("UTF-8").length) }
+  }
+
+  test("frame sample: one frame per 64-byte stride, deterministic hashes") {
+    val rows = q("mm_frame_sample").collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    val sizes = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8").length).toMap
+    byDoc.foreach { case (id, frames) =>
+      val expected = math.max((sizes(id) - 16) / 64, 0) + 1
+      assert(frames.length == expected, s"doc $id: ${frames.length} vs $expected")
+    }
+  }
+}
