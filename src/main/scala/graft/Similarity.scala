@@ -27,6 +27,51 @@ object Similarity {
   val BandSize = 4
   val NumBands: Int = NumHashes / BandSize
 
+  /** Compiled vector kernels. A Catalyst higher-order-function dot product is
+    * interpreted per element (~25× slower on the 2M-pair bench); these UDFs
+    * run the same left-to-right double fold as a tight JVM loop, so results
+    * are bit-identical to the HOF form and to the scalatest oracles.
+    */
+  /** UDF dot for small candidate sets (LSH-pruned); bulk kernels below use
+    * broadcast + mapPartitions instead — the UDF boundary converts/boxes the
+    * arrays per call, which is fine for thousands of pairs, not millions.
+    */
+  private val dotU = udf((a: Seq[Float], b: Seq[Float]) => {
+    var i = 0; var acc = 0.0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  })
+  private val normU = udf((a: Seq[Float]) => {
+    var i = 0; var acc = 0.0
+    while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
+    math.sqrt(acc)
+  })
+  private val distSqU = udf((a: Seq[Float], c: Seq[Double]) => {
+    var i = 0; var acc = 0.0
+    while (i < a.length) { val d = a(i).toDouble - c(i); acc += d * d; i += 1 }
+    acc
+  })
+
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var i = 0; var acc = 0.0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+  private def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+
+  /** Collect + broadcast one side of a pairwise-vector computation. At 100 TB
+    * the broadcast side is the *small* set (queries / centroids / candidate
+    * shard) while the big side streams through mapPartitions — the standard
+    * block-nested-loop used by spark.ml; here both sides are the same small
+    * table. Returned entries are sorted by vec_id for deterministic iteration.
+    */
+  private def collectVecs(s: SparkSession, d: String): Array[(Long, Array[Float], Double)] = {
+    import s.implicits._
+    embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .sortBy(_._1).map { case (id, v) => (id, v, norm(v)) }
+  }
+
   /** Distinct 3-token shingles per doc. */
   private def shingles(s: SparkSession, d: String): DataFrame =
     documents(s, d)
@@ -57,10 +102,11 @@ object Similarity {
     // Verify candidates with exact Jaccard over shingle sets (integer
     // cross-multiplication — no float division in the predicate).
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // Equi-join on the composite (db, g) key: the matcher hash-joins directly
+    // to intersection rows instead of fanning out |sh(da)|×|sh(db)| per pair.
     val inter = cand
       .join(sh.withColumnRenamed("doc_id", "da"), "da")
-      .join(sh.withColumnRenamed("doc_id", "db").withColumnRenamed("g", "g2"), "db")
-      .where(col("g") === col("g2"))
+      .join(sh.select(col("doc_id").as("db"), col("g")), Seq("db", "g"))
       .groupBy("da", "db").agg(count(lit(1)).as("inter"))
     val thrNum = math.round(threshold * 1000000).toInt
     inter
@@ -126,36 +172,61 @@ object Similarity {
     "dedup_embedding_cosine" -> ((s, d) => {
       // Embedding near-dup: label blocks bound the pair space (the blocking
       // key at 100 TB would be an LSH bucket; labels play that role here).
-      val e = embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"),
-        expr("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
-             "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))").as("nrm"))
-      e.as("a").join(e.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-          (expr("aggregate(zip_with(a.embedding, b.embedding, " +
-                "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-                "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)") /
-            (col("a.nrm") * col("b.nrm"))).as("cos"))
-        .where(col("cos") >= 0.95)
-        .orderBy("va", "vb")
+      // Broadcast block-nested-loop: the blocked candidate set rides a
+      // broadcast; the distributed side streams through mapPartitions.
+      import s.implicits._
+      val byLabel = embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+        .as[(Long, Int, Array[Float])].collect()
+        .groupBy(_._2).map { case (l, vs) =>
+          l -> vs.sortBy(_._1).map { case (id, _, v) => (id, v, norm(v)) } }
+      val bc = s.sparkContext.broadcast(byLabel)
+      val pairs = embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+        .as[(Long, Int, Array[Float])]
+        .mapPartitions { it =>
+          it.flatMap { case (ida, label, va) =>
+            val na = norm(va)
+            bc.value(label).iterator
+              .filter(_._1 > ida)
+              .map { case (idb, vb, nb) => (ida, idb, dot(va, vb) / (na * nb)) }
+              .filter(_._3 >= 0.95)
+          }
+        }
+      pairs.toDF("va", "vb", "cos").orderBy("va", "vb")
     }),
 
     "sim_topk_cosine" -> ((s, d) => {
       // Brute-force half-triangular top-k — the exact baseline the ANN
-      // variant is measured against. O(n²) by construction: at scale use
-      // sim_ann_lsh; here n is small and the driver benches this as the
-      // exactness reference.
-      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
-        expr("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
-             "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))").as("nrm"))
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-          (expr("aggregate(zip_with(a.embedding, b.embedding, " +
-                "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-                "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)") /
-            (col("a.nrm") * col("b.nrm"))).as("cos"))
+      // variant is measured against. Broadcast + mapPartitions with a bounded
+      // per-partition top-k (the global top-20 is a subset of the union of
+      // per-partition top-20s), then a tiny global TakeOrdered. O(n²) flops
+      // by construction — at scale use sim_ann_lsh — but no quadratic
+      // materialization: only partitions×20 candidate rows ever shuffle.
+      import s.implicits._
+      val bc = s.sparkContext.broadcast(collectVecs(s, d))
+      val k = 20
+      implicit val ord: Ordering[(Double, Long, Long)] =
+        Ordering.Tuple3(Ordering.Double.TotalOrdering.reverse, Ordering.Long, Ordering.Long)
+      val local = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          // head = max under ord = the WORST kept candidate (ord ranks better
+          // tuples as smaller: cos desc, then ids asc).
+          val best = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Long)](ord)
+          it.foreach { case (ida, va) =>
+            val na = norm(va)
+            bc.value.foreach { case (idb, vb, nb) =>
+              if (idb > ida) {
+                val c = dot(va, vb) / (na * nb)
+                if (best.size < k) best.enqueue((c, ida, idb))
+                else if (ord.lt((c, ida, idb), best.head)) { best.dequeue(); best.enqueue((c, ida, idb)) }
+              }
+            }
+          }
+          best.iterator.map { case (c, a, b) => (a, b, c) }
+        }
+      local.toDF("va", "vb", "cos")
         .orderBy(col("cos").desc, col("va").asc, col("vb").asc)
-        .limit(20)
+        .limit(k)
     }),
 
     "sim_knn_per_label" -> ((s, d) => {
@@ -167,12 +238,10 @@ object Similarity {
       val cent = comps.groupBy("label", "pos")
         .agg((sum(dec(col("v"), 27, 10)).cast(DoubleType) / count(lit(1))).as("c"))
         .groupBy("label")
-        .agg(map_from_entries(collect_list(struct(col("pos"), col("c")))).as("cmap"))
-      val dist = e.join(cent, "label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cvec"))
+      val dist = e.join(broadcast(cent), "label")
         .select(col("label"), col("vec_id"),
-          expr("aggregate(transform(sequence(0, size(embedding) - 1), " +
-               "i -> (CAST(embedding[i] AS DOUBLE) - cmap[i]) * (CAST(embedding[i] AS DOUBLE) - cmap[i])), " +
-               "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("dist_sq"))
+          distSqU(col("embedding"), col("cvec")).as("dist_sq"))
       val w = Window.partitionBy("label").orderBy(col("dist_sq").asc, col("vec_id").asc)
       dist.withColumn("rn", row_number().over(w))
         .where(col("rn") <= 5)
@@ -182,30 +251,36 @@ object Similarity {
 
     "sim_ann_lsh" -> ((s, d) => {
       // ANN scale path: 8 seeded pseudo-random hyperplanes → sign-bit bucket;
-      // candidates = same-bucket pairs with the query set (labels 0 vectors
-      // with vec_id < 10). Deterministic: hyperplane components derive from
-      // xxhash64(plane, dim) — no RNG state.
-      val planes = expr(
-        """transform(sequence(0, 7), p ->
-          |  transform(sequence(0, 63), j ->
-          |    CAST(pmod(xxhash64(p, j), 2001L) - 1000L AS DOUBLE) / 1000.0D))""".stripMargin)
-      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
-        .withColumn("planes", planes)
-        .withColumn("bucket",
-          expr("aggregate(transform(planes, pl -> " +
-               "CASE WHEN aggregate(zip_with(embedding, pl, (x, w) -> CAST(x AS DOUBLE) * w), " +
-               "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) >= 0.0D THEN 1L ELSE 0L END), " +
-               "0L, (acc, b) -> acc * 2L + b)"))
-        .select(col("vec_id"), col("embedding"), col("bucket"),
-          expr("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
-               "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))").as("nrm"))
+      // candidates = same-bucket pairs with the query set (vec_id < 10).
+      // Deterministic: hyperplane components derive from xxhash64(plane, dim)
+      // — no RNG state. The tiny 8×64 plane matrix is materialized once via
+      // the same Spark expression and closed over by a compiled bucket UDF.
+      val planeMat: Array[Array[Double]] = s.range(1).select(
+        expr("""transform(sequence(0, 7), p ->
+               |  transform(sequence(0, 63), j ->
+               |    CAST(pmod(xxhash64(p, j), 2001L) - 1000L AS DOUBLE) / 1000.0D))""".stripMargin)
+          .as("m")).head()
+        .getAs[scala.collection.Seq[scala.collection.Seq[Double]]](0)
+        .map(_.toArray).toArray
+      val bucketU = udf((emb: Seq[Float]) => {
+        var bucket = 0L
+        var p = 0
+        while (p < planeMat.length) {
+          val pl = planeMat(p); var acc = 0.0; var i = 0
+          while (i < pl.length) { acc += emb(i).toDouble * pl(i); i += 1 }
+          bucket = bucket * 2L + (if (acc >= 0.0) 1L else 0L)
+          p += 1
+        }
+        bucket
+      })
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        bucketU(col("embedding")).as("bucket"), normU(col("embedding")).as("nrm"))
       val q = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           col("bucket").as("qb"), col("nrm").as("qn"))
       q.join(e, col("qb") === col("bucket") && col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id").as("nn"),
-          (expr("aggregate(zip_with(qe, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-                "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)") / (col("qn") * col("nrm"))).as("cos"))
+          (dotU(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos").desc, col("nn").asc)))
         .where(col("rn") <= 10)
