@@ -32,20 +32,6 @@ object Similarity {
     * run the same left-to-right double fold as a tight JVM loop, so results
     * are bit-identical to the HOF form and to the scalatest oracles.
     */
-  /** UDF dot for small candidate sets (LSH-pruned); bulk kernels below use
-    * broadcast + mapPartitions instead — the UDF boundary converts/boxes the
-    * arrays per call, which is fine for thousands of pairs, not millions.
-    */
-  private val dotU = udf((a: Seq[Float], b: Seq[Float]) => {
-    var i = 0; var acc = 0.0
-    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-    acc
-  })
-  private val normU = udf((a: Seq[Float]) => {
-    var i = 0; var acc = 0.0
-    while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
-    math.sqrt(acc)
-  })
   private val distSqU = udf((a: Seq[Float], c: Seq[Double]) => {
     var i = 0; var acc = 0.0
     while (i < a.length) { val d = a(i).toDouble - c(i); acc += d * d; i += 1 }
@@ -273,14 +259,15 @@ object Similarity {
         }
         bucket
       })
+      import org.apache.spark.sql.graft.VectorOps.{vec_dot, vec_norm}
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
-        bucketU(col("embedding")).as("bucket"), normU(col("embedding")).as("nrm"))
+        bucketU(col("embedding")).as("bucket"), vec_norm(col("embedding")).as("nrm"))
       val q = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           col("bucket").as("qb"), col("nrm").as("qn"))
       q.join(e, col("qb") === col("bucket") && col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id").as("nn"),
-          (dotU(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+          (vec_dot(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos").desc, col("nn").asc)))
         .where(col("rn") <= 10)

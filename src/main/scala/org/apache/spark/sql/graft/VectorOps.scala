@@ -1,0 +1,133 @@
+// Hosted under org.apache.spark.sql: the expression plumbing this file needs
+// (AbstractDataType, classic.ExpressionUtils) is private[sql] — the same
+// pattern public Spark extension libraries use (see SNIPPETS.md [1]/[3]).
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** Native Catalyst expressions for float-vector math.
+  *
+  * Motivation (the one place SURVEY.md §4.2's "no custom Catalyst work"
+  * needed revision): a dot product over `array<float>` has no fast built-in
+  * form — `aggregate`/`zip_with` higher-order functions evaluate an
+  * interpreted lambda per element, and a Scala UDF pays a per-call
+  * conversion/boxing boundary. These expressions read the Tungsten
+  * `ArrayData` directly and generate a tight primitive loop via `doGenCode`,
+  * so vector math stays inside whole-stage codegen. Fold order is
+  * left-to-right — bit-identical to the library's other dot implementations.
+  */
+case class VectorDot(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    var acc = 0.0
+    while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2 norm over `array<float>`, codegen'd like [[VectorDot]]. */
+case class VectorNorm(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_norm"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var i = 0
+    var acc = 0.0
+    while (i < x.numElements()) { acc += x.getFloat(i).toDouble * x.getFloat(i).toDouble; i += 1 }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => {
+      s"org.apache.spark.sql.graft.VectorNorm.normOf($x)"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VectorNorm =
+    copy(child = newChild)
+}
+
+object VectorNorm {
+  /** Called from generated code — keep signature stable. */
+  def normOf(x: ArrayData): Double = {
+    var i = 0
+    var acc = 0.0
+    while (i < x.numElements()) { acc += x.getFloat(i).toDouble * x.getFloat(i).toDouble; i += 1 }
+    math.sqrt(acc)
+  }
+}
+
+object VectorOps {
+  /** Column-API entry points (usable without SQL registration). */
+  def vec_dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(VectorDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def vec_norm(a: Column): Column =
+    ExpressionUtils.column(VectorNorm(ExpressionUtils.expression(a)))
+  def vec_cosine(a: Column, b: Column): Column =
+    vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+
+  /** Best-effort SQL registration on a live session (for `spark.sql` use
+    * when the session was not built with [[GraftExtensions]]).
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot", es => VectorDot(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_norm", es => VectorNorm(es.head), "built-in")
+  }
+}
+
+/** SparkSessionExtensions hook: `.config("spark.sql.extensions",
+  * "graft.functions.GraftExtensions")` makes `vec_dot`/`vec_norm` available
+  * to pure-SQL users cluster-wide.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
+      (es: Seq[Expression]) => VectorDot(es(0), es(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[VectorNorm].getName, "vec_norm"),
+      (es: Seq[Expression]) => VectorNorm(es.head)))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorOps
+import TestSpark.{spark, Sf0001}
+
+class VectorOpsSpec extends AnyFunSuite {
+
+  test("vec_dot/vec_norm match an exact Scala loop") {
+    val rows = Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"),
+        VectorOps.vec_dot(col("embedding"), col("embedding")).as("d"),
+        VectorOps.vec_norm(col("embedding")).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val vecs = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    vecs.take(50).foreach { case (id, v) =>
+      val d = v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+      val (gd, gn) = (rows(id)._1, rows(id)._2)
+      assert(gd == d, s"dot mismatch for $id")
+      assert(gn == math.sqrt(d), s"norm mismatch for $id")
+    }
+  }
+
+  test("vec_dot equals the HOF formulation bit-for-bit") {
+    val mismatch = Tables.embeddings(spark, Sf0001)
+      .select(
+        VectorOps.vec_dot(col("embedding"), col("embedding")).as("native"),
+        expr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
+             "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatch == 0)
+  }
+
+  test("vec_dot works from SQL after registration") {
+    VectorOps.register(spark)
+    val n = spark.sql(
+      s"SELECT vec_dot(embedding, embedding) AS d, vec_norm(embedding) AS n " +
+      s"FROM parquet.`$Sf0001/embeddings.parquet`").collect()
+    assert(n.length == 500)
+    n.foreach(r => assert(math.abs(math.sqrt(r.getDouble(0)) - r.getDouble(1)) == 0.0))
+  }
+
+  test("vec_dot stays inside whole-stage codegen") {
+    val plan = Tables.embeddings(spark, Sf0001)
+      .select(VectorOps.vec_dot(col("embedding"), col("embedding")).as("d"))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark whole-stage-codegen stages in the plan string; an
+    // interpreted expression would force the Project out of the span.
+    assert(plan.contains("*(1) Project"), s"no codegen span:\n$plan")
+  }
+}
