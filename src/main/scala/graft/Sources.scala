@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Det._
+import Tables._
+
+/** Source/sink surface beyond the plain parquet scan (SURVEY.md §2.1): text
+  * files (the reference's native input format), CSV and JSON with explicit
+  * schemas, and a partitioned parquet sink re-read with partition pruning.
+  *
+  * Each query is a write→read round trip through a real on-disk format under
+  * java.io.tmpdir, so both the sink and the source path execute; outputs are
+  * plain relational results with DuckDB oracles over the original tables.
+  * At 100 TB the same calls target object storage; `partitionBy` is what
+  * makes downstream partition pruning (and per-partition job parallelism)
+  * possible, and explicit schemas avoid a full inference pass over the data.
+  */
+object Sources {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tmp(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_io/$name"
+
+  val queries: Map[String, Q] = Map(
+    // The reference pipeline, end to end: text-file sink → sc.textFile →
+    // flatMap → map → reduceByKey (map/combine/shuffle/reduce) → DataFrame.
+    // Kept as the one RDD-API demo: BASELINE.json's "MapReduce maps directly
+    // to Spark RDD transformations" — everything else in this library uses
+    // the declarative API so Catalyst can optimize.
+    "mr_wordcount_rdd" -> ((s, d) => {
+      import s.implicits._
+      val dir = tmp("text_wordcount_input")
+      documents(s, d).select("text").write.mode(SaveMode.Overwrite).text(dir)
+      s.sparkContext.textFile(dir)
+        .flatMap(_.split(" "))
+        .map(w => (w, 1L))
+        .reduceByKey(_ + _)
+        .toDF("word", "cnt")
+        .orderBy(col("cnt").desc, col("word").asc)
+    }),
+
+    "sink_partitioned_parquet" -> ((s, d) => {
+      val dir = tmp("orders_by_year")
+      orders(s, d)
+        .withColumn("yr", year(col("o_orderdate")))
+        .write.mode(SaveMode.Overwrite).partitionBy("yr").parquet(dir)
+      // Re-read: the filter on the partition column prunes directories —
+      // .explain shows PartitionFilters, not a full scan.
+      s.read.parquet(dir)
+        .filter(col("yr") >= 1996 && col("yr") <= 1999)
+        .groupBy("yr")
+        .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("sum_price"))
+        .orderBy("yr")
+    }),
+
+    "source_csv_roundtrip" -> ((s, d) => {
+      val dir = tmp("nation_csv")
+      nation(s, d).write.mode(SaveMode.Overwrite).option("header", "true").csv(dir)
+      s.read
+        .option("header", "true")
+        .schema(StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType))))
+        .csv(dir)
+        .orderBy("n_nationkey")
+    }),
+
+    "source_json_roundtrip" -> ((s, d) => {
+      val dir = tmp("supplier_json")
+      supplier(s, d).write.mode(SaveMode.Overwrite).json(dir)
+      s.read
+        .schema(StructType(Seq(
+          StructField("s_suppkey", LongType),
+          StructField("s_name", StringType),
+          StructField("s_nationkey", IntegerType),
+          StructField("s_acctbal", DoubleType))))
+        .json(dir)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .orderBy("s_suppkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mr_wordcount_rdd" ->
+      ("SELECT word, count(*) AS cnt FROM " +
+       "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
+       "GROUP BY word ORDER BY cnt DESC, word ASC"),
+
+    "sink_partitioned_parquet" ->
+      ("SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n, " +
+       s"${oDsum2("o_totalprice")} AS sum_price FROM orders " +
+       "WHERE year(o_orderdate) BETWEEN 1996 AND 1999 GROUP BY 1 ORDER BY yr"),
+
+    "source_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "source_json_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey"
+  )
+}

@@ -9,7 +9,9 @@ object TestSpark {
   val Sf01   = "/root/testdata/sf0.1"
 
   lazy val spark: SparkSession = {
+    System.setProperty("derby.system.home", "/tmp/graft_derby")
     val s = SparkSession.builder()
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
