@@ -101,7 +101,36 @@ object Aggregations {
       orders(s, d)
         .groupBy(floor(col("o_totalprice") / 10000).cast(LongType).as("bucket"))
         .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("sum_price"))
-        .orderBy("bucket"))
+        .orderBy("bucket")),
+
+    "reshape_pivot" -> ((s, d) =>
+      // Explicit pivot values: no discovery scan, stable column set at any
+      // data size.
+      events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")),
+
+    "reshape_unpivot" -> ((s, d) =>
+      customer(s, d)
+        .select(col("c_custkey"),
+          expr("stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, value)"))
+        .orderBy("c_custkey", "metric")),
+
+    "agg_percentiles" -> ((s, d) =>
+      // Exact interpolated percentiles over integral quantities (both engines
+      // use the same (1-f)*lo + f*hi rule on doubles) + the t-digest-style
+      // approx variant for the 100 TB path is approx_percentile (no oracle on
+      // sketch output — median/p90 here are exact).
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -149,6 +178,26 @@ object Aggregations {
     "agg_histogram" ->
       ("SELECT CAST(floor(o_totalprice / 10000) AS BIGINT) AS bucket, " +
        s"count(*) AS n, ${oDsum2("o_totalprice")} AS sum_price " +
-       "FROM orders GROUP BY 1 ORDER BY bucket")
+       "FROM orders GROUP BY 1 ORDER BY bucket"),
+
+    "reshape_pivot" ->
+      ("SELECT user_id, " +
+       "count(*) FILTER (WHERE event_type = 'click') AS click, " +
+       "count(*) FILTER (WHERE event_type = 'error') AS error, " +
+       "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, " +
+       "count(*) FILTER (WHERE event_type = 'signup') AS signup, " +
+       "count(*) FILTER (WHERE event_type = 'view') AS view " +
+       "FROM events GROUP BY user_id ORDER BY user_id"),
+
+    "reshape_unpivot" ->
+      ("SELECT c_custkey, metric, value FROM (" +
+       "SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer " +
+       "UNION ALL SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer) " +
+       "ORDER BY c_custkey, metric"),
+
+    "agg_percentiles" ->
+      ("SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, " +
+       "quantile_cont(l_quantity, 0.9) AS p90_qty, count(*) AS n " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
   )
 }

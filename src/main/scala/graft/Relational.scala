@@ -93,7 +93,20 @@ object Relational {
     "set_except" -> ((s, d) =>
       customer(s, d).select(col("c_nationkey").as("nationkey"))
         .except(supplier(s, d).select(col("s_nationkey").as("nationkey")))
-        .orderBy("nationkey"))
+        .orderBy("nationkey")),
+
+    "sample_hash_split" -> ((s, d) =>
+      // Deterministic sampling via multiplicative hashing of the key — the
+      // stable train/test-split primitive a data pipeline needs. Unlike
+      // df.sample(seed), membership does not depend on partitioning, so the
+      // split is reproducible on any cluster size (and SQL-expressible).
+      events(s, d)
+        .withColumn("bucket", pmod(col("event_id") * 2654435761L, lit(1000L)))
+        .withColumn("split", when(col("bucket") < 800, "train")
+          .when(col("bucket") < 900, "valid").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("split"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -142,6 +155,12 @@ object Relational {
 
     "set_except" ->
       ("SELECT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer " +
-       "EXCEPT SELECT s_nationkey FROM supplier) ORDER BY nationkey")
+       "EXCEPT SELECT s_nationkey FROM supplier) ORDER BY nationkey"),
+
+    "sample_hash_split" ->
+      ("SELECT split, count(*) AS n, count(DISTINCT user_id) AS n_users FROM " +
+       "(SELECT user_id, CASE WHEN (event_id * 2654435761) % 1000 < 800 THEN 'train' " +
+       "WHEN (event_id * 2654435761) % 1000 < 900 THEN 'valid' ELSE 'test' END AS split " +
+       "FROM events) GROUP BY split ORDER BY split")
   )
 }

@@ -77,6 +77,17 @@ object ScalarFns {
         .agg(count(lit(1)).as("n"))
         .orderBy("k_bucket")),
 
+    "fn_string_agg" -> ((s, d) =>
+      // Ordered string aggregation: sort the collected list before joining —
+      // collect_list order is partition-dependent, array_sort restores
+      // determinism (D1 inside the cell).
+      customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(
+          concat_ws(",", slice(array_sort(collect_list(col("c_name"))), 1, 5)).as("first_names"),
+          count(lit(1)).as("n"))
+        .orderBy("c_nationkey")),
+
     "fn_map" -> ((s, d) =>
       // Build a per-user map(event_type -> count), then flatten back to rows
       // so the output is oracle-comparable (MapType exercised mid-plan).
@@ -128,6 +139,11 @@ object ScalarFns {
 
     "fn_map" ->
       ("SELECT user_id, event_type, count(*) AS cnt FROM events " +
-       "GROUP BY user_id, event_type ORDER BY user_id, event_type")
+       "GROUP BY user_id, event_type ORDER BY user_id, event_type"),
+
+    "fn_string_agg" ->
+      ("SELECT c_nationkey, " +
+       "array_to_string(list_sort(list(c_name))[1:5], ',') AS first_names, " +
+       "count(*) AS n FROM customer GROUP BY c_nationkey ORDER BY c_nationkey")
   )
 }

@@ -65,6 +65,17 @@ object Windows {
         .orderBy("day")
     }),
 
+    "window_distribution" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
+
     "window_lag_lead" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
       events(s, d)
@@ -106,6 +117,14 @@ object Windows {
        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS day_value, count(*) AS day_n " +
        "FROM events GROUP BY 1) " +
        "WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY day"),
+
+    "window_distribution" ->
+      ("SELECT c_mktsegment, c_custkey, " +
+       "CAST(ntile(4) OVER w AS INT) AS quartile, " +
+       "percent_rank() OVER w AS pct_rank, " +
+       "cume_dist() OVER w AS cume " +
+       "FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC) " +
+       "ORDER BY c_mktsegment, c_custkey"),
 
     "window_lag_lead" ->
       ("SELECT user_id, event_id, gap_us, next_us FROM " +

@@ -13,6 +13,18 @@ class BucketingSpec extends AnyFunSuite {
   test("bucketed co-located join plans without a shuffle") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // A stale warehouse dir from a previous JVM (with a fresh metastore that
+    // doesn't know the table) fails CTAS with LOCATION_ALREADY_EXISTS.
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      val dir = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     Tables.orders(spark, Sf0001)
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("b_orders")
