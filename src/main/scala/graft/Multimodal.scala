@@ -64,6 +64,26 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // "Resize": strided byte sampling down to a fixed 16-byte thumbnail —
+    // the STUB stand-in for an image resize; output schema (fixed-size
+    // array<int>) and partition-local execution match the real thing.
+    "mm_resize_thumbnail" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      withBinaryPayload(documents(s, d))
+        .select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val n = bytes.length
+          val thumb = (0 until 16).map { i =>
+            if (n == 0) 0 else bytes(math.min((i.toLong * n / 16).toInt, n - 1)) & 0xff
+          }.toArray
+          (id, thumb)
+        })
+        .toDF("doc_id", "thumb")
+        .orderBy("doc_id")
+    }),
+
     // Frame sampling as a generator: every 4th 16-byte block is a "frame".
     "mm_frame_sample" -> ((s, d) =>
       withBinaryPayload(documents(s, d))

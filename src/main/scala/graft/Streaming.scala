@@ -1,8 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 import org.apache.spark.sql.types._
 import Det._
 import Tables._
@@ -54,6 +55,37 @@ object Streaming {
     events
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  case class EvtRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+  case class UserSessState(sessions: Long, lastTsUs: Long)
+  case class UserSessUpdate(user_id: Long, sessions: Long, events_seen: Long)
+
+  /** Custom per-key state via mapGroupsWithState: a running per-user session
+    * counter (30-min gap), the KeyValueGroupedDataset escape hatch for
+    * semantics windows can't express. State per key is two longs — bounded
+    * regardless of stream volume.
+    */
+  def statefulSessionCountStream(events: Dataset[EvtRow]): Dataset[UserSessUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserSessState, UserSessUpdate](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EvtRow], state: GroupState[UserSessState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(UserSessState(0L, Long.MinValue))
+          var seen = 0L
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            val isNew = st.lastTsUs == Long.MinValue || us - st.lastTsUs > SessionGapUs
+            st = UserSessState(st.sessions + (if (isNew) 1 else 0), us)
+            seen += 1
+          }
+          state.update(st)
+          UserSessUpdate(uid, st.sessions, seen)
+      }
+  }
 
   // ---- Batch twins (driver-verified against DuckDB) ----
 

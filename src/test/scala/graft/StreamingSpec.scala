@@ -77,6 +77,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState keeps a running per-user session count") {
+    val input = MemoryStream[Streaming.EvtRow]
+    val q = Streaming.statefulSessionCountStream(input.toDS())
+      .writeStream.format("memory").queryName("msess").outputMode("update").start()
+    try {
+      input.addData(
+        Streaming.EvtRow(1, ts(0), 1, "click", 1.0),
+        Streaming.EvtRow(2, ts(10), 1, "click", 1.0))
+      q.processAllAvailable()
+      // 100 min later: a second session for user 1
+      input.addData(Streaming.EvtRow(3, ts(120), 1, "click", 1.0))
+      q.processAllAvailable()
+      val last = spark.table("msess").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .map { case (u, rs) => u -> rs.map(_._2).max }
+      assert(last(1L) == 2L, s"expected 2 sessions: $last")
+    } finally q.stop()
+  }
+
+  test("file-source streaming: readStream over a parquet dir matches the batch twin") {
+    val dir = "/tmp/graft_stream_src"
+    val ckpt = "/tmp/graft_stream_ckpt"
+    for (p <- Seq(dir, ckpt)) {
+      val f = new java.io.File(p)
+      def rm(x: java.io.File): Unit = { if (x.isDirectory) x.listFiles().foreach(rm); x.delete() }
+      if (f.exists()) rm(f)
+    }
+    val batch = Tables.events(spark, Sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    batch.write.parquet(dir)
+    // Watermarks require TIMESTAMP (LTZ); the fixture ts is NTZ — identity
+    // cast under the pinned UTC session.
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val agg = Streaming.tumblingCountsStream(stream)
+    val q = agg.writeStream.format("memory").queryName("fsrc")
+      .option("checkpointLocation", ckpt).outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("fsrc")
+        .agg(sum("n")).collect()(0).getLong(0)
+      assert(streamed == batch.count())
+    } finally q.stop()
+  }
+
   test("batch sliding windows place each event in 4 windows") {
     val n = Tables.events(spark, Sf0001).count()
     val windowed = SparkEntry.queries("stream_sliding_avg")(spark, Sf0001)
