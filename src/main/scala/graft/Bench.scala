@@ -15,7 +15,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: pay one-time classloading / codegen / parquet-footer
     // costs outside the per-query timings.
-    Tables.t(spark, sfDir, "nation").count()
+    Tables.names.foreach(n => Tables.t(spark, sfDir, n).count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
