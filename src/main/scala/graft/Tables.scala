@@ -16,7 +16,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  // DataFrames are immutable logical plans — caching them per (session,
+  // path) skips the repeated file-listing + footer-read every spark.read
+  // triggers at plan time (SURVEY.md §6: reuse a loader per (sfDir, table)).
+  private val loaded =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    loaded.computeIfAbsent(
+      (System.identityHashCode(spark), s"$sfDir/$name.parquet"),
+      _ => load(spark, sfDir, name))
+
+  private def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses natively;
     // sessions set spark.sql.legacy.parquet.nanosAsLong and the loader
