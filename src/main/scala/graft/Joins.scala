@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -66,6 +66,25 @@ object Joins {
         col("best.asof_orderkey").as("asof_orderkey"),
         col("best.asof_date").as("asof_date"))
       .orderBy("event_id")
+  }
+
+  /** Skew-salted equi-join: replicate the small side `salt` ways and spread
+    * the big side's hot keys across salt buckets with a deterministic
+    * per-row hash, so one pathological key no longer lands on one reducer.
+    * `saltBy` must be a column whose value varies within a key (any payload
+    * column works); determinism comes from xxhash64, not rand() (rule D5).
+    * AQE's skew-join handles moderate skew automatically — this is the
+    * explicit tool for the extreme (single-key) case.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, saltBy: Column, salt: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt", pmod(xxhash64(saltBy), lit(salt)))
+    val saltedSmall = small.withColumn("__salt",
+      explode(expr(s"sequence(0L, ${salt - 1}L)")))
+    saltedBig.join(saltedSmall,
+        saltedBig(bigKey) === saltedSmall(smallKey) &&
+        saltedBig("__salt") === saltedSmall("__salt"))
+      .drop("__salt")
   }
 
   val queries: Map[String, Q] = Map(
@@ -134,7 +153,39 @@ object Joins {
     "join_cross_limited" -> ((s, d) =>
       region(s, d).crossJoin(nation(s, d))
         .select("r_regionkey", "r_name", "n_nationkey", "n_name")
-        .orderBy("r_regionkey", "n_nationkey"))
+        .orderBy("r_regionkey", "n_nationkey")),
+
+    // TPC-H Q3 shape (shipping-priority): segment filter on the broadcast
+    // dim, date pushdown on both fact scans, top-10 orders by revenue.
+    "tpch_q3_like" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-03-15").cast(TimestampType))
+        .join(orders(s, d).filter(col("o_orderdate") < lit("1998-03-15").cast(TimestampType)),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d).filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sum(dec(col("l_extendedprice"), 18, 4) * (lit(1) - dec(col("l_discount"), 18, 4)))
+          .cast(DecimalType(38, 8)).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)),
+
+    // TPC-H Q5 shape (local supplier volume): full star through both
+    // customer and supplier sides with the same-nation condition.
+    "tpch_q5_like" -> ((s, d) =>
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(dec(col("l_extendedprice"), 18, 4) * (lit(1) - dec(col("l_discount"), 18, 4)))
+          .cast(DecimalType(38, 8)).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name").asc))
   )
 
   val oracles: Map[String, String] = Map(
@@ -192,6 +243,26 @@ object Joins {
 
     "join_cross_limited" ->
       ("SELECT r_regionkey, r_name, n_nationkey, n_name FROM region CROSS JOIN nation " +
-       "ORDER BY r_regionkey, n_nationkey")
+       "ORDER BY r_regionkey, n_nationkey"),
+
+    "tpch_q3_like" ->
+      ("SELECT l_orderkey, o_orderdate, " +
+       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "JOIN customer ON o_custkey = c_custkey " +
+       "WHERE l_shipdate > TIMESTAMP '1998-03-15' AND o_orderdate < TIMESTAMP '1998-03-15' " +
+       "AND c_mktsegment = 'BUILDING' " +
+       "GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"),
+
+    "tpch_q5_like" ->
+      ("SELECT n_name, " +
+       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue, " +
+       "count(*) AS n_items " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "JOIN customer ON o_custkey = c_custkey " +
+       "JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey " +
+       "JOIN nation ON s_nationkey = n_nationkey " +
+       "JOIN region ON n_regionkey = r_regionkey " +
+       "GROUP BY n_name ORDER BY n_name ASC")
   )
 }
