@@ -65,6 +65,18 @@ object Windows {
         .orderBy("day")
     }),
 
+    "window_first_last" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey")).over(w).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "window_distribution" -> ((s, d) => {
       val w = Window.partitionBy("c_mktsegment")
         .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
@@ -117,6 +129,15 @@ object Windows {
        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS day_value, count(*) AS day_n " +
        "FROM events GROUP BY 1) " +
        "WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY day"),
+
+    "window_first_last" ->
+      ("SELECT o_custkey, o_orderkey, " +
+       "first_value(o_orderkey) OVER w AS first_order, " +
+       "last_value(o_orderkey) OVER w AS last_order, " +
+       "nth_value(o_orderkey, 2) OVER w AS second_order " +
+       "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+       "ORDER BY o_custkey, o_orderkey"),
 
     "window_distribution" ->
       ("SELECT c_mktsegment, c_custkey, " +
