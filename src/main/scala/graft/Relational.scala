@@ -95,6 +95,16 @@ object Relational {
         .except(supplier(s, d).select(col("s_nationkey").as("nationkey")))
         .orderBy("nationkey")),
 
+    "set_intersect_all" -> ((s, d) =>
+      customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersectAll(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+
+    "set_except_all" -> ((s, d) =>
+      customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .exceptAll(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+
     "sample_hash_split" -> ((s, d) =>
       // Deterministic sampling via multiplicative hashing of the key — the
       // stable train/test-split primitive a data pipeline needs. Unlike
@@ -156,6 +166,14 @@ object Relational {
     "set_except" ->
       ("SELECT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer " +
        "EXCEPT SELECT s_nationkey FROM supplier) ORDER BY nationkey"),
+
+    "set_intersect_all" ->
+      ("SELECT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer " +
+       "INTERSECT ALL SELECT s_nationkey FROM supplier) ORDER BY nationkey"),
+
+    "set_except_all" ->
+      ("SELECT nationkey FROM (SELECT c_nationkey AS nationkey FROM customer " +
+       "EXCEPT ALL SELECT s_nationkey FROM supplier) ORDER BY nationkey"),
 
     "sample_hash_split" ->
       ("SELECT split, count(*) AS n, count(DISTINCT user_id) AS n_users FROM " +

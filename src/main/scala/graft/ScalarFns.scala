@@ -77,6 +77,27 @@ object ScalarFns {
         .agg(count(lit(1)).as("n"))
         .orderBy("k_bucket")),
 
+    "fn_bitwise" -> ((s, d) =>
+      part(s, d)
+        .select(col("p_partkey"),
+          col("p_partkey").bitwiseAND(255L).as("and_lo"),
+          col("p_partkey").bitwiseOR(4096L).as("or_hi"),
+          col("p_partkey").bitwiseXOR(col("p_size").cast(LongType)).as("xor_sz"),
+          shiftleft(col("p_size"), 2).as("shl"),
+          shiftright(col("p_partkey"), 3).as("shr"))
+        .orderBy("p_partkey")),
+
+    "fn_conditional" -> ((s, d) =>
+      // Null-production + null-handling semantics: nullif creates nulls,
+      // coalesce/nvl recover, greatest/least ignore nothing (no nulls here).
+      orders(s, d)
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_filled"),
+          greatest(col("o_totalprice"), lit(50000.0)).as("floor_50k"),
+          least(col("o_totalprice"), lit(200000.0)).as("cap_200k"))
+        .orderBy("o_orderkey")),
+
     "fn_string_agg" -> ((s, d) =>
       // Ordered string aggregation: sort the collected list before joining —
       // collect_list order is partition-dependent, array_sort restores
@@ -140,6 +161,19 @@ object ScalarFns {
     "fn_map" ->
       ("SELECT user_id, event_type, count(*) AS cnt FROM events " +
        "GROUP BY user_id, event_type ORDER BY user_id, event_type"),
+
+    "fn_bitwise" ->
+      ("SELECT p_partkey, p_partkey & 255 AS and_lo, p_partkey | 4096 AS or_hi, " +
+       "xor(p_partkey, CAST(p_size AS BIGINT)) AS xor_sz, " +
+       "CAST(p_size AS INT) << 2 AS shl, p_partkey >> 3 AS shr " +
+       "FROM part ORDER BY p_partkey"),
+
+    "fn_conditional" ->
+      ("SELECT o_orderkey, nullif(o_orderstatus, 'O') AS status_or_null, " +
+       "coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled, " +
+       "greatest(o_totalprice, 50000.0) AS floor_50k, " +
+       "least(o_totalprice, 200000.0) AS cap_200k " +
+       "FROM orders ORDER BY o_orderkey"),
 
     "fn_string_agg" ->
       ("SELECT c_nationkey, " +

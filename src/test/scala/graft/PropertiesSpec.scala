@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import TestSpark.spark
+
+/** Property-based checks (SURVEY.md §5.5) over scalacheck-generated
+  * in-memory data — fixture-independent algebraic guarantees. (No
+  * scalatest-plus bridge in the offline cache, so generators are sampled
+  * manually under fixed seeds — still property tests, just deterministic.)
+  */
+class PropertiesSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val vocab = Gen.oneOf("the", "fast", "key", "scan", "merge", "row", "agg")
+  private val docGen: Gen[List[String]] = Gen.chooseNum(3, 12)
+    .flatMap(n => Gen.listOfN(n, vocab))
+
+  test("exact dedup is idempotent and keeps one row per distinct text") {
+    samples(Gen.listOfN(30, docGen.map(_.mkString(" "))), 10).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = df.groupBy("text").agg(min("doc_id").as("doc_id"))
+      val twice = once.groupBy("text").agg(min("doc_id").as("doc_id"))
+      assert(once.count() == texts.distinct.length)
+      assert(twice.count() == once.count())
+    }
+  }
+
+  test("identical generated texts hash identically (dedup collision guarantee)") {
+    samples(docGen.map(_.mkString(" ")), 10).foreach { text =>
+      val hs = Seq((0L, text), (1L, text)).toDF("doc_id", "text")
+        .select(xxhash64(col("text"))).collect().map(_.getLong(0)).distinct
+      assert(hs.length == 1)
+    }
+  }
+
+  test("set-op algebra on generated key sets") {
+    val keys = Gen.listOfN(25, Gen.chooseNum(0, 9))
+    samples(Gen.zip(keys, keys), 10).foreach { case (a, b) =>
+      val da = a.toDF("k"); val db = b.toDF("k")
+      assert(da.union(db).count() == a.length + b.length)
+      assert(da.union(db).distinct().collect().map(_.getInt(0)).toSet == (a.toSet | b.toSet))
+      val inter = da.intersect(db).collect().map(_.getInt(0)).toSet
+      val except = da.except(db).collect().map(_.getInt(0)).toSet
+      assert(inter == (a.toSet & b.toSet))
+      assert(except == (a.toSet -- b.toSet))
+      assert((except & inter).isEmpty)
+    }
+  }
+
+  test("inner join cardinality matches the pairwise count and is bounded") {
+    val rows = Gen.listOfN(20, Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0, 100)))
+    samples(Gen.zip(rows, rows), 10).foreach { case (l, r) =>
+      val j = l.toDF("k", "v").join(r.toDF("k2", "w"), col("k") === col("k2")).count()
+      val expected = (for ((k, _) <- l; (k2, _) <- r if k == k2) yield 1).size
+      assert(j == expected && j <= l.length.toLong * r.length)
+    }
+  }
+
+  test("window rank is monotone in the ordering column") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = Gen.listOfN(20, Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(0.0, 100.0)))
+    samples(rows, 10).foreach { data =>
+      val out = data.toDF("g", "x")
+        .withColumn("r", rank().over(Window.partitionBy("g").orderBy(col("x").desc)))
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getInt(2)))
+      out.groupBy(_._1).values.foreach { grp =>
+        grp.toSeq.sortBy(_._3).sliding(2).foreach {
+          case Seq((_, x1, r1), (_, x2, r2)) =>
+            assert(r1 <= r2); if (r1 < r2) assert(x1 >= x2)
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("minhash signature equality for equal shingle sets (permutation-free)") {
+    samples(docGen, 10).foreach { toks =>
+      val texts = Seq((0L, toks.mkString(" ")), (1L, toks.reverse.reverse.mkString(" ")))
+      val sigs = texts.toDF("doc_id", "text")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .groupBy("doc_id")
+        .agg((0 until 4).map(i => min(xxhash64(lit(i), col("t"))).as(s"h$i")).head,
+          (0 until 4).map(i => min(xxhash64(lit(i), col("t"))).as(s"h$i")).tail: _*)
+        .collect().map(r => (1 to 4).map(r.getLong))
+      assert(sigs.distinct.length == 1)
+    }
+  }
+}
