@@ -119,6 +119,18 @@ object Aggregations {
           expr("stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, value)"))
         .orderBy("c_custkey", "metric")),
 
+    "agg_approx_quantile" -> ((s, d) =>
+      // KLL/GK-style sketch percentiles — mergeable, bounded memory: the
+      // 100 TB path where exact percentile's full sort is off the table.
+      // No SQL oracle (sketch internals are engine-specific); scalatest
+      // bounds it against the exact percentile.
+      events(s, d)
+        .groupBy("event_type")
+        .agg(
+          expr("approx_percentile(value, 0.5, 1000)").as("p50"),
+          expr("approx_percentile(value, 0.99, 1000)").as("p99"))
+        .orderBy("event_type")),
+
     "agg_percentiles" -> ((s, d) =>
       // Exact interpolated percentiles over integral quantities (both engines
       // use the same (1-f)*lo + f*hi rule on doubles) + the t-digest-style

@@ -60,6 +60,8 @@ object Streaming {
     event_type: String, value: Double)
   case class UserSessState(sessions: Long, lastTsUs: Long)
   case class UserSessUpdate(user_id: Long, sessions: Long, events_seen: Long)
+  case class ClosedSession(user_id: Long, session_id: Long, n_events: Long)
+  case class SessOpenState(sessions: Long, lastTsUs: Long, openCount: Long)
 
   /** Custom per-key state via mapGroupsWithState: a running per-user session
     * counter (30-min gap), the KeyValueGroupedDataset escape hatch for
@@ -84,6 +86,39 @@ object Streaming {
           }
           state.update(st)
           UserSessUpdate(uid, st.sessions, seen)
+      }
+  }
+
+  /** flatMapGroupsWithState: zero-or-many outputs per key per batch — emits
+    * one row per session CLOSED in this batch (a gap observed inside the
+    * batch ends the previous session), unlike mapGroupsWithState's exactly
+    * one row per key.
+    */
+  def closedSessionsStream(events: Dataset[EvtRow]): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessOpenState, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EvtRow], state: GroupState[SessOpenState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessOpenState(0L, Long.MinValue, 0L))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            val isNew = st.lastTsUs == Long.MinValue || us - st.lastTsUs > SessionGapUs
+            if (isNew) {
+              if (st.sessions > 0 && st.openCount > 0)
+                closed += ClosedSession(uid, st.sessions, st.openCount)
+              st = SessOpenState(st.sessions + 1, us, 1L)
+            } else {
+              st = SessOpenState(st.sessions, us, st.openCount + 1)
+            }
+          }
+          state.update(st)
+          closed.iterator
       }
   }
 

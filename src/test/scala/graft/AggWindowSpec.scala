@@ -26,6 +26,17 @@ class AggWindowSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile within tolerance of exact percentile") {
+    val approx = q("agg_approx_quantile").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = Tables.events(spark, Sf0001)
+      .groupBy("event_type").agg(expr("percentile(value, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e) <= math.max(1.0, e * 0.1), s"$k: ${approx(k)} vs $e")
+    }
+  }
+
   test("rollup contains per-nation, per-region subtotals and grand total") {
     val rows = q("agg_rollup").collect()
     val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")

@@ -96,6 +96,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits one row per closed session, across batches") {
+    val input = MemoryStream[Streaming.EvtRow]
+    val q = Streaming.closedSessionsStream(input.toDS())
+      .writeStream.format("memory").queryName("closed").outputMode("append").start()
+    try {
+      // session 1: events at 0,10 — stays open at batch end
+      input.addData(
+        Streaming.EvtRow(1, ts(0), 1, "click", 1.0),
+        Streaming.EvtRow(2, ts(10), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("closed").count() == 0) // nothing closed yet
+      // gap > 30min closes session 1 (2 events, counted across batches)
+      input.addData(Streaming.EvtRow(3, ts(120), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("closed").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq == Seq((1L, 1L, 2L)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink: stream lands deterministically in parquet") {
+    val out = "/tmp/graft_feb_out"
+    val f = new java.io.File(out)
+    def rm(x: java.io.File): Unit = { if (x.isDirectory) x.listFiles().foreach(rm); x.delete() }
+    if (f.exists()) rm(f)
+    val input = MemoryStream[Streaming.EvtRow]
+    val q = input.toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start()
+    try {
+      input.addData(Streaming.EvtRow(1, ts(0), 1, "click", 1.0),
+        Streaming.EvtRow(2, ts(1), 2, "view", 2.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 2)
+    } finally q.stop()
+  }
+
   test("file-source streaming: readStream over a parquet dir matches the batch twin") {
     val dir = "/tmp/graft_stream_src"
     val ckpt = "/tmp/graft_stream_ckpt"
