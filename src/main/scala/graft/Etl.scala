@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Det._
+import Tables._
+
+/** ETL/pipeline operators (BASELINE.json category "ETL/pipeline"): CDC-style
+  * upsert and data-quality validation — the glue a production pipeline runs
+  * between the analytic queries.
+  *
+  * The upsert is the join-based MERGE plan (changes ⟕ target): at 100 TB
+  * this is exactly what table formats execute under MERGE INTO; here the
+  * "changes" batch is derived deterministically from the fixtures. DQ checks
+  * aggregate to a single row so the operator is cheap at any scale (one
+  * pass, partial aggregation).
+  */
+object Etl {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Upsert: customers with an open order get their acctbal "restated" (a
+    // deterministic change batch); everyone else keeps their row. Output =
+    // the merged snapshot, i.e. MERGE INTO target USING changes.
+    "etl_upsert_snapshot" -> ((s, d) => {
+      val changes = orders(s, d)
+        .filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(dsum2(col("o_totalprice")).as("open_total"))
+      customer(s, d)
+        .join(changes, Seq("c_custkey"), "left")
+        .select(
+          col("c_custkey"), col("c_name"), col("c_nationkey"),
+          when(col("open_total").isNotNull,
+            dec(col("c_acctbal"), 18, 2).cast(DecimalType(38, 2)) + col("open_total"))
+            .otherwise(dec(col("c_acctbal"), 18, 2).cast(DecimalType(38, 2)))
+            .cast(DecimalType(38, 2)).as("acctbal_restated"),
+          col("open_total").isNotNull.as("was_updated"))
+        .orderBy("c_custkey")
+    }),
+
+    // One-pass data-quality report: row count, key uniqueness, referential
+    // integrity, domain violations — a single output row.
+    "etl_dq_checks" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val pkDupes = orders(s, d).groupBy("o_orderkey").count()
+        .filter(col("count") > 1).count()
+      val fkViolations = li.join(orders(s, d),
+        col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+      li.agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("l_shipdate").isNull, 1)).as("null_shipdates"),
+          count(when(col("l_quantity") <= 0 || col("l_quantity") > 50, 1)).as("qty_out_of_range"),
+          count(when(!col("l_returnflag").isin("A", "N", "R"), 1)).as("bad_returnflags"))
+        .withColumn("pk_dupes", lit(pkDupes))
+        .withColumn("fk_violations", lit(fkViolations))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "etl_upsert_snapshot" ->
+      ("SELECT c.c_custkey, c.c_name, c.c_nationkey, " +
+       "CAST(CASE WHEN ch.open_total IS NOT NULL " +
+       "THEN CAST(c.c_acctbal AS DECIMAL(18,2)) + ch.open_total " +
+       "ELSE CAST(c.c_acctbal AS DECIMAL(18,2)) END AS DECIMAL(38,2)) AS acctbal_restated, " +
+       "ch.open_total IS NOT NULL AS was_updated " +
+       "FROM customer c LEFT JOIN " +
+       s"(SELECT o_custkey AS c_custkey, ${oDsum2("o_totalprice")} AS open_total " +
+       "FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey) ch " +
+       "USING (c_custkey) ORDER BY c_custkey"),
+
+    "etl_dq_checks" ->
+      ("SELECT (SELECT count(*) FROM lineitem) AS n_rows, " +
+       "(SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL) AS null_shipdates, " +
+       "(SELECT count(*) FROM lineitem WHERE l_quantity <= 0 OR l_quantity > 50) AS qty_out_of_range, " +
+       "(SELECT count(*) FROM lineitem WHERE l_returnflag NOT IN ('A','N','R')) AS bad_returnflags, " +
+       "(SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)) AS pk_dupes, " +
+       "(SELECT count(*) FROM lineitem l WHERE NOT EXISTS " +
+       "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS fk_violations")
+  )
+}
