@@ -40,21 +40,24 @@ object Etl {
         .orderBy("c_custkey")
     }),
 
-    // One-pass data-quality report: row count, key uniqueness, referential
-    // integrity, domain violations — a single output row.
+    // Data-quality report: row count, key uniqueness, referential integrity,
+    // domain violations — a single output row, all checks composed into ONE
+    // lazy plan (three 1-row aggregates cross-joined; no eager actions at
+    // construction time, so .explain and Bench see the whole thing).
     "etl_dq_checks" -> ((s, d) => {
       val li = lineitem(s, d)
+      val rowChecks = li.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("l_shipdate").isNull, 1)).as("null_shipdates"),
+        count(when(col("l_quantity") <= 0 || col("l_quantity") > 50, 1)).as("qty_out_of_range"),
+        count(when(!col("l_returnflag").isin("A", "N", "R"), 1)).as("bad_returnflags"))
       val pkDupes = orders(s, d).groupBy("o_orderkey").count()
-        .filter(col("count") > 1).count()
-      val fkViolations = li.join(orders(s, d),
-        col("l_orderkey") === col("o_orderkey"), "left_anti").count()
-      li.agg(
-          count(lit(1)).as("n_rows"),
-          count(when(col("l_shipdate").isNull, 1)).as("null_shipdates"),
-          count(when(col("l_quantity") <= 0 || col("l_quantity") > 50, 1)).as("qty_out_of_range"),
-          count(when(!col("l_returnflag").isin("A", "N", "R"), 1)).as("bad_returnflags"))
-        .withColumn("pk_dupes", lit(pkDupes))
-        .withColumn("fk_violations", lit(fkViolations))
+        .filter(col("count") > 1)
+        .agg(count(lit(1)).as("pk_dupes"))
+      val fkViolations = li
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("fk_violations"))
+      rowChecks.crossJoin(pkDupes).crossJoin(fkViolations)
     })
   )
 

@@ -111,7 +111,11 @@ object Relational {
       // df.sample(seed), membership does not depend on partitioning, so the
       // split is reproducible on any cluster size (and SQL-expressible).
       events(s, d)
-        .withColumn("bucket", pmod(col("event_id") * 2654435761L, lit(1000L)))
+        // inner pmod bounds the multiplicand so the product can't overflow
+        // Long (ANSI mode would raise) at any real-world event_id; for ids
+        // below 1e9+7 the buckets are identical to the unguarded form.
+        .withColumn("bucket",
+          pmod(pmod(col("event_id"), lit(1000000007L)) * 2654435761L, lit(1000L)))
         .withColumn("split", when(col("bucket") < 800, "train")
           .when(col("bucket") < 900, "valid").otherwise("test"))
         .groupBy("split")
@@ -177,8 +181,8 @@ object Relational {
 
     "sample_hash_split" ->
       ("SELECT split, count(*) AS n, count(DISTINCT user_id) AS n_users FROM " +
-       "(SELECT user_id, CASE WHEN (event_id * 2654435761) % 1000 < 800 THEN 'train' " +
-       "WHEN (event_id * 2654435761) % 1000 < 900 THEN 'valid' ELSE 'test' END AS split " +
+       "(SELECT user_id, CASE WHEN ((event_id % 1000000007) * 2654435761) % 1000 < 800 THEN 'train' " +
+       "WHEN ((event_id % 1000000007) * 2654435761) % 1000 < 900 THEN 'valid' ELSE 'test' END AS split " +
        "FROM events) GROUP BY split ORDER BY split")
   )
 }

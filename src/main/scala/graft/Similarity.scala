@@ -58,13 +58,17 @@ object Similarity {
       .sortBy(_._1).map { case (id, v) => (id, v, norm(v)) }
   }
 
-  /** Distinct 3-token shingles per doc. */
+  /** Distinct 3-token shingles per doc. `get()` (null OOB) instead of
+    * `toks[i]`: under Spark 4's default ANSI mode a bare index throws
+    * INVALID_ARRAY_INDEX for sub-3-token docs; concat_ws skips the nulls,
+    * matching the DuckDB oracle's NULL-skipping concat_ws.
+    */
   private def shingles(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(
         expr("transform(sequence(1, greatest(size(toks) - 2, 1)), " +
-             "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")).as("g"))
+             "i -> concat_ws(' ', get(toks, i-1), get(toks, i), get(toks, i+1)))")).as("g"))
       .distinct()
 
   /** MinHash signatures: h_i(doc) = min over shingles of xxhash64(i, g). */

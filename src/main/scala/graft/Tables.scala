@@ -19,13 +19,22 @@ object Tables {
   // DataFrames are immutable logical plans — caching them per (session,
   // path) skips the repeated file-listing + footer-read every spark.read
   // triggers at plan time (SURVEY.md §6: reuse a loader per (sfDir, table)).
+  // WeakHashMap keyed on the session itself: no identity-hash collisions
+  // between sessions, and entries evict when a session is GC'd.
   private val loaded =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    loaded.computeIfAbsent(
-      (System.identityHashCode(spark), s"$sfDir/$name.parquet"),
-      _ => load(spark, sfDir, name))
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val perSession = loaded.synchronized {
+      var m = loaded.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        loaded.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(s"$sfDir/$name.parquet", _ => load(spark, sfDir, name))
+  }
 
   private def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")

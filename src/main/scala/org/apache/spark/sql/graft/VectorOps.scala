@@ -30,29 +30,36 @@ case class VectorDot(left: Expression, right: Expression)
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+  // Mismatched dimensions yield NULL (never a silently-truncated partial
+  // dot), so malformed vectors surface instead of ranking plausibly-wrong.
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var i = 0
-    var acc = 0.0
-    while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-    acc
+    if (x.numElements() != y.numElements()) null
+    else {
+      var i = 0
+      var acc = 0.0
+      while (i < x.numElements()) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      acc
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $x.numElements(); $i++) {
+         |    $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -116,8 +123,8 @@ object VectorOps {
 }
 
 /** SparkSessionExtensions hook: `.config("spark.sql.extensions",
-  * "graft.functions.GraftExtensions")` makes `vec_dot`/`vec_norm` available
-  * to pure-SQL users cluster-wide.
+  * "org.apache.spark.sql.graft.GraftExtensions")` makes `vec_dot`/`vec_norm`
+  * available to pure-SQL users cluster-wide.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
