@@ -90,9 +90,11 @@ object Streaming {
   }
 
   /** flatMapGroupsWithState: zero-or-many outputs per key per batch — emits
-    * one row per session CLOSED in this batch (a gap observed inside the
-    * batch ends the previous session), unlike mapGroupsWithState's exactly
-    * one row per key.
+    * one row per session CLOSED either by a gap observed inside a batch or
+    * by event-time TIMEOUT (the watermark passed lastTs + gap with no new
+    * events), unlike mapGroupsWithState's exactly one row per key. Timeout
+    * closure is what bounds state: an idle key's session flushes and its
+    * state is removed, so state size tracks *active* users only.
     */
   def closedSessionsStream(events: Dataset[EvtRow]): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
@@ -101,24 +103,32 @@ object Streaming {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessOpenState, ClosedSession](
         org.apache.spark.sql.streaming.OutputMode.Append,
-        GroupStateTimeout.NoTimeout) {
+        GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[EvtRow], state: GroupState[SessOpenState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.getOrElse(SessOpenState(0L, Long.MinValue, 0L))
-          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-          sorted.foreach { e =>
-            val us = e.ts.getTime * 1000L
-            val isNew = st.lastTsUs == Long.MinValue || us - st.lastTsUs > SessionGapUs
-            if (isNew) {
-              if (st.sessions > 0 && st.openCount > 0)
-                closed += ClosedSession(uid, st.sessions, st.openCount)
-              st = SessOpenState(st.sessions + 1, us, 1L)
-            } else {
-              st = SessOpenState(st.sessions, us, st.openCount + 1)
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            if (st.openCount > 0) Iterator.single(ClosedSession(uid, st.sessions, st.openCount))
+            else Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(SessOpenState(0L, Long.MinValue, 0L))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              val isNew = st.lastTsUs == Long.MinValue || us - st.lastTsUs > SessionGapUs
+              if (isNew) {
+                if (st.sessions > 0 && st.openCount > 0)
+                  closed += ClosedSession(uid, st.sessions, st.openCount)
+                st = SessOpenState(st.sessions + 1, us, 1L)
+              } else {
+                st = SessOpenState(st.sessions, us, st.openCount + 1)
+              }
             }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastTsUs / 1000L + SessionGapUs / 1000L)
+            closed.iterator
           }
-          state.update(st)
-          closed.iterator
       }
   }
 

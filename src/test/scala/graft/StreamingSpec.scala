@@ -113,6 +113,16 @@ class StreamingSpec extends AnyFunSuite {
       val rows = spark.table("closed").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       assert(rows.toSeq == Seq((1L, 1L, 2L)), s"got ${rows.toSeq}")
+      // event-time timeout: another user's events push the watermark far past
+      // user 1's last activity + gap; user 1's OPEN session must flush
+      // without any new user-1 event.
+      input.addData(Streaming.EvtRow(4, ts(600), 2, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Streaming.EvtRow(5, ts(620), 2, "click", 1.0))
+      q.processAllAvailable()
+      val after = spark.table("closed").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(after.contains((1L, 2L, 1L)), s"timeout did not flush open session: $after")
     } finally q.stop()
   }
 
