@@ -70,9 +70,9 @@ object Aggregations {
            |       COALESCE(n_name, 'ALL') AS nation,
            |       count(*) AS n_cust,
            |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_bal
-           |FROM parquet.`$d/customer.parquet`
-           |JOIN parquet.`$d/nation.parquet` ON c_nationkey = n_nationkey
-           |JOIN parquet.`$d/region.parquet` ON n_regionkey = r_regionkey
+           |FROM ${Tables.view(s, d, "customer")}
+           |JOIN ${Tables.view(s, d, "nation")} ON c_nationkey = n_nationkey
+           |JOIN ${Tables.view(s, d, "region")} ON n_regionkey = r_regionkey
            |GROUP BY ROLLUP(r_name, n_name)
            |ORDER BY region, nation""".stripMargin)),
 
@@ -93,7 +93,7 @@ object Aggregations {
            |       COALESCE(CAST(c_nationkey AS INT), -1) AS nationkey,
            |       count(*) AS n_cust,
            |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_bal
-           |FROM parquet.`$d/customer.parquet`
+           |FROM ${Tables.view(s, d, "customer")}
            |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
            |ORDER BY segment, nationkey""".stripMargin)),
 

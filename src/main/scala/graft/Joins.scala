@@ -228,6 +228,10 @@ object Joins {
       ("SELECT c_custkey, c_name FROM customer c " +
        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey"),
 
+    // Raw-ts comparison is safe here: DuckDB 1.0 reads this file's
+    // TIMESTAMP(NANOS) column as µs-truncated TIMESTAMP (verified
+    // empirically), identical to Spark's ns→µs read — both engines compare
+    // the same µs-floored values.
     "join_theta_range" ->
       ("SELECT s.event_id AS signup_id, p.event_id AS purchase_id FROM events s " +
        "JOIN events p ON p.user_id = s.user_id AND s.event_type = 'signup' AND p.event_type = 'purchase' " +

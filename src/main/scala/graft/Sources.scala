@@ -20,8 +20,10 @@ import Tables._
 object Sources {
   type Q = (SparkSession, String) => DataFrame
 
+  // Per-process subdir: two concurrent JVMs (e.g. Verify and a test run)
+  // must not overwrite each other's round-trip data mid-read.
   private def tmp(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_io/$name"
+    s"${System.getProperty("java.io.tmpdir")}/graft_io_${ProcessHandle.current().pid()}/$name"
 
   val queries: Map[String, Q] = Map(
     // The reference pipeline, end to end: text-file sink → sc.textFile →
@@ -34,7 +36,7 @@ object Sources {
       val dir = tmp("text_wordcount_input")
       documents(s, d).select("text").write.mode(SaveMode.Overwrite).text(dir)
       s.sparkContext.textFile(dir)
-        .flatMap(_.split(" "))
+        .flatMap(_.split(" ", -1)) // -1: keep empty tokens like string_split
         .map(w => (w, 1L))
         .reduceByKey(_ + _)
         .toDF("word", "cnt")

@@ -60,32 +60,44 @@ object Streaming {
     event_type: String, value: Double)
   case class UserSessState(sessions: Long, lastTsUs: Long)
   case class UserSessUpdate(user_id: Long, sessions: Long, events_seen: Long)
-  case class ClosedSession(user_id: Long, session_id: Long, n_events: Long)
-  case class SessOpenState(sessions: Long, lastTsUs: Long, openCount: Long)
+  /** session_start_us (not a per-key counter) identifies the session: unique
+    * and stable even after a timeout removes the key's state — a counter
+    * would restart at 1 and collide with earlier sessions of the same user.
+    */
+  case class ClosedSession(user_id: Long, session_start_us: Long, n_events: Long)
+  case class SessOpenState(sessions: Long, lastTsUs: Long, openCount: Long, startUs: Long)
 
   /** Custom per-key state via mapGroupsWithState: a running per-user session
     * counter (30-min gap), the KeyValueGroupedDataset escape hatch for
-    * semantics windows can't express. State per key is two longs — bounded
-    * regardless of stream volume.
+    * semantics windows can't express. State per key is two longs, and idle
+    * keys are EVICTED via event-time timeout (emitting a final update), so
+    * the state store tracks active users only — bounded at any volume.
     */
   def statefulSessionCountStream(events: Dataset[EvtRow]): Dataset[UserSessUpdate] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
-      .mapGroupsWithState[UserSessState, UserSessUpdate](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[UserSessState, UserSessUpdate](GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[EvtRow], state: GroupState[UserSessState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.getOrElse(UserSessState(0L, Long.MinValue))
-          var seen = 0L
-          sorted.foreach { e =>
-            val us = e.ts.getTime * 1000L
-            val isNew = st.lastTsUs == Long.MinValue || us - st.lastTsUs > SessionGapUs
-            st = UserSessState(st.sessions + (if (isNew) 1 else 0), us)
-            seen += 1
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            UserSessUpdate(uid, st.sessions, 0L)
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(UserSessState(0L, Long.MinValue))
+            var seen = 0L
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              val isNew = st.lastTsUs == Long.MinValue || us - st.lastTsUs > SessionGapUs
+              st = UserSessState(st.sessions + (if (isNew) 1 else 0), us)
+              seen += 1
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastTsUs / 1000L + SessionGapUs / 1000L)
+            UserSessUpdate(uid, st.sessions, seen)
           }
-          state.update(st)
-          UserSessUpdate(uid, st.sessions, seen)
       }
   }
 
@@ -108,21 +120,21 @@ object Streaming {
           if (state.hasTimedOut) {
             val st = state.get
             state.remove()
-            if (st.openCount > 0) Iterator.single(ClosedSession(uid, st.sessions, st.openCount))
+            if (st.openCount > 0) Iterator.single(ClosedSession(uid, st.startUs, st.openCount))
             else Iterator.empty
           } else {
             val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var st = state.getOption.getOrElse(SessOpenState(0L, Long.MinValue, 0L))
+            var st = state.getOption.getOrElse(SessOpenState(0L, Long.MinValue, 0L, 0L))
             val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
             sorted.foreach { e =>
               val us = e.ts.getTime * 1000L
               val isNew = st.lastTsUs == Long.MinValue || us - st.lastTsUs > SessionGapUs
               if (isNew) {
                 if (st.sessions > 0 && st.openCount > 0)
-                  closed += ClosedSession(uid, st.sessions, st.openCount)
-                st = SessOpenState(st.sessions + 1, us, 1L)
+                  closed += ClosedSession(uid, st.startUs, st.openCount)
+                st = SessOpenState(st.sessions + 1, us, 1L, us)
               } else {
-                st = SessOpenState(st.sessions, us, st.openCount + 1)
+                st = SessOpenState(st.sessions, us, st.openCount + 1, st.startUs)
               }
             }
             state.update(st)

@@ -19,21 +19,40 @@ object Tables {
   // DataFrames are immutable logical plans — caching them per (session,
   // path) skips the repeated file-listing + footer-read every spark.read
   // triggers at plan time (SURVEY.md §6: reuse a loader per (sfDir, table)).
-  // WeakHashMap keyed on the session itself: no identity-hash collisions
-  // between sessions, and entries evict when a session is GC'd.
-  private val loaded =
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  // Keyed by sessionUUID (collision-free, no strong session reference in the
+  // key) and hard-bounded: cached plans reference their session, so a weak
+  // map could never evict — instead, entries for other sessions are dropped
+  // whenever a new session appears (only concurrent sessions pay a reload).
+  private val MaxSessions = 4
+  private val loaded = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  // Weak side-table assigning each session a UUID: the value (a string) holds
+  // no reference back to the session, so these entries DO evict on GC.
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  private def idOf(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val perSession = loaded.synchronized {
-      var m = loaded.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        loaded.put(spark, m)
-      }
-      m
+    val sid = idOf(spark)
+    if (loaded.size > MaxSessions) loaded.synchronized {
+      if (loaded.size > MaxSessions) loaded.keySet.removeIf(k => k != sid)
     }
-    perSession.computeIfAbsent(s"$sfDir/$name.parquet", _ => load(spark, sfDir, name))
+    loaded
+      .computeIfAbsent(sid,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(s"$sfDir/$name.parquet", _ => load(spark, sfDir, name))
+  }
+
+  /** Register the cached loader as a temp view (name carries an sfDir
+    * discriminator so scale factors don't collide) for `spark.sql` queries —
+    * keeps SQL-form operators on the same cached, ts-normalized loader.
+    */
+  def view(spark: SparkSession, sfDir: String, name: String): String = {
+    val vname = s"graft_${name}_${java.lang.Integer.toHexString(sfDir.hashCode)}"
+    t(spark, sfDir, name).createOrReplaceTempView(vname)
+    vname
   }
 
   private def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {

@@ -25,10 +25,12 @@ object TextOps {
   private def toks(c: Column): Column = split(c, " ")
 
   /** Deterministic language-ID heuristic: score each language by marker-token
-    * hits + a char-fingerprint tiebreak. (The fixture vocabulary is synthetic,
-    * so this demonstrates the *shape* of n-gram language ID — per-doc feature
-    * extraction, argmax over per-language scores — with a fully deterministic
-    * rule; no SQL oracle, scalatest asserts determinism + total coverage.)
+    * hits; equal scores resolve by fixed priority order en > de > es > fr > zh
+    * (so an all-zero doc classifies as 'en'). The fixture vocabulary is
+    * synthetic, so this demonstrates the *shape* of n-gram language ID —
+    * per-doc feature extraction, argmax over per-language scores — with a
+    * fully deterministic rule; no SQL oracle, scalatest asserts determinism +
+    * total coverage.
     */
   def langId(s: SparkSession, d: String): DataFrame = {
     val markers: Map[String, Seq[String]] = Map(

@@ -33,7 +33,9 @@ object Udx {
     def outputEncoder = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
   }
 
-  val tokenCountUdf = udf((s: String) => if (s == null) 0 else s.split(" ").length)
+  // limit = -1 keeps trailing empty tokens, matching Spark's split() and
+  // DuckDB's string_split (Java's default split drops them).
+  val tokenCountUdf = udf((s: String) => if (s == null) 0 else s.split(" ", -1).length)
 
   val queries: Map[String, Q] = Map(
     "udf_scalar" -> ((s, d) =>

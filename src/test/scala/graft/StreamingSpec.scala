@@ -107,12 +107,14 @@ class StreamingSpec extends AnyFunSuite {
         Streaming.EvtRow(2, ts(10), 1, "click", 1.0))
       q.processAllAvailable()
       assert(spark.table("closed").count() == 0) // nothing closed yet
-      // gap > 30min closes session 1 (2 events, counted across batches)
+      // gap > 30min closes session 1 (2 events, counted across batches);
+      // the session id is its start timestamp in epoch µs.
       input.addData(Streaming.EvtRow(3, ts(120), 1, "click", 1.0))
       q.processAllAvailable()
+      val s1 = ts(0).getTime * 1000L
       val rows = spark.table("closed").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      assert(rows.toSeq == Seq((1L, 1L, 2L)), s"got ${rows.toSeq}")
+      assert(rows.toSeq == Seq((1L, s1, 2L)), s"got ${rows.toSeq}")
       // event-time timeout: another user's events push the watermark far past
       // user 1's last activity + gap; user 1's OPEN session must flush
       // without any new user-1 event.
@@ -120,9 +122,10 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       input.addData(Streaming.EvtRow(5, ts(620), 2, "click", 1.0))
       q.processAllAvailable()
+      val s2 = ts(120).getTime * 1000L
       val after = spark.table("closed").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      assert(after.contains((1L, 2L, 1L)), s"timeout did not flush open session: $after")
+      assert(after.contains((1L, s2, 1L)), s"timeout did not flush open session: $after")
     } finally q.stop()
   }
 
