@@ -126,6 +126,19 @@ object TextOps {
           size(toks(col("text"))).as("n_ws"))
         .orderBy("doc_id")),
 
+    "text_bigram_counts" -> ((s, d) =>
+      // Adjacent-token bigram frequencies — the n-gram LM building block;
+      // top-50 on a (cnt, bigram) total order.
+      documents(s, d)
+        .select(split(col("text"), " ").as("toks"))
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat_ws(' ', get(toks, i-1), get(toks, i)))")).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram").asc)
+        .limit(50)),
+
     "text_fingerprint" -> ((s, d) =>
       // Polynomial rolling hash over codepoints, mod 1e9+7, folded
       // left-to-right in BIGINT — deterministic and engine-portable.
@@ -182,6 +195,13 @@ object TextOps {
        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe, " +
        "CAST(len(string_split(text, ' ')) AS INT) AS n_ws " +
        "FROM documents ORDER BY doc_id"),
+
+    "text_bigram_counts" ->
+      ("SELECT bigram, count(*) AS cnt FROM " +
+       "(SELECT unnest(list_transform(generate_series(1, len(ts) - 1), " +
+       "i -> ts[i] || ' ' || ts[i+1])) AS bigram FROM " +
+       "(SELECT string_split(text, ' ') AS ts FROM documents)) " +
+       "GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 50"),
 
     "text_fingerprint" ->
       ("SELECT doc_id, " +
