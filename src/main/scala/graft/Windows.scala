@@ -65,6 +65,21 @@ object Windows {
         .orderBy("day")
     }),
 
+    "window_range_frame" -> ((s, d) => {
+      // RANGE frame over event-time: orders in the trailing 30 days per
+      // customer. Value-based frames are deterministic regardless of peer-row
+      // order (unlike ROWS with ties) — the natural trailing-window form.
+      val w = Window.partitionBy("o_custkey").orderBy(col("epoch_s"))
+        .rangeBetween(-30L * 86400, 0)
+      orders(s, d)
+        .withColumn("epoch_s", unix_timestamp(col("o_orderdate").cast(TimestampType)))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          count(lit(1)).over(w).as("orders_30d"),
+          sum(dec(col("o_totalprice"), 18, 2)).over(w)
+            .cast(DecimalType(38, 2)).as("spend_30d"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
     "window_first_last" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
@@ -129,6 +144,15 @@ object Windows {
        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS day_value, count(*) AS day_n " +
        "FROM events GROUP BY 1) " +
        "WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY day"),
+
+    "window_range_frame" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate, " +
+       "count(*) OVER w AS orders_30d, " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS spend_30d " +
+       "FROM (SELECT *, epoch(CAST(o_orderdate AS TIMESTAMP)) AS epoch_s FROM orders) " +
+       "WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_s " +
+       "RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) " +
+       "ORDER BY o_custkey, o_orderdate, o_orderkey"),
 
     "window_first_last" ->
       ("SELECT o_custkey, o_orderkey, " +
