@@ -78,13 +78,17 @@ object Joins {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, saltBy: Column, salt: Int): DataFrame = {
-    val saltedBig = big.withColumn("__salt", pmod(xxhash64(saltBy), lit(salt)))
-    val saltedSmall = small.withColumn("__salt",
+    // fresh working-column name: a caller's own "__salt" column must not be
+    // hijacked by withColumn or destroyed by the final drop
+    val existing = big.columns.toSet ++ small.columns.toSet
+    val saltCol = Iterator.from(0).map(i => s"__salt$i").find(!existing.contains(_)).get
+    val saltedBig = big.withColumn(saltCol, pmod(xxhash64(saltBy), lit(salt)))
+    val saltedSmall = small.withColumn(saltCol,
       explode(expr(s"sequence(0L, ${salt - 1}L)")))
     saltedBig.join(saltedSmall,
         saltedBig(bigKey) === saltedSmall(smallKey) &&
-        saltedBig("__salt") === saltedSmall("__salt"))
-      .drop("__salt")
+        saltedBig(saltCol) === saltedSmall(saltCol))
+      .drop(saltCol)
   }
 
   val queries: Map[String, Q] = Map(

@@ -24,6 +24,12 @@ object Streaming {
   /** 30-minute inactivity gap, µs — shared by batch twin and stream. */
   val SessionGapUs: Long = 30L * 60 * 1000 * 1000
 
+  /** Epoch µs from a java.sql.Timestamp — getTime alone floors to ms, which
+    * would diverge from the batch twin's unix_micros gap arithmetic.
+    */
+  private def epochUs(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   // ---- Structured Streaming builders (input: streaming events frame) ----
 
   /** Per-hour tumbling counts with a 10-minute watermark; append-safe. */
@@ -85,13 +91,16 @@ object Streaming {
             state.remove()
             UserSessUpdate(uid, st.sessions, 0L)
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = it.toSeq.sortBy(e => (epochUs(e.ts), e.event_id))
             var st = state.getOption.getOrElse(UserSessState(0L, Long.MinValue))
             var seen = 0L
             sorted.foreach { e =>
-              val us = e.ts.getTime * 1000L
+              val us = epochUs(e.ts)
               val isNew = st.lastTsUs == Long.MinValue || us - st.lastTsUs > SessionGapUs
-              st = UserSessState(st.sessions + (if (isNew) 1 else 0), us)
+              // max(): a late-but-within-watermark event must not regress the
+              // frontier, or later gap checks measure from the wrong point.
+              st = UserSessState(st.sessions + (if (isNew) 1 else 0),
+                math.max(st.lastTsUs, us))
               seen += 1
             }
             state.update(st)
@@ -123,18 +132,20 @@ object Streaming {
             if (st.openCount > 0) Iterator.single(ClosedSession(uid, st.startUs, st.openCount))
             else Iterator.empty
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = it.toSeq.sortBy(e => (epochUs(e.ts), e.event_id))
             var st = state.getOption.getOrElse(SessOpenState(0L, Long.MinValue, 0L, 0L))
             val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
             sorted.foreach { e =>
-              val us = e.ts.getTime * 1000L
+              val us = epochUs(e.ts)
               val isNew = st.lastTsUs == Long.MinValue || us - st.lastTsUs > SessionGapUs
               if (isNew) {
                 if (st.sessions > 0 && st.openCount > 0)
                   closed += ClosedSession(uid, st.startUs, st.openCount)
                 st = SessOpenState(st.sessions + 1, us, 1L, us)
               } else {
-                st = SessOpenState(st.sessions, us, st.openCount + 1, st.startUs)
+                // max(): late in-watermark events must not regress the frontier
+                st = SessOpenState(st.sessions, math.max(st.lastTsUs, us),
+                  st.openCount + 1, st.startUs)
               }
             }
             state.update(st)

@@ -41,7 +41,12 @@ case class VectorDot(left: Expression, right: Expression)
     else {
       var i = 0
       var acc = 0.0
-      while (i < x.numElements()) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      while (i < x.numElements()) {
+        // NULL elements propagate (like the HOF fold) — never read as 0.0
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
       acc
     }
   }
@@ -50,15 +55,18 @@ case class VectorDot(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("hasNull")
       s"""
          |if ($x.numElements() != $y.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $acc = 0.0;
+         |  boolean $bad = false;
          |  for (int $i = 0; $i < $x.numElements(); $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; break; }
          |    $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })
@@ -75,18 +83,26 @@ case class VectorNorm(child: Expression)
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_norm"
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     var i = 0
     var acc = 0.0
-    while (i < x.numElements()) { acc += x.getFloat(i).toDouble * x.getFloat(i).toDouble; i += 1 }
+    while (i < x.numElements()) {
+      if (x.isNullAt(i)) return null // NULL element propagates, never 0.0
+      acc += x.getFloat(i).toDouble * x.getFloat(i).toDouble
+      i += 1
+    }
     math.sqrt(acc)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, x => {
-      s"org.apache.spark.sql.graft.VectorNorm.normOf($x)"
+    nullSafeCodeGen(ctx, ev, x => {
+      s"""
+         |Double r = org.apache.spark.sql.graft.VectorNorm.normOf($x);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+       """.stripMargin
     })
 
   override protected def withNewChildInternal(newChild: Expression): VectorNorm =
@@ -94,11 +110,15 @@ case class VectorNorm(child: Expression)
 }
 
 object VectorNorm {
-  /** Called from generated code — keep signature stable. */
-  def normOf(x: ArrayData): Double = {
+  /** Called from generated code — keep signature stable; null = NULL element. */
+  def normOf(x: ArrayData): java.lang.Double = {
     var i = 0
     var acc = 0.0
-    while (i < x.numElements()) { acc += x.getFloat(i).toDouble * x.getFloat(i).toDouble; i += 1 }
+    while (i < x.numElements()) {
+      if (x.isNullAt(i)) return null
+      acc += x.getFloat(i).toDouble * x.getFloat(i).toDouble
+      i += 1
+    }
     math.sqrt(acc)
   }
 }
