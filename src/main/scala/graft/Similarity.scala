@@ -120,6 +120,37 @@ object Similarity {
         .orderBy("doc_id")
     }),
 
+    "dedup_cluster_cc" -> ((s, d) => {
+      // TRUE transitive near-dup clusters: iterative min-label propagation
+      // (connected components) over the LSH-verified pair graph. Each
+      // iteration is one join+groupBy; labels converge in O(diameter) ≤
+      // O(log n) rounds. persist() between rounds keeps lineage flat — the
+      // standard shape for iterative algorithms on Spark at any scale. The
+      // driver-side loop is control flow only (a convergence count), never
+      // data.
+      val pairs = minhashCandidates(s, d, 0.8).select("da", "db")
+      val edges = pairs.union(pairs.select(col("db").as("da"), col("da").as("db")))
+        .persist()
+      var labels = documents(s, d)
+        .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 10) {
+        val viaNeighbors = edges.join(labels, edges("db") === labels("doc_id"))
+          .select(edges("da").as("doc_id"), col("cluster_id"))
+        val next = labels.union(viaNeighbors)
+          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+          .persist()
+        changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+          .filter(col("cluster_id") =!= col("prev")).count()
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+      edges.unpersist()
+      labels.orderBy("doc_id")
+    }),
+
     "dedup_ngram_jaccard" -> ((s, d) => {
       // Exact n-gram Jaccard >= 0.5 via shingle inverted index self-join —
       // candidate generation shuffles on the shingle (bounded fan-out), and

@@ -57,6 +57,26 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("connected components match an in-test union-find over the same pair graph") {
+    val labels = q("dedup_cluster_cc").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Similarity.minhashCandidates(spark, Sf0001, 0.8)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // union-find with path compression, canonical = min id of component
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+    }
+    pairs.foreach { case (a, b) => union(a, b) }
+    labels.foreach { case (doc, cluster) =>
+      assert(cluster == find(doc), s"doc $doc: $cluster vs ${find(doc)}") }
+  }
+
   test("jaccard pairs all meet the 0.5 threshold, symmetric-free (a<b)") {
     val rows = q("dedup_ngram_jaccard").collect()
     rows.foreach { r =>
