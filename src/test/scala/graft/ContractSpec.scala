@@ -15,6 +15,36 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
+  test("the full SURVEY.md §2 normative inventory is implemented") {
+    val survey2 = Seq(
+      "scan_project", "scan_filter_pushdown", "filter_compound", "project_expr",
+      "filter_like_regex", "join_inner_broadcast", "join_inner_shuffle",
+      "join_multiway_star", "join_left_outer", "join_full_outer", "join_semi",
+      "join_anti", "join_theta_range", "join_asof", "join_cross_limited",
+      "agg_global", "agg_groupby_q1", "agg_distinct", "agg_approx_distinct",
+      "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_histogram",
+      "window_rank", "window_topk_per_group", "window_running_sum",
+      "window_moving_avg", "window_lag_lead", "sort_multi_nulls", "topk_global",
+      "set_union_all", "set_union_distinct", "set_intersect", "set_except",
+      "fn_string", "fn_date", "fn_math", "fn_array", "fn_json_extract", "fn_map",
+      "text_wordcount", "text_grep", "text_inverted_index", "text_stats",
+      "text_lang_filter", "dedup_exact", "dedup_near_minhash", "sim_topk_cosine",
+      "sim_knn_per_label", "stream_tumbling_counts", "stream_sliding_avg",
+      "stream_session_windows", "stream_stateful_dedup", "udf_scalar",
+      "udaf_typed", "udtf_explode")
+    val missing = survey2.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"§2 keys not implemented: $missing")
+  }
+
+  test("every multi-row oracle carries an ORDER BY (rule D1)") {
+    // single-row global aggregates are exempt (no row order to pin)
+    val singleRow = Set("agg_global", "etl_dq_checks")
+    val unordered = SparkEntry.oracleSql.collect {
+      case (k, sql) if !singleRow.contains(k) && !sql.toUpperCase.contains("ORDER BY") => k
+    }
+    assert(unordered.isEmpty, s"oracles without total order: $unordered")
+  }
+
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
