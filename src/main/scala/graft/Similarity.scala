@@ -136,15 +136,20 @@ object Similarity {
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < 10) {
+        // One aggregation carries both the new label (min over self +
+        // neighbors) and the previous label (min over the tagged self rows),
+        // so change detection costs no extra join — 2 jobs per round, not 4.
+        val selfRows = labels.select(col("doc_id"), col("cluster_id"), lit(true).as("own"))
         val viaNeighbors = edges.join(labels, edges("db") === labels("doc_id"))
-          .select(edges("da").as("doc_id"), col("cluster_id"))
-        val next = labels.union(viaNeighbors)
-          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+          .select(edges("da").as("doc_id"), col("cluster_id"), lit(false).as("own"))
+        val next = selfRows.union(viaNeighbors)
+          .groupBy("doc_id")
+          .agg(min("cluster_id").as("cluster_id"),
+            min(when(col("own"), col("cluster_id"))).as("prev"))
           .persist()
-        changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-          .filter(col("cluster_id") =!= col("prev")).count()
+        changed = next.filter(col("cluster_id") =!= col("prev")).count()
         labels.unpersist()
-        labels = next
+        labels = next.select("doc_id", "cluster_id")
         iter += 1
       }
       edges.unpersist()
