@@ -56,6 +56,21 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
 
+  /** Stream–stream inner join: purchases within 1 hour of a signup by the
+    * same user (the streaming twin of the batch `join_theta_range`). The
+    * watermarks + the time-range condition bound both join buffers: a signup
+    * can be dropped from state once the watermark passes s_ts + 1h.
+    */
+  def signupPurchaseJoinStream(signups: DataFrame, purchases: DataFrame): DataFrame = {
+    val s = signups.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("s_ts"), col("event_id").as("signup_id"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_uid"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    s.join(p, expr(
+        "user_id = p_uid AND p_ts > s_ts AND p_ts <= s_ts + INTERVAL 1 HOUR"))
+      .select("signup_id", "purchase_id")
+  }
+
   /** Stateful dedup on event_id within the watermark horizon. */
   def dedupStream(events: DataFrame): DataFrame =
     events

@@ -129,6 +129,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join pairs purchases within 1h of signups") {
+    val signups = MemoryStream[Evt]
+    val purchases = MemoryStream[Evt]
+    val q = Streaming.signupPurchaseJoinStream(signups.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    try {
+      signups.addData(Evt(1, ts(0), 1, "signup", 0.0), Evt(2, ts(0), 2, "signup", 0.0))
+      purchases.addData(
+        Evt(10, ts(30), 1, "purchase", 5.0),   // in window for user 1
+        Evt(11, ts(90), 1, "purchase", 5.0),   // outside 1h
+        Evt(12, ts(20), 3, "purchase", 5.0))   // no signup for user 3
+      q.processAllAvailable()
+      val pairs = spark.table("ssjoin").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 10L)), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink: stream lands deterministically in parquet") {
     val out = "/tmp/graft_feb_out"
     val f = new java.io.File(out)
