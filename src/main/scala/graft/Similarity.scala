@@ -156,6 +156,24 @@ object Similarity {
       labels.orderBy("doc_id")
     }),
 
+    "dedup_levenshtein" -> ((s, d) => {
+      // Edit-distance near-dup on (lang, source)-blocked pairs — blocking
+      // bounds the quadratic pair space, and the 40-char prefix bounds each
+      // O(n·m) distance computation. All-integer → oracle-checkable.
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          floor(col("n_chars") / 100).as("len_band"),
+          substring(col("text"), 1, 40).as("prefix"))
+      docs.as("a").join(docs.as("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.len_band") === col("b.len_band") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          levenshtein(col("a.prefix"), col("b.prefix")).as("edit_dist"))
+        .where(col("edit_dist") <= 10)
+        .orderBy("da", "db")
+    }),
+
     "dedup_ngram_jaccard" -> ((s, d) => {
       // Exact n-gram Jaccard >= 0.5 via shingle inverted index self-join —
       // candidate generation shuffles on the shingle (bounded fan-out), and
@@ -319,8 +337,19 @@ object Similarity {
     })
   )
 
-  /** Only the all-integer Jaccard query is SQL-expressible enough to oracle. */
+  /** Integer-exact queries (Jaccard, Levenshtein) carry SQL oracles; float
+    * and hash-bucket outputs are scalatest-validated instead.
+    */
   val oracles: Map[String, String] = Map(
+    "dedup_levenshtein" ->
+      ("SELECT a.doc_id AS da, b.doc_id AS db, " +
+       "CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS INT) AS edit_dist " +
+       "FROM documents a JOIN documents b " +
+       "ON a.lang = b.lang AND a.source = b.source " +
+       "AND floor(a.n_chars / 100) = floor(b.n_chars / 100) AND a.doc_id < b.doc_id " +
+       "WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 10 " +
+       "ORDER BY da, db"),
+
     "dedup_ngram_jaccard" ->
       ("WITH sh AS (SELECT DISTINCT doc_id, g FROM " +
        "(SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(ts) - 2, 1)), " +

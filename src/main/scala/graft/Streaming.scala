@@ -206,6 +206,19 @@ object Streaming {
         .orderBy("user_id", "session_id")
     }),
 
+    "stream_session_native" -> ((s, d) =>
+      // Native session_window in BATCH mode, oracle-checked against the
+      // independent lag/cumsum SQL formulation — proves the two session
+      // semantics (merge while gap <= 30 min) agree.
+      events(s, d)
+        .groupBy(session_window(col("ts").cast(TimestampType), "30 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("w.start").cast(TimestampNTZType).as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")),
+
     "stream_stateful_dedup" -> ((s, d) =>
       // Batch twin of keep-first dedup: deterministic min-event_id per key
       // (dropDuplicates keeps an arbitrary row — not hash-stable).
@@ -238,6 +251,15 @@ object Streaming {
        "CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) " +
        "OVER (PARTITION BY user_id ORDER BY ts, event_id) <= 1800000000 THEN 0 ELSE 1 END AS is_new " +
        "FROM events)) GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+
+    "stream_session_native" ->
+      ("SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS session_start, count(*) AS n_events FROM " +
+       "(SELECT user_id, ts, " +
+       "CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM " +
+       "(SELECT user_id, ts, event_id, " +
+       "CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) " +
+       "OVER (PARTITION BY user_id ORDER BY ts, event_id) <= 1800000000 THEN 0 ELSE 1 END AS is_new " +
+       "FROM events)) GROUP BY user_id, session_id ORDER BY user_id, session_start"),
 
     "stream_stateful_dedup" ->
       ("SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n_dups " +
