@@ -119,6 +119,15 @@ object Aggregations {
           expr("stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, value)"))
         .orderBy("c_custkey", "metric")),
 
+    "agg_boolean" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("count_if(l_discount > 0.05)").as("n_high_disc"),
+          expr("bool_and(l_quantity > 0)").as("all_positive_qty"),
+          expr("bool_or(l_tax > 0.07)").as("any_high_tax"))
+        .orderBy("l_returnflag")),
+
     "agg_approx_quantile" -> ((s, d) =>
       // KLL/GK-style sketch percentiles — mergeable, bounded memory: the
       // 100 TB path where exact percentile's full sort is off the table.
@@ -165,6 +174,13 @@ object Aggregations {
       ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
        "count(DISTINCT l_suppkey) AS n_supps FROM lineitem " +
        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "agg_boolean" ->
+      ("SELECT l_returnflag, " +
+       "CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_high_disc, " +
+       "bool_and(l_quantity > 0) AS all_positive_qty, " +
+       "bool_or(l_tax > 0.07) AS any_high_tax " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
 
     "agg_rollup" ->
       ("SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation, " +

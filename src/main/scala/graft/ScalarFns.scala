@@ -77,6 +77,17 @@ object ScalarFns {
         .agg(count(lit(1)).as("n"))
         .orderBy("k_bucket")),
 
+    "fn_hash_digest" -> ((s, d) =>
+      // Standard digests (unlike xxhash64/murmur3, identical across engines)
+      // — the content-addressing primitive for exact dedup at 100 TB, where
+      // you shuffle a 32-byte digest instead of the document.
+      documents(s, d)
+        .select(col("doc_id"),
+          md5(col("text")).as("md5_hex"),
+          sha2(col("text"), 256).as("sha256_hex"),
+          length(col("text")).as("n_len"))
+        .orderBy("doc_id")),
+
     "fn_bitwise" -> ((s, d) =>
       part(s, d)
         .select(col("p_partkey"),
@@ -161,6 +172,10 @@ object ScalarFns {
     "fn_map" ->
       ("SELECT user_id, event_type, count(*) AS cnt FROM events " +
        "GROUP BY user_id, event_type ORDER BY user_id, event_type"),
+
+    "fn_hash_digest" ->
+      ("SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex, " +
+       "CAST(length(text) AS INT) AS n_len FROM documents ORDER BY doc_id"),
 
     "fn_bitwise" ->
       ("SELECT p_partkey, p_partkey & 255 AS and_lo, p_partkey | 4096 AS or_hi, " +
