@@ -20,10 +20,24 @@ import Tables._
 object Sources {
   type Q = (SparkSession, String) => DataFrame
 
-  // Per-process subdir: two concurrent JVMs (e.g. Verify and a test run)
-  // must not overwrite each other's round-trip data mid-read.
-  private def tmp(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_io_${ProcessHandle.current().pid()}/$name"
+  // Per-process subdir (two concurrent JVMs must not overwrite each other's
+  // round-trip data mid-read) + per-sfDir discriminator (two scale factors in
+  // one JVM would otherwise share a path and lazily-read the wrong data).
+  // The process dir is removed on JVM exit so repeated runs don't leak /tmp.
+  private lazy val procDir: String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io_${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+        f.delete()
+      }
+      rm(new java.io.File(dir))
+    }))
+    dir
+  }
+
+  private def tmp(name: String, sfDir: String): String =
+    s"$procDir/${java.lang.Integer.toHexString(sfDir.hashCode)}/$name"
 
   val queries: Map[String, Q] = Map(
     // The reference pipeline, end to end: text-file sink → sc.textFile →
@@ -33,8 +47,11 @@ object Sources {
     // the declarative API so Catalyst can optimize.
     "mr_wordcount_rdd" -> ((s, d) => {
       import s.implicits._
-      val dir = tmp("text_wordcount_input")
-      documents(s, d).select("text").write.mode(SaveMode.Overwrite).text(dir)
+      val dir = tmp("text_wordcount_input", d)
+      // Precondition of the text round trip: one doc per line (no embedded
+      // newlines — holds for the fixture corpus) and non-null text.
+      documents(s, d).select("text").filter(col("text").isNotNull)
+        .write.mode(SaveMode.Overwrite).text(dir)
       s.sparkContext.textFile(dir)
         .flatMap(_.split(" ", -1)) // -1: keep empty tokens like string_split
         .map(w => (w, 1L))
@@ -44,7 +61,7 @@ object Sources {
     }),
 
     "sink_partitioned_parquet" -> ((s, d) => {
-      val dir = tmp("orders_by_year")
+      val dir = tmp("orders_by_year", d)
       orders(s, d)
         .withColumn("yr", year(col("o_orderdate")))
         .write.mode(SaveMode.Overwrite).partitionBy("yr").parquet(dir)
@@ -58,7 +75,7 @@ object Sources {
     }),
 
     "source_csv_roundtrip" -> ((s, d) => {
-      val dir = tmp("nation_csv")
+      val dir = tmp("nation_csv", d)
       nation(s, d).write.mode(SaveMode.Overwrite).option("header", "true").csv(dir)
       s.read
         .option("header", "true")
@@ -71,7 +88,7 @@ object Sources {
     }),
 
     "source_json_roundtrip" -> ((s, d) => {
-      val dir = tmp("supplier_json")
+      val dir = tmp("supplier_json", d)
       supplier(s, d).write.mode(SaveMode.Overwrite).json(dir)
       s.read
         .schema(StructType(Seq(

@@ -131,9 +131,12 @@ object TextOps {
       // top-50 on a (cnt, bigram) total order.
       documents(s, d)
         .select(split(col("text"), " ").as("toks"))
+        // size<2 guard: Spark's sequence(1, 0) is DESCENDING [1,0] (not
+        // empty like DuckDB's generate_series), which would fabricate two
+        // phantom bigrams for a single-token doc.
         .select(explode(expr(
-          "transform(sequence(1, size(toks) - 1), " +
-          "i -> concat_ws(' ', get(toks, i-1), get(toks, i)))")).as("bigram"))
+          "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), " +
+          "i -> concat_ws(' ', get(toks, i-1), get(toks, i))) ELSE array() END")).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram").asc)
