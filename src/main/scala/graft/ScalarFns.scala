@@ -77,6 +77,15 @@ object ScalarFns {
         .agg(count(lit(1)).as("n"))
         .orderBy("k_bucket")),
 
+    "fn_datetime_arith" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"),
+          date_add(col("o_orderdate").cast(DateType), 30).as("plus_30d"),
+          add_months(col("o_orderdate").cast(DateType), 1).as("next_month"),
+          last_day(col("o_orderdate").cast(DateType)).as("month_end"),
+          quarter(col("o_orderdate")).as("qtr"))
+        .orderBy("o_orderkey")),
+
     "fn_hash_digest" -> ((s, d) =>
       // Standard digests (unlike xxhash64/murmur3, identical across engines)
       // — the content-addressing primitive for exact dedup at 100 TB, where
@@ -172,6 +181,14 @@ object ScalarFns {
     "fn_map" ->
       ("SELECT user_id, event_type, count(*) AS cnt FROM events " +
        "GROUP BY user_id, event_type ORDER BY user_id, event_type"),
+
+    "fn_datetime_arith" ->
+      ("SELECT o_orderkey, " +
+       "CAST(o_orderdate AS DATE) + 30 AS plus_30d, " +
+       "CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month, " +
+       "last_day(CAST(o_orderdate AS DATE)) AS month_end, " +
+       "CAST(quarter(o_orderdate) AS INT) AS qtr " +
+       "FROM orders ORDER BY o_orderkey"),
 
     "fn_hash_digest" ->
       ("SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex, " +
