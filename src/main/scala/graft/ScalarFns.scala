@@ -118,6 +118,16 @@ object ScalarFns {
           least(col("o_totalprice"), lit(200000.0)).as("cap_200k"))
         .orderBy("o_orderkey")),
 
+    "fn_collect_set" -> ((s, d) =>
+      // Set semantics per group, made deterministic by sorting before the
+      // join (collect_set order is partition-dependent).
+      customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(
+          concat_ws(",", array_sort(collect_set(col("c_mktsegment")))).as("segments"),
+          size(collect_set(col("c_mktsegment"))).as("n_segments"))
+        .orderBy("c_nationkey")),
+
     "fn_string_agg" -> ((s, d) =>
       // Ordered string aggregation: sort the collected list before joining —
       // collect_list order is partition-dependent, array_sort restores
@@ -206,6 +216,12 @@ object ScalarFns {
        "greatest(o_totalprice, 50000.0) AS floor_50k, " +
        "least(o_totalprice, 200000.0) AS cap_200k " +
        "FROM orders ORDER BY o_orderkey"),
+
+    "fn_collect_set" ->
+      ("SELECT c_nationkey, " +
+       "array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments, " +
+       "CAST(len(list_distinct(list(c_mktsegment))) AS INT) AS n_segments " +
+       "FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"),
 
     "fn_string_agg" ->
       ("SELECT c_nationkey, " +

@@ -126,6 +126,21 @@ object TextOps {
           size(toks(col("text"))).as("n_ws"))
         .orderBy("doc_id")),
 
+    "text_keywords_per_lang" -> ((s, d) => {
+      // Top-5 tokens per language: tokenize → per-(lang, word) counts →
+      // rank within language (keyword extraction shape).
+      import org.apache.spark.sql.expressions.Window
+      val counts = documents(s, d)
+        .select(col("lang"), explode(toks(col("text"))).as("word"))
+        .groupBy("lang", "word")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("word").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select("lang", "word", "cnt", "rn")
+        .orderBy("lang", "rn")
+    }),
+
     "text_bigram_counts" -> ((s, d) =>
       // Adjacent-token bigram frequencies — the n-gram LM building block;
       // top-50 on a (cnt, bigram) total order.
@@ -198,6 +213,14 @@ object TextOps {
        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe, " +
        "CAST(len(string_split(text, ' ')) AS INT) AS n_ws " +
        "FROM documents ORDER BY doc_id"),
+
+    "text_keywords_per_lang" ->
+      ("SELECT lang, word, cnt, CAST(rn AS INT) AS rn FROM " +
+       "(SELECT lang, word, cnt, row_number() OVER " +
+       "(PARTITION BY lang ORDER BY cnt DESC, word ASC) AS rn FROM " +
+       "(SELECT lang, word, count(*) AS cnt FROM " +
+       "(SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents) " +
+       "GROUP BY lang, word)) WHERE rn <= 5 ORDER BY lang, rn"),
 
     "text_bigram_counts" ->
       ("SELECT bigram, count(*) AS cnt FROM " +
