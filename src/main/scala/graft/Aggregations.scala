@@ -37,10 +37,10 @@ object Aggregations {
           lsum(col("l_quantity")).as("sum_qty"),
           dsum2(col("l_extendedprice")).as("sum_base_price"),
           sum(dec(col("l_extendedprice"), 18, 2) * (lit(1) - dec(col("l_discount"), 6, 2)))
-            .cast(DecimalType(38, 4)).as("sum_disc_price"),
+            .cast(DoubleType).as("sum_disc_price"),
           sum(dec(col("l_extendedprice"), 18, 2) * (lit(1) - dec(col("l_discount"), 6, 2))
               * (lit(1) + dec(col("l_tax"), 6, 2)))
-            .cast(DecimalType(38, 6)).as("sum_charge"),
+            .cast(DoubleType).as("sum_charge"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -69,7 +69,7 @@ object Aggregations {
         s"""SELECT COALESCE(r_name, 'ALL') AS region,
            |       COALESCE(n_name, 'ALL') AS nation,
            |       count(*) AS n_cust,
-           |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_bal
+           |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
            |FROM ${Tables.view(s, d, "customer")}
            |JOIN ${Tables.view(s, d, "nation")} ON c_nationkey = n_nationkey
            |JOIN ${Tables.view(s, d, "region")} ON n_regionkey = r_regionkey
@@ -92,7 +92,7 @@ object Aggregations {
         s"""SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
            |       COALESCE(CAST(c_nationkey AS INT), -1) AS nationkey,
            |       count(*) AS n_cust,
-           |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_bal
+           |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
            |FROM ${Tables.view(s, d, "customer")}
            |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
            |ORDER BY segment, nationkey""".stripMargin)),
@@ -164,8 +164,8 @@ object Aggregations {
       ("SELECT l_returnflag, l_linestatus, " +
        s"${oLsum("l_quantity")} AS sum_qty, " +
        s"${oDsum2("l_extendedprice")} AS sum_base_price, " +
-       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS DECIMAL(38,4)) AS sum_disc_price, " +
-       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,2))) * (1 + CAST(l_tax AS DECIMAL(6,2)))) AS DECIMAL(38,6)) AS sum_charge, " +
+       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS DOUBLE) AS sum_disc_price, " +
+       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,2))) * (1 + CAST(l_tax AS DECIMAL(6,2)))) AS DOUBLE) AS sum_charge, " +
        "count(*) AS count_order " +
        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01' " +
        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),

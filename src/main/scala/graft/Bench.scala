@@ -16,7 +16,11 @@ object Bench {
     // Untimed warmup: pay one-time classloading / codegen / parquet-footer
     // costs outside the per-query timings.
     Tables.names.foreach(n => Tables.t(spark, sfDir, n).count())
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated subset (dev iteration; driver runs all)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // A failed query reports -1, not its time-to-exception — otherwise a
       // crash masquerades as a fast successful run in the metrics.
@@ -31,7 +35,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Per-query detail on its own line FIRST; the machine-read summary is
+    // the short LAST stdout line — round 1's single giant line overflowed
+    // the driver's tail capture and parsed as null (VERDICT.md missing #4).
+    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,7 +27,7 @@ object Etl {
       val changes = orders(s, d)
         .filter(col("o_orderstatus") === "O")
         .groupBy(col("o_custkey").as("c_custkey"))
-        .agg(dsum2(col("o_totalprice")).as("open_total"))
+        .agg(dsumx2(col("o_totalprice")).as("open_total"))
       customer(s, d)
         .join(changes, Seq("c_custkey"), "left")
         .select(
@@ -35,7 +35,8 @@ object Etl {
           when(col("open_total").isNotNull,
             dec(col("c_acctbal"), 18, 2).cast(DecimalType(38, 2)) + col("open_total"))
             .otherwise(dec(col("c_acctbal"), 18, 2).cast(DecimalType(38, 2)))
-            .cast(DecimalType(38, 2)).as("acctbal_restated"),
+            // final rendering is DOUBLE (Det doc: driver string-compare)
+            .cast(DoubleType).as("acctbal_restated"),
           col("open_total").isNotNull.as("was_updated"))
         .orderBy("c_custkey")
     }),
@@ -66,10 +67,10 @@ object Etl {
       ("SELECT c.c_custkey, c.c_name, c.c_nationkey, " +
        "CAST(CASE WHEN ch.open_total IS NOT NULL " +
        "THEN CAST(c.c_acctbal AS DECIMAL(18,2)) + ch.open_total " +
-       "ELSE CAST(c.c_acctbal AS DECIMAL(18,2)) END AS DECIMAL(38,2)) AS acctbal_restated, " +
+       "ELSE CAST(c.c_acctbal AS DECIMAL(18,2)) END AS DOUBLE) AS acctbal_restated, " +
        "ch.open_total IS NOT NULL AS was_updated " +
        "FROM customer c LEFT JOIN " +
-       s"(SELECT o_custkey AS c_custkey, ${oDsum2("o_totalprice")} AS open_total " +
+       s"(SELECT o_custkey AS c_custkey, ${oDsumx2("o_totalprice")} AS open_total " +
        "FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey) ch " +
        "USING (c_custkey) ORDER BY c_custkey"),
 

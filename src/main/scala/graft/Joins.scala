@@ -32,7 +32,7 @@ object Joins {
       .groupBy("r_name")
       .agg(
         (sum(dec(col("l_extendedprice"), 18, 4) * (lit(1) - dec(col("l_discount"), 18, 4))))
-          .cast(DecimalType(38, 8)).as("revenue"),
+          .cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("r_name")
 
@@ -170,7 +170,7 @@ object Joins {
           col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(sum(dec(col("l_extendedprice"), 18, 4) * (lit(1) - dec(col("l_discount"), 18, 4)))
-          .cast(DecimalType(38, 8)).as("revenue"))
+          .cast(DoubleType).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)),
 
@@ -187,7 +187,7 @@ object Joins {
         .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
         .agg(sum(dec(col("l_extendedprice"), 18, 4) * (lit(1) - dec(col("l_discount"), 18, 4)))
-          .cast(DecimalType(38, 8)).as("revenue"),
+          .cast(DoubleType).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name").asc))
   )
@@ -204,7 +204,7 @@ object Joins {
 
     "join_multiway_star" ->
       ("SELECT r_name, " +
-       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue, " +
+       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue, " +
        "count(*) AS n_items " +
        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
        "JOIN customer ON o_custkey = c_custkey " +
@@ -255,7 +255,7 @@ object Joins {
 
     "tpch_q3_like" ->
       ("SELECT l_orderkey, o_orderdate, " +
-       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue " +
+       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue " +
        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
        "JOIN customer ON o_custkey = c_custkey " +
        "WHERE l_shipdate > TIMESTAMP '1998-03-15' AND o_orderdate < TIMESTAMP '1998-03-15' " +
@@ -264,7 +264,7 @@ object Joins {
 
     "tpch_q5_like" ->
       ("SELECT n_name, " +
-       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue, " +
+       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue, " +
        "count(*) AS n_items " +
        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
        "JOIN customer ON o_custkey = c_custkey " +

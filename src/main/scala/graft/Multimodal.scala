@@ -65,8 +65,10 @@ object Multimodal {
     }),
 
     // "Resize": strided byte sampling down to a fixed 16-byte thumbnail —
-    // the STUB stand-in for an image resize; output schema (fixed-size
-    // array<int>) and partition-local execution match the real thing.
+    // the STUB stand-in for an image resize; partition-local execution
+    // matches the real thing. The registered output renders the thumbnail
+    // as a CSV string: raw array columns crash the driver's pandas sort
+    // (round-1 harness error; ContractSpec now forbids them in outputs).
     "mm_resize_thumbnail" -> ((s, d) => {
       val spark = s
       import spark.implicits._
@@ -77,10 +79,10 @@ object Multimodal {
           val n = bytes.length
           val thumb = (0 until 16).map { i =>
             if (n == 0) 0 else bytes(math.min((i.toLong * n / 16).toInt, n - 1)) & 0xff
-          }.toArray
-          (id, thumb)
+          }
+          (id, thumb.mkString(","))
         })
-        .toDF("doc_id", "thumb")
+        .toDF("doc_id", "thumb_csv")
         .orderBy("doc_id")
     }),
 

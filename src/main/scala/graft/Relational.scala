@@ -45,8 +45,9 @@ object Relational {
       lineitem(s, d)
         .select(
           col("l_orderkey"), col("l_linenumber"),
+          // exact decimal product; DOUBLE final rendering (Det doc)
           (dec(col("l_extendedprice"), 18, 4) * (lit(1) - dec(col("l_discount"), 18, 4)))
-            .cast(DecimalType(38, 8)).as("revenue"),
+            .cast(DoubleType).as("revenue"),
           when(col("l_extendedprice") > 30000, "high")
             .when(col("l_extendedprice") > 10000, "mid")
             .otherwise("low").as("price_band"))
@@ -138,7 +139,7 @@ object Relational {
 
     "project_expr" ->
       ("SELECT l_orderkey, l_linenumber, " +
-       "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8)) AS revenue, " +
+       "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue, " +
        "CASE WHEN l_extendedprice > 30000 THEN 'high' WHEN l_extendedprice > 10000 THEN 'mid' ELSE 'low' END AS price_band " +
        "FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, price_band"),
 

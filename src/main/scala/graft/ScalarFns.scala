@@ -52,7 +52,7 @@ object ScalarFns {
           ceil(col("p_retailprice")).as("ceil_price"),
           floor(col("p_retailprice")).as("floor_price"),
           round(dec(col("p_retailprice"), 12, 2) * dec(lit(1.1), 3, 1), 1)
-            .cast(DecimalType(18, 1)).as("round_up"),
+            .cast(DoubleType).as("round_up"),
           sqrt(col("p_retailprice")).as("sqrt_price"),
           pmod(col("p_partkey"), lit(7)).as("key_mod7"),
           (col("p_size").cast(LongType) * col("p_size").cast(LongType)).as("size_sq"))
@@ -171,7 +171,7 @@ object ScalarFns {
       ("SELECT p_partkey, CAST(abs(p_size - 25) AS INT) AS abs_sz, " +
        "CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price, " +
        "CAST(floor(p_retailprice) AS BIGINT) AS floor_price, " +
-       "CAST(round(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(3,1)), 1) AS DECIMAL(18,1)) AS round_up, " +
+       "CAST(round(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(3,1)), 1) AS DOUBLE) AS round_up, " +
        "sqrt(p_retailprice) AS sqrt_price, " +
        "CAST(p_partkey % 7 AS BIGINT) AS key_mod7, " +
        "CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT) AS size_sq " +

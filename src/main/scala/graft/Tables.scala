@@ -86,29 +86,48 @@ object Tables {
 /** Determinism helpers implementing SURVEY.md §2 rules D1–D5.
   *
   * Cross-engine (Spark vs DuckDB oracle) hash-matching requires bit-stable
-  * output: money math goes through exact decimal arithmetic with an explicit
-  * final cast that aligns the result *type* between engines (Spark
-  * SUM(DECIMAL(18,4)) is DECIMAL(28,4), DuckDB's is DECIMAL(38,4) — without
-  * the final cast the schemas differ even when values agree).
+  * output: money math goes through exact decimal arithmetic (rule D2 —
+  * double summation order is not associative, decimal is), but the FINAL
+  * projected value is cast to DOUBLE on both engines. The driver compares
+  * *string renderings* via pandas: DuckDB's pandas conversion renders
+  * DECIMAL as float64 (no trailing zeros) while Spark parquet yields
+  * full-scale Decimal — '39301199.20' vs '39301199.2' hash-mismatches on
+  * numerically identical values (root cause of all 16 round-1 hash fails,
+  * VERDICT.md "What's wrong" #1). The same exact decimal converts to the
+  * same nearest float64 on both engines, so DOUBLE finals are bit-stable.
+  * Intermediates that feed further arithmetic use the exact [[dsumx2]]/
+  * [[dsumx4]] decimal forms.
   */
 object Det {
   /** Exact decimal view of a double column (both engines round half-up). */
   def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
 
-  /** SUM over DECIMAL(18,4) with type aligned to DuckDB's DECIMAL(38,4). */
-  def dsum4(c: Column): Column = sum(dec(c, 18, 4)).cast(DecimalType(38, 4))
+  /** Final-output SUM: exact DECIMAL(18,4) accumulation, DOUBLE rendering. */
+  def dsum4(c: Column): Column = sum(dec(c, 18, 4)).cast(DoubleType)
 
-  /** SUM over DECIMAL(18,2) aligned to DECIMAL(38,2). */
-  def dsum2(c: Column): Column = sum(dec(c, 18, 2)).cast(DecimalType(38, 2))
+  /** Final-output SUM: exact DECIMAL(18,2) accumulation, DOUBLE rendering. */
+  def dsum2(c: Column): Column = sum(dec(c, 18, 2)).cast(DoubleType)
+
+  /** Intermediate exact SUM (stays decimal — safe for further arithmetic). */
+  def dsumx4(c: Column): Column = sum(dec(c, 18, 4)).cast(DecimalType(38, 4))
+
+  def dsumx2(c: Column): Column = sum(dec(c, 18, 2)).cast(DecimalType(38, 2))
 
   /** Exact integer SUM (input must be integral-valued) as BIGINT. */
   def lsum(c: Column): Column = sum(c.cast(LongType)).cast(LongType)
 
   /** SQL fragment mirroring [[dsum4]] for the DuckDB oracle. */
   def oDsum4(x: String): String =
-    s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DECIMAL(38,4))"
+    s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
 
   def oDsum2(x: String): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** SQL fragments mirroring [[dsumx4]]/[[dsumx2]] (intermediate, exact). */
+  def oDsumx4(x: String): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DECIMAL(38,4))"
+
+  def oDsumx2(x: String): String =
     s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DECIMAL(38,2))"
 
   /** DuckDB SUM over ints is HUGEINT — align to Spark's BIGINT. */

@@ -48,19 +48,20 @@ object Windows {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          // exact decimal window-sum; DOUBLE final rendering (Det doc)
           sum(dec(col("o_totalprice"), 18, 2)).over(w)
-            .cast(DecimalType(38, 2)).as("run_total"))
+            .cast(DoubleType).as("run_total"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     }),
 
     "window_moving_avg" -> ((s, d) => {
       val daily = events(s, d)
         .groupBy(date_trunc("day", col("ts")).cast(TimestampNTZType).as("day"))
-        .agg(dsum4(col("value")).as("day_value"), count(lit(1)).as("day_n"))
+        .agg(dsumx4(col("value")).as("day_value"), count(lit(1)).as("day_n"))
       val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
       daily
         .select(col("day"),
-          sum(col("day_value")).over(w).cast(DecimalType(38, 4)).as("mov_value"),
+          sum(col("day_value")).over(w).cast(DoubleType).as("mov_value"),
           sum(col("day_n")).over(w).cast(LongType).as("mov_n"))
         .orderBy("day")
     }),
@@ -76,7 +77,7 @@ object Windows {
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
           count(lit(1)).over(w).as("orders_30d"),
           sum(dec(col("o_totalprice"), 18, 2)).over(w)
-            .cast(DecimalType(38, 2)).as("spend_30d"))
+            .cast(DoubleType).as("spend_30d"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     }),
 
@@ -133,12 +134,12 @@ object Windows {
       ("SELECT o_custkey, o_orderkey, o_orderdate, " +
        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER " +
        "(PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC " +
-       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS run_total " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total " +
        "FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"),
 
     "window_moving_avg" ->
       ("SELECT day, " +
-       "CAST(SUM(day_value) OVER w AS DECIMAL(38,4)) AS mov_value, " +
+       "CAST(SUM(day_value) OVER w AS DOUBLE) AS mov_value, " +
        "CAST(SUM(day_n) OVER w AS BIGINT) AS mov_n FROM " +
        "(SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS day_value, count(*) AS day_n " +
@@ -148,7 +149,7 @@ object Windows {
     "window_range_frame" ->
       ("SELECT o_custkey, o_orderkey, o_orderdate, " +
        "count(*) OVER w AS orders_30d, " +
-       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS spend_30d " +
+       "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d " +
        "FROM (SELECT *, epoch(CAST(o_orderdate AS TIMESTAMP)) AS epoch_s FROM orders) " +
        "WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_s " +
        "RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) " +

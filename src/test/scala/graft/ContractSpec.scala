@@ -45,6 +45,25 @@ class ContractSpec extends AnyFunSuite {
     assert(unordered.isEmpty, s"oracles without total order: $unordered")
   }
 
+  test("no array/map/struct/binary/decimal columns in registered outputs") {
+    // Driver-harness constraints (round 1, VERDICT.md "What's wrong" #1/#2):
+    // nested/binary cells crash the driver's pandas row sort
+    // (mm_resize_thumbnail's array<int> did), and DECIMAL finals render with
+    // trailing zeros that DuckDB's float64 conversion drops — both fail the
+    // stringify-then-hash compare even on identical values. Finals must be
+    // scalar, and money finals must be DOUBLE (Det.dsum2/4, .cast(DoubleType)).
+    import org.apache.spark.sql.types._
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, Sf0001).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType] ||
+                  f.dataType.isInstanceOf[StructType] || f.dataType == BinaryType ||
+                  f.dataType.isInstanceOf[DecimalType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty, s"non-driver-safe output columns:\n${offenders.mkString("\n")}")
+  }
+
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -41,4 +41,27 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("GreaterThan(l_shipdate") || p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan"),
       s"shipdate filter not pushed:\n$p")
   }
+
+  test("brute-force cosine top-k: broadcast join + TakeOrdered, no shuffle of pairs") {
+    // round-1 regression target (VERDICT #3): the kernel must not round-trip
+    // the table through the driver; the pair space rides a broadcast and the
+    // top-k merges per-partition candidates
+    val p = plan("sim_topk_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"pair generation not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k regressed to global sort:\n$p")
+  }
+
+  test("embedding near-dup: label blocking is a broadcast hash join") {
+    val p = plan("dedup_embedding_cosine")
+    assert(p.contains("BroadcastHashJoin"), s"label block join not broadcast:\n$p")
+  }
+
+  test("jaccard hot-shingle guard is a window over the join's own g-partitioning") {
+    // the df-cap must ride the shuffle-by-g the self-join needs anyway (a
+    // Window over partitionBy(g)) — not a separate hot-set aggregate whose
+    // anti-join pays an extra shingle scan (measured +40% on the sf0.1 bench)
+    val p = plan("dedup_ngram_jaccard")
+    assert(p.contains("Window"), s"hot-shingle window guard lost:\n$p")
+    assert(!p.contains("LeftAnti"), s"guard regressed to anti-join formulation:\n$p")
+  }
 }

@@ -85,6 +85,16 @@ class TextSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("jaccard hot-shingle cap is pinned and deterministic across runs") {
+    // the oracle SQL embeds the same cap — changing one side silently
+    // breaks the driver compare, so the constant is pinned here
+    assert(Similarity.ShingleDfCap == 64)
+    assert(SparkEntry.oracleSql("dedup_ngram_jaccard").contains("count(*) > 64"))
+    val a = q("dedup_ngram_jaccard").collect().toSeq
+    val b = q("dedup_ngram_jaccard").collect().toSeq
+    assert(a == b)
+  }
+
   test("sim_topk_cosine matches an exact in-test oracle") {
     val out = q("sim_topk_cosine").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

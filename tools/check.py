@@ -1,17 +1,29 @@
 #!/usr/bin/env python3
 """Dev-only harness mimicking the driver's t2 gate: compare Verify.scala's
 parquet dumps against DuckDB running SparkEntry.oracleSql over the same
-tables. Strictest plausible comparison: row count, column names (sorted),
-dtypes-compatible values, exact cell equality in row order.
+tables, the way the DRIVER does it — both sides converted to pandas,
+rows sorted, every cell STRINGIFIED, strings compared. Round-1 lesson
+(VERDICT.md "What's wrong" #1): comparing raw values (Decimal == float)
+hides rendering mismatches the driver's stringify-then-hash sees, e.g.
+Spark Decimal '39301199.20' vs DuckDB float64 '39301199.2'.
 
 Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
 """
 import sys, os, json, glob
 import duckdb
-import pyarrow.parquet as pq
+import pandas as pd
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonical form: columns sorted by name, rows sorted by
+    every column, each cell rendered with str()."""
+    cols = sorted(df.columns)
+    df = df[cols]
+    if len(df):
+        df = df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    return df.astype(str)
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -29,36 +41,43 @@ def main():
         files = glob.glob(os.path.join(qdir, "*.parquet"))
         if not files:
             print(f"MISS  {name}: no parquet output"); n_fail += 1; fails.append(name); continue
-        spark_tbl = pq.read_table(files[0])
-        if name not in oracle:
-            print(f"ROWS  {name}: {spark_tbl.num_rows} rows (no oracle)"); n_noracle += 1; continue
         try:
-            duck = con.execute(oracle[name]).fetch_arrow_table()
+            spark_df = pd.read_parquet(qdir)
+        except Exception as e:
+            print(f"SERR  {name}: spark read failed: {str(e)[:160]}"); n_fail += 1; fails.append(name); continue
+        if name not in oracle:
+            # driver still sorts rows for its rows-only record: an unsortable
+            # (array/binary) column crashes the harness — fail loudly here.
+            try:
+                canon(spark_df)
+            except Exception as e:
+                print(f"SORT  {name}: driver-sort would crash: {str(e)[:120]}")
+                n_fail += 1; fails.append(name); continue
+            print(f"ROWS  {name}: {len(spark_df)} rows (no oracle)"); n_noracle += 1; continue
+        try:
+            duck_df = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"OERR  {name}: oracle failed: {str(e)[:160]}"); n_fail += 1; fails.append(name); continue
-        # column names (order-insensitive, like the driver's sort-by-name)
-        sc, dc = sorted(spark_tbl.column_names), sorted(duck.column_names)
-        if sc != dc:
+        sc, dc = sorted(spark_df.columns), sorted(duck_df.columns)
+        if list(sc) != list(dc):
             print(f"COLS  {name}: spark={sc} duck={dc}"); n_fail += 1; fails.append(name); continue
-        if spark_tbl.num_rows != duck.num_rows:
-            print(f"NROW  {name}: spark={spark_tbl.num_rows} duck={duck.num_rows}"); n_fail += 1; fails.append(name); continue
-        ok = True
-        for cname in sc:
-            a = spark_tbl.column(cname).to_pylist()
-            b = duck.column(cname).to_pylist()
-            st = str(spark_tbl.schema.field(cname).type)
-            dt = str(duck.schema.field(cname).type)
-            if st != dt:
-                print(f"TYPE  {name}.{cname}: spark={st} duck={dt}")
-                ok = False
-            for i, (x, y) in enumerate(zip(a, b)):
-                if x != y:
-                    print(f"VAL   {name}.{cname}[{i}]: spark={x!r} duck={y!r}")
-                    ok = False; break
-            if not ok: break
-        if ok:
-            print(f"PASS  {name}: {spark_tbl.num_rows} rows"); n_pass += 1
+        if len(spark_df) != len(duck_df):
+            print(f"NROW  {name}: spark={len(spark_df)} duck={len(duck_df)}"); n_fail += 1; fails.append(name); continue
+        try:
+            a, b = canon(spark_df), canon(duck_df)
+        except Exception as e:
+            print(f"SORT  {name}: {str(e)[:160]}"); n_fail += 1; fails.append(name); continue
+        if a.equals(b):
+            print(f"PASS  {name}: {len(a)} rows"); n_pass += 1
         else:
+            shown = 0
+            for cname in a.columns:
+                neq = a[cname] != b[cname]
+                if neq.any():
+                    i = int(neq.idxmax())
+                    print(f"VAL   {name}.{cname}[{i}]: spark={a[cname][i]!r} duck={b[cname][i]!r}")
+                    shown += 1
+                    if shown >= 3: break
             n_fail += 1; fails.append(name)
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_noracle} rows-only ==")
     if fails: print("failing:", " ".join(fails))
