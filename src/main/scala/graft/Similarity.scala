@@ -95,6 +95,75 @@ object Similarity {
         (col("na") + col("nb") - col("inter")).as("uni"))
   }
 
+  /** Connected components by iterative min-label propagation over an
+    * undirected pair graph (da < db rows). CC state is O(edges), not
+    * O(corpus): only edge-endpoint nodes can ever change label, so the
+    * iterated frame holds just those nodes; the (vast) isolated majority
+    * joins back at the end with cluster_id = doc_id. Each iteration is one
+    * join+groupBy over the tiny endpoint frame; labels converge in
+    * O(diameter) ≤ O(log n) rounds. localCheckpoint every 3 rounds
+    * truncates the growing lineage (plan size, not data, is the iterative
+    * cost once state is small). The driver-side loop is control flow only
+    * (a convergence count).
+    */
+  private def labelPropagate(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.union(pairs.select(col("db").as("da"), col("da").as("db")))
+      .persist()
+    var labels = edges.select(col("da").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 10) {
+      // One aggregation carries both the new label (min over self +
+      // neighbors) and the previous label (min over the tagged self rows),
+      // so change detection costs no extra join — 2 jobs per round, not 4.
+      val selfRows = labels.select(col("doc_id"), col("cluster_id"), lit(true).as("own"))
+      val viaNeighbors = edges.join(labels, edges("db") === labels("doc_id"))
+        .select(edges("da").as("doc_id"), col("cluster_id"), lit(false).as("own"))
+      val merged = selfRows.union(viaNeighbors)
+        .groupBy("doc_id")
+        .agg(min("cluster_id").as("cluster_id"),
+          min(when(col("own"), col("cluster_id"))).as("prev"))
+      // localCheckpoint materializes eagerly (it IS the round's persist)
+      val next = if (iter % 3 == 2) merged.localCheckpoint() else merged.persist()
+      changed = next.filter(col("cluster_id") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next.select("doc_id", "cluster_id")
+      iter += 1
+    }
+    edges.unpersist()
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact capped-Jaccard >= 0.5 near-dup pairs (see dedup_ngram_jaccard). */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    // Hot-shingle guard: shingles in more than ShingleDfCap docs are
+    // dropped from the sets BEFORE the self-join. The doc-frequency is a
+    // window count over the same hash-partitioning-by-g the self-join
+    // needs anyway, so the guard rides the join's own exchange (and the
+    // two join sides share it via ReusedExchange) instead of paying a
+    // separate aggregate + recomputed shingle scan.
+    val all = shingles(s, d)
+    val sh = all
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .where(col("df") <= ShingleDfCap).drop("df")
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .where(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
+      .select(col("da"), col("db"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"))
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_near_minhash" -> ((s, d) => {
       // Cluster representative = min doc_id among self + verified neighbors.
@@ -108,49 +177,20 @@ object Similarity {
         .orderBy("doc_id")
     }),
 
-    "dedup_cluster_cc" -> ((s, d) => {
-      // TRUE transitive near-dup clusters: iterative min-label propagation
-      // (connected components) over the LSH-verified pair graph. CC state is
-      // O(edges), not O(corpus): only edge-endpoint nodes can ever change
-      // label, so the iterated frame holds just those nodes; the (vast)
-      // isolated majority joins back at the end with cluster_id = doc_id.
-      // Each iteration is one join+groupBy over the tiny endpoint frame;
-      // labels converge in O(diameter) ≤ O(log n) rounds. localCheckpoint
-      // every 3 rounds truncates the growing lineage (plan size, not data,
-      // is the iterative-algorithm cost once state is small). The
-      // driver-side loop is control flow only (a convergence count).
-      val pairs = minhashCandidates(s, d, 0.8).select("da", "db")
-      val edges = pairs.union(pairs.select(col("db").as("da"), col("da").as("db")))
-        .persist()
-      var labels = edges.select(col("da").as("doc_id")).distinct()
-        .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 10) {
-        // One aggregation carries both the new label (min over self +
-        // neighbors) and the previous label (min over the tagged self rows),
-        // so change detection costs no extra join — 2 jobs per round, not 4.
-        val selfRows = labels.select(col("doc_id"), col("cluster_id"), lit(true).as("own"))
-        val viaNeighbors = edges.join(labels, edges("db") === labels("doc_id"))
-          .select(edges("da").as("doc_id"), col("cluster_id"), lit(false).as("own"))
-        val merged = selfRows.union(viaNeighbors)
-          .groupBy("doc_id")
-          .agg(min("cluster_id").as("cluster_id"),
-            min(when(col("own"), col("cluster_id"))).as("prev"))
-        // localCheckpoint materializes eagerly (it IS the round's persist)
-        val next = if (iter % 3 == 2) merged.localCheckpoint() else merged.persist()
-        changed = next.filter(col("cluster_id") =!= col("prev")).count()
-        labels.unpersist()
-        labels = next.select("doc_id", "cluster_id")
-        iter += 1
-      }
-      edges.unpersist()
-      documents(s, d).select(col("doc_id"))
-        .join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-        .orderBy("doc_id")
-    }),
+    "dedup_cluster_cc" -> ((s, d) =>
+      // TRUE transitive near-dup clusters: min-label propagation (see
+      // labelPropagate) over the LSH-verified pair graph. The LSH edge set
+      // depends on Spark's xxhash64 → no SQL oracle; scalatest verifies
+      // against an in-test union-find over the same pairs.
+      labelPropagate(documents(s, d),
+        minhashCandidates(s, d, 0.8).select("da", "db"))),
+
+    "dedup_cluster_jaccard" -> ((s, d) =>
+      // Same component algorithm over the EXACT capped-Jaccard >= 0.5 pair
+      // graph — every input is deterministic SQL, so this variant carries a
+      // full DuckDB oracle (recursive-CTE transitive closure): the driver
+      // gate covers the iterative clustering path, not just scalatest.
+      labelPropagate(documents(s, d), jaccardPairs(s, d).select("da", "db"))),
 
     "dedup_levenshtein" -> ((s, d) => {
       // Edit-distance near-dup on (lang, source)-blocked pairs — blocking
@@ -170,33 +210,11 @@ object Similarity {
         .orderBy("da", "db")
     }),
 
-    "dedup_ngram_jaccard" -> ((s, d) => {
+    "dedup_ngram_jaccard" -> ((s, d) =>
       // Exact n-gram Jaccard >= 0.5 via shingle inverted index self-join —
       // candidate generation shuffles on the shingle (bounded fan-out), and
       // the predicate is all-integer, so this one IS oracle-checkable.
-      // Hot-shingle guard: shingles in more than ShingleDfCap docs are
-      // dropped from the sets BEFORE the self-join. The doc-frequency is a
-      // window count over the same hash-partitioning-by-g the self-join
-      // needs anyway, so the guard rides the join's own exchange (and the
-      // two join sides share it via ReusedExchange) instead of paying a
-      // separate aggregate + recomputed shingle scan.
-      val all = shingles(s, d)
-      val sh = all
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
-        .where(col("df") <= ShingleDfCap).drop("df")
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("a").join(sh.as("b"),
-          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
-        .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-        .where(col("inter") * 2 >= col("na") + col("nb") - col("inter"))
-        .select(col("da"), col("db"), col("inter"),
-          (col("na") + col("nb") - col("inter")).as("uni"))
-        .orderBy("da", "db")
-    }),
+      jaccardPairs(s, d).orderBy("da", "db")),
 
     "dedup_simhash" -> ((s, d) => {
       // 64-bit SimHash as explode + 64 codegen'd vote aggregates: hash each
@@ -286,7 +304,10 @@ object Similarity {
 
     "sim_ann_lsh" -> ((s, d) => {
       // ANN scale path: 8 seeded pseudo-random hyperplanes → sign-bit bucket;
-      // candidates = same-bucket pairs with the query set (vec_id < 10).
+      // candidates = query set (vec_id < 10) equi-joined to every bucket
+      // within Hamming distance 2 of its own (multi-probe LSH: 37 probes per
+      // query — the standard recall boost that costs probe-count× lookups
+      // instead of extra hash tables; AnnRecallSpec pins the recall floor).
       // Deterministic: hyperplane components derive from xxhash64(plane, dim)
       // — no RNG state. The tiny 8×64 plane matrix is materialized once via
       // the same Spark expression and closed over by a compiled bucket UDF.
@@ -311,9 +332,15 @@ object Similarity {
       import org.apache.spark.sql.graft.VectorOps.{vec_dot, vec_norm}
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
         bucketU(col("embedding")).as("bucket"), vec_norm(col("embedding")).as("nrm"))
+      // multi-probe masks: all 8-bit patterns with <= 2 bits set (37 per
+      // query) — each query probes its own bucket plus every bucket whose
+      // sign pattern differs in at most 2 hyperplanes
+      val probeMasks = (0 until 256).filter(m => Integer.bitCount(m) <= 2).map(_.toLong)
       val q = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("bucket").as("qb"), col("nrm").as("qn"))
+          col("bucket").as("qb0"), col("nrm").as("qn"))
+        .withColumn("mask", explode(lit(probeMasks.toArray)))
+        .withColumn("qb", col("qb0").bitwiseXOR(col("mask")))
       q.join(e, col("qb") === col("bucket") && col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id").as("nn"),
           (vec_dot(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
@@ -337,6 +364,28 @@ object Similarity {
        "AND floor(a.n_chars / 100) = floor(b.n_chars / 100) AND a.doc_id < b.doc_id " +
        "WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 10 " +
        "ORDER BY da, db"),
+
+    // CC over the capped-Jaccard pair graph: transitive closure by a
+    // recursive CTE (walk = all reachable nodes), component label =
+    // least(self, min(reachable)) — the declarative twin of labelPropagate.
+    "dedup_cluster_jaccard" ->
+      ("WITH RECURSIVE sh0 AS (SELECT DISTINCT doc_id, g FROM " +
+       "(SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(ts) - 2, 1)), " +
+       "i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))) AS g " +
+       "FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents))), " +
+       s"hot AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) > $ShingleDfCap), " +
+       "sh AS (SELECT * FROM sh0 WHERE g NOT IN (SELECT g FROM hot)), " +
+       "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+       "p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter FROM sh a " +
+       "JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+       "pr AS (SELECT da, db FROM p JOIN sz sa ON p.da = sa.doc_id " +
+       "JOIN sz sb ON p.db = sb.doc_id WHERE inter * 2 >= sa.n + sb.n - inter), " +
+       "edges AS (SELECT da, db FROM pr UNION SELECT db, da FROM pr), " +
+       "walk(wid, reach) AS (SELECT da, db FROM edges UNION " +
+       "SELECT w.wid, e.db FROM walk w JOIN edges e ON w.reach = e.da), " +
+       "labels AS (SELECT wid, least(wid, min(reach)) AS cluster_id FROM walk GROUP BY wid) " +
+       "SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id " +
+       "FROM documents d LEFT JOIN labels l ON d.doc_id = l.wid ORDER BY d.doc_id"),
 
     "dedup_ngram_jaccard" ->
       ("WITH sh0 AS (SELECT DISTINCT doc_id, g FROM " +

@@ -85,6 +85,24 @@ class TextSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("jaccard-graph clustering matches an in-test union-find over the jaccard pairs") {
+    val labels = q("dedup_cluster_jaccard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = q("dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+    }
+    labels.foreach { case (doc, cluster) =>
+      assert(cluster == find(doc), s"doc $doc: $cluster vs ${find(doc)}") }
+  }
+
   test("jaccard hot-shingle cap is pinned and deterministic across runs") {
     // the oracle SQL embeds the same cap — changing one side silently
     // breaks the driver compare, so the constant is pinned here
