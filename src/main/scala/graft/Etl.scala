@@ -65,9 +65,10 @@ object Etl {
   val oracles: Map[String, String] = Map(
     "etl_upsert_snapshot" ->
       ("SELECT c.c_custkey, c.c_name, c.c_nationkey, " +
-       "CAST(CASE WHEN ch.open_total IS NOT NULL " +
+       // decimal→DOUBLE via VARCHAR (Det.oDbl rationale: correctly rounded)
+       "CAST(CAST(CASE WHEN ch.open_total IS NOT NULL " +
        "THEN CAST(c.c_acctbal AS DECIMAL(18,2)) + ch.open_total " +
-       "ELSE CAST(c.c_acctbal AS DECIMAL(18,2)) END AS DOUBLE) AS acctbal_restated, " +
+       "ELSE CAST(c.c_acctbal AS DECIMAL(18,2)) END AS VARCHAR) AS DOUBLE) AS acctbal_restated, " +
        "ch.open_total IS NOT NULL AS was_updated " +
        "FROM customer c LEFT JOIN " +
        s"(SELECT o_custkey AS c_custkey, ${oDsumx2("o_totalprice")} AS open_total " +

@@ -121,7 +121,26 @@ object Relational {
           .when(col("bucket") < 900, "valid").otherwise("test"))
         .groupBy("split")
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
-        .orderBy("split"))
+        .orderBy("split")),
+
+    "sample_stratified" -> ((s, d) =>
+      // Stratified deterministic sampling: per-stratum rates (views are
+      // downsampled 10×, clicks ~3×, the rare rest kept whole) through the
+      // same partition-independent multiplicative hash as sample_hash_split
+      // — the class-rebalancing primitive of a training-data pipeline,
+      // reproducible on any cluster size and SQL-expressible.
+      events(s, d)
+        .withColumn("bucket",
+          pmod(pmod(col("event_id"), lit(1000000007L)) * 2654435761L, lit(1000L)))
+        .withColumn("rate",
+          when(col("event_type") === "view", 100)
+            .when(col("event_type") === "click", 300)
+            .otherwise(1000))
+        .where(col("bucket") < col("rate"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_sampled"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -139,7 +158,7 @@ object Relational {
 
     "project_expr" ->
       ("SELECT l_orderkey, l_linenumber, " +
-       "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue, " +
+       "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue, " +
        "CASE WHEN l_extendedprice > 30000 THEN 'high' WHEN l_extendedprice > 10000 THEN 'mid' ELSE 'low' END AS price_band " +
        "FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, price_band"),
 
@@ -184,6 +203,12 @@ object Relational {
       ("SELECT split, count(*) AS n, count(DISTINCT user_id) AS n_users FROM " +
        "(SELECT user_id, CASE WHEN ((event_id % 1000000007) * 2654435761) % 1000 < 800 THEN 'train' " +
        "WHEN ((event_id % 1000000007) * 2654435761) % 1000 < 900 THEN 'valid' ELSE 'test' END AS split " +
-       "FROM events) GROUP BY split ORDER BY split")
+       "FROM events) GROUP BY split ORDER BY split"),
+
+    "sample_stratified" ->
+      ("SELECT event_type, count(*) AS n_sampled, count(DISTINCT user_id) AS n_users FROM " +
+       "(SELECT event_type, user_id, ((event_id % 1000000007) * 2654435761) % 1000 AS bucket, " +
+       "CASE WHEN event_type = 'view' THEN 100 WHEN event_type = 'click' THEN 300 ELSE 1000 END AS rate " +
+       "FROM events) WHERE bucket < rate GROUP BY event_type ORDER BY event_type")
   )
 }

@@ -139,6 +139,26 @@ object Similarity {
       .orderBy("doc_id")
   }
 
+  /** 64-bit SimHash per doc as explode + 64 codegen'd vote aggregates: hash
+    * each token once, shuffle carries one partial (doc, 64 sums) row per
+    * partition (map-side combine), and everything stays in whole-stage
+    * codegen — the interpreted nested-HOF formulation was ~100× slower.
+    */
+  private def simhashes(s: SparkSession, d: String): DataFrame = {
+    val hashed = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map(i =>
+      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L).otherwise(-1L)).as(s"v$i"))
+    // Assemble bits with | / shiftleft (not acc*2: ANSI mode would raise on
+    // the signed-overflow of the top bit).
+    val assemble = (0 until 64)
+      .map(i => s"(CASE WHEN v$i > 0 THEN shiftleft(1L, ${63 - i}) ELSE 0L END)")
+      .mkString(" | ")
+    hashed.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), expr(assemble).as("simhash"))
+  }
+
   /** Exact capped-Jaccard >= 0.5 near-dup pairs (see dedup_ngram_jaccard). */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     // Hot-shingle guard: shingles in more than ShingleDfCap docs are
@@ -216,24 +236,28 @@ object Similarity {
       // the predicate is all-integer, so this one IS oracle-checkable.
       jaccardPairs(s, d).orderBy("da", "db")),
 
-    "dedup_simhash" -> ((s, d) => {
-      // 64-bit SimHash as explode + 64 codegen'd vote aggregates: hash each
-      // token once, shuffle carries one partial (doc, 64 sums) row per
-      // partition (map-side combine), and everything stays in whole-stage
-      // codegen — the interpreted nested-HOF formulation was ~100× slower.
-      val hashed = documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .select(col("doc_id"), xxhash64(col("t")).as("h"))
-      val votes = (0 until 64).map(i =>
-        sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L).otherwise(-1L)).as(s"v$i"))
-      // Assemble bits with | / shiftleft (not acc*2: ANSI mode would raise on
-      // the signed-overflow of the top bit).
-      val assemble = (0 until 64)
-        .map(i => s"(CASE WHEN v$i > 0 THEN shiftleft(1L, ${63 - i}) ELSE 0L END)")
-        .mkString(" | ")
-      hashed.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"), expr(assemble).as("simhash"))
-        .orderBy("doc_id")
+    "dedup_simhash" -> ((s, d) => simhashes(s, d).orderBy("doc_id")),
+
+    "dedup_simhash_pairs" -> ((s, d) => {
+      // SimHash as an actual dedup operator: near-dup pairs at
+      // Hamming(simhash) <= 3 via pigeonhole banding — split the 64-bit
+      // hash into 4 16-bit bands; any pair within distance 3 has all its
+      // differing bits in <= 3 bands, so it agrees EXACTLY on >= 1 band.
+      // Candidates come from a band equi-join (hash join on (band, key)),
+      // never all pairs; bit_count verifies the exact distance. Same
+      // bucketed-candidate shape as MinHash-LSH — the 100 TB-safe form.
+      val sim = simhashes(s, d)
+      val bands = sim.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          expr(s"shiftright(simhash, ${b * 16}) & 65535")): _*))
+          .as(Seq("band", "key")))
+      bands.as("x").join(bands.as("y"), Seq("band", "key"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+          expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+        .distinct() // a pair agreeing on several bands appears once per band
+        .where(col("hamming") <= 3)
+        .orderBy("da", "db")
     }),
 
     "dedup_embedding_cosine" -> ((s, d) => {

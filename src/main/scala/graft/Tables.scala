@@ -116,12 +116,19 @@ object Det {
   /** Exact integer SUM (input must be integral-valued) as BIGINT. */
   def lsum(c: Column): Column = sum(c.cast(LongType)).cast(LongType)
 
+  /** DuckDB decimal→DOUBLE via VARCHAR: the direct cast divides the scaled
+    * int128 by 10^scale in float — double-rounded, off by 1 ulp once the
+    * scaled value exceeds 2^53 (seen at sf0.1). Parsing the exact decimal
+    * string is correctly rounded, matching Spark's BigDecimal.doubleValue.
+    */
+  def oDbl(x: String): String = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+
   /** SQL fragment mirroring [[dsum4]] for the DuckDB oracle. */
   def oDsum4(x: String): String =
-    s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+    oDbl(s"SUM(CAST($x AS DECIMAL(18,4)))")
 
   def oDsum2(x: String): String =
-    s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+    oDbl(s"SUM(CAST($x AS DECIMAL(18,2)))")
 
   /** SQL fragments mirroring [[dsumx4]]/[[dsumx2]] (intermediate, exact). */
   def oDsumx4(x: String): String =

@@ -85,6 +85,19 @@ class TextSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("simhash band-join pairs equal brute-force Hamming<=3 pairs") {
+    // pigeonhole: distance <= 3 puts all differing bits in <= 3 of the 4
+    // 16-bit bands, so every true pair shares >= 1 exact band — the banded
+    // join must return EXACTLY the brute-force set, not a subset
+    val hashes = q("dedup_simhash").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    val got = q("dedup_simhash_pairs").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"banded=${got.size} brute=${expected.size}")
+  }
+
   test("jaccard-graph clustering matches an in-test union-find over the jaccard pairs") {
     val labels = q("dedup_cluster_jaccard").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
