@@ -373,6 +373,74 @@ object Similarity {
         .where(col("rn") <= 10)
         .select("qid", "nn", "rn")
         .orderBy("qid", "rn")
+    }),
+
+    "sim_ann_ivf" -> ((s, d) => {
+      // IVF (inverted-file) ANN — the other scale path the north-star names
+      // beside LSH: a coarse quantizer of K=16 centroids partitions vectors
+      // into inverted lists; queries probe only the nprobe=4 nearest lists.
+      // Fully declarative and deterministic: seeds = the 16 vectors ranked
+      // first by xxhash64(vec_id) (D5 — no RNG), one Lloyd refinement with
+      // exact-decimal component means (same pattern as sim_knn_per_label),
+      // assignment/probing by codegen'd vec_dot against a broadcast
+      // 16-row centroid frame. At 100 TB lists are disk-partitioned by
+      // centroid id and only nprobe/K of the corpus is ever scanned.
+      import org.apache.spark.sql.graft.VectorOps.{vec_dot, vec_norm}
+      import s.implicits._
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        vec_norm(col("embedding")).as("nrm"))
+      // K=16 seed vectors by seeded-hash rank (TakeOrdered, then a 16-ROW
+      // collect — the provably-bounded "centroids" side the no-driver-
+      // collect rule explicitly sanctions; never the table itself)
+      val seedRows = e.withColumn("hk", xxhash64(col("vec_id")))
+        .orderBy(col("hk"), col("vec_id")).limit(16)
+        .select(col("embedding")).as[Array[Float]].collect()
+      def centFrame(vecs: Seq[Array[Float]]): DataFrame =
+        vecs.zipWithIndex.map { case (v, i) => (i + 1, v) }.toDF("cid", "ce")
+          .withColumn("cn", vec_norm(col("ce")))
+      // assign every vector to its max-cosine centroid (16-way broadcast
+      // comparison, ties to the lower cid). max_by keeps this a hash
+      // aggregate with map-side partials — no shuffle-and-sort window.
+      def assign(cent: DataFrame): DataFrame =
+        e.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+            (vec_dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("cc"))
+          .groupBy("vec_id")
+          .agg(expr("max_by(struct(embedding, nrm, cid), struct(cc, -cid))").as("best"))
+          .select(col("vec_id"), col("best.embedding").as("embedding"),
+            col("best.nrm").as("nrm"), col("best.cid").as("cid"))
+      // one Lloyd refinement: exact-decimal per-dimension means of each
+      // list; again a 16-row collect so the quantizer pipeline runs once
+      // instead of once per consuming branch
+      val refinedRows = assign(centFrame(seedRows.toSeq))
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg((sum(dec(col("v"), 27, 10)).cast(DoubleType) / count(lit(1))).as("c"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> CAST(x.c AS FLOAT))").as("ce"))
+        .orderBy("cid")
+        .select(col("ce")).as[Array[Float]].collect()
+      val refined = centFrame(refinedRows.toSeq)
+      val lists = assign(refined) // carries vec_id, embedding, nrm, cid
+      // queries probe the nprobe=4 nearest refined centroids' lists
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val probes = q.crossJoin(broadcast(refined))
+        .select(col("qid"), col("qe"), col("qn"), col("cid"),
+          (vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("qc"))
+        .withColumn("pk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("qc").desc, col("cid").asc)))
+        .where(col("pk") <= 4)
+        .select("qid", "qe", "qn", "cid")
+      probes.join(lists, Seq("cid"))
+        .where(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("nn"),
+          (vec_dot(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("nn").asc)))
+        .where(col("rn") <= 10)
+        .select("qid", "nn", "rn")
+        .orderBy("qid", "rn")
     })
   )
 

@@ -169,6 +169,21 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // marker-count language ID is all-integer + CASE — fully SQL-expressible
+    "text_langid" ->
+      ("SELECT doc_id, " +
+       "CASE WHEN score_en >= greatest(score_de, score_es, score_fr, score_zh) THEN 'en' " +
+       "WHEN score_de >= greatest(score_es, score_fr, score_zh) THEN 'de' " +
+       "WHEN score_es >= greatest(score_fr, score_zh) THEN 'es' " +
+       "WHEN score_fr >= score_zh THEN 'fr' ELSE 'zh' END AS predicted_lang, score_en " +
+       "FROM (SELECT doc_id, " +
+       "CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','fast','slow'))) AS INT) AS score_en, " +
+       "CAST(len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und'))) AS INT) AS score_de, " +
+       "CAST(len(list_filter(string_split(text, ' '), x -> x IN ('el','la','los','que'))) AS INT) AS score_es, " +
+       "CAST(len(list_filter(string_split(text, ' '), x -> x IN ('le','la','les','et'))) AS INT) AS score_fr, " +
+       "CAST(len(list_filter(string_split(text, ' '), x -> x IN ('de','shi','le','zai'))) AS INT) AS score_zh " +
+       "FROM documents) ORDER BY doc_id"),
+
     "text_wordcount" ->
       ("SELECT word, count(*) AS cnt FROM " +
        "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
