@@ -444,10 +444,36 @@ object Similarity {
     })
   )
 
-  /** Integer-exact queries (Jaccard, Levenshtein) carry SQL oracles; float
-    * and hash-bucket outputs are scalatest-validated instead.
+  /** DuckDB SQL fragment for the left-to-right double dot product of two
+    * float lists — bit-identical to the native vec_dot fold (proven pattern:
+    * fn_array's norm_sq hash-matches cross-engine), so even cosine outputs
+    * can be driver-verified. list_reduce's implicit init (first element)
+    * equals Spark aggregate's 0.0+x0 exactly under IEEE.
+    */
+  private def oDot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a.embedding, $b.embedding), " +
+      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)"
+
+  private def oNorm(t: String): String =
+    s"sqrt(list_reduce(list_transform($t.embedding, " +
+      "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))"
+
+  /** Integer-exact queries (Jaccard, Levenshtein) carry SQL oracles, and so
+    * do the cosine kernels (see [[oDot]]); sketch/hash-bucket outputs are
+    * scalatest-validated instead.
     */
   val oracles: Map[String, String] = Map(
+    "sim_topk_cosine" ->
+      (s"SELECT va, vb, cos FROM (SELECT a.vec_id AS va, b.vec_id AS vb, " +
+       s"${oDot("a", "b")} / (${oNorm("a")} * ${oNorm("b")}) AS cos " +
+       "FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id) " +
+       "ORDER BY cos DESC, va, vb LIMIT 20"),
+
+    "dedup_embedding_cosine" ->
+      (s"SELECT va, vb, cos FROM (SELECT a.vec_id AS va, b.vec_id AS vb, " +
+       s"${oDot("a", "b")} / (${oNorm("a")} * ${oNorm("b")}) AS cos " +
+       "FROM embeddings a JOIN embeddings b ON a.label = b.label AND b.vec_id > a.vec_id) " +
+       "WHERE cos >= 0.35 ORDER BY va, vb"),
     "dedup_levenshtein" ->
       ("SELECT a.doc_id AS da, b.doc_id AS db, " +
        "CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS INT) AS edit_dist " +
