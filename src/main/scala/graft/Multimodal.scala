@@ -100,6 +100,30 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" ->
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, " +
-       "lang AS meta_lang FROM documents ORDER BY doc_id")
+       "lang AS meta_lang FROM documents ORDER BY doc_id"),
+
+    // The stub decode reads UTF-8 payload bytes; the fixture corpus is pure
+    // ASCII at every sf (verified: octet_length(encode(text)) = length(text)
+    // for all docs), so byte i ≡ ascii(char i) and the whole decode is
+    // SQL-expressible. A non-ASCII corpus would drop these two oracles back
+    // to scalatest-only; the Spark side needs no change.
+    "mm_decode_features" ->
+      ("SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, " +
+       "CAST(64 + octet_length(encode(text)) % 512 AS INT) AS fake_width, " +
+       "CAST(64 + octet_length(encode(text)) % 384 AS INT) AS fake_height, " +
+       "3 AS channels, " +
+       "CAST(CASE WHEN length(text) = 0 THEN 0 ELSE " +
+       "list_reduce(list_transform(generate_series(1, least(64, length(text))), " +
+       "i -> ascii(substr(text, CAST(i AS INT), 1))), (a, b) -> a + b) " +
+       "// least(64, length(text)) END AS BIGINT) AS brightness " +
+       "FROM documents ORDER BY doc_id"),
+
+    "mm_resize_thumbnail" ->
+      ("SELECT doc_id, " +
+       "array_to_string(list_transform(generate_series(0, 15), i -> " +
+       "CAST(CASE WHEN length(text) = 0 THEN 0 " +
+       "ELSE ascii(substr(text, CAST(least(i * length(text) // 16, length(text) - 1) AS INT) + 1, 1)) " +
+       "END AS VARCHAR)), ',') AS thumb_csv " +
+       "FROM documents ORDER BY doc_id")
   )
 }

@@ -474,6 +474,23 @@ object Similarity {
        s"${oDot("a", "b")} / (${oNorm("a")} * ${oNorm("b")}) AS cos " +
        "FROM embeddings a JOIN embeddings b ON a.label = b.label AND b.vec_id > a.vec_id) " +
        "WHERE cos >= 0.35 ORDER BY va, vb"),
+
+    // centroid = exact-decimal per-dimension mean (matches sim_knn's
+    // sum(dec(v,27,10))/count), distance = the same left-to-right squared-
+    // difference fold as the compiled distSq kernel — ranks compare exactly
+    "sim_knn_per_label" ->
+      ("WITH comps AS (SELECT label, unnest(embedding) AS v, " +
+       "unnest(generate_series(1, len(embedding))) AS pos FROM embeddings), " +
+       "cent AS (SELECT label, pos, CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS c " +
+       "FROM comps GROUP BY label, pos), " +
+       "cvec AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label), " +
+       "dist AS (SELECT e.label, e.vec_id, " +
+       "list_reduce(list_transform(list_zip(e.embedding, cv), " +
+       "x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])), (a, b) -> a + b) AS d " +
+       "FROM embeddings e JOIN cvec USING (label)) " +
+       "SELECT label, vec_id, CAST(rn AS INT) AS rn FROM " +
+       "(SELECT label, vec_id, row_number() OVER (PARTITION BY label ORDER BY d, vec_id) AS rn FROM dist) " +
+       "WHERE rn <= 5 ORDER BY label, rn"),
     "dedup_levenshtein" ->
       ("SELECT a.doc_id AS da, b.doc_id AS db, " +
        "CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS INT) AS edit_dist " +
