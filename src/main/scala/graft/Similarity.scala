@@ -246,7 +246,9 @@ object Similarity {
       // Candidates come from a band equi-join (hash join on (band, key)),
       // never all pairs; bit_count verifies the exact distance. Same
       // bucketed-candidate shape as MinHash-LSH — the 100 TB-safe form.
-      val sim = simhashes(s, d)
+      // The (doc_id, simhash) frame is 16 bytes/doc: materialize once or
+      // the 64-vote aggregate runs once per self-join side.
+      val sim = simhashes(s, d).localCheckpoint()
       val bands = sim.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           expr(s"shiftright(simhash, ${b * 16}) & 65535")): _*))
