@@ -16,9 +16,10 @@ import Tables._
   * quadratic steps are always *blocked* (LSH band buckets, label blocks,
   * hyperplane buckets) so candidate generation is a hash-join, not a
   * cartesian product: this is what survives 100 TB, where an all-pairs join
-  * is impossible. Float outputs carry no SQL oracle (fold order and libm
-  * differences make cross-engine float hashing fragile — SURVEY §2.9);
-  * scalatest verifies against in-test exact oracles instead.
+  * is impossible. Even float outputs carry SQL oracles where the arithmetic
+  * is a fixed left-to-right IEEE fold (cosine/distance via [[oDot]] —
+  * bit-identical to the codegen'd vec_dot); only seeded-hash buckets and
+  * sketches fall back to scalatest-only verification.
   */
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
@@ -100,20 +101,26 @@ object Similarity {
     * O(corpus): only edge-endpoint nodes can ever change label, so the
     * iterated frame holds just those nodes; the (vast) isolated majority
     * joins back at the end with cluster_id = doc_id. Each iteration is one
-    * join+groupBy over the tiny endpoint frame; labels converge in
-    * O(diameter) ≤ O(log n) rounds. localCheckpoint every 3 rounds
-    * truncates the growing lineage (plan size, not data, is the iterative
-    * cost once state is small). The driver-side loop is control flow only
-    * (a convergence count).
+    * join+groupBy over the tiny endpoint frame; min-label propagation needs
+    * O(diameter) rounds, so the loop runs to CONVERGENCE (changed == 0) —
+    * a premature cap would silently mislabel long chains, and the
+    * dedup_cluster_jaccard oracle is an exact transitive closure. The 1024
+    * bound is a runaway guard only (a diameter that large means the pair
+    * graph is degenerate), far above any real near-dup chain.
+    * localCheckpoint every 3 rounds truncates the growing lineage (plan
+    * size, not data, is the iterative cost once state is small). The
+    * driver-side loop is control flow only (a convergence count). The final
+    * labels frame stays cached until the consuming action runs — retention
+    * is O(edge endpoints) rows per invocation, intentional.
     */
-  private def labelPropagate(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  private[graft] def labelPropagate(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.union(pairs.select(col("db").as("da"), col("da").as("db")))
       .persist()
     var labels = edges.select(col("da").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 10) {
+    while (changed > 0 && iter < 1024) {
       // One aggregation carries both the new label (min over self +
       // neighbors) and the previous label (min over the tagged self rows),
       // so change detection costs no extra join — 2 jobs per round, not 4.
@@ -266,9 +273,11 @@ object Similarity {
       // Embedding near-dup: label blocks bound the pair space (the blocking
       // key at 100 TB would be an LSH bucket; labels play that role here).
       // The block pairing is a broadcast hash join on the block key —
-      // candidates stream through the codegen'd vec_dot, and nothing
-      // round-trips the driver (round 1 collected the whole table to the
-      // driver first: THE scale-killer VERDICT.md #3 flagged).
+      // candidates stream through the codegen'd vec_dot. The build side
+      // still transits the driver once (Spark's BroadcastExchange, 8 GB
+      // cap); past that size, drop the hint and Catalyst plans a shuffled
+      // hash join on the same key — unlike round 1's collect(), the
+      // operator itself no longer requires driver materialization.
       import org.apache.spark.sql.graft.VectorOps.{vec_dot, vec_norm}
       val e = embeddings(s, d).select(col("vec_id"), col("label"),
         col("embedding"), vec_norm(col("embedding")).as("nrm"))
@@ -289,12 +298,13 @@ object Similarity {
 
     "sim_topk_cosine" -> ((s, d) => {
       // Brute-force half-triangular top-k — the exact baseline the ANN
-      // variant is measured against. Broadcast join (one side replicated to
-      // executors — never through the driver, unlike round 1's collect()),
-      // cosine via the codegen'd vec_dot, and the global top-k compiles to
-      // TakeOrderedAndProject: per-partition bounded top-k + a tiny driver
-      // merge of partitions×k rows. O(n²) flops by construction — at scale
-      // use sim_ann_lsh — but no quadratic materialization or shuffle.
+      // variants are measured against. Broadcast join (build side transits
+      // the driver once under Spark's 8 GB broadcast cap — a bound inherent
+      // to an exact all-pairs baseline), cosine via the codegen'd vec_dot,
+      // and the global top-k compiles to TakeOrderedAndProject:
+      // per-partition bounded top-k + a tiny driver merge of partitions×k
+      // rows. O(n²) flops by construction — at scale use sim_ann_lsh /
+      // sim_ann_ivf — but no quadratic materialization or shuffle.
       import org.apache.spark.sql.graft.VectorOps.{vec_dot, vec_norm}
       val k = 20
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
@@ -483,7 +493,9 @@ object Similarity {
     "sim_knn_per_label" ->
       ("WITH comps AS (SELECT label, unnest(embedding) AS v, " +
        "unnest(generate_series(1, len(embedding))) AS pos FROM embeddings), " +
-       "cent AS (SELECT label, pos, CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS c " +
+       // VARCHAR route (Det.oDbl rationale): DuckDB's direct decimal→double
+       // cast is double-rounded once |sum|·10^10 exceeds 2^53
+       "cent AS (SELECT label, pos, CAST(CAST(SUM(CAST(v AS DECIMAL(27,10))) AS VARCHAR) AS DOUBLE) / count(*) AS c " +
        "FROM comps GROUP BY label, pos), " +
        "cvec AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label), " +
        "dist AS (SELECT e.label, e.vec_id, " +

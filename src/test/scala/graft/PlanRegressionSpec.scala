@@ -43,9 +43,9 @@ class PlanRegressionSpec extends AnyFunSuite {
   }
 
   test("brute-force cosine top-k: broadcast join + TakeOrdered, no shuffle of pairs") {
-    // round-1 regression target (VERDICT #3): the kernel must not round-trip
-    // the table through the driver; the pair space rides a broadcast and the
-    // top-k merges per-partition candidates
+    // round-1 regression target (VERDICT #3): no collect() kernel — the
+    // pair space rides a BroadcastExchange (bounded build side, torrent
+    // distribution) and the top-k merges per-partition candidates
     val p = plan("sim_topk_cosine")
     assert(p.contains("BroadcastNestedLoopJoin"), s"pair generation not broadcast:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-k regressed to global sort:\n$p")

@@ -7,6 +7,22 @@ import TestSpark.{spark, Sf0001, Sf01}
 class TextSimilaritySpec extends AnyFunSuite {
   private def q(name: String) = SparkEntry.queries(name)(spark, Sf0001)
 
+  /** Union-find (path compression, canonical = min id) over a pair list;
+    * returns the find function — the reference oracle both CC tests share.
+    */
+  private def unionFind(pairs: Seq[(Long, Long)]): Long => Long = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+    }
+    find
+  }
+
   test("wordcount total equals token count") {
     val wc = q("text_wordcount").collect().map(_.getLong(1)).sum
     val tokens = Tables.documents(spark, Sf0001)
@@ -62,17 +78,7 @@ class TextSimilaritySpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val pairs = Similarity.minhashCandidates(spark, Sf0001, 0.8)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
-    // union-find with path compression, canonical = min id of component
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    def union(a: Long, b: Long): Unit = {
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
-    }
-    pairs.foreach { case (a, b) => union(a, b) }
+    val find = unionFind(pairs.toSeq)
     labels.foreach { case (doc, cluster) =>
       assert(cluster == find(doc), s"doc $doc: $cluster vs ${find(doc)}") }
   }
@@ -103,17 +109,22 @@ class TextSimilaritySpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val pairs = q("dedup_ngram_jaccard").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    pairs.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
-    }
+    val find = unionFind(pairs.toSeq)
     labels.foreach { case (doc, cluster) =>
       assert(cluster == find(doc), s"doc $doc: $cluster vs ${find(doc)}") }
+  }
+
+  test("label propagation converges on a 15-hop chain (no premature round cap)") {
+    // min-label propagation needs O(diameter) rounds; a path graph is the
+    // worst case — a capped loop would mislabel the far end silently while
+    // the dedup_cluster_jaccard recursive-CTE oracle stays exact
+    import spark.implicits._
+    val docs = (0L until 20L).toDF("doc_id")
+    val chain = (0L until 15L).map(i => (i, i + 1)).toDF("da", "db")
+    val out = Similarity.labelPropagate(docs, chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 15L).foreach(i => assert(out(i) == 0L, s"chain node $i"))
+    (16L until 20L).foreach(i => assert(out(i) == i, s"isolated node $i"))
   }
 
   test("jaccard hot-shingle cap is pinned and deterministic across runs") {
