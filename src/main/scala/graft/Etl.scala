@@ -59,6 +59,22 @@ object Etl {
         .join(orders(s, d), col("l_orderkey") === col("o_orderkey"), "left_anti")
         .agg(count(lit(1)).as("fk_violations"))
       rowChecks.crossJoin(pkDupes).crossJoin(fkViolations)
+    }),
+
+    // SCD type-2 history: each order opens a validity window on its
+    // customer that the next order closes (valid_to = next valid_from;
+    // NULL = current). lead() over the per-customer order — one shuffle on
+    // the natural key, the standard dimension-history build at any scale.
+    "etl_scd2" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").as("valid_from"),
+          lead(col("o_orderdate"), 1).over(w).as("valid_to"),
+          (lead(col("o_orderdate"), 1).over(w).isNull).as("is_current"))
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
     })
   )
 
@@ -74,6 +90,13 @@ object Etl {
        s"(SELECT o_custkey AS c_custkey, ${oDsumx2("o_totalprice")} AS open_total " +
        "FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey) ch " +
        "USING (c_custkey) ORDER BY c_custkey"),
+
+    "etl_scd2" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate AS valid_from, " +
+       "lead(o_orderdate, 1) OVER w AS valid_to, " +
+       "lead(o_orderdate, 1) OVER w IS NULL AS is_current " +
+       "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) " +
+       "ORDER BY o_custkey, valid_from, o_orderkey"),
 
     "etl_dq_checks" ->
       ("SELECT (SELECT count(*) FROM lineitem) AS n_rows, " +

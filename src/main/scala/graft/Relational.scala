@@ -140,7 +140,24 @@ object Relational {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_sampled"),
           countDistinct(col("user_id")).as("n_users"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    "sample_per_group" -> ((s, d) => {
+      // Deterministic per-group "reservoir": keep exactly k=3 events per
+      // user, chosen by multiplicative-hash rank (not arrival order, not
+      // rand()) — reproducible on any cluster size and SQL-expressible.
+      // One shuffle on the group key; the window never buffers more than
+      // a user's events.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(pmod(pmod(col("event_id"), lit(1000000007L)) * 2654435761L,
+          lit(1000000000L)).asc, col("event_id").asc)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .orderBy("user_id", "rk")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -209,6 +226,12 @@ object Relational {
       ("SELECT event_type, count(*) AS n_sampled, count(DISTINCT user_id) AS n_users FROM " +
        "(SELECT event_type, user_id, ((event_id % 1000000007) * 2654435761) % 1000 AS bucket, " +
        "CASE WHEN event_type = 'view' THEN 100 WHEN event_type = 'click' THEN 300 ELSE 1000 END AS rate " +
-       "FROM events) WHERE bucket < rate GROUP BY event_type ORDER BY event_type")
+       "FROM events) WHERE bucket < rate GROUP BY event_type ORDER BY event_type"),
+
+    "sample_per_group" ->
+      ("SELECT user_id, event_id, event_type, CAST(rk AS INT) AS rk FROM " +
+       "(SELECT user_id, event_id, event_type, row_number() OVER " +
+       "(PARTITION BY user_id ORDER BY ((event_id % 1000000007) * 2654435761) % 1000000000 ASC, event_id ASC) AS rk " +
+       "FROM events) WHERE rk <= 3 ORDER BY user_id, rk")
   )
 }

@@ -165,6 +165,23 @@ object TextOps {
           col("doc_id"),
           expr("aggregate(transform(split(text, ''), c -> ascii(c)), 0L, " +
                "(acc, x) -> pmod(acc * 31 + x, 1000000007L))").as("fingerprint"))
+        .orderBy("doc_id")),
+
+    "text_pii_scrub" -> ((s, d) =>
+      // PII redaction — the compliance pass every training-data pipeline
+      // runs before anything else: email-shaped tokens and long digit runs
+      // are replaced with fixed placeholders, and the redaction count is
+      // kept for audit. Pure regexp_replace: codegen'd, partition-local,
+      // no shuffle — at 100 TB this is a map-only pass over the corpus.
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("text"),
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+            "[0-9]{6,}", "<NUM>").as("scrubbed"),
+          (size(expr("regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', 0)")) +
+            size(expr("regexp_extract_all(text, '[0-9]{6,}', 0)"))).as("n_redactions"))
         .orderBy("doc_id"))
   )
 
@@ -248,6 +265,17 @@ object TextOps {
       ("SELECT doc_id, " +
        "list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)), " +
        "(acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint " +
+       "FROM documents ORDER BY doc_id"),
+
+    // DuckDB regexp_replace needs the 'g' flag to match Spark's
+    // replace-all; the simple character-class patterns parse identically
+    // in Java regex and RE2
+    "text_pii_scrub" ->
+      ("SELECT doc_id, " +
+       "regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), " +
+       "'[0-9]{6,}', '<NUM>', 'g') AS scrubbed, " +
+       "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) + " +
+       "len(regexp_extract_all(text, '[0-9]{6,}')) AS INT) AS n_redactions " +
        "FROM documents ORDER BY doc_id")
   )
 }
