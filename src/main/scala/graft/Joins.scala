@@ -68,6 +68,40 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** Forward as-of join: for each order, the EARLIEST event of the same
+    * user with ts >= o_orderdate — the mirror of [[asofJoin]], same single
+    * union + one window per key (no N×M range join). At equal timestamps
+    * the event qualifies (>= is inclusive), so probe rows (orders) sort
+    * BEFORE events on ties and the forward frame picks them up; event ties
+    * resolve to min event_id via the window ordering.
+    */
+  def asofJoinForward(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(
+      col("user_id").as("uid"), col("ts").as("ats"),
+      col("event_id"), col("ts"),
+      lit(null).cast(LongType).as("o_orderkey"), lit(1).as("tag"))
+    val o = orders(s, d).select(
+      col("o_custkey").as("uid"), col("o_orderdate").as("ats"),
+      lit(null).cast(LongType).as("event_id"),
+      lit(null).cast(TimestampNTZType).as("ts"),
+      col("o_orderkey"), lit(0).as("tag"))
+    val w = Window.partitionBy("uid")
+      .orderBy(col("ats").asc, col("tag").asc, col("event_id").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    o.unionByName(e)
+      .withColumn("best",
+        first(
+          when(col("tag") === 1,
+            struct(col("ts").as("asof_ts"), col("event_id").as("asof_event_id"))),
+          ignoreNulls = true).over(w))
+      .where(col("tag") === 0 && col("best").isNotNull)
+      .select(
+        col("o_orderkey"),
+        col("best.asof_event_id").as("asof_event_id"),
+        col("best.asof_ts").as("asof_ts"))
+      .orderBy("o_orderkey")
+  }
+
   /** Skew-salted equi-join: replicate the small side `salt` ways and spread
     * the big side's hot keys across salt buckets with a deterministic
     * per-row hash, so one pathological key no longer lands on one reducer.
@@ -153,6 +187,8 @@ object Joins {
     }),
 
     "join_asof" -> (asofJoin _),
+
+    "join_asof_forward" -> (asofJoinForward _),
 
     "join_cross_limited" -> ((s, d) =>
       region(s, d).crossJoin(nation(s, d))
@@ -248,6 +284,13 @@ object Joins {
        "row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn " +
        "FROM events e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) " +
        "WHERE rn = 1 ORDER BY event_id"),
+
+    "join_asof_forward" ->
+      ("SELECT o_orderkey, event_id AS asof_event_id, ts AS asof_ts FROM " +
+       "(SELECT o.o_orderkey, e.event_id, e.ts, " +
+       "row_number() OVER (PARTITION BY o.o_orderkey ORDER BY e.ts ASC, e.event_id ASC) AS rn " +
+       "FROM orders o JOIN events e ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate) " +
+       "WHERE rn = 1 ORDER BY o_orderkey"),
 
     "join_cross_limited" ->
       ("SELECT r_regionkey, r_name, n_nationkey, n_name FROM region CROSS JOIN nation " +

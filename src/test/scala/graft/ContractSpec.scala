@@ -15,6 +15,14 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
+  test("oracle coverage does not regress") {
+    // driver-verified > scalatest-only: deleting an oracle silently
+    // downgrades a query to the weaker rows-only check — pin the floor
+    // (raise it when adding oracles, never lower without cause)
+    assert(SparkEntry.oracleSql.size >= 97,
+      s"oracle count fell to ${SparkEntry.oracleSql.size}")
+  }
+
   test("the full SURVEY.md §2 normative inventory is implemented") {
     val survey2 = Seq(
       "scan_project", "scan_filter_pushdown", "filter_compound", "project_expr",
