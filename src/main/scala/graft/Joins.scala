@@ -70,10 +70,15 @@ object Joins {
 
   /** Forward as-of join: for each order, the EARLIEST event of the same
     * user with ts >= o_orderdate — the mirror of [[asofJoin]], same single
-    * union + one window per key (no N×M range join). At equal timestamps
-    * the event qualifies (>= is inclusive), so probe rows (orders) sort
-    * BEFORE events on ties and the forward frame picks them up; event ties
-    * resolve to min event_id via the window ordering.
+    * union + one window per key (no N×M range join). The sort is
+    * DESCENDING so the frame stays the incremental running
+    * [unboundedPreceding, currentRow] kind (O(k) per key — a
+    * [currentRow, unboundedFollowing] frame re-scans the tail per row,
+    * O(k²) on a hot key): walking ats downward, `last` over the running
+    * frame holds the smallest qualifying (ats, event_id) seen so far. At
+    * equal timestamps the event qualifies (>= is inclusive), so events
+    * sort BEFORE probe rows (tag desc); event_id desc makes `last` resolve
+    * ties to the MIN event_id.
     */
   def asofJoinForward(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d).select(
@@ -86,11 +91,11 @@ object Joins {
       lit(null).cast(TimestampNTZType).as("ts"),
       col("o_orderkey"), lit(0).as("tag"))
     val w = Window.partitionBy("uid")
-      .orderBy(col("ats").asc, col("tag").asc, col("event_id").asc, col("o_orderkey").asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("ats").desc, col("tag").desc, col("event_id").desc, col("o_orderkey").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     o.unionByName(e)
       .withColumn("best",
-        first(
+        last(
           when(col("tag") === 1,
             struct(col("ts").as("asof_ts"), col("event_id").as("asof_event_id"))),
           ignoreNulls = true).over(w))

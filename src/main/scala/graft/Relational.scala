@@ -112,11 +112,7 @@ object Relational {
       // df.sample(seed), membership does not depend on partitioning, so the
       // split is reproducible on any cluster size (and SQL-expressible).
       events(s, d)
-        // inner pmod bounds the multiplicand so the product can't overflow
-        // Long (ANSI mode would raise) at any real-world event_id; for ids
-        // below 1e9+7 the buckets are identical to the unguarded form.
-        .withColumn("bucket",
-          pmod(pmod(col("event_id"), lit(1000000007L)) * 2654435761L, lit(1000L)))
+        .withColumn("bucket", mhash(col("event_id"), 1000L))
         .withColumn("split", when(col("bucket") < 800, "train")
           .when(col("bucket") < 900, "valid").otherwise("test"))
         .groupBy("split")
@@ -130,8 +126,7 @@ object Relational {
       // — the class-rebalancing primitive of a training-data pipeline,
       // reproducible on any cluster size and SQL-expressible.
       events(s, d)
-        .withColumn("bucket",
-          pmod(pmod(col("event_id"), lit(1000000007L)) * 2654435761L, lit(1000L)))
+        .withColumn("bucket", mhash(col("event_id"), 1000L))
         .withColumn("rate",
           when(col("event_type") === "view", 100)
             .when(col("event_type") === "click", 300)
@@ -150,8 +145,7 @@ object Relational {
       // a user's events.
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id")
-        .orderBy(pmod(pmod(col("event_id"), lit(1000000007L)) * 2654435761L,
-          lit(1000000000L)).asc, col("event_id").asc)
+        .orderBy(mhash(col("event_id"), 1000000000L).asc, col("event_id").asc)
       events(s, d)
         .select(col("user_id"), col("event_id"), col("event_type"))
         .withColumn("rk", row_number().over(w))

@@ -118,6 +118,11 @@ object Similarity {
       .persist()
     var labels = edges.select(col("da").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    // the frame actually persisted each round — unpersist must target IT:
+    // uncaching a projection OVER the cached plan is a silent no-op
+    // (CacheManager matches sameResult plans only) and would leak one
+    // cached frame per round for the session's lifetime
+    var cached = labels
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 1024) {
@@ -134,7 +139,8 @@ object Similarity {
       // localCheckpoint materializes eagerly (it IS the round's persist)
       val next = if (iter % 3 == 2) merged.localCheckpoint() else merged.persist()
       changed = next.filter(col("cluster_id") =!= col("prev")).count()
-      labels.unpersist()
+      cached.unpersist()
+      cached = next
       labels = next.select("doc_id", "cluster_id")
       iter += 1
     }

@@ -116,6 +116,15 @@ object Det {
   /** Exact integer SUM (input must be integral-valued) as BIGINT. */
   def lsum(c: Column): Column = sum(c.cast(LongType)).cast(LongType)
 
+  /** Deterministic multiplicative hash of an id into [0, m) — the shared
+    * sampling primitive (sample_hash_split / sample_stratified /
+    * sample_per_group). Partition-independent, overflow-safe under ANSI
+    * (inner pmod bounds the multiplicand), and SQL-expressible so oracles
+    * can mirror it literally.
+    */
+  def mhash(c: Column, m: Long): Column =
+    pmod(pmod(c, lit(1000000007L)) * 2654435761L, lit(m))
+
   /** DuckDB decimal→DOUBLE via VARCHAR: the direct cast divides the scaled
     * int128 by 10^scale in float — double-rounded, off by 1 ulp once the
     * scaled value exceeds 2^53 (seen at sf0.1). Parsing the exact decimal

@@ -174,14 +174,16 @@ object TextOps {
       // kept for audit. Pure regexp_replace: codegen'd, partition-local,
       // no shuffle — at 100 TB this is a map-only pass over the corpus.
       documents(s, d)
+        // digit runs are counted on the email-scrubbed intermediate, not
+        // the raw text — a digit run inside an email must not count twice
+        // (only one replacement happens in the output)
+        .withColumn("no_email",
+          regexp_replace(col("text"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"))
         .select(
           col("doc_id"),
-          regexp_replace(
-            regexp_replace(col("text"),
-              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
-            "[0-9]{6,}", "<NUM>").as("scrubbed"),
+          regexp_replace(col("no_email"), "[0-9]{6,}", "<NUM>").as("scrubbed"),
           (size(expr("regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', 0)")) +
-            size(expr("regexp_extract_all(text, '[0-9]{6,}', 0)"))).as("n_redactions"))
+            size(expr("regexp_extract_all(no_email, '[0-9]{6,}', 0)"))).as("n_redactions"))
         .orderBy("doc_id"))
   )
 
@@ -272,10 +274,11 @@ object TextOps {
     // in Java regex and RE2
     "text_pii_scrub" ->
       ("SELECT doc_id, " +
-       "regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), " +
-       "'[0-9]{6,}', '<NUM>', 'g') AS scrubbed, " +
+       "regexp_replace(no_email, '[0-9]{6,}', '<NUM>', 'g') AS scrubbed, " +
        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) + " +
-       "len(regexp_extract_all(text, '[0-9]{6,}')) AS INT) AS n_redactions " +
-       "FROM documents ORDER BY doc_id")
+       "len(regexp_extract_all(no_email, '[0-9]{6,}')) AS INT) AS n_redactions " +
+       "FROM (SELECT doc_id, text, " +
+       "regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g') AS no_email " +
+       "FROM documents) ORDER BY doc_id")
   )
 }
