@@ -140,6 +140,40 @@ object Aggregations {
           expr("approx_percentile(value, 0.99, 1000)").as("p99"))
         .orderBy("event_type")),
 
+    "agg_heavy_hitters" -> ((s, d) => {
+      // Count-min sketch frequency estimation: d=4 seeded hash rows ×
+      // w=256 buckets. The sketch is one groupBy over (row, bucket) —
+      // mergeable, constant memory — and the estimate for a key is the MIN
+      // over its d bucket counts (one-sided overestimate). At 100 TB the
+      // sketch replaces an exact word count whose key space won't fit;
+      // here the estimates for the 20 globally-hottest words are emitted
+      // and scalatest bounds them against the exact counts. Deterministic:
+      // seeded xxhash64, no RNG (D5).
+      val words = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+      val rows = 4
+      val width = 256
+      val cells = words.select(col("w"),
+          posexplode(array((0 until rows).map(r =>
+            pmod(xxhash64(lit(r), col("w")), lit(width.toLong))): _*))
+            .as(Seq("r", "bucket")))
+        .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+      // query the sketch for the top-20 exact words (the realistic flow:
+      // candidate keys come from a sample or a prior pass)
+      val top = words.groupBy("w").agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("w").asc).limit(20)
+      top.select(col("w"), col("true_cnt"),
+          posexplode(array((0 until rows).map(r =>
+            struct(lit(r).as("r"),
+              pmod(xxhash64(lit(r), col("w")), lit(width.toLong)).as("bucket"))): _*))
+            .as(Seq("i", "rb")))
+        .select(col("w"), col("true_cnt"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+        .join(cells, Seq("r", "bucket"))
+        .groupBy("w", "true_cnt")
+        .agg(min(col("cnt")).as("est_cnt"))
+        .orderBy(col("true_cnt").desc, col("w").asc)
+    }),
+
     "agg_percentiles" -> ((s, d) =>
       // Exact interpolated percentiles over integral quantities (both engines
       // use the same (1-f)*lo + f*hi rule on doubles) + the t-digest-style

@@ -7,6 +7,25 @@ import TestSpark.{spark, Sf0001}
 class AggWindowSpec extends AnyFunSuite {
   private def q(name: String) = SparkEntry.queries(name)(spark, Sf0001)
 
+  test("count-min estimates bound the exact counts (one-sided error)") {
+    // CM guarantees est >= true always, and est <= true + eps*N w.h.p.
+    // (eps = e/w ≈ 0.0106 at w=256); the fixture token stream is small
+    // enough that the bound holds deterministically for the top keys
+    val rows = q("agg_heavy_hitters").collect()
+    assert(rows.length == 20)
+    val n = Tables.documents(spark, Sf0001)
+      .select(org.apache.spark.sql.functions.expr("size(split(text, ' '))").as("k"))
+      .collect().map(_.getInt(0).toLong).sum
+    rows.foreach { r =>
+      val (truth, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= truth, s"${r.getString(0)}: CM underestimated ($est < $truth)")
+      assert(est <= truth + (0.011 * n).toLong,
+        s"${r.getString(0)}: est $est exceeds eps*N bound over $truth")
+    }
+    // determinism across runs
+    assert(q("agg_heavy_hitters").collect().toSeq == rows.toSeq)
+  }
+
   test("agg_global matches independent exact computation") {
     val r = q("agg_global").collect()(0)
     val li = Tables.lineitem(spark, Sf0001)
