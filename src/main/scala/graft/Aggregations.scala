@@ -198,8 +198,8 @@ object Aggregations {
       ("SELECT l_returnflag, l_linestatus, " +
        s"${oLsum("l_quantity")} AS sum_qty, " +
        s"${oDsum2("l_extendedprice")} AS sum_base_price, " +
-       "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price, " +
-       "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,2))) * (1 + CAST(l_tax AS DECIMAL(6,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge, " +
+       s"${oDbl("SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,2))))")} AS sum_disc_price, " +
+       s"${oDbl("SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,2))) * (1 + CAST(l_tax AS DECIMAL(6,2))))")} AS sum_charge, " +
        "count(*) AS count_order " +
        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01' " +
        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),

@@ -16,8 +16,16 @@ object Bench {
     // Untimed warmup: pay one-time classloading / codegen / parquet-footer
     // costs outside the per-query timings.
     Tables.names.foreach(n => Tables.t(spark, sfDir, n).count())
-    // optional comma-separated subset (dev iteration; driver runs all)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // optional comma-separated subset (dev iteration; driver runs all).
+    // Blank entries are dropped (an empty/typo'd env var must not silently
+    // produce a zero-query "green" run) and unknown names fail loudly.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: $unknown")
+    }
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

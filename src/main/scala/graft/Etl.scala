@@ -81,10 +81,9 @@ object Etl {
   val oracles: Map[String, String] = Map(
     "etl_upsert_snapshot" ->
       ("SELECT c.c_custkey, c.c_name, c.c_nationkey, " +
-       // decimal→DOUBLE via VARCHAR (Det.oDbl rationale: correctly rounded)
-       "CAST(CAST(CASE WHEN ch.open_total IS NOT NULL " +
-       "THEN CAST(c.c_acctbal AS DECIMAL(18,2)) + ch.open_total " +
-       "ELSE CAST(c.c_acctbal AS DECIMAL(18,2)) END AS VARCHAR) AS DOUBLE) AS acctbal_restated, " +
+       s"${oDbl("CASE WHEN ch.open_total IS NOT NULL " +
+         "THEN CAST(c.c_acctbal AS DECIMAL(18,2)) + ch.open_total " +
+         "ELSE CAST(c.c_acctbal AS DECIMAL(18,2)) END")} AS acctbal_restated, " +
        "ch.open_total IS NOT NULL AS was_updated " +
        "FROM customer c LEFT JOIN " +
        s"(SELECT o_custkey AS c_custkey, ${oDsumx2("o_totalprice")} AS open_total " +

@@ -169,7 +169,7 @@ object Relational {
 
     "project_expr" ->
       ("SELECT l_orderkey, l_linenumber, " +
-       "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue, " +
+       s"${oDbl("CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))")} AS revenue, " +
        "CASE WHEN l_extendedprice > 30000 THEN 'high' WHEN l_extendedprice > 10000 THEN 'mid' ELSE 'low' END AS price_band " +
        "FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, price_band"),
 

@@ -171,7 +171,7 @@ object ScalarFns {
       ("SELECT p_partkey, CAST(abs(p_size - 25) AS INT) AS abs_sz, " +
        "CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price, " +
        "CAST(floor(p_retailprice) AS BIGINT) AS floor_price, " +
-       "CAST(CAST(round(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(3,1)), 1) AS VARCHAR) AS DOUBLE) AS round_up, " +
+       s"${oDbl("round(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(3,1)), 1)")} AS round_up, " +
        "sqrt(p_retailprice) AS sqrt_price, " +
        "CAST(p_partkey % 7 AS BIGINT) AS key_mod7, " +
        "CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT) AS size_sq " +

@@ -28,6 +28,17 @@ object Similarity {
   val BandSize = 4
   val NumBands: Int = NumHashes / BandSize
 
+  /** Release a frame produced by either persist() or localCheckpoint().
+    * Dataset.unpersist only clears CacheManager-registered plans — for a
+    * localCheckpoint the storage lives on the underlying RDD (the plan is a
+    * LogicalRDD), which must be unpersisted directly or its MEMORY_AND_DISK
+    * blocks survive until nondeterministic RDD GC.
+    */
+  private def free(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+    case _ => df.unpersist(blocking = false)
+  }
+
   /** Doc-frequency cap for the Jaccard inverted-index self-join: shingles
     * shared by more than this many docs (stop-word boilerplate) are dropped
     * before pairing — one such shingle shared by k docs makes k² candidate
@@ -122,10 +133,12 @@ object Similarity {
       .persist()
     var labels = edges.select(col("da").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
-    // the frame actually persisted each round — unpersist must target IT:
+    // the frame actually persisted each round — release must target IT:
     // uncaching a projection OVER the cached plan is a silent no-op
     // (CacheManager matches sameResult plans only) and would leak one
-    // cached frame per round for the session's lifetime
+    // cached frame per round for the session's lifetime; free() also
+    // handles the localCheckpoint rounds, whose blocks Dataset.unpersist
+    // cannot reach
     var cached = labels
     var changed = 1L
     var iter = 0
@@ -143,7 +156,7 @@ object Similarity {
       // localCheckpoint materializes eagerly (it IS the round's persist)
       val next = if (iter % 3 == 2) merged.localCheckpoint() else merged.persist()
       changed = next.filter(col("cluster_id") =!= col("prev")).count()
-      cached.unpersist()
+      free(cached)
       cached = next
       labels = next.select("doc_id", "cluster_id")
       iter += 1
@@ -263,9 +276,11 @@ object Similarity {
       // Candidates come from a band equi-join (hash join on (band, key)),
       // never all pairs; bit_count verifies the exact distance. Same
       // bucketed-candidate shape as MinHash-LSH — the 100 TB-safe form.
-      // The (doc_id, simhash) frame is 16 bytes/doc: materialize once or
-      // the 64-vote aggregate runs once per self-join side.
-      val sim = simhashes(s, d).localCheckpoint()
+      // The (doc_id, simhash) frame is 16 bytes/doc: persist() so the
+      // 64-vote aggregate builds once and both self-join sides read the
+      // cache — CacheManager-managed (unlike localCheckpoint, whose blocks
+      // nothing could ever release here).
+      val sim = simhashes(s, d).persist()
       val bands = sim.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           expr(s"shiftright(simhash, ${b * 16}) & 65535")): _*))
@@ -503,9 +518,7 @@ object Similarity {
     "sim_knn_per_label" ->
       ("WITH comps AS (SELECT label, unnest(embedding) AS v, " +
        "unnest(generate_series(1, len(embedding))) AS pos FROM embeddings), " +
-       // VARCHAR route (Det.oDbl rationale): DuckDB's direct decimal→double
-       // cast is double-rounded once |sum|·10^10 exceeds 2^53
-       "cent AS (SELECT label, pos, CAST(CAST(SUM(CAST(v AS DECIMAL(27,10))) AS VARCHAR) AS DOUBLE) / count(*) AS c " +
+       s"cent AS (SELECT label, pos, ${oDbl("SUM(CAST(v AS DECIMAL(27,10)))")} / count(*) AS c " +
        "FROM comps GROUP BY label, pos), " +
        "cvec AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label), " +
        "dist AS (SELECT e.label, e.vec_id, " +

@@ -119,8 +119,11 @@ object Det {
   /** Deterministic multiplicative hash of an id into [0, m) — the shared
     * sampling primitive (sample_hash_split / sample_stratified /
     * sample_per_group). Partition-independent, overflow-safe under ANSI
-    * (inner pmod bounds the multiplicand), and SQL-expressible so oracles
-    * can mirror it literally.
+    * (inner pmod bounds the multiplicand), and SQL-expressible.
+    * NON-NEGATIVE ids only for the literal `%` oracle mirror: Spark's pmod
+    * is always non-negative while SQL `%` keeps the sign, so a signed key
+    * column would silently bucket differently on the two engines — wrap
+    * the oracle side in ((x % m) + m) % m before reusing this on one.
     */
   def mhash(c: Column, m: Long): Column =
     pmod(pmod(c, lit(1000000007L)) * 2654435761L, lit(m))

@@ -132,14 +132,14 @@ object Windows {
 
     "window_running_sum" ->
       ("SELECT o_custkey, o_orderkey, o_orderdate, " +
-       "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER " +
-       "(PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC " +
-       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS run_total " +
+       s"${oDbl("SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER " +
+         "(PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC " +
+         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS run_total " +
        "FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"),
 
     "window_moving_avg" ->
       ("SELECT day, " +
-       "CAST(CAST(SUM(day_value) OVER w AS VARCHAR) AS DOUBLE) AS mov_value, " +
+       s"${oDbl("SUM(day_value) OVER w")} AS mov_value, " +
        "CAST(SUM(day_n) OVER w AS BIGINT) AS mov_n FROM " +
        "(SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS day_value, count(*) AS day_n " +
@@ -149,7 +149,7 @@ object Windows {
     "window_range_frame" ->
       ("SELECT o_custkey, o_orderkey, o_orderdate, " +
        "count(*) OVER w AS orders_30d, " +
-       "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE) AS spend_30d " +
+       s"${oDbl("SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w")} AS spend_30d " +
        "FROM (SELECT *, epoch(CAST(o_orderdate AS TIMESTAMP)) AS epoch_s FROM orders) " +
        "WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_s " +
        "RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) " +
