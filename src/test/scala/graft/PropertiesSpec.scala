@@ -21,6 +21,16 @@ class PropertiesSpec extends AnyFunSuite {
   private val docGen: Gen[List[String]] = Gen.chooseNum(3, 12)
     .flatMap(n => Gen.listOfN(n, vocab))
 
+  test("mhash lands in [0, m) for arbitrary ids, including negatives") {
+    // the sampling primitive must never throw under ANSI (overflow) or
+    // emit an out-of-range bucket; negative ids are safe on the Spark side
+    // (pmod), though the literal % SQL mirror is documented positive-only
+    val ids = samples(Gen.chooseNum(Long.MinValue + 1, Long.MaxValue), 200)
+    val df = ids.toDF("id").select(Det.mhash(col("id"), 1000L).as("b"))
+    val buckets = df.collect().map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b < 1000))
+  }
+
   test("exact dedup is idempotent and keeps one row per distinct text") {
     samples(Gen.listOfN(30, docGen.map(_.mkString(" "))), 10).foreach { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
