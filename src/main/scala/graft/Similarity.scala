@@ -58,18 +58,22 @@ object Similarity {
     acc
   })
 
-  /** Distinct 3-token shingles per doc. `get()` (null OOB) instead of
-    * `toks[i]`: under Spark 4's default ANSI mode a bare index throws
-    * INVALID_ARRAY_INDEX for sub-3-token docs; concat_ws skips the nulls,
+  /** Distinct n-token shingles per doc (default 3 — the near-dup shingle;
+    * 8 for decontamination). `get()` (null OOB) instead of `toks[i]`:
+    * under Spark 4's default ANSI mode a bare index throws
+    * INVALID_ARRAY_INDEX for short docs; concat_ws skips the nulls,
     * matching the DuckDB oracle's NULL-skipping concat_ws.
     */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  private def shingles(s: SparkSession, d: String, n: Int = 3): DataFrame = {
+    val parts = (0 until n).map(k => s"get(toks, i${if (k == 0) "-1" else s"+${k - 1}"})")
+      .mkString(", ")
     documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(
-        expr("transform(sequence(1, greatest(size(toks) - 2, 1)), " +
-             "i -> concat_ws(' ', get(toks, i-1), get(toks, i), get(toks, i+1)))")).as("g"))
+        expr(s"transform(sequence(1, greatest(size(toks) - ${n - 1}, 1)), " +
+             s"i -> concat_ws(' ', $parts))")).as("g"))
       .distinct()
+  }
 
   /** MinHash signatures: h_i(doc) = min over shingles of xxhash64(i, g). */
   private def minhashSigs(sh: DataFrame): DataFrame = {
@@ -241,6 +245,22 @@ object Similarity {
       // full DuckDB oracle (recursive-CTE transitive closure): the driver
       // gate covers the iterative clustering path, not just scalatest.
       labelPropagate(documents(s, d), jaccardPairs(s, d).select("da", "db"))),
+
+    "text_decontaminate" -> ((s, d) => {
+      // Benchmark decontamination: flag corpus docs sharing any 8-token
+      // shingle with the probe set (doc_id < 50 stands in for the held-out
+      // eval set). The overlap test is an equi-join on the shingle against
+      // the broadcast probe index — the canonical n-gram-collision screen a
+      // training pipeline runs before anything ships; never an all-pairs
+      // comparison, so the corpus side scales freely.
+      val sh = shingles(s, d, 8)
+      val probes = sh.where(col("doc_id") < 50)
+        .select(col("g"), col("doc_id").as("probe_id"))
+      sh.where(col("doc_id") >= 50)
+        .join(broadcast(probes), "g")
+        .select(col("doc_id"), col("probe_id")).distinct()
+        .orderBy("doc_id", "probe_id")
+    }),
 
     "dedup_levenshtein" -> ((s, d) => {
       // Edit-distance near-dup on (lang, source)-blocked pairs — blocking
@@ -528,6 +548,15 @@ object Similarity {
        "SELECT label, vec_id, CAST(rn AS INT) AS rn FROM " +
        "(SELECT label, vec_id, row_number() OVER (PARTITION BY label ORDER BY d, vec_id) AS rn FROM dist) " +
        "WHERE rn <= 5 ORDER BY label, rn"),
+    "text_decontaminate" ->
+      ("WITH sh AS (SELECT DISTINCT doc_id, g FROM " +
+       "(SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(ts) - 7, 1)), " +
+       "i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2], ts[i+3], ts[i+4], ts[i+5], ts[i+6], ts[i+7]))) AS g " +
+       "FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents))) " +
+       "SELECT DISTINCT c.doc_id, p.doc_id AS probe_id FROM sh c " +
+       "JOIN sh p ON c.g = p.g AND p.doc_id < 50 AND c.doc_id >= 50 " +
+       "ORDER BY c.doc_id, probe_id"),
+
     "dedup_levenshtein" ->
       ("SELECT a.doc_id AS da, b.doc_id AS db, " +
        "CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS INT) AS edit_dist " +
