@@ -56,6 +56,14 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"label block join not broadcast:\n$p")
   }
 
+  test("decontamination probes ride a broadcast hash join, not a corpus shuffle") {
+    // the 100 TB story rests on the probe shingle index being the
+    // broadcast side — a silent fallback to sort-merge would shuffle the
+    // full corpus shingle set while rows (and the oracle) stay identical
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$p")
+  }
+
   test("jaccard hot-shingle guard is a window over the join's own g-partitioning") {
     // the df-cap must ride the shuffle-by-g the self-join needs anyway (a
     // Window over partitionBy(g)) — not a separate hot-set aggregate whose

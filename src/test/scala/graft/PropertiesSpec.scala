@@ -25,7 +25,10 @@ class PropertiesSpec extends AnyFunSuite {
     // the sampling primitive must never throw under ANSI (overflow) or
     // emit an out-of-range bucket; negative ids are safe on the Spark side
     // (pmod), though the literal % SQL mirror is documented positive-only
-    val ids = samples(Gen.chooseNum(Long.MinValue + 1, Long.MaxValue), 200)
+    // chooseNum samples range endpoints as special values — Long.MinValue
+    // included deliberately: an abs()/negation-based rewrite would overflow
+    // exactly there
+    val ids = samples(Gen.chooseNum(Long.MinValue, Long.MaxValue), 200)
     val df = ids.toDF("id").select(Det.mhash(col("id"), 1000L).as("b"))
     val buckets = df.collect().map(_.getLong(0))
     assert(buckets.forall(b => b >= 0 && b < 1000))
