@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Det._
@@ -61,6 +61,28 @@ object Etl {
       rowChecks.crossJoin(pkDupes).crossJoin(fkViolations)
     }),
 
+    "etl_backfill_partition" -> ((s, d) => {
+      // Dynamic partition overwrite — the production backfill primitive:
+      // restate ONE partition (yr=1997, prices doubled) in place without
+      // touching its siblings. partitionOverwriteMode=dynamic replaces
+      // only partitions present in the incoming frame; the re-read
+      // aggregate proves 1997 changed AND every other year survived (a
+      // static-mode clobber would drop their rows and fail the oracle;
+      // SourcesSpec pins the sibling-survival invariant in-suite).
+      val dir = Sources.tmp("orders_backfill", d)
+      val base = orders(s, d).withColumn("yr", year(col("o_orderdate")))
+      base.write.mode(SaveMode.Overwrite).partitionBy("yr").parquet(dir)
+      base.filter(col("yr") === 1997)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("yr").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy("yr")
+        .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("sum_price"))
+        .orderBy("yr")
+    }),
+
     // SCD type-2 history: each order opens a validity window on its
     // customer that the next order closes (valid_to = next valid_from;
     // NULL = current). lead() over the per-customer order — one shuffle on
@@ -89,6 +111,11 @@ object Etl {
        s"(SELECT o_custkey AS c_custkey, ${oDsumx2("o_totalprice")} AS open_total " +
        "FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey) ch " +
        "USING (c_custkey) ORDER BY c_custkey"),
+
+    "etl_backfill_partition" ->
+      ("SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n, " +
+       s"${oDsum2("CASE WHEN year(o_orderdate) = 1997 THEN o_totalprice * 2 ELSE o_totalprice END")} AS sum_price " +
+       "FROM orders GROUP BY 1 ORDER BY yr"),
 
     "etl_scd2" ->
       ("SELECT o_custkey, o_orderkey, o_orderdate AS valid_from, " +

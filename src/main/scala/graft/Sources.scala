@@ -36,7 +36,7 @@ object Sources {
     dir
   }
 
-  private def tmp(name: String, sfDir: String): String =
+  private[graft] def tmp(name: String, sfDir: String): String =
     s"$procDir/${java.lang.Integer.toHexString(sfDir.hashCode)}/$name"
 
   val queries: Map[String, Q] = Map(
@@ -69,27 +69,6 @@ object Sources {
       // .explain shows PartitionFilters, not a full scan.
       s.read.parquet(dir)
         .filter(col("yr") >= 1996 && col("yr") <= 1999)
-        .groupBy("yr")
-        .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("sum_price"))
-        .orderBy("yr")
-    }),
-
-    "etl_backfill_partition" -> ((s, d) => {
-      // Dynamic partition overwrite — the production backfill primitive:
-      // restate ONE partition (yr=1997, prices doubled) in place without
-      // touching its siblings. partitionOverwriteMode=dynamic replaces
-      // only partitions present in the incoming frame; the re-read
-      // aggregate proves 1997 changed AND every other year survived (a
-      // static-mode clobber would drop their rows and fail the oracle).
-      val dir = tmp("orders_backfill", d)
-      val base = orders(s, d).withColumn("yr", year(col("o_orderdate")))
-      base.write.mode(SaveMode.Overwrite).partitionBy("yr").parquet(dir)
-      base.filter(col("yr") === 1997)
-        .withColumn("o_totalprice", col("o_totalprice") * 2)
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("yr").parquet(dir)
-      s.read.parquet(dir)
         .groupBy("yr")
         .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("sum_price"))
         .orderBy("yr")
@@ -133,11 +112,6 @@ object Sources {
       ("SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n, " +
        s"${oDsum2("o_totalprice")} AS sum_price FROM orders " +
        "WHERE year(o_orderdate) BETWEEN 1996 AND 1999 GROUP BY 1 ORDER BY yr"),
-
-    "etl_backfill_partition" ->
-      ("SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n, " +
-       s"${oDsum2("CASE WHEN year(o_orderdate) = 1997 THEN o_totalprice * 2 ELSE o_totalprice END")} AS sum_price " +
-       "FROM orders GROUP BY 1 ORDER BY yr"),
 
     "source_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",

@@ -21,6 +21,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.collect().map(_.getInt(0)).forall(y => y >= 1996 && y <= 1999))
   }
 
+  test("dynamic backfill restates 1997 and preserves every sibling partition") {
+    // the operator's core invariant: partitionOverwriteMode=dynamic must
+    // replace ONLY the yr=1997 partition — a static-mode clobber would
+    // leave just 1997 rows while the driver's rows>0 check still passed
+    val out = q("etl_backfill_partition").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val expected = Tables.orders(spark, Sf0001)
+      .groupBy(year(col("o_orderdate")).as("yr")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == expected, s"partition set changed: $out vs $expected")
+    // and the restatement actually happened: 1997's sum doubled
+    val sums = q("etl_backfill_partition").collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val base = Tables.orders(spark, Sf0001)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(Det.dsum2(col("o_totalprice")).as("s")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(sums(1997) > base(1997) * 1.99 && sums(1997) < base(1997) * 2.01)
+    assert(sums(1996) == base(1996))
+  }
+
   test("csv and json roundtrips preserve rows and schema") {
     val csv = q("source_csv_roundtrip")
     assert(csv.count() == 25)
