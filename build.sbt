@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-captures stdout of `sbt runMain` and json-parses the
+// LAST line. Forked-process output must therefore reach stdout RAW (no
+// sbt `[info] ` prefix) and sbt must not append `[success] Total time`
+// after it — both broke BENCH_r01/r02 parsing ("parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,0 +1,27 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object ProfCC {
+  def main(args: Array[String]): Unit = {
+    val d = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.names.foreach(n => Tables.t(spark, d, n).count())
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[prof] $label: ${(System.nanoTime()-t0)/1e9}%.2f s"); r
+    }
+    // cold pass
+    val pairs = Similarity.minhashCandidates(spark, d, 0.8).select("da","db")
+    time("minhashCandidates.count (cold)")(pairs.count())
+    time("minhashCandidates.count (2nd)")(pairs.count())
+    time("full dedup_cluster_cc")(SparkEntry.queries("dedup_cluster_cc")(spark, d).count())
+    time("full dedup_cluster_cc (2nd)")(SparkEntry.queries("dedup_cluster_cc")(spark, d).count())
+    time("full dedup_cluster_jaccard")(SparkEntry.queries("dedup_cluster_jaccard")(spark, d).count())
+    spark.stop()
+  }
+}

@@ -81,7 +81,13 @@ object Similarity {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH band buckets → verified candidate pairs (exact Jaccard >= t). */
+  /** LSH band buckets → verified candidate pairs (exact Jaccard >= t).
+    * NOTE: the distinct-shingle frame feeds four consumers, but
+    * persist()-ing it measured SLOWER (~+1 s warm on cluster_cc at
+    * sf0.1): its distinct exchange is already shared via ReusedExchange,
+    * and caching ~1M rows costs materialization plus breaks whole-stage
+    * pipelining into the consumers.
+    */
   def minhashCandidates(s: SparkSession, d: String, threshold: Double): DataFrame = {
     val sh = shingles(s, d)
     val sigs = minhashSigs(sh)
@@ -129,11 +135,16 @@ object Similarity {
     * is O(edge endpoints) rows per invocation, intentional.
     */
   private[graft] def labelPropagate(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    // NOTE: no pairs.persist() before the mirror union — measured SLOWER
-    // (+1.3 s on cluster_cc at sf0.1): the union branches share their
-    // shuffles via ReusedExchange already, and an extra cache layer only
-    // adds materialization cost
-    val edges = pairs.union(pairs.select(col("db").as("da"), col("da").as("db")))
+    // Both edge directions in ONE pipeline pass: explode a 2-element array
+    // of (da,db)/(db,da) structs. The previous mirror-union ran the whole
+    // candidate pipeline as two branches (ReusedExchange shares shuffles
+    // but not the scan/codegen stages) — measured ~4 s extra on
+    // cluster_cc at sf0.1; the explode halves edge materialization cost.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("da"), col("db")),
+        struct(col("db").as("da"), col("da").as("db")))).as("e"))
+      .select(col("e.da").as("da"), col("e.db").as("db"))
       .persist()
     var labels = edges.select(col("da").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
@@ -146,6 +157,11 @@ object Similarity {
     var cached = labels
     var changed = 1L
     var iter = 0
+    // Materialize the edge cache in its own job BEFORE the first round:
+    // round 0 consumes edges via two branches (labels init + neighbor
+    // join), and populating the cache inside that multi-branch job lets
+    // one branch race past the other and recompute the pair pipeline.
+    edges.count()
     while (changed > 0 && iter < 1024) {
       // One aggregation carries both the new label (min over self +
       // neighbors) and the previous label (min over the tagged self rows),
@@ -157,14 +173,31 @@ object Similarity {
         .groupBy("doc_id")
         .agg(min("cluster_id").as("cluster_id"),
           min(when(col("own"), col("cluster_id"))).as("prev"))
+      // Pointer jumping (path halving): label ← label(label). Labels are
+      // always ids of nodes in the same frame (invariant label(z) <= z,
+      // values drawn from endpoint ids), so the self-join is total; it
+      // turns one-hop-per-round propagation into doubling — O(log d)
+      // rounds instead of O(diameter), the standard hash-to-min
+      // acceleration. ADAPTIVE: real near-dup graphs are star-shaped and
+      // converge in 2 one-hop rounds, where the extra join is pure cost —
+      // the jump switches on only once round 2 proves a deeper (chain)
+      // topology, which is exactly when doubling pays.
+      val jump =
+        if (iter < 2) merged
+        else merged.as("l").join(merged.as("m"),
+            col("l.cluster_id") === col("m.doc_id"), "left")
+          .select(col("l.doc_id"),
+            coalesce(col("m.cluster_id"), col("l.cluster_id")).as("cluster_id"),
+            col("l.prev"))
       // localCheckpoint materializes eagerly (it IS the round's persist)
-      val next = if (iter % 3 == 2) merged.localCheckpoint() else merged.persist()
+      val next = if (iter % 3 == 2) jump.localCheckpoint() else jump.persist()
       changed = next.filter(col("cluster_id") =!= col("prev")).count()
       free(cached)
       cached = next
       labels = next.select("doc_id", "cluster_id")
       iter += 1
     }
+    System.err.println(s"[labelPropagate] converged after $iter rounds")
     edges.unpersist()
     docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
@@ -201,6 +234,11 @@ object Similarity {
     // needs anyway, so the guard rides the join's own exchange (and the
     // two join sides share it via ReusedExchange) instead of paying a
     // separate aggregate + recomputed shingle scan.
+    // no persist — same ReusedExchange rationale as minhashCandidates.
+    // (A broadcast-anti-join against the hot set was measured ~1 s SLOWER
+    // than the window cap at sf0.1: it recomputes the shingle explode for
+    // the aggregate side, while the window rides the self-join's own
+    // exchange once.)
     val all = shingles(s, d)
     val sh = all
       .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))

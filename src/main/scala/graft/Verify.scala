@@ -6,9 +6,15 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional 3rd arg: comma-separated query subset (fast local iteration)
+    // optional 3rd arg: comma-separated query subset (fast local iteration).
+    // Mirrors Bench's guards: blank entries dropped (a trailing comma must
+    // not silently shrink the selection) and unknown names fail loudly.
     val only: Set[String] =
-      if (args.length > 2) args(2).split(",").toSet else Set.empty
+      if (args.length > 2)
+        args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query names in subset arg: $unknown")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
