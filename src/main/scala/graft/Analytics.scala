@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Event-sequence analytics over the `events` stream table: conversion
+  * funnels and cohort retention — the two classic product-analytics shapes
+  * (Presto SEQUENCE_MATCH / every warehouse's retention query) that the
+  * inventory lacked as first-class operators.
+  *
+  * Both are pure conditional-aggregation + equi-join plans keyed on
+  * `user_id`: at 100 TB each stage is one hash shuffle of (user, ts) pairs
+  * with map-side partial min/distinct, and the per-user state never exceeds
+  * a few timestamps — no window over the global event stream, no driver
+  * state. AQE handles the skewed-user case (one bot user with millions of
+  * events salts into its own partitions).
+  *
+  * Timestamps: `events.ts` is ns in parquet, µs after the loader (D4);
+  * oracles align with CAST(ts AS TIMESTAMP) — fixture values are µs-aligned
+  * (verified: epoch_ns % 1000 == 0 for all rows), so ordering comparisons
+  * agree cross-engine.
+  */
+object Analytics {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Ordered conversion funnel view → click → purchase: a user reaches
+    // stage k only with an event at-or-after their stage-(k-1) entry time.
+    // Each stage = filter + per-user min(ts) + equi-join to the previous
+    // stage — the stage frames shrink monotonically, and every join keys on
+    // user_id (broadcast once the funnel tail is small enough; AQE decides).
+    "funnel_stages" -> ((s, d) => {
+      val e = events(s, d)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .where(col("ts") >= col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .where(col("ts") >= col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      def stage(n: Int, label: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(n).as("stage"), lit(label).as("event_type"), col("n_users"))
+      stage(1, "view", v).union(stage(2, "click", c)).union(stage(3, "purchase", p))
+        .orderBy("stage")
+    }),
+
+    // Cohort retention: cohort = the user's first active ISO week; cell
+    // (cohort_week, week_offset) counts distinct users from that cohort
+    // active offset weeks later. distinct (user, week) activity + one join
+    // to the per-user first week — the standard retention matrix, flattened
+    // (matrix pivots are presentation, not computation).
+    "cohort_retention" -> ((s, d) => {
+      val e = events(s, d).select(col("user_id"),
+        date_trunc("week", col("ts")).cast(TimestampNTZType).as("wk"))
+      val first = e.groupBy("user_id").agg(min("wk").as("cohort_week"))
+      e.distinct()
+        .join(first, "user_id")
+        .groupBy(col("cohort_week"),
+          (datediff(to_date(col("wk")), to_date(col("cohort_week"))).cast(IntegerType) / lit(7))
+            .cast(IntegerType).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Temporal train/test split — the leakage-safe alternative to random
+    // sampling for time-series training data: everything before the
+    // boundary trains, everything after tests. One map-side label + one
+    // aggregation; at 100 TB this is the partition-pruning predicate.
+    "sample_temporal_split" -> ((s, d) =>
+      events(s, d)
+        .withColumn("split",
+          when(col("ts") < lit("2024-01-22 00:00:00").cast(TimestampNTZType), "train")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+        .orderBy("split"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "funnel_stages" ->
+      ("WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1 FROM events " +
+       "WHERE event_type = 'view' GROUP BY user_id), " +
+       "c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2 FROM events e " +
+       "JOIN v ON e.user_id = v.user_id " +
+       "WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= v.t1 GROUP BY e.user_id), " +
+       "p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3 FROM events e " +
+       "JOIN c ON e.user_id = c.user_id " +
+       "WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= c.t2 GROUP BY e.user_id) " +
+       "SELECT CAST(1 AS INT) AS stage, 'view' AS event_type, (SELECT count(*) FROM v) AS n_users " +
+       "UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c) " +
+       "UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p) ORDER BY stage"),
+
+    "cohort_retention" ->
+      ("WITH e AS (SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events), " +
+       "f AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id), " +
+       "a AS (SELECT DISTINCT user_id, wk FROM e) " +
+       "SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, " +
+       "CAST(date_diff('day', cohort_week, wk) // 7 AS INT) AS week_offset, " +
+       "count(*) AS n_users " +
+       "FROM a JOIN f ON a.user_id = f.user_id " +
+       "GROUP BY 1, 2 ORDER BY cohort_week, week_offset"),
+
+    "sample_temporal_split" ->
+      ("SELECT CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-22 00:00:00' " +
+       "THEN 'train' ELSE 'test' END AS split, " +
+       "count(*) AS n_events, count(DISTINCT user_id) AS n_users, " +
+       "min(event_id) AS min_event_id, max(event_id) AS max_event_id " +
+       "FROM events GROUP BY 1 ORDER BY split")
+  )
+}

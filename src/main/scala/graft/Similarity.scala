@@ -39,6 +39,32 @@ object Similarity {
     case _ => df.unpersist(blocking = false)
   }
 
+  /** Release `frames` once the consuming action on `result` completes: a
+    * QueryExecutionListener watches for an execution whose analyzed plan
+    * contains `result`'s plan (count/collect/write all wrap it), frees the
+    * frames, and deregisters itself. This closes the session-lifetime cache
+    * retention ADVICE.md flags for labelPropagate's final labels frame and
+    * dedup_simhash_pairs — instead of waiting for RDD GC, blocks drop right
+    * after the query that needed them. If a caller only inspects the plan
+    * (ContractSpec schema checks), nothing fires and the frames were never
+    * materialized anyway — registering is free.
+    */
+  private def releaseAfterUse(result: DataFrame, frames: Seq[DataFrame]): DataFrame = {
+    val s = result.sparkSession
+    val marker = result.queryExecution.analyzed
+    val lm = s.listenerManager
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def maybe(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        if (qe.analyzed.exists(_ eq marker)) { frames.foreach(free); lm.unregister(this) }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = maybe(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = maybe(qe)
+    }
+    lm.register(listener)
+    result
+  }
+
   /** Doc-frequency cap for the Jaccard inverted-index self-join: shingles
     * shared by more than this many docs (stop-word boilerplate) are dropped
     * before pairing — one such shingle shared by k docs makes k² candidate
@@ -59,7 +85,15 @@ object Similarity {
   })
 
   /** Distinct n-token shingles per doc (default 3 — the near-dup shingle;
-    * 8 for decontamination). `get()` (null OOB) instead of `toks[i]`:
+    * 8 for decontamination), keyed by the 64-bit xxhash of the shingle
+    * STRING, not the string itself: every downstream shuffle, window, and
+    * self-join keys on `g`, and an 8-byte long key shuffles/compares ~5×
+    * cheaper than a 20–60-char UTF8 string — the representation a 100 TB
+    * corpus forces (raw-shingle shuffles are the first thing to die at
+    * scale). Join-equality is preserved up to 64-bit collisions: expected
+    * spurious matches ≈ pairs/2^64 ≈ 1e-9 at these cardinalities, and the
+    * DuckDB oracles compare only doc-id outputs and intersection COUNTS,
+    * both hash-invariant. `get()` (null OOB) instead of `toks[i]`:
     * under Spark 4's default ANSI mode a bare index throws
     * INVALID_ARRAY_INDEX for short docs; concat_ws skips the nulls,
     * matching the DuckDB oracle's NULL-skipping concat_ws.
@@ -71,7 +105,8 @@ object Similarity {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(
         expr(s"transform(sequence(1, greatest(size(toks) - ${n - 1}, 1)), " +
-             s"i -> concat_ws(' ', $parts))")).as("g"))
+             s"i -> concat_ws(' ', $parts))")).as("raw"))
+      .select(col("doc_id"), xxhash64(col("raw")).as("g"))
       .distinct()
   }
 
@@ -131,8 +166,9 @@ object Similarity {
     * localCheckpoint every 3 rounds truncates the growing lineage (plan
     * size, not data, is the iterative cost once state is small). The
     * driver-side loop is control flow only (a convergence count). The final
-    * labels frame stays cached until the consuming action runs — retention
-    * is O(edge endpoints) rows per invocation, intentional.
+    * labels frame stays cached until the consuming action runs, then a
+    * QueryExecutionListener releases it (releaseAfterUse) — no
+    * session-lifetime retention.
     */
   private[graft] def labelPropagate(docs: DataFrame, pairs: DataFrame): DataFrame = {
     // Both edge directions in ONE pipeline pass: explode a 2-element array
@@ -155,6 +191,13 @@ object Similarity {
     // handles the localCheckpoint rounds, whose blocks Dataset.unpersist
     // cannot reach
     var cached = labels
+    // Freed one round LATE (ADVICE.md): round N's frame is released only
+    // after round N+1 has materialized. Freeing it immediately would leave
+    // round N+1's cached blocks the only copy while their lineage still
+    // points at the freed frame — fine until an executor is lost, at which
+    // point a truncated-lineage (localCheckpoint) ancestor is unrecoverable.
+    // One extra round of retention is O(edge endpoints) rows, negligible.
+    var older: DataFrame = null
     var changed = 1L
     var iter = 0
     // Materialize the edge cache in its own job BEFORE the first round:
@@ -192,18 +235,23 @@ object Similarity {
       // localCheckpoint materializes eagerly (it IS the round's persist)
       val next = if (iter % 3 == 2) jump.localCheckpoint() else jump.persist()
       changed = next.filter(col("cluster_id") =!= col("prev")).count()
-      free(cached)
+      if (older != null) free(older)
+      older = cached
       cached = next
       labels = next.select("doc_id", "cluster_id")
       iter += 1
     }
     System.err.println(s"[labelPropagate] converged after $iter rounds")
     edges.unpersist()
-    docs.select(col("doc_id"))
+    if (older != null) free(older)
+    val result = docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .orderBy("doc_id")
+    // final round's frame (cached) is released after the consuming action —
+    // not left for RDD GC (ADVICE.md)
+    releaseAfterUse(result, Seq(cached))
   }
 
   /** 64-bit SimHash per doc as explode + 64 codegen'd vote aggregates: hash
@@ -336,20 +384,22 @@ object Similarity {
       // bucketed-candidate shape as MinHash-LSH — the 100 TB-safe form.
       // The (doc_id, simhash) frame is 16 bytes/doc: persist() so the
       // 64-vote aggregate builds once and both self-join sides read the
-      // cache — CacheManager-managed (unlike localCheckpoint, whose blocks
-      // nothing could ever release here).
+      // cache; released right after the consuming action via
+      // releaseAfterUse (ADVICE.md — not left cached for the session).
       val sim = simhashes(s, d).persist()
       val bands = sim.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           expr(s"shiftright(simhash, ${b * 16}) & 65535")): _*))
           .as(Seq("band", "key")))
-      bands.as("x").join(bands.as("y"), Seq("band", "key"))
-        .where(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
-          expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
-        .distinct() // a pair agreeing on several bands appears once per band
-        .where(col("hamming") <= 3)
-        .orderBy("da", "db")
+      releaseAfterUse(
+        bands.as("x").join(bands.as("y"), Seq("band", "key"))
+          .where(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+            expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+          .distinct() // a pair agreeing on several bands appears once per band
+          .where(col("hamming") <= 3)
+          .orderBy("da", "db"),
+        Seq(sim))
     }),
 
     "dedup_embedding_cosine" -> ((s, d) => {
@@ -542,16 +592,23 @@ object Similarity {
   /** DuckDB SQL fragment for the left-to-right double dot product of two
     * float lists — bit-identical to the native vec_dot fold (proven pattern:
     * fn_array's norm_sq hash-matches cross-engine), so even cosine outputs
-    * can be driver-verified. list_reduce's implicit init (first element)
-    * equals Spark aggregate's 0.0+x0 exactly under IEEE.
+    * can be driver-verified. The fold is EXPLICITLY seeded with 0.0 via
+    * list_prepend (ADVICE.md): an unseeded list_reduce errors outright on a
+    * zero-length list (vec_dot returns 0.0) and its implicit first-element
+    * seed differs from Spark's 0.0-seeded fold when the leading product is
+    * -0.0 (0.0 + -0.0 = +0.0 under IEEE). Verified in DuckDB 1.0: seeded
+    * fold gives 0.0 for [] and +0.0 for a leading -0.0 — exactly vec_dot.
     */
+  private def seededFold(listExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $listExpr), (acc, x) -> acc + x)"
+
   private def oDot(a: String, b: String): String =
-    s"list_reduce(list_transform(list_zip($a.embedding, $b.embedding), " +
-      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)"
+    seededFold(s"list_transform(list_zip($a.embedding, $b.embedding), " +
+      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))")
 
   private def oNorm(t: String): String =
-    s"sqrt(list_reduce(list_transform($t.embedding, " +
-      "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))"
+    s"sqrt(${seededFold(s"list_transform($t.embedding, " +
+      "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
 
   /** Integer-exact queries (Jaccard, Levenshtein) carry SQL oracles, and so
     * do the cosine kernels (see [[oDot]]); sketch/hash-bucket outputs are
@@ -580,8 +637,8 @@ object Similarity {
        "FROM comps GROUP BY label, pos), " +
        "cvec AS (SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label), " +
        "dist AS (SELECT e.label, e.vec_id, " +
-       "list_reduce(list_transform(list_zip(e.embedding, cv), " +
-       "x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])), (a, b) -> a + b) AS d " +
+       seededFold("list_transform(list_zip(e.embedding, cv), " +
+         "x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2]))") + " AS d " +
        "FROM embeddings e JOIN cvec USING (label)) " +
        "SELECT label, vec_id, CAST(rn AS INT) AS rn FROM " +
        "(SELECT label, vec_id, row_number() OVER (PARTITION BY label ORDER BY d, vec_id) AS rn FROM dist) " +

@@ -19,7 +19,8 @@ object SparkEntry {
     Relational.queries ++ Joins.queries ++ Aggregations.queries ++
       Windows.queries ++ ScalarFns.queries ++ TextOps.queries ++
       Similarity.queries ++ Streaming.queries ++ Udx.queries ++
-      Multimodal.queries ++ Sources.queries ++ Etl.queries
+      Multimodal.queries ++ Sources.queries ++ Etl.queries ++
+      Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     Relational.oracles ++ Joins.oracles ++ Aggregations.oracles ++
       Windows.oracles ++ ScalarFns.oracles ++ TextOps.oracles ++
       Similarity.oracles ++ Streaming.oracles ++ Udx.oracles ++
-      Multimodal.oracles ++ Sources.oracles ++ Etl.oracles
+      Multimodal.oracles ++ Sources.oracles ++ Etl.oracles ++
+      Analytics.oracles
 }
