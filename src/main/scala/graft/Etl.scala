@@ -69,6 +69,10 @@ object Etl {
       // aggregate proves 1997 changed AND every other year survived (a
       // static-mode clobber would drop their rows and fail the oracle;
       // SourcesSpec pins the sibling-survival invariant in-suite).
+      // The writes run eagerly at DataFrame-construction time (they ARE the
+      // operator under test), so even a schema/plan inspection rewrites the
+      // target — safe because Sources.tmp is keyed by pid (no cross-process
+      // race) and the rewrite is deterministic per sfDir (ADVICE.md round 3).
       val dir = Sources.tmp("orders_backfill", d)
       val base = orders(s, d).withColumn("yr", year(col("o_orderdate")))
       base.write.mode(SaveMode.Overwrite).partitionBy("yr").parquet(dir)
