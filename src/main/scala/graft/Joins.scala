@@ -131,6 +131,17 @@ object Joins {
   }
 
   val queries: Map[String, Q] = Map(
+    // saltedJoin as a driver-verified operator: the oracle is the PLAIN
+    // join+aggregate — hash-equality proves salting is result-invariant
+    // (replication × spread changes only the partition placement). salt=8
+    // on l_suppkey with l_orderkey as the intra-key spreader.
+    "join_salted" -> ((s, d) =>
+      saltedJoin(lineitem(s, d), supplier(s, d),
+          "l_suppkey", "s_suppkey", col("l_orderkey"), 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"), dsum2(col("l_extendedprice")).as("sum_price"))
+        .orderBy("s_nationkey")),
+
     "join_inner_broadcast" -> ((s, d) =>
       orders(s, d)
         .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
@@ -234,6 +245,12 @@ object Joins {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_salted" ->
+      ("SELECT s_nationkey, count(*) AS n_items, " +
+       s"${oDsum2("l_extendedprice")} AS sum_price " +
+       "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+       "GROUP BY s_nationkey ORDER BY s_nationkey"),
+
     "join_inner_broadcast" ->
       ("SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice " +
        "FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),

@@ -72,17 +72,10 @@ object Similarity {
     */
   val ShingleDfCap = 64
 
-  /** Compiled distance kernel for the centroid query. A Catalyst
-    * higher-order-function fold is interpreted per element (~25× slower on
-    * the 2M-pair bench); this UDF runs the same left-to-right double fold as
-    * a tight JVM loop, so results are bit-identical to the HOF form and to
-    * the scalatest oracles.
-    */
-  private val distSqU = udf((a: Seq[Float], c: Seq[Double]) => {
-    var i = 0; var acc = 0.0
-    while (i < a.length) { val d = a(i).toDouble - c(i); acc += d * d; i += 1 }
-    acc
-  })
+  // Distance/projection kernels are native codegen expressions
+  // (org.apache.spark.sql.graft.VectorDistSq / VectorDotFD) since round 4 —
+  // the earlier compiled-UDF forms ran the identical left-to-right fold but
+  // paid a per-row conversion/boxing boundary outside whole-stage codegen.
 
   /** Distinct n-token shingles per doc (default 3 — the near-dup shingle;
     * 8 for decontamination), keyed by the 64-bit xxhash of the shingle
@@ -463,7 +456,8 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cvec"))
       val dist = e.join(broadcast(cent), "label")
         .select(col("label"), col("vec_id"),
-          distSqU(col("embedding"), col("cvec")).as("dist_sq"))
+          org.apache.spark.sql.graft.VectorOps.vec_dist_sq(
+            col("embedding"), col("cvec")).as("dist_sq"))
       val w = Window.partitionBy("label").orderBy(col("dist_sq").asc, col("vec_id").asc)
       dist.withColumn("rn", row_number().over(w))
         .where(col("rn") <= 5)
@@ -479,7 +473,12 @@ object Similarity {
       // instead of extra hash tables; AnnRecallSpec pins the recall floor).
       // Deterministic: hyperplane components derive from xxhash64(plane, dim)
       // — no RNG state. The tiny 8×64 plane matrix is materialized once via
-      // the same Spark expression and closed over by a compiled bucket UDF.
+      // the same Spark expression; each plane becomes an array<double>
+      // LITERAL projected through the codegen'd vec_dot_fd — the bucket is 8
+      // sign-bits assembled with when/shiftleft, entirely inside whole-stage
+      // codegen (the former closure UDF ran the identical fold but boxed
+      // every row; sign decisions are bit-identical, so buckets — and
+      // AnnRecallSpec's pinned recall — are unchanged).
       val planeMat: Array[Array[Double]] = s.range(1).select(
         expr("""transform(sequence(0, 7), p ->
                |  transform(sequence(0, 63), j ->
@@ -487,20 +486,13 @@ object Similarity {
           .as("m")).head()
         .getAs[scala.collection.Seq[scala.collection.Seq[Double]]](0)
         .map(_.toArray).toArray
-      val bucketU = udf((emb: Seq[Float]) => {
-        var bucket = 0L
-        var p = 0
-        while (p < planeMat.length) {
-          val pl = planeMat(p); var acc = 0.0; var i = 0
-          while (i < pl.length) { acc += emb(i).toDouble * pl(i); i += 1 }
-          bucket = bucket * 2L + (if (acc >= 0.0) 1L else 0L)
-          p += 1
-        }
-        bucket
-      })
-      import org.apache.spark.sql.graft.VectorOps.{vec_dot, vec_norm}
+      import org.apache.spark.sql.graft.VectorOps.{vec_dot, vec_dot_fd, vec_norm}
+      val bucketCol = planeMat.zipWithIndex.map { case (pl, p) =>
+        when(vec_dot_fd(col("embedding"), typedLit(pl.toSeq)) >= 0.0,
+          lit(1L << (7 - p))).otherwise(lit(0L))
+      }.reduce(_ + _)
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
-        bucketU(col("embedding")).as("bucket"), vec_norm(col("embedding")).as("nrm"))
+        bucketCol.as("bucket"), vec_norm(col("embedding")).as("nrm"))
       // multi-probe masks: all 8-bit patterns with <= 2 bits set (37 per
       // query) — each query probes its own bucket plus every bucket whose
       // sign pattern differs in at most 2 hyperplanes

@@ -123,6 +123,119 @@ object VectorNorm {
   }
 }
 
+/** Mixed-precision dot product: `array<float>` · `array<double>`, fold
+  * left-to-right as `acc += (double) a[i] * b[i]` — bit-identical to the
+  * compiled-UDF kernels it replaced (ANN hyperplane projection), but inside
+  * whole-stage codegen with no per-row boxing/conversion boundary.
+  */
+case class VectorDotFD(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot_fd"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else {
+      var i = 0
+      var acc = 0.0
+      while (i < x.numElements()) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getFloat(i).toDouble * y.getDouble(i)
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("hasNull")
+      s"""
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $x.numElements(); $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; break; }
+         |    $acc += (double) $x.getFloat($i) * $y.getDouble($i);
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDotFD =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared L2 distance between an `array<float>` point and an
+  * `array<double>` centroid: left-to-right `acc += d*d`,
+  * `d = (double) a[i] - b[i]` — the same fold as sim_knn_per_label's former
+  * compiled UDF kernel (and its DuckDB oracle), now codegen'd.
+  */
+case class VectorDistSq(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dist_sq"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else {
+      var i = 0
+      var acc = 0.0
+      while (i < x.numElements()) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        val d = x.getFloat(i).toDouble - y.getDouble(i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val dd = ctx.freshName("d")
+      val bad = ctx.freshName("hasNull")
+      s"""
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $x.numElements(); $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; break; }
+         |    double $dd = (double) $x.getFloat($i) - $y.getDouble($i);
+         |    $acc += $dd * $dd;
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDistSq =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorOps {
   /** Column-API entry points (usable without SQL registration). */
   def vec_dot(a: Column, b: Column): Column =
@@ -131,6 +244,10 @@ object VectorOps {
     ExpressionUtils.column(VectorNorm(ExpressionUtils.expression(a)))
   def vec_cosine(a: Column, b: Column): Column =
     vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+  def vec_dot_fd(a: Column, b: Column): Column =
+    ExpressionUtils.column(VectorDotFD(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def vec_dist_sq(a: Column, b: Column): Column =
+    ExpressionUtils.column(VectorDistSq(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Best-effort SQL registration on a live session (for `spark.sql` use
     * when the session was not built with [[GraftExtensions]]).
@@ -139,6 +256,8 @@ object VectorOps {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("vec_dot", es => VectorDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_norm", es => VectorNorm(es.head), "built-in")
+    reg.createOrReplaceTempFunction("vec_dot_fd", es => VectorDotFD(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_dist_sq", es => VectorDistSq(es(0), es(1)), "built-in")
   }
 }
 
@@ -156,5 +275,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[VectorNorm].getName, "vec_norm"),
       (es: Seq[Expression]) => VectorNorm(es.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot_fd"),
+      new ExpressionInfo(classOf[VectorDotFD].getName, "vec_dot_fd"),
+      (es: Seq[Expression]) => VectorDotFD(es(0), es(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dist_sq"),
+      new ExpressionInfo(classOf[VectorDistSq].getName, "vec_dist_sq"),
+      (es: Seq[Expression]) => VectorDistSq(es(0), es(1))))
   }
 }

@@ -50,4 +50,28 @@ class VectorOpsSpec extends AnyFunSuite {
     // interpreted expression would force the Project out of the span.
     assert(plan.contains("*(1) Project"), s"no codegen span:\n$plan")
   }
+
+  test("vec_dot_fd / vec_dist_sq match their explicit double folds and null rules") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq(0.5f, -1.5f, 2.25f))).toDF("id", "v")
+      .withColumn("c", typedLit(Seq(0.25, -0.75, 1.5)))
+    val got = df.select(col("id"),
+        VectorOps.vec_dot_fd(col("v"), col("c")).as("dot"),
+        VectorOps.vec_dist_sq(col("v"), col("c")).as("dist"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val c = Seq(0.25, -0.75, 1.5)
+    Seq(1L -> Seq(1.0f, 2.0f, 3.0f), 2L -> Seq(0.5f, -1.5f, 2.25f)).foreach {
+      case (id, v) =>
+        val dot = v.zip(c).foldLeft(0.0) { case (a, (x, y)) => a + x.toDouble * y }
+        val dist = v.zip(c).foldLeft(0.0) { case (a, (x, y)) =>
+          val d = x.toDouble - y; a + d * d }
+        assert(got(id)._1 == dot && got(id)._2 == dist, s"mismatch for $id")
+    }
+    // dimension mismatch -> NULL (never a silently-truncated partial result)
+    val mism = df.select(
+      VectorOps.vec_dist_sq(col("v"), typedLit(Seq(1.0, 2.0))).as("d")).collect()
+    assert(mism.forall(_.isNullAt(0)))
+  }
 }
