@@ -134,9 +134,12 @@ object Joins {
     // saltedJoin as a driver-verified operator: the oracle is the PLAIN
     // join+aggregate — hash-equality proves salting is result-invariant
     // (replication × spread changes only the partition placement). salt=8
-    // on l_suppkey with l_orderkey as the intra-key spreader.
+    // on l_suppkey with l_orderkey as the intra-key spreader. The merge
+    // hint forces the shuffled join salting exists for — letting Catalyst
+    // broadcast the small fixture side would replicate it 8× for nothing
+    // and demo the wrong plan (at 100 TB both sides are large).
     "join_salted" -> ((s, d) =>
-      saltedJoin(lineitem(s, d), supplier(s, d),
+      saltedJoin(lineitem(s, d), supplier(s, d).hint("merge"),
           "l_suppkey", "s_suppkey", col("l_orderkey"), 8)
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n_items"), dsum2(col("l_extendedprice")).as("sum_price"))

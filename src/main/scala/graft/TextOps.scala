@@ -167,6 +167,32 @@ object TextOps {
                "(acc, x) -> pmod(acc * 31 + x, 1000000007L))").as("fingerprint"))
         .orderBy("doc_id")),
 
+    "text_tfidf_topk" -> ((s, d) => {
+      // TF-IDF keyword extraction: per-doc top-3 terms by tf·ln(N/df) —
+      // the classic relevance score, all from two hash aggregations (tf by
+      // (doc, word), df by word) + a word-keyed join + per-doc rank. The
+      // 1-row corpus count broadcasts. The raw DOUBLE score is NOT in the
+      // output: JVM Math.log and libm ln differ in the last ulp on some
+      // inputs (~13% of rows at sf0.1 string-mismatch), but the RANKING is
+      // stable — the smallest adjacent-rank score gap between distinct
+      // (tf, df) pairs is ~2.6e-4 at sf0.1, 12 orders above ulp noise, and
+      // equal (tf, df) pairs tie-break on the word. Output carries
+      // (tf, df, rn); the score is derivable.
+      import org.apache.spark.sql.expressions.Window
+      val tf = documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val n = documents(s, d).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word").asc)
+      tf.join(df, "word").crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * log(col("n").cast(DoubleType) / col("df")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("doc_id", "word", "tf", "df", "rn")
+        .orderBy("doc_id", "rn")
+    }),
+
     "text_pii_scrub" -> ((s, d) =>
       // PII redaction — the compliance pass every training-data pipeline
       // runs before anything else: email-shaped tokens and long digit runs
@@ -268,6 +294,18 @@ object TextOps {
        "list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)), " +
        "(acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint " +
        "FROM documents ORDER BY doc_id"),
+
+    "text_tfidf_topk" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+       "tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+       "df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1), " +
+       "n AS (SELECT count(*) AS n FROM documents), " +
+       "s AS (SELECT doc_id, word, tf, df, tf * ln(CAST(n AS DOUBLE) / df) AS score " +
+       "FROM tf JOIN df USING (word) CROSS JOIN n), " +
+       "r AS (SELECT doc_id, word, tf, df, " +
+       "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rn FROM s) " +
+       "SELECT doc_id, word, tf, df, CAST(rn AS INT) AS rn FROM r " +
+       "WHERE rn <= 3 ORDER BY doc_id, rn"),
 
     // DuckDB regexp_replace needs the 'g' flag to match Spark's
     // replace-all; the simple character-class patterns parse identically
