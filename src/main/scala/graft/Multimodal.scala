@@ -87,12 +87,18 @@ object Multimodal {
     }),
 
     // Frame sampling as a generator: every 4th 16-byte block is a "frame".
+    // The frame digest is the same portable polynomial rolling hash as
+    // text_fingerprint (mod 1e9+7 over the frame's bytes) rather than
+    // xxhash64 — integer-exact on any engine, which upgrades this operator
+    // from scalatest-only to driver-verified (the ASCII fixture makes
+    // byte i ≡ ascii(char i), same grounds as the other mm oracles).
     "mm_frame_sample" -> ((s, d) =>
       withBinaryPayload(documents(s, d))
         .select(col("doc_id"),
           posexplode(expr(
             "transform(sequence(0, CAST(greatest(floor((length(payload) - 16) / 64), 0) AS INT)), " +
-            "i -> xxhash64(substring(payload, i * 64 + 1, 16)))"))
+            "i -> aggregate(transform(split(decode(substring(payload, i * 64 + 1, 16), 'UTF-8'), ''), " +
+            "c -> ascii(c)), 0L, (acc, x) -> pmod(acc * 31 + x, 1000000007L)))"))
             .as(Seq("frame_idx", "frame_hash")))
         .orderBy("doc_id", "frame_idx"))
   )
@@ -124,6 +130,18 @@ object Multimodal {
        "CAST(CASE WHEN length(text) = 0 THEN 0 " +
        "ELSE ascii(substr(text, CAST(least(i * length(text) // 16, length(text) - 1) AS INT) + 1, 1)) " +
        "END AS VARCHAR)), ',') AS thumb_csv " +
-       "FROM documents ORDER BY doc_id")
+       "FROM documents ORDER BY doc_id"),
+
+    // frame digest = polynomial rolling hash of the frame's 16 chars;
+    // empty frame (substr past end) folds to 0 on both engines
+    "mm_frame_sample" ->
+      ("SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, frame_hash FROM " +
+       "(SELECT doc_id, i AS frame_idx, " +
+       "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+       "list_transform(string_split(substr(text, CAST(i * 64 + 1 AS INT), 16), ''), " +
+       "c -> CAST(ascii(c) AS BIGINT))), (acc, x) -> (acc * 31 + x) % 1000000007) AS frame_hash " +
+       "FROM (SELECT doc_id, text, unnest(generate_series(0, " +
+       "CAST(greatest((length(text) - 16) // 64, 0) AS INT))) AS i FROM documents)) " +
+       "ORDER BY doc_id, frame_idx")
   )
 }

@@ -87,6 +87,17 @@ object Sources {
         .orderBy("n_nationkey")
     }),
 
+    // ORC round trip — the other columnar format Spark bundles natively;
+    // same pushdown/pruning machinery as parquet (ORC stripe stats), so at
+    // 100 TB the choice is interop-driven, not capability-driven.
+    "source_orc_roundtrip" -> ((s, d) => {
+      val dir = tmp("region_orc", d)
+      region(s, d).write.mode(SaveMode.Overwrite).orc(dir)
+      s.read.orc(dir)
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey")
+    }),
+
     "source_json_roundtrip" -> ((s, d) => {
       val dir = tmp("supplier_json", d)
       supplier(s, d).write.mode(SaveMode.Overwrite).json(dir)
@@ -117,6 +128,9 @@ object Sources {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 
     "source_json_roundtrip" ->
-      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey"
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+
+    "source_orc_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
   )
 }
