@@ -43,7 +43,12 @@ object Bench {
       // host); min-of-2 reports steady-state while bounding the extra bench
       // wall-clock to the slow tail only.
       val elapsed =
-        try { val t1 = once(); if (t1 > 1.0) math.min(t1, once()) else t1 }
+        try {
+          val t1 = once()
+          // a failed RERUN must not discard the valid first measurement
+          if (t1 > 1.0) try math.min(t1, once()) catch { case _: Throwable => t1 }
+          else t1
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0

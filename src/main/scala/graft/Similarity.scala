@@ -28,16 +28,21 @@ object Similarity {
   val BandSize = 4
   val NumBands: Int = NumHashes / BandSize
 
-  /** Release a frame produced by either persist() or localCheckpoint().
-    * Dataset.unpersist only clears CacheManager-registered plans — for a
-    * localCheckpoint the storage lives on the underlying RDD (the plan is a
-    * LogicalRDD), which must be unpersisted directly or its MEMORY_AND_DISK
-    * blocks survive until nondeterministic RDD GC.
+  /** Release a persist()ed frame. Safe at any point: lineage stays intact
+    * (no localCheckpoint anywhere in this file since round 4 — iterative
+    * rounds spill to tmp parquet instead), so a freed frame re-executes
+    * correctly, just slower.
     */
-  private def free(df: DataFrame): Unit = df.queryExecution.analyzed match {
-    case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
-    case _ => df.unpersist(blocking = false)
-  }
+  private def free(df: DataFrame): Unit = df.unpersist(blocking = false)
+
+  /** One live release-listener per (session, tag): re-constructing the same
+    * operator replaces (and unregisters) the previous listener, so plan-only
+    * constructions (ContractSpec schema checks, PlanAudit, Explain) cannot
+    * accumulate zombie listeners on the session bus — at most one traversal
+    * per tag per execution. The value is the listener as AnyRef.
+    */
+  private val releaseListeners = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, AnyRef]]())
 
   /** Release `frames` once the consuming action on `result` completes: a
     * QueryExecutionListener watches for an execution whose analyzed plan
@@ -45,21 +50,34 @@ object Similarity {
     * frames, and deregisters itself. This closes the session-lifetime cache
     * retention ADVICE.md flags for labelPropagate's final labels frame and
     * dedup_simhash_pairs — instead of waiting for RDD GC, blocks drop right
-    * after the query that needed them. If a caller only inspects the plan
-    * (ContractSpec schema checks), nothing fires and the frames were never
-    * materialized anyway — registering is free.
+    * after the query that needed them. Because every freed frame keeps full
+    * lineage (see [[free]]), a SECOND action on the same DataFrame is still
+    * correct — it recomputes instead of crashing. A replaced-but-executed
+    * construction can leak one bounded frame set (documented trade for a
+    * bounded listener bus).
     */
-  private def releaseAfterUse(result: DataFrame, frames: Seq[DataFrame]): DataFrame = {
+  private def releaseAfterUse(tag: String, result: DataFrame, frames: Seq[DataFrame]): DataFrame = {
     val s = result.sparkSession
     val marker = result.queryExecution.analyzed
     val lm = s.listenerManager
+    val perSession = releaseListeners.computeIfAbsent(
+      s, _ => new java.util.HashMap[String, AnyRef]())
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       private def maybe(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
-        if (qe.analyzed.exists(_ eq marker)) { frames.foreach(free); lm.unregister(this) }
+        if (qe.analyzed.exists(_ eq marker)) {
+          frames.foreach(free)
+          lm.unregister(this)
+          perSession.synchronized { if (perSession.get(tag) eq this) perSession.remove(tag) }
+        }
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = maybe(qe)
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = maybe(qe)
+    }
+    perSession.synchronized {
+      val prev = perSession.put(tag, listener)
+      if (prev != null)
+        lm.unregister(prev.asInstanceOf[org.apache.spark.sql.util.QueryExecutionListener])
     }
     lm.register(listener)
     result
@@ -156,14 +174,17 @@ object Similarity {
     * dedup_cluster_jaccard oracle is an exact transitive closure. The 1024
     * bound is a runaway guard only (a diameter that large means the pair
     * graph is degenerate), far above any real near-dup chain.
-    * localCheckpoint every 3 rounds truncates the growing lineage (plan
-    * size, not data, is the iterative cost once state is small). The
-    * driver-side loop is control flow only (a convergence count). The final
-    * labels frame stays cached until the consuming action runs, then a
-    * QueryExecutionListener releases it (releaseAfterUse) — no
-    * session-lifetime retention.
+    * Every 3rd round spills to tmp parquet (durable lineage flattening —
+    * see the loop body; plan size, not data, is the iterative cost once
+    * state is small). The driver-side loop is control flow only (a
+    * convergence count). The final labels frame stays cached until the
+    * consuming action runs, then a QueryExecutionListener releases it
+    * (releaseAfterUse) — no session-lifetime retention, and re-executing
+    * the returned frame is always correct (recompute, never a stranded
+    * truncated lineage).
     */
-  private[graft] def labelPropagate(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  private[graft] def labelPropagate(docs: DataFrame, pairs: DataFrame,
+      tag: String = "labelPropagate"): DataFrame = {
     // Both edge directions in ONE pipeline pass: explode a 2-element array
     // of (da,db)/(db,da) structs. The previous mirror-union ran the whole
     // candidate pipeline as two branches (ReusedExchange shares shuffles
@@ -185,11 +206,10 @@ object Similarity {
     // cannot reach
     var cached = labels
     // Freed one round LATE (ADVICE.md): round N's frame is released only
-    // after round N+1 has materialized. Freeing it immediately would leave
-    // round N+1's cached blocks the only copy while their lineage still
-    // points at the freed frame — fine until an executor is lost, at which
-    // point a truncated-lineage (localCheckpoint) ancestor is unrecoverable.
-    // One extra round of retention is O(edge endpoints) rows, negligible.
+    // after round N+1 has materialized — otherwise round N+1's first
+    // consumers recompute N's pipeline instead of reading its cache. (Since
+    // the disk-spill rounds replaced localCheckpoint, this is a perf nicety,
+    // not a correctness guard: every frame's lineage stays recomputable.)
     var older: DataFrame = null
     var changed = 1L
     var iter = 0
@@ -225,8 +245,19 @@ object Similarity {
           .select(col("l.doc_id"),
             coalesce(col("m.cluster_id"), col("l.cluster_id")).as("cluster_id"),
             col("l.prev"))
-      // localCheckpoint materializes eagerly (it IS the round's persist)
-      val next = if (iter % 3 == 2) jump.localCheckpoint() else jump.persist()
+      // Every 3rd round spills to tmp parquet and reads back instead of
+      // localCheckpoint: same lineage-flattening effect (plan growth, not
+      // data, is the iterative cost), but the round is DURABLE — blocks
+      // survive executor loss, releasing caches can never strand a truncated
+      // lineage, and a re-executed result recomputes from the file. The
+      // frames are O(edge endpoints) rows, so the I/O is negligible (and
+      // star-shaped near-dup graphs converge in 2 rounds — no spill at all).
+      val next =
+        if (iter % 3 == 2) {
+          val path = Sources.tmpUnique("cc_labels")
+          jump.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+          docs.sparkSession.read.parquet(path)
+        } else jump.persist()
       changed = next.filter(col("cluster_id") =!= col("prev")).count()
       if (older != null) free(older)
       older = cached
@@ -244,7 +275,7 @@ object Similarity {
       .orderBy("doc_id")
     // final round's frame (cached) is released after the consuming action —
     // not left for RDD GC (ADVICE.md)
-    releaseAfterUse(result, Seq(cached))
+    releaseAfterUse(tag, result, Seq(cached))
   }
 
   /** 64-bit SimHash per doc as explode + 64 codegen'd vote aggregates: hash
@@ -316,14 +347,15 @@ object Similarity {
       // depends on Spark's xxhash64 → no SQL oracle; scalatest verifies
       // against an in-test union-find over the same pairs.
       labelPropagate(documents(s, d),
-        minhashCandidates(s, d, 0.8).select("da", "db"))),
+        minhashCandidates(s, d, 0.8).select("da", "db"), "cc_minhash")),
 
     "dedup_cluster_jaccard" -> ((s, d) =>
       // Same component algorithm over the EXACT capped-Jaccard >= 0.5 pair
       // graph — every input is deterministic SQL, so this variant carries a
       // full DuckDB oracle (recursive-CTE transitive closure): the driver
       // gate covers the iterative clustering path, not just scalatest.
-      labelPropagate(documents(s, d), jaccardPairs(s, d).select("da", "db"))),
+      labelPropagate(documents(s, d), jaccardPairs(s, d).select("da", "db"),
+        "cc_jaccard")),
 
     "text_decontaminate" -> ((s, d) => {
       // Benchmark decontamination: flag corpus docs sharing any 8-token
@@ -384,7 +416,7 @@ object Similarity {
         posexplode(array((0 until 4).map(b =>
           expr(s"shiftright(simhash, ${b * 16}) & 65535")): _*))
           .as(Seq("band", "key")))
-      releaseAfterUse(
+      releaseAfterUse("simhash_pairs",
         bands.as("x").join(bands.as("y"), Seq("band", "key"))
           .where(col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),

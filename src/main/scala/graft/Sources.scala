@@ -39,6 +39,15 @@ object Sources {
   private[graft] def tmp(name: String, sfDir: String): String =
     s"$procDir/${java.lang.Integer.toHexString(sfDir.hashCode)}/$name"
 
+  private val uniqueSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Fresh never-reused path under the per-process dir — for operator-
+    * internal spills (e.g. labelPropagate's round checkpoints) that must not
+    * collide across invocations; cleaned with procDir at JVM exit.
+    */
+  private[graft] def tmpUnique(prefix: String): String =
+    s"$procDir/unique/${prefix}_${uniqueSeq.incrementAndGet()}"
+
   val queries: Map[String, Q] = Map(
     // The reference pipeline, end to end: text-file sink → sc.textFile →
     // flatMap → map → reduceByKey (map/combine/shuffle/reduce) → DataFrame.

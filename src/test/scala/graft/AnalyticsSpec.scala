@@ -41,11 +41,25 @@ class AnalyticsSpec extends AnyFunSuite {
   }
 
   test("cohort retention: offset 0 exists for every cohort and counts its full cohort") {
+    import org.apache.spark.sql.functions._
     val rows = q("cohort_retention").collect()
       .map(r => (r.getAs[java.time.LocalDateTime](0), r.getInt(1), r.getLong(2)))
     val cohorts = rows.map(_._1).distinct
     cohorts.foreach { cw =>
       assert(rows.exists(r => r._1 == cw && r._2 == 0), s"cohort $cw missing offset 0")
+    }
+    // offset-0 must equal the cohort SIZE (every user is active in their own
+    // first week by construction) — presence + dominance alone would miss a
+    // join regression that drops users from the offset-0 cell
+    val sizes = Tables.events(spark, Sf001)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast(org.apache.spark.sql.types.TimestampNTZType).as("wk"))
+      .groupBy("user_id").agg(min("wk").as("cohort_week"))
+      .groupBy("cohort_week").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[java.time.LocalDateTime](0) -> r.getLong(1)).toMap
+    cohorts.foreach { cw =>
+      val off0 = rows.find(r => r._1 == cw && r._2 == 0).get._3
+      assert(off0 == sizes(cw), s"cohort $cw offset-0 $off0 != cohort size ${sizes(cw)}")
     }
     // offset-0 count >= any later offset's count for the same cohort (a user
     // active later was by construction active in their first week)

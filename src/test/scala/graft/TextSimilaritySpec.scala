@@ -127,6 +127,22 @@ class TextSimilaritySpec extends AnyFunSuite {
     (16L until 20L).foreach(i => assert(out(i) == i, s"isolated node $i"))
   }
 
+  test("clustering result survives a second action after the release listener fires") {
+    // the release-after-use listener frees the final labels cache on the
+    // first action; a second action on the SAME DataFrame must recompute
+    // correctly (lineage is never truncated — spill rounds are durable
+    // parquet), not crash or change values. The 15-hop chain forces >= 3
+    // rounds, so a spill round is actually in the ancestry being re-run.
+    import spark.implicits._
+    val docs = (0L until 20L).toDF("doc_id")
+    val chain = (0L until 15L).map(i => (i, i + 1)).toDF("da", "db")
+    val df = Similarity.labelPropagate(docs, chain, "spec_rerun")
+    val first = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val second = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(first == second)
+    assert(first.toMap.apply(15L) == 0L)
+  }
+
   test("jaccard hot-shingle cap is pinned and deterministic across runs") {
     // the oracle SQL embeds the same cap — changing one side silently
     // breaks the driver compare, so the constant is pinned here
