@@ -170,6 +170,63 @@ object Streaming {
       }
   }
 
+  /** Unreached-stage sentinel for [[FunnelUserState]]. */
+  private val Unreached = Long.MinValue
+  case class FunnelUserState(t1Us: Long, t2Us: Long, t3Us: Long)
+  case class StageReached(user_id: Long, stage: Int, at_us: Long)
+
+  /** Streaming twin of the batch `funnel_stages` operator: a per-user
+    * ordered-sequence state machine (view → click-at-or-after → purchase-at-
+    * or-after) that EMITS a row the moment a user reaches a new stage —
+    * live conversion tracking instead of a batch recount. State is three
+    * longs per user; a fully-converted user's state is removed immediately,
+    * and idle users are evicted by event-time timeout, so the store tracks
+    * only users still mid-funnel. Fed in event-time order, the emitted
+    * per-stage user counts equal the batch twin's (StreamingSpec pins this
+    * equivalence on the sf0.001 fixture).
+    */
+  def funnelStream(events: Dataset[EvtRow]): Dataset[StageReached] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelUserState, StageReached](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[EvtRow], state: GroupState[FunnelUserState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = it.toSeq.sortBy(e => (epochUs(e.ts), e.event_id))
+            var st = state.getOption.getOrElse(
+              FunnelUserState(Unreached, Unreached, Unreached))
+            val out = scala.collection.mutable.ArrayBuffer.empty[StageReached]
+            var lastUs = Long.MinValue
+            sorted.foreach { e =>
+              val us = epochUs(e.ts)
+              lastUs = math.max(lastUs, us)
+              e.event_type match {
+                case "view" if st.t1Us == Unreached =>
+                  st = st.copy(t1Us = us); out += StageReached(uid, 1, us)
+                case "click" if st.t1Us != Unreached && st.t2Us == Unreached &&
+                    us >= st.t1Us =>
+                  st = st.copy(t2Us = us); out += StageReached(uid, 2, us)
+                case "purchase" if st.t2Us != Unreached && st.t3Us == Unreached &&
+                    us >= st.t2Us =>
+                  st = st.copy(t3Us = us); out += StageReached(uid, 3, us)
+                case _ => ()
+              }
+            }
+            if (st.t3Us != Unreached) state.remove() // converted: no more state
+            else {
+              state.update(st)
+              // idle eviction: a user silent for 7 days mid-funnel is dropped
+              state.setTimeoutTimestamp(lastUs / 1000L + 7L * 24 * 3600 * 1000)
+            }
+            out.iterator
+          }
+      }
+  }
+
   // ---- Batch twins (driver-verified against DuckDB) ----
 
   val queries: Map[String, Q] = Map(

@@ -209,4 +209,30 @@ class StreamingSpec extends AnyFunSuite {
       assert(ids.head == 1 && ids.last == ids.length) // dense 1..n per user
     }
   }
+
+  test("streaming funnel state machine matches the batch funnel_stages counts") {
+    // feed the real sf0.001 events in event-time order (two batches): the
+    // per-stage distinct-user counts emitted by the stateful stream must
+    // equal the batch conditional-aggregation funnel's counts.
+    val evs = Tables.events(spark, Sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => Streaming.EvtRow(r.getLong(0),
+        Timestamp.valueOf(r.getAs[java.time.LocalDateTime](1)),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Streaming.EvtRow]
+    val q = Streaming.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel").outputMode("append").start()
+    try {
+      val (a, b) = evs.splitAt(evs.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+      val streamed = spark.table("funnel")
+        .groupBy("stage").agg(countDistinct("user_id").as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val batch = SparkEntry.queries("funnel_stages")(spark, Sf0001)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+    } finally q.stop()
+  }
 }
