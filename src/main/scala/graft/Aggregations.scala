@@ -185,10 +185,60 @@ object Aggregations {
           expr("percentile(l_quantity, 0.5)").as("median_qty"),
           expr("percentile(l_quantity, 0.9)").as("p90_qty"),
           count(lit(1)).as("n"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // Statistical aggregates (corr / covar_pop / stddev_pop) with EXACT
+    // accumulation: the built-in corr/covar sum doubles in partition order
+    // (non-associative → not hash-stable cross-engine), so the five moment
+    // sums accumulate as exact decimals — still one map-side-partial hash
+    // aggregate — and the closed-form moment formulas run on their DOUBLE
+    // renderings in an op order mirrored exactly by the oracle. Spec checks
+    // the result against Spark's built-in corr to 1e-9.
+    "agg_corr_stats" -> ((s, d) => {
+      val x = dec(col("l_quantity"), 18, 4)
+      val y = dec(col("l_extendedprice"), 18, 4)
+      val g = lineitem(s, d).groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(x).cast(DecimalType(38, 4)).as("dsx"),
+        sum(y).cast(DecimalType(38, 4)).as("dsy"),
+        sum(x * x).cast(DecimalType(38, 8)).as("dsxx"),
+        sum(y * y).cast(DecimalType(38, 8)).as("dsyy"),
+        sum(x * y).cast(DecimalType(38, 8)).as("dsxy"))
+      val nD = col("n").cast(DoubleType)
+      val (sx, sy) = (col("dsx").cast(DoubleType), col("dsy").cast(DoubleType))
+      val (sxx, syy, sxy) =
+        (col("dsxx").cast(DoubleType), col("dsyy").cast(DoubleType), col("dsxy").cast(DoubleType))
+      g.select(col("l_returnflag"), col("n"),
+          ((nD * sxy - sx * sy) / (nD * nD)).as("covar_pop"),
+          ((nD * sxy - sx * sy) /
+            (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy))).as("corr"),
+          (sqrt(nD * sxx - sx * sx) / nD).as("stddev_qty"))
+        .orderBy("l_returnflag")
+    })
   )
 
   val oracles: Map[String, String] = Map(
+    // identical closed-form moment arithmetic on the oDbl renderings of the
+    // same exact decimal sums — op order mirrors the Spark expressions
+    "agg_corr_stats" -> {
+      val nd = "CAST(n AS DOUBLE)"
+      ("SELECT l_returnflag, n, " +
+       s"($nd * sxy - sx * sy) / ($nd * $nd) AS covar_pop, " +
+       s"($nd * sxy - sx * sy) / (sqrt($nd * sxx - sx * sx) * sqrt($nd * syy - sy * sy)) AS corr, " +
+       s"sqrt($nd * sxx - sx * sx) / $nd AS stddev_qty FROM " +
+       "(SELECT l_returnflag, count(*) AS n, " +
+       s"${oDbl("CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4))")} AS sx, " +
+       s"${oDbl("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4))")} AS sy, " +
+       // DECIMAL(28,4) product operands force DuckDB's int128 multiply path
+       // (18-digit operands overflow its int64 fast path on price²); the
+       // VALUES are identical — decimal arithmetic is exact at any declared
+       // width, and Spark's BigDecimal side needs no mirror change
+       s"${oDbl("CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(28,4))) AS DECIMAL(38,8))")} AS sxx, " +
+       s"${oDbl("CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4))) AS DECIMAL(38,8))")} AS syy, " +
+       s"${oDbl("CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4))) AS DECIMAL(38,8))")} AS sxy " +
+       "FROM lineitem GROUP BY l_returnflag) ORDER BY l_returnflag")
+    },
+
     "agg_global" ->
       (s"SELECT count(*) AS n_rows, ${oLsum("l_quantity")} AS sum_qty, " +
        s"${oDsum4("l_extendedprice")} AS sum_price, " +

@@ -7,6 +7,24 @@ import TestSpark.{spark, Sf0001}
 class AggWindowSpec extends AnyFunSuite {
   private def q(name: String) = SparkEntry.queries(name)(spark, Sf0001)
 
+  test("exact-decimal moment stats agree with Spark's built-in corr/covar/stddev") {
+    import org.apache.spark.sql.functions._
+    val got = q("agg_corr_stats").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val ref = Tables.lineitem(spark, Sf0001).groupBy("l_returnflag")
+      .agg(covar_pop(col("l_quantity"), col("l_extendedprice")).as("cv"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("cr"),
+        stddev_pop(col("l_quantity")).as("sd"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    ref.foreach { case (k, (cv, cr, sd)) =>
+      def close(a: Double, b: Double) = math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b))
+      assert(close(got(k)._1, cv), s"$k covar ${got(k)._1} vs $cv")
+      assert(close(got(k)._2, cr), s"$k corr ${got(k)._2} vs $cr")
+      assert(close(got(k)._3, sd), s"$k stddev ${got(k)._3} vs $sd")
+    }
+  }
+
   test("count-min estimates bound the exact counts (one-sided error)") {
     // CM guarantees est >= true always, and est <= true + eps*N w.h.p.
     // (eps = e/w ≈ 0.0106 at w=256); the fixture token stream is small
