@@ -64,6 +64,37 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$p")
   }
 
+  test("funnel stages push the event_type filter into each scan") {
+    // every stage scans events with its stage predicate — a lost pushdown
+    // reads the full stream three times at 100 TB
+    val p = plan("funnel_stages")
+    assert(p.contains("EqualTo(event_type,view)") || p.contains("event_type), EqualTo"),
+      s"stage filter not pushed into scan:\n$p")
+  }
+
+  test("tfidf corpus count rides a 1-row broadcast, not a shuffle") {
+    val p = plan("text_tfidf_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"corpus-count join not broadcast:\n$p")
+  }
+
+  test("salted join stays a shuffled SortMergeJoin (salting's raison d'etre)") {
+    // letting Catalyst broadcast the salted small side replicates it
+    // salt-ways for nothing — the merge hint must hold
+    val p = plan("join_salted")
+    assert(p.contains("SortMergeJoin"), s"salted join lost its shuffle form:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"salted side got broadcast:\n$p")
+  }
+
+  test("moment stats compile to one partial+final hash aggregate") {
+    val p = plan("agg_corr_stats")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"partial agg lost:\n$p")
+    // exactly one Exchange for the groupBy — the five moment sums must not
+    // introduce extra shuffles
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"extra shuffle in moment stats:\n$p")
+  }
+
   test("jaccard hot-shingle guard is a window over the join's own g-partitioning") {
     // the df-cap must ride the shuffle-by-g the self-join needs anyway (a
     // Window over partitionBy(g)) — not a separate hot-set aggregate whose
