@@ -86,6 +86,26 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // Symmetric int8 quantization of the embedding column — the 4×-storage
+    // compression every embedding corpus ships with at scale. Per-vector
+    // scale = max|x|; q_i = round(x_i · 127 / scale) ∈ [-127, 127]. Output
+    // carries the scale plus integer checksums of the quantized vector
+    // (sum and L1) — scalar, exact, and hash-stable; both engines round
+    // half-away-from-zero on doubles (Spark BigDecimal HALF_UP ≡ DuckDB
+    // libm round for this sign-symmetric case). Map-only, no shuffle.
+    "mm_embed_quantize" -> ((s, d) =>
+      embeddings(s, d)
+        .withColumn("maxabs",
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+        .select(col("vec_id"), col("maxabs"),
+          expr("CASE WHEN maxabs = 0.0D THEN CAST(array() AS ARRAY<BIGINT>) ELSE " +
+               "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0D / maxabs) AS BIGINT)) END")
+            .as("q"))
+        .select(col("vec_id"), col("maxabs"),
+          expr("aggregate(q, 0L, (acc, x) -> acc + x)").as("q_sum"),
+          expr("aggregate(q, 0L, (acc, x) -> acc + abs(x))").as("q_l1"))
+        .orderBy("vec_id")),
+
     // Frame sampling as a generator: every 4th 16-byte block is a "frame".
     // The frame digest is the same portable polynomial rolling hash as
     // text_fingerprint (mod 1e9+7 over the frame's bytes) rather than
@@ -131,6 +151,18 @@ object Multimodal {
        "ELSE ascii(substr(text, CAST(least(i * length(text) // 16, length(text) - 1) AS INT) + 1, 1)) " +
        "END AS VARCHAR)), ',') AS thumb_csv " +
        "FROM documents ORDER BY doc_id"),
+
+    "mm_embed_quantize" ->
+      ("SELECT vec_id, maxabs, " +
+       "CASE WHEN maxabs = 0 THEN 0 ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+       "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / maxabs) AS BIGINT))), " +
+       "(acc, x) -> acc + x) END AS q_sum, " +
+       "CASE WHEN maxabs = 0 THEN 0 ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+       "list_transform(embedding, x -> abs(CAST(round(CAST(x AS DOUBLE) * 127.0 / maxabs) AS BIGINT)))), " +
+       "(acc, x) -> acc + x) END AS q_l1 FROM " +
+       "(SELECT vec_id, embedding, " +
+       "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs " +
+       "FROM embeddings) ORDER BY vec_id"),
 
     // frame digest = polynomial rolling hash of the frame's 16 chars;
     // empty frame (substr past end) folds to 0 on both engines

@@ -63,4 +63,23 @@ class UdxMultimodalSpec extends AnyFunSuite {
       assert(frames.length == expected, s"doc $id: ${frames.length} vs $expected")
     }
   }
+
+  test("int8 quantization: checksums match a JVM reference and bounds hold") {
+    val got = q("mm_embed_quantize").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    Tables.embeddings(spark, Sf0001).select("vec_id", "embedding").limit(50).collect()
+      .foreach { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble)
+        val maxabs = v.map(math.abs).max
+        // BigDecimal HALF_UP = half away from zero, matching Spark's round()
+        // on doubles and DuckDB's libm round (JVM math.round would round a
+        // negative .5 toward +inf instead)
+        val qs = v.map(x => BigDecimal(x * 127.0 / maxabs)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+        val (s, l1) = (qs.sum, qs.map(math.abs).sum)
+        val (gm, gs, gl1) = got(r.getLong(0))
+        assert(gm == maxabs && gs == s && gl1 == l1, s"vec ${r.getLong(0)}")
+        assert(qs.forall(q => math.abs(q) <= 127))
+      }
+  }
 }
