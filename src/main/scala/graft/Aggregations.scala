@@ -214,6 +214,30 @@ object Aggregations {
             (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy))).as("corr"),
           (sqrt(nD * sxx - sx * sx) / nD).as("stddev_qty"))
         .orderBy("l_returnflag")
+    }),
+
+    // Least-squares fit price ~ quantity per returnflag from the same
+    // sufficient statistics — regression as a single aggregation pass is
+    // the classic MapReduce ML example (only the moment sums shuffle, the
+    // solve is per-group arithmetic). Exact-decimal sums → deterministic
+    // DOUBLE solve, op order mirrored by the oracle.
+    "agg_linear_fit" -> ((s, d) => {
+      val x = dec(col("l_quantity"), 18, 4)
+      val y = dec(col("l_extendedprice"), 18, 4)
+      val g = lineitem(s, d).groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(x).cast(DecimalType(38, 4)).as("dsx"),
+        sum(y).cast(DecimalType(38, 4)).as("dsy"),
+        sum(x * x).cast(DecimalType(38, 8)).as("dsxx"),
+        sum(x * y).cast(DecimalType(38, 8)).as("dsxy"))
+      val nD = col("n").cast(DoubleType)
+      val (sx, sy) = (col("dsx").cast(DoubleType), col("dsy").cast(DoubleType))
+      val (sxx, sxy) = (col("dsxx").cast(DoubleType), col("dsxy").cast(DoubleType))
+      val slope = (nD * sxy - sx * sy) / (nD * sxx - sx * sx)
+      g.select(col("l_returnflag"), col("n"),
+          slope.as("slope"),
+          ((sy - slope * sx) / nD).as("intercept"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -235,6 +259,20 @@ object Aggregations {
        // width, and Spark's BigDecimal side needs no mirror change
        s"${oDbl("CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(28,4))) AS DECIMAL(38,8))")} AS sxx, " +
        s"${oDbl("CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4))) AS DECIMAL(38,8))")} AS syy, " +
+       s"${oDbl("CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4))) AS DECIMAL(38,8))")} AS sxy " +
+       "FROM lineitem GROUP BY l_returnflag) ORDER BY l_returnflag")
+    },
+
+    "agg_linear_fit" -> {
+      val nd = "CAST(n AS DOUBLE)"
+      val slope = s"($nd * sxy - sx * sy) / ($nd * sxx - sx * sx)"
+      ("SELECT l_returnflag, n, " +
+       s"$slope AS slope, " +
+       s"(sy - $slope * sx) / $nd AS intercept FROM " +
+       "(SELECT l_returnflag, count(*) AS n, " +
+       s"${oDbl("CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4))")} AS sx, " +
+       s"${oDbl("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4))")} AS sy, " +
+       s"${oDbl("CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(28,4))) AS DECIMAL(38,8))")} AS sxx, " +
        s"${oDbl("CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4))) AS DECIMAL(38,8))")} AS sxy " +
        "FROM lineitem GROUP BY l_returnflag) ORDER BY l_returnflag")
     },

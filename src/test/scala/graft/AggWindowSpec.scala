@@ -25,6 +25,21 @@ class AggWindowSpec extends AnyFunSuite {
     }
   }
 
+  test("exact-moment linear fit agrees with Spark's built-in regr_slope/regr_intercept") {
+    import org.apache.spark.sql.functions._
+    val got = q("agg_linear_fit").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    val ref = Tables.lineitem(spark, Sf0001).groupBy("l_returnflag")
+      .agg(regr_slope(col("l_extendedprice"), col("l_quantity")).as("m"),
+        regr_intercept(col("l_extendedprice"), col("l_quantity")).as("b"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    ref.foreach { case (k, (m, b)) =>
+      def close(a: Double, x: Double) = math.abs(a - x) <= 1e-9 * math.max(1.0, math.abs(x))
+      assert(close(got(k)._1, m), s"$k slope ${got(k)._1} vs $m")
+      assert(close(got(k)._2, b), s"$k intercept ${got(k)._2} vs $b")
+    }
+  }
+
   test("count-min estimates bound the exact counts (one-sided error)") {
     // CM guarantees est >= true always, and est <= true + eps*N w.h.p.
     // (eps = e/w ≈ 0.0106 at w=256); the fixture token stream is small
