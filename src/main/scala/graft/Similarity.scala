@@ -39,10 +39,17 @@ object Similarity {
     * operator replaces (and unregisters) the previous listener, so plan-only
     * constructions (ContractSpec schema checks, PlanAudit, Explain) cannot
     * accumulate zombie listeners on the session bus — at most one traversal
-    * per tag per execution. The value is the listener as AnyRef.
+    * per tag per execution. Values are WeakReferences: a strong listener ref
+    * would chain value → listenerManager → session, rooting the weak KEY
+    * from its own value and making the WeakHashMap never evict (the
+    * anti-pattern Tables.scala's session cache documents). While registered,
+    * the session's own listener bus holds the listener strongly — the weak
+    * side-table only needs identity for replacement.
     */
   private val releaseListeners = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, AnyRef]]())
+    new java.util.WeakHashMap[SparkSession,
+      java.util.HashMap[String, java.lang.ref.WeakReference[
+        org.apache.spark.sql.util.QueryExecutionListener]]]())
 
   /** Release `frames` once the consuming action on `result` completes: a
     * QueryExecutionListener watches for an execution whose analyzed plan
@@ -61,23 +68,30 @@ object Similarity {
     val marker = result.queryExecution.analyzed
     val lm = s.listenerManager
     val perSession = releaseListeners.computeIfAbsent(
-      s, _ => new java.util.HashMap[String, AnyRef]())
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      private def maybe(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
-        if (qe.analyzed.exists(_ eq marker)) {
-          frames.foreach(free)
-          lm.unregister(this)
-          perSession.synchronized { if (perSession.get(tag) eq this) perSession.remove(tag) }
-        }
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = maybe(qe)
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = maybe(qe)
-    }
+      s, _ => new java.util.HashMap[String, java.lang.ref.WeakReference[
+        org.apache.spark.sql.util.QueryExecutionListener]]())
+    val listener: org.apache.spark.sql.util.QueryExecutionListener =
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        private def maybe(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+          if (qe.analyzed.exists(_ eq marker)) {
+            frames.foreach(free)
+            lm.unregister(this)
+            perSession.synchronized {
+              val cur = perSession.get(tag)
+              if (cur != null && (cur.get() eq this)) perSession.remove(tag)
+            }
+          }
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = maybe(qe)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = maybe(qe)
+      }
     perSession.synchronized {
-      val prev = perSession.put(tag, listener)
-      if (prev != null)
-        lm.unregister(prev.asInstanceOf[org.apache.spark.sql.util.QueryExecutionListener])
+      val prev = perSession.put(tag, new java.lang.ref.WeakReference(listener))
+      if (prev != null) {
+        val p = prev.get()
+        if (p != null) lm.unregister(p)
+      }
     }
     lm.register(listener)
     result
