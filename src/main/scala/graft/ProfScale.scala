@@ -1,0 +1,53 @@
+package graft
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only scale smoke: replicate the sf0.1 documents corpus k× (each copy
+  * token-prefixed so copies are NOT near-dups of each other — shingle volume
+  * grows k× while the dup structure stays realistic) into /tmp, then time
+  * the dedup family on 1× vs k×. Evidence for DESIGN.md's "would this
+  * survive 100×" claims — measured, not asserted. Not part of the driver
+  * surface.
+  */
+object ProfScale {
+  def main(args: Array[String]): Unit = {
+    val k = if (args.nonEmpty) args(0).toInt else 4
+    val base = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val big = Sources.tmpUnique(s"docs_x$k")
+    val docs = Tables.documents(spark, base)
+    val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+    (0 until k).map { i =>
+      docs.select((col("doc_id") + lit(i * n)).as("doc_id"),
+        concat(lit(s"copy$i "), col("text")).as("text"),
+        col("lang"), col("source"), (col("n_chars") + lit(6)).as("n_chars"))
+    }.reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$big/documents.parquet")
+    // the dedup family only reads documents; symlink-free: point sfDir at big
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "embeddings").foreach { t =>
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$big/$t.parquet")
+    }
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val rows = f
+      System.err.println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
+    }
+    val targets = Seq("dedup_exact", "dedup_near_minhash", "dedup_ngram_jaccard",
+      "dedup_cluster_jaccard", "dedup_cluster_cc", "dedup_simhash_pairs",
+      "text_decontaminate", "text_tfidf_topk")
+    // warm both paths once with a cheap query
+    SparkEntry.queries("dedup_exact")(spark, base).count()
+    targets.foreach { q =>
+      time(s"$q @1x")(SparkEntry.queries(q)(spark, base).count())
+      time(s"$q @${k}x")(SparkEntry.queries(q)(spark, big).count())
+    }
+    spark.stop()
+  }
+}
