@@ -192,89 +192,113 @@ object Aggregations {
     // (non-associative → not hash-stable cross-engine), so the five moment
     // sums accumulate as exact decimals — still one map-side-partial hash
     // aggregate — and the closed-form moment formulas run on their DOUBLE
-    // renderings in an op order mirrored exactly by the oracle. Spec checks
-    // the result against Spark's built-in corr to 1e-9.
+    // renderings in an op order mirrored exactly by the oracle (shared
+    // machinery: [[momentSums]]/[[oMoments]]). Zero-variance groups yield
+    // NULL on BOTH engines (nullifZero denominators — Spark's bare 0/0 is
+    // NaN while DuckDB's is NULL, which would hash-mismatch on degenerate
+    // data). n ≥ 1 always, so the covar/stddev denominators need no guard.
+    // Spec checks the result against Spark's built-in corr to 1e-9.
     "agg_corr_stats" -> ((s, d) => {
-      val x = dec(col("l_quantity"), 18, 4)
-      val y = dec(col("l_extendedprice"), 18, 4)
-      val g = lineitem(s, d).groupBy("l_returnflag").agg(
-        count(lit(1)).as("n"),
-        sum(x).cast(DecimalType(38, 4)).as("dsx"),
-        sum(y).cast(DecimalType(38, 4)).as("dsy"),
-        sum(x * x).cast(DecimalType(38, 8)).as("dsxx"),
-        sum(y * y).cast(DecimalType(38, 8)).as("dsyy"),
-        sum(x * y).cast(DecimalType(38, 8)).as("dsxy"))
-      val nD = col("n").cast(DoubleType)
-      val (sx, sy) = (col("dsx").cast(DoubleType), col("dsy").cast(DoubleType))
-      val (sxx, syy, sxy) =
-        (col("dsxx").cast(DoubleType), col("dsyy").cast(DoubleType), col("dsxy").cast(DoubleType))
-      g.select(col("l_returnflag"), col("n"),
+      val m = MomentCols
+      import m._
+      momentSums(s, d).select(col("l_returnflag"), col("n"),
           ((nD * sxy - sx * sy) / (nD * nD)).as("covar_pop"),
           ((nD * sxy - sx * sy) /
-            (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy))).as("corr"),
-          (sqrt(nD * sxx - sx * sx) / nD).as("stddev_qty"))
+            nullifZero(sqrt(varTermX) * sqrt(varTermY))).as("corr"),
+          (sqrt(varTermX) / nD).as("stddev_qty"))
         .orderBy("l_returnflag")
     }),
 
     // Least-squares fit price ~ quantity per returnflag from the same
     // sufficient statistics — regression as a single aggregation pass is
     // the classic MapReduce ML example (only the moment sums shuffle, the
-    // solve is per-group arithmetic). Exact-decimal sums → deterministic
-    // DOUBLE solve, op order mirrored by the oracle.
+    // solve is per-group arithmetic). A constant-x group yields NULL slope
+    // and intercept on both engines (nullifZero; NULL propagates).
     "agg_linear_fit" -> ((s, d) => {
-      val x = dec(col("l_quantity"), 18, 4)
-      val y = dec(col("l_extendedprice"), 18, 4)
-      val g = lineitem(s, d).groupBy("l_returnflag").agg(
-        count(lit(1)).as("n"),
-        sum(x).cast(DecimalType(38, 4)).as("dsx"),
-        sum(y).cast(DecimalType(38, 4)).as("dsy"),
-        sum(x * x).cast(DecimalType(38, 8)).as("dsxx"),
-        sum(x * y).cast(DecimalType(38, 8)).as("dsxy"))
-      val nD = col("n").cast(DoubleType)
-      val (sx, sy) = (col("dsx").cast(DoubleType), col("dsy").cast(DoubleType))
-      val (sxx, sxy) = (col("dsxx").cast(DoubleType), col("dsxy").cast(DoubleType))
-      val slope = (nD * sxy - sx * sy) / (nD * sxx - sx * sx)
-      g.select(col("l_returnflag"), col("n"),
+      val m = MomentCols
+      import m._
+      val slope = (nD * sxy - sx * sy) / nullifZero(varTermX)
+      momentSums(s, d).select(col("l_returnflag"), col("n"),
           slope.as("slope"),
           ((sy - slope * sx) / nD).as("intercept"))
         .orderBy("l_returnflag")
     })
   )
 
+  /** Per-returnflag exact-decimal sufficient statistics (n, Σx, Σy, Σx²,
+    * Σy², Σxy) for x = l_quantity, y = l_extendedprice — ONE partial+final
+    * hash aggregate shared by agg_corr_stats and agg_linear_fit so the
+    * Spark-vs-oracle token mirroring is maintained in exactly one place.
+    */
+  private def momentSums(s: SparkSession, d: String): DataFrame = {
+    val x = dec(col("l_quantity"), 18, 4)
+    val y = dec(col("l_extendedprice"), 18, 4)
+    lineitem(s, d).groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(x).cast(DecimalType(38, 4)).as("dsx"),
+      sum(y).cast(DecimalType(38, 4)).as("dsy"),
+      sum(x * x).cast(DecimalType(38, 8)).as("dsxx"),
+      sum(y * y).cast(DecimalType(38, 8)).as("dsyy"),
+      sum(x * y).cast(DecimalType(38, 8)).as("dsxy"))
+  }
+
+  /** DOUBLE renderings of [[momentSums]] columns + the shared guard forms. */
+  private object MomentCols {
+    import org.apache.spark.sql.Column
+    val nD: Column = col("n").cast(DoubleType)
+    val sx: Column = col("dsx").cast(DoubleType)
+    val sy: Column = col("dsy").cast(DoubleType)
+    val sxx: Column = col("dsxx").cast(DoubleType)
+    val syy: Column = col("dsyy").cast(DoubleType)
+    val sxy: Column = col("dsxy").cast(DoubleType)
+    /** n·Σx² − (Σx)², floored at 0: the exact value is ≥ 0, but the double
+      * rendering can round an ~0 variance fractionally negative — Spark's
+      * sqrt(-ε) is NaN while DuckDB ERRORS, so both sides clamp identically.
+      */
+    val varTermX: Column = greatest(nD * sxx - sx * sx, lit(0.0))
+    val varTermY: Column = greatest(nD * syy - sy * sy, lit(0.0))
+    /** NULL when zero (mirrors SQL nullif(x, 0)): x/NULL is NULL on both
+      * engines where bare x/0 diverges (Spark NaN vs DuckDB NULL).
+      */
+    def nullifZero(c: Column): Column = when(c =!= 0.0, c)
+  }
+
+  // Oracle mirror of [[momentSums]] — ONE definition for both stat queries.
+  // DECIMAL(28,4) product operands force DuckDB's int128 multiply path
+  // (18-digit operands overflow its int64 fast path on price²); the VALUES
+  // are identical — decimal arithmetic is exact at any declared width, and
+  // Spark's BigDecimal side needs no mirror change.
+  private val oMoments: String =
+    ("(SELECT l_returnflag, count(*) AS n, " +
+     s"${oDbl("CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4))")} AS sx, " +
+     s"${oDbl("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4))")} AS sy, " +
+     s"${oDbl("CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(28,4))) AS DECIMAL(38,8))")} AS sxx, " +
+     s"${oDbl("CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4))) AS DECIMAL(38,8))")} AS syy, " +
+     s"${oDbl("CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4))) AS DECIMAL(38,8))")} AS sxy " +
+     "FROM lineitem GROUP BY l_returnflag)")
+
+  private val oNd = "CAST(n AS DOUBLE)"
+  // mirrors MomentCols.varTermX/Y (greatest-0 clamp) and nullifZero
+  private val oVarX = s"greatest($oNd * sxx - sx * sx, 0)"
+  private val oVarY = s"greatest($oNd * syy - sy * sy, 0)"
+
   val oracles: Map[String, String] = Map(
     // identical closed-form moment arithmetic on the oDbl renderings of the
-    // same exact decimal sums — op order mirrors the Spark expressions
-    "agg_corr_stats" -> {
-      val nd = "CAST(n AS DOUBLE)"
+    // same exact decimal sums — op order mirrors the Spark expressions,
+    // including the zero-variance NULL guards
+    "agg_corr_stats" ->
       ("SELECT l_returnflag, n, " +
-       s"($nd * sxy - sx * sy) / ($nd * $nd) AS covar_pop, " +
-       s"($nd * sxy - sx * sy) / (sqrt($nd * sxx - sx * sx) * sqrt($nd * syy - sy * sy)) AS corr, " +
-       s"sqrt($nd * sxx - sx * sx) / $nd AS stddev_qty FROM " +
-       "(SELECT l_returnflag, count(*) AS n, " +
-       s"${oDbl("CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4))")} AS sx, " +
-       s"${oDbl("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4))")} AS sy, " +
-       // DECIMAL(28,4) product operands force DuckDB's int128 multiply path
-       // (18-digit operands overflow its int64 fast path on price²); the
-       // VALUES are identical — decimal arithmetic is exact at any declared
-       // width, and Spark's BigDecimal side needs no mirror change
-       s"${oDbl("CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(28,4))) AS DECIMAL(38,8))")} AS sxx, " +
-       s"${oDbl("CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4))) AS DECIMAL(38,8))")} AS syy, " +
-       s"${oDbl("CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4))) AS DECIMAL(38,8))")} AS sxy " +
-       "FROM lineitem GROUP BY l_returnflag) ORDER BY l_returnflag")
-    },
+       s"($oNd * sxy - sx * sy) / ($oNd * $oNd) AS covar_pop, " +
+       s"($oNd * sxy - sx * sy) / nullif(sqrt($oVarX) * sqrt($oVarY), 0) AS corr, " +
+       s"sqrt($oVarX) / $oNd AS stddev_qty " +
+       s"FROM $oMoments ORDER BY l_returnflag"),
 
     "agg_linear_fit" -> {
-      val nd = "CAST(n AS DOUBLE)"
-      val slope = s"($nd * sxy - sx * sy) / ($nd * sxx - sx * sx)"
+      val slope = s"($oNd * sxy - sx * sy) / nullif($oVarX, 0)"
       ("SELECT l_returnflag, n, " +
        s"$slope AS slope, " +
-       s"(sy - $slope * sx) / $nd AS intercept FROM " +
-       "(SELECT l_returnflag, count(*) AS n, " +
-       s"${oDbl("CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4))")} AS sx, " +
-       s"${oDbl("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4))")} AS sy, " +
-       s"${oDbl("CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(28,4))) AS DECIMAL(38,8))")} AS sxx, " +
-       s"${oDbl("CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4))) AS DECIMAL(38,8))")} AS sxy " +
-       "FROM lineitem GROUP BY l_returnflag) ORDER BY l_returnflag")
+       s"(sy - $slope * sx) / $oNd AS intercept " +
+       s"FROM $oMoments ORDER BY l_returnflag")
     },
 
     "agg_global" ->

@@ -24,9 +24,11 @@ object ProfScale {
     val docs = Tables.documents(spark, base)
     val n = docs.agg(max("doc_id")).head().getLong(0) + 1
     (0 until k).map { i =>
+      val prefix = s"copy$i " // n_chars adjusts by the ACTUAL prefix length
       docs.select((col("doc_id") + lit(i * n)).as("doc_id"),
-        concat(lit(s"copy$i "), col("text")).as("text"),
-        col("lang"), col("source"), (col("n_chars") + lit(6)).as("n_chars"))
+        concat(lit(prefix), col("text")).as("text"),
+        col("lang"), col("source"),
+        (col("n_chars") + lit(prefix.length)).as("n_chars"))
     }.reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$big/documents.parquet")
     // the dedup family only reads documents; symlink-free: point sfDir at big
@@ -42,8 +44,10 @@ object ProfScale {
     val targets = Seq("dedup_exact", "dedup_near_minhash", "dedup_ngram_jaccard",
       "dedup_cluster_jaccard", "dedup_cluster_cc", "dedup_simhash_pairs",
       "text_decontaminate", "text_tfidf_topk")
-    // warm both paths once with a cheap query
+    // warm BOTH corpora once with a cheap query (table-load/footer costs
+    // must not bias the first timed @kx entry)
     SparkEntry.queries("dedup_exact")(spark, base).count()
+    SparkEntry.queries("dedup_exact")(spark, big).count()
     targets.foreach { q =>
       time(s"$q @1x")(SparkEntry.queries(q)(spark, base).count())
       time(s"$q @${k}x")(SparkEntry.queries(q)(spark, big).count())

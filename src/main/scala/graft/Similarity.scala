@@ -215,9 +215,8 @@ object Similarity {
     // the frame actually persisted each round — release must target IT:
     // uncaching a projection OVER the cached plan is a silent no-op
     // (CacheManager matches sameResult plans only) and would leak one
-    // cached frame per round for the session's lifetime; free() also
-    // handles the localCheckpoint rounds, whose blocks Dataset.unpersist
-    // cannot reach
+    // cached frame per round for the session's lifetime. (Disk-spill rounds
+    // need no release at all — nothing is cached for them.)
     var cached = labels
     // Freed one round LATE (ADVICE.md): round N's frame is released only
     // after round N+1 has materialized — otherwise round N+1's first

@@ -179,10 +179,11 @@ object Streaming {
     * ordered-sequence state machine (view → click-at-or-after → purchase-at-
     * or-after) that EMITS a row the moment a user reaches a new stage —
     * live conversion tracking instead of a batch recount. State is three
-    * longs per user; a fully-converted user's state is removed immediately,
-    * and idle users are evicted by event-time timeout, so the store tracks
-    * only users still mid-funnel. Fed in event-time order, the emitted
-    * per-stage user counts equal the batch twin's (StreamingSpec pins this
+    * longs per user; converted users hold a tombstone until the idle
+    * event-time timeout evicts them (immediate removal would re-admit a
+    * returning user and emit duplicate stage rows), so the store tracks
+    * recent users only. Fed in event-time order, the emitted per-stage
+    * DISTINCT-user counts equal the batch twin's (StreamingSpec pins this
     * equivalence on the sf0.001 fixture).
     */
   def funnelStream(events: Dataset[EvtRow]): Dataset[StageReached] = {
@@ -216,12 +217,18 @@ object Streaming {
                 case _ => ()
               }
             }
-            if (st.t3Us != Unreached) state.remove() // converted: no more state
-            else {
-              state.update(st)
-              // idle eviction: a user silent for 7 days mid-funnel is dropped
-              state.setTimeoutTimestamp(lastUs / 1000L + 7L * 24 * 3600 * 1000)
-            }
+            // Converted users keep their state as a TOMBSTONE (t3 set → the
+            // guards match nothing further) until the idle timeout evicts
+            // it: removing state at conversion would let a later view
+            // restart the funnel and emit duplicate stage rows within the
+            // retention horizon. After eviction a returning user re-enters
+            // the funnel — the documented per-activity-epoch semantic; the
+            // batch twin is the exact global recount. Same horizon bounds
+            // the dual case: a user evicted mid-funnel loses their earlier
+            // stage timestamps (inherent to bounded streaming state).
+            state.update(st)
+            // idle eviction: a user silent for 7 days is dropped
+            state.setTimeoutTimestamp(lastUs / 1000L + 7L * 24 * 3600 * 1000)
             out.iterator
           }
       }
