@@ -62,7 +62,19 @@ object Similarity {
     * correct — it recomputes instead of crashing. A replaced-but-executed
     * construction can leak one bounded frame set (documented trade for a
     * bounded listener bus).
+    *
+    * Identity matching (`eq` on the analyzed subtree) is belt-and-braces
+    * guarded by a release-after-N-executions fallback: if a Spark upgrade
+    * ever re-instantiates analyzed subtrees (so the marker never matches),
+    * the listener still frees the frames and unregisters itself after
+    * [[ReleaseFallbackExecs]] unrelated executions — freeing early is always
+    * SAFE (lineage intact, worst case a recompute), so the fallback can only
+    * cost performance, never correctness. TextSimilaritySpec pins the
+    * observable contract: the persisted-block count returns to its baseline
+    * after the consuming action.
     */
+  private val ReleaseFallbackExecs = 64
+
   private def releaseAfterUse(tag: String, result: DataFrame, frames: Seq[DataFrame]): DataFrame = {
     val s = result.sparkSession
     val marker = result.queryExecution.analyzed
@@ -72,8 +84,10 @@ object Similarity {
         org.apache.spark.sql.util.QueryExecutionListener]]())
     val listener: org.apache.spark.sql.util.QueryExecutionListener =
       new org.apache.spark.sql.util.QueryExecutionListener {
+        private val execsSeen = new java.util.concurrent.atomic.AtomicInteger(0)
         private def maybe(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
-          if (qe.analyzed.exists(_ eq marker)) {
+          if (qe.analyzed.exists(_ eq marker) ||
+              execsSeen.incrementAndGet() >= ReleaseFallbackExecs) {
             frames.foreach(free)
             lm.unregister(this)
             perSession.synchronized {

@@ -184,7 +184,10 @@ object Streaming {
     * returning user and emit duplicate stage rows), so the store tracks
     * recent users only. Fed in event-time order, the emitted per-stage
     * DISTINCT-user counts equal the batch twin's (StreamingSpec pins this
-    * equivalence on the sf0.001 fixture).
+    * equivalence on the sf0.001 fixture, plus the exact-tie edge: equal-ts
+    * events process in stage order — see the sort key below — so a click
+    * tying its stage-setting view's timestamp still advances, exactly as
+    * the batch min(ts >= t) counts it).
     */
   def funnelStream(events: Dataset[EvtRow]): Dataset[StageReached] = {
     import events.sparkSession.implicits._
@@ -197,7 +200,14 @@ object Streaming {
         (uid: Long, it: Iterator[EvtRow], state: GroupState[FunnelUserState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val sorted = it.toSeq.sortBy(e => (epochUs(e.ts), e.event_id))
+            // Equal-ts events process in STAGE order (view < click <
+            // purchase), not event_id order: the batch twin's min(ts >= t)
+            // admits equality, so a click whose ts ties the stage-setting
+            // view must see t1 already set — sorting ties by arrival id
+            // would consume it a step early and miss the stage.
+            val stagePrio = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+            val sorted = it.toSeq.sortBy(e =>
+              (epochUs(e.ts), stagePrio.getOrElse(e.event_type, 3), e.event_id))
             var st = state.getOption.getOrElse(
               FunnelUserState(Unreached, Unreached, Unreached))
             val out = scala.collection.mutable.ArrayBuffer.empty[StageReached]

@@ -66,10 +66,15 @@ class PlanRegressionSpec extends AnyFunSuite {
 
   test("funnel stages push the event_type filter into each scan") {
     // every stage scans events with its stage predicate — a lost pushdown
-    // reads the full stream three times at 100 TB
+    // reads the full stream three times at 100 TB. Assert each stage value
+    // appears inside a PushedFilters list specifically (loose substring
+    // matching could match a residual post-scan Filter and hide the loss).
     val p = plan("funnel_stages")
-    assert(p.contains("EqualTo(event_type,view)") || p.contains("event_type), EqualTo"),
-      s"stage filter not pushed into scan:\n$p")
+    for (stage <- Seq("view", "click", "purchase")) {
+      val pushed = s"""PushedFilters: \\[[^\\]]*EqualTo\\(event_type,$stage\\)""".r
+      assert(pushed.findFirstIn(p).isDefined,
+        s"stage filter EqualTo(event_type,$stage) not in any PushedFilters list:\n$p")
+    }
   }
 
   test("tfidf corpus count rides a 1-row broadcast, not a shuffle") {

@@ -235,4 +235,30 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed == batch, s"stream $streamed vs batch $batch")
     } finally q.stop()
   }
+
+  test("funnel tie edge: equal-ts events advance stages regardless of event_id order") {
+    // The batch twin's min(ts >= t) admits equality, so a click (or
+    // purchase) whose ts exactly ties the prior stage's entry time counts —
+    // even when its event_id sorts BEFORE the stage-setting event. The
+    // stream processes equal-ts events in stage order to match (ADVICE.md).
+    val t = ts(30)
+    val input = MemoryStream[Streaming.EvtRow]
+    val q = Streaming.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel_tie").outputMode("append").start()
+    try {
+      input.addData(
+        // user 1: click's id sorts before the view it depends on, same ts
+        Streaming.EvtRow(2, t, 1, "view", 1.0),
+        Streaming.EvtRow(1, t, 1, "click", 1.0),
+        // user 2: all three stages at one ts, ids in reverse stage order
+        Streaming.EvtRow(5, t, 2, "purchase", 1.0),
+        Streaming.EvtRow(4, t, 2, "click", 1.0),
+        Streaming.EvtRow(3, t, 2, "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("funnel_tie").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == Set((1L, 1), (1L, 2), (2L, 1), (2L, 2), (2L, 3)),
+        s"tie semantics broken: $got")
+    } finally q.stop()
+  }
 }

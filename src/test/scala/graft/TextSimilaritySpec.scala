@@ -83,6 +83,24 @@ class TextSimilaritySpec extends AnyFunSuite {
       assert(cluster == find(doc), s"doc $doc: $cluster vs ${find(doc)}") }
   }
 
+  test("iteration caches release after the consuming action: block count returns to baseline") {
+    // The releaseAfterUse listener must actually DROP the persisted frames
+    // once the consuming action completes (ADVICE.md: result correctness
+    // alone would not catch a listener that silently never fires). The
+    // listener rides the async execution-listener bus, so poll briefly.
+    val sc = spark.sparkContext
+    def persisted = sc.getPersistentRDDs.size
+    for (name <- Seq("dedup_simhash_pairs", "dedup_cluster_cc")) {
+      val baseline = persisted
+      q(name).count() // consuming action → listener fires → frames freed
+      val deadline = System.currentTimeMillis() + 30000
+      while (persisted > baseline && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(persisted <= baseline,
+        s"$name left ${persisted - baseline} cached frame(s) after its action")
+    }
+  }
+
   test("jaccard pairs all meet the 0.5 threshold, symmetric-free (a<b)") {
     val rows = q("dedup_ngram_jaccard").collect()
     rows.foreach { r =>
