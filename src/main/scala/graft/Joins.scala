@@ -205,6 +205,37 @@ object Joins {
         .orderBy("signup_id", "purchase_id")
     }),
 
+    "join_range_bucketed" -> ((s, d) => {
+      // PURE range join (no equi key) made shuffle-joinable: a naive
+      // point-in-interval join plans BroadcastNestedLoopJoin — quadratic
+      // work and a broadcast of a whole side, the first plan to die at
+      // 100 TB. Fixed-grid bucketing is the standard scale fix: bin both
+      // sides by a width-W grid (W = the interval width, so each interval
+      // covers <= 2 buckets), explode intervals to their covered buckets,
+      // equi-join on the bucket id, then refine with the exact range
+      // predicate. Both sides hash-partition by bucket — an ordinary
+      // shuffle join, per-interval replication bounded by width/W + 1.
+      // Each point lives in exactly ONE bucket, so no pair dedup is needed.
+      // All bucket math is IEEE double (floor(x / 100.0)) — bit-identical
+      // in DuckDB, though the oracle needs none of it (it states the plain
+      // range join; bucketing must be result-invariant).
+      val W = 100.0
+      val ivals = orders(s, d).filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") - 50.0).as("lo"),
+          (col("o_totalprice") + 50.0).as("hi"))
+        .withColumn("bucket", explode(sequence(
+          floor(col("lo") / W).cast(LongType), floor(col("hi") / W).cast(LongType))))
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          floor(col("l_extendedprice") / W).cast(LongType).as("bucket"))
+        .join(ivals, "bucket")
+        .where(col("l_extendedprice") >= col("lo") && col("l_extendedprice") <= col("hi"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"), countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy("o_orderkey")
+    }),
+
     "join_asof" -> (asofJoin _),
 
     "join_asof_forward" -> (asofJoinForward _),
@@ -302,6 +333,13 @@ object Joins {
        "JOIN events p ON p.user_id = s.user_id AND s.event_type = 'signup' AND p.event_type = 'purchase' " +
        "AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR " +
        "ORDER BY signup_id, purchase_id"),
+
+    "join_range_bucketed" ->
+      ("SELECT o.o_orderkey, count(*) AS n_items, count(DISTINCT l.l_orderkey) AS n_orders " +
+       "FROM orders o JOIN lineitem l " +
+       "ON l.l_extendedprice >= o.o_totalprice - 50.0 AND l.l_extendedprice <= o.o_totalprice + 50.0 " +
+       "WHERE o.o_orderkey % 100 = 0 " +
+       "GROUP BY o.o_orderkey ORDER BY o.o_orderkey"),
 
     "join_asof" ->
       ("SELECT event_id, o_orderkey AS asof_orderkey, o_orderdate AS asof_date FROM " +

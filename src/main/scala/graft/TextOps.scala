@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Det._
@@ -54,6 +55,11 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Tokens per packed training sequence (pack_sequences). */
+  val PackSeqLen = 512
+  /** Independent packing shards (pack_sequences) — the parallelism knob. */
+  val PackShards = 8
+
   val queries: Map[String, Q] = Map(
     "text_wordcount" -> ((s, d) =>
       documents(s, d)
@@ -61,6 +67,49 @@ object TextOps {
         .groupBy("word")
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word").asc)),
+
+    // Training-sequence packing: concatenate documents into fixed-length
+    // token streams (the LLM pretraining "pack then chunk" step) and report
+    // per-bin fill. A single GLOBAL running sum would serialize the corpus
+    // through one partition — instead docs shard deterministically by
+    // doc_id % PackShards and each shard packs independently (window
+    // running-sum per shard), so parallelism = shard count and each shard's
+    // stream is contiguous. A doc starts at its shard-stream offset
+    // (exclusive running sum); its bin is that offset's PackSeqLen-chunk —
+    // docs may straddle a boundary, exactly like real token packing.
+    "pack_sequences" -> ((s, d) => {
+      val byDoc = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      documents(s, d)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(PackShards.toLong)).as("shard"),
+          size(toks(col("text"))).cast(LongType).as("n_tok"))
+        .withColumn("off", coalesce(sum("n_tok").over(byDoc), lit(0L)))
+        .withColumn("bin", expr(s"off div $PackSeqLen"))
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").cast(LongType).as("total_tokens"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("shard", "bin")
+    }),
+
+    // Context-window chunking with overlap: each doc's token stream splits
+    // into chunks of 64 tokens at stride 48 (16-token overlap) — the RAG /
+    // eval-context preparation step. Pure map-side generate: sequence() of
+    // chunk ids + slice() of the token array, no shuffle at all until the
+    // final presentation sort; at 100 TB this is embarrassingly parallel.
+    "chunk_overlap" -> ((s, d) => {
+      val (c, st) = (64, 48)
+      documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .withColumn("n", size(col("tk")).cast(LongType))
+        .withColumn("chunk_id", explode(expr(
+          s"sequence(0L, greatest(cast(ceil((n - $c) / $st.0) as bigint), 0L))")))
+        .select(col("doc_id"), col("chunk_id"),
+          (col("chunk_id") * st + 1).as("start"),
+          least(lit(c.toLong), col("n") - (col("chunk_id") * st + 1) + 1).as("n_chunk_toks"),
+          concat_ws(" ", slice(col("tk"), (col("chunk_id") * st + 1).cast(IntegerType), lit(c)))
+            .as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    }),
 
     "text_grep" -> ((s, d) =>
       documents(s, d)
@@ -214,6 +263,27 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "pack_sequences" ->
+      ("WITH t AS (SELECT doc_id, doc_id % 8 AS shard, " +
+       "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+       "c AS (SELECT doc_id, shard, n_tok, CAST(coalesce(sum(n_tok) OVER (" +
+       "PARTITION BY shard ORDER BY doc_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off FROM t) " +
+       "SELECT shard, off // 512 AS bin, count(*) AS n_docs, " +
+       "CAST(sum(n_tok) AS BIGINT) AS total_tokens, " +
+       "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
+       "FROM c GROUP BY shard, bin ORDER BY shard, bin"),
+
+    "chunk_overlap" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+       "n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t), " +
+       "k AS (SELECT doc_id, tk, n, unnest(range(0, " +
+       "greatest(CAST(ceil((n - 64) / 48.0) AS BIGINT), 0) + 1)) AS chunk_id FROM n) " +
+       "SELECT doc_id, chunk_id, chunk_id * 48 + 1 AS start, " +
+       "least(64, n - (chunk_id * 48 + 1) + 1) AS n_chunk_toks, " +
+       "array_to_string(tk[(chunk_id * 48 + 1):(chunk_id * 48 + 64)], ' ') AS chunk_text " +
+       "FROM k ORDER BY doc_id, chunk_id"),
+
     // marker-count language ID is all-integer + CASE — fully SQL-expressible
     "text_langid" ->
       ("SELECT doc_id, " +

@@ -77,6 +77,25 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed range join is an equi-join on the grid, never a nested loop") {
+    // the whole point of the fixed-grid binning: a pure range join that
+    // plans as a hash equi-join on bucket id — BNLJ/cartesian here means
+    // the bucketing was optimized away or mis-specified
+    val p = plan("join_range_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"range join fell back to BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"range join went cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"no equi-join on bucket found:\n$p")
+  }
+
+  test("chunk_overlap generates map-side only (no shuffle before the final sort)") {
+    // chunking is embarrassingly parallel: one scan, generate/explode, one
+    // range exchange for the presentation orderBy — any hashpartitioning
+    // exchange means an accidental aggregation or join crept in
+    val p = plan("chunk_overlap")
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+  }
+
   test("tfidf corpus count rides a 1-row broadcast, not a shuffle") {
     val p = plan("text_tfidf_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
