@@ -61,6 +61,35 @@ object Etl {
       rowChecks.crossJoin(pkDupes).crossJoin(fkViolations)
     }),
 
+    "etl_compact_small_files" -> ((s, d) => {
+      // Small-files compaction — the table-maintenance pass every long-
+      // lived 100 TB table needs: streaming/micro-batch ingestion leaves
+      // thousands of KB-sized files whose per-file open/footer cost comes
+      // to dominate scans. Rewrite N small files into few target-sized
+      // ones (here coalesce(2); a production job sizes by
+      // spark.sql.files.maxRecordsPerFile or total-bytes/128MB) and prove
+      // the data survived byte-for-byte via the re-read aggregate. File
+      // counts are driver-side FS metadata — O(files), not O(data).
+      // Writes run eagerly at construction time, same contract as
+      // etl_backfill_partition below.
+      val smallDir = Sources.tmp("docs_smallfiles", d)
+      val bigDir = Sources.tmp("docs_compacted", d)
+      documents(s, d).repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(smallDir)
+      s.read.parquet(smallDir).coalesce(2)
+        .write.mode(SaveMode.Overwrite).parquet(bigDir)
+      def nFiles(p: String): Long = {
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(path).count(_.getPath.getName.endsWith(".parquet")).toLong
+      }
+      s.read.parquet(bigDir)
+        .agg(count(lit(1)).as("n_rows"), lsum(col("n_chars")).as("sum_chars"))
+        .select(lit(nFiles(smallDir)).as("n_files_before"),
+          lit(nFiles(bigDir)).as("n_files_after"),
+          col("n_rows"), col("sum_chars"))
+    }),
+
     "etl_backfill_partition" -> ((s, d) => {
       // Dynamic partition overwrite — the production backfill primitive:
       // restate ONE partition (yr=1997, prices doubled) in place without
@@ -115,6 +144,10 @@ object Etl {
        s"(SELECT o_custkey AS c_custkey, ${oDsumx2("o_totalprice")} AS open_total " +
        "FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey) ch " +
        "USING (c_custkey) ORDER BY c_custkey"),
+
+    "etl_compact_small_files" ->
+      ("SELECT CAST(32 AS BIGINT) AS n_files_before, CAST(2 AS BIGINT) AS n_files_after, " +
+       s"count(*) AS n_rows, ${oLsum("n_chars")} AS sum_chars FROM documents"),
 
     "etl_backfill_partition" ->
       ("SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n, " +

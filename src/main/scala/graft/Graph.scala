@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Iterative graph analytics over the order graph: PageRank on the
+  * customer–supplier bipartite graph (edge = customer c bought from
+  * supplier s, via orders ⋈ lineitem), made undirected so every node has
+  * degree >= 1 and no dangling-mass correction is needed.
+  *
+  * Scale shape: the per-iteration step is one equi-join (edges ⋈ ranks on
+  * src) + one hash aggregation (sum of contributions by dst) — O(edges)
+  * rows shuffled per round, the same bounded-state iteration contract as
+  * [[Similarity.labelPropagate]]. Edges (with degree attached) are computed
+  * once and persisted; the rank frame is O(nodes). A fixed iteration count
+  * keeps the lineage bounded (3 rounds — no checkpoint needed; a longer
+  * run would spill to parquet every ~3 rounds exactly like labelPropagate).
+  *
+  * Determinism (rule D5): ranks are scaled BIGINT micro-units with
+  * truncating integer division — r' = 150000 + (85 * Σ_u (r_u div deg_u))
+  * div 100, i.e. damping 0.85 and a per-node base of 0.15 in units of 1e-6.
+  * Every operand is non-negative, where Spark's `div` (truncate) and
+  * DuckDB's `//` (floor) agree, so the result is bit-identical
+  * cross-engine — no float summation order to worry about. Overflow head-
+  * room: Σ ranks <= nodes * 1e6, times 85 — safely inside int64 up to
+  * ~1e11 nodes.
+  */
+object Graph {
+  type Q = (SparkSession, String) => DataFrame
+
+  val Iterations = 3
+
+  /** Customer–supplier edges, symmetric, with the source degree attached:
+    * (src, dst, deg). Node ids: customer c → 2c, supplier s → 2s+1.
+    */
+  private def edgesWithDeg(s: SparkSession, d: String): DataFrame = {
+    val e0 = orders(s, d)
+      .join(lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    e.join(deg, "src")
+  }
+
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    val edges = edgesWithDeg(s, d).persist()
+    var ranks = edges.select(col("src").as("node")).distinct()
+      .withColumn("pr", lit(1000000L))
+    for (_ <- 1 to Iterations) {
+      ranks = edges.join(ranks, edges("src") === ranks("node"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy("dst")
+        .agg(sum("c").as("in_mass"))
+        .select(col("dst").as("node"),
+          expr("150000L + (85L * in_mass) div 100L").as("pr"))
+    }
+    val result = ranks.orderBy("node")
+    // edges unpersists lazily after the consuming action would be ideal;
+    // a blocking=false unpersist here is safe (lineage intact, the final
+    // plan re-reads the base tables if blocks are already gone).
+    edges.unpersist(blocking = false)
+    result
+  }
+
+  val queries: Map[String, Q] = Map(
+    "graph_pagerank" -> (pagerank _)
+  )
+
+  /** The oracle unrolls the same three integer-exact iterations as chained
+    * CTEs (DuckDB has no loops; the chain is generated, not hand-written).
+    */
+  private def oraclePagerank: String = {
+    val base =
+      "WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst " +
+      "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey), " +
+      "e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), " +
+      "dg AS (SELECT src, count(*) AS deg FROM e GROUP BY src), " +
+      "r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM dg)"
+    val iters = (1 to Iterations).map { i =>
+      s"r$i AS (SELECT e.dst AS node, 150000 + (85 * sum(r${i - 1}.pr // dg.deg)) // 100 AS pr " +
+      s"FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node JOIN dg ON e.src = dg.src " +
+      "GROUP BY e.dst)"
+    }.mkString(", ", ", ", " ")
+    base + iters +
+      s"SELECT node, CAST(pr AS BIGINT) AS pr FROM r$Iterations ORDER BY node"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> oraclePagerank
+  )
+}

@@ -46,7 +46,7 @@ class ContractSpec extends AnyFunSuite {
 
   test("every multi-row oracle carries an ORDER BY (rule D1)") {
     // single-row global aggregates are exempt (no row order to pin)
-    val singleRow = Set("agg_global", "etl_dq_checks")
+    val singleRow = Set("agg_global", "etl_dq_checks", "etl_compact_small_files")
     val unordered = SparkEntry.oracleSql.collect {
       case (k, sql) if !singleRow.contains(k) && !sql.toUpperCase.contains("ORDER BY") => k
     }
