@@ -96,6 +96,21 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
   }
 
+  test("bm25 probe terms ride a broadcast; top-5 prunes map-side (WindowGroupLimit)") {
+    // the probe/query side is small by definition — shuffling the corpus tf
+    // table against it would be the 100 TB regression; the per-query top-5
+    // must prune before the window shuffle, not sort whole partitions
+    val p = plan("text_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-5 lost map-side pruning:\n$p")
+  }
+
+  test("pagerank iterations stay equi-joins, never nested-loop") {
+    val p = plan("graph_pagerank")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"pagerank join degenerated:\n$p")
+  }
+
   test("tfidf corpus count rides a 1-row broadcast, not a shuffle") {
     val p = plan("text_tfidf_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

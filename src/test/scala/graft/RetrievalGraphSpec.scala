@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import TestSpark.{spark, Sf0001}
+
+/** Semantic checks for the round-5 retrieval/graph/packing operators —
+  * properties the cell-exact DuckDB oracles can't express (monotonicity,
+  * coverage, conservation).
+  */
+class RetrievalGraphSpec extends AnyFunSuite {
+  private def q(name: String) = SparkEntry.queries(name)(spark, Sf0001)
+
+  test("pagerank: deterministic, mass bounded, hubs outrank leaves") {
+    val a = q("graph_pagerank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = q("graph_pagerank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq)
+    // every rank >= the base mass and below the theoretical ceiling
+    assert(a.forall { case (_, pr) => pr >= 150000L && pr <= a.length.toLong * 1000000L })
+    // the bipartite graph has ~25 suppliers vs ~150 customers, so suppliers
+    // concentrate degree — the top-ranked node must be a supplier (odd id)
+    val top = a.maxBy(_._2)
+    assert(top._1 % 2 == 1, s"top node ${top._1} is not a supplier")
+  }
+
+  test("bm25: scores non-increasing per query, every hit shares a term, rn dense") {
+    val rows = q("text_bm25_topk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val byRn = rs.sortBy(_._2)
+      assert(byRn.map(_._2).toSeq == (1 to byRn.length).toSeq, s"query $qid rn not dense")
+      assert(byRn.sliding(2).forall(w => w.length < 2 || w(0)._4 >= w(1)._4),
+        s"query $qid scores increase with rank")
+      assert(rs.forall(_._5 >= 1), s"query $qid hit with zero shared terms")
+    }
+  }
+
+  test("pack_sequences: token totals conserved, bins dense per shard") {
+    val rows = q("pack_sequences").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val corpusTokens = Tables.documents(spark, Sf0001)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(rows.map(_._4).sum == corpusTokens, "packed token total != corpus total")
+    val corpusDocs = Tables.documents(spark, Sf0001).count()
+    assert(rows.map(_._3).sum == corpusDocs, "packed doc total != corpus count")
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      val bins = rs.map(_._2).sorted
+      assert(bins.toSeq == (0L until bins.length).toSeq, s"shard $shard bins not dense")
+    }
+  }
+
+  test("chunk_overlap: stride-48 chunks cover every token exactly once per 64-window") {
+    val rows = q("chunk_overlap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val nTok = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      val n = nTok(doc)
+      val byId = rs.sortBy(_._2)
+      assert(byId.map(_._2).toSeq == (0L until byId.length).toSeq, s"doc $doc chunk ids not dense")
+      val last = byId.last
+      assert(last._3 + 64 - 1 >= n, s"doc $doc tail tokens uncovered")
+      byId.foreach { case (_, _, start, len, text) =>
+        assert(len == math.min(64L, n - start + 1), s"doc $doc bad chunk length")
+        assert(text.split(" ").length.toLong == len, s"doc $doc text/len mismatch")
+      }
+    }
+  }
+}
