@@ -19,6 +19,26 @@ import Tables._
 object Etl {
   type Q = (SparkSession, String) => DataFrame
 
+  /** 16-bit Morton spread (bits of x interleave into even positions),
+    * generated for either engine: classic magic-mask bit spreading, four
+    * shift-or-mask rounds, all BIGINT — bit-identical everywhere.
+    * `shl(e, k)` renders a left shift (Spark `shiftleft(e, k)`,
+    * DuckDB `(e << k)`).
+    */
+  private def spreadBits(e: String, shl: (String, Int) => String): String = {
+    val rounds = Seq(8 -> 0x00FF00FFL, 4 -> 0x0F0F0F0FL, 2 -> 0x33333333L, 1 -> 0x55555555L)
+    rounds.foldLeft(s"($e & 65535)") { case (cur, (k, mask)) =>
+      s"(($cur | ${shl(cur, k)}) & $mask)"
+    }
+  }
+
+  /** 32-bit Morton code of (a, b): a in even bits, b in odd. */
+  private def morton(a: String, b: String, shl: (String, Int) => String): String =
+    s"(${spreadBits(a, shl)} | ${shl(spreadBits(b, shl), 1)})"
+
+  private val sparkShl: (String, Int) => String = (e, k) => s"shiftleft($e, $k)"
+  private val duckShl: (String, Int) => String = (e, k) => s"($e << $k)"
+
   val queries: Map[String, Q] = Map(
     // Upsert: customers with an open order get their acctbal "restated" (a
     // deterministic change batch); everyone else keeps their row. Output =
@@ -59,6 +79,55 @@ object Etl {
         .join(orders(s, d), col("l_orderkey") === col("o_orderkey"), "left_anti")
         .agg(count(lit(1)).as("fk_violations"))
       rowChecks.crossJoin(pkDupes).crossJoin(fkViolations)
+    }),
+
+    "etl_zorder_cluster" -> ((s, d) => {
+      // Z-order (Morton) clustering — the multi-column data-layout answer
+      // to "filters come on l_partkey OR l_suppkey, but a sort can only
+      // serve one": interleaving the key bits makes rows close in EITHER
+      // key land close in the Z order, so row-group min/max stats stay
+      // tight on BOTH columns and scans prune whichever predicate arrives.
+      // A production writer would repartitionByRange(z) +
+      // sortWithinPartitions(z) before the parquet sink; this operator
+      // materializes the layout proof instead: per Z-bucket (the rows one
+      // row group would hold) the (partkey, suppkey) bounding boxes — the
+      // exact min/max a parquet footer would carry. RetrievalGraphSpec
+      // asserts the boxes tile the key space (total area << global box
+      // area × bucket count). Bit math is four magic-mask spread rounds on
+      // BIGINT, identical in DuckDB.
+      val z = morton("l_partkey", "l_suppkey", sparkShl)
+      lineitem(s, d)
+        .withColumn("zbucket", expr(s"shiftright($z, 12)"))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n"),
+          min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+          min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+        .orderBy("zbucket")
+    }),
+
+    "etl_incremental_agg" -> ((s, d) => {
+      // Incremental view maintenance by ALGEBRAIC MERGE: the running
+      // per-customer order aggregate is kept as partial states
+      // (count, exact-decimal sum) and a new day/batch merges by
+      // re-aggregating state ∪ delta-partials — never rescanning history.
+      // That is the contract that makes a 100 TB rolling aggregate
+      // maintainable (and it is exactly Spark's own partial-agg shape,
+      // lifted to table granularity). count/sum are algebraic so the
+      // merged result must equal the full recompute — the oracle IS the
+      // full recompute over all of orders, proving the merge lossless.
+      // Sums stay DECIMAL through both levels (exact, order-insensitive);
+      // only the final output casts to DOUBLE (rule D2).
+      val o = orders(s, d)
+      val cut = "1997-01-01"
+      def partials(df: DataFrame): DataFrame = df.groupBy("o_custkey")
+        .agg(count(lit(1)).as("pn"), dsumx2(col("o_totalprice")).as("pt"))
+      val state = partials(o.filter(col("o_orderdate") < lit(cut)))
+      val delta = partials(o.filter(col("o_orderdate") >= lit(cut)))
+      state.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(sum("pn").cast(LongType).as("n_orders"),
+          sum("pt").cast(DoubleType).as("total_price"))
+        .orderBy("o_custkey")
     }),
 
     "etl_compact_small_files" -> ((s, d) => {
@@ -144,6 +213,18 @@ object Etl {
        s"(SELECT o_custkey AS c_custkey, ${oDsumx2("o_totalprice")} AS open_total " +
        "FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey) ch " +
        "USING (c_custkey) ORDER BY c_custkey"),
+
+    "etl_zorder_cluster" ->
+      (s"SELECT ${morton("l_partkey", "l_suppkey", duckShl)} >> 12 AS zbucket, " +
+       "count(*) AS n, " +
+       "min(l_partkey) AS min_part, max(l_partkey) AS max_part, " +
+       "min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp " +
+       "FROM lineitem GROUP BY zbucket ORDER BY zbucket"),
+
+    "etl_incremental_agg" ->
+      ("SELECT o_custkey, count(*) AS n_orders, " +
+       s"${oDsum2("o_totalprice")} AS total_price " +
+       "FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
 
     "etl_compact_small_files" ->
       ("SELECT CAST(32 AS BIGINT) AS n_files_before, CAST(2 AS BIGINT) AS n_files_after, " +

@@ -51,6 +51,24 @@ class RetrievalGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("zorder buckets are tight dyadic boxes, not global-width stripes") {
+    // each Z-bucket (morton >> 12) is a rectangle in (partkey, suppkey)
+    // space; clustering is real iff the per-bucket bounding boxes tile the
+    // global box instead of each spanning it — that tiling is exactly why
+    // parquet min/max stats prune on EITHER key after a Z-order write. An
+    // unclustered layout would put ~the global box in every bucket
+    // (sum ≈ buckets × global); Z-order keeps the sum within ~2× global.
+    val rows = q("etl_zorder_cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length > 1, "need multiple buckets for a tiling claim")
+    val boxSum = rows.map(r => (r._4 - r._3 + 1) * (r._6 - r._5 + 1)).sum
+    val global = (rows.map(_._4).max - rows.map(_._3).min + 1) *
+      (rows.map(_._6).max - rows.map(_._5).min + 1)
+    assert(boxSum <= 2 * global,
+      s"bucket boxes sum to $boxSum vs global $global — no locality")
+  }
+
   test("chunk_overlap: stride-48 chunks cover every token exactly once per 64-window") {
     val rows = q("chunk_overlap").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
