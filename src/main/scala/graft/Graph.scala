@@ -46,7 +46,18 @@ object Graph {
   }
 
   def pagerank(s: SparkSession, d: String): DataFrame = {
-    val edges = edgesWithDeg(s, d).persist()
+    // The edge list is referenced once per iteration plus once for the
+    // rank seed — spill it to parquet ONCE and read it back, so the
+    // unrolled plan scans a small materialized file instead of recomputing
+    // the orders ⋈ lineitem join per reference (a persist() here would
+    // either leak past the query or, unpersisted before the action, drop
+    // the blocks the plan still needs — the exact trap labelPropagate's
+    // spill-every-3-rounds avoids). The write runs eagerly at construction
+    // time, same contract as the Etl sink operators.
+    val path = Sources.tmpUnique("pr_edges")
+    edgesWithDeg(s, d).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    val edges = s.read.parquet(path)
     var ranks = edges.select(col("src").as("node")).distinct()
       .withColumn("pr", lit(1000000L))
     for (_ <- 1 to Iterations) {
@@ -57,12 +68,7 @@ object Graph {
         .select(col("dst").as("node"),
           expr("150000L + (85L * in_mass) div 100L").as("pr"))
     }
-    val result = ranks.orderBy("node")
-    // edges unpersists lazily after the consuming action would be ideal;
-    // a blocking=false unpersist here is safe (lineage intact, the final
-    // plan re-reads the base tables if blocks are already gone).
-    edges.unpersist(blocking = false)
-    result
+    ranks.orderBy("node")
   }
 
   val queries: Map[String, Q] = Map(
