@@ -31,9 +31,29 @@ object ProfScale {
         (col("n_chars") + lit(prefix.length)).as("n_chars"))
     }.reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$big/documents.parquet")
-    // the dedup family only reads documents; symlink-free: point sfDir at big
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "embeddings").foreach { t =>
+    // orders/lineitem replicate k× too (round 5): order keys offset so the
+    // join graph grows, CUSTOMER keys offset so pagerank's node/edge count
+    // actually scales (same-key copies would collapse in the DISTINCT edge
+    // list), and prices shift per copy so the range join's interval matches
+    // grow ~k× rather than k² from pure duplication.
+    val ord = Tables.orders(spark, base)
+    val li = Tables.lineitem(spark, base)
+    val nOrd = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+    val nCust = ord.agg(max("o_custkey")).head().getLong(0) + 1
+    (0 until k).map { i =>
+      ord.select((col("o_orderkey") + lit(i * nOrd)).as("o_orderkey"),
+        (col("o_custkey") + lit(i * nCust)).as("o_custkey"),
+        col("o_orderstatus"), (col("o_totalprice") + lit(i * 7.0)).as("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    }.reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$big/orders.parquet")
+    (0 until k).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * nOrd))
+        .withColumn("l_extendedprice", col("l_extendedprice") + lit(i * 7.0))
+    }.reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$big/lineitem.parquet")
+    Seq("region", "nation", "customer", "supplier", "part",
+        "events", "embeddings").foreach { t =>
       spark.read.parquet(s"$base/$t.parquet")
         .write.mode(SaveMode.Overwrite).parquet(s"$big/$t.parquet")
     }
@@ -43,7 +63,11 @@ object ProfScale {
     }
     val targets = Seq("dedup_exact", "dedup_near_minhash", "dedup_ngram_jaccard",
       "dedup_cluster_jaccard", "dedup_cluster_cc", "dedup_simhash_pairs",
-      "text_decontaminate", "text_tfidf_topk")
+      "text_decontaminate", "text_tfidf_topk",
+      // round-5 heavies: iterative graph, retrieval scoring, packing,
+      // chunking, and the bucketed pure range join
+      "graph_pagerank", "text_bm25_topk", "pack_sequences", "chunk_overlap",
+      "join_range_bucketed")
     // warm BOTH corpora once with a cheap query (table-load/footer costs
     // must not bias the first timed @kx entry)
     SparkEntry.queries("dedup_exact")(spark, base).count()
