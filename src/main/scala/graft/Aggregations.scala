@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Det._
@@ -127,6 +128,23 @@ object Aggregations {
           expr("bool_and(l_quantity > 0)").as("all_positive_qty"),
           expr("bool_or(l_tax > 0.07)").as("any_high_tax"))
         .orderBy("l_returnflag")),
+
+    "agg_mode" -> ((s, d) => {
+      // Deterministic mode: both engines' built-in mode() leaves ties
+      // unspecified, so the portable form is count + rank with an explicit
+      // tie-break (cnt desc, value asc). Two hash aggregations + one
+      // per-group window over the tiny distinct-value frame — the heavy
+      // input reduces map-side before anything shuffles.
+      val counts = orders(s, d)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"), col("cnt"))
+        .orderBy("o_orderstatus")
+    }),
 
     "agg_approx_quantile" -> ((s, d) =>
       // KLL/GK-style sketch percentiles — mergeable, bounded memory: the
@@ -327,6 +345,14 @@ object Aggregations {
        "bool_and(l_quantity > 0) AS all_positive_qty, " +
        "bool_or(l_tax > 0.07) AS any_high_tax " +
        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "agg_mode" ->
+      ("SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt FROM " +
+       "(SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, " +
+       "row_number() OVER (PARTITION BY o_orderstatus " +
+       "ORDER BY count(*) DESC, o_orderpriority ASC) AS rn " +
+       "FROM orders GROUP BY 1, 2) " +
+       "WHERE rn = 1 ORDER BY o_orderstatus"),
 
     "agg_rollup" ->
       ("SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation, " +

@@ -81,6 +81,30 @@ object Etl {
       rowChecks.crossJoin(pkDupes).crossJoin(fkViolations)
     }),
 
+    "etl_date_spine" -> ((s, d) => {
+      // Calendar-spine gap fill — the time-series scaffolding step every
+      // reporting/feature pipeline needs: a month spine per customer from
+      // their first to last order month, LEFT-joined to actual monthly
+      // counts, gaps zero-filled (a groupBy alone silently drops empty
+      // months, corrupting windows/moving averages downstream). The spine
+      // generates from per-customer (min, max) bounds — sequence() +
+      // explode, O(active months) rows, never a cartesian with a global
+      // calendar. Bounded to custkey < 100 to keep the demo output small;
+      // the shape is cardinality-independent.
+      val monthly = orders(s, d).filter(col("o_custkey") < 100)
+        .groupBy(col("o_custkey"),
+          to_date(date_trunc("month", col("o_orderdate"))).as("mo"))
+        .agg(count(lit(1)).as("n_orders"))
+      val spine = monthly.groupBy("o_custkey")
+        .agg(min("mo").as("lo"), max("mo").as("hi"))
+        .select(col("o_custkey"),
+          explode(expr("sequence(lo, hi, interval 1 month)")).as("mo"))
+      spine.join(monthly, Seq("o_custkey", "mo"), "left")
+        .select(col("o_custkey"), col("mo"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("o_custkey", "mo")
+    }),
+
     "etl_zorder_cluster" -> ((s, d) => {
       // Z-order (Morton) clustering — the multi-column data-layout answer
       // to "filters come on l_partkey OR l_suppkey, but a sort can only
@@ -213,6 +237,16 @@ object Etl {
        s"(SELECT o_custkey AS c_custkey, ${oDsumx2("o_totalprice")} AS open_total " +
        "FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey) ch " +
        "USING (c_custkey) ORDER BY c_custkey"),
+
+    "etl_date_spine" ->
+      ("WITH m AS (SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS mo, " +
+       "count(*) AS n_orders FROM orders WHERE o_custkey < 100 GROUP BY 1, 2), " +
+       "b AS (SELECT o_custkey, min(mo) AS lo, max(mo) AS hi FROM m GROUP BY 1), " +
+       "sp AS (SELECT o_custkey, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), " +
+       "CAST(hi AS TIMESTAMP), INTERVAL 1 MONTH)) AS DATE) AS mo FROM b) " +
+       "SELECT sp.o_custkey, sp.mo, coalesce(m.n_orders, 0) AS n_orders " +
+       "FROM sp LEFT JOIN m ON m.o_custkey = sp.o_custkey AND m.mo = sp.mo " +
+       "ORDER BY sp.o_custkey, sp.mo"),
 
     "etl_zorder_cluster" ->
       (s"SELECT ${morton("l_partkey", "l_suppkey", duckShl)} >> 12 AS zbucket, " +

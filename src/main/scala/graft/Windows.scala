@@ -113,6 +113,28 @@ object Windows {
           (lead(col("us"), 1).over(w) - col("us")).as("next_us"))
         .where(col("gap_us").isNotNull && col("next_us").isNotNull)
         .orderBy("user_id", "event_id")
+    }),
+
+    "window_running_distinct" -> ((s, d) => {
+      // Cumulative DISTINCT count ("event types seen so far" per user) —
+      // count(DISTINCT) isn't a supported window aggregate in either
+      // engine, so the portable (and scalable) form is the two-window
+      // decomposition: flag each (user, type)'s FIRST occurrence, then
+      // running-sum the flags in event order. Both windows key on user_id
+      // (the second on (user_id, event_type) — same shuffle key prefix),
+      // per-user state is one row — the 100 TB cost is two sorts of the
+      // events stream, no distinct-set materialization per row.
+      val byTs = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val firstSeen = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      events(s, d)
+        .withColumn("is_first",
+          when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
+        .withColumn("n_types_seen", sum("is_first")
+          .over(byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("user_id", "event_id", "event_type", "n_types_seen")
+        .orderBy("user_id", "event_id")
     })
   )
 
@@ -178,6 +200,15 @@ object Windows {
        "epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w AS gap_us, " +
        "lead(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w - epoch_us(CAST(ts AS TIMESTAMP)) AS next_us " +
        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) " +
-       "WHERE gap_us IS NOT NULL AND next_us IS NOT NULL ORDER BY user_id, event_id")
+       "WHERE gap_us IS NOT NULL AND next_us IS NOT NULL ORDER BY user_id, event_id"),
+
+    "window_running_distinct" ->
+      ("SELECT user_id, event_id, event_type, " +
+       "CAST(sum(is_first) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_types_seen " +
+       "FROM (SELECT user_id, event_id, event_type, ts, " +
+       "CASE WHEN row_number() OVER (PARTITION BY user_id, event_type " +
+       "ORDER BY ts ASC, event_id ASC) = 1 THEN 1 ELSE 0 END AS is_first " +
+       "FROM events) ORDER BY user_id, event_id")
   )
 }
