@@ -159,17 +159,23 @@ object Etl {
       // lived 100 TB table needs: streaming/micro-batch ingestion leaves
       // thousands of KB-sized files whose per-file open/footer cost comes
       // to dominate scans. Rewrite N small files into few target-sized
-      // ones (here coalesce(2); a production job sizes by
-      // spark.sql.files.maxRecordsPerFile or total-bytes/128MB) and prove
-      // the data survived byte-for-byte via the re-read aggregate. File
-      // counts are driver-side FS metadata — O(files), not O(data).
+      // ones and prove the data survived byte-for-byte via the re-read
+      // aggregate. repartition(2), not coalesce(2): coalesce emits
+      // min(2, read partitions) files and Spark's small-file packing can
+      // collapse 32 tiny files into ONE read partition depending on
+      // defaultParallelism/maxPartitionBytes — the output count would be
+      // an environment artifact, which the fixed oracle (and a production
+      // target-file-size contract) must not be. A real job sizes by
+      // spark.sql.files.maxRecordsPerFile or total-bytes/128MB the same
+      // way: an explicit target, not whatever the reader happened to pick.
+      // File counts are driver-side FS metadata — O(files), not O(data).
       // Writes run eagerly at construction time, same contract as
       // etl_backfill_partition below.
       val smallDir = Sources.tmp("docs_smallfiles", d)
       val bigDir = Sources.tmp("docs_compacted", d)
       documents(s, d).repartition(32)
         .write.mode(SaveMode.Overwrite).parquet(smallDir)
-      s.read.parquet(smallDir).coalesce(2)
+      s.read.parquet(smallDir).repartition(2)
         .write.mode(SaveMode.Overwrite).parquet(bigDir)
       def nFiles(p: String): Long = {
         val path = new org.apache.hadoop.fs.Path(p)

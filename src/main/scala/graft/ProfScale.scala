@@ -34,22 +34,27 @@ object ProfScale {
     // orders/lineitem replicate k× too (round 5): order keys offset so the
     // join graph grows, CUSTOMER keys offset so pagerank's node/edge count
     // actually scales (same-key copies would collapse in the DISTINCT edge
-    // list), and prices shift per copy so the range join's interval matches
-    // grow ~k× rather than k² from pure duplication.
+    // list), and prices shift per copy by MORE than the global price spread
+    // (~600k at sf0.1) so each copy occupies a disjoint price band — a
+    // small shift would merely translate the width-100 match window across
+    // the dense cross-copy price-difference distribution and matches would
+    // still grow k² from duplication; disjoint bands make them grow ~k.
     val ord = Tables.orders(spark, base)
     val li = Tables.lineitem(spark, base)
     val nOrd = ord.agg(max("o_orderkey")).head().getLong(0) + 1
     val nCust = ord.agg(max("o_custkey")).head().getLong(0) + 1
+    val priceBand = 1000000.0
     (0 until k).map { i =>
       ord.select((col("o_orderkey") + lit(i * nOrd)).as("o_orderkey"),
         (col("o_custkey") + lit(i * nCust)).as("o_custkey"),
-        col("o_orderstatus"), (col("o_totalprice") + lit(i * 7.0)).as("o_totalprice"),
+        col("o_orderstatus"),
+        (col("o_totalprice") + lit(i * priceBand)).as("o_totalprice"),
         col("o_orderdate"), col("o_orderpriority"))
     }.reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$big/orders.parquet")
     (0 until k).map { i =>
       li.withColumn("l_orderkey", col("l_orderkey") + lit(i * nOrd))
-        .withColumn("l_extendedprice", col("l_extendedprice") + lit(i * 7.0))
+        .withColumn("l_extendedprice", col("l_extendedprice") + lit(i * priceBand))
     }.reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$big/lineitem.parquet")
     Seq("region", "nation", "customer", "supplier", "part",
@@ -68,10 +73,14 @@ object ProfScale {
       // chunking, and the bucketed pure range join
       "graph_pagerank", "text_bm25_topk", "pack_sequences", "chunk_overlap",
       "join_range_bucketed")
-    // warm BOTH corpora once with a cheap query (table-load/footer costs
-    // must not bias the first timed @kx entry)
-    SparkEntry.queries("dedup_exact")(spark, base).count()
-    SparkEntry.queries("dedup_exact")(spark, big).count()
+    // warm BOTH corpora once with cheap queries touching EVERY table the
+    // targets read — documents AND orders/lineitem (file listing + footer
+    // reads must not land asymmetrically inside the first timed @kx entry)
+    for (dir <- Seq(base, big)) {
+      SparkEntry.queries("dedup_exact")(spark, dir).count()
+      Tables.orders(spark, dir).count()
+      Tables.lineitem(spark, dir).count()
+    }
     targets.foreach { q =>
       time(s"$q @1x")(SparkEntry.queries(q)(spark, base).count())
       time(s"$q @${k}x")(SparkEntry.queries(q)(spark, big).count())

@@ -172,6 +172,13 @@ object Streaming {
 
   /** Unreached-stage sentinel for [[FunnelUserState]]. */
   private val Unreached = Long.MinValue
+
+  /** Funnel stage priority for equal-ts ordering — object-level so the
+    * state function does not rebuild a map per (user, micro-batch) group.
+    */
+  private def stagePrio(t: String): Int = t match {
+    case "view" => 0; case "click" => 1; case "purchase" => 2; case _ => 3
+  }
   case class FunnelUserState(t1Us: Long, t2Us: Long, t3Us: Long)
   case class StageReached(user_id: Long, stage: Int, at_us: Long)
 
@@ -205,9 +212,8 @@ object Streaming {
             // admits equality, so a click whose ts ties the stage-setting
             // view must see t1 already set — sorting ties by arrival id
             // would consume it a step early and miss the stage.
-            val stagePrio = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
             val sorted = it.toSeq.sortBy(e =>
-              (epochUs(e.ts), stagePrio.getOrElse(e.event_type, 3), e.event_id))
+              (epochUs(e.ts), stagePrio(e.event_type), e.event_id))
             var st = state.getOption.getOrElse(
               FunnelUserState(Unreached, Unreached, Unreached))
             val out = scala.collection.mutable.ArrayBuffer.empty[StageReached]
