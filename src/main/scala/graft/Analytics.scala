@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import Det._
 import Tables._
 
 /** Event-sequence analytics over the `events` stream table: conversion
@@ -66,6 +68,37 @@ object Analytics {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // Last-touch attribution: each purchase credits the user's most recent
+    // prior (or same-instant) touch event — view/click/signup — and the
+    // report aggregates credited revenue per channel. Same single-shuffle
+    // union+running-window shape as join_asof (one sort per user, never an
+    // N×M purchases⋈touches range join): at 100 TB the event stream
+    // shuffles ONCE on user_id. Ties: a touch at the purchase's exact ts
+    // counts (tag orders touches first); among equal-ts touches the
+    // highest event_id wins. Purchases with no prior touch land in the
+    // 'none' channel — dropped rows would understate revenue.
+    "attribution_last_touch" -> ((s, d) => {
+      val e = events(s, d)
+      val touches = e.filter(col("event_type").isin("view", "click", "signup"))
+        .select(col("user_id").as("uid"), col("ts").as("ats"),
+          col("event_type").as("touch_type"), col("event_id"),
+          lit(0).as("tag"), lit(null).cast(DoubleType).as("pvalue"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("uid"), col("ts").as("ats"),
+          lit(null).cast(StringType).as("touch_type"), col("event_id"),
+          lit(1).as("tag"), col("value").as("pvalue"))
+      val w = Window.partitionBy("uid")
+        .orderBy(col("ats"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      touches.unionByName(purchases)
+        .withColumn("attr",
+          last(when(col("tag") === 0, col("touch_type")), ignoreNulls = true).over(w))
+        .where(col("tag") === 1)
+        .groupBy(coalesce(col("attr"), lit("none")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"), dsum4(col("pvalue")).as("sum_value"))
+        .orderBy("channel")
+    }),
+
     // Temporal train/test split — the leakage-safe alternative to random
     // sampling for time-series training data: everything before the
     // boundary trains, everything after tests. One map-side label + one
@@ -106,6 +139,19 @@ object Analytics {
        "count(*) AS n_users " +
        "FROM a JOIN f ON a.user_id = f.user_id " +
        "GROUP BY 1, 2 ORDER BY cohort_week, week_offset"),
+
+    "attribution_last_touch" ->
+      ("WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts, value " +
+       "FROM events WHERE event_type = 'purchase'), " +
+       "t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tts, event_type, event_id " +
+       "FROM events WHERE event_type IN ('view', 'click', 'signup')), " +
+       "a AS (SELECT p.event_id, p.value, t.event_type AS channel, " +
+       "row_number() OVER (PARTITION BY p.event_id " +
+       "ORDER BY t.tts DESC, t.event_id DESC) AS rn " +
+       "FROM p LEFT JOIN t ON t.user_id = p.user_id AND t.tts <= p.pts) " +
+       "SELECT coalesce(channel, 'none') AS channel, count(*) AS n_purchases, " +
+       s"${oDsum4("value")} AS sum_value " +
+       "FROM a WHERE rn = 1 GROUP BY 1 ORDER BY channel"),
 
     "sample_temporal_split" ->
       ("SELECT CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-22 00:00:00' " +
