@@ -72,19 +72,30 @@ object Graph {
   }
 
   val queries: Map[String, Q] = Map(
-    "graph_pagerank" -> (pagerank _)
+    "graph_pagerank" -> (pagerank _),
+
+    // Degree distribution of the same bipartite graph — the first sanity
+    // scan any graph pipeline runs (skew here predicts every downstream
+    // join's hot keys). One distinct + two hash aggregations, O(edges).
+    "graph_degree_histogram" -> ((s, d) =>
+      edgesWithDeg(s, d).select("src", "deg").distinct()
+        .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("deg"))
   )
+
+  /** Shared oracle prefix: symmetric edge list + per-node degree. */
+  private val EdgesCte =
+    "WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst " +
+    "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey), " +
+    "e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), " +
+    "dg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)"
 
   /** The oracle unrolls the same three integer-exact iterations as chained
     * CTEs (DuckDB has no loops; the chain is generated, not hand-written).
     */
   private def oraclePagerank: String = {
-    val base =
-      "WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst " +
-      "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey), " +
-      "e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), " +
-      "dg AS (SELECT src, count(*) AS deg FROM e GROUP BY src), " +
-      "r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM dg)"
+    val base = EdgesCte +
+      ", r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM dg)"
     val iters = (1 to Iterations).map { i =>
       s"r$i AS (SELECT e.dst AS node, 150000 + (85 * sum(r${i - 1}.pr // dg.deg)) // 100 AS pr " +
       s"FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node JOIN dg ON e.src = dg.src " +
@@ -95,6 +106,10 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
-    "graph_pagerank" -> oraclePagerank
+    "graph_pagerank" -> oraclePagerank,
+
+    "graph_degree_histogram" ->
+      (EdgesCte +
+       " SELECT deg, count(*) AS n_nodes FROM dg GROUP BY deg ORDER BY deg")
   )
 }

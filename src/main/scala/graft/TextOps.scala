@@ -242,6 +242,25 @@ object TextOps {
         .orderBy("doc_id", "rn")
     }),
 
+    "sample_importance_weighted" -> ((s, d) =>
+      // Quality-weighted subsampling — the training-data curation step
+      // after quality scoring: keep each doc with probability equal to its
+      // lexical-diversity weight w = distinct_tokens / total_tokens,
+      // WITHOUT rand() (rule D5): keep iff mhash(doc_id) < w, tested by
+      // integer cross-multiplication (hash * total < distinct * 1e6) so
+      // the decision is exact, reproducible run-to-run and engine-to-
+      // engine, and re-derivable for any doc in isolation (no global
+      // state, no sampling order) — the contract that makes a 100 TB
+      // subsample auditable. Map-only: no shuffle before the final sort.
+      documents(s, d)
+        .select(col("doc_id"), col("source"), toks(col("text")).as("tk"))
+        .select(col("doc_id"), col("source"),
+          size(col("tk")).cast(LongType).as("n_tok"),
+          size(array_distinct(col("tk"))).cast(LongType).as("n_uniq"))
+        .where(mhash(col("doc_id"), 1000000L) * col("n_tok") <
+          col("n_uniq") * lit(1000000L))
+        .orderBy("doc_id")),
+
     "text_bm25_topk" -> ((s, d) => {
       // BM25 retrieval: rank corpus docs (doc_id >= 20) for each probe
       // query (doc_id < 20, its distinct tokens = the query terms) — the
@@ -428,6 +447,15 @@ object TextOps {
        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rn FROM s) " +
        "SELECT doc_id, word, tf, df, CAST(rn AS INT) AS rn FROM r " +
        "WHERE rn <= 3 ORDER BY doc_id, rn"),
+
+    "sample_importance_weighted" ->
+      ("SELECT doc_id, source, n_tok, n_uniq FROM " +
+       "(SELECT doc_id, source, " +
+       "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
+       "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq " +
+       "FROM documents) " +
+       "WHERE ((doc_id % 1000000007) * 2654435761) % 1000000 * n_tok < n_uniq * 1000000 " +
+       "ORDER BY doc_id"),
 
     "text_bm25_topk" ->
       ("WITH docs AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +

@@ -115,6 +115,28 @@ object Windows {
         .orderBy("user_id", "event_id")
     }),
 
+    "window_percent_change" -> ((s, d) => {
+      // Period-over-period reporting: monthly revenue with MoM % change.
+      // Like window_moving_avg, the only global window runs over the
+      // PRE-AGGREGATED frame (rows = months, not orders) — the heavy input
+      // reduces in a partial+final hash aggregate first, so the single-
+      // partition sort touches ~tens of rows at any corpus size. Revenue
+      // is decimal-exact until one final DOUBLE cast (D2), and the %
+      // expression applies the identical IEEE op sequence on both engines,
+      // so even the derived floats hash-match.
+      val monthly = orders(s, d)
+        .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("mo"))
+        .agg(dsumx2(col("o_totalprice")).as("revd"))
+        .select(col("mo"), col("revd").cast(DoubleType).as("revenue"))
+      val w = Window.orderBy("mo")
+      monthly
+        .withColumn("prev", lag(col("revenue"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(col("mo"), col("revenue"),
+          ((col("revenue") - col("prev")) / col("prev") * 100.0).as("pct_change"))
+        .orderBy("mo")
+    }),
+
     "window_running_distinct" -> ((s, d) => {
       // Cumulative DISTINCT count ("event types seen so far" per user) —
       // count(DISTINCT) isn't a supported window aggregate in either
@@ -201,6 +223,14 @@ object Windows {
        "lead(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w - epoch_us(CAST(ts AS TIMESTAMP)) AS next_us " +
        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) " +
        "WHERE gap_us IS NOT NULL AND next_us IS NOT NULL ORDER BY user_id, event_id"),
+
+    "window_percent_change" ->
+      ("SELECT mo, revenue, (revenue - prev) / prev * 100.0 AS pct_change FROM " +
+       "(SELECT mo, revenue, lag(revenue, 1) OVER (ORDER BY mo) AS prev FROM " +
+       "(SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo, " +
+       s"${oDsum2("o_totalprice")} AS revenue " +
+       "FROM orders GROUP BY 1)) " +
+       "WHERE prev IS NOT NULL ORDER BY mo"),
 
     "window_running_distinct" ->
       ("SELECT user_id, event_id, event_type, " +
