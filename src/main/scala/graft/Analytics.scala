@@ -78,7 +78,12 @@ object Analytics {
     // highest event_id wins. Purchases with no prior touch land in the
     // 'none' channel — dropped rows would understate revenue.
     "attribution_last_touch" -> ((s, d) => {
-      val e = events(s, d)
+      // NULL-uid events are excluded up front on BOTH engines: Spark's
+      // partitionBy would group NULL uids into one attributable partition
+      // while a SQL equi-join never matches NULL — the one semantic gap
+      // between the two formulations (latent on current fixtures, which
+      // have no NULL user_id; the filter pins the contract anyway).
+      val e = events(s, d).where(col("user_id").isNotNull)
       val touches = e.filter(col("event_type").isin("view", "click", "signup"))
         .select(col("user_id").as("uid"), col("ts").as("ats"),
           col("event_type").as("touch_type"), col("event_id"),
@@ -142,9 +147,9 @@ object Analytics {
 
     "attribution_last_touch" ->
       ("WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts, value " +
-       "FROM events WHERE event_type = 'purchase'), " +
+       "FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL), " +
        "t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tts, event_type, event_id " +
-       "FROM events WHERE event_type IN ('view', 'click', 'signup')), " +
+       "FROM events WHERE event_type IN ('view', 'click', 'signup') AND user_id IS NOT NULL), " +
        "a AS (SELECT p.event_id, p.value, t.event_type AS channel, " +
        "row_number() OVER (PARTITION BY p.event_id " +
        "ORDER BY t.tts DESC, t.event_id DESC) AS rn " +

@@ -34,8 +34,9 @@ object Graph {
 
   /** Customer–supplier edges, symmetric: (src, dst). Node ids: customer
     * c → 2c, supplier s → 2s+1. Both directions emit from ONE pass via
-    * explode (a self-union would recompute the orders ⋈ lineitem subtree
-    * twice — the plan-audit smell the bm25 df branch documents).
+    * explode — the self-union form shares the distinct's shuffle between
+    * branches (ReusedExchange) but still re-runs the final aggregate per
+    * branch; explode keeps one aggregate and one scan in the plan.
     */
   private def symEdges(s: SparkSession, d: String): DataFrame =
     orders(s, d)
@@ -48,9 +49,9 @@ object Graph {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
 
   /** Symmetric edges with the source degree attached — degree rides a
-    * whole-partition window over the same hash-partitioning-by-src the
-    * iteration joins need anyway, not a groupBy + self-join (which would
-    * recompute the edge subtree a second time).
+    * whole-partition window (one shuffle of the edge list), not a
+    * groupBy + self-join, which would pay a second aggregate and a join
+    * pass over the same rows before the parquet spill.
     */
   private def edgesWithDeg(s: SparkSession, d: String): DataFrame =
     symEdges(s, d).withColumn("deg",

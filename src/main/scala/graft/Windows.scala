@@ -126,8 +126,7 @@ object Windows {
       // so even the derived floats hash-match.
       val monthly = orders(s, d)
         .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("mo"))
-        .agg(dsumx2(col("o_totalprice")).as("revd"))
-        .select(col("mo"), col("revd").cast(DoubleType).as("revenue"))
+        .agg(dsum2(col("o_totalprice")).as("revenue"))
       val w = Window.orderBy("mo")
       monthly
         .withColumn("prev", lag(col("revenue"), 1).over(w))
