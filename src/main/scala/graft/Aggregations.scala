@@ -164,26 +164,43 @@ object Aggregations {
       // mergeable, constant memory — and the estimate for a key is the MIN
       // over its d bucket counts (one-sided overestimate). At 100 TB the
       // sketch replaces an exact word count whose key space won't fit;
-      // here the estimates for the 20 globally-hottest words are emitted
-      // and scalatest bounds them against the exact counts. Deterministic:
-      // seeded xxhash64, no RNG (D5).
-      val words = documents(s, d)
-        .select(explode(split(col("text"), " ")).as("w"))
+      // here the estimates for the 20 globally-hottest words are emitted,
+      // scalatest bounds them against the exact counts, AND (round 5) the
+      // whole sketch is DuckDB-oracle-verified: the hash family is the
+      // PORTABLE polynomial fold (text_fingerprint's machinery, mod 1e9+7)
+      // row-seeded as ((base * A_r + B_r) % p) % w — all non-negative
+      // integer arithmetic, bit-identical cross-engine, so a sketch op no
+      // longer has to hide behind rows-only verification the way the
+      // xxhash-seeded ones do (D5). The per-row multipliers MUST be large
+      // (the public xxhash/murmur mixing primes): with small multipliers
+      // like 2r+1, the four row-hashes are near-proportional transforms of
+      // the same base, a pair colliding in one row tends to collide in all
+      // four, and the min-over-rows stops cancelling collisions (measured:
+      // est 2× over the eps·N bound on the sf0.001 vocabulary).
       val rows = 4
       val width = 256
-      val cells = words.select(col("w"),
-          posexplode(array((0 until rows).map(r =>
-            pmod(xxhash64(lit(r), col("w")), lit(width.toLong))): _*))
-            .as(Seq("r", "bucket")))
+      val P = 1000000007L
+      val A = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+      val B = Seq(0L, 374761393L, 3042594569L, 1541459225L)
+      val polyFold = "aggregate(transform(split(w, ''), c -> ascii(c)), 0L, " +
+        s"(acc, x) -> pmod(acc * 31 + x, ${P}L))"
+      def bucket(r: Int) = pmod(
+        pmod(col("base") * lit(A(r)) + lit(B(r)), lit(P)),
+        lit(width.toLong))
+      val words = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+      val hashed = words.withColumn("base", expr(polyFold))
+      val cells = hashed.select(col("w"),
+          posexplode(array((0 until rows).map(bucket): _*)).as(Seq("r", "bucket")))
         .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
       // query the sketch for the top-20 exact words (the realistic flow:
       // candidate keys come from a sample or a prior pass)
       val top = words.groupBy("w").agg(count(lit(1)).as("true_cnt"))
         .orderBy(col("true_cnt").desc, col("w").asc).limit(20)
-      top.select(col("w"), col("true_cnt"),
+      top.withColumn("base", expr(polyFold))
+        .select(col("w"), col("true_cnt"),
           posexplode(array((0 until rows).map(r =>
-            struct(lit(r).as("r"),
-              pmod(xxhash64(lit(r), col("w")), lit(width.toLong)).as("bucket"))): _*))
+            struct(lit(r).as("r"), bucket(r).as("bucket"))): _*))
             .as(Seq("i", "rb")))
         .select(col("w"), col("true_cnt"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
         .join(cells, Seq("r", "bucket"))
@@ -345,6 +362,28 @@ object Aggregations {
        "bool_and(l_quantity > 0) AS all_positive_qty, " +
        "bool_or(l_tax > 0.07) AS any_high_tax " +
        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "agg_heavy_hitters" ->
+      ("WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), " +
+       "hashed AS (SELECT w, list_reduce(list_transform(string_split(w, ''), " +
+       "c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc * 31 + x) % 1000000007) AS base " +
+       "FROM words), " +
+       "rs AS (SELECT CAST(r AS BIGINT) AS r, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b " +
+       "FROM (VALUES (0, 2654435761, 0), (1, 2246822519, 374761393), " +
+       "(2, 3266489917, 3042594569), (3, 668265263, 1541459225)) AS t(r, a, b)), " +
+       "cells AS (SELECT r, ((base * a + b) % 1000000007) % 256 AS bucket, " +
+       "count(*) AS cnt FROM hashed CROSS JOIN rs GROUP BY 1, 2), " +
+       "top AS (SELECT w, count(*) AS true_cnt FROM words GROUP BY w " +
+       "ORDER BY true_cnt DESC, w ASC LIMIT 20), " +
+       "th AS (SELECT w, true_cnt, list_reduce(list_transform(string_split(w, ''), " +
+       "c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc * 31 + x) % 1000000007) AS base " +
+       "FROM top), " +
+       "q AS (SELECT th.w, th.true_cnt, r, " +
+       "((base * a + b) % 1000000007) % 256 AS bucket " +
+       "FROM th CROSS JOIN rs) " +
+       "SELECT q.w, q.true_cnt, CAST(min(c.cnt) AS BIGINT) AS est_cnt " +
+       "FROM q JOIN cells c ON c.r = q.r AND c.bucket = q.bucket " +
+       "GROUP BY 1, 2 ORDER BY true_cnt DESC, w ASC"),
 
     "agg_mode" ->
       ("SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt FROM " +
