@@ -305,23 +305,47 @@ object Similarity {
     releaseAfterUse(tag, result, Seq(cached))
   }
 
-  /** 64-bit SimHash per doc as explode + 64 codegen'd vote aggregates: hash
-    * each token once, shuffle carries one partial (doc, 64 sums) row per
-    * partition (map-side combine), and everything stays in whole-stage
-    * codegen — the interpreted nested-HOF formulation was ~100× slower.
+  /** SimHash bit width (60 = 4 bands × 15 bits — see [[simhashes]]). */
+  val SimhashBits = 60
+  /** Pigeonhole bands for the Hamming-pairs join: 4 × 15-bit. */
+  val SimhashBands = 4
+  val SimhashBandBits: Int = SimhashBits / SimhashBands
+
+  /** 60-bit SimHash per doc as tf-weighted vote aggregates — and, since
+    * round 5, DuckDB-oracle-verifiable: the token hash is FOUR 15-bit
+    * portable polynomial folds (multipliers 31/131/137/139, mod 32749 —
+    * the largest 15-bit prime) composed into one 60-bit value, replacing
+    * xxhash64 (no cross-engine SQL form). 60 bits keeps the composition
+    * inside non-negative int64 AND makes each pigeonhole band of the
+    * pairs join exactly one independent 15-bit fold.
+    *
+    * Shape: tokens reduce to tf per (doc, token) first, the HOF fold runs
+    * only on DISTINCT tokens (vocabulary-sized — hashing per occurrence
+    * would pay the interpreted-HOF tax on the full token stream), and the
+    * hash joins back via broadcast. Votes weight by tf, so the result
+    * equals the per-occurrence formulation. Everything after the fold is
+    * codegen'd conditional sums with map-side partial aggregation.
     */
   private def simhashes(s: SparkSession, d: String): DataFrame = {
-    val hashed = documents(s, d)
+    val tf = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map(i =>
-      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L).otherwise(-1L)).as(s"v$i"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    def fold(m: Int) = expr("aggregate(transform(split(t, ''), c -> ascii(c)), 0L, " +
+      s"(acc, x) -> pmod(acc * $m + x, 32749L))")
+    val toks = tf.select("t").distinct()
+      .withColumn("f0", fold(31)).withColumn("f1", fold(131))
+      .withColumn("f2", fold(137)).withColumn("f3", fold(139))
+      .select(col("t"),
+        expr("((f0 * 32768 + f1) * 32768 + f2) * 32768 + f3").as("h"))
+    val votes = (0 until SimhashBits).map(i =>
+      expr(s"sum(CASE WHEN (shiftright(h, $i) & 1) = 1 THEN tf ELSE -tf END)").as(s"v$i"))
     // Assemble bits with | / shiftleft (not acc*2: ANSI mode would raise on
     // the signed-overflow of the top bit).
-    val assemble = (0 until 64)
-      .map(i => s"(CASE WHEN v$i > 0 THEN shiftleft(1L, ${63 - i}) ELSE 0L END)")
+    val assemble = (0 until SimhashBits)
+      .map(i => s"(CASE WHEN v$i > 0 THEN shiftleft(1L, ${SimhashBits - 1 - i}) ELSE 0L END)")
       .mkString(" | ")
-    hashed.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    tf.join(broadcast(toks), "t")
+      .groupBy("doc_id").agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), expr(assemble).as("simhash"))
   }
 
@@ -428,20 +452,22 @@ object Similarity {
 
     "dedup_simhash_pairs" -> ((s, d) => {
       // SimHash as an actual dedup operator: near-dup pairs at
-      // Hamming(simhash) <= 3 via pigeonhole banding — split the 64-bit
-      // hash into 4 16-bit bands; any pair within distance 3 has all its
+      // Hamming(simhash) <= 3 via pigeonhole banding — split the 60-bit
+      // hash into 4 15-bit bands; any pair within distance 3 has all its
       // differing bits in <= 3 bands, so it agrees EXACTLY on >= 1 band.
       // Candidates come from a band equi-join (hash join on (band, key)),
       // never all pairs; bit_count verifies the exact distance. Same
       // bucketed-candidate shape as MinHash-LSH — the 100 TB-safe form.
       // The (doc_id, simhash) frame is 16 bytes/doc: persist() so the
-      // 64-vote aggregate builds once and both self-join sides read the
+      // 60-vote aggregate builds once and both self-join sides read the
       // cache; released right after the consuming action via
       // releaseAfterUse (ADVICE.md — not left cached for the session).
+      // Portable-hash simhash (round 5) ⇒ the whole banded pipeline is
+      // DuckDB-oracle-verified.
       val sim = simhashes(s, d).persist()
       val bands = sim.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(b =>
-          expr(s"shiftright(simhash, ${b * 16}) & 65535")): _*))
+        posexplode(array((0 until SimhashBands).map(b =>
+          expr(s"shiftright(simhash, ${b * SimhashBandBits}) & ${(1 << SimhashBandBits) - 1}")): _*))
           .as(Seq("band", "key")))
       releaseAfterUse("simhash_pairs",
         bands.as("x").join(bands.as("y"), Seq("band", "key"))
@@ -665,7 +691,44 @@ object Similarity {
     * do the cosine kernels (see [[oDot]]); sketch/hash-bucket outputs are
     * scalatest-validated instead.
     */
+  /** Shared generated CTE chain computing the portable 60-bit simhash per
+    * doc — the SQL mirror of [[simhashes]] (tf → distinct-token fold →
+    * tf-weighted votes → bit assembly), used by both simhash oracles.
+    */
+  private def simhashCte: String = {
+    def fold(m: Int) =
+      "list_reduce(list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT)), " +
+      s"(acc, x) -> (acc * $m + x) % 32749)"
+    val votes = (0 until SimhashBits).map(i =>
+      s"CAST(sum(CASE WHEN (h >> $i) & 1 = 1 THEN tf ELSE -tf END) AS BIGINT) AS v$i")
+      .mkString(", ")
+    val assemble = (0 until SimhashBits)
+      .map(i => s"(CASE WHEN v$i > 0 THEN (CAST(1 AS BIGINT) << ${SimhashBits - 1 - i}) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" | ")
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
+    "tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2), " +
+    "th AS (SELECT t, ((f0 * 32768 + f1) * 32768 + f2) * 32768 + f3 AS h FROM " +
+    s"(SELECT t, ${fold(31)} AS f0, ${fold(131)} AS f1, ${fold(137)} AS f2, ${fold(139)} AS f3 " +
+    "FROM (SELECT DISTINCT t FROM tf))), " +
+    s"v AS (SELECT doc_id, $votes FROM tf JOIN th USING (t) GROUP BY doc_id), " +
+    s"sh AS (SELECT doc_id, $assemble AS simhash FROM v)"
+  }
+
   val oracles: Map[String, String] = Map(
+    "dedup_simhash" ->
+      (simhashCte + " SELECT doc_id, simhash FROM sh ORDER BY doc_id"),
+
+    "dedup_simhash_pairs" ->
+      (simhashCte + ", " +
+       "ks AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS k), " +
+       "b AS (SELECT doc_id, simhash, k, (simhash >> (k * 15)) & 32767 AS key " +
+       "FROM sh CROSS JOIN ks), " +
+       "p AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db, " +
+       "x.simhash AS sa, y.simhash AS sb " +
+       "FROM b x JOIN b y ON x.k = y.k AND x.key = y.key AND x.doc_id < y.doc_id) " +
+       "SELECT da, db, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming FROM p " +
+       "WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY da, db"),
+
     "sim_topk_cosine" ->
       (s"SELECT va, vb, cos FROM (SELECT a.vec_id AS va, b.vec_id AS vb, " +
        s"${oDot("a", "b")} / (${oNorm("a")} * ${oNorm("b")}) AS cos " +
