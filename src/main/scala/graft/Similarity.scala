@@ -149,9 +149,45 @@ object Similarity {
       .distinct()
   }
 
-  /** MinHash signatures: h_i(doc) = min over shingles of xxhash64(i, g). */
+  /** Largest prime below 2^30 — modulus of the portable shingle folds. */
+  private val PortP = 1073741789L
+  /** Signature-space prime for the portable minhash family. */
+  private val SigP = 1000000007L
+
+  /** Portable 60-bit shingle key for the MINHASH path (round 5): two
+    * 30-bit polynomial folds of the raw shingle composed as
+    * f31 * PortP + f131 — collision odds ~pairs/2^60, same argument as the
+    * xxhash64 64-bit key. The Jaccard family keeps xxhash64 (its oracles
+    * compare hash-invariant counts only); MinHash's oracle must REPRODUCE
+    * the banding itself, so its hash family has to be SQL-expressible.
+    */
+  private def portableShingles(s: SparkSession, d: String): DataFrame = {
+    val parts = (0 until 3).map(k => s"get(toks, i${if (k == 0) "-1" else s"+${k - 1}"})")
+      .mkString(", ")
+    def fold(m: Int) = "aggregate(transform(split(raw, ''), c -> ascii(c)), 0L, " +
+      s"(acc, x) -> pmod(acc * $m + x, ${PortP}L))"
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(
+        expr(s"transform(sequence(1, greatest(size(toks) - 2, 1)), " +
+             s"i -> concat_ws(' ', $parts))")).as("raw"))
+      .select(col("doc_id"),
+        expr(s"(${fold(31)}) * ${PortP}L + (${fold(131)})").as("g"))
+      .distinct()
+  }
+
+  /** Per-row multiplier/offset of the portable minhash family (mod SigP). */
+  private def sigA(i: Int): Long = ((2L * i + 1) * 2654435761L) % SigP
+  private def sigB(i: Int): Long = (i * 668265263L) % SigP
+
+  /** MinHash signatures: h_i(doc) = min over shingles of the affine
+    * portable hash ((g mod SigP) * A_i + B_i) mod SigP — every operand a
+    * non-negative int64, bit-identical in DuckDB (round 5; previously
+    * xxhash64(i, g), which had no SQL form).
+    */
   private def minhashSigs(sh: DataFrame): DataFrame = {
-    val aggs = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("g"))).as(s"h$i"))
+    val aggs = (0 until NumHashes).map(i =>
+      min(expr(s"pmod(pmod(g, ${SigP}L) * ${sigA(i)}L + ${sigB(i)}L, ${SigP}L)")).as(s"h$i"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -163,12 +199,16 @@ object Similarity {
     * pipelining into the consumers.
     */
   def minhashCandidates(s: SparkSession, d: String, threshold: Double): DataFrame = {
-    val sh = shingles(s, d)
+    val sh = portableShingles(s, d)
     val sigs = minhashSigs(sh)
+    // Band key: an integer fold of the band's 4 sigs (h*31-chained, max
+    // ~3e13 — no modulus needed) instead of xxhash64 over the columns, so
+    // the oracle reproduces the buckets exactly.
     val bands = sigs.select(col("doc_id"),
-      posexplode(array((0 until NumBands).map(b =>
-        xxhash64((b * BandSize until (b + 1) * BandSize).map(i => col(s"h$i")): _*)): _*))
-        .as(Seq("band", "sig")))
+      posexplode(array((0 until NumBands).map { b =>
+        val cols = (b * BandSize until (b + 1) * BandSize).map(i => s"h$i")
+        expr(cols.tail.foldLeft(cols.head)((acc, h) => s"($acc * 31 + $h)"))
+      }: _*)).as(Seq("band", "sig")))
     val cand = bands.as("x").join(bands.as("y"), Seq("band", "sig"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
@@ -394,9 +434,11 @@ object Similarity {
 
     "dedup_cluster_cc" -> ((s, d) =>
       // TRUE transitive near-dup clusters: min-label propagation (see
-      // labelPropagate) over the LSH-verified pair graph. The LSH edge set
-      // depends on Spark's xxhash64 → no SQL oracle; scalatest verifies
-      // against an in-test union-find over the same pairs.
+      // labelPropagate) over the LSH-verified pair graph. Since round 5
+      // the LSH edge set uses the portable hash family, so the whole
+      // pipeline — banding, verification, AND the transitive closure —
+      // carries a DuckDB oracle (recursive CTE); scalatest additionally
+      // verifies against an in-test union-find over the same pairs.
       labelPropagate(documents(s, d),
         minhashCandidates(s, d, 0.8).select("da", "db"), "cc_minhash")),
 
@@ -714,7 +756,57 @@ object Similarity {
     s"sh AS (SELECT doc_id, $assemble AS simhash FROM v)"
   }
 
+  /** Generated SQL mirror of [[minhashCandidates]] at threshold 0.8, up to
+    * the verified pair list `pr(da, db)` — shared by the near_minhash and
+    * cluster_cc oracles. Shingle folds, affine sig hashes, band folds and
+    * the integer Jaccard predicate reproduce the Spark pipeline exactly.
+    */
+  private def minhashPairsCte: String = {
+    def fold(m: Int) =
+      "list_reduce(list_transform(string_split(raw, ''), c -> CAST(ascii(c) AS BIGINT)), " +
+      s"(acc, x) -> (acc * $m + x) % $PortP)"
+    val sigCols = (0 until NumHashes).map(i =>
+      s"min(((g % $SigP) * ${sigA(i)} + ${sigB(i)}) % $SigP) AS h$i").mkString(", ")
+    val bandSelects = (0 until NumBands).map { b =>
+      val cols = (b * BandSize until (b + 1) * BandSize).map(i => s"h$i")
+      val f = cols.tail.foldLeft(cols.head)((acc, h) => s"($acc * 31 + $h)")
+      s"SELECT doc_id, $b AS band, $f AS sig FROM sg"
+    }.mkString(" UNION ALL ")
+    "sh0 AS (SELECT DISTINCT doc_id, raw FROM " +
+    "(SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(ts) - 2, 1)), " +
+    "i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))) AS raw " +
+    "FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents))), " +
+    s"sh AS (SELECT doc_id, (${fold(31)}) * $PortP + (${fold(131)}) AS g FROM sh0), " +
+    s"sg AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id), " +
+    s"bands AS ($bandSelects), " +
+    "cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db FROM bands x " +
+    "JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id), " +
+    "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+    "ix AS (SELECT c.da, c.db, count(*) AS inter FROM cand c " +
+    "JOIN sh a ON a.doc_id = c.da JOIN sh b ON b.doc_id = c.db AND b.g = a.g " +
+    "GROUP BY 1, 2), " +
+    "pr AS (SELECT ix.da, ix.db FROM ix JOIN sz sa ON ix.da = sa.doc_id " +
+    "JOIN sz sb ON ix.db = sb.doc_id " +
+    "WHERE ix.inter * 1000000 >= (sa.n + sb.n - ix.inter) * 800000)"
+  }
+
   val oracles: Map[String, String] = Map(
+    "dedup_near_minhash" ->
+      ("WITH " + minhashPairsCte + ", " +
+       "nbr AS (SELECT da AS doc_id, db AS nb FROM pr UNION ALL SELECT db, da FROM pr), " +
+       "mn AS (SELECT doc_id, min(nb) AS m FROM nbr GROUP BY doc_id) " +
+       "SELECT d.doc_id, least(coalesce(mn.m, d.doc_id), d.doc_id) AS rep_id " +
+       "FROM documents d LEFT JOIN mn ON mn.doc_id = d.doc_id ORDER BY d.doc_id"),
+
+    "dedup_cluster_cc" ->
+      ("WITH RECURSIVE " + minhashPairsCte + ", " +
+       "edges AS (SELECT da, db FROM pr UNION SELECT db, da FROM pr), " +
+       "walk(wid, reach) AS (SELECT da, db FROM edges UNION " +
+       "SELECT w.wid, e.db FROM walk w JOIN edges e ON w.reach = e.da), " +
+       "labels AS (SELECT wid, least(wid, min(reach)) AS cluster_id FROM walk GROUP BY wid) " +
+       "SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id " +
+       "FROM documents d LEFT JOIN labels l ON d.doc_id = l.wid ORDER BY d.doc_id"),
+
     "dedup_simhash" ->
       (simhashCte + " SELECT doc_id, simhash FROM sh ORDER BY doc_id"),
 
