@@ -180,6 +180,18 @@ object Similarity {
   private def sigA(i: Int): Long = ((2L * i + 1) * 2654435761L) % SigP
   private def sigB(i: Int): Long = (i * 668265263L) % SigP
 
+  /** Hyperplane component k for sim_ann_lsh, in [-1000, 1000]: pure
+    * integer multiplicative hash of the (plane, dim) index — computable in
+    * plain Scala at plan-build time and embeddable verbatim as literals in
+    * the DuckDB oracle (component value = k / 1000.0 on both engines).
+    */
+  private def planeK(p: Int, j: Int): Long =
+    (((p * 64 + j + 1).toLong * 2654435761L) % SigP) % 2001L - 1000L
+
+  /** Multi-probe masks: all 8-bit patterns with <= 2 bits set (37). */
+  private val ProbeMasks: Seq[Long] =
+    (0 until 256).filter(m => Integer.bitCount(m) <= 2).map(_.toLong)
+
   /** MinHash signatures: h_i(doc) = min over shingles of the affine
     * portable hash ((g mod SigP) * A_i + B_i) mod SigP — every operand a
     * non-negative int64, bit-identical in DuckDB (round 5; previously
@@ -598,21 +610,17 @@ object Similarity {
       // within Hamming distance 2 of its own (multi-probe LSH: 37 probes per
       // query — the standard recall boost that costs probe-count× lookups
       // instead of extra hash tables; AnnRecallSpec pins the recall floor).
-      // Deterministic: hyperplane components derive from xxhash64(plane, dim)
-      // — no RNG state. The tiny 8×64 plane matrix is materialized once via
-      // the same Spark expression; each plane becomes an array<double>
-      // LITERAL projected through the codegen'd vec_dot_fd — the bucket is 8
-      // sign-bits assembled with when/shiftleft, entirely inside whole-stage
-      // codegen (the former closure UDF ran the identical fold but boxed
-      // every row; sign decisions are bit-identical, so buckets — and
-      // AnnRecallSpec's pinned recall — are unchanged).
-      val planeMat: Array[Array[Double]] = s.range(1).select(
-        expr("""transform(sequence(0, 7), p ->
-               |  transform(sequence(0, 63), j ->
-               |    CAST(pmod(xxhash64(p, j), 2001L) - 1000L AS DOUBLE) / 1000.0D))""".stripMargin)
-          .as("m")).head()
-        .getAs[scala.collection.Seq[scala.collection.Seq[Double]]](0)
-        .map(_.toArray).toArray
+      // Deterministic AND portable (round 5): hyperplane components are
+      // k/1000.0 with k from a pure-integer multiplicative hash — the same
+      // k literals embed in the DuckDB oracle, and since the fold order of
+      // the codegen'd vec_dot_fd matches the oracle's seeded list_reduce,
+      // the sign decisions (hence buckets, candidates and ranking) are
+      // bit-identical cross-engine: the ANN bucketing itself is now under
+      // the driver's hash gate. Each plane is an array<double> LITERAL
+      // projected through vec_dot_fd — the bucket is 8 sign-bits assembled
+      // with when/shiftleft, entirely inside whole-stage codegen.
+      val planeMat: Array[Array[Double]] =
+        Array.tabulate(8, 64)((p, j) => planeK(p, j).toDouble / 1000.0)
       import org.apache.spark.sql.graft.VectorOps.{vec_dot, vec_dot_fd, vec_norm}
       val bucketCol = planeMat.zipWithIndex.map { case (pl, p) =>
         when(vec_dot_fd(col("embedding"), typedLit(pl.toSeq)) >= 0.0,
@@ -623,7 +631,7 @@ object Similarity {
       // multi-probe masks: all 8-bit patterns with <= 2 bits set (37 per
       // query) — each query probes its own bucket plus every bucket whose
       // sign pattern differs in at most 2 hyperplanes
-      val probeMasks = (0 until 256).filter(m => Integer.bitCount(m) <= 2).map(_.toLong)
+      val probeMasks = ProbeMasks
       val q = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           col("bucket").as("qb0"), col("nrm").as("qn"))
@@ -790,7 +798,37 @@ object Similarity {
     "WHERE ix.inter * 1000000 >= (sa.n + sb.n - ix.inter) * 800000)"
   }
 
+  /** Generated SQL mirror of sim_ann_lsh: the 8×64 hyperplane literals
+    * (k/1000.0) embed verbatim, per-plane dots run the same 0.0-seeded
+    * ascending fold as vec_dot_fd, and multi-probe buckets/ranking follow.
+    */
+  private def annLshOracle: String = {
+    def planeDot(t: String, p: Int): String = {
+      val lits = (0 until 64).map(j => planeK(p, j)).mkString("[", ", ", "]")
+      seededFold(s"list_transform(list_zip($t.embedding, $lits), " +
+        "x -> CAST(x[1] AS DOUBLE) * (CAST(x[2] AS DOUBLE) / 1000.0))")
+    }
+    def bucketExpr(t: String): String = (0 until 8)
+      .map(p => s"(CASE WHEN ${planeDot(t, p)} >= 0.0 THEN ${1L << (7 - p)} ELSE 0 END)")
+      .mkString(" + ")
+    val masks = ProbeMasks.mkString("[", ", ", "]")
+    "WITH b AS (SELECT t.vec_id, t.embedding, " +
+    s"CAST(${bucketExpr("t")} AS BIGINT) AS bucket, ${oNorm("t")} AS nrm " +
+    "FROM embeddings t), " +
+    s"mk AS (SELECT CAST(unnest($masks) AS BIGINT) AS mask), " +
+    "q AS (SELECT b.vec_id AS qid, b.embedding, b.nrm, " +
+    "xor(b.bucket, mask) AS qb FROM b CROSS JOIN mk WHERE b.vec_id < 10), " +
+    "c AS (SELECT q.qid, e.vec_id AS nn, " +
+    s"${oDot("q", "e")} / (q.nrm * e.nrm) AS cos " +
+    "FROM q JOIN b e ON e.bucket = q.qb AND e.vec_id != q.qid), " +
+    "r AS (SELECT qid, nn, row_number() OVER (PARTITION BY qid " +
+    "ORDER BY cos DESC, nn ASC) AS rn FROM c) " +
+    "SELECT qid, nn, CAST(rn AS INT) AS rn FROM r WHERE rn <= 10 ORDER BY qid, rn"
+  }
+
   val oracles: Map[String, String] = Map(
+    "sim_ann_lsh" -> annLshOracle,
+
     "dedup_near_minhash" ->
       ("WITH " + minhashPairsCte + ", " +
        "nbr AS (SELECT da AS doc_id, db AS nb FROM pr UNION ALL SELECT db, da FROM pr), " +
