@@ -365,8 +365,9 @@ object Aggregations {
 
     "agg_heavy_hitters" ->
       ("WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), " +
-       "hashed AS (SELECT w, list_reduce(list_transform(string_split(w, ''), " +
-       "c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc * 31 + x) % 1000000007) AS base " +
+       "hashed AS (SELECT w, " +
+       oIntFold("list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))",
+         "(acc, x) -> (acc * 31 + x) % 1000000007") + " AS base " +
        "FROM words), " +
        "rs AS (SELECT CAST(r AS BIGINT) AS r, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b " +
        "FROM (VALUES (0, 2654435761, 0), (1, 2246822519, 374761393), " +
@@ -375,8 +376,9 @@ object Aggregations {
        "count(*) AS cnt FROM hashed CROSS JOIN rs GROUP BY 1, 2), " +
        "top AS (SELECT w, count(*) AS true_cnt FROM words GROUP BY w " +
        "ORDER BY true_cnt DESC, w ASC LIMIT 20), " +
-       "th AS (SELECT w, true_cnt, list_reduce(list_transform(string_split(w, ''), " +
-       "c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc * 31 + x) % 1000000007) AS base " +
+       "th AS (SELECT w, true_cnt, " +
+       oIntFold("list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))",
+         "(acc, x) -> (acc * 31 + x) % 1000000007") + " AS base " +
        "FROM top), " +
        "q AS (SELECT th.w, th.true_cnt, r, " +
        "((base * a + b) % 1000000007) % 256 AS bucket " +

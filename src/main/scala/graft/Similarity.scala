@@ -75,7 +75,7 @@ object Similarity {
     */
   private val ReleaseFallbackExecs = 64
 
-  private def releaseAfterUse(tag: String, result: DataFrame, frames: Seq[DataFrame]): DataFrame = {
+  private[graft] def releaseAfterUse(tag: String, result: DataFrame, frames: Seq[DataFrame]): DataFrame = {
     val s = result.sparkSession
     val marker = result.queryExecution.analyzed
     val lm = s.listenerManager
@@ -401,6 +401,45 @@ object Similarity {
       .select(col("doc_id"), expr(assemble).as("simhash"))
   }
 
+  /** Per-block cardinality cap for dedup_levenshtein (round 6 — VERDICT r5
+    * #4): a (lang, source, len_band) block of k docs generates k² pairs, so
+    * one degenerate block (a crawler dumping a million same-language
+    * same-source same-length boilerplate pages) is the quadratic blow-up
+    * the blocking was supposed to prevent. Blocks past the cap are DROPPED
+    * — the same pressure-release contract as [[ShingleDfCap]]: a block that
+    * degenerate is boilerplate the near-dup pass should route to exact
+    * dedup, not pairwise edit distance. Fixture blocks top out at 32 docs
+    * (sf0.1), far under the cap; TextSimilaritySpec pins the drop behavior
+    * on a synthetic degenerate block.
+    */
+  val LevBlockCap = 256
+
+  /** Edit-distance near-dup on (lang, source, len_band)-blocked pairs —
+    * blocking bounds the quadratic pair space, the [[LevBlockCap]] window
+    * guard bounds each block (riding the self-join's own exchange, the
+    * ShingleDfCap pattern), and the 40-char prefix bounds each O(n·m)
+    * distance computation. All-integer → oracle-checkable. Factored over an
+    * arbitrary documents-shaped frame so the cap is unit-testable on a
+    * synthetic degenerate block.
+    */
+  private[graft] def levPairs(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), col("lang"), col("source"),
+        floor(col("n_chars") / 100).as("len_band"),
+        substring(col("text"), 1, 40).as("prefix"))
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy("lang", "source", "len_band")))
+      .where(col("bsz") <= LevBlockCap).drop("bsz")
+    docs.as("a").join(docs.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+        col("a.len_band") === col("b.len_band") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        levenshtein(col("a.prefix"), col("b.prefix")).as("edit_dist"))
+      .where(col("edit_dist") <= 10)
+      .orderBy("da", "db")
+  }
+
   /** Exact capped-Jaccard >= 0.5 near-dup pairs (see dedup_ngram_jaccard). */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     // Hot-shingle guard: shingles in more than ShingleDfCap docs are
@@ -478,23 +517,7 @@ object Similarity {
         .orderBy("doc_id", "probe_id")
     }),
 
-    "dedup_levenshtein" -> ((s, d) => {
-      // Edit-distance near-dup on (lang, source)-blocked pairs — blocking
-      // bounds the quadratic pair space, and the 40-char prefix bounds each
-      // O(n·m) distance computation. All-integer → oracle-checkable.
-      val docs = documents(s, d)
-        .select(col("doc_id"), col("lang"), col("source"),
-          floor(col("n_chars") / 100).as("len_band"),
-          substring(col("text"), 1, 40).as("prefix"))
-      docs.as("a").join(docs.as("b"),
-          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-          col("a.len_band") === col("b.len_band") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-          levenshtein(col("a.prefix"), col("b.prefix")).as("edit_dist"))
-        .where(col("edit_dist") <= 10)
-        .orderBy("da", "db")
-    }),
+    "dedup_levenshtein" -> ((s, d) => levPairs(documents(s, d))),
 
     "dedup_ngram_jaccard" -> ((s, d) =>
       // Exact n-gram Jaccard >= 0.5 via shingle inverted index self-join —
@@ -652,19 +675,26 @@ object Similarity {
       // beside LSH: a coarse quantizer of K=16 centroids partitions vectors
       // into inverted lists; queries probe only the nprobe=4 nearest lists.
       // Fully declarative and deterministic: seeds = the 16 vectors ranked
-      // first by xxhash64(vec_id) (D5 — no RNG), one Lloyd refinement with
-      // exact-decimal component means (same pattern as sim_knn_per_label),
-      // assignment/probing by codegen'd vec_dot against a broadcast
-      // 16-row centroid frame. At 100 TB lists are disk-partitioned by
-      // centroid id and only nprobe/K of the corpus is ever scanned.
+      // first by the PORTABLE affine hash of vec_id (round 6 — previously
+      // xxhash64, which had no SQL form; D5 — no RNG), one Lloyd refinement
+      // with exact-decimal component means (same pattern as
+      // sim_knn_per_label), assignment/probing by codegen'd vec_dot against
+      // a broadcast 16-row centroid frame. With the portable seed hash the
+      // ENTIRE pipeline — seed ranking, both assignments, the decimal
+      // Lloyd means, probing and final ranking — is SQL-expressible, so
+      // the IVF ANN path carries a full DuckDB oracle ([[annIvfOracle]])
+      // exactly like sim_ann_lsh since round 5. At 100 TB lists are
+      // disk-partitioned by centroid id and only nprobe/K of the corpus is
+      // ever scanned.
       import org.apache.spark.sql.graft.VectorOps.{vec_dot, vec_norm}
       import s.implicits._
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
         vec_norm(col("embedding")).as("nrm"))
-      // K=16 seed vectors by seeded-hash rank (TakeOrdered, then a 16-ROW
+      // K=16 seed vectors by portable-hash rank (TakeOrdered, then a 16-ROW
       // collect — the provably-bounded "centroids" side the no-driver-
       // collect rule explicitly sanctions; never the table itself)
-      val seedRows = e.withColumn("hk", xxhash64(col("vec_id")))
+      val seedRows = e.withColumn("hk",
+        expr(s"pmod(pmod(vec_id, ${SigP}L) * ${sigA(20)}L + ${sigB(20)}L, ${SigP}L)"))
         .orderBy(col("hk"), col("vec_id")).limit(16)
         .select(col("embedding")).as[Array[Float]].collect()
       def centFrame(vecs: Seq[Array[Float]]): DataFrame =
@@ -730,11 +760,19 @@ object Similarity {
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $listExpr), (acc, x) -> acc + x)"
 
   private def oDot(a: String, b: String): String =
-    seededFold(s"list_transform(list_zip($a.embedding, $b.embedding), " +
+    oDotE(s"$a.embedding", s"$b.embedding")
+
+  private def oNorm(t: String): String = oNormE(s"$t.embedding")
+
+  /** [[oDot]]/[[oNorm]] over explicit list-expressions (the IVF oracle dots
+    * query vectors against derived centroid lists, not `alias.embedding`).
+    */
+  private def oDotE(a: String, b: String): String =
+    seededFold(s"list_transform(list_zip($a, $b), " +
       "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))")
 
-  private def oNorm(t: String): String =
-    s"sqrt(${seededFold(s"list_transform($t.embedding, " +
+  private def oNormE(a: String): String =
+    s"sqrt(${seededFold(s"list_transform($a, " +
       "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
 
   /** Integer-exact queries (Jaccard, Levenshtein) carry SQL oracles, and so
@@ -747,8 +785,8 @@ object Similarity {
     */
   private def simhashCte: String = {
     def fold(m: Int) =
-      "list_reduce(list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT)), " +
-      s"(acc, x) -> (acc * $m + x) % 32749)"
+      oIntFold("list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))",
+        s"(acc, x) -> (acc * $m + x) % 32749")
     val votes = (0 until SimhashBits).map(i =>
       s"CAST(sum(CASE WHEN (h >> $i) & 1 = 1 THEN tf ELSE -tf END) AS BIGINT) AS v$i")
       .mkString(", ")
@@ -771,8 +809,8 @@ object Similarity {
     */
   private def minhashPairsCte: String = {
     def fold(m: Int) =
-      "list_reduce(list_transform(string_split(raw, ''), c -> CAST(ascii(c) AS BIGINT)), " +
-      s"(acc, x) -> (acc * $m + x) % $PortP)"
+      oIntFold("list_transform(string_split(raw, ''), c -> CAST(ascii(c) AS BIGINT))",
+        s"(acc, x) -> (acc * $m + x) % $PortP")
     val sigCols = (0 until NumHashes).map(i =>
       s"min(((g % $SigP) * ${sigA(i)} + ${sigB(i)}) % $SigP) AS h$i").mkString(", ")
     val bandSelects = (0 until NumBands).map { b =>
@@ -826,8 +864,51 @@ object Similarity {
     "SELECT qid, nn, CAST(rn AS INT) AS rn FROM r WHERE rn <= 10 ORDER BY qid, rn"
   }
 
+  /** Generated SQL mirror of sim_ann_ivf (round 6): seed selection by the
+    * same portable affine hash, max-cosine assignment via row_number (the
+    * declarative twin of max_by(struct(cc, -cid)) — ties to the lower cid),
+    * one Lloyd round of exact-decimal means CAST to FLOAT, and nprobe=4
+    * probing + ranking. Every float fold is the 0.0-seeded left-to-right
+    * IEEE sequence [[oDotE]] proved bit-identical to the codegen'd vec_dot,
+    * so assignments, probes and the final ranks match Spark exactly. The
+    * refined cid re-index mirrors Spark's orderBy(cid)+zipWithIndex with
+    * row_number() OVER (ORDER BY cid) — identical even if a seed list ever
+    * came back empty.
+    */
+  private def annIvfOracle: String = {
+    val hk = s"((vec_id % $SigP) * ${sigA(20)} + ${sigB(20)}) % $SigP"
+    def assignCte(cent: String): String =
+      s"(SELECT vec_id, embedding, nrm, cid FROM (SELECT e.vec_id, e.embedding, e.nrm, $cent.cid, " +
+      s"${oDotE("e.embedding", s"$cent.ce")} / (e.nrm * $cent.cn) AS cc " +
+      s"FROM e CROSS JOIN $cent) t " +
+      "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) = 1)"
+    s"WITH e AS (SELECT t.vec_id, t.embedding, ${oNorm("t")} AS nrm FROM embeddings t), " +
+    "sd AS (SELECT embedding AS ce, CAST(row_number() OVER (ORDER BY hk, vec_id) AS INT) AS cid " +
+    s"FROM (SELECT vec_id, embedding, $hk AS hk FROM embeddings) ORDER BY hk, vec_id LIMIT 16), " +
+    s"c0 AS (SELECT cid, ce, ${oNormE("ce")} AS cn FROM sd), " +
+    s"b1 AS ${assignCte("c0")}, " +
+    s"cm AS (SELECT cid, pos, ${oDbl("SUM(CAST(v AS DECIMAL(27,10)))")} / count(*) AS c " +
+    "FROM (SELECT cid, unnest(embedding) AS v, " +
+    "unnest(generate_series(1, len(embedding))) AS pos FROM b1) GROUP BY cid, pos), " +
+    "rc AS (SELECT cid, list(CAST(c AS FLOAT) ORDER BY pos) AS ce FROM cm GROUP BY cid), " +
+    "c1 AS (SELECT CAST(row_number() OVER (ORDER BY cid) AS INT) AS cid, ce, " +
+    s"${oNormE("ce")} AS cn FROM rc), " +
+    s"b2 AS ${assignCte("c1")}, " +
+    "q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 10), " +
+    "pb AS (SELECT qid, qe, qn, cid FROM (SELECT q.qid, q.qe, q.qn, c1.cid, " +
+    s"${oDotE("q.qe", "c1.ce")} / (q.qn * c1.cn) AS qc FROM q CROSS JOIN c1) t " +
+    "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY qc DESC, cid ASC) <= 4), " +
+    "cand AS (SELECT pb.qid, l.vec_id AS nn, " +
+    s"${oDotE("pb.qe", "l.embedding")} / (pb.qn * l.nrm) AS cos " +
+    "FROM pb JOIN b2 l USING (cid) WHERE l.vec_id != pb.qid), " +
+    "r AS (SELECT qid, nn, row_number() OVER (PARTITION BY qid " +
+    "ORDER BY cos DESC, nn ASC) AS rn FROM cand) " +
+    "SELECT qid, nn, CAST(rn AS INT) AS rn FROM r WHERE rn <= 10 ORDER BY qid, rn"
+  }
+
   val oracles: Map[String, String] = Map(
     "sim_ann_lsh" -> annLshOracle,
+    "sim_ann_ivf" -> annIvfOracle,
 
     "dedup_near_minhash" ->
       ("WITH " + minhashPairsCte + ", " +
@@ -848,10 +929,12 @@ object Similarity {
     "dedup_simhash" ->
       (simhashCte + " SELECT doc_id, simhash FROM sh ORDER BY doc_id"),
 
+    // band count/width/mask interpolate from the SAME constants as the
+    // Spark side (ADVICE.md round 5)
     "dedup_simhash_pairs" ->
       (simhashCte + ", " +
-       "ks AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS k), " +
-       "b AS (SELECT doc_id, simhash, k, (simhash >> (k * 15)) & 32767 AS key " +
+       s"ks AS (SELECT CAST(unnest(range(0, $SimhashBands)) AS BIGINT) AS k), " +
+       s"b AS (SELECT doc_id, simhash, k, (simhash >> (k * $SimhashBandBits)) & ${(1 << SimhashBandBits) - 1} AS key " +
        "FROM sh CROSS JOIN ks), " +
        "p AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db, " +
        "x.simhash AS sa, y.simhash AS sb " +
@@ -896,13 +979,19 @@ object Similarity {
        "JOIN sh p ON c.g = p.g AND p.doc_id < 50 AND c.doc_id >= 50 " +
        "ORDER BY c.doc_id, probe_id"),
 
+    // the block-size window guard mirrors levPairs's LevBlockCap exactly
     "dedup_levenshtein" ->
-      ("SELECT a.doc_id AS da, b.doc_id AS db, " +
-       "CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS INT) AS edit_dist " +
-       "FROM documents a JOIN documents b " +
+      ("WITH d0 AS (SELECT doc_id, lang, source, floor(n_chars / 100) AS len_band, " +
+       "substr(text, 1, 40) AS prefix FROM documents), " +
+       "d AS (SELECT doc_id, lang, source, len_band, prefix FROM " +
+       "(SELECT *, count(*) OVER (PARTITION BY lang, source, len_band) AS bsz FROM d0) " +
+       s"WHERE bsz <= $LevBlockCap) " +
+       "SELECT a.doc_id AS da, b.doc_id AS db, " +
+       "CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_dist " +
+       "FROM d a JOIN d b " +
        "ON a.lang = b.lang AND a.source = b.source " +
-       "AND floor(a.n_chars / 100) = floor(b.n_chars / 100) AND a.doc_id < b.doc_id " +
-       "WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 10 " +
+       "AND a.len_band = b.len_band AND a.doc_id < b.doc_id " +
+       "WHERE levenshtein(a.prefix, b.prefix) <= 10 " +
        "ORDER BY da, db"),
 
     // CC over the capped-Jaccard pair graph: transitive closure by a

@@ -151,4 +151,17 @@ object Det {
 
   /** DuckDB SUM over ints is HUGEINT — align to Spark's BIGINT. */
   def oLsum(x: String): String = s"CAST(SUM(CAST($x AS BIGINT)) AS BIGINT)"
+
+  /** DuckDB mirror of Spark's integer `aggregate(xs, 0L, step)`: the
+    * list_reduce is EXPLICITLY seeded with 0 via list_prepend (ADVICE.md
+    * round 5) — an unseeded list_reduce ERRORS on an empty list where
+    * Spark's seeded fold returns 0, and its implicit first-element seed
+    * skips the step function on element 1. For the polynomial hash folds
+    * this library uses, a 0 seed is identity on non-empty input
+    * (0 * m + x = x), so seeding changes nothing on current fixtures while
+    * making empty token/shingle lists agree cross-engine instead of
+    * crashing the oracle.
+    */
+  def oIntFold(listExpr: String, step: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), $listExpr), $step)"
 }

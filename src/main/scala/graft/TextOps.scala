@@ -284,12 +284,21 @@ object TextOps {
       // 22*tf*tt*1e6 stays under 2^63 up to ~40M corpus tokens per shard
       // of this fixture shape; at larger scale the same formula runs in
       // DECIMAL(38,0) unchanged.
+      // Single corpus scan (round 6 — VERDICT r5 #5): tf persists, and BOTH
+      // df and the (nd, tt) corpus stats derive from the cached tf frame
+      // instead of re-scanning documents (every corpus doc appears in tf —
+      // split() of even an empty text yields one token — so the distinct
+      // (doc_id, dl) projection IS the corpus doc list). The cache releases
+      // right after the consuming action (releaseAfterUse), same contract
+      // as dedup_simhash_pairs' signature frame.
       val docs = documents(s, d).select(col("doc_id"), toks(col("text")).as("tk"))
       val corpus = docs.where(col("doc_id") >= 20)
         .select(col("doc_id"), col("tk"), size(col("tk")).cast(LongType).as("dl"))
-      val stats = corpus.agg(count(lit(1)).as("nd"), sum("dl").cast(LongType).as("tt"))
       val tf = corpus.select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
         .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+        .persist()
+      val stats = tf.select("doc_id", "dl").distinct()
+        .agg(count(lit(1)).as("nd"), sum("dl").cast(LongType).as("tt"))
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val q = docs.where(col("doc_id") < 20)
         .select(col("doc_id").as("query_id"), explode(col("tk")).as("term"))
@@ -307,10 +316,12 @@ object TextOps {
           count(lit(1)).as("n_terms"))
       val w = Window.partitionBy("query_id")
         .orderBy(col("score_micro").desc, col("doc_id").asc)
-      scored.withColumn("rn", row_number().over(w))
-        .where(col("rn") <= 5)
-        .select("query_id", "rn", "doc_id", "score_micro", "n_terms")
-        .orderBy("query_id", "rn")
+      Similarity.releaseAfterUse("bm25_tf",
+        scored.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5)
+          .select("query_id", "rn", "doc_id", "score_micro", "n_terms")
+          .orderBy("query_id", "rn"),
+        Seq(tf))
     }),
 
     "text_pii_scrub" -> ((s, d) =>
@@ -334,13 +345,16 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // PackShards/PackSeqLen interpolate from the SAME constants the Spark
+    // side uses (ADVICE.md round 5) — a constant change can no longer
+    // silently desynchronize query and oracle.
     "pack_sequences" ->
-      ("WITH t AS (SELECT doc_id, doc_id % 8 AS shard, " +
+      (s"WITH t AS (SELECT doc_id, doc_id % $PackShards AS shard, " +
        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
        "c AS (SELECT doc_id, shard, n_tok, CAST(coalesce(sum(n_tok) OVER (" +
        "PARTITION BY shard ORDER BY doc_id " +
        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off FROM t) " +
-       "SELECT shard, off // 512 AS bin, count(*) AS n_docs, " +
+       s"SELECT shard, off // $PackSeqLen AS bin, count(*) AS n_docs, " +
        "CAST(sum(n_tok) AS BIGINT) AS total_tokens, " +
        "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
        "FROM c GROUP BY shard, bin ORDER BY shard, bin"),
@@ -432,8 +446,8 @@ object TextOps {
 
     "text_fingerprint" ->
       ("SELECT doc_id, " +
-       "list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)), " +
-       "(acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint " +
+       oIntFold("list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))",
+         "(acc, x) -> (acc * 31 + x) % 1000000007") + " AS fingerprint " +
        "FROM documents ORDER BY doc_id"),
 
     "text_tfidf_topk" ->

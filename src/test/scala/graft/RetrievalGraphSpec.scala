@@ -67,6 +67,11 @@ class RetrievalGraphSpec extends AnyFunSuite {
       (rows.map(_._6).max - rows.map(_._5).min + 1)
     assert(boxSum <= 2 * global,
       s"bucket boxes sum to $boxSum vs global $global — no locality")
+    // the Morton spread masks keys to 16 bits (Etl.spreadBits doc): keys
+    // past 65535 would alias SILENTLY (oracle still matches, locality
+    // quietly gone) — surface key-domain growth loudly here instead
+    assert(rows.map(_._4).max <= 65535 && rows.map(_._6).max <= 65535,
+      "zorder key domain exceeded 16 bits — widen the Morton spread")
   }
 
   test("chunk_overlap: stride-48 chunks cover every token exactly once per 64-window") {

@@ -161,6 +161,33 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(first.toMap.apply(15L) == 0L)
   }
 
+  test("levenshtein block cap drops a degenerate block, keeps normal ones") {
+    // synthetic corpus: one degenerate block (LevBlockCap+1 near-identical
+    // docs — same lang/source/len_band, k² pairs without the guard) plus
+    // one normal 2-doc block that MUST survive. The cap drops the
+    // degenerate block entirely and keeps the normal pair.
+    import spark.implicits._
+    val k = Similarity.LevBlockCap + 1
+    val degenerate = (0 until k).map { i =>
+      (i.toLong, "en", "crawl", 150L, f"boilerplate page $i%04d")
+    }
+    val normal = Seq(
+      (10000L, "de", "wiki", 150L, "der gleiche text hier"),
+      (10001L, "de", "wiki", 150L, "der gleiche text hie!"))
+    val docs = (degenerate ++ normal)
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val out = Similarity.levPairs(docs).collect()
+    assert(out.length == 1, s"expected only the normal-block pair, got ${out.length}")
+    assert(out.head.getLong(0) == 10000L && out.head.getLong(1) == 10001L)
+    // and the real corpus is nowhere near the cap: sf0.1 blocks max out at
+    // 32 docs — the production query output is unchanged by the guard
+    val maxBlock = Tables.documents(spark, Sf01)
+      .groupBy(col("lang"), col("source"), floor(col("n_chars") / 100))
+      .count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxBlock <= Similarity.LevBlockCap / 4,
+      s"fixture block size $maxBlock is approaching LevBlockCap — revisit the cap")
+  }
+
   test("jaccard hot-shingle cap is pinned and deterministic across runs") {
     // the oracle SQL embeds the same cap — changing one side silently
     // breaks the driver compare, so the constant is pinned here
