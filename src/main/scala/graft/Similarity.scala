@@ -188,9 +188,19 @@ object Similarity {
   private def planeK(p: Int, j: Int): Long =
     (((p * 64 + j + 1).toLong * 2654435761L) % SigP) % 2001L - 1000L
 
-  /** Multi-probe masks: all 8-bit patterns with <= 2 bits set (37). */
+  /** Multi-probe masks: all 8-bit patterns with <= 3 bits set (93).
+    * Hamming radius 2 → 3 in round 6 (VERDICT r5 #7): measured recall@10
+    * on the sf0.1 fixture rises 0.50 → 0.69 (fully deterministic — the
+    * buckets are seeded integer hyperplanes), letting AnnRecallSpec pin a
+    * 0.6 floor. Probe count is the recall/scan knob: radius 3 probes 93 of
+    * 256 buckets on THIS fixture's uniform random vectors (the LSH
+    * worst case — real embedding corpora cluster, concentrating true
+    * neighbors in near buckets); at a larger corpus the same recall needs
+    * more planes (buckets scale 2^planes, scanned fraction shrinks
+    * accordingly) — planes, not radius, is the scale dial.
+    */
   private val ProbeMasks: Seq[Long] =
-    (0 until 256).filter(m => Integer.bitCount(m) <= 2).map(_.toLong)
+    (0 until 256).filter(m => Integer.bitCount(m) <= 3).map(_.toLong)
 
   /** MinHash signatures: h_i(doc) = min over shingles of the affine
     * portable hash ((g mod SigP) * A_i + B_i) mod SigP — every operand a
@@ -630,9 +640,10 @@ object Similarity {
     "sim_ann_lsh" -> ((s, d) => {
       // ANN scale path: 8 seeded pseudo-random hyperplanes → sign-bit bucket;
       // candidates = query set (vec_id < 10) equi-joined to every bucket
-      // within Hamming distance 2 of its own (multi-probe LSH: 37 probes per
+      // within Hamming distance 3 of its own (multi-probe LSH: 93 probes per
       // query — the standard recall boost that costs probe-count× lookups
-      // instead of extra hash tables; AnnRecallSpec pins the recall floor).
+      // instead of extra hash tables; AnnRecallSpec pins recall@10 >= 0.6,
+      // measured 0.69 — see [[ProbeMasks]] for the radius/planes tradeoff).
       // Deterministic AND portable (round 5): hyperplane components are
       // k/1000.0 with k from a pure-integer multiplicative hash — the same
       // k literals embed in the DuckDB oracle, and since the fold order of
@@ -651,9 +662,9 @@ object Similarity {
       }.reduce(_ + _)
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
         bucketCol.as("bucket"), vec_norm(col("embedding")).as("nrm"))
-      // multi-probe masks: all 8-bit patterns with <= 2 bits set (37 per
+      // multi-probe masks: all 8-bit patterns with <= 3 bits set (93 per
       // query) — each query probes its own bucket plus every bucket whose
-      // sign pattern differs in at most 2 hyperplanes
+      // sign pattern differs in at most 3 hyperplanes
       val probeMasks = ProbeMasks
       val q = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import TestSpark.{spark, Sf0001}
+import TestSpark.{spark, Sf0001, Sf01}
 
 class AggWindowSpec extends AnyFunSuite {
   private def q(name: String) = SparkEntry.queries(name)(spark, Sf0001)
@@ -75,6 +75,28 @@ class AggWindowSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, n) =>
       assert(math.abs(approx(k) - n) <= math.max(1, (n * 0.05).toLong), s"$k: ${approx(k)} vs $n")
+    }
+  }
+
+  test("linear-counting sketch estimate within 5% of exact (sf0.1 load)") {
+    // the registers themselves are driver-oracle-verified; this pins the
+    // ESTIMATE the registers exist for: -m·ln(1 - occupied/m) vs exact.
+    // sf0.1 (1500 distinct users/group against 4096 registers, load ~0.37)
+    // exercises real collision pressure — at sf0.001 occupancy ≈ exact and
+    // the test would trivially pass for a broken estimator.
+    val m = Aggregations.DistinctSketchRegisters.toDouble
+    val est = SparkEntry.queries("agg_distinct_sketch")(spark, Sf01).collect()
+      .map(r => r.getString(0) -> -m * math.log1p(-r.getLong(2) / m)).toMap
+    val exact = Tables.events(spark, Sf01)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(est(k) - n) <= math.max(1.0, n * 0.05),
+        f"$k: estimate ${est(k)}%.1f vs exact $n")
+      // occupancy must show actual collisions at this load — otherwise the
+      // hash family is suspiciously injective and the test proves nothing
+      assert(est(k) >= n * 0.5, s"$k: degenerate occupancy")
     }
   }
 

@@ -38,10 +38,13 @@ class AnnRecallSpec extends AnyFunSuite {
   test("sim_ann_lsh multi-probe recall@10 vs exact top-10 at sf0.1") {
     val mean = meanRecall("sim_ann_lsh")
     info(f"LSH mean recall@10 over ${groundTruth.size} queries: $mean%.3f")
-    // ~14% of the table is scanned (37 of 256 buckets); on this fixture's
-    // uniform random vectors that yields ~0.4 mean recall — pinned floor
-    // guards against silent index regressions, not absolute quality
-    assert(mean >= 0.25, f"multi-probe recall collapsed: $mean%.3f")
+    // Hamming<=3 probing (93 of 256 buckets) measures 0.690 on this
+    // fixture's uniform random vectors — the LSH worst case (no cluster
+    // structure for the hyperplanes to exploit), and fully deterministic
+    // (integer-seeded planes, no RNG). Floor 0.6 (VERDICT r5 #7) guards
+    // both the index plumbing AND probe-set regressions; the 0.09 margin
+    // absorbs only borderline sign flips, not structural changes.
+    assert(mean >= 0.6, f"multi-probe recall collapsed: $mean%.3f")
   }
 
   test("sim_ann_ivf recall@10 vs exact top-10 at sf0.1") {
@@ -49,8 +52,10 @@ class AnnRecallSpec extends AnyFunSuite {
     info(f"IVF mean recall@10 over ${groundTruth.size} queries: $mean%.3f")
     // nprobe/K = 4/16 = 25% of the corpus scanned; uniform random vectors
     // cluster weakly, so recall tracks the scanned fraction — the floor
-    // guards the probe plumbing (a broken list assignment would crater it)
-    assert(mean >= 0.2, f"IVF recall collapsed: $mean%.3f")
+    // guards the probe plumbing (a broken list assignment would crater it).
+    // Measured 0.46 with the round-6 portable seed hash (deterministic);
+    // floor raised 0.2 → 0.35 to pin the healthier operating point.
+    assert(mean >= 0.35, f"IVF recall collapsed: $mean%.3f")
   }
 
   test("sim_ann_ivf is deterministic and rank-shaped") {
