@@ -197,6 +197,51 @@ object Aggregations {
           expr("approx_percentile(value, 0.99, 1000)").as("p99"))
         .orderBy("event_type")),
 
+    "agg_quantile_sketch" -> ((s, d) => {
+      // Binned-histogram quantile sketch over PORTABLE integer arithmetic
+      // (the driver-verified twin of agg_approx_quantile, the same
+      // relationship agg_distinct_sketch has to agg_approx_distinct): values
+      // land in [[QuantileSketchBins]] equi-width bins of width
+      // [[QuantileSketchWidth]] (power of two — value/4.0 is exact IEEE
+      // scaling, floor is exact, so the binning is bit-identical
+      // cross-engine); the sketch state per group is the bin→count map —
+      // mergeable by ADDITION and bounded at m counters per group at any
+      // input size, which is what replaces exact percentile's full sort at
+      // 100 TB. The q-quantile estimate is the upper edge of the first bin
+      // whose cumulative count reaches ceil(q·n), found by integer
+      // CROSS-MULTIPLICATION (cum·100 ≥ n·pct ⟺ cum ≥ ceil(n·pct/100)) —
+      // no division, no floats, so unlike approx_percentile's KLL internals
+      // every output value is DuckDB-reproducible. Error is bounded by the
+      // bin width by construction (AggWindowSpec pins it vs exact
+      // percentile). Shape: one hash aggregate to (group, bin) — map-side
+      // partials make shuffle volume groups × m, never rows — then a window
+      // over the tiny binned frame.
+      val w = QuantileSketchWidth
+      val m = QuantileSketchBins
+      val bin = greatest(
+        least(floor(col("value") / lit(w.toDouble)).cast(LongType), lit(m - 1L)),
+        lit(0L))
+      val counts = events(s, d).where(col("value").isNotNull)
+        .groupBy(col("event_type"), bin.as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      val cumW = Window.partitionBy("event_type").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val allW = Window.partitionBy("event_type")
+      def est(pct: Int): org.apache.spark.sql.Column =
+        min(when(col("cum") * 100 >= col("n") * pct, col("bin")))
+      counts
+        .withColumn("cum", sum("cnt").over(cumW))
+        .withColumn("n", sum("cnt").over(allW))
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n_rows"),
+          est(50).as("p50_bin"), est(90).as("p90_bin"), est(99).as("p99_bin"))
+        .select(col("event_type"), col("n_rows"),
+          ((col("p50_bin") + 1) * w).cast(DoubleType).as("p50_hi"),
+          ((col("p90_bin") + 1) * w).cast(DoubleType).as("p90_hi"),
+          ((col("p99_bin") + 1) * w).cast(DoubleType).as("p99_hi"))
+        .orderBy("event_type")
+    }),
+
     "agg_heavy_hitters" -> ((s, d) => {
       // Count-min sketch frequency estimation: d=4 seeded hash rows ×
       // w=256 buckets. The sketch is one groupBy over (row, bucket) —
@@ -305,6 +350,14 @@ object Aggregations {
     * HLL registers) without changing shape — the sketch stays m bits/group.
     */
   val DistinctSketchRegisters = 4096
+  /** Quantile-sketch bins (agg_quantile_sketch): 256 bins × width 4 cover
+    * [0, 1024) — the fixture value domain tops out at ~560 (sf0.1); values
+    * past the cap clamp into the last bin, so the sketch degrades (p99 of a
+    * heavy tail saturates at the cap) rather than breaks. Width is a power
+    * of two so value/width is exact IEEE scaling on both engines.
+    */
+  val QuantileSketchBins = 256
+  val QuantileSketchWidth = 4
   /** Shared pmod-prime affine hash family (count-min + linear counting). */
   private val SketchP = 1000000007L
   private val SketchA = 2654435761L
@@ -445,6 +498,29 @@ object Aggregations {
       s"SELECT event_type, CAST($DistinctSketchRegisters AS INT) AS n_registers, " +
       s"count(DISTINCT ($h1 * $h1) % $SketchP % $DistinctSketchRegisters) AS occupied " +
       "FROM events WHERE user_id IS NOT NULL GROUP BY event_type ORDER BY event_type"
+    },
+
+    // binning, cumulative rank, and cross-multiplied quantile targets all
+    // interpolate the SAME QuantileSketchBins/QuantileSketchWidth constants
+    // as the Spark side; floor() runs BEFORE the BIGINT cast (DuckDB CAST
+    // rounds-half-even where Spark truncates — on the already-integral
+    // floor() output both are exact)
+    "agg_quantile_sketch" -> {
+      val w = QuantileSketchWidth
+      val top = QuantileSketchBins - 1
+      def est(pct: Int) = s"min(CASE WHEN cum * 100 >= n * $pct THEN bin END)"
+      s"WITH b AS (SELECT event_type, " +
+      s"greatest(least(CAST(floor(value / $w.0) AS BIGINT), $top), 0) AS bin, " +
+      "count(*) AS cnt FROM events WHERE value IS NOT NULL GROUP BY 1, 2), " +
+      "c AS (SELECT event_type, bin, " +
+      "CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin " +
+      "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, " +
+      "CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM b) " +
+      "SELECT event_type, max(n) AS n_rows, " +
+      s"CAST((${est(50)} + 1) * $w AS DOUBLE) AS p50_hi, " +
+      s"CAST((${est(90)} + 1) * $w AS DOUBLE) AS p90_hi, " +
+      s"CAST((${est(99)} + 1) * $w AS DOUBLE) AS p99_hi " +
+      "FROM c GROUP BY event_type ORDER BY event_type"
     },
 
     "agg_mode" ->

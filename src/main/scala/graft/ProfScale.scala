@@ -12,6 +12,10 @@ import org.apache.spark.sql.functions._
 object ProfScale {
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 4
+    // args(1..): optional target filter, e.g. `ProfScale 16 graph_pagerank
+    // dedup_cluster_cc` — lets the expensive 16x point measure just the
+    // iterative tail without paying for the whole dedup family.
+    val only = args.drop(1).toSet
     val base = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -73,6 +77,7 @@ object ProfScale {
       // chunking, and the bucketed pure range join
       "graph_pagerank", "text_bm25_topk", "pack_sequences", "chunk_overlap",
       "join_range_bucketed")
+      .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer
     // reads must not land asymmetrically inside the first timed @kx entry)

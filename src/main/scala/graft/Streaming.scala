@@ -299,6 +299,29 @@ object Streaming {
           col("n_events"))
         .orderBy("user_id", "session_start")),
 
+    "stream_interval_join" -> ((s, d) => {
+      // Batch twin of [[signupPurchaseJoinStream]]: purchases within 1 hour
+      // AFTER a signup by the same user. Equi-join on user_id with the time
+      // range as a residual predicate — shuffles once on the key, no range
+      // explosion; the streaming form bounds both join buffers via
+      // watermarks + the same interval. Comparisons run on epoch µs
+      // (unix_micros) rather than raw timestamps: Spark's loader truncated
+      // the fixture's ns to µs while DuckDB reads full ns, so the oracle
+      // mirrors the truncation explicitly (epoch_us of the µs-cast ts).
+      val ev = events(s, d)
+        .withColumn("us", unix_micros(col("ts").cast(TimestampType)))
+      val sg = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("us").as("s_us"), col("event_id").as("signup_id"))
+      val pu = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("us").as("p_us"),
+          col("event_id").as("purchase_id"))
+      sg.join(pu, col("user_id") === col("p_uid") &&
+          col("p_us") > col("s_us") && col("p_us") <= col("s_us") + lit(3600000000L))
+        .select(col("user_id"), col("signup_id"), col("purchase_id"),
+          (col("p_us") - col("s_us")).as("lag_us"))
+        .orderBy("signup_id", "purchase_id")
+    }),
+
     "stream_stateful_dedup" -> ((s, d) =>
       // Batch twin of keep-first dedup: deterministic min-event_id per key
       // (dropDuplicates keeps an arbitrary row — not hash-stable).
@@ -343,6 +366,15 @@ object Streaming {
 
     "stream_stateful_dedup" ->
       ("SELECT user_id, event_type, min(event_id) AS first_event_id, count(*) AS n_dups " +
-       "FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type")
+       "FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type"),
+
+    "stream_interval_join" ->
+      ("SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id, " +
+       "epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(s.ts AS TIMESTAMP)) AS lag_us " +
+       "FROM events s JOIN events p ON s.user_id = p.user_id " +
+       "WHERE s.event_type = 'signup' AND p.event_type = 'purchase' " +
+       "AND epoch_us(CAST(p.ts AS TIMESTAMP)) > epoch_us(CAST(s.ts AS TIMESTAMP)) " +
+       "AND epoch_us(CAST(p.ts AS TIMESTAMP)) <= epoch_us(CAST(s.ts AS TIMESTAMP)) + 3600000000 " +
+       "ORDER BY signup_id, purchase_id")
   )
 }

@@ -55,6 +55,12 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Duplicate-trigram fraction (micro-units) at or above which a document
+    * flags as repetitive (text_repetition) — 5%, chosen to discriminate on
+    * the fixture corpus (max observed ≈ 7.1% at sf0.01, median 0).
+    */
+  val RepetitionFlagMicro = 50000L
+
   /** Tokens per packed training sequence (pack_sequences). */
   val PackSeqLen = 512
   /** Independent packing shards (pack_sequences) — the parallelism knob. */
@@ -324,6 +330,35 @@ object TextOps {
         Seq(tf))
     }),
 
+    "text_repetition" -> ((s, d) =>
+      // Gopher-style repetition quality signal: the fraction of a document's
+      // word TRIGRAMS that are duplicates of an earlier trigram in the same
+      // document — boilerplate/generated text repeats itself locally where
+      // exact/near dedup (cross-doc) can't see it. Micro-unit integer ratio
+      // (rule D5: truncating div, no floats) so the score itself is
+      // cross-engine bit-exact and ships in the output. Pure map-side per-doc
+      // array work (transform + array_distinct) — zero shuffle before the
+      // presentation sort; at 100 TB this is embarrassingly parallel.
+      // size<3 guard: Spark's sequence(2, 1) is DESCENDING (not empty like
+      // DuckDB's range), which would fabricate phantom trigrams — same edge
+      // as text_bigram_counts.
+      documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .select(col("doc_id"), expr(
+          "CASE WHEN size(tk) >= 3 THEN transform(sequence(2, size(tk) - 1), " +
+          "i -> concat_ws(' ', get(tk, i-2), get(tk, i-1), get(tk, i))) " +
+          "ELSE array() END").as("tri"))
+        .select(col("doc_id"),
+          size(col("tri")).cast(LongType).as("n_trigrams"),
+          size(array_distinct(col("tri"))).cast(LongType).as("n_distinct"))
+        .withColumn("dup_micro", expr(
+          "CASE WHEN n_trigrams > 0 THEN " +
+          "((n_trigrams - n_distinct) * 1000000L) div n_trigrams ELSE 0L END"))
+        .withColumn("flag",
+          when(col("dup_micro") >= lit(RepetitionFlagMicro), "repetitive")
+            .otherwise("ok"))
+        .orderBy("doc_id")),
+
     "text_pii_scrub" -> ((s, d) =>
       // PII redaction — the compliance pass every training-data pipeline
       // runs before anything else: email-shaped tokens and long digit runs
@@ -489,6 +524,23 @@ object TextOps {
        "(SELECT *, row_number() OVER (PARTITION BY query_id " +
        "ORDER BY score_micro DESC, doc_id ASC) AS rn FROM scored) " +
        "WHERE rn <= 5 ORDER BY query_id, rn"),
+
+    // trigram starts are 1-based i in [1, len-2]; DuckDB's range(1, len-1)
+    // is already empty for len < 3 (no phantom-descending edge), and the
+    // flag threshold interpolates the SAME constant as the Spark side
+    "text_repetition" ->
+      ("SELECT doc_id, n_trigrams, n_distinct, " +
+       "CASE WHEN n_trigrams > 0 THEN " +
+       "((n_trigrams - n_distinct) * 1000000) // n_trigrams ELSE 0 END AS dup_micro, " +
+       "CASE WHEN (CASE WHEN n_trigrams > 0 THEN " +
+       s"((n_trigrams - n_distinct) * 1000000) // n_trigrams ELSE 0 END) >= $RepetitionFlagMicro " +
+       "THEN 'repetitive' ELSE 'ok' END AS flag " +
+       "FROM (SELECT doc_id, CAST(len(tri) AS BIGINT) AS n_trigrams, " +
+       "CAST(len(list_distinct(tri)) AS BIGINT) AS n_distinct " +
+       "FROM (SELECT doc_id, list_transform(range(1, len(tk) - 1), " +
+       "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS tri " +
+       "FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))) " +
+       "ORDER BY doc_id"),
 
     // DuckDB regexp_replace needs the 'g' flag to match Spark's
     // replace-all; the simple character-class patterns parse identically

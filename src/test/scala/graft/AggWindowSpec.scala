@@ -100,6 +100,35 @@ class AggWindowSpec extends AnyFunSuite {
     }
   }
 
+  test("binned quantile sketch within one bin width of exact percentile (sf0.1 load)") {
+    // the bin counts and the rank selection are driver-oracle-verified;
+    // this pins the accuracy guarantee the bins exist for: the upper-edge
+    // estimate brackets the true rank quantile within one bin width. The
+    // interpolated exact percentile can sit up to a neighbor-gap below the
+    // rank element, so the bound is [est - 2w, est].
+    val w = Aggregations.QuantileSketchWidth.toDouble
+    val est = SparkEntry.queries("agg_quantile_sketch")(spark, Sf01).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val exact = Tables.events(spark, Sf01).groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, (n, e50, e90, e99)) =>
+      val (gn, g50, g90, g99) = est(k)
+      assert(gn == n, s"$k: n_rows $gn vs $n")
+      for (((g, e), p) <- Seq(g50 -> e50, g90 -> e90, g99 -> e99).zip(Seq(50, 90, 99))) {
+        assert(e <= g && e >= g - 2 * w, f"$k p$p: exact $e%.2f outside (est $g%.1f - ${2 * w}, est]")
+      }
+      assert(g50 <= g90 && g90 <= g99, s"$k: non-monotone quantiles")
+    }
+  }
+
   test("approx_percentile within tolerance of exact percentile") {
     val approx = q("agg_approx_quantile").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap

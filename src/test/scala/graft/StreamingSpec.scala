@@ -147,6 +147,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch twin on fixture data") {
+    // the batch twin (stream_interval_join) is driver-oracle-verified; this
+    // pins the STREAMING builder to it: fed the real sf0.001 events, the
+    // watermarked stream-stream join must emit exactly the batch pair set.
+    val evs = Tables.events(spark, Sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => Evt(r.getLong(0),
+        Timestamp.valueOf(r.getAs[java.time.LocalDateTime](1)),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val signups = MemoryStream[Evt]
+    val purchases = MemoryStream[Evt]
+    val q = Streaming.signupPurchaseJoinStream(signups.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ssjoin_fix").outputMode("append").start()
+    try {
+      signups.addData(evs.filter(_.event_type == "signup").toSeq)
+      purchases.addData(evs.filter(_.event_type == "purchase").toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("ssjoin_fix").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = SparkEntry.queries("stream_interval_join")(spark, Sf0001)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(batch.nonEmpty, "fixture has no signup→purchase pairs — test is vacuous")
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink: stream lands deterministically in parquet") {
     val out = "/tmp/graft_feb_out"
     val f = new java.io.File(out)

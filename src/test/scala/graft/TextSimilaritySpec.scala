@@ -188,6 +188,32 @@ class TextSimilaritySpec extends AnyFunSuite {
       s"fixture block size $maxBlock is approaching LevBlockCap — revisit the cap")
   }
 
+  test("text_repetition flags a repetitive doc, scores exactly, and handles short docs") {
+    import spark.implicits._
+    val dir = "/tmp/graft_rep_docs"
+    // doc 1: one token repeated 30× → 28 trigrams, 1 distinct → dup 27/28;
+    // doc 2: 30 all-distinct tokens → dup 0; doc 3: 2 tokens → NO trigrams
+    // (the Spark descending-sequence phantom edge this op guards against)
+    Seq(
+      (1L, Seq.fill(30)("ab").mkString(" "), "en", "spec", 0L),
+      (2L, (1 to 30).map(i => s"w$i").mkString(" "), "en", "spec", 0L),
+      (3L, "just two", "en", "spec", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("text_repetition")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((28L, 1L, 27L * 1000000L / 28L, "repetitive")), s"got ${out(1L)}")
+    assert(out(2L) == ((28L, 28L, 0L, "ok")), s"got ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 0L, "ok")), s"got ${out(3L)}")
+    // fixture invariants: counts consistent, ratio derivable, flag coherent
+    SparkEntry.queries("text_repetition")(spark, Sf0001).collect().foreach { r =>
+      val (n, nd, dup, flag) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      assert(nd <= n && dup == (if (n > 0) (n - nd) * 1000000L / n else 0L))
+      assert(flag == (if (dup >= TextOps.RepetitionFlagMicro) "repetitive" else "ok"))
+    }
+  }
+
   test("jaccard hot-shingle cap is pinned and deterministic across runs") {
     // the oracle SQL embeds the same cap — changing one side silently
     // breaks the driver compare, so the constant is pinned here
