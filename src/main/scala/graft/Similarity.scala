@@ -424,6 +424,13 @@ object Similarity {
     */
   val LevBlockCap = 256
 
+  /** Shared-passage window length in tokens (dedup_substring): two docs
+    * pair iff they share a verbatim run of this many tokens. 32 ≈ the
+    * 50-BPE-token threshold the published training-data dedup work uses,
+    * expressed in whitespace tokens.
+    */
+  val SubstrWin = 32
+
   /** Edit-distance near-dup on (lang, source, len_band)-blocked pairs —
     * blocking bounds the quadratic pair space, the [[LevBlockCap]] window
     * guard bounds each block (riding the self-join's own exchange, the
@@ -534,6 +541,31 @@ object Similarity {
       // candidate generation shuffles on the shingle (bounded fan-out), and
       // the predicate is all-integer, so this one IS oracle-checkable.
       jaccardPairs(s, d).orderBy("da", "db")),
+
+    "dedup_substring" -> ((s, d) => {
+      // Windowed exact-substring dedup — the shared-passage screen from the
+      // published "deduplicate training data" line of work: two docs pair
+      // iff they share a VERBATIM [[SubstrWin]]-token contiguous run.
+      // Stride-1 windows make the guarantee exact (a shared run of >= W
+      // tokens always contains an aligned shared window — the same stride-1
+      // contract as the 3-token shingles, just a longer n), and the
+      // semantics are deliberately different from whole-doc Jaccard: a
+      // 32-token quote inside a 5000-token doc pairs here while its Jaccard
+      // is ~0. Same scale shape as jaccardPairs: inverted-index self-join
+      // on the 64-bit window hash with the [[ShingleDfCap]] hot-window
+      // guard riding the join's own exchange — bucketed, never all-pairs.
+      // Short docs (< W tokens) collapse to one whole-doc pseudo-window
+      // (get() null-pad + concat_ws skip), so exact short dups still pair —
+      // mirrored by DuckDB's identical NULL-skipping concat_ws.
+      val wins = shingles(s, d, SubstrWin)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+        .where(col("df") <= ShingleDfCap).drop("df")
+      wins.as("a").join(wins.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("da", "db")
+    }),
 
     "dedup_simhash" -> ((s, d) => simhashes(s, d).orderBy("doc_id")),
 
@@ -1040,6 +1072,24 @@ object Similarity {
        "JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
        "SELECT da, db, inter, sa.n + sb.n - inter AS uni FROM p " +
        "JOIN sz sa ON p.da = sa.doc_id JOIN sz sb ON p.db = sb.doc_id " +
-       "WHERE inter * 2 >= sa.n + sb.n - inter ORDER BY da, db")
+       "WHERE inter * 2 >= sa.n + sb.n - inter ORDER BY da, db"),
+
+    // windows generate exactly like the 3-token shingle CTE with n=SubstrWin
+    // (ts[i+k] OOB is NULL, concat_ws skips — mirroring Spark's get());
+    // counts compare on raw window strings vs Spark's xxhash64 keys — both
+    // count the same distinct windows (hash-invariant up to 2^-64 collisions)
+    "dedup_substring" -> {
+      val parts = (0 until SubstrWin)
+        .map(k => if (k == 0) "ts[i]" else s"ts[i+$k]").mkString(", ")
+      "WITH sh0 AS (SELECT DISTINCT doc_id, g FROM " +
+      s"(SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(ts) - ${SubstrWin - 1}, 1)), " +
+      s"i -> concat_ws(' ', $parts))) AS g " +
+      "FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents))), " +
+      s"hot AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) > $ShingleDfCap), " +
+      "sh AS (SELECT * FROM sh0 WHERE g NOT IN (SELECT g FROM hot)) " +
+      "SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared FROM sh a " +
+      "JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id " +
+      "GROUP BY 1, 2 ORDER BY da, db"
+    }
   )
 }

@@ -214,6 +214,33 @@ class TextSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_substring pairs a shared 32-token passage that Jaccard misses") {
+    import spark.implicits._
+    val dir = "/tmp/graft_substr_docs"
+    val passage = (1 to Similarity.SubstrWin).map(i => s"p$i").mkString(" ")
+    def filler(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    // docs 1+2 share ONLY the verbatim 32-token passage inside long
+    // otherwise-disjoint texts (Jaccard ≈ 32/332 — far under any near-dup
+    // threshold); doc 3 has no overlap at all
+    Seq(
+      (1L, s"${filler("a", 150)} $passage ${filler("b", 150)}", "en", "spec", 0L),
+      (2L, s"${filler("c", 150)} $passage ${filler("d", 150)}", "en", "spec", 0L),
+      (3L, filler("e", 330), "en", "spec", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = SparkEntry.queries("dedup_substring")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // a shared run of exactly W tokens contains exactly ONE aligned window
+    assert(pairs.toSeq == Seq((1L, 2L, 1L)), s"got ${pairs.toSeq}")
+    // the whole-doc Jaccard near-dup pass must NOT pair them (distinct
+    // semantics is the point of this operator)
+    val jac = Similarity.queries("dedup_ngram_jaccard")(spark, dir).collect()
+    assert(jac.isEmpty, s"jaccard unexpectedly paired: ${jac.toSeq}")
+    // and on the fixture corpus the op is deterministic and non-vacuous
+    val fix = q("dedup_substring").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fix.nonEmpty && fix.distinct.length == fix.length)
+  }
+
   test("jaccard hot-shingle cap is pinned and deterministic across runs") {
     // the oracle SQL embeds the same cap — changing one side silently
     // breaks the driver compare, so the constant is pinned here
