@@ -76,7 +76,10 @@ object ProfScale {
       // round-5 heavies: iterative graph, retrieval scoring, packing,
       // chunking, and the bucketed pure range join
       "graph_pagerank", "text_bm25_topk", "pack_sequences", "chunk_overlap",
-      "join_range_bucketed")
+      "join_range_bucketed",
+      // round 6: the windowed shared-passage screen (same inverted-index
+      // join family as ngram_jaccard, longer windows)
+      "dedup_substring")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer

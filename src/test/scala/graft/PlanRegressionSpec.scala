@@ -134,6 +134,40 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"extra shuffle in moment stats:\n$p")
   }
 
+  test("quantile sketch: one partial+final hash agg feeds the tiny binned windows") {
+    // the ONLY row-volume shuffle allowed is the groupBy to (group, bin) —
+    // everything after operates on the bounded binned frame. A second
+    // hashpartitioning over raw rows means the sketch reduction was lost.
+    val p = plan("agg_quantile_sketch")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"partial agg lost:\n$p")
+    assert(p.contains("Window"), s"cumulative-rank window lost:\n$p")
+  }
+
+  test("text_repetition is map-side only before the presentation sort") {
+    val p = plan("text_repetition")
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+  }
+
+  test("substring dedup: hot-window guard rides the self-join's g-partitioning") {
+    // same contract as the jaccard guard below — the df cap must be a
+    // Window over partitionBy(g), not a separate aggregate + anti-join
+    val p = plan("dedup_substring")
+    assert(p.contains("Window"), s"hot-window guard lost:\n$p")
+    assert(!p.contains("LeftAnti"), s"guard regressed to anti-join formulation:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"window self-join degenerated to all-pairs:\n$p")
+  }
+
+  test("interval join is an equi-join on user_id with the range as residual") {
+    // a lost equi-key turns this into a BNLJ over signups × purchases —
+    // the regression that kills any stream-history join at scale
+    val p = plan("stream_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join degenerated:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"no equi-join on user_id found:\n$p")
+  }
+
   test("jaccard hot-shingle guard is a window over the join's own g-partitioning") {
     // the df-cap must ride the shuffle-by-g the self-join needs anyway (a
     // Window over partitionBy(g)) — not a separate hot-set aggregate whose
