@@ -239,6 +239,36 @@ object Etl {
           lead(col("o_orderdate"), 1).over(w).as("valid_to"),
           (lead(col("o_orderdate"), 1).over(w).isNull).as("is_current"))
         .orderBy("o_custkey", "valid_from", "o_orderkey")
+    }),
+
+    // CDC changelog apply — the lakehouse ingestion primitive (Debezium
+    // stream → MERGE): a per-key ordered log of I/U/D operations compacts
+    // to the latest state, deletes drop the row. The changelog derives
+    // deterministically from events (signup=insert, error=delete, other
+    // activity=update); versions order by (ts, event_id) so replays are
+    // exact. Scale shape: ONE shuffle on the key — both windows (latest-op
+    // row_number and the per-key op count) share the user_id partitioning,
+    // per-key state is one row, and at 100 TB this is precisely changelog
+    // compaction: keys hash-partition, each partition compacts
+    // independently, output size is bounded by live keys not log length.
+    "etl_cdc_apply" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val log = events(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"),
+          when(col("event_type") === "signup", "I")
+            .when(col("event_type") === "error", "D")
+            .otherwise("U").as("op"),
+          col("value"),
+          unix_micros(col("ts").cast(TimestampType)).as("version_us"),
+          col("event_id"))
+      val latest = Window.partitionBy("user_id")
+        .orderBy(col("version_us").desc, col("event_id").desc)
+      log
+        .withColumn("rn", row_number().over(latest))
+        .withColumn("n_ops", count(lit(1)).over(Window.partitionBy("user_id")))
+        .where(col("rn") === 1 && col("op") =!= "D")
+        .select("user_id", "n_ops", "op", "value", "version_us")
+        .orderBy("user_id")
     })
   )
 
@@ -299,6 +329,18 @@ object Etl {
        "(SELECT count(*) FROM lineitem WHERE l_returnflag NOT IN ('A','N','R')) AS bad_returnflags, " +
        "(SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)) AS pk_dupes, " +
        "(SELECT count(*) FROM lineitem l WHERE NOT EXISTS " +
-       "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS fk_violations")
+       "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS fk_violations"),
+
+    "etl_cdc_apply" ->
+      ("WITH log AS (SELECT user_id, " +
+       "CASE WHEN event_type = 'signup' THEN 'I' " +
+       "WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, " +
+       "value, epoch_us(CAST(ts AS TIMESTAMP)) AS version_us, event_id " +
+       "FROM events WHERE user_id IS NOT NULL), " +
+       "r AS (SELECT *, row_number() OVER (PARTITION BY user_id " +
+       "ORDER BY version_us DESC, event_id DESC) AS rn, " +
+       "count(*) OVER (PARTITION BY user_id) AS n_ops FROM log) " +
+       "SELECT user_id, CAST(n_ops AS BIGINT) AS n_ops, op, value, version_us " +
+       "FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id")
   )
 }

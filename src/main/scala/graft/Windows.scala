@@ -156,6 +156,29 @@ object Windows {
           .over(byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select("user_id", "event_id", "event_type", "n_types_seen")
         .orderBy("user_id", "event_id")
+    }),
+
+    "window_gaps_islands" -> ((s, d) => {
+      // Gaps-and-islands: per-user consecutive-day activity streaks. The
+      // classic trick — epoch_day minus the per-user row_number is constant
+      // within a run of consecutive days — turns streak detection into one
+      // window plus one hash aggregation. Scale shape: the distinct
+      // (user, day) frame is the aggregate's natural pre-reduction (days
+      // per user, not events per user), both the window and the groupBy
+      // key on user_id so the stream shuffles once, and per-user state is
+      // bounded by the calendar, not the event count.
+      val days = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .withColumn("dn", datediff(col("day"), to_date(lit("1970-01-01"))))
+      val w = Window.partitionBy("user_id").orderBy(col("dn").asc)
+      days
+        .withColumn("grp", col("dn") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(min("day").as("streak_start"), max("day").as("streak_end"),
+          count(lit(1)).as("n_days"))
+        .select("user_id", "streak_start", "streak_end", "n_days")
+        .orderBy("user_id", "streak_start")
     })
   )
 
@@ -238,6 +261,15 @@ object Windows {
        "FROM (SELECT user_id, event_id, event_type, ts, " +
        "CASE WHEN row_number() OVER (PARTITION BY user_id, event_type " +
        "ORDER BY ts ASC, event_id ASC) = 1 THEN 1 ELSE 0 END AS is_first " +
-       "FROM events) ORDER BY user_id, event_id")
+       "FROM events) ORDER BY user_id, event_id"),
+
+    "window_gaps_islands" ->
+      ("WITH dd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+       "g AS (SELECT user_id, day, " +
+       "date_diff('day', DATE '1970-01-01', day) - " +
+       "row_number() OVER (PARTITION BY user_id ORDER BY day ASC) AS grp FROM dd) " +
+       "SELECT user_id, min(day) AS streak_start, max(day) AS streak_end, " +
+       "CAST(count(*) AS BIGINT) AS n_days " +
+       "FROM g GROUP BY user_id, grp ORDER BY user_id, streak_start")
   )
 }

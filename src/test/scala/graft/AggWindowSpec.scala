@@ -180,4 +180,30 @@ class AggWindowSpec extends AnyFunSuite {
     // first row = its own day only; later rows aggregate up to 7 days
     assert(rows.map(_.getLong(2)).max <= Tables.events(spark, Sf0001).count())
   }
+
+  test("gaps-islands streaks equal an independent per-user run-length scan") {
+    val got = q("window_gaps_islands").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDate(2).toLocalDate,
+        r.getLong(3))).toSet
+    // independent oracle: collect the distinct (user, day) set and fold
+    // sorted days into maximal consecutive runs
+    implicit val dayOrd: Ordering[java.time.LocalDate] =
+      Ordering.by(_.toEpochDay)
+    val byUser = Tables.events(spark, Sf0001)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val expected = byUser.flatMap { case (u, days) =>
+      days.foldLeft(List.empty[(java.time.LocalDate, java.time.LocalDate)]) {
+        case ((s0, e0) :: tail, d) if d.toEpochDay == e0.toEpochDay + 1 =>
+          (s0, d) :: tail
+        case (acc, d) => (d, d) :: acc
+      }.map { case (s0, e0) =>
+        (u, s0, e0, e0.toEpochDay - s0.toEpochDay + 1) }
+    }.toSet
+    assert(got == expected)
+    // the fixture must exercise a real multi-day streak AND a gap
+    assert(expected.exists(_._4 > 1), "no multi-day streak in fixture")
+    assert(expected.groupBy(_._1).exists(_._2.size > 1), "no gap in fixture")
+  }
 }

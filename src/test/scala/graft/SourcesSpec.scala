@@ -49,4 +49,29 @@ class SourcesSpec extends AnyFunSuite {
     val json = q("source_json_roundtrip")
     assert(json.count() == Tables.supplier(spark, Sf0001).count())
   }
+
+  test("cdc apply keeps only the latest op per key and drops deleted keys") {
+    val got = q("etl_cdc_apply").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getLong(4))).toSet
+    // independent replay: fold the full log per user, latest (ts, id) wins
+    val log = Tables.events(spark, Sf0001).where(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts").cast("timestamp")), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4)))
+    val byUser = log.groupBy(_._1)
+    val expected = byUser.flatMap { case (u, ops) =>
+      val last = ops.maxBy(o => (o._4, o._5))
+      val op = last._2 match {
+        case "signup" => "I"; case "error" => "D"; case _ => "U" }
+      if (op == "D") None
+      else Some((u, ops.length.toLong, op, last._3, last._4))
+    }.toSet
+    assert(got == expected)
+    // the fixture must exercise the delete path for the test to bite
+    assert(byUser.exists { case (_, ops) =>
+      ops.maxBy(o => (o._4, o._5))._2 == "error" }, "no deleted key in fixture")
+  }
 }
