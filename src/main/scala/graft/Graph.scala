@@ -96,8 +96,88 @@ object Graph {
     ranks.orderBy("node")
   }
 
+  /** Co-purchase edges must appear in at least this many distinct orders.
+    * The application-level sparsifier: coincidental single-order pairings
+    * are noise at any scale (and the pair count would grow with the square
+    * of basket size times order count); requiring repeat co-occurrence
+    * keeps the graph at the "real signal" density. Interpolated into the
+    * oracle SQL so query and oracle cannot desynchronize.
+    */
+  val TriMinCoOrders = 2
+
+  /** Oriented co-purchase edge list, spilled once per (process, dataset):
+    * parts co-ordered in >= TriMinCoOrders distinct orders, each undirected
+    * edge oriented from the lower (degree, id) endpoint to the higher, with
+    * the destination's degree carried on the edge. Orientation is THE
+    * triangle-counting scale trick (Schank/Wagner): every triangle is
+    * emitted exactly once from its lowest-degree corner, and the wedge join
+    * fans out by ORIENTED out-degree — bounded by O(sqrt(edges)) per node
+    * on any graph, so wedge work is O(edges^1.5) worst case instead of the
+    * unoriented sum of squared degrees (a hub with degree 10^6 contributes
+    * ~zero wedges as a dst, not 10^12 as a middle). The spill (pagerank's
+    * pattern) is read three times by the triangle join — materializing the
+    * thresholded edge list beats recomputing the lineitem self-join per
+    * reference.
+    */
+  private val triSpill = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def orientedCoEdges(s: SparkSession, d: String): DataFrame = {
+    val path = triSpill.computeIfAbsent(d, _ => {
+      val cs = lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = cs.as("a").join(cs.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= TriMinCoOrders)
+        .select("p1", "p2")
+      val deg = e.select(col("p1").as("node"))
+        .unionAll(e.select(col("p2").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val lower = col("d1.deg") < col("d2.deg") ||
+        (col("d1.deg") === col("d2.deg") && col("p1") < col("p2"))
+      val oriented = e
+        .join(deg.as("d1"), col("p1") === col("d1.node"))
+        .join(deg.as("d2"), col("p2") === col("d2.node"))
+        .select(
+          when(lower, col("p1")).otherwise(col("p2")).as("src"),
+          when(lower, col("p2")).otherwise(col("p1")).as("dst"),
+          when(lower, col("d2.deg")).otherwise(col("d1.deg")).as("ddeg"))
+      val p = Sources.tmpUnique("tri_edges")
+      oriented.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> (pagerank _),
+
+    // Triangle enumeration over the part co-purchase graph (edge = two
+    // parts co-ordered in >= TriMinCoOrders distinct orders) — the
+    // structural primitive under clustering coefficients, community
+    // detection and fraud-ring screens. Wedges form by joining oriented
+    // out-edges on their source, ordered (ddeg, dst) to count each wedge
+    // once; a third equi-join closes them against the oriented edge set.
+    // Every join is an equi-join on a key (src, then (src, dst)) — never
+    // all-pairs; see [[orientedCoEdges]] for the degree-orientation bound.
+    "graph_triangle_count" -> ((s, d) => {
+      val oo = orientedCoEdges(s, d)
+      val wedge = oo.as("o1").join(oo.as("o2"),
+          col("o1.src") === col("o2.src") &&
+            (col("o1.ddeg") < col("o2.ddeg") ||
+              (col("o1.ddeg") === col("o2.ddeg") && col("o1.dst") < col("o2.dst"))))
+        .select(col("o1.src").as("a"), col("o1.dst").as("b"), col("o2.dst").as("c"))
+      wedge.join(oo.as("o3"),
+          col("b") === col("o3.src") && col("c") === col("o3.dst"))
+        .select(
+          least(col("a"), col("b"), col("c")).as("t1"),
+          (col("a") + col("b") + col("c")
+            - least(col("a"), col("b"), col("c"))
+            - greatest(col("a"), col("b"), col("c"))).as("t2"),
+          greatest(col("a"), col("b"), col("c")).as("t3"))
+        .orderBy("t1", "t2", "t3")
+    }),
 
     // Degree distribution of the same bipartite graph — the first sanity
     // scan any graph pipeline runs (skew here predicts every downstream
@@ -131,8 +211,33 @@ object Graph {
       s"SELECT node, CAST(pr AS BIGINT) AS pr FROM r$Iterations ORDER BY node"
   }
 
+  /** Mirrors [[orientedCoEdges]] + the wedge-close join. The sorted output
+    * triple is orientation-invariant, so the oracle's identical orientation
+    * is belt-and-braces: any orientation enumerates the same triangle set.
+    */
+  private def oracleTriangles: String =
+    "WITH cs AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+    "e AS (SELECT a.p AS p1, b.p AS p2 FROM cs a JOIN cs b ON a.o = b.o AND a.p < b.p " +
+    s"GROUP BY 1, 2 HAVING count(*) >= $TriMinCoOrders), " +
+    "dg AS (SELECT node, count(*) AS deg FROM " +
+    "(SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e) GROUP BY node), " +
+    "o AS (SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.p1 < e.p2) " +
+    "THEN e.p1 ELSE e.p2 END AS src, " +
+    "CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.p1 < e.p2) " +
+    "THEN e.p2 ELSE e.p1 END AS dst, " +
+    "CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.p1 < e.p2) " +
+    "THEN d2.deg ELSE d1.deg END AS ddeg " +
+    "FROM e JOIN dg d1 ON d1.node = e.p1 JOIN dg d2 ON d2.node = e.p2), " +
+    "w AS (SELECT o1.src AS a, o1.dst AS b, o2.dst AS c FROM o o1 JOIN o o2 " +
+    "ON o2.src = o1.src AND (o1.ddeg < o2.ddeg OR (o1.ddeg = o2.ddeg AND o1.dst < o2.dst))) " +
+    "SELECT least(a, b, c) AS t1, a + b + c - least(a, b, c) - greatest(a, b, c) AS t2, " +
+    "greatest(a, b, c) AS t3 " +
+    "FROM w JOIN o o3 ON o3.src = w.b AND o3.dst = w.c ORDER BY t1, t2, t3"
+
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> oraclePagerank,
+
+    "graph_triangle_count" -> oracleTriangles,
 
     "graph_degree_histogram" ->
       (EdgesCte +

@@ -23,6 +23,31 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(top._1 % 2 == 1, s"top node ${top._1} is not a supplier")
   }
 
+  test("triangle enumeration equals a brute-force adjacency-set scan") {
+    val got = q("graph_triangle_count").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force: rebuild the thresholded co-purchase edge set, then for
+    // each edge intersect the endpoints' neighbor sets
+    val li = Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { order =>
+      val ps = order.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity)
+      // NB: .collect { case (e, n) => e } on a Map would rebuild a Map and
+      // silently dedupe by e._1 — filter + keySet keeps the full edge set
+      .filter(_._2.size >= Graph.TriMinCoOrders).keySet
+    val nbrs = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = edges.flatMap { case (u, v) =>
+      (nbrs(u) & nbrs(v)).filter(w => w > u && w > v).map(w => (u, v, w))
+    }
+    assert((got -- expected).isEmpty, s"spurious: ${(got -- expected).take(5)}")
+    assert((expected -- got).isEmpty, s"missing: ${(expected -- got).take(5)}")
+    assert(expected.nonEmpty, "fixture yields no triangles — test is vacuous")
+  }
+
   test("bm25: scores non-increasing per query, every hit shares a term, rn dense") {
     val rows = q("text_bm25_topk").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
