@@ -145,6 +145,37 @@ object Joins {
         .agg(count(lit(1)).as("n_items"), dsum2(col("l_extendedprice")).as("sum_price"))
         .orderBy("s_nationkey")),
 
+    // Bloom-filter semi-join reduction — the runtime-filter pattern Spark's
+    // own InjectRuntimeFilter applies between fact scans: build a compact
+    // bloom over the SELECTIVE build side's join keys (high-value orders,
+    // ~20% of the dim), broadcast it (1-row frame), and drop probe rows
+    // map-side BEFORE the shuffle join. At 100 TB this is the difference
+    // between shuffling the full fact table and shuffling the ~20% that can
+    // match. False positives (the bloom admits ~3% extra at these
+    // parameters) are removed by the real join that follows, so the result
+    // is bit-identical to the plain join — which is exactly what the oracle
+    // asserts (the join_salted precedent: the oracle proves the
+    // optimization result-invariant). Built-ins, not UDFs:
+    // bloom_filter_agg / might_contain are Spark's native codegen'd sketch.
+    // The bloom sizes to the expected build-side count; at a larger SF the
+    // n/bits parameters scale with the build side the way AQE's runtime
+    // filters size adaptively.
+    "join_bloom_prefilter" -> ((s, d) => {
+      import org.apache.spark.sql.graft.VectorOps.{bloom_agg, bloom_might_contain}
+      val hv = orders(s, d).where(col("o_totalprice") > 400000.0)
+      val bloom = hv.agg(
+        bloom_agg(col("o_orderkey"), 4000L, 65536L).as("bf"))
+      lineitem(s, d)
+        .where(bloom_might_contain(bloom, col("l_orderkey")))
+        .join(hv.select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("mo"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec(col("l_extendedprice"), 18, 4) * (lit(1) - dec(col("l_discount"), 18, 4)))
+            .cast(DoubleType).as("revenue"))
+        .orderBy("mo")
+    }),
+
     "join_inner_broadcast" -> ((s, d) =>
       orders(s, d)
         .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
@@ -284,6 +315,14 @@ object Joins {
        s"${oDsum2("l_extendedprice")} AS sum_price " +
        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
        "GROUP BY s_nationkey ORDER BY s_nationkey"),
+
+    // plain join, no bloom: the oracle proves the prefilter result-invariant
+    "join_bloom_prefilter" ->
+      ("SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo, " +
+       "count(*) AS n_items, " +
+       s"${oDbl("SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))))")} AS revenue " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "WHERE o_totalprice > 400000 GROUP BY 1 ORDER BY mo"),
 
     "join_inner_broadcast" ->
       ("SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice " +

@@ -249,6 +249,33 @@ object VectorOps {
   def vec_dist_sq(a: Column, b: Column): Column =
     ExpressionUtils.column(VectorDistSq(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Spark's native bloom-filter sketch pair, exposed to the Column API.
+    * `BloomFilterAggregate` / `BloomFilterMightContain` are fully
+    * implemented, codegen'd engine expressions — Spark's own
+    * InjectRuntimeFilter plants them between fact scans — but they are NOT
+    * in the public FunctionRegistry, so `expr("bloom_filter_agg(...)")`
+    * fails to resolve. Same private[sql] plumbing as the vector kernels.
+    */
+  def bloom_agg(key: Column, numItems: Long, numBits: Long): Column =
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ExpressionUtils.expression(key),
+        org.apache.spark.sql.catalyst.expressions.Literal(numItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+  /** `might_contain` demands its bloom side be a constant or scalar
+    * subquery (never a join column), so the probe test takes the whole
+    * single-row build frame and plants it as a [[ScalarSubquery]] — the
+    * exact shape InjectRuntimeFilter produces: the subquery runs once,
+    * its binary result ships to every probe task as a literal.
+    */
+  def bloom_might_contain(bloom: org.apache.spark.sql.DataFrame, key: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+          bloom.queryExecution.analyzed),
+        ExpressionUtils.expression(key)))
+
   /** Best-effort SQL registration on a live session (for `spark.sql` use
     * when the session was not built with [[GraftExtensions]]).
     */

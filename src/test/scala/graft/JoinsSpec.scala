@@ -65,4 +65,31 @@ class JoinsSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).toSet
     assert(nations == (custN | suppN))
   }
+
+  test("bloom prefilter never drops a matching row and actually prunes") {
+    // the bloom's no-false-negative contract: every lineitem whose order
+    // qualifies must survive might_contain
+    import org.apache.spark.sql.graft.VectorOps.{bloom_agg, bloom_might_contain}
+    val hv = Tables.orders(spark, Sf0001).where(col("o_totalprice") > 400000.0)
+    val bloom = hv.agg(bloom_agg(col("o_orderkey"), 4000L, 65536L).as("bf"))
+    val li = Tables.lineitem(spark, Sf0001)
+    val total = li.count()
+    val survivors = li
+      .where(bloom_might_contain(bloom, col("l_orderkey"))).count()
+    val trueMatches = li.join(hv, col("l_orderkey") === col("o_orderkey")).count()
+    assert(survivors >= trueMatches, "bloom dropped a matching row")
+    assert(survivors < total, "bloom pruned nothing — prefilter is a no-op")
+    // and the registered query equals the plain join it optimizes
+    val got = q("join_bloom_prefilter").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2))).toSeq
+    val plain = li.join(hv, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("mo"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(Det.dec(col("l_extendedprice"), 18, 4)
+          * (lit(1) - Det.dec(col("l_discount"), 18, 4)))
+          .cast("double").as("revenue"))
+      .orderBy("mo").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == plain)
+  }
 }
