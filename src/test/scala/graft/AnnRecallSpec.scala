@@ -58,6 +58,41 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(mean >= 0.35, f"IVF recall collapsed: $mean%.3f")
   }
 
+  /** exact L2 top-10 per query — sim_ann_pq's ADC approximates EUCLIDEAN
+    * distance (the canonical PQ metric), so its recall is measured against
+    * the exact L2 ranking, not the cosine one the other two paths use
+    * (on non-normalized vectors the two rankings differ).
+    */
+  private lazy val groundTruthL2: Map[Long, Set[Long]] = {
+    val vecs = Tables.embeddings(spark, Sf01)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def d2(a: Array[Float], b: Array[Float]) =
+      a.indices.foldLeft(0.0) { (acc, i) =>
+        val d = a(i).toDouble - b(i).toDouble; acc + d * d }
+    vecs.filter(_._1 < 10).map { case (qid, qv) =>
+      qid -> vecs.filter(_._1 != qid)
+        .map { case (id, v) => id -> d2(qv, v) }
+        .sortBy { case (id, dd) => (dd, id) }.take(10).map(_._1).toSet
+    }.toMap
+  }
+
+  test("sim_ann_pq recall@10 vs exact L2 top-10 at sf0.1") {
+    val got = SparkEntry.queries("sim_ann_pq")(spark, Sf01).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = groundTruthL2.toSeq.map { case (qid, exact) =>
+      (exact intersect got.getOrElse(qid, Set.empty)).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.length
+    info(f"PQ mean recall@10 over ${groundTruthL2.size} queries: $mean%.3f")
+    // (M=16, K=256) measures 0.56 on uniform random vectors — PQ's worst
+    // case (no shared variance across dims for the codebooks to exploit;
+    // real embedding corpora quantize far better). Fully deterministic
+    // (hash-ranked seeds, exact-decimal Lloyd means); the floor guards the
+    // codebook/assignment/ADC plumbing, not fixture luck.
+    assert(mean >= 0.45, f"PQ recall collapsed: $mean%.3f")
+  }
+
   test("sim_ann_ivf is deterministic and rank-shaped") {
     val a = SparkEntry.queries("sim_ann_ivf")(spark, Sf01).collect().toSeq
     val b = SparkEntry.queries("sim_ann_ivf")(spark, Sf01).collect().toSeq
