@@ -835,19 +835,21 @@ object Similarity {
         (v, i) <- seedRows.toSeq.zipWithIndex; m <- 0 until PqM
       } yield (m, i + 1, v.slice(m * PqDim, (m + 1) * PqDim).map(_.toDouble).toSeq))
       // nearest codeword per (vector, subspace); min_by keeps this a hash
-      // aggregate with map-side partials, ties to the lower code id
+      // aggregate with map-side partials, ties to the lower code id. The
+      // aggregate carries ONLY the winning code — dragging the sub-vector
+      // array through the n*M*K-row aggregation state measured 3× slower
+      // at sf0.1; the Lloyd step re-attaches sub with a cheap n*M-row join
       def assign(cb: DataFrame): DataFrame =
         subs.join(cb, "m")
-          .select(col("vec_id"), col("m"), col("code"), col("sub"),
+          .select(col("vec_id"), col("m"), col("code"),
             vec_dist_sq(col("sub"), col("cw")).as("dist"))
           .groupBy("vec_id", "m")
-          .agg(expr("min_by(struct(sub, code), struct(dist, code))").as("best"))
-          .select(col("vec_id"), col("m"),
-            col("best.sub").as("sub"), col("best.code").as("code"))
+          .agg(expr("min_by(code, struct(dist, code))").as("code"))
       // one Lloyd refinement: exact-decimal per-dimension means per
       // (subspace, code); codes that lose every member simply drop out —
       // mirrored by the oracle's GROUP BY, no re-indexing needed
       val refined = assign(cb0)
+        .join(subs, Seq("vec_id", "m"))
         .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
         .groupBy("m", "code", "pos")
         .agg((sum(dec(col("v"), 27, 10)).cast(DoubleType) / count(lit(1))).as("c"))
@@ -855,7 +857,7 @@ object Similarity {
         .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cw"))
         .as[(Int, Int, Seq[Double])].collect()
       val cb1 = cbFrame(refined.toSeq)
-      val codes = assign(cb1).select("vec_id", "m", "code")
+      val codes = assign(cb1)
       // per-query ADC lookup table: distance from each query slice to each
       // refined codeword — PqM * PqK rows per query, broadcast to the scan
       val lut = subs.where(col("vec_id") < 10)

@@ -176,4 +176,46 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("Window"), s"hot-shingle window guard lost:\n$p")
     assert(!p.contains("LeftAnti"), s"guard regressed to anti-join formulation:\n$p")
   }
+
+  test("gaps-islands: streak aggregate reuses the window's user_id partitioning") {
+    // the groupBy(user_id, grp) must sit directly on the window's exchange
+    // (user_id prefix covers it) — two hash exchanges total: the distinct
+    // (user, day) pre-reduction and the per-user window, nothing more
+    val p = plan("window_gaps_islands")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"extra shuffle crept into gaps-islands:\n$p")
+  }
+
+  test("cdc apply: both windows share ONE user_id exchange") {
+    val p = plan("etl_cdc_apply")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"cdc windows no longer share the user_id shuffle:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(user_id)]"),
+      s"NULL-uid filter not pushed to the scan:\n$p")
+  }
+
+  test("triangle count: every join is an equi-join, never all-pairs") {
+    val p = plan("graph_triangle_count")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"triangle join degenerated to all-pairs:\n$p")
+  }
+
+  test("bloom prefilter: might_contain filters the probe scan before the join") {
+    // the whole point of the runtime filter — the probe side must carry
+    // the might_contain predicate as a Filter (fed by a shared scalar
+    // subquery), and the build-side selectivity must push into its scan
+    val p = plan("join_bloom_prefilter")
+    assert(p.contains("might_contain"), s"bloom prefilter lost:\n$p")
+    assert(p.contains("Subquery"), s"bloom not planted as scalar subquery:\n$p")
+    assert(p.contains("GreaterThan(o_totalprice,400000.0)"),
+      s"build-side filter not pushed:\n$p")
+  }
+
+  test("pq: codebook joins broadcast, ADC never goes all-pairs") {
+    val p = plan("sim_ann_pq")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"PQ degenerated to all-pairs:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"codebook/LUT joins no longer broadcast:\n$p")
+  }
 }
