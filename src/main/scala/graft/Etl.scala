@@ -241,6 +241,45 @@ object Etl {
         .orderBy("o_custkey", "valid_from", "o_orderkey")
     }),
 
+    // Snapshot diff — the regression/drift screen run between two loads of
+    // the same table: a full-outer join on the key classifies every row as
+    // added / removed / changed / unchanged and aggregates per class. The
+    // "next" snapshot derives deterministically from the base (keys
+    // ≡3 mod 97 dropped, ≡5 repriced ×1.1, ≡7 cloned as inserts under a
+    // shifted key) — the etl_upsert_snapshot precedent. Scale shape: ONE
+    // shuffle join on the primary key plus a tiny 4-row aggregate; at
+    // 100 TB both snapshots hash-partition on the key and each partition
+    // diffs independently (co-partitioned bucketing makes it exchange-free).
+    "etl_snapshot_diff" -> ((s, d) => {
+      // prices ride DECIMAL(19,3) end-to-end: a 2-dp price × 1.1 has
+      // exactly 3 dp, so the reprice is EXACT on both engines — summing
+      // repriced doubles through a DECIMAL(18,2) cast instead loses a tie
+      // to Spark HALF_UP vs DuckDB HALF_EVEN (measured: one cent on the
+      // 'changed' class at sf0.01)
+      val base = orders(s, d).select(col("o_orderkey").as("k"),
+        dec(col("o_totalprice"), 18, 2).cast(DecimalType(19, 3)).as("v"))
+      val next = base.where(pmod(col("k"), lit(97)) =!= 3)
+        .select(col("k"),
+          when(pmod(col("k"), lit(97)) === 5,
+            (col("v") * lit(BigDecimal("1.1"))).cast(DecimalType(19, 3)))
+            .otherwise(col("v")).as("v"))
+        .unionByName(base.where(pmod(col("k"), lit(97)) === 7)
+          .select((col("k") + 100000000L).as("k"), col("v")))
+      base.select(col("k").as("bk"), col("v").as("bv"))
+        .join(next.select(col("k").as("nk"), col("v").as("nv")),
+          col("bk") === col("nk"), "full_outer")
+        .select(
+          when(col("bk").isNull, "added")
+            .when(col("nk").isNull, "removed")
+            .when(col("bv") =!= col("nv"), "changed")
+            .otherwise("unchanged").as("diff_status"),
+          coalesce(col("nv"), col("bv")).as("v"))
+        .groupBy("diff_status")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("v")).cast(DoubleType).as("sum_value"))
+        .orderBy("diff_status")
+    }),
+
     // CDC changelog apply — the lakehouse ingestion primitive (Debezium
     // stream → MERGE): a per-key ordered log of I/U/D operations compacts
     // to the latest state, deletes drop the row. The changelog derives
@@ -330,6 +369,20 @@ object Etl {
        "(SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)) AS pk_dupes, " +
        "(SELECT count(*) FROM lineitem l WHERE NOT EXISTS " +
        "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS fk_violations"),
+
+    "etl_snapshot_diff" ->
+      ("WITH base AS (SELECT o_orderkey AS k, " +
+       "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(19,3)) AS v FROM orders), " +
+       "next AS (SELECT k, CASE WHEN k % 97 = 5 " +
+       "THEN CAST(v * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(19,3)) ELSE v END AS v " +
+       "FROM base WHERE k % 97 <> 3 " +
+       "UNION ALL SELECT k + 100000000, v FROM base WHERE k % 97 = 7) " +
+       "SELECT CASE WHEN b.k IS NULL THEN 'added' WHEN n.k IS NULL THEN 'removed' " +
+       "WHEN b.v <> n.v THEN 'changed' ELSE 'unchanged' END AS diff_status, " +
+       "count(*) AS n_rows, " +
+       "CAST(SUM(coalesce(n.v, b.v)) AS DOUBLE) AS sum_value " +
+       "FROM base b FULL OUTER JOIN next n ON b.k = n.k " +
+       "GROUP BY 1 ORDER BY diff_status"),
 
     "etl_cdc_apply" ->
       ("WITH log AS (SELECT user_id, " +

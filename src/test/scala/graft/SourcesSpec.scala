@@ -50,6 +50,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(json.count() == Tables.supplier(spark, Sf0001).count())
   }
 
+  test("snapshot diff classes partition the union of both snapshots") {
+    val rows = q("etl_snapshot_diff").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ks = Tables.orders(spark, Sf0001).select("o_orderkey")
+      .collect().map(_.getLong(0))
+    val added = ks.count(_ % 97 == 7).toLong
+    val removed = ks.count(_ % 97 == 3).toLong
+    val changed = ks.count(k => k % 97 == 5).toLong
+    assert(rows("added") == added)
+    assert(rows("removed") == removed)
+    assert(rows("changed") == changed)
+    assert(rows("unchanged") == ks.length - removed - changed)
+    assert(Seq(added, removed, changed).forall(_ > 0), "a diff class is empty")
+  }
+
   test("cdc apply keeps only the latest op per key and drops deleted keys") {
     val got = q("etl_cdc_apply").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
