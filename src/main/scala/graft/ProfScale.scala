@@ -56,13 +56,40 @@ object ProfScale {
         col("o_orderdate"), col("o_orderpriority"))
     }.reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$big/orders.parquet")
+    // l_partkey offsets per copy (round 6): with shared part keys the
+    // triangle graph DENSIFIES instead of scaling — w=1 co-purchase pairs
+    // appear once per copy and cross the >= 2 threshold at k >= 2 (measured:
+    // 1.9M triangles at 4×). Disjoint part keys give k independent copies
+    // of the graph — edges and triangles grow ~k, the right linearity probe.
+    val nPart = li.agg(max("l_partkey")).head().getLong(0) + 1
     (0 until k).map { i =>
       li.withColumn("l_orderkey", col("l_orderkey") + lit(i * nOrd))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * nPart))
         .withColumn("l_extendedprice", col("l_extendedprice") + lit(i * priceBand))
     }.reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$big/lineitem.parquet")
-    Seq("region", "nation", "customer", "supplier", "part",
-        "events", "embeddings").foreach { t =>
+    // embeddings replicate k× with offset vec_ids (round 6): the PQ ADC
+    // scan and the ANN candidate sets grow with the corpus while the query
+    // set stays fixed at vec_id < 10 — exactly the scale asymmetry the
+    // index paths exist for. Copies are identical vectors; timing is the
+    // subject, tie-ranking is deterministic either way.
+    val emb = Tables.embeddings(spark, base)
+    val nVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+    (0 until k).map { i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i * nVec))
+    }.reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$big/embeddings.parquet")
+    // events replicate k× with offset event/user ids so the keyed-window
+    // family (cdc compaction, gaps-islands) scales in keys, not rows-per-key
+    val ev = Tables.events(spark, base)
+    val nEvt = ev.agg(max("event_id")).head().getLong(0) + 1
+    val nUid = ev.agg(max("user_id")).head().getLong(0) + 1
+    (0 until k).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i * nEvt))
+        .withColumn("user_id", col("user_id") + lit(i * nUid))
+    }.reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$big/events.parquet")
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
       spark.read.parquet(s"$base/$t.parquet")
         .write.mode(SaveMode.Overwrite).parquet(s"$big/$t.parquet")
     }
@@ -79,7 +106,13 @@ object ProfScale {
       "join_range_bucketed",
       // round 6: the windowed shared-passage screen (same inverted-index
       // join family as ngram_jaccard, longer windows)
-      "dedup_substring")
+      "dedup_substring",
+      // round-6 continuation: PQ's ADC scan (corpus k×, queries fixed),
+      // triangle counting (the edge-build self-join scans k× lineitems;
+      // the thresholded graph itself is copy-invariant by construction —
+      // same part keys per copy, weights sum), and the keyed-window pair
+      "sim_ann_pq", "graph_triangle_count", "etl_cdc_apply",
+      "window_gaps_islands", "join_bloom_prefilter")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer
@@ -88,6 +121,8 @@ object ProfScale {
       SparkEntry.queries("dedup_exact")(spark, dir).count()
       Tables.orders(spark, dir).count()
       Tables.lineitem(spark, dir).count()
+      Tables.events(spark, dir).count()
+      Tables.embeddings(spark, dir).count()
     }
     targets.foreach { q =>
       time(s"$q @1x")(SparkEntry.queries(q)(spark, base).count())
