@@ -267,6 +267,41 @@ object Joins {
         .orderBy("o_orderkey")
     }),
 
+    // INTERVAL × INTERVAL overlap join (no equi key) — the shape
+    // join_range_bucketed's point-in-interval grid doesn't cover: BOTH
+    // sides are ranges (maintenance windows × order weeks), so both sides
+    // explode to every width-W grid cell they touch and equi-join on the
+    // cell; a pair sharing several cells would double-count, so candidates
+    // pass through DISTINCT before the exact overlap refinement — that
+    // dedup (absent from the point variant, where a point lives in exactly
+    // one cell) is the one extra cost interval-interval pays. Replication
+    // per interval is width/W + 1 ≤ 2 here; all arithmetic is integer day
+    // numbers. The supplier windows derive deterministically from
+    // s_suppkey over the same 1995–2001 day domain as o_orderdate. The
+    // oracle is the PLAIN overlap join — bucketing must be
+    // result-invariant (the join_range_bucketed precedent).
+    "join_interval_overlap" -> ((s, d) => {
+      val W = 14L
+      val a = supplier(s, d)
+        .select(col("s_suppkey"), pmod(col("s_suppkey") * 37, lit(2300L)).as("a_lo"))
+        .withColumn("a_hi", col("a_lo") + 13)
+        .withColumn("cell", explode(sequence(
+          expr(s"a_lo div $W"), expr(s"a_hi div $W"))))
+      val b = orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01")))
+            .cast(LongType).as("b_lo"))
+        .withColumn("b_hi", col("b_lo") + 6)
+        .withColumn("cell", explode(sequence(
+          expr(s"b_lo div $W"), expr(s"b_hi div $W"))))
+      a.join(b, "cell")
+        .where(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+        .select("s_suppkey", "o_orderkey", "o_totalprice").distinct()
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("sum_price"))
+        .orderBy("s_suppkey")
+    }),
+
     "join_asof" -> (asofJoin _),
 
     "join_asof_forward" -> (asofJoinForward _),
@@ -379,6 +414,19 @@ object Joins {
        "ON l.l_extendedprice >= o.o_totalprice - 50.0 AND l.l_extendedprice <= o.o_totalprice + 50.0 " +
        "WHERE o.o_orderkey % 100 = 0 " +
        "GROUP BY o.o_orderkey ORDER BY o.o_orderkey"),
+
+    // plain overlap join — proves the grid bucketing + pair dedup
+    // result-invariant
+    "join_interval_overlap" ->
+      ("WITH a AS (SELECT s_suppkey, (s_suppkey * 37) % 2300 AS a_lo, " +
+       "(s_suppkey * 37) % 2300 + 13 AS a_hi FROM supplier), " +
+       "b AS (SELECT o_orderkey, o_totalprice, " +
+       "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS b_lo " +
+       "FROM orders) " +
+       "SELECT s_suppkey, count(*) AS n_orders, " +
+       s"${oDsum2("o_totalprice")} AS sum_price " +
+       "FROM a JOIN b ON a.a_lo <= b.b_lo + 6 AND b.b_lo <= a.a_hi " +
+       "GROUP BY s_suppkey ORDER BY s_suppkey"),
 
     "join_asof" ->
       ("SELECT event_id, o_orderkey AS asof_orderkey, o_orderdate AS asof_date FROM " +

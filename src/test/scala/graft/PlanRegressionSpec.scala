@@ -211,6 +211,12 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"build-side filter not pushed:\n$p")
   }
 
+  test("interval overlap join rides the grid equi-join, never a nested loop") {
+    val p = plan("join_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval overlap degenerated to all-pairs:\n$p")
+  }
+
   test("pq: codebook joins broadcast, ADC never goes all-pairs") {
     val p = plan("sim_ann_pq")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
