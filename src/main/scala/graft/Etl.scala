@@ -19,6 +19,18 @@ import Tables._
 object Etl {
   type Q = (SparkSession, String) => DataFrame
 
+  /** etl_snapshot_diff derivation rule, shared by query / oracle / spec
+    * (ADVICE.md round 5 — a constant change must not desynchronize them):
+    * keys ≡ DiffDropRes (mod DiffMod) are dropped from the next snapshot,
+    * ≡ DiffRepriceRes repriced ×1.1, ≡ DiffInsertRes cloned as inserts
+    * under key + DiffKeyShift.
+    */
+  val DiffMod = 97L
+  val DiffDropRes = 3L
+  val DiffRepriceRes = 5L
+  val DiffInsertRes = 7L
+  val DiffKeyShift = 100000000L
+
   /** 16-bit Morton spread (bits of x interleave into even positions),
     * generated for either engine: classic magic-mask bit spreading, four
     * shift-or-mask rounds, all BIGINT — bit-identical everywhere.
@@ -256,15 +268,16 @@ object Etl {
       // repriced doubles through a DECIMAL(18,2) cast instead loses a tie
       // to Spark HALF_UP vs DuckDB HALF_EVEN (measured: one cent on the
       // 'changed' class at sf0.01)
+      import Etl.{DiffMod, DiffDropRes, DiffRepriceRes, DiffInsertRes, DiffKeyShift}
       val base = orders(s, d).select(col("o_orderkey").as("k"),
         dec(col("o_totalprice"), 18, 2).cast(DecimalType(19, 3)).as("v"))
-      val next = base.where(pmod(col("k"), lit(97)) =!= 3)
+      val next = base.where(pmod(col("k"), lit(DiffMod)) =!= DiffDropRes)
         .select(col("k"),
-          when(pmod(col("k"), lit(97)) === 5,
+          when(pmod(col("k"), lit(DiffMod)) === DiffRepriceRes,
             (col("v") * lit(BigDecimal("1.1"))).cast(DecimalType(19, 3)))
             .otherwise(col("v")).as("v"))
-        .unionByName(base.where(pmod(col("k"), lit(97)) === 7)
-          .select((col("k") + 100000000L).as("k"), col("v")))
+        .unionByName(base.where(pmod(col("k"), lit(DiffMod)) === DiffInsertRes)
+          .select((col("k") + DiffKeyShift).as("k"), col("v")))
       base.select(col("k").as("bk"), col("v").as("bv"))
         .join(next.select(col("k").as("nk"), col("v").as("nv")),
           col("bk") === col("nk"), "full_outer")
@@ -373,10 +386,10 @@ object Etl {
     "etl_snapshot_diff" ->
       ("WITH base AS (SELECT o_orderkey AS k, " +
        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(19,3)) AS v FROM orders), " +
-       "next AS (SELECT k, CASE WHEN k % 97 = 5 " +
+       s"next AS (SELECT k, CASE WHEN k % $DiffMod = $DiffRepriceRes " +
        "THEN CAST(v * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(19,3)) ELSE v END AS v " +
-       "FROM base WHERE k % 97 <> 3 " +
-       "UNION ALL SELECT k + 100000000, v FROM base WHERE k % 97 = 7) " +
+       s"FROM base WHERE k % $DiffMod <> $DiffDropRes " +
+       s"UNION ALL SELECT k + $DiffKeyShift, v FROM base WHERE k % $DiffMod = $DiffInsertRes) " +
        "SELECT CASE WHEN b.k IS NULL THEN 'added' WHEN n.k IS NULL THEN 'removed' " +
        "WHEN b.v <> n.v THEN 'changed' ELSE 'unchanged' END AS diff_status, " +
        "count(*) AS n_rows, " +

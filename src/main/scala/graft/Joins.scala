@@ -22,6 +22,18 @@ import Tables._
 object Joins {
   type Q = (SparkSession, String) => DataFrame
 
+  /** join_interval_overlap geometry, shared by query / oracle / spec so a
+    * constant change cannot desynchronize them (ADVICE.md round 5):
+    * supplier window = [(s_suppkey * IoMul) % IoDomain, + IoASpan] day
+    * numbers, order week = [day(o_orderdate), + IoBSpan], grid width IoW
+    * (= the max interval width, so replication is ≤ 2 cells per interval).
+    */
+  val IoMul = 37L
+  val IoDomain = 2300L
+  val IoASpan = 13L
+  val IoBSpan = 6L
+  val IoW = 14L
+
   /** Flagship star join: revenue per region (used by SparkEntry.entry). */
   def multiwayStar(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -281,19 +293,20 @@ object Joins {
     // oracle is the PLAIN overlap join — bucketing must be
     // result-invariant (the join_range_bucketed precedent).
     "join_interval_overlap" -> ((s, d) => {
-      val W = 14L
+      import Joins.{IoMul, IoDomain, IoASpan, IoBSpan, IoW}
       val a = supplier(s, d)
-        .select(col("s_suppkey"), pmod(col("s_suppkey") * 37, lit(2300L)).as("a_lo"))
-        .withColumn("a_hi", col("a_lo") + 13)
+        .select(col("s_suppkey"),
+          pmod(col("s_suppkey") * IoMul, lit(IoDomain)).as("a_lo"))
+        .withColumn("a_hi", col("a_lo") + IoASpan)
         .withColumn("cell", explode(sequence(
-          expr(s"a_lo div $W"), expr(s"a_hi div $W"))))
+          expr(s"a_lo div $IoW"), expr(s"a_hi div $IoW"))))
       val b = orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"),
           datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01")))
             .cast(LongType).as("b_lo"))
-        .withColumn("b_hi", col("b_lo") + 6)
+        .withColumn("b_hi", col("b_lo") + IoBSpan)
         .withColumn("cell", explode(sequence(
-          expr(s"b_lo div $W"), expr(s"b_hi div $W"))))
+          expr(s"b_lo div $IoW"), expr(s"b_hi div $IoW"))))
       a.join(b, "cell")
         .where(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
         .select("s_suppkey", "o_orderkey", "o_totalprice").distinct()
@@ -418,14 +431,14 @@ object Joins {
     // plain overlap join — proves the grid bucketing + pair dedup
     // result-invariant
     "join_interval_overlap" ->
-      ("WITH a AS (SELECT s_suppkey, (s_suppkey * 37) % 2300 AS a_lo, " +
-       "(s_suppkey * 37) % 2300 + 13 AS a_hi FROM supplier), " +
+      (s"WITH a AS (SELECT s_suppkey, (s_suppkey * $IoMul) % $IoDomain AS a_lo, " +
+       s"(s_suppkey * $IoMul) % $IoDomain + $IoASpan AS a_hi FROM supplier), " +
        "b AS (SELECT o_orderkey, o_totalprice, " +
        "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS b_lo " +
        "FROM orders) " +
        "SELECT s_suppkey, count(*) AS n_orders, " +
        s"${oDsum2("o_totalprice")} AS sum_price " +
-       "FROM a JOIN b ON a.a_lo <= b.b_lo + 6 AND b.b_lo <= a.a_hi " +
+       s"FROM a JOIN b ON a.a_lo <= b.b_lo + $IoBSpan AND b.b_lo <= a.a_hi " +
        "GROUP BY s_suppkey ORDER BY s_suppkey"),
 
     "join_asof" ->

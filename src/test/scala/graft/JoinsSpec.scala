@@ -69,21 +69,22 @@ class JoinsSpec extends AnyFunSuite {
   test("interval overlap join equals a brute-force overlap scan") {
     val got = q("join_interval_overlap").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
+    import Joins.{IoMul, IoDomain, IoASpan, IoBSpan, IoW}
     val windows = Tables.supplier(spark, Sf0001).select("s_suppkey")
       .collect().map(_.getLong(0))
-      .map(k => k -> ((k * 37) % 2300, (k * 37) % 2300 + 13)).toMap
+      .map(k => k -> ((k * IoMul) % IoDomain, (k * IoMul) % IoDomain + IoASpan)).toMap
     val epoch = java.time.LocalDate.of(1995, 1, 1).toEpochDay
     val weeks = Tables.orders(spark, Sf0001).select("o_orderkey", "o_orderdate")
       .collect().map { r =>
         val lo = r.getAs[java.time.LocalDateTime](1).toLocalDate.toEpochDay - epoch
-        (lo, lo + 6)
+        (lo, lo + IoBSpan)
       }
     val expected = windows.map { case (k, (aLo, aHi)) =>
       k -> weeks.count { case (bLo, bHi) => aLo <= bHi && bLo <= aHi }.toLong
     }.filter(_._2 > 0)
     assert(got == expected)
     // the dedup path must actually bite: some window spans two grid cells
-    assert(windows.values.exists { case (lo, hi) => lo / 14 != hi / 14 })
+    assert(windows.values.exists { case (lo, hi) => lo / IoW != hi / IoW })
   }
 
   test("bloom prefilter never drops a matching row and actually prunes") {

@@ -53,11 +53,12 @@ class SourcesSpec extends AnyFunSuite {
   test("snapshot diff classes partition the union of both snapshots") {
     val rows = q("etl_snapshot_diff").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    import Etl.{DiffMod, DiffDropRes, DiffRepriceRes, DiffInsertRes}
     val ks = Tables.orders(spark, Sf0001).select("o_orderkey")
       .collect().map(_.getLong(0))
-    val added = ks.count(_ % 97 == 7).toLong
-    val removed = ks.count(_ % 97 == 3).toLong
-    val changed = ks.count(k => k % 97 == 5).toLong
+    val added = ks.count(_ % DiffMod == DiffInsertRes).toLong
+    val removed = ks.count(_ % DiffMod == DiffDropRes).toLong
+    val changed = ks.count(_ % DiffMod == DiffRepriceRes).toLong
     assert(rows("added") == added)
     assert(rows("removed") == removed)
     assert(rows("changed") == changed)
