@@ -328,6 +328,40 @@ object Aggregations {
         .orderBy("l_returnflag")
     }),
 
+    // A/B test: Welch's t-statistic for purchase value between two
+    // deterministic user cohorts (user_id parity — the hash-split
+    // contract: assignment is re-derivable per row, D5). ONE conditional-
+    // aggregation pass collects both cohorts' exact-decimal moment sums
+    // (n, Σv, Σv²) — the same sufficient-statistics recipe as
+    // agg_corr_stats, so at 100 TB the experiment readout is a single
+    // partial+final hash aggregate over the event stream, and the Welch
+    // solve is per-row arithmetic on DOUBLE renderings in an op order the
+    // oracle mirrors token-for-token (sqrt is correctly rounded IEEE on
+    // both engines — the corr_stats precedent).
+    "agg_ab_test" -> ((s, d) => {
+      val v = dec(col("value"), 18, 4)
+      val isA = pmod(col("user_id"), lit(2L)) === 0
+      val moments = events(s, d)
+        .where(col("event_type") === "purchase" && col("user_id").isNotNull)
+        .agg(
+          count(when(isA, lit(1))).as("n_a"),
+          count(when(!isA, lit(1))).as("n_b"),
+          sum(when(isA, v)).cast(DecimalType(38, 4)).as("dsa"),
+          sum(when(!isA, v)).cast(DecimalType(38, 4)).as("dsb"),
+          sum(when(isA, v * v)).cast(DecimalType(38, 8)).as("ds2a"),
+          sum(when(!isA, v * v)).cast(DecimalType(38, 8)).as("ds2b"))
+      val na = col("n_a").cast(DoubleType); val nb = col("n_b").cast(DoubleType)
+      val sa = col("dsa").cast(DoubleType); val sb = col("dsb").cast(DoubleType)
+      val s2a = col("ds2a").cast(DoubleType); val s2b = col("ds2b").cast(DoubleType)
+      // sample variance (n−1): exact numerator, clamped at 0 like varTermX
+      val va = greatest(na * s2a - sa * sa, lit(0.0)) / (na * (na - 1.0))
+      val vb = greatest(nb * s2b - sb * sb, lit(0.0)) / (nb * (nb - 1.0))
+      val se = sqrt(va / na + vb / nb)
+      moments.select(col("n_a"), col("n_b"),
+        (sa / na).as("mean_a"), (sb / nb).as("mean_b"),
+        ((sa / na - sb / nb) / when(se =!= 0.0, se)).as("t_stat"))
+    }),
+
     // Least-squares fit price ~ quantity per returnflag from the same
     // sufficient statistics — regression as a single aggregation pass is
     // the classic MapReduce ML example (only the moment sums shuffle, the
@@ -437,6 +471,25 @@ object Aggregations {
        s"$slope AS slope, " +
        s"(sy - $slope * sx) / $oNd AS intercept " +
        s"FROM $oMoments ORDER BY l_returnflag")
+    },
+
+    "agg_ab_test" -> {
+      val na = "CAST(n_a AS DOUBLE)"; val nb = "CAST(n_b AS DOUBLE)"
+      val sa = "CAST(dsa AS DOUBLE)"; val sb = "CAST(dsb AS DOUBLE)"
+      val s2a = "CAST(ds2a AS DOUBLE)"; val s2b = "CAST(ds2b AS DOUBLE)"
+      val va = s"greatest($na * $s2a - $sa * $sa, 0.0) / ($na * ($na - 1.0))"
+      val vb = s"greatest($nb * $s2b - $sb * $sb, 0.0) / ($nb * ($nb - 1.0))"
+      val se = s"sqrt($va / $na + $vb / $nb)"
+      ("WITH m AS (SELECT " +
+       "count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_a, " +
+       "count(CASE WHEN user_id % 2 <> 0 THEN 1 END) AS n_b, " +
+       "CAST(SUM(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS dsa, " +
+       "CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN CAST(value AS DECIMAL(18,4)) END) AS DECIMAL(38,4)) AS dsb, " +
+       "CAST(SUM(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)) END) AS DECIMAL(38,8)) AS ds2a, " +
+       "CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)) END) AS DECIMAL(38,8)) AS ds2b " +
+       "FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL) " +
+       s"SELECT n_a, n_b, $sa / $na AS mean_a, $sb / $nb AS mean_b, " +
+       s"($sa / $na - $sb / $nb) / nullif($se, 0) AS t_stat FROM m")
     },
 
     "agg_global" ->

@@ -181,6 +181,28 @@ class AggWindowSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).max <= Tables.events(spark, Sf0001).count())
   }
 
+  test("welch t-statistic matches an independent two-pass computation") {
+    val row = q("agg_ab_test").collect().head
+    val (gotNa, gotNb) = (row.getLong(0), row.getLong(1))
+    val (gotMa, gotMb, gotT) = (row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    val samples = Tables.events(spark, Sf0001)
+      .where(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .select("user_id", "value").collect()
+      .map(r => (r.getLong(0) % 2 == 0) -> r.getDouble(1))
+    val a = samples.filter(_._1).map(_._2); val b = samples.filterNot(_._1).map(_._2)
+    def meanVar(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      (m, xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+    }
+    val (ma, va) = meanVar(a); val (mb, vb) = meanVar(b)
+    val t = (ma - mb) / math.sqrt(va / a.length + vb / b.length)
+    def close(x: Double, y: Double) = math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y))
+    assert(gotNa == a.length && gotNb == b.length)
+    assert(close(gotMa, ma) && close(gotMb, mb), s"means: $gotMa/$gotMb vs $ma/$mb")
+    assert(close(gotT, t), s"t: $gotT vs $t")
+    assert(a.nonEmpty && b.nonEmpty, "a cohort is empty — test is vacuous")
+  }
+
   test("gaps-islands streaks equal an independent per-user run-length scan") {
     val got = q("window_gaps_islands").collect()
       .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDate(2).toLocalDate,
