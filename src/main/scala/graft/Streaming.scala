@@ -250,6 +250,45 @@ object Streaming {
       }
   }
 
+  case class CdcState(nOps: Long, us: Long, id: Long, op: String, value: Double)
+  case class CdcUpdate(user_id: Long, n_ops: Long, op: String, value: Double,
+    version_us: Long)
+
+  /** Streaming twin of the batch `etl_cdc_apply` compaction: a per-key
+    * mapGroupsWithState state machine holding ONE row per live key — the
+    * latest (version, op, value) plus the applied-op count. Out-of-order
+    * arrivals within and across batches resolve by the same total version
+    * order as the batch twin ((version_us, event_id) — last write wins),
+    * so replaying the full log through any batch split yields the batch
+    * result exactly (StreamingSpec pins set-equality on the fixture).
+    * Emits the compacted current state per updated key per batch (Update
+    * mode) — the changelog-to-table materialization loop; downstream sinks
+    * drop keys whose latest op is a delete, exactly like the batch filter.
+    * State never exceeds live keys — the bounded-state contract that makes
+    * changelog compaction runnable forever.
+    */
+  def cdcCompactStream(events: Dataset[EvtRow]): Dataset[CdcUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[CdcState, CdcUpdate](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EvtRow], state: GroupState[CdcState]) =>
+          var st = state.getOption.getOrElse(
+            CdcState(0L, Long.MinValue, Long.MinValue, "", 0.0))
+          it.foreach { e =>
+            val us = epochUs(e.ts)
+            val op = e.event_type match {
+              case "signup" => "I"; case "error" => "D"; case _ => "U" }
+            val newer = us > st.us || (us == st.us && e.event_id > st.id)
+            st =
+              if (newer) CdcState(st.nOps + 1, us, e.event_id, op, e.value)
+              else st.copy(nOps = st.nOps + 1)
+          }
+          state.update(st)
+          CdcUpdate(uid, st.nOps, st.op, st.value, st.us)
+      }
+  }
+
   // ---- Batch twins (driver-verified against DuckDB) ----
 
   val queries: Map[String, Q] = Map(

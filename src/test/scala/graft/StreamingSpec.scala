@@ -263,6 +263,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming cdc compaction converges to the batch etl_cdc_apply state") {
+    // feed the fixture log SHUFFLED across three batches (worst-case
+    // arrival order): the final update per key, deletes dropped, must
+    // equal the batch compaction exactly
+    val evs = Tables.events(spark, Sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => Streaming.EvtRow(r.getLong(0),
+        Timestamp.valueOf(r.getAs[java.time.LocalDateTime](1)),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+      .sortBy(e => e.event_id % 3) // interleave arrival vs event time
+    val input = MemoryStream[Streaming.EvtRow]
+    val q = Streaming.cdcCompactStream(input.toDS())
+      .writeStream.format("memory").queryName("cdc").outputMode("update").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 3)).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      }
+      // last update per key wins (Update mode emits one row per key per
+      // batch; later batches supersede): reduce by max n_ops
+      val streamed = spark.table("cdc").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getDouble(3),
+          r.getLong(4))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+        .collect { case (uid, (n, op, v, us)) if op != "D" => (uid, n, op, v, us) }
+        .toSet
+      val batch = SparkEntry.queries("etl_cdc_apply")(spark, Sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+          r.getLong(4))).toSet
+      assert(streamed == batch,
+        s"stream-batch drift: ${(streamed -- batch).take(3)} / ${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("funnel tie edge: equal-ts events advance stages regardless of event_id order") {
     // The batch twin's min(ts >= t) admits equality, so a click (or
     // purchase) whose ts exactly ties the prior stage's entry time counts —
