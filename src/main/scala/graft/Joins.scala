@@ -294,19 +294,25 @@ object Joins {
     // result-invariant (the join_range_bucketed precedent).
     "join_interval_overlap" -> ((s, d) => {
       import Joins.{IoMul, IoDomain, IoASpan, IoBSpan, IoW}
+      // FLOOR division for the cell ids, not `div`: integer `div` truncates
+      // toward zero, so a bound at day −3 would land in cell 0 instead of
+      // −1 and the join would silently MISS overlaps. Latent on these
+      // fixtures (day numbers start at 0) but a different epoch must not
+      // turn a correctness property into a fixture accident. floor(x/W) on
+      // doubles is exact for |x| far below 2^52.
+      def cellOf(c: String): Column =
+        floor(col(c) / lit(IoW.toDouble)).cast(LongType)
       val a = supplier(s, d)
         .select(col("s_suppkey"),
           pmod(col("s_suppkey") * IoMul, lit(IoDomain)).as("a_lo"))
         .withColumn("a_hi", col("a_lo") + IoASpan)
-        .withColumn("cell", explode(sequence(
-          expr(s"a_lo div $IoW"), expr(s"a_hi div $IoW"))))
+        .withColumn("cell", explode(sequence(cellOf("a_lo"), cellOf("a_hi"))))
       val b = orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"),
           datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01")))
             .cast(LongType).as("b_lo"))
         .withColumn("b_hi", col("b_lo") + IoBSpan)
-        .withColumn("cell", explode(sequence(
-          expr(s"b_lo div $IoW"), expr(s"b_hi div $IoW"))))
+        .withColumn("cell", explode(sequence(cellOf("b_lo"), cellOf("b_hi"))))
       a.join(b, "cell")
         .where(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
         .select("s_suppkey", "o_orderkey", "o_totalprice").distinct()
@@ -318,6 +324,58 @@ object Joins {
     "join_asof" -> (asofJoin _),
 
     "join_asof_forward" -> (asofJoinForward _),
+
+    // Nearest as-of: for each ERROR event, the same user's PURCHASE
+    // closest in time in EITHER direction — the incident-to-transaction
+    // alignment shape (backward-only asof mis-aligns when the next
+    // reading is nearer; orders-vs-events won't exercise it at all, the
+    // fixture's orders all predate the event stream). Same single-shuffle
+    // discipline as [[asofJoin]]: one tagged union, one Exchange on uid,
+    // TWO window passes over it (ascending for the latest purchase <= ts,
+    // descending for the earliest >= ts — both stay the incremental
+    // [unboundedPreceding, currentRow] frame), then an arithmetic pick.
+    // Ties: equal distance resolves BACKWARD (the earlier purchase);
+    // equal-ts purchases to the lower event_id (both sides sort ref_id
+    // DESC so `last` holds the minimum). The oracle states the same
+    // choice declaratively: rank by (abs time diff, ts, event_id) over
+    // the plain user join.
+    "join_asof_nearest" -> ((s, d) => {
+      val p = events(s, d).filter(col("event_type") === "purchase").select(
+        col("user_id").as("uid"), col("ts").as("ats"),
+        col("event_id").as("ref_id"),
+        lit(null).cast(LongType).as("probe_id"), lit(0).as("tag"))
+      val e = events(s, d).filter(col("event_type") === "error").select(
+        col("user_id").as("uid"), col("ts").as("ats"),
+        lit(null).cast(LongType).as("ref_id"),
+        col("event_id").as("probe_id"), lit(1).as("tag"))
+      val wb = Window.partitionBy("uid")
+        .orderBy(col("ats").asc, col("tag").asc, col("ref_id").desc,
+          col("probe_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("uid")
+        .orderBy(col("ats").desc, col("tag").asc, col("ref_id").desc,
+          col("probe_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val refStruct = when(col("tag") === 0,
+        struct(unix_micros(col("ats").cast(TimestampType)).as("us"),
+          col("ref_id").as("key")))
+      val us = unix_micros(col("ats").cast(TimestampType))
+      val db = us - col("b.us")
+      val df = col("f.us") - us
+      p.unionByName(e)
+        .withColumn("b", last(refStruct, ignoreNulls = true).over(wb))
+        .withColumn("f", last(refStruct, ignoreNulls = true).over(wf))
+        .where(col("tag") === 1 && (col("b").isNotNull || col("f").isNotNull))
+        .withColumn("pick",
+          when(col("b").isNull, col("f"))
+            .when(col("f").isNull, col("b"))
+            .when(df < db, col("f"))
+            .otherwise(col("b")))
+        .select(col("probe_id").as("event_id"),
+          col("pick.key").as("nearest_event_id"),
+          col("pick.us").as("nearest_ts_us"))
+        .orderBy("event_id")
+    }),
 
     "join_cross_limited" -> ((s, d) =>
       region(s, d).crossJoin(nation(s, d))
@@ -454,6 +512,20 @@ object Joins {
        "row_number() OVER (PARTITION BY o.o_orderkey ORDER BY e.ts ASC, e.event_id ASC) AS rn " +
        "FROM orders o JOIN events e ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate) " +
        "WHERE rn = 1 ORDER BY o_orderkey"),
+
+    // declarative restatement of the nearest pick: rank every same-user
+    // purchase by (abs time distance, ts, event_id) — rank 1 is always one
+    // of the two directional bests, with backward winning exact ties
+    "join_asof_nearest" ->
+      ("SELECT event_id, nearest_event_id, nearest_ts_us FROM " +
+       "(SELECT e.event_id, p.event_id AS nearest_event_id, " +
+       "epoch_us(CAST(p.ts AS TIMESTAMP)) AS nearest_ts_us, " +
+       "row_number() OVER (PARTITION BY e.event_id ORDER BY " +
+       "abs(epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(CAST(p.ts AS TIMESTAMP))) ASC, " +
+       "p.ts ASC, p.event_id ASC) AS rn " +
+       "FROM events e JOIN events p ON p.user_id = e.user_id " +
+       "AND e.event_type = 'error' AND p.event_type = 'purchase') " +
+       "WHERE rn = 1 ORDER BY event_id"),
 
     "join_cross_limited" ->
       ("SELECT r_regionkey, r_name, n_nationkey, n_name FROM region CROSS JOIN nation " +

@@ -66,6 +66,30 @@ class JoinsSpec extends AnyFunSuite {
     assert(nations == (custN | suppN))
   }
 
+  test("nearest as-of equals a brute-force per-event scan, both directions win") {
+    val got = q("join_asof_nearest").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def us(t: java.time.LocalDateTime) =
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+    val all = Tables.events(spark, Sf0001)
+      .select("event_id", "user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        us(r.getAs[java.time.LocalDateTime](2)), r.getString(3)))
+    val refs = all.filter(_._4 == "purchase").groupBy(_._2)
+    var backWins = 0; var fwdWins = 0
+    val expected = all.filter(_._4 == "error").flatMap { case (eid, uid, ts, _) =>
+      refs.get(uid).map { ps =>
+        val best = ps.minBy { case (pid, _, pts, _) =>
+          (math.abs(ts - pts), pts, pid) }
+        if (best._3 <= ts) backWins += 1 else fwdWins += 1
+        eid -> best._1
+      }
+    }.toMap
+    assert(got == expected)
+    assert(backWins > 0 && fwdWins > 0,
+      s"one direction never wins (back=$backWins fwd=$fwdWins) — test is weak")
+  }
+
   test("interval overlap join equals a brute-force overlap scan") {
     val got = q("join_interval_overlap").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
