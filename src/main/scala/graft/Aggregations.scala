@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -362,6 +362,24 @@ object Aggregations {
         ((sa / na - sb / nb) / when(se =!= 0.0, se)).as("t_stat"))
     }),
 
+    // Chi-square independence test event_type × cohort — the categorical
+    // counterpart of agg_ab_test (does behavior mix differ between
+    // experiment arms?). One conditional-aggregation pass collects the
+    // 5×2 contingency table as ten integer counts; the chi² statistic is
+    // then a GENERATED arithmetic expression over those counts — the same
+    // string evaluates in Spark and DuckDB (the Morton-code precedent), so
+    // the IEEE op sequence is identical token-for-token and even the
+    // derived double hash-matches. At 100 TB: one partial+final hash
+    // aggregate over the stream, the solve is constant work.
+    "agg_chi_square" -> ((s, d) => {
+      val counts = events(s, d).where(col("user_id").isNotNull)
+        .agg(ChiCells.head, ChiCells.tail: _*)
+      counts.selectExpr(
+        s"($chiNExpr) AS n_events",
+        s"CAST(${(ChiTypes.size - 1) * 1} AS INT) AS dof",
+        s"($chiStatExpr) AS chi2")
+    }),
+
     // Least-squares fit price ~ quantity per returnflag from the same
     // sufficient statistics — regression as a single aggregation pass is
     // the classic MapReduce ML example (only the moment sums shuffle, the
@@ -377,6 +395,36 @@ object Aggregations {
         .orderBy("l_returnflag")
     })
   )
+
+  /** agg_chi_square machinery: the 5×2 contingency cells as conditional
+    * counts, and the chi² solve as ONE generated expression string shared
+    * verbatim by the Spark query and the DuckDB oracle — identical parse,
+    * identical left-associative IEEE sequence, so the derived double
+    * hash-matches (the Morton/spreadBits precedent). Expected cells are
+    * never zero on this design: every event_type and both parity cohorts
+    * occur, and the guard is structural (a missing type would zero its row
+    * totals identically on both engines).
+    */
+  private val ChiTypes = Seq("click", "error", "purchase", "signup", "view")
+  private def chiCell(t: String, c: Int) = s"n_${t}_$c"
+  private val ChiCells: Seq[Column] = ChiTypes.flatMap(t => Seq(0, 1).map(c =>
+    count(when(col("event_type") === t && pmod(col("user_id"), lit(2L)) === c,
+      lit(1))).as(chiCell(t, c))))
+  private val chiNExpr: String =
+    ChiTypes.map(t => s"(${chiCell(t, 0)} + ${chiCell(t, 1)})").mkString(" + ")
+  private val chiStatExpr: String = {
+    def cd(t: String, c: Int) = s"CAST(${chiCell(t, c)} AS DOUBLE)"
+    val colTot = (0 to 1).map(c =>
+      s"(${ChiTypes.map(t => cd(t, c)).mkString(" + ")})")
+    val rowTot = ChiTypes.map(t => s"(${cd(t, 0)} + ${cd(t, 1)})")
+    val nTot = s"(${rowTot.mkString(" + ")})"
+    val terms = for (ti <- ChiTypes.indices; c <- 0 to 1) yield {
+      val o = cd(ChiTypes(ti), c)
+      val e = s"(${rowTot(ti)} * ${colTot(c)} / $nTot)"
+      s"(($o - $e) * ($o - $e) / $e)"
+    }
+    terms.mkString(" + ")
+  }
 
   /** Linear-counting register count (agg_distinct_sketch): 4096 registers
     * ≈ 1.5% standard error at the fixture's ~1500-distinct load factor;
@@ -471,6 +519,15 @@ object Aggregations {
        s"$slope AS slope, " +
        s"(sy - $slope * sx) / $oNd AS intercept " +
        s"FROM $oMoments ORDER BY l_returnflag")
+    },
+
+    "agg_chi_square" -> {
+      val cases = ChiTypes.flatMap(t => Seq(0, 1).map(c =>
+        s"count(CASE WHEN event_type = '$t' AND user_id % 2 = $c THEN 1 END) AS ${chiCell(t, c)}"))
+        .mkString(", ")
+      (s"WITH m AS (SELECT $cases FROM events WHERE user_id IS NOT NULL) " +
+       s"SELECT ($chiNExpr) AS n_events, CAST(${ChiTypes.size - 1} AS INT) AS dof, " +
+       s"($chiStatExpr) AS chi2 FROM m")
     },
 
     "agg_ab_test" -> {

@@ -181,6 +181,25 @@ class AggWindowSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).max <= Tables.events(spark, Sf0001).count())
   }
 
+  test("chi-square statistic matches an independent contingency computation") {
+    val row = q("agg_chi_square").collect().head
+    val (gotN, gotDof, gotChi) = (row.getLong(0), row.getInt(1), row.getDouble(2))
+    val cells = Tables.events(spark, Sf0001).where(col("user_id").isNotNull)
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1) % 2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    def o(t: String, c: Long) = cells.getOrElse((t, c), 0L).toDouble
+    val n = types.map(t => o(t, 0) + o(t, 1)).sum
+    val chi = (for (t <- types; c <- 0L to 1L) yield {
+      val e = (o(t, 0) + o(t, 1)) * types.map(o(_, c)).sum / n
+      (o(t, c) - e) * (o(t, c) - e) / e
+    }).sum
+    assert(gotN == n.toLong && gotDof == 4)
+    assert(math.abs(gotChi - chi) <= 1e-9 * math.max(1.0, chi),
+      s"chi2: $gotChi vs $chi")
+  }
+
   test("welch t-statistic matches an independent two-pass computation") {
     val row = q("agg_ab_test").collect().head
     val (gotNa, gotNb) = (row.getLong(0), row.getLong(1))
