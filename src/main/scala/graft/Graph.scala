@@ -122,32 +122,50 @@ object Graph {
   private val triSpill = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def orientedCoEdges(s: SparkSession, d: String): DataFrame = {
-    val path = triSpill.computeIfAbsent(d, _ => {
-      val cs = lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e = cs.as("a").join(cs.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
-        .agg(count(lit(1)).as("w"))
-        .where(col("w") >= TriMinCoOrders)
-        .select("p1", "p2")
-      val deg = e.select(col("p1").as("node"))
-        .unionAll(e.select(col("p2").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-      val lower = col("d1.deg") < col("d2.deg") ||
-        (col("d1.deg") === col("d2.deg") && col("p1") < col("p2"))
-      val oriented = e
-        .join(deg.as("d1"), col("p1") === col("d1.node"))
-        .join(deg.as("d2"), col("p2") === col("d2.node"))
-        .select(
-          when(lower, col("p1")).otherwise(col("p2")).as("src"),
-          when(lower, col("p2")).otherwise(col("p1")).as("dst"),
-          when(lower, col("d2.deg")).otherwise(col("d1.deg")).as("ddeg"))
-      val p = Sources.tmpUnique("tri_edges")
-      oriented.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
-      p
-    })
+    // Build OUTSIDE any map lock (ADVICE.md round 6): computeIfAbsent would
+    // hold the bin lock for the whole Spark job, blocking an unrelated
+    // dataset's first call that hashes to the same bin, and an exception
+    // mid-write would still leave a partial temp dir. putIfAbsent after the
+    // finished write keeps the map lock-free; two concurrent first calls
+    // may each build once (both writes are complete, self-consistent dirs —
+    // the loser's is simply never read again), which is the standard
+    // race-tolerant memoization trade.
+    val cached = triSpill.get(d)
+    val path = if (cached != null) cached else {
+      val built = buildOrientedCoEdges(s, d)
+      val prev = triSpill.putIfAbsent(d, built)
+      if (prev != null) prev else built
+    }
     s.read.parquet(path)
+  }
+
+  /** Runs the thresholded co-purchase self-join and spills the oriented
+    * edge list; returns the parquet path. See [[orientedCoEdges]].
+    */
+  private def buildOrientedCoEdges(s: SparkSession, d: String): String = {
+    val cs = lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = cs.as("a").join(cs.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= TriMinCoOrders)
+      .select("p1", "p2")
+    val deg = e.select(col("p1").as("node"))
+      .unionAll(e.select(col("p2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val lower = col("d1.deg") < col("d2.deg") ||
+      (col("d1.deg") === col("d2.deg") && col("p1") < col("p2"))
+    val oriented = e
+      .join(deg.as("d1"), col("p1") === col("d1.node"))
+      .join(deg.as("d2"), col("p2") === col("d2.node"))
+      .select(
+        when(lower, col("p1")).otherwise(col("p2")).as("src"),
+        when(lower, col("p2")).otherwise(col("p1")).as("dst"),
+        when(lower, col("d2.deg")).otherwise(col("d1.deg")).as("ddeg"))
+    val p = Sources.tmpUnique("tri_edges")
+    oriented.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+    p
   }
 
   val queries: Map[String, Q] = Map(

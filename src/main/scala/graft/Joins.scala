@@ -54,11 +54,15 @@ object Joins {
     * 100 TB-safe formulation; ties on date resolve to max o_orderkey.
     */
   def asofJoin(s: SparkSession, d: String): DataFrame = {
-    val o = orders(s, d).select(
+    // NULL keys never match the oracle's equi-join, but Window.partitionBy
+    // groups them into ONE partition and would happily align a NULL-uid
+    // event to a NULL-uid order (ADVICE.md round 6) — reject them up front
+    // so a fixture regeneration with NULL user ids cannot desynchronize.
+    val o = orders(s, d).where(col("o_custkey").isNotNull).select(
       col("o_custkey").as("uid"), col("o_orderdate").as("ats"),
       col("o_orderkey"), col("o_orderdate"),
       lit(null).cast(LongType).as("event_id"), lit(0).as("tag"))
-    val e = events(s, d).select(
+    val e = events(s, d).where(col("user_id").isNotNull).select(
       col("user_id").as("uid"), col("ts").as("ats"),
       lit(null).cast(LongType).as("o_orderkey"),
       lit(null).cast(TimestampNTZType).as("o_orderdate"),
@@ -93,11 +97,12 @@ object Joins {
     * ties to the MIN event_id.
     */
   def asofJoinForward(s: SparkSession, d: String): DataFrame = {
-    val e = events(s, d).select(
+    // NULL-uid rejection: same rationale as [[asofJoin]].
+    val e = events(s, d).where(col("user_id").isNotNull).select(
       col("user_id").as("uid"), col("ts").as("ats"),
       col("event_id"), col("ts"),
       lit(null).cast(LongType).as("o_orderkey"), lit(1).as("tag"))
-    val o = orders(s, d).select(
+    val o = orders(s, d).where(col("o_custkey").isNotNull).select(
       col("o_custkey").as("uid"), col("o_orderdate").as("ats"),
       lit(null).cast(LongType).as("event_id"),
       lit(null).cast(TimestampNTZType).as("ts"),
@@ -340,11 +345,14 @@ object Joins {
     // choice declaratively: rank by (abs time diff, ts, event_id) over
     // the plain user join.
     "join_asof_nearest" -> ((s, d) => {
-      val p = events(s, d).filter(col("event_type") === "purchase").select(
+      // NULL-uid rejection on both legs: same rationale as [[asofJoin]].
+      val p = events(s, d)
+        .filter(col("event_type") === "purchase" && col("user_id").isNotNull).select(
         col("user_id").as("uid"), col("ts").as("ats"),
         col("event_id").as("ref_id"),
         lit(null).cast(LongType).as("probe_id"), lit(0).as("tag"))
-      val e = events(s, d).filter(col("event_type") === "error").select(
+      val e = events(s, d)
+        .filter(col("event_type") === "error" && col("user_id").isNotNull).select(
         col("user_id").as("uid"), col("ts").as("ats"),
         lit(null).cast(LongType).as("ref_id"),
         col("event_id").as("probe_id"), lit(1).as("tag"))

@@ -108,9 +108,9 @@ object ProfScale {
       // join family as ngram_jaccard, longer windows)
       "dedup_substring",
       // round-6 continuation: PQ's ADC scan (corpus k×, queries fixed),
-      // triangle counting (the edge-build self-join scans k× lineitems;
-      // the thresholded graph itself is copy-invariant by construction —
-      // same part keys per copy, weights sum), and the keyed-window pair
+      // triangle counting (per-copy l_partkey offsets above give k DISJOINT
+      // copies of the co-purchase graph — edges and triangles grow ~k, the
+      // right linearity probe), and the keyed-window pair
       "sim_ann_pq", "graph_triangle_count", "etl_cdc_apply",
       "window_gaps_islands", "join_bloom_prefilter")
       .filter(q => only.isEmpty || only(q))

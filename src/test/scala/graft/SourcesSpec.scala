@@ -53,9 +53,16 @@ class SourcesSpec extends AnyFunSuite {
   test("snapshot diff classes partition the union of both snapshots") {
     val rows = q("etl_snapshot_diff").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    import Etl.{DiffMod, DiffDropRes, DiffRepriceRes, DiffInsertRes}
+    import Etl.{DiffMod, DiffDropRes, DiffRepriceRes, DiffInsertRes, DiffKeyShift}
     val ks = Tables.orders(spark, Sf0001).select("o_orderkey")
       .collect().map(_.getLong(0))
+    // DiffKeyShift places cloned "insert" keys in a band disjoint from the
+    // base keys; if a regenerated fixture ever reached the shift, cloned
+    // keys would collide with real ones and corrupt the classification
+    // identically in query AND oracle (the gate would stay green) — fail
+    // loudly here instead (ADVICE.md round 6).
+    assert(ks.max < DiffKeyShift,
+      s"o_orderkey ${ks.max} reaches DiffKeyShift=$DiffKeyShift — raise the shift")
     val added = ks.count(_ % DiffMod == DiffInsertRes).toLong
     val removed = ks.count(_ % DiffMod == DiffDropRes).toLong
     val changed = ks.count(_ % DiffMod == DiffRepriceRes).toLong
