@@ -838,67 +838,166 @@ object Similarity {
       // in fixed subspace order so both engines run the identical IEEE
       // sequence. The two collects are the PqK-seed / PqM×PqK-codeword
       // frames — bounded by construction, the sanctioned centroid pattern.
-      import org.apache.spark.sql.graft.VectorOps.vec_dist_sq
-      import s.implicits._
-      val e = embeddings(s, d)
-      val subs = e.select(col("vec_id"), posexplode(expr(
-        s"transform(sequence(0, ${PqM - 1}), m -> slice(embedding, m * $PqDim + 1, $PqDim))"))
-        .as(Seq("m", "sub")))
-      val seedRows = e.withColumn("hk",
-          expr(s"pmod(pmod(vec_id, ${SigP}L) * ${sigA(21)}L + ${sigB(21)}L, ${SigP}L)"))
-        .orderBy(col("hk"), col("vec_id")).limit(PqK)
-        .select(col("embedding")).as[Array[Float]].collect()
-      def cbFrame(rows: Seq[(Int, Int, Seq[Double])]): DataFrame =
-        broadcast(rows.toDF("m", "code", "cw"))
-      val cb0 = cbFrame(for {
-        (v, i) <- seedRows.toSeq.zipWithIndex; m <- 0 until PqM
-      } yield (m, i + 1, v.slice(m * PqDim, (m + 1) * PqDim).map(_.toDouble).toSeq))
-      // nearest codeword per (vector, subspace); min_by keeps this a hash
-      // aggregate with map-side partials, ties to the lower code id. The
-      // aggregate carries ONLY the winning code — dragging the sub-vector
-      // array through the n*M*K-row aggregation state measured 3× slower
-      // at sf0.1; the Lloyd step re-attaches sub with a cheap n*M-row join
-      def assign(cb: DataFrame): DataFrame =
-        subs.join(cb, "m")
-          .select(col("vec_id"), col("m"), col("code"),
-            vec_dist_sq(col("sub"), col("cw")).as("dist"))
-          .groupBy("vec_id", "m")
-          .agg(expr("min_by(code, struct(dist, code))").as("code"))
-      // one Lloyd refinement: exact-decimal per-dimension means per
-      // (subspace, code); codes that lose every member simply drop out —
-      // mirrored by the oracle's GROUP BY, no re-indexing needed
-      val refined = assign(cb0)
-        .join(subs, Seq("vec_id", "m"))
-        .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
-        .groupBy("m", "code", "pos")
-        .agg((sum(dec(col("v"), 27, 10)).cast(DoubleType) / count(lit(1))).as("c"))
-        .groupBy("m", "code")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cw"))
-        .as[(Int, Int, Seq[Double])].collect()
-      val cb1 = cbFrame(refined.toSeq)
-      val codes = assign(cb1)
+      val (subs, cb1, codes) = pqTrained(s, d)
       // per-query ADC lookup table: distance from each query slice to each
       // refined codeword — PqM * PqK rows per query, broadcast to the scan
-      val lut = subs.where(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("m"), col("sub").as("qsub"))
-        .join(cb1, "m")
-        .select(col("qid"), col("m"), col("code"),
-          vec_dist_sq(col("qsub"), col("cw")).as("dqc"))
-      codes.join(broadcast(lut), Seq("m", "code"))
+      val lut = pqLut(subs, cb1)
+      adcRank(codes.join(broadcast(lut), Seq("m", "code"))
         .where(col("qid") =!= col("vec_id"))
-        .groupBy(col("qid"), col("vec_id").as("nn"))
-        // approx distance = sum of the PqM table entries in FIXED subspace
-        // order (array_sort on the unique m, then a 0.0-seeded fold) — a
-        // bare sum() would re-associate float addition nondeterministically
-        .agg(expr("aggregate(transform(array_sort(collect_list(struct(m, dqc))), " +
-          "x -> x.dqc), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("adist"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("qid").orderBy(col("adist").asc, col("nn").asc)))
-        .where(col("rn") <= 10)
-        .select("qid", "nn", "rn")
-        .orderBy("qid", "rn")
+        .select(col("qid"), col("vec_id").as("nn"), col("m"), col("dqc")))
+    }),
+
+    "sim_ann_ivfpq" -> ((s, d) => {
+      // THE 100 TB ANN shape (VERDICT r6 #1): IVF's coarse quantizer prunes
+      // — IvfPqK inverted lists, only IvfPqProbe probed per query — and
+      // PQ's ADC lookup-table scan ranks INSIDE the probed lists, so a
+      // query touches nprobe/K of the corpus and reads PqM-byte codes
+      // instead of raw vectors: pruned AND compressed, the composite both
+      // legs' comments have named since round 6. All-L2 (the canonical
+      // IVF-PQ objective): the coarse quantizer here assigns and probes by
+      // vec_dist_sq, not sim_ann_ivf's cosine, so coarse pruning and ADC
+      // ranking optimize the same metric and AnnRecallSpec measures it
+      // against the exact-L2 ground truth like sim_ann_pq. Same
+      // determinism recipe as both legs (portable affine seed hash, one
+      // exact-decimal Lloyd round, ties to the lower id, seeded IEEE
+      // folds), so the composite inherits a full DuckDB oracle
+      // ([[annIvfPqOracle]]) mechanically. Collects: the IvfPqK-seed and
+      // IvfPqK-centroid frames — bounded constants, the sanctioned
+      // pattern. At scale the codes table lives PARTITIONED BY list id, so
+      // probing is a partition-pruned read; here the broadcast probe
+      // equi-join on cid plays that role (PLANS.md: the codes scan joins
+      // only the probed candidate set, never the whole corpus).
+      import org.apache.spark.sql.graft.VectorOps.vec_dist_sq
+      import s.implicits._
+      val (subs, cb1, codes) = pqTrained(s, d)
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // coarse quantizer: IvfPqK seed vectors by portable-hash rank
+      // (bounded collect), one exact-decimal Lloyd round, min-L2 assignment
+      val seedRows = e.withColumn("hk",
+          expr(s"pmod(pmod(vec_id, ${SigP}L) * ${sigA(22)}L + ${sigB(22)}L, ${SigP}L)"))
+        .orderBy(col("hk"), col("vec_id")).limit(IvfPqK)
+        .select(col("embedding")).as[Array[Float]].collect()
+      def centFrame(vecs: Seq[Seq[Double]]): DataFrame =
+        broadcast(vecs.zipWithIndex.map { case (v, i) => (i + 1, v) }.toDF("cid", "ce"))
+      def assign(cent: DataFrame): DataFrame =
+        e.crossJoin(cent)
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            vec_dist_sq(col("embedding"), col("ce")).as("dd"))
+          .groupBy("vec_id")
+          .agg(expr("min_by(struct(embedding, cid), struct(dd, cid))").as("best"))
+          .select(col("vec_id"), col("best.embedding").as("embedding"),
+            col("best.cid").as("cid"))
+      val refinedRows = assign(centFrame(seedRows.toSeq.map(_.map(_.toDouble).toSeq)))
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg((sum(dec(col("v"), 27, 10)).cast(DoubleType) / count(lit(1))).as("c"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("ce"))
+        .orderBy("cid")
+        .select(col("ce")).as[Seq[Double]].collect()
+      val refined = centFrame(refinedRows.toSeq)
+      val lists = assign(refined).select("vec_id", "cid")
+      // queries probe the IvfPqProbe nearest coarse centroids by L2
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .crossJoin(refined)
+        .select(col("qid"), col("cid"), vec_dist_sq(col("qe"), col("ce")).as("dd"))
+        .withColumn("pk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("dd").asc, col("cid").asc)))
+        .where(col("pk") <= IvfPqProbe)
+        .select("qid", "cid")
+      // candidate set = probed lists only, pruned BEFORE the codes join:
+      // the tiny (qid, cid) probe frame broadcasts onto the list
+      // assignment, and only that pruned candidate frame reaches the codes
+      // scan — the flat-table twin of reading nprobe list partitions
+      val cand = lists.join(broadcast(probes), Seq("cid"))
+        .where(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("nn"))
+      val lut = pqLut(subs, cb1)
+      adcRank(codes.join(cand, codes("vec_id") === cand("nn"))
+        .join(broadcast(lut), Seq("qid", "m", "code"))
+        .select(col("qid"), col("nn"), col("m"), col("dqc")))
     })
   )
+
+  /** PQ training shared by sim_ann_pq and sim_ann_ivfpq: subspace slices,
+    * the refined codebook (a broadcast PqM×PqK constant frame), and the
+    * per-vector codes. Deterministic and SQL-expressible ([[annPqOracle]]
+    * mirrors it CTE by CTE): seeds by portable affine hash of vec_id, one
+    * Lloyd round with exact-decimal means, min-L2 assignments tied to the
+    * lower code. The two collects are the PqK-seed / PqM×PqK-codeword
+    * frames — bounded by construction, the sanctioned centroid pattern.
+    */
+  private def pqTrained(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.graft.VectorOps.vec_dist_sq
+    import s.implicits._
+    val e = embeddings(s, d)
+    val subs = e.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${PqM - 1}), m -> slice(embedding, m * $PqDim + 1, $PqDim))"))
+      .as(Seq("m", "sub")))
+    val seedRows = e.withColumn("hk",
+        expr(s"pmod(pmod(vec_id, ${SigP}L) * ${sigA(21)}L + ${sigB(21)}L, ${SigP}L)"))
+      .orderBy(col("hk"), col("vec_id")).limit(PqK)
+      .select(col("embedding")).as[Array[Float]].collect()
+    def cbFrame(rows: Seq[(Int, Int, Seq[Double])]): DataFrame =
+      broadcast(rows.toDF("m", "code", "cw"))
+    val cb0 = cbFrame(for {
+      (v, i) <- seedRows.toSeq.zipWithIndex; m <- 0 until PqM
+    } yield (m, i + 1, v.slice(m * PqDim, (m + 1) * PqDim).map(_.toDouble).toSeq))
+    // nearest codeword per (vector, subspace); min_by keeps this a hash
+    // aggregate with map-side partials, ties to the lower code id. The
+    // aggregate carries ONLY the winning code — dragging the sub-vector
+    // array through the n*M*K-row aggregation state measured 3× slower
+    // at sf0.1; the Lloyd step re-attaches sub with a cheap n*M-row join
+    def assign(cb: DataFrame): DataFrame =
+      subs.join(cb, "m")
+        .select(col("vec_id"), col("m"), col("code"),
+          vec_dist_sq(col("sub"), col("cw")).as("dist"))
+        .groupBy("vec_id", "m")
+        .agg(expr("min_by(code, struct(dist, code))").as("code"))
+    // one Lloyd refinement: exact-decimal per-dimension means per
+    // (subspace, code); codes that lose every member simply drop out —
+    // mirrored by the oracle's GROUP BY, no re-indexing needed
+    val refined = assign(cb0)
+      .join(subs, Seq("vec_id", "m"))
+      .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
+      .groupBy("m", "code", "pos")
+      .agg((sum(dec(col("v"), 27, 10)).cast(DoubleType) / count(lit(1))).as("c"))
+      .groupBy("m", "code")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cw"))
+      .as[(Int, Int, Seq[Double])].collect()
+    val cb1 = cbFrame(refined.toSeq)
+    (subs, cb1, assign(cb1))
+  }
+
+  /** Per-query ADC lookup table: L2 distance from each query sub-vector to
+    * each refined codeword — PqM × PqK rows per query, a broadcast-sized
+    * constant frame keyed (qid, m, code).
+    */
+  private def pqLut(subs: DataFrame, cb1: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.VectorOps.vec_dist_sq
+    subs.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("m"), col("sub").as("qsub"))
+      .join(cb1, "m")
+      .select(col("qid"), col("m"), col("code"),
+        vec_dist_sq(col("qsub"), col("cw")).as("dqc"))
+  }
+
+  /** Shared ADC ranking tail: fold per-subspace table distances into the
+    * approximate distance and keep each query's top 10. The fold runs in
+    * FIXED subspace order (array_sort on the unique m, then a 0.0-seeded
+    * fold) — a bare sum() would re-associate float addition
+    * nondeterministically. Input columns: qid, nn, m, dqc.
+    */
+  private def adcRank(perSub: DataFrame): DataFrame =
+    perSub.groupBy("qid", "nn")
+      .agg(expr("aggregate(transform(array_sort(collect_list(struct(m, dqc))), " +
+        "x -> x.dqc), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("adist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist").asc, col("nn").asc)))
+      .where(col("rn") <= 10)
+      .select("qid", "nn", "rn")
+      .orderBy("qid", "rn")
 
   /** DuckDB SQL fragment for the left-to-right double dot product of two
     * float lists — bit-identical to the native vec_dot fold (proven pattern:
@@ -1060,23 +1159,27 @@ object Similarity {
     "SELECT qid, nn, CAST(rn AS INT) AS rn FROM r WHERE rn <= 10 ORDER BY qid, rn"
   }
 
-  /** Generated SQL mirror of sim_ann_pq: same hash-ranked seeds, the
-    * sub-vector L2 distances as the [[seededFold]] zip the sim_knn oracle
-    * proved bit-identical to the codegen'd vec_dist_sq, min-distance
-    * assignment via QUALIFY (ties to the lower code), exact-decimal Lloyd
-    * means, and the ADC sum as a 0.0-seeded fold over `list(dqc ORDER BY
-    * m)` — the same IEEE sequence as Spark's sorted-struct fold.
+  /** DuckDB fragment: squared L2 distance between a float list and a double
+    * list as the [[seededFold]] zip the sim_knn oracle proved bit-identical
+    * to the codegen'd vec_dist_sq.
     */
-  private def annPqOracle: String = {
+  private def oDistE(a: String, b: String): String =
+    seededFold(s"list_transform(list_zip($a, $b), " +
+      "x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2]))")
+
+  /** Shared PQ-leg CTE chain (ms → subs → sd → cb0 → a1 → cm → cb1 → a2),
+    * the SQL mirror of [[pqTrained]]: hash-ranked seeds, min-distance
+    * assignment via QUALIFY (ties to the lower code), exact-decimal Lloyd
+    * means. `cb1` is the refined codebook, `a2` the per-vector codes —
+    * consumed by both [[annPqOracle]] and [[annIvfPqOracle]].
+    */
+  private def pqLegCtes: String = {
     val hk = s"((vec_id % $SigP) * ${sigA(21)} + ${sigB(21)}) % $SigP"
-    def distE(a: String, b: String): String =
-      seededFold(s"list_transform(list_zip($a, $b), " +
-        "x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2]))")
     def assignCte(cb: String): String =
       s"(SELECT vec_id, m, sub, code FROM (SELECT s.vec_id, s.m, s.sub, c.code, " +
-      s"${distE("s.sub", "c.cw")} AS dist FROM subs s JOIN $cb c ON c.m = s.m) t " +
+      s"${oDistE("s.sub", "c.cw")} AS dist FROM subs s JOIN $cb c ON c.m = s.m) t " +
       "QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, code ASC) = 1)"
-    s"WITH ms AS (SELECT CAST(unnest(range(0, $PqM)) AS INT) AS m), " +
+    s"ms AS (SELECT CAST(unnest(range(0, $PqM)) AS INT) AS m), " +
     "subs AS (SELECT vec_id, m, " +
     s"embedding[m * $PqDim + 1 : m * $PqDim + $PqDim] AS sub " +
     "FROM embeddings CROSS JOIN ms), " +
@@ -1090,23 +1193,79 @@ object Similarity {
     "FROM (SELECT m, code, unnest(sub) AS v, " +
     "unnest(generate_series(1, len(sub))) AS pos FROM a1) GROUP BY m, code, pos), " +
     "cb1 AS (SELECT m, code, list(c ORDER BY pos) AS cw FROM cm GROUP BY m, code), " +
-    s"a2 AS ${assignCte("cb1")}, " +
+    s"a2 AS ${assignCte("cb1")}"
+  }
+
+  /** Per-query ADC lookup-table CTE — SQL mirror of [[pqLut]]. */
+  private def pqLutCte: String =
     "lut AS (SELECT q.vec_id AS qid, q.m, c.code, " +
-    s"${distE("q.sub", "c.cw")} AS dqc " +
-    "FROM subs q JOIN cb1 c ON c.m = q.m WHERE q.vec_id < 10), " +
-    "p AS (SELECT l.qid, a.vec_id AS nn, l.m, l.dqc FROM a2 a " +
-    "JOIN lut l ON l.m = a.m AND l.code = a.code WHERE a.vec_id != l.qid), " +
+    s"${oDistE("q.sub", "c.cw")} AS dqc " +
+    "FROM subs q JOIN cb1 c ON c.m = q.m WHERE q.vec_id < 10)"
+
+  /** Shared ADC ranking tail — SQL mirror of [[adcRank]]: the ADC sum as a
+    * 0.0-seeded fold over `list(dqc ORDER BY m)`, the same IEEE sequence as
+    * Spark's sorted-struct fold. Expects a CTE `p(qid, nn, m, dqc)`.
+    */
+  private def adcTailSql: String =
     "ad AS (SELECT qid, nn, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
     "list(dqc ORDER BY m)), (acc, x) -> acc + x) AS adist FROM p GROUP BY qid, nn), " +
     "r AS (SELECT qid, nn, row_number() OVER (PARTITION BY qid " +
     "ORDER BY adist ASC, nn ASC) AS rn FROM ad) " +
     "SELECT qid, nn, CAST(rn AS INT) AS rn FROM r WHERE rn <= 10 ORDER BY qid, rn"
+
+  /** Generated SQL mirror of sim_ann_pq: the shared [[pqLegCtes]] chain,
+    * then the lookup-table join over the FULL codes table ([[pqLutCte]])
+    * and the shared ADC tail.
+    */
+  private def annPqOracle: String =
+    s"WITH $pqLegCtes, $pqLutCte, " +
+    "p AS (SELECT l.qid, a.vec_id AS nn, l.m, l.dqc FROM a2 a " +
+    "JOIN lut l ON l.m = a.m AND l.code = a.code WHERE a.vec_id != l.qid), " +
+    adcTailSql
+
+  /** Generated SQL mirror of sim_ann_ivfpq: the shared PQ leg trains the
+    * codebook/codes, a k-prefixed CTE chain trains the L2 coarse quantizer
+    * (same recipe: hash-ranked seeds with the sigA(22) family, QUALIFY
+    * min-distance assignment tied to the lower cid, exact-decimal Lloyd
+    * means, row_number re-index over cid), `kpb` probes the IvfPqProbe
+    * nearest lists, `cand` prunes to probed lists, and the ADC tail ranks
+    * only those candidates.
+    */
+  private def annIvfPqOracle: String = {
+    val khk = s"((vec_id % $SigP) * ${sigA(22)} + ${sigB(22)}) % $SigP"
+    s"WITH $pqLegCtes, " +
+    "ke AS (SELECT vec_id, embedding FROM embeddings), " +
+    "ksd AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce, " +
+    "CAST(row_number() OVER (ORDER BY hk, vec_id) AS INT) AS cid " +
+    s"FROM (SELECT vec_id, embedding, $khk AS hk FROM embeddings) ORDER BY hk, vec_id LIMIT $IvfPqK), " +
+    "kb1 AS (SELECT vec_id, embedding, cid FROM (SELECT e.vec_id, e.embedding, c.cid, " +
+    s"${oDistE("e.embedding", "c.ce")} AS dd FROM ke e CROSS JOIN ksd c) t " +
+    "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd ASC, cid ASC) = 1), " +
+    s"kcm AS (SELECT cid, pos, ${oDbl("SUM(CAST(v AS DECIMAL(27,10)))")} / count(*) AS c " +
+    "FROM (SELECT cid, unnest(embedding) AS v, " +
+    "unnest(generate_series(1, len(embedding))) AS pos FROM kb1) GROUP BY cid, pos), " +
+    "kc1 AS (SELECT CAST(row_number() OVER (ORDER BY cid) AS INT) AS cid, ce " +
+    "FROM (SELECT cid, list(c ORDER BY pos) AS ce FROM kcm GROUP BY cid) t), " +
+    "kb2 AS (SELECT vec_id, cid FROM (SELECT e.vec_id, c.cid, " +
+    s"${oDistE("e.embedding", "c.ce")} AS dd FROM ke e CROSS JOIN kc1 c) t " +
+    "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd ASC, cid ASC) = 1), " +
+    "kpb AS (SELECT qid, cid FROM (SELECT e.vec_id AS qid, c.cid, " +
+    s"${oDistE("e.embedding", "c.ce")} AS dd FROM ke e CROSS JOIN kc1 c WHERE e.vec_id < 10) t " +
+    s"QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dd ASC, cid ASC) <= $IvfPqProbe), " +
+    "cand AS (SELECT pb.qid, l.vec_id AS nn FROM kpb pb JOIN kb2 l USING (cid) " +
+    "WHERE l.vec_id != pb.qid), " +
+    s"$pqLutCte, " +
+    "p AS (SELECT cand.qid, cand.nn, a.m, l.dqc FROM cand " +
+    "JOIN a2 a ON a.vec_id = cand.nn " +
+    "JOIN lut l ON l.qid = cand.qid AND l.m = a.m AND l.code = a.code), " +
+    adcTailSql
   }
 
   val oracles: Map[String, String] = Map(
     "sim_ann_lsh" -> annLshOracle,
     "sim_ann_ivf" -> annIvfOracle,
     "sim_ann_pq" -> annPqOracle,
+    "sim_ann_ivfpq" -> annIvfPqOracle,
 
     "dedup_near_minhash" ->
       ("WITH " + minhashPairsCte + ", " +

@@ -66,6 +66,17 @@ object TextOps {
   /** Independent packing shards (pack_sequences) — the parallelism knob. */
   val PackShards = 8
 
+  /** Portable content fingerprint: polynomial rolling hash over codepoints,
+    * mod 1e9+7, folded left-to-right in BIGINT — deterministic and
+    * engine-portable. Shared by `text_fingerprint`, its oracle, and
+    * [[Streaming.fingerprintDedupStream]] (the streaming content-dedup
+    * state key) so the batch and streaming dedup surfaces key on the SAME
+    * hash by construction.
+    */
+  val FingerprintExpr: String =
+    "aggregate(transform(split(text, ''), c -> ascii(c)), 0L, " +
+    "(acc, x) -> pmod(acc * 31 + x, 1000000007L))"
+
   val queries: Map[String, Q] = Map(
     "text_wordcount" -> ((s, d) =>
       documents(s, d)
@@ -213,13 +224,9 @@ object TextOps {
         .limit(50)),
 
     "text_fingerprint" -> ((s, d) =>
-      // Polynomial rolling hash over codepoints, mod 1e9+7, folded
-      // left-to-right in BIGINT — deterministic and engine-portable.
+      // See [[FingerprintExpr]] — also the streaming dedup state key.
       documents(s, d)
-        .select(
-          col("doc_id"),
-          expr("aggregate(transform(split(text, ''), c -> ascii(c)), 0L, " +
-               "(acc, x) -> pmod(acc * 31 + x, 1000000007L))").as("fingerprint"))
+        .select(col("doc_id"), expr(FingerprintExpr).as("fingerprint"))
         .orderBy("doc_id")),
 
     "text_tfidf_topk" -> ((s, d) => {

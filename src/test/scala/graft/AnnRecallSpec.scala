@@ -93,6 +93,26 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(mean >= 0.45, f"PQ recall collapsed: $mean%.3f")
   }
 
+  test("sim_ann_ivfpq recall@10 vs exact L2 top-10 at sf0.1") {
+    val got = SparkEntry.queries("sim_ann_ivfpq")(spark, Sf01).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = groundTruthL2.toSeq.map { case (qid, exact) =>
+      (exact intersect got.getOrElse(qid, Set.empty)).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.length
+    info(f"IVF-PQ mean recall@10 over ${groundTruthL2.size} queries: $mean%.3f")
+    // The composite's recall is bounded by BOTH legs: coarse pruning keeps
+    // nprobe/K = 1/4 of the corpus (on uniform random vectors — no cluster
+    // structure — true neighbors land in probed lists roughly at that
+    // rate), and ADC ranks what survives at PQ's quantization quality
+    // (0.56 full-scan). Measured 0.440 — between IVF's 0.46 pruning bound
+    // and what independent leg losses would predict, i.e. the composition
+    // costs ~nothing beyond its parts. Floor 0.35 (IVF's own floor): it
+    // guards the probe plumbing and the codes join — a broken list
+    // assignment or LUT key craters it to ~0.
+    assert(mean >= 0.35, f"IVF-PQ recall collapsed: $mean%.3f")
+  }
+
   test("sim_ann_ivf is deterministic and rank-shaped") {
     val a = SparkEntry.queries("sim_ann_ivf")(spark, Sf01).collect().toSeq
     val b = SparkEntry.queries("sim_ann_ivf")(spark, Sf01).collect().toSeq

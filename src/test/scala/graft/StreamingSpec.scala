@@ -321,4 +321,39 @@ class StreamingSpec extends AnyFunSuite {
         s"tie semantics broken: $got")
     } finally q.stop()
   }
+
+  test("fingerprint dedup stream converges to batch dedup_exact under shuffled arrival") {
+    // The full sf0.001 documents corpus, arrival order decorrelated from
+    // doc_id and split across 4 micro-batches: duplicates of one text land
+    // in DIFFERENT batches in arbitrary order, the exact condition the
+    // min-representative state machine must be invariant to.
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (id, _) => id % 7 }
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.fingerprintDedupStream(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("fpdedup").outputMode("update").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 4)).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      }
+      // Update mode: the latest row per fingerprint supersedes — reduce by
+      // max n_copies (monotone per key)
+      val streamed = spark.table("fpdedup").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._2)).toMap
+      // batch truth on the same fixture: reps + copy counts per raw text
+      val batch = SparkEntry.queries("dedup_exact")(spark, Sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val streamedReps = streamed.values.toSet
+      assert(streamedReps == batch,
+        s"stream-batch drift: ${(streamedReps -- batch).take(3)} / ${(batch -- streamedReps).take(3)}")
+      // and the state key did not collide on this fixture: one fingerprint
+      // per distinct text (otherwise the equality above can still hold by
+      // luck on reps while counts merged — fail loudly instead)
+      assert(streamed.size == batch.size,
+        s"fingerprint collision merged ${batch.size - streamed.size} content groups")
+    } finally q.stop()
+  }
 }
