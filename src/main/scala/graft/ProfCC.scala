@@ -22,6 +22,16 @@ object ProfCC {
     time("full dedup_cluster_cc")(SparkEntry.queries("dedup_cluster_cc")(spark, d).count())
     time("full dedup_cluster_cc (2nd)")(SparkEntry.queries("dedup_cluster_cc")(spark, d).count())
     time("full dedup_cluster_jaccard")(SparkEntry.queries("dedup_cluster_jaccard")(spark, d).count())
+    // Context-sensitivity probe (VERDICT r6 #2): the ANN training heavies
+    // leave broadcast/old-gen residue; measure whether cluster_cc inflates
+    // when run right after them — the in-full-bench condition that the
+    // clean 4-query subset above does not reproduce.
+    time("sim_ann_pq (context load)")(SparkEntry.queries("sim_ann_pq")(spark, d).count())
+    time("sim_ann_ivfpq (context load)")(SparkEntry.queries("sim_ann_ivfpq")(spark, d).count())
+    time("full dedup_cluster_cc (after ANN heavies)")(
+      SparkEntry.queries("dedup_cluster_cc")(spark, d).count())
+    time("full dedup_cluster_cc (after ANN heavies, 2nd)")(
+      SparkEntry.queries("dedup_cluster_cc")(spark, d).count())
     spark.stop()
   }
 }
