@@ -112,7 +112,12 @@ object ProfScale {
       // copies of the co-purchase graph — edges and triangles grow ~k, the
       // right linearity probe), and the keyed-window pair
       "sim_ann_pq", "graph_triangle_count", "etl_cdc_apply",
-      "window_gaps_islands", "join_bloom_prefilter")
+      "window_gaps_islands", "join_bloom_prefilter",
+      // round 7: the grid interval join (replicated orders widen the B
+      // side; the W-cell replication factor is the constant under test),
+      // the two-big-side full-outer diff, and the pruned+compressed ANN
+      // composite (corpus k x, query set fixed - the IVF-PQ scale claim)
+      "join_interval_overlap", "etl_snapshot_diff", "sim_ann_ivfpq")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer
