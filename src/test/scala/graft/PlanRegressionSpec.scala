@@ -224,4 +224,17 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
       s"codebook/LUT joins no longer broadcast:\n$p")
   }
+
+  test("ivfpq: probes broadcast onto the lists, codes join only the pruned candidates") {
+    val p = plan("sim_ann_ivfpq")
+    // no all-pairs anywhere except the two bounded centroid cross joins
+    // (16-row constant frames, which plan as BNLJ over a broadcast — the
+    // sanctioned pattern shared with sim_ann_ivf); candidate pruning and
+    // the LUT must stay broadcast-hash equi-joins
+    assert(!p.contains("CartesianProduct"), s"IVF-PQ degenerated to all-pairs:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"more BNLJs than the two 16-row centroid frames:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"probe/codebook/LUT joins no longer broadcast:\n$p")
+  }
 }
