@@ -247,24 +247,33 @@ object Similarity {
     */
   def minhashCandidates(s: SparkSession, d: String, threshold: Double): DataFrame = {
     val sh = portableShingles(s, d)
-    val sigs = minhashSigs(sh)
-    // Band key: an integer fold of the band's 4 sigs (h*31-chained, max
-    // ~3e13 — no modulus needed) instead of xxhash64 over the columns, so
-    // the oracle reproduces the buckets exactly.
-    val bands = sigs.select(col("doc_id"),
-      posexplode(array((0 until NumBands).map { b =>
-        val cols = (b * BandSize until (b + 1) * BandSize).map(i => s"h$i")
-        expr(cols.tail.foldLeft(cols.head)((acc, h) => s"($acc * 31 + $h)"))
-      }: _*)).as(Seq("band", "sig")))
+    val bands = minhashBands(sh)
     val cand = bands.as("x").join(bands.as("y"), Seq("band", "sig"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    // Verify candidates with exact Jaccard over shingle sets (integer
-    // cross-multiplication — no float division in the predicate).
+    verifiedPairs(sh, cand, threshold)
+  }
+
+  /** Band-bucket frame (doc_id, band, sig) from the shingle frame. Band
+    * key: an integer fold of the band's 4 sigs (h*31-chained, max ~3e13 —
+    * no modulus needed) instead of xxhash64 over the columns, so the
+    * oracle reproduces the buckets exactly.
+    */
+  private def minhashBands(sh: DataFrame): DataFrame =
+    minhashSigs(sh).select(col("doc_id"),
+      posexplode(array((0 until NumBands).map { b =>
+        val cols = (b * BandSize until (b + 1) * BandSize).map(i => s"h$i")
+        expr(cols.tail.foldLeft(cols.head)((acc, h) => s"($acc * 31 + $h)"))
+      }: _*)).as(Seq("band", "sig")))
+
+  /** Verify candidate pairs with exact Jaccard over shingle sets (integer
+    * cross-multiplication — no float division in the predicate).
+    * Equi-join on the composite (db, g) key: the matcher hash-joins directly
+    * to intersection rows instead of fanning out |sh(da)|×|sh(db)| per pair.
+    */
+  private def verifiedPairs(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // Equi-join on the composite (db, g) key: the matcher hash-joins directly
-    // to intersection rows instead of fanning out |sh(da)|×|sh(db)| per pair.
     val inter = cand
       .join(sh.withColumnRenamed("doc_id", "da"), "da")
       .join(sh.select(col("doc_id").as("db"), col("g")), Seq("db", "g"))
@@ -276,6 +285,35 @@ object Similarity {
       .where(col("inter") * 1000000L >= (col("na") + col("nb") - col("inter")) * thrNum)
       .select(col("da"), col("db"), col("inter"),
         (col("na") + col("nb") - col("inter")).as("uni"))
+  }
+
+  /** Delta-batch selector for dedup_incremental_minhash: documents with
+    * doc_id % IncrMod >= IncrDeltaRes (20%) form the "new ingest batch",
+    * the rest the existing corpus — a derivation rule (not a stored flag)
+    * so it is interpolated identically into query, oracle and spec.
+    */
+  val IncrMod = 10
+  val IncrDeltaRes = 8
+
+  /** Asymmetric MinHash candidates for incremental ingest: only pairs whose
+    * HIGHER doc_id (= later arrival) is a delta doc. The band join probes
+    * delta bands against ALL bands instead of all-vs-all — candidate work
+    * is proportional to |delta| × bucket occupancy, NOT |corpus|², which is
+    * the entire scale point of incremental dedup: the standing corpus is
+    * never re-paired against itself. At 100 TB the bands frame of the base
+    * corpus is a persisted index keyed (band, sig); each ingest batch
+    * computes its own bands and hash-joins in.
+    */
+  private def minhashCandidatesDelta(s: SparkSession, d: String,
+      threshold: Double): DataFrame = {
+    val sh = portableShingles(s, d)
+    val bands = minhashBands(sh)
+    val deltaBands = bands.where(pmod(col("doc_id"), lit(IncrMod)) >= IncrDeltaRes)
+    val cand = bands.as("x").join(deltaBands.as("y"), Seq("band", "sig"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    verifiedPairs(sh, cand, threshold)
   }
 
   /** Connected components by iterative min-label propagation over an
@@ -530,6 +568,29 @@ object Similarity {
         .join(neighbors, Seq("doc_id"), "left")
         .groupBy("doc_id")
         .agg(least(min(col("nb")), first(col("doc_id"))).as("rep_id"))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_incremental_minhash" -> ((s, d) => {
+      // Incremental ingest dedup — how a CONTINUOUS training-data pipeline
+      // actually runs MinHash: the base corpus is already deduped, so a
+      // new batch (doc_id % IncrMod >= IncrDeltaRes here; in production
+      // the day's crawl) pairs only delta-vs-base and delta-vs-earlier-
+      // delta, never base-vs-base ([[minhashCandidatesDelta]] — the band
+      // probe is |delta| × bucket occupancy). Per delta doc: the earliest
+      // near-dup partner (dup_of, −1 sentinel when none) and an is_new
+      // keep flag. TextSimilaritySpec cross-checks against the SYMMETRIC
+      // pair set restricted the same way, proving the asymmetric band
+      // join drops no pair.
+      val pairs = minhashCandidatesDelta(s, d, 0.8)
+      val earliest = pairs.groupBy("db").agg(min("da").as("m"))
+      documents(s, d)
+        .where(pmod(col("doc_id"), lit(IncrMod)) >= IncrDeltaRes)
+        .select(col("doc_id"))
+        .join(earliest, col("doc_id") === col("db"), "left")
+        .select(col("doc_id"),
+          coalesce(col("m"), lit(-1L)).as("dup_of"),
+          when(col("m").isNull, 1).otherwise(0).as("is_new"))
         .orderBy("doc_id")
     }),
 
@@ -1273,6 +1334,18 @@ object Similarity {
        "mn AS (SELECT doc_id, min(nb) AS m FROM nbr GROUP BY doc_id) " +
        "SELECT d.doc_id, least(coalesce(mn.m, d.doc_id), d.doc_id) AS rep_id " +
        "FROM documents d LEFT JOIN mn ON mn.doc_id = d.doc_id ORDER BY d.doc_id"),
+
+    // The incremental restriction is applied to the SYMMETRIC pair CTE
+    // (db is the later/higher id, so "pairs whose later side is a delta
+    // doc" is exactly pr filtered on db) — the declarative twin of the
+    // asymmetric band probe, proving it equivalent.
+    "dedup_incremental_minhash" ->
+      ("WITH " + minhashPairsCte + ", " +
+       s"mt AS (SELECT db AS doc_id, min(da) AS m FROM pr WHERE db % $IncrMod >= $IncrDeltaRes GROUP BY db) " +
+       "SELECT d.doc_id, coalesce(mt.m, -1) AS dup_of, " +
+       "CASE WHEN mt.m IS NULL THEN 1 ELSE 0 END AS is_new " +
+       s"FROM documents d LEFT JOIN mt ON mt.doc_id = d.doc_id " +
+       s"WHERE d.doc_id % $IncrMod >= $IncrDeltaRes ORDER BY d.doc_id"),
 
     "dedup_cluster_cc" ->
       ("WITH RECURSIVE " + minhashPairsCte + ", " +

@@ -59,6 +59,28 @@ class TextSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup: asymmetric band probe equals the symmetric pair set restricted to delta") {
+    // independent derivation from the SYMMETRIC candidate pipeline: for
+    // each delta doc, the earliest (min) partner among full verified pairs
+    // whose later side is that doc — the asymmetric probe must drop
+    // nothing and add nothing
+    import Similarity.{IncrMod, IncrDeltaRes}
+    val sym = Similarity.minhashCandidates(spark, Sf0001, 0.8)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = sym.filter { case (_, db) => db % IncrMod >= IncrDeltaRes }
+      .groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val got = q("dedup_incremental_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val gotDups = got.collect { case (id, dup, _) if dup >= 0 => id -> dup }.toMap
+    assert(gotDups == expected,
+      s"drift: ${(gotDups.toSet -- expected.toSet).take(3)} / ${(expected.toSet -- gotDups.toSet).take(3)}")
+    // every delta doc appears exactly once, flags consistent with dup_of
+    val deltaCount = Tables.documents(spark, Sf0001)
+      .where(pmod(col("doc_id"), lit(IncrMod)) >= IncrDeltaRes).count()
+    assert(got.length == deltaCount)
+    assert(got.forall { case (_, dup, isNew) => (dup == -1L) == (isNew == 1) })
+  }
+
   test("simhash: identical texts get identical simhash; deterministic across runs") {
     val h1 = SparkEntry.queries("dedup_simhash")(spark, Sf01).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
