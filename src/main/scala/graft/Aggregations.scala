@@ -380,6 +380,42 @@ object Aggregations {
         s"($chiStatExpr) AS chi2")
     }),
 
+    // Mann–Whitney U between the user-parity cohorts (agg_ab_test's split)
+    // over event value — the NONPARAMETRIC two-sample test: rank-based, so
+    // it needs no normality assumption and is immune to the outliers that
+    // dominate Welch's t on heavy-tailed metrics. ALL-INTEGER by the ×2
+    // midrank trick: a tie group spanning ranks [lo, lo+c−1] has
+    // 2·midrank = 2·lo + c − 1 (always integer), so the rank sums and
+    // U = R − n(n+1)/2 ship doubled (u0_x2/u1_x2) with no float anywhere —
+    // exactly oracle-hashable. Shape: one hash-agg to DISTINCT values
+    // (c, c0 per value), a global prefix-sum window over that frame, one
+    // final fold. The single-partition window runs over the DISTINCT-value
+    // frame, not the rows — bounded by the value vocabulary; a truly
+    // continuous 100 TB metric first quantizes to fixed-width bins (ranks
+    // within a bin tie — the standard large-scale MW formulation), keeping
+    // the vocabulary bounded by construction. Property pinned in spec:
+    // u0_x2 + u1_x2 == 2·n0·n1.
+    "agg_mann_whitney" -> ((s, d) => {
+      val ev = events(s, d).where(col("user_id").isNotNull)
+        .select(col("value"), pmod(col("user_id"), lit(2L)).as("cohort"))
+      val g = ev.groupBy("value").agg(
+        count(lit(1)).as("c"),
+        sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("c0"))
+      val w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = g
+        .withColumn("before", coalesce(sum(col("c")).over(w), lit(0L)))
+        .withColumn("r2", lit(2L) * col("before") + col("c") + 1L)
+      ranked.agg(
+          sum(col("c0") * col("r2")).as("r0_2"),
+          sum((col("c") - col("c0")) * col("r2")).as("r1_2"),
+          sum(col("c0")).as("n0"),
+          sum(col("c") - col("c0")).as("n1"))
+        .select(
+          (col("r0_2") - col("n0") * (col("n0") + 1L)).as("u0_x2"),
+          (col("r1_2") - col("n1") * (col("n1") + 1L)).as("u1_x2"),
+          col("n0"), col("n1"))
+    }),
+
     // Least-squares fit price ~ quantity per returnflag from the same
     // sufficient statistics — regression as a single aggregation pass is
     // the classic MapReduce ML example (only the moment sums shuffle, the
@@ -529,6 +565,20 @@ object Aggregations {
        s"SELECT ($chiNExpr) AS n_events, CAST(${ChiTypes.size - 1} AS INT) AS dof, " +
        s"($chiStatExpr) AS chi2 FROM m")
     },
+
+    // ×2 midrank formulation — every operand integer; final casts pin
+    // DuckDB's HUGEINT sums back to BIGINT so stringify matches Spark long
+    "agg_mann_whitney" ->
+      ("WITH ev AS (SELECT value, user_id % 2 AS cohort FROM events WHERE user_id IS NOT NULL), " +
+       "g AS (SELECT value, count(*) AS c, " +
+       "sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS c0 FROM ev GROUP BY value), " +
+       "r AS (SELECT c, c0, 2 * coalesce(sum(c) OVER (ORDER BY value " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2 FROM g), " +
+       "a AS (SELECT sum(c0 * r2) AS r0_2, sum((c - c0) * r2) AS r1_2, " +
+       "sum(c0) AS n0, sum(c - c0) AS n1 FROM r) " +
+       "SELECT CAST(r0_2 - n0 * (n0 + 1) AS BIGINT) AS u0_x2, " +
+       "CAST(r1_2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2, " +
+       "CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1 FROM a"),
 
     "agg_ab_test" -> {
       val na = "CAST(n_a AS DOUBLE)"; val nb = "CAST(n_b AS DOUBLE)"

@@ -53,7 +53,19 @@ object Joins {
     * window per user (single sort, no N-per-event join) — the standard
     * 100 TB-safe formulation; ties on date resolve to max o_orderkey.
     */
-  def asofJoin(s: SparkSession, d: String): DataFrame = {
+  def asofJoin(s: SparkSession, d: String): DataFrame =
+    asofMatched(s, d)
+      .select(
+        col("event_id"),
+        col("best.asof_orderkey").as("asof_orderkey"),
+        col("best.asof_date").as("asof_date"))
+      .orderBy("event_id")
+
+  /** Matched backward-asof frame (event rows with their latest same-user
+    * order ≤ ts in `best`) — shared by [[asofJoin]] and the tolerance
+    * variant.
+    */
+  private def asofMatched(s: SparkSession, d: String): DataFrame = {
     // NULL keys never match the oracle's equi-join, but Window.partitionBy
     // groups them into ONE partition and would happily align a NULL-uid
     // event to a NULL-uid order (ADVICE.md round 6) — reject them up front
@@ -77,12 +89,15 @@ object Joins {
             struct(col("o_orderdate").as("asof_date"), col("o_orderkey").as("asof_orderkey"))),
           ignoreNulls = true).over(w))
       .where(col("tag") === 1 && col("best").isNotNull)
-      .select(
-        col("event_id"),
-        col("best.asof_orderkey").as("asof_orderkey"),
-        col("best.asof_date").as("asof_date"))
-      .orderBy("event_id")
   }
+
+  /** Staleness bound for join_asof_tolerance, in days. The VALUE is
+    * fixture-informed (order dates 1992–1998 vs 2024 events ⇒ backward
+    * staleness spans 8190–9799 days at every SF, so 8400 exercises both
+    * the keep and the drop path); the SEMANTICS — a feature older than the
+    * bound is invalid, not merely stale — is the operator.
+    */
+  val AsofToleranceDays = 8400
 
   /** Forward as-of join: for each order, the EARLIEST event of the same
     * user with ts >= o_orderdate — the mirror of [[asofJoin]], same single
@@ -328,6 +343,25 @@ object Joins {
 
     "join_asof" -> (asofJoin _),
 
+    // Tolerance-bounded backward as-of — the feature-store join: a feature
+    // row older than the staleness bound is WORSE than a missing one (the
+    // model would train on expired state), so events whose latest order
+    // exceeds AsofToleranceDays are dropped (inner semantics), and the
+    // staleness ships in the output for audit. Same single-shuffle
+    // tagged-union window as join_asof; the bound is a post-window filter,
+    // costing nothing extra.
+    "join_asof_tolerance" -> ((s, d) =>
+      asofMatched(s, d)
+        .withColumn("staleness_days",
+          datediff(to_date(col("ats")), to_date(col("best.asof_date"))))
+        .where(col("staleness_days") <= AsofToleranceDays)
+        .select(
+          col("event_id"),
+          col("best.asof_orderkey").as("asof_orderkey"),
+          col("best.asof_date").as("asof_date"),
+          col("staleness_days"))
+        .orderBy("event_id")),
+
     "join_asof_forward" -> (asofJoinForward _),
 
     // Nearest as-of: for each ERROR event, the same user's PURCHASE
@@ -513,6 +547,15 @@ object Joins {
        "row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn " +
        "FROM events e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) " +
        "WHERE rn = 1 ORDER BY event_id"),
+
+    "join_asof_tolerance" ->
+      ("SELECT event_id, o_orderkey AS asof_orderkey, o_orderdate AS asof_date, " +
+       "CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(ts AS DATE)) AS INT) AS staleness_days FROM " +
+       "(SELECT e.event_id, e.ts, o.o_orderkey, o.o_orderdate, " +
+       "row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn " +
+       "FROM events e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) " +
+       s"WHERE rn = 1 AND date_diff('day', CAST(o_orderdate AS DATE), CAST(ts AS DATE)) <= $AsofToleranceDays " +
+       "ORDER BY event_id"),
 
     "join_asof_forward" ->
       ("SELECT o_orderkey, event_id AS asof_event_id, ts AS asof_ts FROM " +

@@ -222,6 +222,25 @@ class AggWindowSpec extends AnyFunSuite {
     assert(a.nonEmpty && b.nonEmpty, "a cohort is empty — test is vacuous")
   }
 
+  test("mann-whitney U matches a brute-force midrank computation and complements") {
+    val row = q("agg_mann_whitney").collect().head
+    val (u0, u1, n0, n1) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val ev = Tables.events(spark, Sf0001).where(col("user_id").isNotNull)
+      .select("value", "user_id").collect()
+      .map(r => (r.getDouble(0), r.getLong(1) % 2))
+    // brute-force ×2 midranks over the pooled sample
+    val rank2 = ev.map(_._1).sorted.zipWithIndex
+      .groupBy(_._1).map { case (v, xs) =>
+        v -> (2L * (xs.map(_._2).min + 1) + xs.length - 1) }
+    val bn0 = ev.count(_._2 == 0).toLong
+    val r0 = ev.filter(_._2 == 0).map(e => rank2(e._1)).sum
+    assert(n0 == bn0 && n1 == ev.length - bn0)
+    assert(u0 == r0 - n0 * (n0 + 1), s"u0_x2: $u0 vs ${r0 - n0 * (n0 + 1)}")
+    // the two U statistics always complement to n0*n1 (×2 here)
+    assert(u0 + u1 == 2 * n0 * n1, s"complement broken: $u0 + $u1 != 2*$n0*$n1")
+    assert(n0 > 0 && n1 > 0, "a cohort is empty — test is vacuous")
+  }
+
   test("gaps-islands streaks equal an independent per-user run-length scan") {
     val got = q("window_gaps_islands").collect()
       .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDate(2).toLocalDate,
