@@ -416,6 +416,36 @@ object Aggregations {
           col("n0"), col("n1"))
     }),
 
+    // Kolmogorov–Smirnov D between the same parity cohorts — the
+    // distribution-level complement to agg_mann_whitney's location test
+    // (MW detects a shift; KS detects ANY distributional difference:
+    // shape, variance, tails). Exact and all-integer by
+    // cross-multiplication: D = max |F0 − F1| over the pooled support
+    // = max |c0cum·n1 − c1cum·n0| / (n0·n1), and the output ships the
+    // integer numerator beside n0/n1 instead of dividing — no float
+    // anywhere. Same bounded shape as MW: one hash-agg to distinct
+    // values, a prefix-sum window over that frame (vocabulary-bounded;
+    // quantize first for a truly continuous metric), one max fold; the
+    // 1-row totals frame broadcasts.
+    "agg_ks_test" -> ((s, d) => {
+      val ev = events(s, d).where(col("user_id").isNotNull)
+        .select(col("value"), pmod(col("user_id"), lit(2L)).as("cohort"))
+      val g = ev.groupBy("value").agg(
+        count(lit(1)).as("c"),
+        sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("c0"))
+      val w = Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = g
+        .withColumn("c0c", sum(col("c0")).over(w))
+        .withColumn("c1c", sum(col("c") - col("c0")).over(w))
+      val totals = broadcast(g.agg(
+        sum(col("c0")).as("n0"), sum(col("c") - col("c0")).as("n1")))
+      cum.crossJoin(totals)
+        .agg(
+          max(abs(col("c0c") * col("n1") - col("c1c") * col("n0"))).as("d_num"),
+          max(col("n0")).as("n0"), max(col("n1")).as("n1"))
+    }),
+
     // Least-squares fit price ~ quantity per returnflag from the same
     // sufficient statistics — regression as a single aggregation pass is
     // the classic MapReduce ML example (only the moment sums shuffle, the
@@ -579,6 +609,19 @@ object Aggregations {
        "SELECT CAST(r0_2 - n0 * (n0 + 1) AS BIGINT) AS u0_x2, " +
        "CAST(r1_2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2, " +
        "CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1 FROM a"),
+
+    "agg_ks_test" ->
+      ("WITH ev AS (SELECT value, user_id % 2 AS cohort FROM events WHERE user_id IS NOT NULL), " +
+       "g AS (SELECT value, count(*) AS c, " +
+       "sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS c0 FROM ev GROUP BY value), " +
+       "cum AS (SELECT c, c0, " +
+       "sum(c0) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c0c, " +
+       "sum(c - c0) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1c " +
+       "FROM g), " +
+       "t AS (SELECT sum(c0) AS n0, sum(c - c0) AS n1 FROM g) " +
+       "SELECT CAST(max(abs(c0c * t.n1 - c1c * t.n0)) AS BIGINT) AS d_num, " +
+       "CAST(max(t.n0) AS BIGINT) AS n0, CAST(max(t.n1) AS BIGINT) AS n1 " +
+       "FROM cum CROSS JOIN t"),
 
     "agg_ab_test" -> {
       val na = "CAST(n_a AS DOUBLE)"; val nb = "CAST(n_b AS DOUBLE)"

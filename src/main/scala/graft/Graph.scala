@@ -205,6 +205,24 @@ object Graph {
       symEdges(s, d).groupBy("src").agg(count(lit(1)).as("deg"))
         .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
         .orderBy("deg"))
+,
+    // Connected components of the thresholded co-purchase graph —
+    // labelPropagate (the dedup clustering engine) is GRAPH-GENERIC: the
+    // same O(edge-endpoints)-per-round min-label loop with adaptive
+    // pointer jumping runs unchanged over part nodes, proving the CC
+    // machinery is an engine primitive, not a dedup special case. Isolated
+    // parts (the vast majority under the >= TriMinCoOrders threshold)
+    // never enter the loop and join back with component_id = own id, the
+    // same O(edges)-not-O(corpus) state bound as dedup_cluster_cc. Edge
+    // orientation (a degree trick for the TRIANGLE join) is irrelevant to
+    // CC — labelPropagate mirrors both directions itself.
+    "graph_connected_components" -> ((s, d) => {
+      val e = orientedCoEdges(s, d).select(col("src").as("da"), col("dst").as("db"))
+      val nodes = part(s, d).select(col("p_partkey").as("doc_id"))
+      Similarity.labelPropagate(nodes, e, tag = "graph_cc")
+        .select(col("doc_id").as("node"), col("cluster_id").as("component_id"))
+        .orderBy("node")
+    })
   )
 
   /** Shared oracle prefix: symmetric edge list + per-node degree. */
@@ -259,6 +277,20 @@ object Graph {
 
     "graph_degree_histogram" ->
       (EdgesCte +
-       " SELECT deg, count(*) AS n_nodes FROM dg GROUP BY deg ORDER BY deg")
+       " SELECT deg, count(*) AS n_nodes FROM dg GROUP BY deg ORDER BY deg"),
+
+    // transitive closure over the SAME thresholded co-purchase pair set
+    // the triangle oracle derives (threshold interpolated), walked by the
+    // recursive CTE the dedup_cluster_cc oracle proved out
+    "graph_connected_components" ->
+      ("WITH RECURSIVE ce0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+       "pe AS (SELECT a.p AS p1, b.p AS p2 FROM ce0 a JOIN ce0 b ON a.o = b.o AND a.p < b.p " +
+       s"GROUP BY a.p, b.p HAVING count(*) >= $TriMinCoOrders), " +
+       "edges AS (SELECT p1 AS da, p2 AS db FROM pe UNION SELECT p2, p1 FROM pe), " +
+       "walk(wid, reach) AS (SELECT da, db FROM edges UNION " +
+       "SELECT w.wid, e.db FROM walk w JOIN edges e ON w.reach = e.da), " +
+       "labels AS (SELECT wid, least(wid, min(reach)) AS component_id FROM walk GROUP BY wid) " +
+       "SELECT p.p_partkey AS node, COALESCE(l.component_id, p.p_partkey) AS component_id " +
+       "FROM part p LEFT JOIN labels l ON p.p_partkey = l.wid ORDER BY node")
   )
 }

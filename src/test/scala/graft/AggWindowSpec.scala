@@ -241,6 +241,23 @@ class AggWindowSpec extends AnyFunSuite {
     assert(n0 > 0 && n1 > 0, "a cohort is empty — test is vacuous")
   }
 
+  test("ks statistic matches a brute-force ECDF sweep") {
+    val row = q("agg_ks_test").collect().head
+    val (dNum, n0, n1) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val ev = Tables.events(spark, Sf0001).where(col("user_id").isNotNull)
+      .select("value", "user_id").collect()
+      .map(r => (r.getDouble(0), r.getLong(1) % 2))
+    val v0 = ev.filter(_._2 == 0).map(_._1).sorted
+    val v1 = ev.filter(_._2 != 0).map(_._1).sorted
+    val expected = ev.map(_._1).distinct.map { x =>
+      val c0 = v0.count(_ <= x).toLong; val c1 = v1.count(_ <= x).toLong
+      math.abs(c0 * v1.length - c1 * v0.length)
+    }.max
+    assert(n0 == v0.length && n1 == v1.length)
+    assert(dNum == expected, s"d_num: $dNum vs $expected")
+    assert(dNum > 0 && dNum <= n0 * n1, "degenerate D — test is vacuous")
+  }
+
   test("gaps-islands streaks equal an independent per-user run-length scan") {
     val got = q("window_gaps_islands").collect()
       .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDate(2).toLocalDate,

@@ -48,6 +48,35 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "fixture yields no triangles — test is vacuous")
   }
 
+  test("connected components equal a union-find over the thresholded co-purchase edges") {
+    val got = q("graph_connected_components").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val li = Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { order =>
+      val ps = order.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= Graph.TriMinCoOrders).keySet
+    // union-find with canonical = min id
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+    }
+    val parts = Tables.part(spark, Sf0001).select("p_partkey")
+      .collect().map(_.getLong(0))
+    val expected = parts.map(p => p -> find(p)).toMap
+    assert(got == expected,
+      s"drift: ${(got.toSet -- expected.toSet).take(3)} / ${(expected.toSet -- got.toSet).take(3)}")
+    // the fixture must exercise a real multi-node component
+    assert(expected.exists { case (n, c) => n != c }, "no non-trivial component — vacuous")
+  }
+
   test("bm25: scores non-increasing per query, every hit shares a term, rn dense") {
     val rows = q("text_bm25_topk").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
