@@ -120,8 +120,63 @@ object Multimodal {
             "i -> aggregate(transform(split(decode(substring(payload, i * 64 + 1, 16), 'UTF-8'), ''), " +
             "c -> ascii(c)), 0L, (acc, x) -> pmod(acc * 31 + x, 1000000007L)))"))
             .as(Seq("frame_idx", "frame_hash")))
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // Perceptual-hash-STYLE near-dup over the binary payload — the
+    // multimodal dedup path (round 7). A real image pipeline swaps the
+    // stripe signature for an actual pHash (DCT of decoded pixels — no
+    // codec libs here, fakeDecode's contract); everything downstream —
+    // pigeonhole banding, band equi-join candidates, exact Hamming
+    // verification — is unchanged and is the part that must scale.
+    // Signature: the payload's bytes in PhashBits position blocks; bit k
+    // = 1 iff block k's byte sum × PhashBits >= the whole payload's sum
+    // (integer cross-multiplication — "this block is at least averagely
+    // bright"). Robust to LOCALIZED byte edits (few blocks flip); an
+    // insertion shifts every later block — that dup class is
+    // dedup_substring / content-defined chunking territory, documented
+    // not hidden. Hamming <= PhashMaxHamming ⇒ the pair agrees exactly on
+    // >= 1 of the PhashBands bands (pigeonhole), so candidates come from
+    // a band hash-join, never all pairs — dedup_simhash_pairs' shape over
+    // a byte-stream signal.
+    "mm_phash_dedup" -> ((s, d) => {
+      val wdoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      val stripes = withBinaryPayload(documents(s, d))
+        .select(col("doc_id"),
+          expr("transform(split(decode(payload, 'UTF-8'), ''), c -> CAST(ascii(c) AS BIGINT))").as("bs"))
+        .where(size(col("bs")) > 0)
+        .select(col("doc_id"), size(col("bs")).as("len"),
+          posexplode(col("bs")).as(Seq("pos", "b")))
+        .groupBy(col("doc_id"),
+          expr(s"pos * $PhashBits div len").as("stripe"))
+        .agg(sum(col("b")).as("ss"))
+      val sig = stripes
+        .withColumn("tot", sum(col("ss")).over(wdoc))
+        .groupBy("doc_id")
+        .agg(sum(expr(s"CASE WHEN ss * $PhashBits >= tot " +
+          s"THEN shiftleft(CAST(1 AS BIGINT), CAST(${PhashBits - 1} - stripe AS INT)) " +
+          "ELSE CAST(0 AS BIGINT) END")).as("phash"))
+      val bands = sig.select(col("doc_id"), col("phash"),
+        posexplode(array((0 until PhashBands).map(b =>
+          expr(s"shiftright(phash, ${b * PhashBandBits}) & ${(1 << PhashBandBits) - 1}")): _*))
+          .as(Seq("band", "key")))
+      bands.as("x").join(bands.as("y"), Seq("band", "key"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+          expr("bit_count(x.phash ^ y.phash)").as("hamming"))
+        .distinct()
+        .where(col("hamming") <= PhashMaxHamming)
+        .orderBy("da", "db")
+    })
   )
+
+  /** pHash geometry: PhashBits stripe bits in PhashBands × PhashBandBits
+    * pigeonhole bands, pairs kept at Hamming <= PhashMaxHamming — the
+    * simhash banding arithmetic applied to a payload-byte signal.
+    */
+  val PhashBits = 60
+  val PhashBands = 4
+  val PhashBandBits = 15
+  val PhashMaxHamming = 3
 
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" ->
@@ -174,6 +229,30 @@ object Multimodal {
        "c -> CAST(ascii(c) AS BIGINT))), (acc, x) -> (acc * 31 + x) % 1000000007) AS frame_hash " +
        "FROM (SELECT doc_id, text, unnest(generate_series(0, " +
        "CAST(greatest((length(text) - 16) // 64, 0) AS INT))) AS i FROM documents)) " +
-       "ORDER BY doc_id, frame_idx")
+       "ORDER BY doc_id, frame_idx"),
+
+    // stripe/band constants interpolate from the SAME vals as the Spark
+    // side; DuckDB's 1-based generate_series pairs with (pos-1) to match
+    // Spark's 0-based posexplode
+    "mm_phash_dedup" ->
+      ("WITH b0 AS (SELECT doc_id, len(bs) AS len, unnest(bs) AS b, " +
+       "unnest(generate_series(1, len(bs))) AS pos " +
+       "FROM (SELECT doc_id, list_transform(string_split(text, ''), " +
+       "c -> CAST(ascii(c) AS BIGINT)) AS bs FROM documents) WHERE len(bs) > 0), " +
+       s"st AS (SELECT doc_id, (pos - 1) * $PhashBits // len AS stripe, sum(b) AS ss " +
+       s"FROM b0 GROUP BY doc_id, (pos - 1) * $PhashBits // len), " +
+       "tt AS (SELECT doc_id, sum(ss) AS tot FROM st GROUP BY doc_id), " +
+       s"sg AS (SELECT st.doc_id, sum(CASE WHEN st.ss * $PhashBits >= tt.tot " +
+       s"THEN (CAST(1 AS BIGINT) << CAST(${PhashBits - 1} - st.stripe AS INT)) " +
+       "ELSE CAST(0 AS BIGINT) END) AS phash " +
+       "FROM st JOIN tt ON tt.doc_id = st.doc_id GROUP BY st.doc_id), " +
+       s"ks AS (SELECT CAST(unnest(range(0, $PhashBands)) AS BIGINT) AS band), " +
+       s"bd AS (SELECT doc_id, phash, band, (phash >> CAST(band * $PhashBandBits AS INT)) " +
+       s"& ${(1 << PhashBandBits) - 1} AS key FROM sg CROSS JOIN ks), " +
+       "p AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db, " +
+       "x.phash AS pa, y.phash AS pb FROM bd x " +
+       "JOIN bd y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id) " +
+       "SELECT da, db, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming FROM p " +
+       s"WHERE bit_count(xor(pa, pb)) <= $PhashMaxHamming ORDER BY da, db")
   )
 }

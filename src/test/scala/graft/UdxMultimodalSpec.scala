@@ -82,4 +82,33 @@ class UdxMultimodalSpec extends AnyFunSuite {
         assert(qs.forall(q => math.abs(q) <= 127))
       }
   }
+
+  test("phash dedup equals a brute-force signature + all-pairs Hamming scan") {
+    import Multimodal.{PhashBits, PhashMaxHamming}
+    val got = q("mm_phash_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // JVM reference: same stripe signature, then ALL pairs (the pigeonhole
+    // band join must lose nothing under the Hamming bound — completeness
+    // is the property banding is trusted with)
+    val sigs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
+      .filter(_.getString(1).nonEmpty) // query drops empty payloads too
+      .map { r =>
+        val bytes = r.getString(1).map(_.toLong)
+        val len = bytes.length
+        val stripeSums = bytes.zipWithIndex
+          .groupBy { case (_, i) => i.toLong * PhashBits / len }
+          .view.mapValues(_.map(_._1).sum).toMap
+        val tot = bytes.sum
+        val sig = stripeSums.map { case (k, ss) =>
+          if (ss * PhashBits >= tot) 1L << (PhashBits - 1 - k.toInt) else 0L }.sum
+        r.getLong(0) -> sig
+      }
+    val expected = (for {
+      (da, sa) <- sigs; (db, sb) <- sigs if da < db
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= PhashMaxHamming
+    } yield (da, db, h)).toSet
+    assert((got -- expected).isEmpty, s"spurious: ${(got -- expected).take(5)}")
+    assert((expected -- got).isEmpty, s"missing: ${(expected -- got).take(5)}")
+    assert(expected.nonEmpty, "no phash pairs in fixture — test is vacuous")
+  }
 }
