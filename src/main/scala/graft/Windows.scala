@@ -179,7 +179,32 @@ object Windows {
           count(lit(1)).as("n_days"))
         .select("user_id", "streak_start", "streak_end", "n_days")
         .orderBy("user_id", "streak_start")
-    })
+    }),
+
+    // Exponential smoothing per user over the time-ordered value series —
+    // the classic EWMA the rest of the window family can't express: it is
+    // a RECURSION (acc ← acc·(1−α) + x·α), not a frame aggregate, so it
+    // compiles to one ordered fold per key instead of a window. α = 1/2
+    // (exactly representable), acc seeded 0.0 (the series smooths up from
+    // a zero baseline — the convention is pinned in the oracle, which
+    // runs the IDENTICAL seeded left-to-right IEEE fold via list_reduce/
+    // list_prepend, the proven bit-exact pattern). Sort key (epoch µs,
+    // event_id) is total, so the fold order — hence every intermediate
+    // double — is deterministic. One hash shuffle on user_id; per-key
+    // state is that user's series (the inherent cost of an exact
+    // sequential recursion — at 100 TB a bounded-history EWMA truncates
+    // the series first, same fold).
+    "window_ewma" -> ((s, d) =>
+      events(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"),
+          unix_micros(col("ts").cast(TimestampType)).as("us"),
+          col("event_id"), col("value"))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          expr("aggregate(transform(array_sort(collect_list(struct(us, event_id, value))), " +
+            "x -> x.value), CAST(0.0 AS DOUBLE), (acc, x) -> acc * 0.5 + x * 0.5)").as("ewma"))
+        .orderBy("user_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -271,5 +296,14 @@ object Windows {
        "SELECT user_id, min(day) AS streak_start, max(day) AS streak_end, " +
        "CAST(count(*) AS BIGINT) AS n_days " +
        "FROM g GROUP BY user_id, grp ORDER BY user_id, streak_start")
+,
+    // identical 0.0-seeded left-to-right fold; (epoch µs, event_id) is a
+    // total order so both engines run the same IEEE sequence
+    "window_ewma" ->
+      ("SELECT user_id, count(*) AS n_events, " +
+       "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+       "list(value ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)), " +
+       "(acc, x) -> acc * 0.5 + x * 0.5) AS ewma " +
+       "FROM events WHERE user_id IS NOT NULL GROUP BY user_id ORDER BY user_id")
   )
 }

@@ -258,6 +258,26 @@ class AggWindowSpec extends AnyFunSuite {
     assert(dNum > 0 && dNum <= n0 * n1, "degenerate D — test is vacuous")
   }
 
+  test("ewma equals a JVM left fold over the time-ordered series, bit-exact") {
+    import org.apache.spark.sql.types.TimestampType
+    val got = q("window_ewma").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val series = Tables.events(spark, Sf0001).where(col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts").cast(TimestampType)),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    series.foreach { case (uid, rows) =>
+      val expected = rows.sortBy(e => (e._2, e._3)).map(_._4)
+        .foldLeft(0.0)((acc, x) => acc * 0.5 + x * 0.5)
+      val (n, ewma) = got(uid)
+      assert(n == rows.length)
+      // same IEEE op sequence on the JVM — equality is EXACT, not approx
+      assert(ewma == expected, s"user $uid: $ewma vs $expected")
+    }
+    assert(got.keySet == series.keySet)
+  }
+
   test("gaps-islands streaks equal an independent per-user run-length scan") {
     val got = q("window_gaps_islands").collect()
       .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDate(2).toLocalDate,
