@@ -151,6 +151,28 @@ object Relational {
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 3)
         .orderBy("user_id", "rk")
+    }),
+
+    // Class balancing for a training corpus: downsample EVERY class (lang
+    // here) to the minority class size, membership by portable-hash rank —
+    // the standard fix for a skewed label distribution before training,
+    // deterministic (no rand(), reproducible on any cluster size and
+    // re-runnable to the identical sample). The 1-row minority-size frame
+    // broadcasts; one shuffle on the class key; the per-class window never
+    // buffers more than one class's rows per partition.
+    "sample_class_balance" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+      val minSize = broadcast(
+        docs.groupBy("lang").agg(count(lit(1)).as("n")).agg(min("n").as("k")))
+      val w = Window.partitionBy("lang")
+        .orderBy(mhash(col("doc_id"), 1000000000L).asc, col("doc_id").asc)
+      docs.select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w))
+        .crossJoin(minSize)
+        .where(col("rk") <= col("k"))
+        .select("doc_id", "lang", "rk")
+        .orderBy("lang", "rk")
     })
   )
 
@@ -227,5 +249,14 @@ object Relational {
        "(SELECT user_id, event_id, event_type, row_number() OVER " +
        "(PARTITION BY user_id ORDER BY ((event_id % 1000000007) * 2654435761) % 1000000000 ASC, event_id ASC) AS rk " +
        "FROM events) WHERE rk <= 3 ORDER BY user_id, rk")
+,
+    "sample_class_balance" ->
+      ("WITH k AS (SELECT min(n) AS k FROM " +
+       "(SELECT count(*) AS n FROM documents GROUP BY lang) t), " +
+       "r AS (SELECT doc_id, lang, row_number() OVER " +
+       "(PARTITION BY lang ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000000 ASC, doc_id ASC) AS rk " +
+       "FROM documents) " +
+       "SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM r CROSS JOIN k " +
+       "WHERE rk <= k.k ORDER BY lang, rk")
   )
 }

@@ -51,4 +51,21 @@ class RelationalSpec extends AnyFunSuite {
       .map(r => (r.getString(1), -r.getDouble(2), r.getLong(0)))
     assert(rows.sameElements(rows.sorted))
   }
+
+  test("class balance keeps exactly the minority size per class, deterministically") {
+    val a = SparkEntry.queries("sample_class_balance")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val b = SparkEntry.queries("sample_class_balance")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(a.toSeq == b.toSeq, "re-run produced a different sample")
+    val classSizes = Tables.documents(spark, Sf0001)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = classSizes.values.min
+    val perClass = a.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(perClass.keySet == classSizes.keySet, "a class vanished")
+    assert(perClass.values.forall(_ == k),
+      s"unbalanced: $perClass (minority size $k)")
+    assert(classSizes.values.exists(_ > k), "fixture has no skew — vacuous")
+  }
 }
