@@ -932,32 +932,17 @@ object Similarity {
       import s.implicits._
       val (subs, cb1, codes) = pqTrained(s, d)
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
-      // coarse quantizer: IvfPqK seed vectors by portable-hash rank
-      // (bounded collect), one exact-decimal Lloyd round, min-L2 assignment
-      val seedRows = e.withColumn("hk",
-          expr(s"pmod(pmod(vec_id, ${SigP}L) * ${sigA(22)}L + ${sigB(22)}L, ${SigP}L)"))
-        .orderBy(col("hk"), col("vec_id")).limit(IvfPqK)
-        .select(col("embedding")).as[Array[Float]].collect()
-      def centFrame(vecs: Seq[Seq[Double]]): DataFrame =
-        broadcast(vecs.zipWithIndex.map { case (v, i) => (i + 1, v) }.toDF("cid", "ce"))
-      def assign(cent: DataFrame): DataFrame =
-        e.crossJoin(cent)
-          .select(col("vec_id"), col("embedding"), col("cid"),
-            vec_dist_sq(col("embedding"), col("ce")).as("dd"))
-          .groupBy("vec_id")
-          .agg(expr("min_by(struct(embedding, cid), struct(dd, cid))").as("best"))
-          .select(col("vec_id"), col("best.embedding").as("embedding"),
-            col("best.cid").as("cid"))
-      val refinedRows = assign(centFrame(seedRows.toSeq.map(_.map(_.toDouble).toSeq)))
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos")
-        .agg((sum(dec(col("v"), 27, 10)).cast(DoubleType) / count(lit(1))).as("c"))
-        .groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("ce"))
-        .orderBy("cid")
-        .select(col("ce")).as[Seq[Double]].collect()
-      val refined = centFrame(refinedRows.toSeq)
-      val lists = assign(refined).select("vec_id", "cid")
+      // coarse quantizer: build-once like the PQ index (see
+      // [[ivfPqCoarseCache]]) — centroids and list assignments are index
+      // artifacts, only probing is per-query work
+      val cachedC = ivfPqCoarseCache.get(d)
+      val (centroidRows, listsPath) = if (cachedC != null) cachedC else {
+        val built = trainIvfPqCoarse(s, d, e)
+        val prev = ivfPqCoarseCache.putIfAbsent(d, built)
+        if (prev != null) prev else built
+      }
+      val refined = centFrame(centroidRows)(s)
+      val lists = s.read.parquet(listsPath)
       // queries probe the IvfPqProbe nearest coarse centroids by L2
       val probes = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -981,27 +966,108 @@ object Similarity {
     })
   )
 
-  /** PQ training shared by sim_ann_pq and sim_ann_ivfpq: subspace slices,
-    * the refined codebook (a broadcast PqM×PqK constant frame), and the
-    * per-vector codes. Deterministic and SQL-expressible ([[annPqOracle]]
-    * mirrors it CTE by CTE): seeds by portable affine hash of vec_id, one
-    * Lloyd round with exact-decimal means, min-L2 assignments tied to the
-    * lower code. The two collects are the PqK-seed / PqM×PqK-codeword
-    * frames — bounded by construction, the sanctioned centroid pattern.
+  /** Per-(process, dataset) IVF-PQ coarse-quantizer cache: refined
+    * centroid rows (IvfPqK bounded constants) and the spilled (vec_id,
+    * cid) list-assignment path — the inverted-file index is a build-once
+    * artifact exactly like the PQ codes; see [[pqIndexCache]].
     */
-  private def pqTrained(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+  private val ivfPqCoarseCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[Seq[Double]], String)]()
+
+  private def centFrame(vecs: Seq[Seq[Double]])(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    broadcast(vecs.zipWithIndex.map { case (v, i) => (i + 1, v) }.toDF("cid", "ce"))
+  }
+
+  /** One-time coarse training for sim_ann_ivfpq: IvfPqK seed vectors by
+    * portable-hash rank (bounded collect), one exact-decimal Lloyd round,
+    * min-L2 assignment; returns the refined centroid rows and the spilled
+    * list-assignment path.
+    */
+  private def trainIvfPqCoarse(s: SparkSession, d: String,
+      e: DataFrame): (Seq[Seq[Double]], String) = {
     import org.apache.spark.sql.graft.VectorOps.vec_dist_sq
     import s.implicits._
+    implicit val sp: SparkSession = s
+    val seedRows = e.withColumn("hk",
+        expr(s"pmod(pmod(vec_id, ${SigP}L) * ${sigA(22)}L + ${sigB(22)}L, ${SigP}L)"))
+      .orderBy(col("hk"), col("vec_id")).limit(IvfPqK)
+      .select(col("embedding")).as[Array[Float]].collect()
+    def assign(cent: DataFrame): DataFrame =
+      e.crossJoin(cent)
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          vec_dist_sq(col("embedding"), col("ce")).as("dd"))
+        .groupBy("vec_id")
+        .agg(expr("min_by(struct(embedding, cid), struct(dd, cid))").as("best"))
+        .select(col("vec_id"), col("best.embedding").as("embedding"),
+          col("best.cid").as("cid"))
+    val refinedRows = assign(centFrame(seedRows.toSeq.map(_.map(_.toDouble).toSeq)))
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg((sum(dec(col("v"), 27, 10)).cast(DoubleType) / count(lit(1))).as("c"))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("ce"))
+      .orderBy("cid")
+      .select(col("ce")).as[Seq[Double]].collect()
+    val path = Sources.tmpUnique("ivfpq_lists")
+    assign(centFrame(refinedRows.toSeq)).select("vec_id", "cid")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    (refinedRows.toSeq, path)
+  }
+
+  /** Per-(process, dataset) PQ index cache: the trained codebook rows (a
+    * bounded PqM×PqK constant set) and the spilled codes-table path — the
+    * persisted-index architecture PQ actually has at 100 TB: codebooks and
+    * codes are BUILD-ONCE artifacts (nobody retrains per query); queries
+    * only compute their lookup tables and scan codes. Same lock-free
+    * putIfAbsent memoization as Graph's edge spill — built outside any
+    * lock, a lost race costs one redundant deterministic build. Training
+    * is fully deterministic, so memoization cannot change any result.
+    */
+  private val pqIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Int, Int, Seq[Double])], String)]()
+
+  private def cbFrame(rows: Seq[(Int, Int, Seq[Double])])(implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    broadcast(rows.toDF("m", "code", "cw"))
+  }
+
+  /** PQ index shared by sim_ann_pq and sim_ann_ivfpq: subspace slices,
+    * the refined codebook (a broadcast PqM×PqK constant frame), and the
+    * per-vector codes (read from the build-once spill). Deterministic and
+    * SQL-expressible ([[annPqOracle]] mirrors it CTE by CTE): seeds by
+    * portable affine hash of vec_id, one Lloyd round with exact-decimal
+    * means, min-L2 assignments tied to the lower code. The two collects
+    * are the PqK-seed / PqM×PqK-codeword frames — bounded by
+    * construction, the sanctioned centroid pattern.
+    */
+  private def pqTrained(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    implicit val sp: SparkSession = s
     val e = embeddings(s, d)
     val subs = e.select(col("vec_id"), posexplode(expr(
       s"transform(sequence(0, ${PqM - 1}), m -> slice(embedding, m * $PqDim + 1, $PqDim))"))
       .as(Seq("m", "sub")))
-    val seedRows = e.withColumn("hk",
+    val cached = pqIndexCache.get(d)
+    val (refinedRows, codesPath) = if (cached != null) cached else {
+      val built = trainPq(s, d, subs)
+      val prev = pqIndexCache.putIfAbsent(d, built)
+      if (prev != null) prev else built
+    }
+    (subs, cbFrame(refinedRows), s.read.parquet(codesPath))
+  }
+
+  /** One-time PQ training for [[pqTrained]]: returns the refined codebook
+    * rows and the spilled codes-table path.
+    */
+  private def trainPq(s: SparkSession, d: String,
+      subs: DataFrame): (Seq[(Int, Int, Seq[Double])], String) = {
+    import org.apache.spark.sql.graft.VectorOps.vec_dist_sq
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val seedRows = embeddings(s, d).withColumn("hk",
         expr(s"pmod(pmod(vec_id, ${SigP}L) * ${sigA(21)}L + ${sigB(21)}L, ${SigP}L)"))
       .orderBy(col("hk"), col("vec_id")).limit(PqK)
       .select(col("embedding")).as[Array[Float]].collect()
-    def cbFrame(rows: Seq[(Int, Int, Seq[Double])]): DataFrame =
-      broadcast(rows.toDF("m", "code", "cw"))
     val cb0 = cbFrame(for {
       (v, i) <- seedRows.toSeq.zipWithIndex; m <- 0 until PqM
     } yield (m, i + 1, v.slice(m * PqDim, (m + 1) * PqDim).map(_.toDouble).toSeq))
@@ -1027,8 +1093,10 @@ object Similarity {
       .groupBy("m", "code")
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cw"))
       .as[(Int, Int, Seq[Double])].collect()
-    val cb1 = cbFrame(refined.toSeq)
-    (subs, cb1, assign(cb1))
+    val path = Sources.tmpUnique("pq_codes")
+    assign(cbFrame(refined.toSeq))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    (refined.toSeq, path)
   }
 
   /** Per-query ADC lookup table: L2 distance from each query sub-vector to
