@@ -287,28 +287,45 @@ object Similarity {
         (col("na") + col("nb") - col("inter")).as("uni"))
   }
 
-  /** Delta-batch selector for dedup_incremental_minhash: documents with
-    * doc_id % IncrMod >= IncrDeltaRes (20%) form the "new ingest batch",
-    * the rest the existing corpus — a derivation rule (not a stored flag)
-    * so it is interpolated identically into query, oracle and spec.
+  /** Delta-batch selector for dedup_incremental_minhash: documents in the
+    * TOP ~20% of the id range (doc_id · IncrCutDen > max(doc_id) · IncrCutNum,
+    * integer cross-multiplication — no division) form the "new ingest
+    * batch", the rest the existing corpus. An id CUTOFF — not a modulus —
+    * so id order matches arrival order by construction: every base id is
+    * below every delta id, and "the pair's higher id is the delta doc"
+    * (the asymmetric probe's pruning predicate) is structurally true for
+    * every base↔delta pair. A modulus rule scattered "new" docs across the
+    * id range and silently dropped base-partner pairs whose base id was
+    * higher (ADVICE r7). A derivation rule (not a stored flag) so it is
+    * interpolated identically into query, oracle and spec.
     */
-  val IncrMod = 10
-  val IncrDeltaRes = 8
+  val IncrCutNum = 8
+  val IncrCutDen = 10
+
+  /** 1-row broadcast frame (mx = max doc_id) anchoring the delta cutoff. */
+  private def incrMaxId(s: SparkSession, d: String): DataFrame =
+    broadcast(documents(s, d).agg(max("doc_id").as("mx")))
+
+  /** Delta predicate over a frame carrying doc_id and the broadcast mx. */
+  private def incrIsDelta: Column =
+    col("doc_id") * IncrCutDen > col("mx") * IncrCutNum
 
   /** Asymmetric MinHash candidates for incremental ingest: only pairs whose
-    * HIGHER doc_id (= later arrival) is a delta doc. The band join probes
-    * delta bands against ALL bands instead of all-vs-all — candidate work
-    * is proportional to |delta| × bucket occupancy, NOT |corpus|², which is
-    * the entire scale point of incremental dedup: the standing corpus is
-    * never re-paired against itself. At 100 TB the bands frame of the base
-    * corpus is a persisted index keyed (band, sig); each ingest batch
-    * computes its own bands and hash-joins in.
+    * HIGHER doc_id (= later arrival, guaranteed by the cutoff rule) is a
+    * delta doc. The band join probes delta bands against ALL bands instead
+    * of all-vs-all — candidate work is proportional to |delta| × bucket
+    * occupancy, NOT |corpus|², which is the entire scale point of
+    * incremental dedup: the standing corpus is never re-paired against
+    * itself. At 100 TB the bands frame of the base corpus is a persisted
+    * index keyed (band, sig); each ingest batch computes its own bands and
+    * hash-joins in.
     */
   private def minhashCandidatesDelta(s: SparkSession, d: String,
       threshold: Double): DataFrame = {
     val sh = portableShingles(s, d)
     val bands = minhashBands(sh)
-    val deltaBands = bands.where(pmod(col("doc_id"), lit(IncrMod)) >= IncrDeltaRes)
+    val deltaBands = bands.crossJoin(incrMaxId(s, d))
+      .where(incrIsDelta).drop("mx")
     val cand = bands.as("x").join(deltaBands.as("y"), Seq("band", "sig"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
@@ -574,18 +591,19 @@ object Similarity {
     "dedup_incremental_minhash" -> ((s, d) => {
       // Incremental ingest dedup — how a CONTINUOUS training-data pipeline
       // actually runs MinHash: the base corpus is already deduped, so a
-      // new batch (doc_id % IncrMod >= IncrDeltaRes here; in production
-      // the day's crawl) pairs only delta-vs-base and delta-vs-earlier-
-      // delta, never base-vs-base ([[minhashCandidatesDelta]] — the band
-      // probe is |delta| × bucket occupancy). Per delta doc: the earliest
-      // near-dup partner (dup_of, −1 sentinel when none) and an is_new
-      // keep flag. TextSimilaritySpec cross-checks against the SYMMETRIC
-      // pair set restricted the same way, proving the asymmetric band
-      // join drops no pair.
+      // new batch (the top ~20% of the id range here — an id cutoff, so id
+      // order IS arrival order; in production the day's crawl) pairs only
+      // delta-vs-base and delta-vs-earlier-delta, never base-vs-base
+      // ([[minhashCandidatesDelta]] — the band probe is |delta| × bucket
+      // occupancy). Per delta doc: the earliest near-dup partner (dup_of,
+      // −1 sentinel when none) and an is_new keep flag. TextSimilaritySpec
+      // cross-checks against the SYMMETRIC pair set restricted the same
+      // way, proving the asymmetric band join drops no pair.
       val pairs = minhashCandidatesDelta(s, d, 0.8)
       val earliest = pairs.groupBy("db").agg(min("da").as("m"))
       documents(s, d)
-        .where(pmod(col("doc_id"), lit(IncrMod)) >= IncrDeltaRes)
+        .crossJoin(incrMaxId(s, d))
+        .where(incrIsDelta)
         .select(col("doc_id"))
         .join(earliest, col("doc_id") === col("db"), "left")
         .select(col("doc_id"),
@@ -1404,16 +1422,19 @@ object Similarity {
        "FROM documents d LEFT JOIN mn ON mn.doc_id = d.doc_id ORDER BY d.doc_id"),
 
     // The incremental restriction is applied to the SYMMETRIC pair CTE
-    // (db is the later/higher id, so "pairs whose later side is a delta
-    // doc" is exactly pr filtered on db) — the declarative twin of the
-    // asymmetric band probe, proving it equivalent.
+    // (db is the later/higher id, and the id CUTOFF makes "later id" mean
+    // "later arrival", so "pairs whose later side is a delta doc" is
+    // exactly pr filtered on db) — the declarative twin of the asymmetric
+    // band probe, proving it equivalent.
     "dedup_incremental_minhash" ->
       ("WITH " + minhashPairsCte + ", " +
-       s"mt AS (SELECT db AS doc_id, min(da) AS m FROM pr WHERE db % $IncrMod >= $IncrDeltaRes GROUP BY db) " +
+       "mx AS (SELECT max(doc_id) AS mx FROM documents), " +
+       s"mt AS (SELECT db AS doc_id, min(da) AS m FROM pr CROSS JOIN mx " +
+       s"WHERE db * $IncrCutDen > mx * $IncrCutNum GROUP BY db) " +
        "SELECT d.doc_id, coalesce(mt.m, -1) AS dup_of, " +
        "CASE WHEN mt.m IS NULL THEN 1 ELSE 0 END AS is_new " +
-       s"FROM documents d LEFT JOIN mt ON mt.doc_id = d.doc_id " +
-       s"WHERE d.doc_id % $IncrMod >= $IncrDeltaRes ORDER BY d.doc_id"),
+       s"FROM documents d CROSS JOIN mx LEFT JOIN mt ON mt.doc_id = d.doc_id " +
+       s"WHERE d.doc_id * $IncrCutDen > mx.mx * $IncrCutNum ORDER BY d.doc_id"),
 
     "dedup_cluster_cc" ->
       ("WITH RECURSIVE " + minhashPairsCte + ", " +

@@ -64,10 +64,16 @@ class TextSimilaritySpec extends AnyFunSuite {
     // each delta doc, the earliest (min) partner among full verified pairs
     // whose later side is that doc — the asymmetric probe must drop
     // nothing and add nothing
-    import Similarity.{IncrMod, IncrDeltaRes}
+    import Similarity.{IncrCutNum, IncrCutDen}
+    val mx = Tables.documents(spark, Sf0001).agg(max("doc_id")).head.getLong(0)
+    def isDelta(id: Long): Boolean = id * IncrCutDen > mx * IncrCutNum
     val sym = Similarity.minhashCandidates(spark, Sf0001, 0.8)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
-    val expected = sym.filter { case (_, db) => db % IncrMod >= IncrDeltaRes }
+    // the cutoff rule's structural guarantee (ADVICE r7): base ids all sit
+    // below delta ids, so ANY pair touching a delta doc has the delta doc
+    // on the HIGHER side — the asymmetric probe's predicate loses nothing
+    assert(sym.forall { case (da, db) => !isDelta(da) || isDelta(db) })
+    val expected = sym.filter { case (_, db) => isDelta(db) }
       .groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
     val got = q("dedup_incremental_minhash").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
@@ -76,9 +82,13 @@ class TextSimilaritySpec extends AnyFunSuite {
       s"drift: ${(gotDups.toSet -- expected.toSet).take(3)} / ${(expected.toSet -- gotDups.toSet).take(3)}")
     // every delta doc appears exactly once, flags consistent with dup_of
     val deltaCount = Tables.documents(spark, Sf0001)
-      .where(pmod(col("doc_id"), lit(IncrMod)) >= IncrDeltaRes).count()
-    assert(got.length == deltaCount)
+      .where(col("doc_id") * IncrCutDen > lit(mx) * IncrCutNum).count()
+    assert(got.length == deltaCount && deltaCount > 0)
     assert(got.forall { case (_, dup, isNew) => (dup == -1L) == (isNew == 1) })
+    // a delta doc whose only near-dup partner is a BASE doc must be
+    // flagged dup_of=base (the exact miss class the modulus rule allowed)
+    val baseDups = gotDups.filter { case (_, dup) => !isDelta(dup) }
+    assert(baseDups.nonEmpty, "fixture has no delta-with-base-partner case")
   }
 
   test("simhash: identical texts get identical simhash; deterministic across runs") {
