@@ -278,6 +278,25 @@ class AggWindowSpec extends AnyFunSuite {
     assert(got.keySet == series.keySet)
   }
 
+  test("bounded ewma equals exact ewma bit-for-bit, with truncation exercised") {
+    // 64 halvings attenuate the dropped prefix by 2⁻⁶⁴ — below half an ulp
+    // of any fixture-scale accumulator within ~25 steps, after which both
+    // folds run the identical IEEE sequence: equality is EXACT, not approx
+    val exact = q("window_ewma").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val bounded = q("window_ewma_bounded").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(bounded.keySet == exact.keySet)
+    // vacuity guard: some fixture series must actually exceed the bound
+    assert(exact.values.exists(_._1 > Windows.EwmaHistory),
+      s"no series exceeds EwmaHistory=${Windows.EwmaHistory}")
+    exact.foreach { case (uid, (n, e)) =>
+      val (nb, b) = bounded(uid)
+      assert(nb == n, s"user $uid: n_events $nb != full count $n")
+      assert(b == e, s"user $uid: bounded $b vs exact $e")
+    }
+  }
+
   test("gaps-islands streaks equal an independent per-user run-length scan") {
     val got = q("window_gaps_islands").collect()
       .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDate(2).toLocalDate,
