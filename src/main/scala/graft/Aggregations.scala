@@ -390,31 +390,24 @@ object Aggregations {
     // exactly oracle-hashable. Shape: one hash-agg to DISTINCT values
     // (c, c0 per value), a global prefix-sum window over that frame, one
     // final fold. The single-partition window runs over the DISTINCT-value
-    // frame, not the rows — bounded by the value vocabulary; a truly
-    // continuous 100 TB metric first quantizes to fixed-width bins (ranks
-    // within a bin tie — the standard large-scale MW formulation), keeping
-    // the vocabulary bounded by construction. Property pinned in spec:
-    // u0_x2 + u1_x2 == 2·n0·n1.
-    "agg_mann_whitney" -> ((s, d) => {
-      val ev = events(s, d).where(col("user_id").isNotNull)
-        .select(col("value"), pmod(col("user_id"), lit(2L)).as("cohort"))
-      val g = ev.groupBy("value").agg(
-        count(lit(1)).as("c"),
-        sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("c0"))
-      val w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
-      val ranked = g
-        .withColumn("before", coalesce(sum(col("c")).over(w), lit(0L)))
-        .withColumn("r2", lit(2L) * col("before") + col("c") + 1L)
-      ranked.agg(
-          sum(col("c0") * col("r2")).as("r0_2"),
-          sum((col("c") - col("c0")) * col("r2")).as("r1_2"),
-          sum(col("c0")).as("n0"),
-          sum(col("c") - col("c0")).as("n1"))
-        .select(
-          (col("r0_2") - col("n0") * (col("n0") + 1L)).as("u0_x2"),
-          (col("r1_2") - col("n1") * (col("n1") + 1L)).as("u1_x2"),
-          col("n0"), col("n1"))
-    }),
+    // frame, not the rows — bounded by the value vocabulary, a FIXTURE
+    // property, not a structural one; agg_mann_whitney_binned below is the
+    // quantize-first form whose bound is structural. Property pinned in
+    // spec: u0_x2 + u1_x2 == 2·n0·n1.
+    "agg_mann_whitney" -> ((s, d) =>
+      mannWhitneyU(cohortCounts(s, d, col("value")))),
+
+    // The 100 TB form of the rank tests (VERDICT r7 #3): quantize value to
+    // the agg_quantile_sketch 256-bin grid FIRST (same constants, same
+    // exact-IEEE floor-scaling — bit-identical binning cross-engine), then
+    // run the identical prefix-sum machinery over bins. Within-bin values
+    // tie (the standard large-scale midrank formulation); the distinct-key
+    // frame under the single-partition window is now STRUCTURALLY ≤ 256
+    // rows at any input size, where the exact variants' frame is bounded
+    // only by the value vocabulary the fixture happens to have.
+    // AggWindowSpec pins binned-vs-exact agreement on the fixtures.
+    "agg_mann_whitney_binned" -> ((s, d) =>
+      mannWhitneyU(cohortCounts(s, d, sketchBin))),
 
     // Kolmogorov–Smirnov D between the same parity cohorts — the
     // distribution-level complement to agg_mann_whitney's location test
@@ -423,28 +416,20 @@ object Aggregations {
     // cross-multiplication: D = max |F0 − F1| over the pooled support
     // = max |c0cum·n1 − c1cum·n0| / (n0·n1), and the output ships the
     // integer numerator beside n0/n1 instead of dividing — no float
-    // anywhere. Same bounded shape as MW: one hash-agg to distinct
-    // values, a prefix-sum window over that frame (vocabulary-bounded;
-    // quantize first for a truly continuous metric), one max fold; the
-    // 1-row totals frame broadcasts.
-    "agg_ks_test" -> ((s, d) => {
-      val ev = events(s, d).where(col("user_id").isNotNull)
-        .select(col("value"), pmod(col("user_id"), lit(2L)).as("cohort"))
-      val g = ev.groupBy("value").agg(
-        count(lit(1)).as("c"),
-        sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("c0"))
-      val w = Window.orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = g
-        .withColumn("c0c", sum(col("c0")).over(w))
-        .withColumn("c1c", sum(col("c") - col("c0")).over(w))
-      val totals = broadcast(g.agg(
-        sum(col("c0")).as("n0"), sum(col("c") - col("c0")).as("n1")))
-      cum.crossJoin(totals)
-        .agg(
-          max(abs(col("c0c") * col("n1") - col("c1c") * col("n0"))).as("d_num"),
-          max(col("n0")).as("n0"), max(col("n1")).as("n1"))
-    }),
+    // anywhere. Same shape as MW: one hash-agg to distinct values, a
+    // prefix-sum window over that frame (vocabulary-bounded — see
+    // agg_ks_binned for the structurally-bounded form), one max fold;
+    // the 1-row totals frame broadcasts.
+    "agg_ks_test" -> ((s, d) =>
+      ksStatistic(cohortCounts(s, d, col("value")))),
+
+    // Binned KS over the same 256-bin grid (see agg_mann_whitney_binned).
+    // Binned D can only UNDERSTATE exact D: the binned ECDF difference is
+    // the exact one evaluated at bin boundaries — a max over a subset of
+    // the support — so d_num_binned ≤ d_num_exact with identical n0/n1
+    // (pinned directionally in AggWindowSpec).
+    "agg_ks_binned" -> ((s, d) =>
+      ksStatistic(cohortCounts(s, d, sketchBin))),
 
     // Least-squares fit price ~ quantity per returnflag from the same
     // sufficient statistics — regression as a single aggregation pass is
@@ -461,6 +446,102 @@ object Aggregations {
         .orderBy("l_returnflag")
     })
   )
+
+  /** Rank-statistic machinery shared by the exact and binned Mann–Whitney /
+    * KS variants. cohortCounts is the one hash-agg both run: rows reduce to
+    * the DISTINCT-key cohort frame (k, c = total count, c0 = cohort-0
+    * count); `key` is the raw value (exact) or [[sketchBin]] (binned — the
+    * structural ≤256-row bound). Both engines filter NULL user_id AND NULL
+    * value: Spark windows order NULLS FIRST, DuckDB NULLS LAST, so an
+    * unguarded NULL key would silently desynchronize the prefix sums
+    * (ADVICE r7 — the asofMatched NULL-uid hazard class).
+    */
+  private def cohortCounts(s: SparkSession, d: String, key: Column): DataFrame =
+    events(s, d)
+      .where(col("user_id").isNotNull && col("value").isNotNull)
+      .select(key.as("k"), pmod(col("user_id"), lit(2L)).as("cohort"))
+      .groupBy("k").agg(
+        count(lit(1)).as("c"),
+        sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("c0"))
+
+  /** The agg_quantile_sketch bin key (identical constants): exact IEEE
+    * floor-scaling by a power of two, clamped to [0, 255].
+    */
+  private def sketchBin: Column = greatest(
+    least(floor(col("value") / lit(QuantileSketchWidth.toDouble)).cast(LongType),
+      lit(QuantileSketchBins - 1L)),
+    lit(0L))
+
+  /** ×2-midrank Mann–Whitney over a cohort frame: prefix-sum window for
+    * 2·midrank = 2·(ranks before) + c + 1, then one integral fold.
+    */
+  private def mannWhitneyU(g: DataFrame): DataFrame = {
+    val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("before", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("r2", lit(2L) * col("before") + col("c") + 1L)
+      .agg(
+        sum(col("c0") * col("r2")).as("r0_2"),
+        sum((col("c") - col("c0")) * col("r2")).as("r1_2"),
+        sum(col("c0")).as("n0"),
+        sum(col("c") - col("c0")).as("n1"))
+      .select(
+        (col("r0_2") - col("n0") * (col("n0") + 1L)).as("u0_x2"),
+        (col("r1_2") - col("n1") * (col("n1") + 1L)).as("u1_x2"),
+        col("n0"), col("n1"))
+  }
+
+  /** Cross-multiplied KS D over a cohort frame: cumulative cohort counts
+    * down the ordered key frame, D's integer numerator via one max fold.
+    */
+  private def ksStatistic(g: DataFrame): DataFrame = {
+    val w = Window.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g
+      .withColumn("c0c", sum(col("c0")).over(w))
+      .withColumn("c1c", sum(col("c") - col("c0")).over(w))
+    val totals = broadcast(g.agg(
+      sum(col("c0")).as("n0"), sum(col("c") - col("c0")).as("n1")))
+    cum.crossJoin(totals)
+      .agg(
+        max(abs(col("c0c") * col("n1") - col("c1c") * col("n0"))).as("d_num"),
+        max(col("n0")).as("n0"), max(col("n1")).as("n1"))
+  }
+
+  /** DuckDB twin of [[sketchBin]] — floor() BEFORE the BIGINT cast (the
+    * agg_quantile_sketch oracle's rule: DuckDB CAST rounds half-even where
+    * Spark truncates; on the already-integral floor() output both exact).
+    */
+  private def sketchBinSql: String =
+    s"greatest(least(CAST(floor(value / $QuantileSketchWidth.0) AS BIGINT), " +
+      s"${QuantileSketchBins - 1}), 0)"
+
+  /** Shared cohort-frame CTE prefix for the rank-test oracles. */
+  private def cohortCteSql(keySql: String): String =
+    s"WITH ev AS (SELECT $keySql AS k, user_id % 2 AS cohort FROM events " +
+    "WHERE user_id IS NOT NULL AND value IS NOT NULL), " +
+    "g AS (SELECT k, count(*) AS c, " +
+    "sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS c0 FROM ev GROUP BY k)"
+
+  private def mwOracle(keySql: String): String =
+    cohortCteSql(keySql) + ", " +
+    "r AS (SELECT c, c0, 2 * coalesce(sum(c) OVER (ORDER BY k " +
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2 FROM g), " +
+    "a AS (SELECT sum(c0 * r2) AS r0_2, sum((c - c0) * r2) AS r1_2, " +
+    "sum(c0) AS n0, sum(c - c0) AS n1 FROM r) " +
+    "SELECT CAST(r0_2 - n0 * (n0 + 1) AS BIGINT) AS u0_x2, " +
+    "CAST(r1_2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2, " +
+    "CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1 FROM a"
+
+  private def ksOracle(keySql: String): String =
+    cohortCteSql(keySql) + ", " +
+    "cum AS (SELECT c, c0, " +
+    "sum(c0) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c0c, " +
+    "sum(c - c0) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1c " +
+    "FROM g), " +
+    "t AS (SELECT sum(c0) AS n0, sum(c - c0) AS n1 FROM g) " +
+    "SELECT CAST(max(abs(c0c * t.n1 - c1c * t.n0)) AS BIGINT) AS d_num, " +
+    "CAST(max(t.n0) AS BIGINT) AS n0, CAST(max(t.n1) AS BIGINT) AS n1 " +
+    "FROM cum CROSS JOIN t"
 
   /** agg_chi_square machinery: the 5×2 contingency cells as conditional
     * counts, and the chi² solve as ONE generated expression string shared
@@ -597,31 +678,13 @@ object Aggregations {
     },
 
     // ×2 midrank formulation — every operand integer; final casts pin
-    // DuckDB's HUGEINT sums back to BIGINT so stringify matches Spark long
-    "agg_mann_whitney" ->
-      ("WITH ev AS (SELECT value, user_id % 2 AS cohort FROM events WHERE user_id IS NOT NULL), " +
-       "g AS (SELECT value, count(*) AS c, " +
-       "sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS c0 FROM ev GROUP BY value), " +
-       "r AS (SELECT c, c0, 2 * coalesce(sum(c) OVER (ORDER BY value " +
-       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2 FROM g), " +
-       "a AS (SELECT sum(c0 * r2) AS r0_2, sum((c - c0) * r2) AS r1_2, " +
-       "sum(c0) AS n0, sum(c - c0) AS n1 FROM r) " +
-       "SELECT CAST(r0_2 - n0 * (n0 + 1) AS BIGINT) AS u0_x2, " +
-       "CAST(r1_2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2, " +
-       "CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1 FROM a"),
-
-    "agg_ks_test" ->
-      ("WITH ev AS (SELECT value, user_id % 2 AS cohort FROM events WHERE user_id IS NOT NULL), " +
-       "g AS (SELECT value, count(*) AS c, " +
-       "sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS c0 FROM ev GROUP BY value), " +
-       "cum AS (SELECT c, c0, " +
-       "sum(c0) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c0c, " +
-       "sum(c - c0) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1c " +
-       "FROM g), " +
-       "t AS (SELECT sum(c0) AS n0, sum(c - c0) AS n1 FROM g) " +
-       "SELECT CAST(max(abs(c0c * t.n1 - c1c * t.n0)) AS BIGINT) AS d_num, " +
-       "CAST(max(t.n0) AS BIGINT) AS n0, CAST(max(t.n1) AS BIGINT) AS n1 " +
-       "FROM cum CROSS JOIN t"),
+    // DuckDB's HUGEINT sums back to BIGINT so stringify matches Spark long.
+    // Exact and binned share the CTE chain; only the key expression differs
+    // (the identical sharing the Spark side has through cohortCounts).
+    "agg_mann_whitney" -> mwOracle("value"),
+    "agg_mann_whitney_binned" -> mwOracle(sketchBinSql),
+    "agg_ks_test" -> ksOracle("value"),
+    "agg_ks_binned" -> ksOracle(sketchBinSql),
 
     "agg_ab_test" -> {
       val na = "CAST(n_a AS DOUBLE)"; val nb = "CAST(n_b AS DOUBLE)"

@@ -225,7 +225,8 @@ class AggWindowSpec extends AnyFunSuite {
   test("mann-whitney U matches a brute-force midrank computation and complements") {
     val row = q("agg_mann_whitney").collect().head
     val (u0, u1, n0, n1) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
-    val ev = Tables.events(spark, Sf0001).where(col("user_id").isNotNull)
+    val ev = Tables.events(spark, Sf0001)
+      .where(col("user_id").isNotNull && col("value").isNotNull)
       .select("value", "user_id").collect()
       .map(r => (r.getDouble(0), r.getLong(1) % 2))
     // brute-force ×2 midranks over the pooled sample
@@ -244,7 +245,8 @@ class AggWindowSpec extends AnyFunSuite {
   test("ks statistic matches a brute-force ECDF sweep") {
     val row = q("agg_ks_test").collect().head
     val (dNum, n0, n1) = (row.getLong(0), row.getLong(1), row.getLong(2))
-    val ev = Tables.events(spark, Sf0001).where(col("user_id").isNotNull)
+    val ev = Tables.events(spark, Sf0001)
+      .where(col("user_id").isNotNull && col("value").isNotNull)
       .select("value", "user_id").collect()
       .map(r => (r.getDouble(0), r.getLong(1) % 2))
     val v0 = ev.filter(_._2 == 0).map(_._1).sorted
@@ -256,6 +258,41 @@ class AggWindowSpec extends AnyFunSuite {
     assert(n0 == v0.length && n1 == v1.length)
     assert(dNum == expected, s"d_num: $dNum vs $expected")
     assert(dNum > 0 && dNum <= n0 * n1, "degenerate D — test is vacuous")
+  }
+
+  test("binned rank tests: structural bin bound, MW agreement, KS understates exact") {
+    val Seq(u0b, u1b, n0b, n1b) = q("agg_mann_whitney_binned").collect().head
+      .toSeq.map(_.asInstanceOf[Long])
+    val Seq(u0e, u1e, n0e, n1e) = q("agg_mann_whitney").collect().head
+      .toSeq.map(_.asInstanceOf[Long])
+    // same cohorts, same complement invariant as the exact form
+    assert(n0b == n0e && n1b == n1e)
+    assert(u0b + u1b == 2 * n0b * n1b)
+    // binning perturbs the normalized effect size by at most half the
+    // same-bin cross-pair fraction (~1% on the fixture) — pin a 2% band
+    val effB = u0b.toDouble / (2.0 * n0b * n1b)
+    val effE = u0e.toDouble / (2.0 * n0e * n1e)
+    assert(math.abs(effB - effE) < 0.02, s"effect drift: $effB vs $effE")
+    val Seq(dB, kn0, kn1) = q("agg_ks_binned").collect().head
+      .toSeq.map(_.asInstanceOf[Long])
+    val Seq(dE, en0, en1) = q("agg_ks_test").collect().head
+      .toSeq.map(_.asInstanceOf[Long])
+    assert(kn0 == en0 && kn1 == en1)
+    // the binned ECDF difference is the exact one sampled at bin
+    // boundaries — a max over a subset, so it can only understate
+    assert(dB <= dE, s"binned D $dB exceeds exact D $dE")
+    assert(dB > 0, "degenerate binned D — test is vacuous")
+    // the bound the binned variants exist for: the windowed key frame is
+    // structurally ≤ 256 rows, while the exact variants' frame is not
+    val ev = Tables.events(spark, Sf0001)
+      .where(col("user_id").isNotNull && col("value").isNotNull)
+    val nBins = ev.select(
+      greatest(least(floor(col("value") / 4.0).cast("long"), lit(255L)), lit(0L)))
+      .distinct().count()
+    val nExact = ev.select("value").distinct().count()
+    assert(nBins <= Aggregations.QuantileSketchBins)
+    assert(nExact > Aggregations.QuantileSketchBins,
+      s"fixture vocabulary $nExact no longer exceeds the bin count — vacuous")
   }
 
   test("ewma equals a JVM left fold over the time-ordered series, bit-exact") {
