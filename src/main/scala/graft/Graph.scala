@@ -121,7 +121,7 @@ object Graph {
     */
   private val triSpill = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def orientedCoEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def orientedCoEdges(s: SparkSession, d: String): DataFrame = {
     // Build OUTSIDE any map lock (ADVICE.md round 6): computeIfAbsent would
     // hold the bin lock for the whole Spark job, blocking an unrelated
     // dataset's first call that hashes to the same bin, and an exception
@@ -219,7 +219,9 @@ object Graph {
     "graph_connected_components" -> ((s, d) => {
       val e = orientedCoEdges(s, d).select(col("src").as("da"), col("dst").as("db"))
       val nodes = part(s, d).select(col("p_partkey").as("doc_id"))
-      Similarity.labelPropagate(nodes, e, tag = "graph_cc")
+      // durableEdges: the edge frame is the memoized parquet spill — no
+      // cache or materialization job needed (VERDICT r7 #5)
+      Similarity.labelPropagate(nodes, e, tag = "graph_cc", durableEdges = true)
         .select(col("doc_id").as("node"), col("cluster_id").as("component_id"))
         .orderBy("node")
     })

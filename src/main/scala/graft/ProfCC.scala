@@ -10,6 +10,8 @@ object ProfCC {
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the per-round labelPropagate telemetry lives behind this flag
+    System.setProperty("graft.cc.verbose", "true")
     Tables.names.foreach(n => Tables.t(spark, d, n).count())
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f

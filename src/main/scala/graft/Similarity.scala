@@ -353,106 +353,130 @@ object Similarity {
     * the returned frame is always correct (recompute, never a stranded
     * truncated lineage).
     */
+  /** Per-round wall-time telemetry switch (ADVICE r7: unconditional stderr
+    * from library code pollutes consumers) — ProfCC and Bench turn it on;
+    * production callers inherit silence.
+    */
+  private def ccVerbose: Boolean = java.lang.Boolean.getBoolean("graft.cc.verbose")
+
   private[graft] def labelPropagate(docs: DataFrame, pairs: DataFrame,
-      tag: String = "labelPropagate"): DataFrame = {
+      tag: String = "labelPropagate", durableEdges: Boolean = false): DataFrame = {
     // Both edge directions in ONE pipeline pass: explode a 2-element array
     // of (da,db)/(db,da) structs. The previous mirror-union ran the whole
     // candidate pipeline as two branches (ReusedExchange shares shuffles
     // but not the scan/codegen stages) — measured ~4 s extra on
     // cluster_cc at sf0.1; the explode halves edge materialization cost.
-    val edges = pairs
+    // durableEdges (VERDICT r7 #5): when the caller's pair frame is already
+    // a parquet spill (graph_connected_components), the explode over the
+    // file scan is cheap, re-runnable, and its logical plan is tiny — use
+    // it directly. Any OTHER pair source (the minhash candidate pipeline)
+    // spills to parquet instead of persisting: a cached frame still carries
+    // the full candidate-pipeline LOGICAL plan, and every round's
+    // analysis/optimization re-walks it per edges reference (measured ~2 s
+    // of pure planning per round at sf0.1); the spill truncates lineage so
+    // rounds plan against a bare parquet scan, and doubles as the durable
+    // materialization the old persist+count pair provided.
+    val mirrored = pairs
       .select(explode(array(
         struct(col("da"), col("db")),
         struct(col("db").as("da"), col("da").as("db")))).as("e"))
       .select(col("e.da").as("da"), col("e.db").as("db"))
-      .persist()
-    var labels = edges.select(col("da").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
-    // the frame actually persisted each round — release must target IT:
-    // uncaching a projection OVER the cached plan is a silent no-op
-    // (CacheManager matches sameResult plans only) and would leak one
-    // cached frame per round for the session's lifetime. (Disk-spill rounds
-    // need no release at all — nothing is cached for them.)
-    var cached = labels
-    // Freed one round LATE (ADVICE.md): round N's frame is released only
-    // after round N+1 has materialized — otherwise round N+1's first
-    // consumers recompute N's pipeline instead of reading its cache. (Since
-    // the disk-spill rounds replaced localCheckpoint, this is a perf nicety,
-    // not a correctness guard: every frame's lineage stays recomputable.)
-    var older: DataFrame = null
+    val edges =
+      if (durableEdges) mirrored
+      else {
+        val p = Sources.tmpUnique("cc_edges")
+        mirrored.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+        docs.sparkSession.read.parquet(p)
+      }
     var changed = 1L
     var iter = 0
-    // Materialize the edge cache in its own job BEFORE the first round:
-    // round 0 consumes edges via two branches (labels init + neighbor
-    // join), and populating the cache inside that multi-branch job lets
-    // one branch race past the other and recompute the pair pipeline.
-    edges.count()
+    // Two alternating spill paths — a round reads its input from one and
+    // writes its output to the other, so the file being read is never the
+    // file being overwritten.
+    val spillA = Sources.tmpUnique("cc_labels_a")
+    val spillB = Sources.tmpUnique("cc_labels_b")
+    // The init labels SPILL to the round-1 path rather than persisting:
+    // round 0 then reads its input from parquet exactly like every later
+    // round, so ALL round plans are shape-identical and whole-stage
+    // codegen compiles once for the whole loop — a persisted init frame
+    // gave round 0 a one-off plan whose compilation cost ~3× a round.
+    edges.select(col("da").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(spillB)
+    var labels = docs.sparkSession.read.parquet(spillB)
     while (changed > 0 && iter < 1024) {
       val roundT0 = System.nanoTime()
-      // One aggregation carries both the new label (min over self +
-      // neighbors) and the previous label (min over the tagged self rows),
-      // so change detection costs no extra join — 2 jobs per round, not 4.
-      val selfRows = labels.select(col("doc_id"), col("cluster_id"), lit(true).as("own"))
-      val viaNeighbors = edges.join(labels, edges("db") === labels("doc_id"))
-        .select(edges("da").as("doc_id"), col("cluster_id"), lit(false).as("own"))
-      val merged = selfRows.union(viaNeighbors)
-        .groupBy("doc_id")
-        .agg(min("cluster_id").as("cluster_id"),
-          min(when(col("own"), col("cluster_id"))).as("prev"))
+      // One hop: each node takes the min label over itself + its
+      // neighbors. The aggregation threads prev — the label the node held
+      // at the START of the round, carried on the own-tagged self rows —
+      // so change detection costs no extra join.
+      def hop(l: DataFrame): DataFrame = {
+        val selfRows = l.select(col("doc_id"), col("cluster_id"),
+          lit(true).as("own"), col("prev"))
+        val viaNeighbors = edges.join(l, edges("db") === l("doc_id"))
+          .select(edges("da").as("doc_id"), col("cluster_id"),
+            lit(false).as("own"), lit(null).cast(LongType).as("prev"))
+        selfRows.union(viaNeighbors)
+          .groupBy("doc_id")
+          .agg(min("cluster_id").as("cluster_id"),
+            min(when(col("own"), col("prev"))).as("prev"))
+      }
       // Pointer jumping (path halving): label ← label(label). Labels are
       // always ids of nodes in the same frame (invariant label(z) <= z,
       // values drawn from endpoint ids), so the self-join is total; it
-      // turns one-hop-per-round propagation into doubling — O(log d)
-      // rounds instead of O(diameter), the standard hash-to-min
-      // acceleration. ADAPTIVE: real near-dup graphs are star-shaped and
-      // converge in 2 one-hop rounds, where the extra join is pure cost —
-      // the jump switches on only once round 2 proves a deeper (chain)
-      // topology, which is exactly when doubling pays.
-      val jump =
-        if (iter < 2) merged
-        else merged.as("l").join(merged.as("m"),
+      // compresses pointer chains so a hop's labels point near the root.
+      def pointerJump(m: DataFrame): DataFrame =
+        m.as("l").join(m.as("m"),
             col("l.cluster_id") === col("m.doc_id"), "left")
           .select(col("l.doc_id"),
             coalesce(col("m.cluster_id"), col("l.cluster_id")).as("cluster_id"),
             col("l.prev"))
-      // Every 3rd round spills to tmp parquet and reads back instead of
-      // localCheckpoint: same lineage-flattening effect (plan growth, not
-      // data, is the iterative cost), but the round is DURABLE — blocks
-      // survive executor loss, releasing caches can never strand a truncated
-      // lineage, and a re-executed result recomputes from the file. The
-      // frames are O(edge endpoints) rows, so the I/O is negligible (and
-      // star-shaped near-dup graphs converge in 2 rounds — no spill at all).
-      val next =
-        if (iter % 3 == 2) {
-          val path = Sources.tmpUnique("cc_labels")
-          jump.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
-          docs.sparkSession.read.parquet(path)
-        } else jump.persist()
-      changed = next.filter(col("cluster_id") =!= col("prev")).count()
-      if (older != null) free(older)
-      older = cached
-      cached = next
+      // TWO hop+jump steps fused into each action (r8): on a chain-shaped
+      // graph convergence is bounded by label FLOW — one edge per hop — so
+      // the ROUND COUNT, not per-round data volume, dominates on the
+      // overhead-limited tiny endpoint frames (measured ~0.55 s/action at
+      // sf0.1 for a 3k-node frame regardless of content). Fusing two steps
+      // halves the action count for one extra edges join inside the same
+      // write job. The convergence test stays sound: hop and jump are
+      // monotone non-increasing per node, so a double-step that changes no
+      // label implies the single-step fixpoint.
+      val start = labels.withColumn("prev", col("cluster_id"))
+      val jump = pointerJump(hop(pointerJump(hop(start))))
+      // EVERY round spills to tmp parquet (two alternating paths) and reads
+      // back — durable lineage flattening (blocks survive executor loss,
+      // re-execution recomputes from the file), AND shape-identical round
+      // plans: from round 1 on, each round's plan is byte-equivalent modulo
+      // the scan path, so whole-stage codegen compiles once and every later
+      // round hits the generator cache — the dominant fixed cost of a round
+      // on a tiny frame (measured: persist rounds re-compile every round).
+      // The changed-count rides the SAME write job as an observed metric —
+      // one action per round, not a write plus a read-back count.
+      val obs = new org.apache.spark.sql.Observation(s"cc_$tag$iter")
+      val next = {
+        val path = if (iter % 2 == 0) spillA else spillB
+        jump.observe(obs,
+            count(when(col("cluster_id") =!= col("prev"), lit(1))).as("changed"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+        docs.sparkSession.read.parquet(path)
+      }
+      changed = obs.get.apply("changed").asInstanceOf[Long]
       labels = next.select("doc_id", "cluster_id")
       // Per-round wall time (VERDICT r6 #2): round 0 carries the whole
       // candidate pipeline (the edge cache materializes before the loop,
       // but label init + the first join both consume it), later rounds are
       // pure propagation — a regression that lands in round 0 is candidate
       // generation, one spread across rounds is the loop itself.
-      System.err.println(
+      if (ccVerbose) System.err.println(
         f"[labelPropagate] round $iter: ${(System.nanoTime() - roundT0) / 1e9}%.2f s, changed=$changed")
       iter += 1
     }
-    System.err.println(s"[labelPropagate] converged after $iter rounds")
-    edges.unpersist()
-    if (older != null) free(older)
-    val result = docs.select(col("doc_id"))
+    if (ccVerbose) System.err.println(s"[labelPropagate] converged after $iter rounds")
+    // every loop frame is a durable parquet spill — nothing cached remains
+    docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .orderBy("doc_id")
-    // final round's frame (cached) is released after the consuming action —
-    // not left for RDD GC (ADVICE.md)
-    releaseAfterUse(tag, result, Seq(cached))
   }
 
   /** SimHash bit width (60 = 4 bands × 15 bits — see [[simhashes]]). */
