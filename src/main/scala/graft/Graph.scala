@@ -130,10 +130,13 @@ object Graph {
     // may each build once (both writes are complete, self-consistent dirs —
     // the loser's is simply never read again), which is the standard
     // race-tolerant memoization trade.
-    val cached = triSpill.get(d)
+    // fingerprint-keyed (ADVICE r7): a lineitem fixture rewritten in place
+    // invalidates the memo instead of serving stale edges
+    val key = Sources.fixtureKey(d, "lineitem")
+    val cached = triSpill.get(key)
     val path = if (cached != null) cached else {
       val built = buildOrientedCoEdges(s, d)
-      val prev = triSpill.putIfAbsent(d, built)
+      val prev = triSpill.putIfAbsent(key, built)
       if (prev != null) prev else built
     }
     s.read.parquet(path)

@@ -977,12 +977,7 @@ object Similarity {
       // coarse quantizer: build-once like the PQ index (see
       // [[ivfPqCoarseCache]]) — centroids and list assignments are index
       // artifacts, only probing is per-query work
-      val cachedC = ivfPqCoarseCache.get(d)
-      val (centroidRows, listsPath) = if (cachedC != null) cachedC else {
-        val built = trainIvfPqCoarse(s, d, e)
-        val prev = ivfPqCoarseCache.putIfAbsent(d, built)
-        if (prev != null) prev else built
-      }
+      val (centroidRows, listsPath) = ivfPqCoarseIndex(s, d)
       val refined = centFrame(centroidRows)(s)
       val lists = s.read.parquet(listsPath)
       // queries probe the IvfPqProbe nearest coarse centroids by L2
@@ -1008,13 +1003,31 @@ object Similarity {
     })
   )
 
-  /** Per-(process, dataset) IVF-PQ coarse-quantizer cache: refined
+  /** Per-(process, fixture) IVF-PQ coarse-quantizer cache: refined
     * centroid rows (IvfPqK bounded constants) and the spilled (vec_id,
     * cid) list-assignment path — the inverted-file index is a build-once
-    * artifact exactly like the PQ codes; see [[pqIndexCache]].
+    * artifact exactly like the PQ codes; see [[pqIndexCache]]. Keyed on
+    * [[Sources.fixtureKey]] (path + size + mtime), not the bare path, so
+    * data rewritten in place can never be served a stale index (ADVICE
+    * r7).
     */
   private val ivfPqCoarseCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[Seq[Double]], String)]()
+
+  /** Memoized coarse-index accessor (centroid rows + list-assignment spill
+    * path) — shared by sim_ann_ivfpq and the persisted-index builder
+    * [[AnnIndex]].
+    */
+  private[graft] def ivfPqCoarseIndex(s: SparkSession, d: String): (Seq[Seq[Double]], String) = {
+    val key = Sources.fixtureKey(d, "embeddings")
+    val cachedC = ivfPqCoarseCache.get(key)
+    if (cachedC != null) cachedC else {
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val built = trainIvfPqCoarse(s, d, e)
+      val prev = ivfPqCoarseCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
 
   private def centFrame(vecs: Seq[Seq[Double]])(implicit s: SparkSession): DataFrame = {
     import s.implicits._
@@ -1057,7 +1070,8 @@ object Similarity {
     (refinedRows.toSeq, path)
   }
 
-  /** Per-(process, dataset) PQ index cache: the trained codebook rows (a
+  /** Per-(process, fixture) PQ index cache (fingerprint-keyed like
+    * [[ivfPqCoarseCache]]): the trained codebook rows (a
     * bounded PqM×PqK constant set) and the spilled codes-table path — the
     * persisted-index architecture PQ actually has at 100 TB: codebooks and
     * codes are BUILD-ONCE artifacts (nobody retrains per query); queries
@@ -1083,19 +1097,29 @@ object Similarity {
     * are the PqK-seed / PqM×PqK-codeword frames — bounded by
     * construction, the sanctioned centroid pattern.
     */
-  private def pqTrained(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
-    implicit val sp: SparkSession = s
-    val e = embeddings(s, d)
-    val subs = e.select(col("vec_id"), posexplode(expr(
+  private[graft] def pqTrained(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val (refinedRows, codesPath) = pqIndex(s, d)
+    (pqSubspaces(s, d), cbFrame(refinedRows)(s), s.read.parquet(codesPath))
+  }
+
+  /** Subspace slices of every embedding — (vec_id, m, sub). */
+  private[graft] def pqSubspaces(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"), posexplode(expr(
       s"transform(sequence(0, ${PqM - 1}), m -> slice(embedding, m * $PqDim + 1, $PqDim))"))
       .as(Seq("m", "sub")))
-    val cached = pqIndexCache.get(d)
-    val (refinedRows, codesPath) = if (cached != null) cached else {
-      val built = trainPq(s, d, subs)
-      val prev = pqIndexCache.putIfAbsent(d, built)
+
+  /** Memoized PQ index accessor (refined codebook rows + codes spill path)
+    * — shared by the ANN queries and [[AnnIndex]]; keyed like
+    * [[ivfPqCoarseCache]] on the fixture fingerprint.
+    */
+  private[graft] def pqIndex(s: SparkSession, d: String): (Seq[(Int, Int, Seq[Double])], String) = {
+    val key = Sources.fixtureKey(d, "embeddings")
+    val cached = pqIndexCache.get(key)
+    if (cached != null) cached else {
+      val built = trainPq(s, d, pqSubspaces(s, d))
+      val prev = pqIndexCache.putIfAbsent(key, built)
       if (prev != null) prev else built
     }
-    (subs, cbFrame(refinedRows), s.read.parquet(codesPath))
   }
 
   /** One-time PQ training for [[pqTrained]]: returns the refined codebook
@@ -1160,7 +1184,7 @@ object Similarity {
     * fold) — a bare sum() would re-associate float addition
     * nondeterministically. Input columns: qid, nn, m, dqc.
     */
-  private def adcRank(perSub: DataFrame): DataFrame =
+  private[graft] def adcRank(perSub: DataFrame): DataFrame =
     perSub.groupBy("qid", "nn")
       .agg(expr("aggregate(transform(array_sort(collect_list(struct(m, dqc))), " +
         "x -> x.dqc), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("adist"))
@@ -1402,9 +1426,14 @@ object Similarity {
     * nearest lists, `cand` prunes to probed lists, and the ADC tail ranks
     * only those candidates.
     */
-  private def annIvfPqOracle: String = {
+  /** The L2 coarse-quantizer CTE chain (ke → ksd → kb1 → kcm → kc1 → kb2):
+    * hash-ranked seeds via the sigA(22) family, QUALIFY min-distance
+    * assignment tied to the lower cid, exact-decimal Lloyd means,
+    * row_number re-index. `kb2` is the final list assignment — consumed by
+    * [[annIvfPqOracle]] and by [[AnnIndex]]'s build-summary oracle.
+    */
+  private[graft] def ivfPqCoarseCtes: String = {
     val khk = s"((vec_id % $SigP) * ${sigA(22)} + ${sigB(22)}) % $SigP"
-    s"WITH $pqLegCtes, " +
     "ke AS (SELECT vec_id, embedding FROM embeddings), " +
     "ksd AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce, " +
     "CAST(row_number() OVER (ORDER BY hk, vec_id) AS INT) AS cid " +
@@ -1419,7 +1448,12 @@ object Similarity {
     "FROM (SELECT cid, list(c ORDER BY pos) AS ce FROM kcm GROUP BY cid) t), " +
     "kb2 AS (SELECT vec_id, cid FROM (SELECT e.vec_id, c.cid, " +
     s"${oDistE("e.embedding", "c.ce")} AS dd FROM ke e CROSS JOIN kc1 c) t " +
-    "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd ASC, cid ASC) = 1), " +
+    "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd ASC, cid ASC) = 1)"
+  }
+
+  private[graft] def annIvfPqOracle: String = {
+    s"WITH $pqLegCtes, " +
+    s"$ivfPqCoarseCtes, " +
     "kpb AS (SELECT qid, cid FROM (SELECT e.vec_id AS qid, c.cid, " +
     s"${oDistE("e.embedding", "c.ce")} AS dd FROM ke e CROSS JOIN kc1 c WHERE e.vec_id < 10) t " +
     s"QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dd ASC, cid ASC) <= $IvfPqProbe), " +

@@ -48,6 +48,17 @@ object Sources {
   private[graft] def tmpUnique(prefix: String): String =
     s"$procDir/unique/${prefix}_${uniqueSeq.incrementAndGet()}"
 
+  /** Memoization key for per-dataset index artifacts: the dataset path
+    * PLUS the backing fixture's size and mtime, so data rewritten at the
+    * same path can never be served a stale cached index (ADVICE r7). Also
+    * the suffix of [[AnnIndex]]'s persisted-index root for the same
+    * reason.
+    */
+  private[graft] def fixtureKey(d: String, table: String): String = {
+    val f = new java.io.File(s"$d/$table.parquet")
+    s"$d@${f.length()}:${f.lastModified()}"
+  }
+
   val queries: Map[String, Q] = Map(
     // The reference pipeline, end to end: text-file sink → sc.textFile →
     // flatMap → map → reduceByKey (map/combine/shuffle/reduce) → DataFrame.

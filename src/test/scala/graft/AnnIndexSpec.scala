@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import TestSpark.{spark, Sf0001}
+
+/** Cross-session contract of the persisted ANN index (VERDICT r7 #3): one
+  * session builds, a DIFFERENT session probes, and the probe provably
+  * performs zero training — its plan reads only the persisted artifacts.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+
+  test("build once, probe from a fresh session with zero training jobs") {
+    val d = Sf0001
+    // clean slate: no marker, no artifacts for this fixture's root
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+      f.delete()
+    }
+    rm(new java.io.File(AnnIndex.indexRoot(d)))
+    val b0 = AnnIndex.builds.get()
+    assert(!AnnIndex.ensure(spark, d), "ensure claimed an index that was just deleted")
+    assert(AnnIndex.builds.get() == b0 + 1)
+    // A fresh session (new session state; the JVM-wide training memos are
+    // irrelevant because probe() never consults them — only ensure()/build()
+    // do, and the builds counter pins that they don't run here).
+    val fresh = spark.newSession()
+    val b1 = AnnIndex.builds.get()
+    val probe = AnnIndex.probe(fresh, d)
+    // plan audit: index artifacts in, training out
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.contains("min_by"), "probe plan contains a training aggregate")
+    Seq("coarse_centroids", "codebooks", "codes", "lists").foreach(a =>
+      assert(plan.contains(a), s"probe plan does not scan persisted $a"))
+    val got = probe.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(AnnIndex.builds.get() == b1, "probe triggered a rebuild")
+    assert(got.nonEmpty)
+    // the persisted path must reproduce the in-process composite exactly
+    val inProc = SparkEntry.queries("sim_ann_ivfpq")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == inProc, "probe-from-disk drifted from the in-process IVF-PQ")
+    // idempotent: a second ensure is probe-only
+    assert(AnnIndex.ensure(fresh, d))
+    assert(AnnIndex.builds.get() == b1)
+  }
+
+  test("index root is fingerprint-keyed per dataset") {
+    // different fixtures -> different roots (stale-serving is structurally
+    // impossible across corpora); same fixture -> stable root
+    assert(AnnIndex.indexRoot(Sf0001) == AnnIndex.indexRoot(Sf0001))
+    assert(AnnIndex.indexRoot(Sf0001) != AnnIndex.indexRoot(TestSpark.Sf001))
+  }
+}
