@@ -27,10 +27,32 @@ object ProfScale {
     val big = Sources.tmpUnique(s"docs_x$k")
     val docs = Tables.documents(spark, base)
     val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+    // Per-copy text perturbation (r8): the token prefix alone decorrelates
+    // only the first ~8 shingles, and the byte-SUM stripe signature
+    // (mm_phash_dedup) is by design robust both to a short prefix and to a
+    // per-letter Caesar shift (a near-uniform intensity offset moves every
+    // block sum together) — copies stayed near-dups of each other and the
+    // pair count densified k² instead of scaling k (measured: 557k pairs
+    // at 16× with prefix only, 337k with prefix+Caesar). Two composed
+    // length-preserving transforms fix both families: a per-copy CAESAR
+    // rotation of the lowercase alphabet changes every shingle, and a
+    // per-copy CIRCULAR rotation of the text by a distinct fraction
+    // (i/(k+1)) shifts the stripe-sum PATTERN by ≥3 of 60 stripes between
+    // any two copies, decorrelating the byte-signal signature. Copy 0
+    // stays verbatim, preserving every 1× dup relationship.
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def rotated(i: Int): String = { val s = i % 25 + 1; alpha.substring(s) + alpha.substring(0, s) }
+    def perturb(c: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
+      if (i == 0) c else {
+        val t = translate(c, alpha, rotated(i))
+        val len = length(t)
+        val p = (len * lit(i) / lit(k + 1)).cast("int")
+        concat(t.substr(p + lit(1), len - p), t.substr(lit(1), p))
+      }
     (0 until k).map { i =>
       val prefix = s"copy$i " // n_chars adjusts by the ACTUAL prefix length
       docs.select((col("doc_id") + lit(i * n)).as("doc_id"),
-        concat(lit(prefix), col("text")).as("text"),
+        concat(lit(prefix), perturb(col("text"), i)).as("text"),
         col("lang"), col("source"),
         (col("n_chars") + lit(prefix.length)).as("n_chars"))
     }.reduce(_ unionByName _)
@@ -80,13 +102,22 @@ object ProfScale {
     }.reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$big/embeddings.parquet")
     // events replicate k× with offset event/user ids so the keyed-window
-    // family (cdc compaction, gaps-islands) scales in keys, not rows-per-key
+    // family (cdc compaction, gaps-islands, ewma) scales in keys, not
+    // rows-per-key. Values offset per copy by MORE than the value domain
+    // (~560 at sf0.1) so the DISTINCT-value vocabulary grows ~k× — the
+    // exact rank tests' (agg_mann_whitney/agg_ks_test) windowed frame is
+    // vocabulary-sized, and identical-value copies would hold it flat and
+    // hide the very term under test. The binned variants clamp everything
+    // past bin 255 into the top bin, so their frame stays ≤256 at any k —
+    // measuring both on this corpus shows the contrast directly.
     val ev = Tables.events(spark, base)
     val nEvt = ev.agg(max("event_id")).head().getLong(0) + 1
     val nUid = ev.agg(max("user_id")).head().getLong(0) + 1
+    val valBand = 1024.0
     (0 until k).map { i =>
       ev.withColumn("event_id", col("event_id") + lit(i * nEvt))
         .withColumn("user_id", col("user_id") + lit(i * nUid))
+        .withColumn("value", col("value") + lit(i * valBand))
     }.reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$big/events.parquet")
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
@@ -117,7 +148,13 @@ object ProfScale {
       // side; the W-cell replication factor is the constant under test),
       // the two-big-side full-outer diff, and the pruned+compressed ANN
       // composite (corpus k x, query set fixed - the IVF-PQ scale claim)
-      "join_interval_overlap", "etl_snapshot_diff", "sim_ann_ivfpq")
+      "join_interval_overlap", "etl_snapshot_diff", "sim_ann_ivfpq",
+      // round 8: multimodal near-dup banding, bounded/exact keyed EWMA,
+      // and the rank tests — exact (vocabulary-sized window frame, grown
+      // ~k× by the per-copy value offset) vs binned (structurally ≤256)
+      "mm_phash_dedup", "window_ewma", "window_ewma_bounded",
+      "agg_mann_whitney", "agg_ks_test",
+      "agg_mann_whitney_binned", "agg_ks_binned")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer
@@ -132,6 +169,42 @@ object ProfScale {
     targets.foreach { q =>
       time(s"$q @1x")(SparkEntry.queries(q)(spark, base).count())
       time(s"$q @${k}x")(SparkEntry.queries(q)(spark, big).count())
+    }
+    // Fixed-delta / k×-base corpus for dedup_incremental_minhash (VERDICT
+    // r7 #6): base docs (below the 1× cutoff) replicate k× into the LOW id
+    // region (copy 0 unprefixed, so every 1× delta↔base near-dup pair
+    // survives verbatim; later copies are token-prefixed occupancy), and
+    // the 1× delta docs are appended ONCE at the TOP of the id range
+    // (ids 4T+…), so the query's self-derived cutoff (doc_id·10 > 8·max)
+    // selects the IDENTICAL delta batch at both scales. Claim under test:
+    // candidate-pair work is ∝ |delta| × bucket occupancy, never base² —
+    // the growth left in the k× point is the corpus-linear
+    // signature/banding prefix (the part a 100 TB pipeline persists as the
+    // standing band index). The symmetric all-pairs variant on the same
+    // corpus is timed as the contrast.
+    if (only.isEmpty || only("dedup_incremental_minhash")) {
+      val incrBig = Sources.tmpUnique(s"incr_x$k")
+      val mx1 = n - 1
+      val T = k * n
+      val baseDocs = docs.where(col("doc_id") * 10 <= lit(8L * mx1))
+      val deltaDocs = docs.where(col("doc_id") * 10 > lit(8L * mx1))
+      (0 until k).map { i =>
+        val prefix = if (i == 0) "" else s"copy$i "
+        baseDocs.select((col("doc_id") + lit(i * n)).as("doc_id"),
+          concat(lit(prefix), perturb(col("text"), i)).as("text"),
+          col("lang"), col("source"),
+          (col("n_chars") + lit(prefix.length)).as("n_chars"))
+      }.reduce(_ unionByName _)
+        .unionByName(deltaDocs.select((col("doc_id") + lit(4L * T)).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars")))
+        .write.mode(SaveMode.Overwrite).parquet(s"$incrBig/documents.parquet")
+      SparkEntry.queries("dedup_exact")(spark, incrBig).count() // warm
+      time("dedup_incremental_minhash @1x")(
+        SparkEntry.queries("dedup_incremental_minhash")(spark, base).count())
+      time(s"dedup_incremental_minhash @${k}x-base/fixed-delta")(
+        SparkEntry.queries("dedup_incremental_minhash")(spark, incrBig).count())
+      time(s"dedup_near_minhash (symmetric contrast) @${k}x-base/fixed-delta")(
+        SparkEntry.queries("dedup_near_minhash")(spark, incrBig).count())
     }
     spark.stop()
   }
