@@ -359,6 +359,16 @@ object Similarity {
     */
   private def ccVerbose: Boolean = java.lang.Boolean.getBoolean("graft.cc.verbose")
 
+  /** Propagation steps fused into each labelPropagate round (write job).
+    * 2 measured best at sf0.1: depth 3 cut graph_cc to 3 rounds but the
+    * deeper per-round plan (3 edges joins + 3 aggregations + 3 self-joins)
+    * cost MORE than the saved round on every fixture graph (graph_cc
+    * 3.4→4.9 s, cluster_jaccard 4.3→7.3 s) — per-round cost grows faster
+    * than linearly with fuse depth once the write job carries that many
+    * exchanges.
+    */
+  val CcFuse = 2
+
   private[graft] def labelPropagate(docs: DataFrame, pairs: DataFrame,
       tag: String = "labelPropagate", durableEdges: Boolean = false): DataFrame = {
     // Both edge directions in ONE pipeline pass: explode a 2-element array
@@ -431,17 +441,19 @@ object Similarity {
           .select(col("l.doc_id"),
             coalesce(col("m.cluster_id"), col("l.cluster_id")).as("cluster_id"),
             col("l.prev"))
-      // TWO hop+jump steps fused into each action (r8): on a chain-shaped
-      // graph convergence is bounded by label FLOW — one edge per hop — so
-      // the ROUND COUNT, not per-round data volume, dominates on the
-      // overhead-limited tiny endpoint frames (measured ~0.55 s/action at
-      // sf0.1 for a 3k-node frame regardless of content). Fusing two steps
-      // halves the action count for one extra edges join inside the same
-      // write job. The convergence test stays sound: hop and jump are
-      // monotone non-increasing per node, so a double-step that changes no
-      // label implies the single-step fixpoint.
+      // CcFuse hop+jump steps fused into each action (r8): on a
+      // chain-shaped graph convergence is bounded by label FLOW — one edge
+      // per hop — so the ROUND COUNT, not per-round data volume, dominates
+      // on the overhead-limited tiny endpoint frames (measured
+      // ~0.55 s/action at sf0.1 for a 3k-node frame regardless of
+      // content). Fusing steps divides the action count for extra edges
+      // joins inside the same write job. The convergence test stays sound:
+      // hop and jump are monotone non-increasing per node, so a fused
+      // round that changes no label implies the single-step fixpoint; a
+      // star graph wastes at most CcFuse−1 cheap steps in its only
+      // propagation round.
       val start = labels.withColumn("prev", col("cluster_id"))
-      val jump = pointerJump(hop(pointerJump(hop(start))))
+      val jump = (1 to CcFuse).foldLeft(start)((l, _) => pointerJump(hop(l)))
       // EVERY round spills to tmp parquet (two alternating paths) and reads
       // back — durable lineage flattening (blocks survive executor loss,
       // re-execution recomputes from the file), AND shape-identical round
