@@ -138,36 +138,54 @@ object Multimodal {
     // >= 1 of the PhashBands bands (pigeonhole), so candidates come from
     // a band hash-join, never all pairs — dedup_simhash_pairs' shape over
     // a byte-stream signal.
-    "mm_phash_dedup" -> ((s, d) => {
-      val wdoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-      val stripes = withBinaryPayload(documents(s, d))
-        .select(col("doc_id"),
-          expr("transform(split(decode(payload, 'UTF-8'), ''), c -> CAST(ascii(c) AS BIGINT))").as("bs"))
-        .where(size(col("bs")) > 0)
-        .select(col("doc_id"), size(col("bs")).as("len"),
-          posexplode(col("bs")).as(Seq("pos", "b")))
-        .groupBy(col("doc_id"),
-          expr(s"pos * $PhashBits div len").as("stripe"))
-        .agg(sum(col("b")).as("ss"))
-      val sig = stripes
-        .withColumn("tot", sum(col("ss")).over(wdoc))
-        .groupBy("doc_id")
-        .agg(sum(expr(s"CASE WHEN ss * $PhashBits >= tot " +
-          s"THEN shiftleft(CAST(1 AS BIGINT), CAST(${PhashBits - 1} - stripe AS INT)) " +
-          "ELSE CAST(0 AS BIGINT) END")).as("phash"))
-      val bands = sig.select(col("doc_id"), col("phash"),
-        posexplode(array((0 until PhashBands).map(b =>
-          expr(s"shiftright(phash, ${b * PhashBandBits}) & ${(1 << PhashBandBits) - 1}")): _*))
-          .as(Seq("band", "key")))
-      bands.as("x").join(bands.as("y"), Seq("band", "key"))
-        .where(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
-          expr("bit_count(x.phash ^ y.phash)").as("hamming"))
-        .distinct()
-        .where(col("hamming") <= PhashMaxHamming)
-        .orderBy("da", "db")
-    })
+    "mm_phash_dedup" -> ((s, d) => phashPairs(s, d).orderBy("da", "db")),
+
+    // Transitive clusters over the phash pair graph (round 8) — the
+    // production shape for clique-structured corpora: a degenerate
+    // signature shared by c documents emits c² PAIRS from mm_phash_dedup
+    // (inherent to any pairwise-output operator; ProfScale measured 189k
+    // pairs at 16× from exactly such cliques) but only c CLUSTER rows
+    // here. Same labelPropagate engine as the text clusterings, proving it
+    // signal-generic; same recursive-CTE closure oracle.
+    "mm_phash_cluster" -> ((s, d) =>
+      Similarity.labelPropagate(documents(s, d),
+        phashPairs(s, d).select("da", "db"), "cc_phash"))
   )
+
+  /** LSH-banded perceptual-hash near-dup pairs with exact Hamming
+    * verification — the candidate machinery shared by mm_phash_dedup (pair
+    * audit output) and mm_phash_cluster (transitive clusters). Band
+    * equi-join candidates, never all pairs; see the mm_phash_dedup query
+    * doc for the signature's design envelope.
+    */
+  private[graft] def phashPairs(s: SparkSession, d: String): DataFrame = {
+    val wdoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val stripes = withBinaryPayload(documents(s, d))
+      .select(col("doc_id"),
+        expr("transform(split(decode(payload, 'UTF-8'), ''), c -> CAST(ascii(c) AS BIGINT))").as("bs"))
+      .where(size(col("bs")) > 0)
+      .select(col("doc_id"), size(col("bs")).as("len"),
+        posexplode(col("bs")).as(Seq("pos", "b")))
+      .groupBy(col("doc_id"),
+        expr(s"pos * $PhashBits div len").as("stripe"))
+      .agg(sum(col("b")).as("ss"))
+    val sig = stripes
+      .withColumn("tot", sum(col("ss")).over(wdoc))
+      .groupBy("doc_id")
+      .agg(sum(expr(s"CASE WHEN ss * $PhashBits >= tot " +
+        s"THEN shiftleft(CAST(1 AS BIGINT), CAST(${PhashBits - 1} - stripe AS INT)) " +
+        "ELSE CAST(0 AS BIGINT) END")).as("phash"))
+    val bands = sig.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until PhashBands).map(b =>
+        expr(s"shiftright(phash, ${b * PhashBandBits}) & ${(1 << PhashBandBits) - 1}")): _*))
+        .as(Seq("band", "key")))
+    bands.as("x").join(bands.as("y"), Seq("band", "key"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        expr("bit_count(x.phash ^ y.phash)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= PhashMaxHamming)
+  }
 
   /** pHash geometry: PhashBits stripe bits in PhashBands × PhashBandBits
     * pigeonhole bands, pairs kept at Hamming <= PhashMaxHamming — the
@@ -235,24 +253,44 @@ object Multimodal {
     // side; DuckDB's 1-based generate_series pairs with (pos-1) to match
     // Spark's 0-based posexplode
     "mm_phash_dedup" ->
-      ("WITH b0 AS (SELECT doc_id, len(bs) AS len, unnest(bs) AS b, " +
-       "unnest(generate_series(1, len(bs))) AS pos " +
-       "FROM (SELECT doc_id, list_transform(string_split(text, ''), " +
-       "c -> CAST(ascii(c) AS BIGINT)) AS bs FROM documents) WHERE len(bs) > 0), " +
-       s"st AS (SELECT doc_id, (pos - 1) * $PhashBits // len AS stripe, sum(b) AS ss " +
-       s"FROM b0 GROUP BY doc_id, (pos - 1) * $PhashBits // len), " +
-       "tt AS (SELECT doc_id, sum(ss) AS tot FROM st GROUP BY doc_id), " +
-       s"sg AS (SELECT st.doc_id, sum(CASE WHEN st.ss * $PhashBits >= tt.tot " +
-       s"THEN (CAST(1 AS BIGINT) << CAST(${PhashBits - 1} - st.stripe AS INT)) " +
-       "ELSE CAST(0 AS BIGINT) END) AS phash " +
-       "FROM st JOIN tt ON tt.doc_id = st.doc_id GROUP BY st.doc_id), " +
-       s"ks AS (SELECT CAST(unnest(range(0, $PhashBands)) AS BIGINT) AS band), " +
-       s"bd AS (SELECT doc_id, phash, band, (phash >> CAST(band * $PhashBandBits AS INT)) " +
-       s"& ${(1 << PhashBandBits) - 1} AS key FROM sg CROSS JOIN ks), " +
-       "p AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db, " +
-       "x.phash AS pa, y.phash AS pb FROM bd x " +
-       "JOIN bd y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id) " +
-       "SELECT da, db, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming FROM p " +
-       s"WHERE bit_count(xor(pa, pb)) <= $PhashMaxHamming ORDER BY da, db")
+      ("WITH " + phashPairsCte +
+       " SELECT da, db, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming FROM p " +
+       s"WHERE bit_count(xor(pa, pb)) <= $PhashMaxHamming ORDER BY da, db"),
+
+    // same pair CTE, then the recursive transitive closure (the
+    // dedup_cluster_cc oracle pattern verbatim)
+    "mm_phash_cluster" ->
+      ("WITH RECURSIVE " + phashPairsCte + ", " +
+       "pr AS (SELECT da, db FROM p " +
+       s"WHERE bit_count(xor(pa, pb)) <= $PhashMaxHamming), " +
+       "edges AS (SELECT da, db FROM pr UNION SELECT db, da FROM pr), " +
+       "walk(wid, reach) AS (SELECT da, db FROM edges UNION " +
+       "SELECT w.wid, e.db FROM walk w JOIN edges e ON w.reach = e.da), " +
+       "labels AS (SELECT wid, least(wid, min(reach)) AS cluster_id FROM walk GROUP BY wid) " +
+       "SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id " +
+       "FROM documents d LEFT JOIN labels l ON d.doc_id = l.wid ORDER BY d.doc_id")
   )
+
+  /** Shared phash pair CTE chain (b0 → st → tt → sg → ks → bd → p):
+    * byte-stripe signature, pigeonhole bands, band equi-join candidates
+    * with both phashes carried for the Hamming verification.
+    */
+  private def phashPairsCte: String =
+    "b0 AS (SELECT doc_id, len(bs) AS len, unnest(bs) AS b, " +
+    "unnest(generate_series(1, len(bs))) AS pos " +
+    "FROM (SELECT doc_id, list_transform(string_split(text, ''), " +
+    "c -> CAST(ascii(c) AS BIGINT)) AS bs FROM documents) WHERE len(bs) > 0), " +
+    s"st AS (SELECT doc_id, (pos - 1) * $PhashBits // len AS stripe, sum(b) AS ss " +
+    s"FROM b0 GROUP BY doc_id, (pos - 1) * $PhashBits // len), " +
+    "tt AS (SELECT doc_id, sum(ss) AS tot FROM st GROUP BY doc_id), " +
+    s"sg AS (SELECT st.doc_id, sum(CASE WHEN st.ss * $PhashBits >= tt.tot " +
+    s"THEN (CAST(1 AS BIGINT) << CAST(${PhashBits - 1} - st.stripe AS INT)) " +
+    "ELSE CAST(0 AS BIGINT) END) AS phash " +
+    "FROM st JOIN tt ON tt.doc_id = st.doc_id GROUP BY st.doc_id), " +
+    s"ks AS (SELECT CAST(unnest(range(0, $PhashBands)) AS BIGINT) AS band), " +
+    s"bd AS (SELECT doc_id, phash, band, (phash >> CAST(band * $PhashBandBits AS INT)) " +
+    s"& ${(1 << PhashBandBits) - 1} AS key FROM sg CROSS JOIN ks), " +
+    "p AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db, " +
+    "x.phash AS pa, y.phash AS pb FROM bd x " +
+    "JOIN bd y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)"
 }

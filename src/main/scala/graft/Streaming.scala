@@ -27,7 +27,7 @@ object Streaming {
   /** Epoch µs from a java.sql.Timestamp — getTime alone floors to ms, which
     * would diverge from the batch twin's unix_micros gap arithmetic.
     */
-  private def epochUs(t: java.sql.Timestamp): Long =
+  private[graft] def epochUs(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   // ---- Structured Streaming builders (input: streaming events frame) ----
@@ -317,6 +317,38 @@ object Streaming {
     * groups so a fixture collision fails loudly); a production deployment
     * swaps in a 128-bit digest key with the identical state machine.
     */
+  case class EwmaState(acc: Double, nEvents: Long)
+  case class EwmaUpdate(user_id: Long, n_events: Long, ewma_zero_seeded: Double)
+
+  /** Streaming EWMA (round 8) — the O(1)-state streaming twin of
+    * `window_ewma`: one (acc, count) pair per user, folded with the
+    * IDENTICAL 0.0-seeded acc·½ + x·½ recursion. The batch twin
+    * materializes each key's series (its bounded variant the last 64
+    * rows); the stream never buffers a series at all — state is two
+    * numbers regardless of stream length, which is the entire point of
+    * the recursion being a left fold. Within a micro-batch the iterator
+    * sorts by the batch twin's (epoch µs, event_id) total order (memory
+    * bounded by batch size per key, not stream length); across batches
+    * the fold follows arrival, so on time-ordered arrival — the contract
+    * of an event-time-ordered ingest, and what the spec feeds as chunked
+    * fixture batches — the final state per key is BIT-EQUAL to batch
+    * `window_ewma` (StreamingSpec pins exact double equality).
+    */
+  def ewmaStream(events: Dataset[EvtRow]): Dataset[EwmaUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, EwmaUpdate](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EvtRow], state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(0.0, 0L))
+          it.toSeq.sortBy(e => (epochUs(e.ts), e.event_id)).foreach { e =>
+            st = EwmaState(st.acc * 0.5 + e.value * 0.5, st.nEvents + 1)
+          }
+          state.update(st)
+          EwmaUpdate(uid, st.nEvents, st.acc)
+      }
+  }
+
   def fingerprintDedupStream(docs: DataFrame): Dataset[FpUpdate] = {
     import docs.sparkSession.implicits._
     docs

@@ -322,6 +322,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ewma equals batch window_ewma bit-for-bit on time-ordered arrival") {
+    // time-ordered arrival is the recursion's contract (an EWMA is
+    // order-DEPENDENT, unlike the dedup/cdc state machines): the fixture
+    // events sorted by the batch twin's (epoch µs, event_id) total order,
+    // split into 4 contiguous micro-batches — every per-key double must
+    // come out IDENTICAL to the batch fold, proving the two-number state
+    // replaces the batch side's whole-series buffer exactly
+    val evs = Tables.events(spark, Sf0001).where(col("user_id").isNotNull)
+      .select("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => Streaming.EvtRow(r.getLong(0),
+        Timestamp.valueOf(r.getAs[java.time.LocalDateTime](1)),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+      .sortBy(e => (Streaming.epochUs(e.ts), e.event_id))
+    val input = MemoryStream[Streaming.EvtRow]
+    val q = Streaming.ewmaStream(input.toDS())
+      .writeStream.format("memory").queryName("ewma").outputMode("update").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 4)).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      }
+      // Update mode: latest row per key wins (n_events is monotone)
+      val streamed = spark.table("ewma").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+      val batch = SparkEntry.queries("window_ewma")(spark, Sf0001).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+      assert(streamed == batch,
+        s"stream-batch drift: ${(streamed.toSet -- batch.toSet).take(3)} / " +
+        s"${(batch.toSet -- streamed.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("fingerprint dedup stream converges to batch dedup_exact under shuffled arrival") {
     // The full sf0.001 documents corpus, arrival order decorrelated from
     // doc_id and split across 4 micro-batches: duplicates of one text land

@@ -83,6 +83,27 @@ class UdxMultimodalSpec extends AnyFunSuite {
       }
   }
 
+  test("phash clusters match an in-test union-find over the phash pairs") {
+    val labels = q("mm_phash_cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = q("mm_phash_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no phash pairs in fixture — test is vacuous")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+    }
+    labels.foreach { case (doc, cluster) =>
+      assert(cluster == find(doc), s"doc $doc: $cluster vs ${find(doc)}") }
+    // the clique-collapse point: cluster rows = docs, pairs may be far more
+    assert(labels.size == Tables.documents(spark, Sf0001).count())
+  }
+
   test("phash dedup equals a brute-force signature + all-pairs Hamming scan") {
     import Multimodal.{PhashBits, PhashMaxHamming}
     val got = q("mm_phash_dedup").collect()
