@@ -11,7 +11,7 @@ object Bench {
     */
   private val HeavyFirst = Seq(
     "dedup_cluster_cc", "dedup_cluster_jaccard", "graph_connected_components",
-    "graph_pagerank", "graph_triangle_count",
+    "mm_phash_cluster", "graph_pagerank", "graph_triangle_count",
     "sim_ann_pq", "sim_ann_ivfpq", "sim_ann_ivf", "sim_ann_lsh")
 
   /** Total JVM GC wall-clock so far, seconds. */
