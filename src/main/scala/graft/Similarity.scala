@@ -605,23 +605,37 @@ object Similarity {
       .orderBy("da", "db")
   }
 
-  /** Exact capped-Jaccard >= 0.5 near-dup pairs (see dedup_ngram_jaccard). */
+  /** Per-(process, fixture) spill of the CAPPED jaccard shingle frame —
+    * the hot-shingle guard (df ≤ ShingleDfCap via a window over the
+    * g-partitioning) is computed once at build; both jaccard consumers
+    * (dedup_ngram_jaccard, dedup_cluster_jaccard) then read the spilled
+    * (doc_id, g) frame instead of re-exploding and re-capping the corpus.
+    * Same fingerprint-keyed deterministic-spill pattern as
+    * [[minhashIndexCache]].
+    */
+  private val jaccardShingleCache = new java.util.concurrent.ConcurrentHashMap[
+    String, String]()
+
+  private def jaccardShingles(s: SparkSession, d: String): DataFrame = {
+    val key = Sources.fixtureKey(d, "documents")
+    val cached = jaccardShingleCache.get(key)
+    val path = if (cached != null) cached else {
+      val p = Sources.tmpUnique("jac_shingles")
+      shingles(s, d)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+        .where(col("df") <= ShingleDfCap).drop("df")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+      val prev = jaccardShingleCache.putIfAbsent(key, p)
+      if (prev != null) prev else p
+    }
+    s.read.parquet(path)
+  }
+
+  /** Exact capped-Jaccard >= 0.5 near-dup pairs (see dedup_ngram_jaccard),
+    * reading the memoized capped-shingle index.
+    */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    // Hot-shingle guard: shingles in more than ShingleDfCap docs are
-    // dropped from the sets BEFORE the self-join. The doc-frequency is a
-    // window count over the same hash-partitioning-by-g the self-join
-    // needs anyway, so the guard rides the join's own exchange (and the
-    // two join sides share it via ReusedExchange) instead of paying a
-    // separate aggregate + recomputed shingle scan.
-    // no persist — same ReusedExchange rationale as minhashCandidates.
-    // (A broadcast-anti-join against the hot set was measured ~1 s SLOWER
-    // than the window cap at sf0.1: it recomputes the shingle explode for
-    // the aggregate side, while the window rides the self-join's own
-    // exchange once.)
-    val all = shingles(s, d)
-    val sh = all
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
-      .where(col("df") <= ShingleDfCap).drop("df")
+    val sh = jaccardShingles(s, d)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
