@@ -454,10 +454,55 @@ object Joins {
         .agg(sum(dec(col("l_extendedprice"), 18, 4) * (lit(1) - dec(col("l_discount"), 18, 4)))
           .cast(DoubleType).as("revenue"),
           count(lit(1)).as("n_items"))
-        .orderBy(col("n_name").asc))
+        .orderBy(col("n_name").asc)),
+
+    // Storage-bucketed co-located fact⋈fact join: both sides written
+    // `bucketBy(8, key).sortBy(key)`, so the join plans WITHOUT an Exchange
+    // on either input — the bucket layout IS the shuffle, paid once at
+    // write time and amortized over every subsequent join on that key. At
+    // 100 TB this turns each recurring lineitem⋈orders pass from a full
+    // 2-sided shuffle into a local merge per bucket (BucketingSpec pins the
+    // no-Exchange property with broadcast disabled; here AQE may still
+    // elect a broadcast at tiny SF, which is also shuffle-free). External
+    // table paths live under the per-process tmp dir; the catalog entry is
+    // dropped and the path cleared first so a fresh in-memory catalog never
+    // trips over a stale directory (LOCATION_ALREADY_EXISTS).
+    "join_bucket_colocated" -> ((s, d) => {
+      val disc = java.lang.Integer.toHexString(d.hashCode)
+      def bucketed(name: String, df: DataFrame, key: String): String = {
+        val table = s"graft_${name}_b_$disc"
+        val path = Sources.tmp(s"${name}_bucketed", d)
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        val f = new java.io.File(path)
+        def rm(x: java.io.File): Unit = {
+          if (x.isDirectory) { val fs = x.listFiles(); if (fs != null) fs.foreach(rm) }
+          x.delete()
+        }
+        rm(f)
+        df.write.bucketBy(8, key).sortBy(key)
+          .option("path", path).mode("overwrite").saveAsTable(table)
+        table
+      }
+      val ord = bucketed("orders",
+        orders(s, d).select("o_orderkey", "o_custkey", "o_orderstatus"), "o_orderkey")
+      val li = bucketed("lineitem",
+        lineitem(s, d).select("l_orderkey", "l_extendedprice"), "l_orderkey")
+      s.table(li).join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"), dsum2(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    })
   )
 
   val oracles: Map[String, String] = Map(
+    // the bucket layout is a physical property; the logical result is the
+    // plain join — which is exactly what the oracle proves
+    "join_bucket_colocated" ->
+      ("SELECT o_orderstatus, count(*) AS n_items, " +
+       s"${oDsum2("l_extendedprice")} AS sum_price " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+
     "join_salted" ->
       ("SELECT s_nationkey, count(*) AS n_items, " +
        s"${oDsum2("l_extendedprice")} AS sum_price " +

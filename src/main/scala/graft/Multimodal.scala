@@ -106,6 +106,27 @@ object Multimodal {
           expr("aggregate(q, 0L, (acc, x) -> acc + abs(x))").as("q_l1"))
         .orderBy("vec_id")),
 
+    // Per-dimension feature statistics over the embedding column — the
+    // normalization-stats pass every vector pipeline runs before training
+    // (mean-centering / variance scaling / dead-dimension detection).
+    // Values go through the integer micro-unit trick (×1e6, round, BIGINT)
+    // so the sums are exact and hash-stable cross-engine; mean_micro is an
+    // exact-integer double division (both operands < 2^53). One posexplode
+    // and one 64-group aggregate with map-side partials — at 100 TB this
+    // is a single scan whose shuffle carries 64 rows per partition.
+    // Consumers derive variance as sumsq/n - mean² from the exact sums.
+    "embed_dim_stats" -> ((s, d) =>
+      embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim"),
+          expr("CAST(round(CAST(v AS DOUBLE) * 1000000.0D) AS BIGINT)").as("micro"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          sum(col("micro")).as("sum_micro"),
+          sum(col("micro") * col("micro")).as("sumsq_micro"))
+        .withColumn("mean_micro", col("sum_micro") / col("n"))
+        .orderBy("dim")),
+
     // Frame sampling as a generator: every 4th 16-byte block is a "frame".
     // The frame digest is the same portable polynomial rolling hash as
     // text_fingerprint (mod 1e9+7 over the frame's bytes) rather than
@@ -259,6 +280,19 @@ object Multimodal {
        "(SELECT vec_id, embedding, " +
        "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs " +
        "FROM embeddings) ORDER BY vec_id"),
+
+    // parallel unnest (value ∥ generate_series) mirrors posexplode; the
+    // HUGEINT sums are cast back to BIGINT to match Spark's LongType
+    "embed_dim_stats" ->
+      ("WITH e AS (SELECT unnest(embedding) AS v, " +
+       "unnest(generate_series(1, len(embedding))) AS pos FROM embeddings), " +
+       "m AS (SELECT CAST(pos - 1 AS INT) AS dim, " +
+       "CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS micro FROM e) " +
+       "SELECT dim, count(*) AS n, " +
+       "CAST(SUM(micro) AS BIGINT) AS sum_micro, " +
+       "CAST(SUM(micro * micro) AS BIGINT) AS sumsq_micro, " +
+       "CAST(SUM(micro) AS BIGINT) / count(*) AS mean_micro " +
+       "FROM m GROUP BY dim ORDER BY dim"),
 
     // frame digest = polynomial rolling hash of the frame's 16 chars;
     // empty frame (substr past end) folds to 0 on both engines

@@ -173,6 +173,48 @@ object Relational {
         .where(col("rk") <= col("k"))
         .select("doc_id", "lang", "rk")
         .orderBy("lang", "rk")
+    }),
+
+    // Deterministic epoch reshuffle + shard assignment — the "shuffle the
+    // corpus each epoch" primitive of a training-data pipeline. Folding the
+    // epoch number into the multiplicative hash yields a different (but
+    // reproducible) permutation per epoch with no rand(): shard is a pure
+    // map-side expression, and pos is the read order within a shard. One
+    // 16-way shuffle on shard; at 100 TB the same plan writes
+    // `partitionBy(shard)` + `sortWithinPartitions(hash)` files and the
+    // global pos column is dropped — trainers read shards independently, so
+    // no global sort is ever needed. Epoch fixed at 7 here; callers vary it.
+    "sample_epoch_shuffle" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val epoch = 7L
+      val h = mhash(col("doc_id") + lit(epoch * 1048573L), 1000000000L)
+      val w = Window.partitionBy("shard").orderBy(col("h").asc, col("doc_id").asc)
+      documents(s, d)
+        .select(col("doc_id"), pmod(h, lit(16L)).as("shard"), h.as("h"))
+        .withColumn("pos", row_number().over(w))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    }),
+
+    // Weighted source mixing: cap each source tier's contribution to the
+    // training mix by a per-tier keep rate (high-quality tiers kept whole,
+    // the long tail downsampled) — the corpus-mixture primitive behind
+    // every LLM data recipe. Membership is the shared partition-independent
+    // multiplicative hash, so the mix is reproducible on any cluster size
+    // and composes with the dedup/decontamination passes (a doc's fate
+    // never depends on which executor saw it). Pure map-side filter + one
+    // 20-group aggregate; at 100 TB this is a single scan.
+    "sample_source_mixture" -> ((s, d) => {
+      val tier = substring(col("source"), 4, 10).cast(IntegerType)
+      documents(s, d)
+        .withColumn("rate",
+          when(tier < 5, 1000)         // curated tier: keep all
+            .when(tier < 13, 500)      // mid tier: half
+            .otherwise(200))           // long tail: one in five
+        .where(mhash(col("doc_id"), 1000L) < col("rate"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), lsum(col("n_chars")).as("chars_kept"))
+        .orderBy("source")
     })
   )
 
@@ -257,6 +299,28 @@ object Relational {
        "(PARTITION BY lang ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000000 ASC, doc_id ASC) AS rk " +
        "FROM documents) " +
        "SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM r CROSS JOIN k " +
-       "WHERE rk <= k.k ORDER BY lang, rk")
+       "WHERE rk <= k.k ORDER BY lang, rk"),
+
+    // h mirrors mhash with the epoch folded into the id (epoch 7 × the
+    // prime offset 1048573); all operands non-negative, so DuckDB's signed
+    // % matches Spark's pmod.
+    "sample_epoch_shuffle" ->
+      ("WITH h AS (SELECT doc_id, " +
+       "(((doc_id + 7340011) % 1000000007) * 2654435761) % 1000000000 AS h " +
+       "FROM documents), " +
+       "sh AS (SELECT doc_id, h % 16 AS shard, h FROM h) " +
+       "SELECT doc_id, shard, CAST(row_number() OVER " +
+       "(PARTITION BY shard ORDER BY h ASC, doc_id ASC) AS INT) AS pos " +
+       "FROM sh ORDER BY shard, pos"),
+
+    "sample_source_mixture" ->
+      ("WITH t AS (SELECT source, doc_id, n_chars, " +
+       "CASE WHEN CAST(substring(source, 4) AS INTEGER) < 5 THEN 1000 " +
+       "WHEN CAST(substring(source, 4) AS INTEGER) < 13 THEN 500 " +
+       "ELSE 200 END AS rate FROM documents) " +
+       "SELECT source, count(*) AS n_kept, " +
+       s"${oLsum("n_chars")} AS chars_kept FROM t " +
+       "WHERE ((doc_id % 1000000007) * 2654435761) % 1000 < rate " +
+       "GROUP BY source ORDER BY source")
   )
 }

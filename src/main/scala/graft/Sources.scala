@@ -130,6 +130,29 @@ object Sources {
         .json(dir)
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
         .orderBy("s_suppkey")
+    }),
+
+    // Dynamic partition pruning: the fact table is partitioned by yr, and
+    // the years to read are only known AFTER filtering the dim side — DPP
+    // injects the broadcast join's build-side keys as a runtime partition
+    // filter on the fact scan (`dynamicpruningexpression` in the plan,
+    // pinned by SourcesSpec), so at 100 TB the scan opens only the 2
+    // surviving year directories instead of all of them. Static pruning
+    // (sink_partitioned_parquet) handles literal predicates; DPP is what
+    // keeps partitioned reads cheap when the predicate arrives via a join.
+    "join_dpp_partitioned" -> ((s, d) => {
+      val dir = tmp("orders_by_year_dpp", d)
+      orders(s, d)
+        .withColumn("yr", year(col("o_orderdate")))
+        .write.mode(SaveMode.Overwrite).partitionBy("yr").parquet(dir)
+      val dim = orders(s, d)
+        .select(year(col("o_orderdate")).as("yr")).distinct()
+        .filter(col("yr").between(1996, 1997))
+      s.read.parquet(dir)
+        .join(broadcast(dim), "yr")
+        .groupBy("yr")
+        .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("sum_price"))
+        .orderBy("yr")
     })
   )
 
@@ -151,6 +174,13 @@ object Sources {
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
 
     "source_orc_roundtrip" ->
-      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    // the dim (distinct order years ∩ [1996,1997]) reduces to the literal
+    // year predicate — the runtime pruning is a physical property only
+    "join_dpp_partitioned" ->
+      ("SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n, " +
+       s"${oDsum2("o_totalprice")} AS sum_price FROM orders " +
+       "WHERE year(o_orderdate) BETWEEN 1996 AND 1997 GROUP BY 1 ORDER BY yr")
   )
 }

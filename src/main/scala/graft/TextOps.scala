@@ -85,6 +85,28 @@ object TextOps {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word").asc)),
 
+    // Per-language token-distribution concentration (Gini impurity
+    // 1 − Σ pᵢ²) — the corpus-diversity signal quality pipelines use to
+    // flag template-generated/boilerplate slices (low gini = a few tokens
+    // dominate). All statistics stay in exact integers (Σc and Σc² per
+    // language) so the result is hash-stable; gini itself is one double
+    // division of exact operands. Two hash aggregations, both with map-side
+    // partials; the second collapses to ≤ |langs| rows. Exactness bound:
+    // n_tokens² must fit a BIGINT, i.e. < 3·10⁹ tokens per language —
+    // beyond that, compute gini downstream in decimal from the same sums.
+    "text_token_gini" -> ((s, d) =>
+      documents(s, d)
+        .select(col("lang"), explode(toks(col("text"))).as("w"))
+        .groupBy("lang", "w")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("lang")
+        .agg(lsum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_vocab"),
+          sum(col("c") * col("c")).as("sumsq"))
+        .withColumn("gini",
+          lit(1.0) - col("sumsq") / (col("n_tokens") * col("n_tokens")))
+        .orderBy("lang")),
+
     // Training-sequence packing: concatenate documents into fixed-length
     // token streams (the LLM pretraining "pack then chunk" step) and report
     // per-bin fill. A single GLOBAL running sum would serialize the corpus
@@ -430,6 +452,19 @@ object TextOps {
       ("SELECT word, count(*) AS cnt FROM " +
        "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
        "GROUP BY word ORDER BY cnt DESC, word ASC"),
+
+    // integer sums cast back to BIGINT (DuckDB SUM is HUGEINT); gini's `/`
+    // is DuckDB true division = Spark's double division on exact operands
+    "text_token_gini" ->
+      ("WITH wc AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM " +
+       "(SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) " +
+       "GROUP BY lang, w), " +
+       "st AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens, " +
+       "count(*) AS n_vocab, CAST(SUM(c * c) AS BIGINT) AS sumsq " +
+       "FROM wc GROUP BY lang) " +
+       "SELECT lang, n_tokens, n_vocab, sumsq, " +
+       "1.0 - sumsq / (n_tokens * n_tokens) AS gini " +
+       "FROM st ORDER BY lang"),
 
     "text_grep" ->
       ("SELECT doc_id FROM documents WHERE regexp_matches(text, 'scan (table|merge)') " +

@@ -243,4 +243,23 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
       s"probe/codebook/LUT joins no longer broadcast:\n$p")
   }
+
+  test("dpp join injects a runtime partition filter into the fact scan") {
+    // the whole point of join_dpp_partitioned: the dim-derived year set
+    // must reach the partitioned fact scan as a dynamic pruning subquery,
+    // not be discovered by scanning every partition
+    val p = plan("join_dpp_partitioned")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$p")
+  }
+
+  test("bucketed co-located join: neither input re-shuffles on the join key") {
+    // complement of BucketingSpec (which pins the SMJ no-Exchange property
+    // with broadcast disabled): the registered query must never hash-
+    // repartition its bucketed inputs, whatever join Catalyst elects
+    val p = plan("join_bucket_colocated")
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey")
+      && !p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed input re-shuffled on the join key:\n$p")
+  }
 }

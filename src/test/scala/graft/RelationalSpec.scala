@@ -36,6 +36,41 @@ class RelationalSpec extends AnyFunSuite {
     assert((except | inter).subsetOf(distinct))
   }
 
+  test("epoch shuffle: shards partition the corpus, pos is contiguous per shard") {
+    val run = () => SparkEntry.queries("sample_epoch_shuffle")(spark, TestSpark.Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val rows = run()
+    assert(rows.map(_._1).distinct.length == rows.length)      // each doc once
+    assert(rows.forall { case (_, sh, _) => sh >= 0 && sh < 16 })
+    rows.groupBy(_._2).foreach { case (sh, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length), s"shard $sh pos has gaps")
+    }
+    // the epoch hash actually permutes: reading shards in pos order must not
+    // reproduce ascending doc_id everywhere (that would mean no shuffle)
+    assert(rows.groupBy(_._2).values.exists { g =>
+      val ids = g.sortBy(_._3).map(_._1).toSeq
+      ids != ids.sorted
+    })
+    assert(run().toSeq == rows.toSeq)                          // deterministic
+  }
+
+  test("source mixture keeps curated sources whole and downsamples the tail") {
+    val full = Tables.documents(spark, TestSpark.Sf001)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = SparkEntry.queries("sample_source_mixture")(spark, TestSpark.Sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    kept.foreach { case (src, n) =>
+      val tier = src.drop(3).toInt
+      if (tier < 5) assert(n == full(src), s"curated $src lost docs")
+      else assert(n <= full(src), s"$src kept more than it had")
+    }
+    // the long tail (rate 200/1000) must land well under half its corpus
+    val tailKept = kept.collect { case (s, n) if s.drop(3).toInt >= 13 => n }.sum
+    val tailFull = full.collect { case (s, n) if s.drop(3).toInt >= 13 => n }.sum
+    assert(tailKept < tailFull / 2, s"tail kept $tailKept of $tailFull")
+  }
+
   test("filter_compound respects every predicate") {
     val rows = SparkEntry.queries("filter_compound")(spark, Sf0001).collect()
     assert(rows.nonEmpty)

@@ -325,6 +325,23 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(a.forall(p => Set("en", "de", "es", "fr", "zh").contains(p._2)))
   }
 
+  test("token gini is a valid impurity and its totals tie out to wordcount") {
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val rows = SparkEntry.queries("text_token_gini")(spark, TestSpark.Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, v, sq, g) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(v <= n && sq >= n, s"${r.getString(0)}: vocab/sumsq out of range")
+      assert(g >= 0.0 && g < 1.0, s"${r.getString(0)}: gini $g out of [0,1)")
+      // the double is derived from the exact integer sums, nothing else
+      assert(g == 1.0 - sq.toDouble / (n * n).toDouble)
+    }
+    val total = SparkEntry.queries("text_wordcount")(spark, TestSpark.Sf001)
+      .agg(fsum("cnt")).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(1)).sum == total, "per-lang totals != corpus total")
+  }
+
   test("fingerprint equals a reference implementation") {
     val out = q("text_fingerprint").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val docs = Tables.documents(spark, Sf0001).select("doc_id", "text")

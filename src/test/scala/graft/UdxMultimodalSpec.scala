@@ -132,4 +132,19 @@ class UdxMultimodalSpec extends AnyFunSuite {
     assert((expected -- got).isEmpty, s"missing: ${(expected -- got).take(5)}")
     assert(expected.nonEmpty, "no phash pairs in fixture — test is vacuous")
   }
+
+  test("embed_dim_stats: all 64 dims, uniform counts, nonnegative variance") {
+    val rows = SparkEntry.queries("embed_dim_stats")(spark, TestSpark.Sf001).collect()
+    assert(rows.length == 64)
+    assert(rows.map(_.getInt(0)).toSeq == (0 until 64))
+    val n = rows.head.getLong(1)
+    assert(rows.forall(_.getLong(1) == n), "ragged per-dim counts")
+    rows.foreach { r =>
+      val (s, sq) = (r.getLong(2), r.getLong(3))
+      // n·Σx² ≥ (Σx)² ⇔ sample variance ≥ 0 — fails if the micro-unit
+      // conversion ever mangles a value
+      assert(sq * n >= s * s, s"dim ${r.getInt(0)}: negative variance")
+      assert(r.getDouble(4) == s.toDouble / n, s"dim ${r.getInt(0)}: mean drift")
+    }
+  }
 }
