@@ -244,6 +244,21 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"probe/codebook/LUT joins no longer broadcast:\n$p")
   }
 
+  test("bloom incremental dedup: map-side bloom probe, equi-joins only") {
+    val p = plan("dedup_bloom_incremental")
+    // the bloom answers "definitely new" as a scalar-subquery filter on the
+    // delta scan — if it disappears, every delta row reaches the verify join
+    assert(p.contains("might_contain"), s"bloom probe gone:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs crept in:\n$p")
+    // the delta flag is baked into the fp-index spill at build time, so the
+    // query itself joins no constant frames at all...
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"constant-frame join leaked back into the probe plan:\n$p")
+    // ...and never re-fingerprints the corpus (that is the spill's job)
+    assert(!p.contains("split(text"),
+      s"corpus re-fingerprinted instead of reading the fp index:\n$p")
+  }
+
   test("dpp join injects a runtime partition filter into the fact scan") {
     // the whole point of join_dpp_partitioned: the dim-derived year set
     // must reach the partitioned fact scan as a dynamic pruning subquery,

@@ -342,6 +342,35 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == total, "per-lang totals != corpus total")
   }
 
+  test("bloom incremental dedup matches a JVM fingerprint reference at sf0.1") {
+    def fp(t: String): Long =
+      t.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+    val out = SparkEntry.queries("dedup_bloom_incremental")(spark, TestSpark.Sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val docs = Tables.documents(spark, TestSpark.Sf01).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val mx = docs.map(_._1).max
+    val base = docs.filter { case (id, _) => id * 10 <= mx * 8 }
+    val delta = docs.filter { case (id, _) => id * 10 > mx * 8 }
+    val baseMin = base.groupBy(p => fp(p._2)).map { case (k, g) => k -> g.map(_._1).min }
+    val expected = delta.map { case (id, t) =>
+      val m = baseMin.get(fp(t))
+      (id, m.getOrElse(-1L), if (m.isDefined) 0 else 1)
+    }.sortBy(_._1)
+    assert(out.length == expected.length)
+    assert((out.toSet -- expected.toSet).isEmpty,
+      s"mismatches: ${(out.toSet -- expected.toSet).take(5)}")
+    // the fingerprint dups must be REAL text dups (a 1e9+7 collision in the
+    // fixture would silently change the operator's meaning — fail loudly)
+    val baseText = base.groupBy(_._2).map { case (t, g) => t -> g.map(_._1).min }
+    delta.foreach { case (id, t) =>
+      val viaFp = baseMin.get(fp(t))
+      assert(viaFp == baseText.get(t), s"fingerprint collision at doc $id")
+    }
+    assert(expected.exists(_._3 == 0),
+      "fixture has no cross-cutoff exact dup — dup path untested (regenerate-fixture hazard)")
+  }
+
   test("fingerprint equals a reference implementation") {
     val out = q("text_fingerprint").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val docs = Tables.documents(spark, Sf0001).select("doc_id", "text")
