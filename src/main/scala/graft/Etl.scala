@@ -321,6 +321,30 @@ object Etl {
         .where(col("rn") === 1 && col("op") =!= "D")
         .select("user_id", "n_ops", "op", "value", "version_us")
         .orderBy("user_id")
+    }),
+
+    // Schema evolution across ingest batches — at 100 TB data lands over
+    // months and the schema GROWS; the reader must union old files that
+    // lack the new columns with new files that carry them, without
+    // rewriting history. batch=1 is the v1 era (doc_id, lang only);
+    // batch=2 adds source and n_chars. `mergeSchema` reconciles the
+    // footers (an O(files) driver merge, not a data pass), partition
+    // discovery yields the batch column, and v1 rows read NULL for the
+    // evolved columns — the lake contract every long-lived pipeline
+    // depends on. Writes run eagerly at construction, same contract as
+    // etl_backfill_partition above.
+    "etl_schema_evolution" -> ((s, d) => {
+      val root = Sources.tmp("docs_evolve", d)
+      documents(s, d).where(col("doc_id") % 2 === 0)
+        .select("doc_id", "lang")
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/batch=1")
+      documents(s, d).where(col("doc_id") % 2 === 1)
+        .select("doc_id", "lang", "source", "n_chars")
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/batch=2")
+      s.read.option("mergeSchema", "true").parquet(root)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("batch").cast(IntegerType).as("batch"))
+        .orderBy("doc_id")
     })
   )
 
@@ -407,6 +431,16 @@ object Etl {
        "ORDER BY version_us DESC, event_id DESC) AS rn, " +
        "count(*) OVER (PARTITION BY user_id) AS n_ops FROM log) " +
        "SELECT user_id, CAST(n_ops AS BIGINT) AS n_ops, op, value, version_us " +
-       "FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id")
+       "FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id"),
+
+    // the logical result of the merged read: v1-era rows surface NULL for
+    // the columns that did not exist yet
+    "etl_schema_evolution" ->
+      ("SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source, " +
+       "CAST(NULL AS BIGINT) AS n_chars, CAST(1 AS INT) AS batch " +
+       "FROM documents WHERE doc_id % 2 = 0 " +
+       "UNION ALL " +
+       "SELECT doc_id, lang, source, n_chars, CAST(2 AS INT) AS batch " +
+       "FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id")
   )
 }

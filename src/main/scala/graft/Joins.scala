@@ -491,6 +491,40 @@ object Joins {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_items"), dsum2(col("l_extendedprice")).as("sum_price"))
         .orderBy("o_orderstatus")
+    }),
+
+    // Point-in-time lookup against an SCD2 dimension — the feature-store
+    // correctness primitive: each purchase reads the attribute version
+    // that was VALID at its timestamp (half-open [valid_from, valid_to)
+    // windows built from the user's signup history), never a later one —
+    // the train-time leakage guard. Physically the COMPLEMENT of
+    // join_asof's tagged-union window: the dim-version frame is one row
+    // per signup (tiny next to the fact stream), so this plans as a
+    // single equi-join on the entity key with the containment predicate
+    // as a post-join filter — facts shuffle once and are never re-sorted;
+    // at 100 TB the dim side broadcasts or co-buckets while asof's union
+    // trick would re-sort the whole fact stream. Versions are half-open,
+    // so a fact at exactly valid_from reads the NEW version, and
+    // same-timestamp version stacks (zero-width windows) resolve to the
+    // last version in (ts, event_id) order on both engines. Facts before
+    // the first version drop (inner semantics) — "no state yet" is not a
+    // joinable version. Attribute doubles are carried verbatim: bit-exact.
+    "join_pit_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("valid_from").asc, col("version_id").asc)
+      val dim = events(s, d).where(col("event_type") === "signup")
+        .select(col("user_id").as("d_user"), col("ts").as("valid_from"),
+          col("event_id").as("version_id"), col("value").as("attr"))
+        .withColumnRenamed("d_user", "user_id")
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      val facts = events(s, d).where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id").as("f_user"), col("ts"))
+      facts.join(dim,
+          col("f_user") === col("user_id") &&
+          col("valid_from") <= col("ts") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+        .select(col("event_id"), col("version_id"), col("valid_from"), col("attr"))
+        .orderBy("event_id")
     })
   )
 
@@ -502,6 +536,19 @@ object Joins {
        s"${oDsum2("l_extendedprice")} AS sum_price " +
        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+
+    "join_pit_scd2" ->
+      ("WITH dim AS (SELECT user_id, ts AS valid_from, event_id AS version_id, " +
+       "value AS attr, lead(ts, 1) OVER (PARTITION BY user_id " +
+       "ORDER BY ts ASC, event_id ASC) AS valid_to " +
+       "FROM events WHERE event_type = 'signup'), " +
+       "facts AS (SELECT event_id, user_id, ts FROM events " +
+       "WHERE event_type = 'purchase') " +
+       "SELECT f.event_id, d.version_id, d.valid_from, d.attr " +
+       "FROM facts f JOIN dim d ON f.user_id = d.user_id " +
+       "AND d.valid_from <= f.ts " +
+       "AND (d.valid_to IS NULL OR f.ts < d.valid_to) " +
+       "ORDER BY f.event_id"),
 
     "join_salted" ->
       ("SELECT s_nationkey, count(*) AS n_items, " +

@@ -61,6 +61,19 @@ object TextOps {
     */
   val RepetitionFlagMicro = 50000L
 
+  /** Size of the frequent-trigram set text_rare_ngram_filter broadcasts —
+    * the bound that keeps the filter scale-free: rarity is "not in the
+    * top-F corpus trigrams", so the probe side never joins against the
+    * unbounded tail vocabulary, only against a fixed-size frame.
+    */
+  val RareFreqSetSize = 4096
+  /** Per-doc distinct-token cap for text_cooccur_pairs — bounds each
+    * document's pair fan-out to K(K-1)/2 regardless of document length.
+    */
+  val CooccurCap = 24
+  /** Minimum pair support text_cooccur_pairs reports. */
+  val CooccurMinSupport = 25L
+
   /** Tokens per packed training sequence (pack_sequences). */
   val PackSeqLen = 512
   /** Independent packing shards (pack_sequences) — the parallelism knob. */
@@ -405,7 +418,65 @@ object TextOps {
           regexp_replace(col("no_email"), "[0-9]{6,}", "<NUM>").as("scrubbed"),
           (size(expr("regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', 0)")) +
             size(expr("regexp_extract_all(no_email, '[0-9]{6,}', 0)"))).as("n_redactions"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Rare-n-gram quality filter (the "looks like no other text in the
+    // corpus" screen): a document whose word trigrams mostly fall OUTSIDE
+    // the corpus's frequent set is flagged as suspect boilerplate/noise.
+    // Scale shape: rarity is membership in the top-F corpus trigrams, NOT
+    // a join against the full (unbounded) trigram vocabulary — the top-F
+    // frame is produced by a distributed TakeOrdered (orderBy + limit, no
+    // single-partition window) and BROADCAST to the probe, so the only
+    // shuffles are the trigram count and the per-doc aggregate. The left
+    // join from documents restores trigram-less docs (< 3 tokens) with
+    // zero counts instead of dropping them. Integer counts end-to-end;
+    // the keep rule (2·n_rare ≤ n_trigrams, i.e. ≤ 50% rare) is exact.
+    "text_rare_ngram_filter" -> ((s, d) => {
+      val tri = documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .select(col("doc_id"), explode(expr(
+          "CASE WHEN size(tk) >= 3 THEN transform(sequence(2, size(tk) - 1), " +
+          "i -> concat_ws(' ', get(tk, i-2), get(tk, i-1), get(tk, i))) " +
+          "ELSE array() END")).as("g"))
+      val freq = tri.groupBy("g").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("g").asc).limit(RareFreqSetSize)
+        .select(col("g"), lit(1).as("is_freq"))
+      val per = tri.join(broadcast(freq), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trigrams"),
+          sum(when(col("is_freq").isNull, 1L).otherwise(0L)).as("n_rare"))
+      documents(s, d).select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+          coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+        .withColumn("keep", col("n_rare") * 2 <= col("n_trigrams"))
+        .orderBy("doc_id")
+    }),
+
+    // Frequent co-occurring token pairs (market-basket support counting
+    // over documents). The naive form is quadratic in document length; the
+    // scale-safe form caps each doc at its K alphabetically-first DISTINCT
+    // tokens, bounding per-doc fan-out to K(K-1)/2 pairs no matter how
+    // long the doc is — candidate volume is then linear in corpus size.
+    // One window per doc for the cap, one self equi-join on doc_id (both
+    // sides shuffle once on the same key), one pair-count aggregate;
+    // output is bounded by vocab² and further cut by the support floor.
+    "text_cooccur_pairs" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy(col("w").asc)
+      val capped = documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("w"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= CooccurCap)
+        .select("doc_id", "w")
+      capped.as("a")
+        .join(capped.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+        .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+        .agg(count(lit(1)).as("support"))
+        .where(col("support") >= CooccurMinSupport)
+        .orderBy("w1", "w2")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -594,6 +665,34 @@ object TextOps {
        "len(regexp_extract_all(no_email, '[0-9]{6,}')) AS INT) AS n_redactions " +
        "FROM (SELECT doc_id, text, " +
        "regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g') AS no_email " +
-       "FROM documents) ORDER BY doc_id")
+       "FROM documents) ORDER BY doc_id"),
+
+    // same trigram recipe as text_repetition; the top-F cut uses the same
+    // total order (count DESC, trigram ASC) as the Spark TakeOrdered, so
+    // boundary ties at rank F resolve identically on both engines
+    "text_rare_ngram_filter" ->
+      ("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+       "tri AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1), " +
+       "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g FROM tk), " +
+       "gc AS (SELECT g, count(*) AS c FROM tri GROUP BY g), " +
+       "freq AS (SELECT g FROM (SELECT g, row_number() OVER " +
+       s"(ORDER BY c DESC, g ASC) AS rn FROM gc) WHERE rn <= $RareFreqSetSize), " +
+       "per AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, " +
+       "CAST(count(*) FILTER (f.g IS NULL) AS BIGINT) AS n_rare " +
+       "FROM tri t LEFT JOIN freq f ON t.g = f.g GROUP BY t.doc_id) " +
+       "SELECT d.doc_id, coalesce(per.n_trigrams, 0) AS n_trigrams, " +
+       "coalesce(per.n_rare, 0) AS n_rare, " +
+       "coalesce(per.n_rare, 0) * 2 <= coalesce(per.n_trigrams, 0) AS keep " +
+       "FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id " +
+       "ORDER BY d.doc_id"),
+
+    "text_cooccur_pairs" ->
+      ("WITH dt AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w " +
+       "FROM documents), " +
+       "capped AS (SELECT doc_id, w FROM (SELECT doc_id, w, row_number() OVER " +
+       s"(PARTITION BY doc_id ORDER BY w ASC) AS rn FROM dt) WHERE rn <= $CooccurCap) " +
+       "SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS support " +
+       "FROM capped a JOIN capped b ON a.doc_id = b.doc_id AND a.w < b.w " +
+       s"GROUP BY 1, 2 HAVING count(*) >= $CooccurMinSupport ORDER BY w1, w2")
   )
 }

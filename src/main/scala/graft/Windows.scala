@@ -239,6 +239,28 @@ object Windows {
             "x -> x.value), CAST(0.0 AS DOUBLE), (acc, x) -> acc * 0.5 + x * 0.5)")
             .as("ewma_zero_seeded"))
         .orderBy("user_id")
+    }),
+
+    // Forward fill (last observation carried forward) — the gap-repair
+    // pass that precedes any per-entity time-series featurization: each
+    // event carries the value of its user's most recent 'purchase' at or
+    // before it. `last(..., ignoreNulls)` over a running rows-frame is
+    // Spark's LOCF idiom; one shuffle on the entity key, per-row state is
+    // a single scalar, and the carried value is copied verbatim (no
+    // arithmetic) so the output is bit-exact on any engine. Events before
+    // the user's first purchase keep NULL — the honest "no observation
+    // yet" answer. ts is NULL-free on this fixture (pinned in
+    // AggWindowSpec; Spark ASC = NULLS FIRST vs DuckDB NULLS LAST would
+    // otherwise desynchronize the order).
+    "window_fill_forward" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          last(when(col("event_type") === "purchase", col("value")),
+            ignoreNulls = true).over(w).as("last_purchase_value"))
+        .orderBy("event_id")
     })
   )
 
@@ -358,6 +380,13 @@ object Windows {
        s"greatest(1, CAST(count(*) AS BIGINT) - ${EwmaHistory - 1}), " +
        "CAST(count(*) AS BIGINT))), " +
        "(acc, x) -> acc * 0.5 + x * 0.5) AS ewma_zero_seeded " +
-       "FROM events WHERE user_id IS NOT NULL GROUP BY user_id ORDER BY user_id")
+       "FROM events WHERE user_id IS NOT NULL GROUP BY user_id ORDER BY user_id"),
+
+    "window_fill_forward" ->
+      ("SELECT event_id, user_id, event_type, " +
+       "last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS) " +
+       "OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value " +
+       "FROM events ORDER BY event_id")
   )
 }

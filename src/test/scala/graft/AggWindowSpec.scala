@@ -359,4 +359,34 @@ class AggWindowSpec extends AnyFunSuite {
     assert(expected.exists(_._4 > 1), "no multi-day streak in fixture")
     assert(expected.groupBy(_._1).exists(_._2.size > 1), "no gap in fixture")
   }
+
+  test("window_fill_forward carries exactly the latest purchase at or before each event") {
+    // ordering contract: the (ts, event_id) sort is only cross-engine
+    // stable because ts is NULL-free (Spark ASC = NULLS FIRST, DuckDB
+    // NULLS LAST) — pin the fixture invariant the oracle relies on
+    assert(Tables.events(spark, Sf0001).where(col("ts").isNull).count() == 0,
+      "events.ts grew NULLs — window_fill_forward's order desynchronizes")
+    import java.time.LocalDateTime
+    implicit val ldtOrd: Ordering[LocalDateTime] =
+      Ordering.fromLessThan(_.isBefore(_))
+    val evs = Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getString(2), r.getAs[LocalDateTime](3), r.getDouble(4)))
+    val expected = evs.map { case (id, u, _, ts, _) =>
+      val prior = evs.filter(e => e._2 == u && e._3 == "purchase" &&
+        (e._4.isBefore(ts) || (e._4.equals(ts) && e._1 <= id)))
+      id -> (if (prior.isEmpty) None
+             else Some(prior.maxBy(e => (e._4, e._1))._5))
+    }.toMap
+    val got = q("window_fill_forward").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got.size == expected.size)
+    val bad = expected.filter { case (k, v) => got(k) != v }
+    assert(bad.isEmpty, s"LOCF mismatch: ${bad.take(5)}")
+    // discrimination: both filled and still-NULL rows exist
+    assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty))
+  }
 }

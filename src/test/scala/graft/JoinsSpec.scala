@@ -137,4 +137,47 @@ class JoinsSpec extends AnyFunSuite {
       .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2))).toSeq
     assert(got == plain)
   }
+
+  test("join_pit_scd2: each fact matches at most one version, never a future one") {
+    val rows = q("join_pit_scd2").collect()
+    // half-open validity windows partition the timeline per user — a fact
+    // can never land in two versions
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length,
+      s"a purchase matched multiple dim versions: ${ids.diff(ids.distinct).take(5).toSeq}")
+    // point-in-time correctness = no leakage: the matched version opened
+    // at or before the fact's timestamp (ts is TIMESTAMP_NTZ → LocalDateTime)
+    import java.time.LocalDateTime
+    val facts = Tables.events(spark, Sf0001)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts")).collect()
+      .map(r => r.getLong(0) -> r.getAs[LocalDateTime](1)).toMap
+    rows.foreach { r =>
+      assert(!r.getAs[LocalDateTime](2).isAfter(facts(r.getLong(0))),
+        s"event ${r.getLong(0)} matched a version from the future")
+    }
+    // and the match IS the latest version at or before ts (asof agreement)
+    val dim = Tables.events(spark, Sf0001)
+      .where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id")).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getAs[LocalDateTime](1), r.getLong(2)))
+    val factRows = Tables.events(spark, Sf0001)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts")).collect()
+    val expected = factRows.flatMap { f =>
+      if (f.isNullAt(1)) None
+      else {
+        val u = f.getLong(1); val ts = f.getAs[LocalDateTime](2)
+        val versions = dim.filter(v => v._1.contains(u) && !v._2.isAfter(ts))
+        implicit val ldtOrd: Ordering[LocalDateTime] =
+          Ordering.fromLessThan(_.isBefore(_))
+        if (versions.isEmpty) None
+        else Some(f.getLong(0) -> versions.maxBy(v => (v._2, v._3))._3)
+      }
+    }.toMap
+    val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"PIT != latest-at-ts on ${(got.toSet -- expected.toSet).take(5)}")
+  }
 }

@@ -35,4 +35,20 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
     assert(byTag(None) == 25 && byTag(Some("v2")) == 25)
   }
+
+  test("etl_schema_evolution (registered): v1 rows read NULL for evolved columns") {
+    val rows = SparkEntry.queries("etl_schema_evolution")(spark, Sf0001).collect()
+    val docs = Tables.documents(spark, Sf0001).count()
+    assert(rows.length == docs, "merged read lost rows across batches")
+    rows.foreach { r =>
+      val (id, batch) = (r.getLong(0), r.getInt(4))
+      if (id % 2 == 0) {
+        assert(batch == 1 && r.isNullAt(2) && r.isNullAt(3),
+          s"v1 doc $id: evolved columns must be NULL, got $r")
+      } else {
+        assert(batch == 2 && !r.isNullAt(2) && !r.isNullAt(3),
+          s"v2 doc $id: evolved columns must be populated, got $r")
+      }
+    }
+  }
 }

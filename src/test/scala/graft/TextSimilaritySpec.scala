@@ -380,4 +380,49 @@ class TextSimilaritySpec extends AnyFunSuite {
       assert(out(id) == exp, s"doc $id")
     }
   }
+
+  test("text_rare_ngram_filter: counts reconcile and the frequent set is honored") {
+    val rows = q("text_rare_ngram_filter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // every document survives the pipeline (trigram-less docs included, zeroed)
+    assert(rows.length == Tables.documents(spark, Sf0001).count())
+    rows.foreach { case (id, n, r, keep) =>
+      assert(r >= 0 && r <= n, s"doc $id: n_rare $r out of [0, $n]")
+      assert(keep == (2 * r <= n), s"doc $id: keep flag contradicts the threshold")
+    }
+    // reference check: recompute rarity for a few docs against a driver-side
+    // frequent set built with the same (count DESC, trigram ASC) total order
+    val tris = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect().map { d =>
+        val tk = d.getString(1).split(" ", -1)
+        d.getLong(0) -> tk.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      }
+    val counts = tris.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val freq = counts.toSeq.sortBy { case (g, c) => (-c, g) }
+      .take(TextOps.RareFreqSetSize).map(_._1).toSet
+    tris.take(25).foreach { case (id, gs) =>
+      val (n, r) = (gs.length.toLong, gs.count(g => !freq(g)).toLong)
+      val got = rows.find(_._1 == id).get
+      assert((got._2, got._3) == ((n, r)), s"doc $id: got (${got._2},${got._3}) want ($n,$r)")
+    }
+    // the threshold must discriminate on the fixture — both classes present
+    assert(rows.exists(_._4) && rows.exists(!_._4),
+      "rare-ngram threshold no longer splits the corpus — retune RareFreqSetSize")
+  }
+
+  test("text_cooccur_pairs: support counts match a reference and respect the cap") {
+    val got = q("text_cooccur_pairs").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "text").collect()
+      .map(d => d.getString(1).split(" ", -1).distinct.sorted.take(TextOps.CooccurCap))
+    val expected = docs.flatMap(ws =>
+        for (i <- ws.indices; j <- (i + 1) until ws.length) yield (ws(i), ws(j)))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 >= TextOps.CooccurMinSupport).toMap
+    assert(got == expected,
+      s"pair mismatch, e.g. ${(got.toSet -- expected.toSet).take(3)} / ${(expected.toSet -- got.toSet).take(3)}")
+    assert(got.nonEmpty, "support floor filtered everything — retune CooccurMinSupport")
+    got.keys.foreach { case (a, b) => assert(a < b, s"unordered pair ($a,$b)") }
+  }
 }
