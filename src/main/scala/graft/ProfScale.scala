@@ -154,7 +154,19 @@ object ProfScale {
       // ~k× by the per-copy value offset) vs binned (structurally ≤256)
       "mm_phash_dedup", "window_ewma", "window_ewma_bounded",
       "agg_mann_whitney", "agg_ks_test",
-      "agg_mann_whitney_binned", "agg_ks_binned")
+      "agg_mann_whitney_binned", "agg_ks_binned",
+      // round-8 close: storage-layout joins (both pay a fresh bucketed/
+      // partitioned WRITE per run — the build is the operator), the
+      // deterministic sampling pair, the per-dim embedding moments, the
+      // token-concentration aggregate, and the broadcast-bloom ingest dedup
+      "join_bucket_colocated", "join_dpp_partitioned",
+      "sample_epoch_shuffle", "sample_source_mixture",
+      "embed_dim_stats", "text_token_gini", "dedup_bloom_incremental",
+      // round-8 last batch: frequent-set rarity screen (top-F TakeOrdered +
+      // broadcast probe), capped pair mining, keyed LOCF, mergeSchema read,
+      // and the SCD2 point-in-time lookup
+      "text_rare_ngram_filter", "text_cooccur_pairs",
+      "window_fill_forward", "etl_schema_evolution", "join_pit_scd2")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer
