@@ -444,8 +444,67 @@ object Aggregations {
           slope.as("slope"),
           ((sy - slope * sx) / nD).as("intercept"))
         .orderBy("l_returnflag")
+    }),
+
+    // Poisson bootstrap confidence interval for the per-group mean — the
+    // single-pass uncertainty estimate (Chamandy et al.'s "Estimating
+    // uncertainty for massive data streams", the standard trick once
+    // resampling a 100 TB table is off the table): each row contributes to
+    // each of B=64 replicates with an independent Poisson(1) weight, so
+    // one scan + one (group, replicate) aggregation replaces B full
+    // resamples. Weights derive from the portable multiplicative hash of
+    // (event_id·B + b) through the Poisson(1) inverse CDF (integer
+    // thresholds ×1e-6, identical constants in the oracle) — fully
+    // deterministic, partition-independent, no rand(). Values enter as
+    // floor-micro integers so every replicate sum is exact BIGINT (at
+    // 100 TB the sums graduate to DECIMAL; the division of exact integers
+    // is a single IEEE op on both engines). The CI is the 4th/61st order
+    // statistic of the 64 replicate means (~95% coverage), picked by a
+    // 64-row-per-group window — bounded by construction.
+    "agg_bootstrap_ci" -> ((s, d) => {
+      val B = BootstrapReplicates
+      val reps = events(s, d)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 1000000).cast(LongType).as("v_micro"))
+        .select(col("event_type"), col("event_id"), col("v_micro"),
+          explode(expr(s"sequence(0L, ${B - 1}L)")).as("b"))
+        .withColumn("u", mhash(col("event_id") * B + col("b"), 1000000L))
+        .withColumn("w", PoissonThresholds.zipWithIndex.reverse
+          .foldLeft(lit(PoissonThresholds.length.toLong)) {
+            case (acc, (thr, k)) => when(col("u") < thr, k.toLong).otherwise(acc)
+          })
+      val means = reps.groupBy("event_type", "b")
+        .agg((sum(col("w") * col("v_micro")).cast(DoubleType) /
+          sum(col("w")).cast(DoubleType)).as("mean_b"))
+      val rk = Window.partitionBy("event_type")
+        .orderBy(col("mean_b").asc, col("b").asc)
+      val ci = means.withColumn("rn", row_number().over(rk))
+        .groupBy("event_type")
+        .agg(max(when(col("rn") === 4, col("mean_b"))).as("ci_lo_micro"),
+          max(when(col("rn") === 61, col("mean_b"))).as("ci_hi_micro"))
+      events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * 1000000).cast(LongType).as("v_micro"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          (sum(col("v_micro")).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("mean_micro"))
+        .join(ci, Seq("event_type"))
+        .orderBy("event_type")
     })
   )
+
+  /** Bootstrap replicate count (agg_bootstrap_ci). 64: the 4th/61st order
+    * statistics bracket ~95%, and the per-group replicate frame stays a
+    * constant 64 rows.
+    */
+  val BootstrapReplicates = 64
+  /** Poisson(1) inverse-CDF thresholds ×1e6 (cumulative P(X ≤ k), k =
+    * 0..5; a uniform draw ≥ the last maps to weight 6). Integer constants
+    * so query and oracle share them verbatim.
+    */
+  val PoissonThresholds: Seq[Long] =
+    Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L)
 
   /** Rank-statistic machinery shared by the exact and binned Mann–Whitney /
     * KS variants. cohortCounts is the one hash-agg both run: rows reduce to
@@ -841,6 +900,40 @@ object Aggregations {
     "agg_percentiles" ->
       ("SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, " +
        "quantile_cont(l_quantity, 0.9) AS p90_qty, count(*) AS n " +
-       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    // same hash, same Poisson thresholds, same floor-micro integer values;
+    // DuckDB SUM(BIGINT) is HUGEINT — cast back before the double division
+    "agg_bootstrap_ci" -> {
+      val B = BootstrapReplicates
+      val thr = PoissonThresholds
+      val wCase = ("CASE " + thr.zipWithIndex.map { case (t, k) =>
+        s"WHEN u < $t THEN ${k}" }.mkString(" ") + s" ELSE ${thr.length} END")
+      ("WITH base AS (SELECT event_type, event_id, " +
+       "CAST(floor(value * 1000000) AS BIGINT) AS v_micro FROM events), " +
+       s"reps AS (SELECT event_type, event_id, v_micro, r.b FROM base " +
+       s"CROSS JOIN (SELECT unnest(generate_series(0, ${B - 1})) AS b) r), " +
+       s"wtd AS (SELECT event_type, b, v_micro, $wCase AS w FROM " +
+       s"(SELECT *, (((event_id * $B + b) % 1000000007) * 2654435761) % 1000000 AS u " +
+       "FROM reps)), " +
+       "means AS (SELECT event_type, b, " +
+       "CAST(CAST(SUM(w * v_micro) AS BIGINT) AS DOUBLE) / " +
+       "CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS mean_b " +
+       "FROM wtd GROUP BY event_type, b), " +
+       "ranked AS (SELECT event_type, mean_b, row_number() OVER " +
+       "(PARTITION BY event_type ORDER BY mean_b ASC, b ASC) AS rn FROM means), " +
+       "ci AS (SELECT event_type, " +
+       "max(CASE WHEN rn = 4 THEN mean_b END) AS ci_lo_micro, " +
+       "max(CASE WHEN rn = 61 THEN mean_b END) AS ci_hi_micro " +
+       "FROM ranked GROUP BY event_type), " +
+       "pt AS (SELECT event_type, count(*) AS n_events, " +
+       "CAST(CAST(SUM(v_micro) AS BIGINT) AS DOUBLE) / " +
+       "CAST(count(*) AS DOUBLE) AS mean_micro " +
+       "FROM base GROUP BY event_type) " +
+       "SELECT pt.event_type, pt.n_events, pt.mean_micro, " +
+       "ci.ci_lo_micro, ci.ci_hi_micro " +
+       "FROM pt JOIN ci ON pt.event_type = ci.event_type " +
+       "ORDER BY pt.event_type")
+    }
   )
 }

@@ -27,7 +27,43 @@ import Tables._
 object Analytics {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Inactivity gap that closes a session (etl_sessionize), µs. 24 h —
+    * chosen against the fixture's inter-event gap distribution (median
+    * ~7 h): ~1.2k sessions over 10k events at sf0.01, ~8 events/session.
+    * Interpolated into query, oracle and spec alike.
+    */
+  val SessionGapUs = 86400000000L
+
   val queries: Map[String, Q] = Map(
+    // Gap-based sessionization — the canonical event-pipeline transform
+    // (every clickstream/feature pipeline runs it before anything else):
+    // a session breaks where the per-user inactivity gap exceeds
+    // SessionGapUs; the classic lag-flag-cumsum gives each event its
+    // per-user session ordinal, then one aggregation emits the session
+    // frame. Scale shape: BOTH windows and the groupBy key on user_id —
+    // the stream shuffles exactly once, per-row window state is one
+    // scalar, and session count is bounded by events. Identity-less
+    // events (NULL user) are excluded: a session of nobody is not a
+    // session (same contract as etl_cdc_apply). All-integer µs arithmetic.
+    "etl_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("us").asc, col("event_id").asc)
+      events(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast(TimestampType)).as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn("ns",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("ns")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+        .withColumn("duration_us", col("end_us") - col("start_us"))
+        .orderBy("user_id", "session_idx")
+    }),
+
     // Ordered conversion funnel view → click → purchase: a user reaches
     // stage k only with an event at-or-after their stage-(k-1) entry time.
     // Each stage = filter + per-user min(ts) + equi-join to the previous
@@ -163,6 +199,25 @@ object Analytics {
        "THEN 'train' ELSE 'test' END AS split, " +
        "count(*) AS n_events, count(DISTINCT user_id) AS n_users, " +
        "min(event_id) AS min_event_id, max(event_id) AS max_event_id " +
-       "FROM events GROUP BY 1 ORDER BY split")
+       "FROM events GROUP BY 1 ORDER BY split"),
+
+    // DuckDB windowed SUM(BIGINT) returns HUGEINT — cast back; the explicit
+    // ROWS frame matches Spark's (the orderBy keys are unique, so RANGE
+    // would agree too, but explicit beats implicit across engines)
+    "etl_sessionize" ->
+      ("WITH e AS (SELECT user_id, event_id, " +
+       "epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events " +
+       "WHERE user_id IS NOT NULL), " +
+       "f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL " +
+       s"OR us - lag(us) OVER w > $SessionGapUs THEN 1 ELSE 0 END AS ns " +
+       "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)), " +
+       "g AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id " +
+       "ORDER BY us ASC, event_id ASC " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx " +
+       "FROM f) " +
+       "SELECT user_id, session_idx, count(*) AS n_events, " +
+       "min(us) AS start_us, max(us) AS end_us, " +
+       "max(us) - min(us) AS duration_us " +
+       "FROM g GROUP BY user_id, session_idx ORDER BY user_id, session_idx")
   )
 }

@@ -389,4 +389,54 @@ class AggWindowSpec extends AnyFunSuite {
     // discrimination: both filled and still-NULL rows exist
     assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty))
   }
+
+  test("agg_bootstrap_ci: CI brackets the point mean; replicate 0 reproduces by hand") {
+    val rows = q("agg_bootstrap_ci").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    rows.foreach { case (g, (n, mean, lo, hi)) =>
+      assert(lo < hi, s"$g: degenerate CI [$lo, $hi]")
+      assert(lo <= mean && mean <= hi,
+        s"$g: point mean $mean outside the bootstrap CI [$lo, $hi]")
+      assert(n > 0)
+    }
+    // reproduce replicate b=0's weighted mean for one group by hand — pins
+    // the hash recipe, the Poisson thresholds, and the floor-micro scaling
+    val evs = Tables.events(spark, Sf0001)
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._1 == "click")
+    val B = Aggregations.BootstrapReplicates
+    val thr = Aggregations.PoissonThresholds
+    def weight(eventId: Long, b: Long): Long = {
+      val u = ((eventId * B + b) % 1000000007L) * 2654435761L % 1000000L
+      val k = thr.indexWhere(u < _)
+      if (k < 0) thr.length.toLong else k.toLong
+    }
+    val (num, den) = evs.foldLeft((0L, 0L)) { case ((sn, sd), (_, id, v)) =>
+      val w = weight(id, 0L)
+      (sn + w * math.floor(v * 1000000).toLong, sd + w)
+    }
+    val handMean = num.toDouble / den.toDouble
+    // recompute the engine's replicate frame for the same (group, b=0)
+    val engMeans = {
+      import org.apache.spark.sql.functions._
+      val reps = Tables.events(spark, Sf0001)
+        .where(col("event_type") === "click")
+        .select(col("event_id"),
+          floor(col("value") * 1000000).cast("long").as("v"))
+        .withColumn("b", lit(0L))
+        .withColumn("u", Det.mhash(col("event_id") * B + col("b"), 1000000L))
+      val w = thr.zipWithIndex.reverse.foldLeft(lit(thr.length.toLong)) {
+        case (acc, (t, k)) => when(col("u") < t, k.toLong).otherwise(acc)
+      }
+      reps.agg((sum(w * col("v")).cast("double") / sum(w).cast("double"))
+        .as("m")).head().getDouble(0)
+    }
+    assert(engMeans == handMean,
+      s"replicate-0 weighted mean: engine $engMeans vs hand $handMean")
+    // weights must be non-degenerate: some zeros AND some >= 2 in replicate 0
+    val ws = evs.map(e => weight(e._2, 0L))
+    assert(ws.contains(0L) && ws.exists(_ >= 2L), s"Poisson weights degenerate: ${ws.distinct.sorted}")
+  }
 }

@@ -79,4 +79,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.keySet == Set("train", "test"))
     assert(rows.values.sum == total)
   }
+
+  test("etl_sessionize matches a per-user reference run-length split") {
+    import org.apache.spark.sql.functions._
+    val got = q("etl_sessionize", Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val evs = Tables.events(spark, Sf0001).where(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = evs.groupBy(_._1).flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(e => (e._3, e._2)).map(_._3)
+      val sessions = sorted.foldLeft(List.empty[List[Long]]) {
+        case (cur :: done, us) if us - cur.head <= Analytics.SessionGapUs =>
+          (us :: cur) :: done
+        case (acc, us) => List(us) :: acc
+      }.reverse.map(_.reverse)
+      sessions.zipWithIndex.map { case (ss, i) =>
+        (u, (i + 1).toLong) -> ((ss.length.toLong, ss.min, ss.max, ss.max - ss.min))
+      }
+    }.toMap
+    val bad = expected.filter { case (k, v) => got.get(k) != Some(v) }
+    assert(bad.isEmpty, s"session mismatch: ${bad.take(3)}")
+    assert(got.size == expected.size)
+    // the gap must discriminate on the fixture: multi-session users AND
+    // multi-event sessions both exist
+    assert(got.keys.groupBy(_._1).exists(_._2.size > 1), "no user with 2+ sessions")
+    assert(got.values.exists(_._1 > 1), "no session with 2+ events")
+  }
 }
