@@ -74,38 +74,50 @@ object Bench {
       // most exposed to host scheduling noise; min-of-2 reports steady-state
       // while bounding the extra bench wall-clock (threshold history: r3/r5
       // driver noise, lowered 1.0 → 0.3 s in r6).
-      val elapsed =
+      // (elapsed = min-of-2 steady state, cold = run 1). Reporting BOTH
+      // keeps round-over-round deltas comparable for the memoized-index
+      // families (PQ/IVF-PQ codebooks, minhash/jaccard shingle spills,
+      // phash signatures): their run 1 pays the per-fixture build, run 2
+      // probes warm — a min-only artifact would silently time warm probes
+      // against earlier rounds' cold builds (ADVICE r7).
+      val (elapsed, cold) =
         try {
           val t1 = once()
           // a failed RERUN must not discard the valid first measurement;
           // GC between the runs so run 1's garbage is not charged to run 2
           // (min-of-2 only defends against noise that hits ONE run)
-          if (t1 > 0.3) try {
+          val best = if (t1 > 0.3) try {
             System.gc(); Thread.sleep(100)
             math.min(t1, once())
           } catch { case _: Throwable => t1 }
           else t1
+          (best, t1)
         }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
+          (-1.0, -1.0)
         }
       // GC seconds attributable to this query's measurement window —
       // context effects become visible in the artifact itself
-      (name, elapsed, gcSeconds - gc0)
+      (name, elapsed, gcSeconds - gc0, cold)
     }
     // EMIT in reverse run order: the driver artifact keeps only the tail
     // of the per-query line, so the heavy family (run first) must be
     // PRINTED last to survive the truncation the r7 audit hit.
     val emit = results.reverse
-    def jmap(f: ((String, Double, Double)) => String) =
+    def jmap(f: ((String, Double, Double, Double)) => String) =
       emit.map(f).mkString("{", ",", "}")
-    val qs = jmap { case (k, v, _) => "\"" + k + "\":" + v }
-    val gcs = jmap { case (k, _, g) => "\"" + k + "\":" + f"$g%.3f" }
+    val qs = jmap { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val gcs = jmap { case (k, _, g, _) => "\"" + k + "\":" + f"$g%.3f" }
+    // run-1 (cold) times, only where they differ from the reported min —
+    // a compact build-cost ledger for the memoized-index families
+    val colds = emit.collect { case (k, v, _, c) if c > v =>
+      "\"" + k + "\":" + c }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Per-query detail lines FIRST; the machine-read summary is the short
     // LAST stdout line — round 1's single giant line overflowed the
     // driver's tail capture and parsed as null (VERDICT.md missing #4).
+    println(s"""{"metric":"cold","cold":$colds,"sf":"$sfDir"}""")
     println(s"""{"metric":"gc","gc":$gcs,"sf":"$sfDir"}""")
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")

@@ -31,6 +31,13 @@ object Etl {
   val DiffInsertRes = 7L
   val DiffKeyShift = 100000000L
 
+  /** etl_gdpr_delete's deletion-request sample: users whose mhash bucket
+    * (of GdprBuckets) falls below GdprCut — ~5% of the population,
+    * deterministic and partition-independent.
+    */
+  val GdprBuckets = 1000L
+  val GdprCut = 50L
+
   /** 16-bit Morton spread (bits of x interleave into even positions),
     * generated for either engine: classic magic-mask bit spreading, four
     * shift-or-mask rounds, all BIGINT — bit-identical everywhere.
@@ -345,6 +352,42 @@ object Etl {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           col("batch").cast(IntegerType).as("batch"))
         .orderBy("doc_id")
+    }),
+
+    // Right-to-be-forgotten purge — the compliance pass a training-data
+    // pipeline must run before anything ships: every event belonging to a
+    // user on the deletion-request list is dropped, with a per-class audit
+    // of kept vs purged. The request list is a deterministic ~5% hash
+    // sample of the user population (the mhash sampling primitive — a
+    // real list arrives as its own table; any 'error'-event rule would be
+    // DEGENERATE here, every fixture user has one). Scale shape: the
+    // request set is
+    // tiny next to the corpus, so it BROADCASTS and both the anti-join
+    // (keep) and semi-join (audit) are map-side — no shuffle of the fact
+    // stream at all before the final small aggregate. Identity-less rows
+    // (NULL user) are unaffected by construction: an anti-join never
+    // matches NULL, the same never-joinable semantics both engines share
+    // via NOT EXISTS. At 100 TB this composes with the partitioned
+    // rewrite (etl_backfill_partition) for the physical delete; the
+    // logical selection here is the part every variant shares.
+    "etl_gdpr_delete" -> ((s, d) => {
+      val del = events(s, d)
+        .where(col("user_id").isNotNull &&
+          mhash(col("user_id"), GdprBuckets) < GdprCut)
+        .select(col("user_id")).distinct()
+      val kept = events(s, d)
+        .join(broadcast(del), Seq("user_id"), "left_anti")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_kept"),
+          countDistinct(col("user_id")).as("n_users_kept"))
+      val purged = events(s, d)
+        .join(broadcast(del), Seq("user_id"), "left_semi")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_purged"))
+      kept.join(purged, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_kept"), col("n_users_kept"),
+          coalesce(col("n_purged"), lit(0L)).as("n_purged"))
+        .orderBy("event_type")
     })
   )
 
@@ -441,6 +484,23 @@ object Etl {
        "FROM documents WHERE doc_id % 2 = 0 " +
        "UNION ALL " +
        "SELECT doc_id, lang, source, n_chars, CAST(2 AS INT) AS batch " +
-       "FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id")
+       "FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id"),
+
+    // NOT EXISTS mirrors the anti-join's NULL semantics (NOT IN would
+    // vacuously drop everything if the request list ever held a NULL)
+    "etl_gdpr_delete" ->
+      ("WITH del AS (SELECT DISTINCT user_id FROM events " +
+       s"WHERE user_id IS NOT NULL AND ((user_id % 1000000007) * 2654435761) % $GdprBuckets < $GdprCut), " +
+       "kept AS (SELECT event_type, count(*) AS n_kept, " +
+       "count(DISTINCT user_id) AS n_users_kept FROM events e " +
+       "WHERE NOT EXISTS (SELECT 1 FROM del WHERE del.user_id = e.user_id) " +
+       "GROUP BY event_type), " +
+       "purged AS (SELECT event_type, count(*) AS n_purged FROM events e " +
+       "WHERE EXISTS (SELECT 1 FROM del WHERE del.user_id = e.user_id) " +
+       "GROUP BY event_type) " +
+       "SELECT k.event_type, k.n_kept, k.n_users_kept, " +
+       "coalesce(p.n_purged, 0) AS n_purged " +
+       "FROM kept k LEFT JOIN purged p ON k.event_type = p.event_type " +
+       "ORDER BY k.event_type")
   )
 }

@@ -166,7 +166,11 @@ object ProfScale {
       // broadcast probe), capped pair mining, keyed LOCF, mergeSchema read,
       // and the SCD2 point-in-time lookup
       "text_rare_ngram_filter", "text_cooccur_pairs",
-      "window_fill_forward", "etl_schema_evolution", "join_pit_scd2")
+      "window_fill_forward", "etl_schema_evolution", "join_pit_scd2",
+      // sessionization (keys ×k, rows/key constant), the 64-replicate
+      // Poisson bootstrap (explode ×64 is the linear term under test),
+      // and the broadcast-request purge
+      "etl_sessionize", "agg_bootstrap_ci", "etl_gdpr_delete")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer

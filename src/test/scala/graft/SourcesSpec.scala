@@ -97,4 +97,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(byUser.exists { case (_, ops) =>
       ops.maxBy(o => (o._4, o._5))._2 == "error" }, "no deleted key in fixture")
   }
+
+  test("etl_gdpr_delete: purge is complete, audited, and leaves no trace") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("etl_gdpr_delete")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val del = Tables.events(spark, TestSpark.Sf0001)
+      .where(col("user_id").isNotNull &&
+        Det.mhash(col("user_id"), Etl.GdprBuckets) < Etl.GdprCut)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(del.nonEmpty, "deletion-request sample is empty — raise GdprCut")
+    val evs = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    // conservation: every event is either kept or purged, per class
+    evs.groupBy(_._1).foreach { case (t, es) =>
+      val (k, _, p) = rows(t)
+      assert(k + p == es.length, s"$t: kept $k + purged $p != total ${es.length}")
+      // no trace: the kept user count equals the population minus requests
+      val keptUsers = es.flatMap(_._2).toSet -- del
+      assert(rows(t)._2 == keptUsers.size,
+        s"$t: audit says ${rows(t)._2} kept users, reference has ${keptUsers.size}")
+      // and the purged tally is exactly the deleted users' rows
+      assert(p == es.count(_._2.exists(del)), s"$t: purged tally wrong")
+    }
+    // the purge must actually bite on the fixture
+    assert(rows.values.map(_._3).sum > 0, "no rows purged — sample missed every user")
+  }
 }
