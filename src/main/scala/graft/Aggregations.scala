@@ -491,6 +491,43 @@ object Aggregations {
             count(lit(1)).cast(DoubleType)).as("mean_micro"))
         .join(ci, Seq("event_type"))
         .orderBy("event_type")
+    }),
+
+    // Robust outlier screen (median/IQR/MAD) — the data-quality gate that
+    // mean/stddev can't be (one corrupt value drags both; the median and
+    // MAD have 50% breakdown). Values enter as floor-micro INTEGERS so
+    // every interpolated percentile is exact: the quantile fractions are
+    // binary (.25/.5/.75), making (1-f)·lo + f·hi exact IEEE arithmetic
+    // on integer inputs — and |v − med| differences stay representable, so
+    // the second-pass MAD median is exact too (the agg_percentiles
+    // cross-engine rule, extended to two passes). Scale shape: two
+    // grouped percentile aggregations and one broadcast join of the 5-row
+    // stats frame back onto the stream — fence checks are then map-side.
+    // Spark's exact percentile holds a per-group value buffer (like
+    // DuckDB's); the 100 TB form swaps in the mergeable
+    // agg_quantile_sketch bins registered alongside.
+    "agg_robust_outliers" -> ((s, d) => {
+      val base = events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * 1000000).cast(LongType).as("v"))
+      val stats = base.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          expr("percentile(v, 0.5D)").as("med"),
+          expr("percentile(v, 0.25D)").as("q1"),
+          expr("percentile(v, 0.75D)").as("q3"))
+      val withDev = base.join(broadcast(stats), Seq("event_type"))
+        .withColumn("adev", abs(col("v").cast(DoubleType) - col("med")))
+      withDev.groupBy("event_type")
+        .agg(expr("percentile(adev, 0.5D)").as("mad"),
+          max(col("n_events")).as("n_events"),
+          max(col("med")).as("med"),
+          max(col("q3") - col("q1")).as("iqr"),
+          sum(when(col("v") < col("q1") - (col("q3") - col("q1")) * 1.5 ||
+            col("v") > col("q3") + (col("q3") - col("q1")) * 1.5, 1L)
+            .otherwise(0L)).as("n_outliers_iqr"))
+        .select(col("event_type"), col("n_events"), col("med"), col("iqr"),
+          col("mad"), col("n_outliers_iqr"))
+        .orderBy("event_type")
     })
   )
 
@@ -934,6 +971,21 @@ object Aggregations {
        "ci.ci_lo_micro, ci.ci_hi_micro " +
        "FROM pt JOIN ci ON pt.event_type = ci.event_type " +
        "ORDER BY pt.event_type")
-    }
+    },
+
+    "agg_robust_outliers" ->
+      ("WITH base AS (SELECT event_type, " +
+       "CAST(floor(value * 1000000) AS BIGINT) AS v FROM events), " +
+       "stats AS (SELECT event_type, count(*) AS n_events, " +
+       "quantile_cont(v, 0.5) AS med, quantile_cont(v, 0.25) AS q1, " +
+       "quantile_cont(v, 0.75) AS q3 FROM base GROUP BY event_type) " +
+       "SELECT b.event_type, max(s.n_events) AS n_events, max(s.med) AS med, " +
+       "max(s.q3 - s.q1) AS iqr, " +
+       "quantile_cont(abs(CAST(b.v AS DOUBLE) - s.med), 0.5) AS mad, " +
+       "CAST(SUM(CASE WHEN b.v < s.q1 - (s.q3 - s.q1) * 1.5 " +
+       "OR b.v > s.q3 + (s.q3 - s.q1) * 1.5 THEN 1 ELSE 0 END) AS BIGINT) " +
+       "AS n_outliers_iqr " +
+       "FROM base b JOIN stats s ON b.event_type = s.event_type " +
+       "GROUP BY b.event_type ORDER BY b.event_type")
   )
 }

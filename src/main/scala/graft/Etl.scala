@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Det._
@@ -388,6 +388,33 @@ object Etl {
         .select(col("event_type"), col("n_kept"), col("n_users_kept"),
           coalesce(col("n_purged"), lit(0L)).as("n_purged"))
         .orderBy("event_type")
+    }),
+
+    // Partition-skew report — the observability pass run BEFORE choosing a
+    // shuffle/bucketing key: per-candidate-key row counts reduced to the
+    // skew diagnostics that predict stragglers (max/mean ratio, median vs
+    // max). A key whose skew ratio is high (here event_type, 5 keys ≈
+    // uniform → ~1; user_id → per-user spread) would put one executor on
+    // the critical path at 100 TB. Scale shape: one count-per-key
+    // aggregation per candidate (map-side partials, shuffle = #keys), then
+    // a 1-row summary; the candidates union into one tiny frame. The p50
+    // is exact cross-engine: counts are integers and .5 interpolation is
+    // binary (the agg_percentiles rule).
+    "etl_partition_skew_report" -> ((s, d) => {
+      def report(label: String, key: Column): DataFrame =
+        events(s, d).groupBy(key.as("k"))
+          .agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_keys"), lsum(col("c")).as("n_rows"),
+            max(col("c")).as("max_rows"),
+            expr("percentile(c, 0.5D)").as("p50_rows"))
+          .select(lit(label).as("part_key"), col("n_keys"), col("n_rows"),
+            col("max_rows"), col("p50_rows"),
+            (col("max_rows").cast(DoubleType) /
+              (col("n_rows").cast(DoubleType) / col("n_keys").cast(DoubleType)))
+              .as("skew_max_over_mean"))
+      report("event_type", col("event_type"))
+        .unionByName(report("user_id", col("user_id")))
+        .orderBy("part_key")
     })
   )
 
@@ -501,6 +528,20 @@ object Etl {
        "SELECT k.event_type, k.n_kept, k.n_users_kept, " +
        "coalesce(p.n_purged, 0) AS n_purged " +
        "FROM kept k LEFT JOIN purged p ON k.event_type = p.event_type " +
-       "ORDER BY k.event_type")
+       "ORDER BY k.event_type"),
+
+    // identical division nesting (max / (rows / keys)) keeps the double
+    // result bit-equal; GROUP BY includes the NULL user key on both engines
+    "etl_partition_skew_report" -> {
+      def rpt(label: String, key: String) =
+        (s"SELECT '$label' AS part_key, count(*) AS n_keys, " +
+         "CAST(SUM(c) AS BIGINT) AS n_rows, max(c) AS max_rows, " +
+         "quantile_cont(c, 0.5) AS p50_rows, " +
+         "CAST(max(c) AS DOUBLE) / (CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / " +
+         "CAST(count(*) AS DOUBLE)) AS skew_max_over_mean FROM " +
+         s"(SELECT $key AS k, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY $key)")
+      rpt("event_type", "event_type") + " UNION ALL " +
+        rpt("user_id", "user_id") + " ORDER BY part_key"
+    }
   )
 }

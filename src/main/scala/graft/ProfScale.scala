@@ -170,7 +170,10 @@ object ProfScale {
       // sessionization (keys ×k, rows/key constant), the 64-replicate
       // Poisson bootstrap (explode ×64 is the linear term under test),
       // and the broadcast-request purge
-      "etl_sessionize", "agg_bootstrap_ci", "etl_gdpr_delete")
+      "etl_sessionize", "agg_bootstrap_ci", "etl_gdpr_delete",
+      // robust stats (two grouped exact-percentile passes — the per-group
+      // value buffer is the term to watch) and the skew profiler
+      "agg_robust_outliers", "etl_partition_skew_report")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer

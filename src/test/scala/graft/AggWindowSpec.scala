@@ -439,4 +439,38 @@ class AggWindowSpec extends AnyFunSuite {
     val ws = evs.map(e => weight(e._2, 0L))
     assert(ws.contains(0L) && ws.exists(_ >= 2L), s"Poisson weights degenerate: ${ws.distinct.sorted}")
   }
+
+  test("agg_robust_outliers matches a driver-side median/IQR/MAD computation") {
+    val got = q("agg_robust_outliers").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5))))
+      .toMap
+    def interp(sorted: Array[Long], f: Double): Double = {
+      // the (1-g)·lo + g·hi rule both engines implement
+      val pos = f * (sorted.length - 1)
+      val (lo, hi) = (sorted(pos.toInt), sorted(math.ceil(pos).toInt))
+      val g = pos - pos.toInt
+      (1 - g) * lo + g * hi
+    }
+    val byType = Tables.events(spark, Sf0001)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 1000000).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    byType.foreach { case (t, vs) =>
+      val (n, med, iqr, mad, nOut) = got(t)
+      assert(n == vs.length)
+      val (m, q1, q3) = (interp(vs, 0.5), interp(vs, 0.25), interp(vs, 0.75))
+      assert(med == m, s"$t median: $med vs $m")
+      assert(iqr == q3 - q1, s"$t iqr")
+      val devs = vs.map(v => math.abs(v.toDouble - m)).sorted
+      val posD = 0.5 * (devs.length - 1)
+      val gD = posD - posD.toInt
+      val madRef = (1 - gD) * devs(posD.toInt) + gD * devs(math.ceil(posD).toInt)
+      assert(mad == madRef, s"$t mad: $mad vs $madRef")
+      val (fl, fh) = (q1 - (q3 - q1) * 1.5, q3 + (q3 - q1) * 1.5)
+      assert(nOut == vs.count(v => v < fl || v > fh), s"$t outlier count")
+    }
+    // the screen must bite on the fixture
+    assert(got.values.exists(_._5 > 0), "no IQR outliers anywhere — degenerate fixture")
+  }
 }

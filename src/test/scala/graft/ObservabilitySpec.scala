@@ -41,4 +41,25 @@ class ObservabilitySpec extends AnyFunSuite {
     assert(out.length == Tables.customer(spark, Sf0001).count())
     assert(out.exists(_.getBoolean(4)) && out.exists(!_.getBoolean(4)))
   }
+
+  test("etl_partition_skew_report reproduces a driver-side count profile") {
+    val got = SparkEntry.queries("etl_partition_skew_report")(spark, Sf0001)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got.keySet == Set("event_type", "user_id"))
+    val counts = Tables.events(spark, Sf0001)
+      .select(col("user_id")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .groupBy(identity).view.mapValues(_.length.toLong).values.toArray.sorted
+    val (nKeys, nRows, maxRows, p50, skew) = got("user_id")
+    assert(nKeys == counts.length && nRows == counts.sum && maxRows == counts.max)
+    val pos = 0.5 * (counts.length - 1); val g = pos - pos.toInt
+    assert(p50 == (1 - g) * counts(pos.toInt) + g * counts(math.ceil(pos).toInt))
+    assert(skew == maxRows.toDouble / (nRows.toDouble / nKeys.toDouble))
+    // a uniform key must profile LESS skewed than a per-entity key
+    assert(got("event_type")._5 < got("user_id")._5,
+      "event_type should be the more uniform candidate on this fixture")
+  }
 }
