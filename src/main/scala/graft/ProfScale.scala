@@ -173,7 +173,10 @@ object ProfScale {
       "etl_sessionize", "agg_bootstrap_ci", "etl_gdpr_delete",
       // robust stats (two grouped exact-percentile passes — the per-group
       // value buffer is the term to watch) and the skew profiler
-      "agg_robust_outliers", "etl_partition_skew_report")
+      "agg_robust_outliers", "etl_partition_skew_report",
+      // the fixed-round peel (O(edges)/round, spilled — job-count bound)
+      // and the interval-weighted keyed aggregate
+      "graph_kcore", "window_twap")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer

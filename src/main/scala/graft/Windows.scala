@@ -261,6 +261,37 @@ object Windows {
           last(when(col("event_type") === "purchase", col("value")),
             ignoreNulls = true).over(w).as("last_purchase_value"))
         .orderBy("event_id")
+    }),
+
+    // Time-weighted average (TWAP) per user — the feature-engineering
+    // aggregate for irregularly-sampled series, where the plain mean
+    // over-weights burst periods: each observation holds until the next
+    // one, so it weighs by its holding interval. All-integer arithmetic
+    // (rule D5): values in floor-milli units, intervals in truncated
+    // whole seconds (`div`, positive operands — Spark truncate and DuckDB
+    // floor agree), so the weighted sums are exact BIGINTs and the final
+    // division is one IEEE op on exact operands. The last observation per
+    // user has no interval and drops (standard up-to-last-observation
+    // TWAP); users whose gaps are all sub-second carry weight 0 and are
+    // excluded rather than divided by zero. One shuffle on user_id shared
+    // by the lead window and the aggregate.
+    "window_twap" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us").asc, col("event_id").asc)
+      events(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast(TimestampType)).as("us"),
+          floor(col("value") * 1000).cast(LongType).as("v_milli"))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .withColumn("dt_s", expr("(next_us - us) div 1000000"))
+        .where(col("dt_s").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          lsum(col("dt_s")).as("held_s"),
+          (sum(col("v_milli") * col("dt_s")).cast(DoubleType) /
+            sum(col("dt_s")).cast(DoubleType)).as("twap_milli"))
+        .where(col("held_s") > 0)
+        .orderBy("user_id")
     })
   )
 
@@ -387,6 +418,23 @@ object Windows {
        "last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS) " +
        "OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC " +
        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value " +
-       "FROM events ORDER BY event_id")
+       "FROM events ORDER BY event_id"),
+
+    // `//` is DuckDB's floor division — equal to Spark's truncating `div`
+    // on the non-negative interval operands
+    "window_twap" ->
+      ("WITH e AS (SELECT user_id, event_id, " +
+       "epoch_us(CAST(ts AS TIMESTAMP)) AS us, " +
+       "CAST(floor(value * 1000) AS BIGINT) AS v_milli FROM events " +
+       "WHERE user_id IS NOT NULL), " +
+       "iv AS (SELECT user_id, v_milli, " +
+       "(lead(us, 1) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC) - us) // 1000000 AS dt_s " +
+       "FROM e) " +
+       "SELECT user_id, count(*) AS n_intervals, " +
+       "CAST(SUM(dt_s) AS BIGINT) AS held_s, " +
+       "CAST(CAST(SUM(v_milli * dt_s) AS BIGINT) AS DOUBLE) / " +
+       "CAST(CAST(SUM(dt_s) AS BIGINT) AS DOUBLE) AS twap_milli " +
+       "FROM iv WHERE dt_s IS NOT NULL " +
+       "GROUP BY user_id HAVING CAST(SUM(dt_s) AS BIGINT) > 0 ORDER BY user_id")
   )
 }

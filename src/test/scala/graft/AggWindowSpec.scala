@@ -473,4 +473,29 @@ class AggWindowSpec extends AnyFunSuite {
     // the screen must bite on the fixture
     assert(got.values.exists(_._5 > 0), "no IQR outliers anywhere — degenerate fixture")
   }
+
+  test("window_twap matches a driver-side interval-weighted reference") {
+    val got = q("window_twap").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    import java.time.{LocalDateTime, ZoneOffset}
+    val evs = Tables.events(spark, Sf0001).where(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value")).collect()
+      .map { r =>
+        val ldt = r.getAs[LocalDateTime](2)
+        val us = ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+        (r.getLong(0), r.getLong(1), us, math.floor(r.getDouble(3) * 1000).toLong)
+      }
+    val expected = evs.groupBy(_._1).flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(e => (e._3, e._2))
+      val ivs = sorted.zip(sorted.tail).map { case (a, b) =>
+        (a._4, (b._3 - a._3) / 1000000L) } // truncating: operands non-negative
+      val held = ivs.map(_._2).sum
+      if (ivs.isEmpty || held == 0) None
+      else Some(u -> ((ivs.length.toLong, held,
+        ivs.map(i => i._1 * i._2).sum.toDouble / held.toDouble)))
+    }
+    assert(got == expected.toMap,
+      s"twap mismatch, e.g. ${(got.toSet -- expected.toSet).take(3)}")
+    assert(got.nonEmpty)
+  }
 }

@@ -146,4 +146,41 @@ class RetrievalGraphSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("graph_kcore equals an unbounded driver-side peel (fixpoint within KcoreRounds)") {
+    val got = q("graph_kcore").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // defining property: every surviving node keeps core degree >= K
+    got.foreach { case (n, deg) =>
+      assert(deg >= Graph.KcoreK, s"node $n survives with degree $deg < K")
+    }
+    // reference: peel to the TRUE fixpoint (unbounded rounds) — if this
+    // ever diverges from the bounded query, KcoreRounds no longer covers
+    // the fixture and must be raised
+    val li = Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var edges = li.groupBy(_._1).values.flatMap { order =>
+      val ps = order.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= Graph.TriMinCoOrders).keySet.toSet
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val keep = deg.filter(_._2 >= Graph.KcoreK).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      changed = next != edges
+      if (changed) rounds += 1
+      edges = next
+    }
+    assert(rounds <= Graph.KcoreRounds,
+      s"true peel needs $rounds rounds — raise KcoreRounds (${Graph.KcoreRounds})")
+    val expected = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got == expected,
+      s"kcore mismatch, e.g. ${(got.toSet -- expected.toSet).take(3)} / ${(expected.toSet -- got.toSet).take(3)}")
+    assert(got.nonEmpty, "empty 2-core — fixture degenerate")
+  }
 }
