@@ -176,7 +176,10 @@ object ProfScale {
       "agg_robust_outliers", "etl_partition_skew_report",
       // the fixed-round peel (O(edges)/round, spilled — job-count bound)
       // and the interval-weighted keyed aggregate
-      "graph_kcore", "window_twap")
+      "graph_kcore", "window_twap",
+      // one-pass Gram matrix: the ×2080 map-side pair expansion is the
+      // linear flop term under test
+      "embed_gram_matrix")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer

@@ -147,4 +147,29 @@ class UdxMultimodalSpec extends AnyFunSuite {
       assert(r.getDouble(4) == s.toDouble / n, s"dim ${r.getInt(0)}: mean drift")
     }
   }
+
+  test("embed_gram_matrix equals a driver-side Gram accumulation") {
+    val got = SparkEntry.queries("embed_gram_matrix")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // HALF_UP (= round half away from zero), the rule BOTH engines apply to
+    // doubles — scala math.round would floor negative .5 ties instead
+    def microRound(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val vecs = Tables.embeddings(spark, TestSpark.Sf0001)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(v => microRound(v.toDouble * 1000000.0)).toArray)
+    assert(got.size == 64 * 65 / 2, s"expected full upper triangle, got ${got.size}")
+    val expected = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    vecs.foreach { m =>
+      for (i <- 0 until 64; j <- i until 64)
+        expected((i, j)) = expected.getOrElse((i, j), 0L) + m(i) * m(j)
+    }
+    got.foreach { case (k, (n, g)) =>
+      assert(n == vecs.length, s"$k: n")
+      assert(g == expected(k), s"$k: gram ${g} vs ${expected(k)}")
+    }
+    // diagonal = Σ micro² must be strictly positive (no dead fixture dims)
+    (0 until 64).foreach(i => assert(got((i, i))._2 > 0, s"dead dim $i"))
+  }
 }
