@@ -179,7 +179,9 @@ object ProfScale {
       "graph_kcore", "window_twap",
       // one-pass Gram matrix: the ×2080 map-side pair expansion is the
       // linear flop term under test
-      "embed_gram_matrix")
+      "embed_gram_matrix",
+      // the stream-static enrichment's batch twin (broadcast dim probe)
+      "stream_static_enrich")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer

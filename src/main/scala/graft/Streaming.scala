@@ -71,6 +71,35 @@ object Streaming {
       .select("signup_id", "purchase_id")
   }
 
+  /** Stream-static enrichment join — THE everyday production streaming
+    * shape: the fact stream joins a STATIC dimension snapshot (user
+    * profile, product catalog) stateless, no watermark, no state store;
+    * the dim broadcasts to every task and re-resolves per micro-batch. At
+    * 100 TB/day of facts the dim is a compacted table maintained by the
+    * batch side (etl_upsert_snapshot / cdcCompactStream) — this join adds
+    * zero streaming state regardless of stream volume. Batch twin:
+    * `stream_static_enrich`.
+    */
+  def staticEnrichStream(facts: DataFrame, dim: DataFrame): DataFrame =
+    facts
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .join(broadcast(dim), Seq("user_id"))
+
+  /** The static dim snapshot the enrichment joins: each user's FIRST
+    * signup value (the "profile attribute"), first by (ts, event_id).
+    * Shared by the batch twin and the streaming spec so both sides join
+    * the identical snapshot.
+    */
+  def profileDim(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events(s, d)
+      .where(col("event_type") === "signup" && col("user_id").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("value").as("profile_value"))
+  }
+
   /** Stateful dedup on event_id within the watermark horizon. */
   def dedupStream(events: DataFrame): DataFrame =
     events
@@ -445,7 +474,18 @@ object Streaming {
       events(s, d)
         .groupBy("user_id", "event_type")
         .agg(min(col("event_id")).as("first_event_id"), count(lit(1)).as("n_dups"))
-        .orderBy("user_id", "event_type"))
+        .orderBy("user_id", "event_type")),
+
+    // Batch twin of [[staticEnrichStream]]: purchases enriched with the
+    // static profile dim (first-signup value per user). Inner semantics —
+    // a fact with no profile row carries no attribute and drops, exactly
+    // what the stateless stream-static join does.
+    "stream_static_enrich" -> ((s, d) =>
+      events(s, d).where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"))
+        .join(broadcast(profileDim(s, d)), Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("profile_value"))
+        .orderBy("event_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -492,6 +532,16 @@ object Streaming {
        "WHERE s.event_type = 'signup' AND p.event_type = 'purchase' " +
        "AND epoch_us(CAST(p.ts AS TIMESTAMP)) > epoch_us(CAST(s.ts AS TIMESTAMP)) " +
        "AND epoch_us(CAST(p.ts AS TIMESTAMP)) <= epoch_us(CAST(s.ts AS TIMESTAMP)) + 3600000000 " +
-       "ORDER BY signup_id, purchase_id")
+       "ORDER BY signup_id, purchase_id"),
+
+    "stream_static_enrich" ->
+      ("WITH dim AS (SELECT user_id, value AS profile_value FROM " +
+       "(SELECT user_id, value, row_number() OVER " +
+       "(PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn " +
+       "FROM events WHERE event_type = 'signup' AND user_id IS NOT NULL) " +
+       "WHERE rn = 1) " +
+       "SELECT e.event_id, e.user_id, d.profile_value " +
+       "FROM events e JOIN dim d ON e.user_id = d.user_id " +
+       "WHERE e.event_type = 'purchase' ORDER BY e.event_id")
   )
 }

@@ -388,4 +388,35 @@ class StreamingSpec extends AnyFunSuite {
         s"fingerprint collision merged ${batch.size - streamed.size} content groups")
     } finally q.stop()
   }
+
+  test("stream-static enrichment equals the batch twin under shuffled arrival") {
+    // facts stream in shuffled micro-batches; the dim is the STATIC
+    // profile snapshot — a stateless broadcast join, so no watermark and
+    // no state store, and every output row must match the batch twin.
+    val dim = Streaming.profileDim(spark, Sf0001)
+    val facts = Tables.events(spark, Sf0001)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value")).collect()
+      .map(r => Evt(r.getLong(0), java.sql.Timestamp.valueOf(
+        r.getAs[java.time.LocalDateTime](1)),
+        if (r.isNullAt(2)) -1L else r.getLong(2), "purchase", r.getDouble(3)))
+      .filter(_.user_id >= 0)
+    val shuffled = facts.sortBy(e => (e.event_id * 2654435761L) % 1000003L)
+    val input = MemoryStream[Evt]
+    val q = Streaming.staticEnrichStream(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    try {
+      shuffled.grouped(math.max(1, shuffled.length / 4)).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("enrich")
+        .select("event_id", "profile_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val batch = SparkEntry.queries("stream_static_enrich")(spark, Sf0001)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+      assert(streamed == batch,
+        s"stream-batch drift: ${(streamed -- batch).take(3)} / ${(batch -- streamed).take(3)}")
+      assert(batch.nonEmpty, "no enriched facts — dim/facts disjoint, test vacuous")
+    } finally q.stop()
+  }
 }
