@@ -122,13 +122,64 @@ object AnnIndex {
       .select(col("qid"), col("nn"), col("m"), col("dqc")))
   }
 
+  /** Incremental append: encode a delta batch against the FROZEN persisted
+    * codebooks — the missing third verb of the index lifecycle (build →
+    * probe → APPEND). Zero training jobs: coarse assignment probes the
+    * persisted centroids (broadcast), PQ encoding probes the persisted
+    * codebooks, and the new entries land as `codes_delta` / `lists_delta`
+    * staging partitions beside the base artifacts. At 100 TB this is the
+    * nightly-ingest contract: codebooks train once per corpus epoch,
+    * every batch thereafter is assignment-only (linear in the batch, the
+    * corpus never rescanned) until drift forces a re-train. The delta is
+    * the id-cutoff top ~20% (the incremental-ingest contract shared with
+    * dedup_incremental_minhash); here the delta was part of the original
+    * training corpus, so the spec can pin frozen-assignment consistency
+    * EXACTLY: appended entries must be bit-identical to the base index's
+    * rows for those ids. Output: per-list appended occupancy plus an
+    * integer PQ-code checksum (the encode path, driver-verified).
+    */
+  def append(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graft.VectorOps.vec_dist_sq
+    ensure(s, d)
+    val root = indexRoot(d)
+    val ow = org.apache.spark.sql.SaveMode.Overwrite
+    val cents = broadcast(s.read.parquet(s"$root/coarse_centroids"))
+    val cb = broadcast(s.read.parquet(s"$root/codebooks"))
+    val mx = Tables.embeddings(s, d).agg(max(col("vec_id")).as("mx"))
+    val delta = Tables.embeddings(s, d).crossJoin(broadcast(mx))
+      .where(col("vec_id") * Similarity.IncrCutDen > col("mx") * Similarity.IncrCutNum)
+      .select(col("vec_id"), col("embedding"))
+    val assigned = delta.crossJoin(cents)
+      .select(col("vec_id"), col("cid"),
+        vec_dist_sq(col("embedding"), col("ce")).as("dd"))
+      .groupBy("vec_id")
+      .agg(expr("min_by(cid, struct(dd, cid))").as("cid"))
+    val codes = Similarity.pqSubspaces(s, d)
+      .join(delta.select("vec_id"), Seq("vec_id"))
+      .join(cb, Seq("m"))
+      .select(col("vec_id"), col("m"), col("code"),
+        vec_dist_sq(col("sub"), col("cw")).as("dqc"))
+      .groupBy("vec_id", "m")
+      .agg(expr("min_by(code, struct(dqc, code))").as("code"))
+    codes.write.mode(ow).parquet(s"$root/codes_delta")
+    assigned.write.mode(ow).partitionBy("cid").parquet(s"$root/lists_delta")
+    s.read.parquet(s"$root/lists_delta")
+      .join(s.read.parquet(s"$root/codes_delta"), Seq("vec_id"))
+      .groupBy("cid")
+      .agg(countDistinct(col("vec_id")).as("n_appended"),
+        sum(col("code").cast("long")).as("sum_code"))
+      .select(col("cid").cast("int").as("cid"), col("n_appended"), col("sum_code"))
+      .orderBy("cid")
+  }
+
   val queries: Map[String, Q] = Map(
     // Always REBUILDS (never served from the marker): the bench then times
     // the cold build cost explicitly as its own entry, keeping warm-probe
     // timings honestly separated from training (ADVICE r7 on cold-vs-warm
     // comparability).
     "ann_index_build" -> ((s, d) => build(s, d)),
-    "sim_ann_ivfpq_probe" -> (probe _)
+    "sim_ann_ivfpq_probe" -> (probe _),
+    "ann_index_append" -> (append _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -137,6 +188,9 @@ object AnnIndex {
       (s"WITH ${Similarity.ivfPqCoarseCtes} " +
        "SELECT cid, count(*) AS n_vectors FROM kb2 GROUP BY cid ORDER BY cid"),
     // the probe must reproduce the in-process composite exactly
-    "sim_ann_ivfpq_probe" -> Similarity.annIvfPqOracle
+    "sim_ann_ivfpq_probe" -> Similarity.annIvfPqOracle,
+    // frozen-codebook delta assignment: the oracle re-derives the SAME
+    // refined centroids/codebooks and restricts assignment to the delta
+    "ann_index_append" -> Similarity.annIndexAppendOracle
   )
 }

@@ -181,7 +181,10 @@ object ProfScale {
       // linear flop term under test
       "embed_gram_matrix",
       // the stream-static enrichment's batch twin (broadcast dim probe)
-      "stream_static_enrich")
+      "stream_static_enrich",
+      // assignment-only incremental index ingest (work ∝ |delta|, frozen
+      // codebooks — the corpus is never rescanned)
+      "ann_index_append")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer

@@ -1581,6 +1581,25 @@ object Similarity {
     adcTailSql
   }
 
+  /** SQL mirror of [[AnnIndex.append]]: re-derive the SAME refined coarse
+    * centroids (kb2 assignment) and PQ codebooks (a2 codes), restrict to
+    * the id-cutoff delta, and report per-list occupancy + the integer
+    * code checksum. The Spark side probes the PERSISTED artifacts instead
+    * of retraining — equality proves frozen-assignment consistency.
+    */
+  private[graft] def annIndexAppendOracle: String =
+    s"WITH $pqLegCtes, " +
+    s"$ivfPqCoarseCtes, " +
+    "kmx AS (SELECT max(vec_id) AS mx FROM embeddings), " +
+    "kdelta AS (SELECT e.vec_id FROM embeddings e, kmx " +
+    s"WHERE e.vec_id * $IncrCutDen > kmx.mx * $IncrCutNum), " +
+    "kdc AS (SELECT b.vec_id, b.cid FROM kb2 b JOIN kdelta dl ON b.vec_id = dl.vec_id), " +
+    "kcodes AS (SELECT a.vec_id, a.code FROM a2 a JOIN kdelta dl ON a.vec_id = dl.vec_id) " +
+    "SELECT kdc.cid, count(DISTINCT kdc.vec_id) AS n_appended, " +
+    "CAST(SUM(kcodes.code) AS BIGINT) AS sum_code " +
+    "FROM kdc JOIN kcodes ON kdc.vec_id = kcodes.vec_id " +
+    "GROUP BY kdc.cid ORDER BY kdc.cid"
+
   val oracles: Map[String, String] = Map(
     "sim_ann_lsh" -> annLshOracle,
     "sim_ann_ivf" -> annIvfOracle,

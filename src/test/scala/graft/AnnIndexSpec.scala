@@ -49,4 +49,33 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.indexRoot(Sf0001) == AnnIndex.indexRoot(Sf0001))
     assert(AnnIndex.indexRoot(Sf0001) != AnnIndex.indexRoot(TestSpark.Sf001))
   }
+
+  test("append is assignment-only and bit-consistent with the base index") {
+    import org.apache.spark.sql.functions._
+    val d = Sf0001
+    AnnIndex.ensure(spark, d)
+    val b0 = AnnIndex.builds.get()
+    AnnIndex.append(spark, d).collect()
+    // frozen codebooks: appending trained NOTHING
+    assert(AnnIndex.builds.get() == b0, "append triggered a rebuild/training")
+    val root = AnnIndex.indexRoot(d)
+    // the delta ids were part of the original training corpus, so the
+    // frozen-assignment MUST reproduce the base index's rows exactly —
+    // list assignment and all PqM codes per vector
+    val deltaIds = spark.read.parquet(s"$root/lists_delta")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(deltaIds.nonEmpty, "empty delta batch — cutoff broken")
+    val baseLists = spark.read.parquet(s"$root/lists")
+      .where(col("vec_id").isin(deltaIds.toSeq: _*))
+      .collect().map(r => r.getLong(0) -> r.getAs[Number](1).intValue).toMap
+    val apLists = spark.read.parquet(s"$root/lists_delta")
+      .collect().map(r => r.getLong(0) -> r.getAs[Number](1).intValue).toMap
+    assert(apLists == baseLists, "appended list assignment diverged from the base index")
+    val baseCodes = spark.read.parquet(s"$root/codes")
+      .where(col("vec_id").isin(deltaIds.toSeq: _*))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val apCodes = spark.read.parquet(s"$root/codes_delta")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(apCodes == baseCodes, "appended PQ codes diverged from the base index")
+  }
 }
