@@ -184,7 +184,9 @@ object ProfScale {
       "stream_static_enrich",
       // assignment-only incremental index ingest (work ∝ |delta|, frozen
       // codebooks — the corpus is never rescanned)
-      "ann_index_append")
+      "ann_index_append",
+      // hard-negative mining: bounded query probe set × streaming corpus
+      "sim_hard_negatives")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer

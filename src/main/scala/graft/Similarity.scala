@@ -899,6 +899,34 @@ object Similarity {
         .limit(k)
     }),
 
+    // Hard-negative mining — the contrastive-training data op: for each
+    // query vector, the most-SIMILAR vectors carrying a DIFFERENT label
+    // (the confusable negatives that actually move an embedding model;
+    // random negatives are trivially separable). Same bounded probe-set
+    // shape as the ANN paths (queries broadcast, corpus streams), cosine
+    // via the codegen'd vec_dot, per-query top-k via WindowGroupLimit.
+    // At 100 TB the corpus side arrives through an ANN candidate
+    // generator (sim_ann_lsh/ivfpq) and this label-mismatch ranking is
+    // its post-filter — registered here over the exact kernel so the
+    // mining semantics carry a full oracle.
+    "sim_hard_negatives" -> ((s, d) => {
+      import org.apache.spark.sql.graft.VectorOps.{vec_dot, vec_norm}
+      val e = embeddings(s, d).select(col("vec_id"), col("label"),
+        col("embedding"), vec_norm(col("embedding")).as("nrm"))
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qe"), col("nrm").as("qn"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nn").asc)
+      e.join(broadcast(q), col("label") =!= col("qlabel"))
+        .select(col("qid"), col("qlabel"), col("vec_id").as("nn"),
+          col("label").as("nn_label"),
+          (vec_dot(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select(col("qid"), col("nn"), col("nn_label"), col("rn"))
+        .orderBy("qid", "rn")
+    }),
+
     "sim_knn_per_label" -> ((s, d) => {
       // Per-label centroid (exact decimal component sums → stable), then
       // top-5 nearest members per label by L2 distance to own centroid.
@@ -1674,6 +1702,16 @@ object Similarity {
        s"${oDot("a", "b")} / (${oNorm("a")} * ${oNorm("b")}) AS cos " +
        "FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id) " +
        "ORDER BY cos DESC, va, vb LIMIT 20"),
+
+    // same cosine fold; the rank ships, the float score does not (ranks
+    // compare exactly, the D5 rule the ANN oracles follow)
+    "sim_hard_negatives" ->
+      ("SELECT qid, nn, nn_label, CAST(rn AS INT) AS rn FROM " +
+       "(SELECT q.vec_id AS qid, e.vec_id AS nn, e.label AS nn_label, " +
+       "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+       s"${oDot("q", "e")} / (${oNorm("q")} * ${oNorm("e")}) DESC, e.vec_id ASC) AS rn " +
+       "FROM embeddings q JOIN embeddings e ON e.label != q.label " +
+       "WHERE q.vec_id < 10) WHERE rn <= 5 ORDER BY qid, rn"),
 
     "dedup_embedding_cosine" ->
       (s"SELECT va, vb, cos FROM (SELECT a.vec_id AS va, b.vec_id AS vb, " +

@@ -425,4 +425,37 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(got.nonEmpty, "support floor filtered everything — retune CooccurMinSupport")
     got.keys.foreach { case (a, b) => assert(a < b, s"unordered pair ($a,$b)") }
   }
+
+  test("sim_hard_negatives: every mined negative crosses labels and ranks by true cosine") {
+    import org.apache.spark.sql.functions._
+    val got = q("sim_hard_negatives").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    val labels = Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { case (qid, nn, nnLabel, _) =>
+      assert(labels(nn) == nnLabel)
+      assert(labels(nn) != labels(qid),
+        s"query $qid mined a SAME-label vector $nn — not a negative")
+    }
+    // reference ranking for one query by driver-side cosine
+    val vecs = Tables.embeddings(spark, Sf0001)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val (q0, q0lab, q0vec) = vecs.find(_._1 == 0L).get
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d0, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) {
+        d0 += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d0 / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vecs.filter(_._2 != q0lab)
+      .map(v => (v._1, cos(q0vec, v._3)))
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSeq
+    val gotQ0 = got.filter(_._1 == q0).sortBy(_._4).map(_._2).toSeq
+    assert(gotQ0 == expected, s"query $q0 ranking: $gotQ0 vs $expected")
+  }
 }
