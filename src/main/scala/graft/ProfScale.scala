@@ -186,7 +186,9 @@ object ProfScale {
       // codebooks — the corpus is never rescanned)
       "ann_index_append",
       // hard-negative mining: bounded query probe set × streaming corpus
-      "sim_hard_negatives")
+      "sim_hard_negatives",
+      // cross-split leakage: a post-filter on the memoized band index
+      "dedup_split_leakage")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer

@@ -692,6 +692,28 @@ object Similarity {
         .orderBy("doc_id")
     }),
 
+    // Train/test leakage screen — the eval-integrity op every benchmark
+    // pipeline needs: a TEST document whose near-duplicate sits in TRAIN
+    // invalidates the eval (the model saw the answer). Split assignment is
+    // the deterministic hash rule of sample_hash_split applied to doc_id;
+    // leaked pairs are the verified MinHash near-dup pairs whose endpoints
+    // fall on OPPOSITE sides. Reuses the memoized shingle/band index —
+    // zero extra candidate-generation cost beyond the dedup family, one
+    // broadcast of the tiny split frame per side. At 100 TB this runs as
+    // a post-filter on the standing band index's pair stream.
+    "dedup_split_leakage" -> ((s, d) => {
+      val split = documents(s, d)
+        .select(col("doc_id"), (mhash(col("doc_id"), 1000L) < 800).as("is_train"))
+      minhashCandidates(s, d, 0.8)
+        .join(split.select(col("doc_id").as("da"), col("is_train").as("ta")), Seq("da"))
+        .join(split.select(col("doc_id").as("db"), col("is_train").as("tb")), Seq("db"))
+        .where(col("ta") =!= col("tb"))
+        .select(
+          when(col("ta"), col("db")).otherwise(col("da")).as("test_doc"),
+          when(col("ta"), col("da")).otherwise(col("db")).as("train_doc"))
+        .orderBy("test_doc", "train_doc")
+    }),
+
     "dedup_incremental_minhash" -> ((s, d) => {
       // Incremental ingest dedup — how a CONTINUOUS training-data pipeline
       // actually runs MinHash: the base corpus is already deduped, so a
@@ -1633,6 +1655,17 @@ object Similarity {
     "sim_ann_ivf" -> annIvfOracle,
     "sim_ann_pq" -> annPqOracle,
     "sim_ann_ivfpq" -> annIvfPqOracle,
+
+    // the same verified pair CTE, classified by the sample_hash_split rule
+    // on doc_id; a pair leaks when its endpoints cross the split boundary
+    "dedup_split_leakage" ->
+      ("WITH " + minhashPairsCte + ", " +
+       "sp AS (SELECT doc_id, ((doc_id % 1000000007) * 2654435761) % 1000 < 800 AS is_train " +
+       "FROM documents) " +
+       "SELECT CASE WHEN a.is_train THEN pr.db ELSE pr.da END AS test_doc, " +
+       "CASE WHEN a.is_train THEN pr.da ELSE pr.db END AS train_doc " +
+       "FROM pr JOIN sp a ON pr.da = a.doc_id JOIN sp b ON pr.db = b.doc_id " +
+       "WHERE a.is_train != b.is_train ORDER BY test_doc, train_doc"),
 
     "dedup_near_minhash" ->
       ("WITH " + minhashPairsCte + ", " +

@@ -458,4 +458,24 @@ class TextSimilaritySpec extends AnyFunSuite {
     val gotQ0 = got.filter(_._1 == q0).sortBy(_._4).map(_._2).toSeq
     assert(gotQ0 == expected, s"query $q0 ranking: $gotQ0 vs $expected")
   }
+
+  test("dedup_split_leakage flags exactly the cross-split near-dup pairs") {
+    val got = q("dedup_split_leakage").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def isTrain(id: Long): Boolean = ((id % 1000000007L) * 2654435761L) % 1000L < 800L
+    // orientation: the first column is always the TEST doc
+    got.foreach { case (testDoc, trainDoc) =>
+      assert(!isTrain(testDoc), s"$testDoc reported as leaked test doc but is in train")
+      assert(isTrain(trainDoc), s"$trainDoc reported as train source but is in test")
+    }
+    // completeness: every verified near-dup pair that crosses the split is
+    // reported, none invented
+    val pairs = Similarity.minhashCandidates(spark, Sf0001, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.filter(p => isTrain(p._1) != isTrain(p._2))
+      .map(p => if (isTrain(p._1)) (p._2, p._1) else (p._1, p._2)).toSet
+    assert(got == expected,
+      s"leak set drift: ${(got -- expected).take(3)} / ${(expected -- got).take(3)}")
+    assert(got.nonEmpty, "no cross-split near-dups on the fixture — screen untested")
+  }
 }
