@@ -65,7 +65,13 @@ object Joins {
     * order ≤ ts in `best`) — shared by [[asofJoin]] and the tolerance
     * variant.
     */
-  private def asofMatched(s: SparkSession, d: String): DataFrame = {
+  private def asofMatched(s: SparkSession, d: String): DataFrame =
+    asofAll(s, d).where(col("best").isNotNull)
+
+  /** Backward-asof frame over ALL keyed events — `best` is NULL where no
+    * same-user order precedes the event (the LEFT variant keeps these).
+    */
+  private def asofAll(s: SparkSession, d: String): DataFrame = {
     // NULL keys never match the oracle's equi-join, but Window.partitionBy
     // groups them into ONE partition and would happily align a NULL-uid
     // event to a NULL-uid order (ADVICE.md round 6) — reject them up front
@@ -88,7 +94,7 @@ object Joins {
           when(col("tag") === 0,
             struct(col("o_orderdate").as("asof_date"), col("o_orderkey").as("asof_orderkey"))),
           ignoreNulls = true).over(w))
-      .where(col("tag") === 1 && col("best").isNotNull)
+      .where(col("tag") === 1)
   }
 
   /** Staleness bound for join_asof_tolerance, in days. The VALUE is
@@ -342,6 +348,34 @@ object Joins {
     }),
 
     "join_asof" -> (asofJoin _),
+
+    // LEFT tolerance-bounded backward as-of — the feature-store DEFAULT
+    // semantics: every fact row survives, carrying NULL features when no
+    // prior state exists OR the latest state is past the staleness bound
+    // (join_asof_tolerance DROPS those rows — inner; dropping silently
+    // changes the training distribution, and "no fresh observation" is
+    // itself a feature). Same single-shuffle tagged-union window; the
+    // bound is a post-window conditional, costing nothing extra.
+    // Identity-less facts (NULL user) re-enter with NULL features,
+    // mirroring the oracle's LEFT JOIN exactly. On this fixture every
+    // keyed event HAS a prior order (plain left ≡ inner — degenerate), so
+    // the staleness bound is what makes the NULL path real: 4k+ events
+    // carry NULL here while join_asof_tolerance drops them.
+    "join_asof_left" -> ((s, d) => {
+      val fresh = datediff(to_date(col("ats")), to_date(col("best.asof_date"))) <=
+        AsofToleranceDays
+      val matched = asofAll(s, d)
+        .select(col("event_id"),
+          when(col("best").isNotNull && fresh, col("best.asof_orderkey"))
+            .as("asof_orderkey"),
+          when(col("best").isNotNull && fresh, col("best.asof_date"))
+            .as("asof_date"))
+      val orphans = events(s, d).where(col("user_id").isNull)
+        .select(col("event_id"),
+          lit(null).cast(LongType).as("asof_orderkey"),
+          lit(null).cast(TimestampNTZType).as("asof_date"))
+      matched.unionByName(orphans).orderBy("event_id")
+    }),
 
     // Tolerance-bounded backward as-of — the feature-store join: a feature
     // row older than the staleness bound is WORSE than a missing one (the
@@ -638,6 +672,21 @@ object Joins {
        "(SELECT e.event_id, o.o_orderkey, o.o_orderdate, " +
        "row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn " +
        "FROM events e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) " +
+       "WHERE rn = 1 ORDER BY event_id"),
+
+    // LEFT JOIN + rank over the UNBOUNDED match, tolerance applied after
+    // rank selection (the Spark side bounds the same latest-order row) —
+    // putting the bound in the ON clause would instead promote the
+    // second-latest fresh order, a different operator
+    "join_asof_left" ->
+      (s"SELECT event_id, " +
+       s"CASE WHEN fresh THEN o_orderkey END AS asof_orderkey, " +
+       s"CASE WHEN fresh THEN o_orderdate END AS asof_date FROM " +
+       "(SELECT e.event_id, o.o_orderkey, o.o_orderdate, " +
+       "date_diff('day', CAST(o.o_orderdate AS DATE), CAST(e.ts AS DATE)) " +
+       s"<= $AsofToleranceDays AS fresh, " +
+       "row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn " +
+       "FROM events e LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) " +
        "WHERE rn = 1 ORDER BY event_id"),
 
     "join_asof_tolerance" ->

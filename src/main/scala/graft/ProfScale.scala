@@ -188,7 +188,9 @@ object ProfScale {
       // hard-negative mining: bounded query probe set × streaming corpus
       "sim_hard_negatives",
       // cross-split leakage: a post-filter on the memoized band index
-      "dedup_split_leakage")
+      "dedup_split_leakage",
+      // LEFT tolerance as-of: same tagged-union window, NULL-kept facts
+      "join_asof_left")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer

@@ -180,4 +180,21 @@ class JoinsSpec extends AnyFunSuite {
     assert(got == expected,
       s"PIT != latest-at-ts on ${(got.toSet -- expected.toSet).take(5)}")
   }
+
+  test("join_asof_left keeps every fact; matches equal the inner tolerance variant") {
+    val left = q("join_asof_left").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    // LEFT contract: one output row per event, matched or not
+    assert(left.size == Tables.events(spark, Sf0001).count())
+    // the non-NULL rows are exactly the inner tolerance variant's matches
+    val inner = q("join_asof_tolerance").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val matched = left.collect { case (k, Some(v)) => k -> v }
+    assert(matched == inner,
+      s"left/inner drift: ${(matched.toSet -- inner.toSet).take(3)} / ${(inner.toSet -- matched.toSet).take(3)}")
+    // and the NULL path is actually exercised on this fixture
+    assert(left.values.exists(_.isEmpty),
+      "no NULL-feature rows — the staleness bound stopped discriminating")
+  }
 }
