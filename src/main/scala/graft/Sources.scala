@@ -59,6 +59,31 @@ object Sources {
     s"$d@${f.length()}:${f.lastModified()}"
   }
 
+  private val spillCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Generic per-(process, key) deterministic parquet spill — build once,
+    * read thereafter from the file. The shared engine behind the
+    * fingerprint-keyed index caches (minhash band index, jaccard shingles,
+    * phash signatures) and, since round 9, the VERIFIED PAIR frames one
+    * level up (VERDICT r8 #2): deterministic content means memoization
+    * cannot change any result, and the parquet spill (unlike persist)
+    * truncates lineage so consumers — labelPropagate rounds especially —
+    * plan against a bare file scan. Key must include [[fixtureKey]] so a
+    * rewritten fixture is never served a stale artifact.
+    */
+  private[graft] def memoSpill(s: SparkSession, key: String, prefix: String)(
+      build: => DataFrame): DataFrame = {
+    val cached = spillCache.get(key)
+    val path = if (cached != null) cached else {
+      val p = tmpUnique(prefix)
+      build.write.mode(SaveMode.Overwrite).parquet(p)
+      val prev = spillCache.putIfAbsent(key, p)
+      if (prev != null) prev else p
+    }
+    s.read.parquet(path)
+  }
+
   val queries: Map[String, Q] = Map(
     // The reference pipeline, end to end: text-file sink → sc.textFile →
     // flatMap → map → reduceByKey (map/combine/shuffle/reduce) → DataFrame.

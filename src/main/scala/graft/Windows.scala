@@ -208,6 +208,29 @@ object Windows {
             .as("ewma_zero_seeded"))
         .orderBy("user_id")),
 
+    // Standard-seed EWMA (VERDICT r8 #5): acc = x₁, the textbook
+    // convention — the recursion only applies from the SECOND element on
+    // (acc ← acc/2 + x/2 over vals[2..]). Same shuffle, total order and
+    // IEEE fold determinism as window_ewma; the two variants differ only
+    // in the seed, and the schema names say which is which
+    // (ewma_std vs ewma_zero_seeded). The oracle is DuckDB's bare
+    // list_reduce, whose contract IS the first-element seed.
+    "window_ewma_std" -> ((s, d) =>
+      events(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"),
+          unix_micros(col("ts").cast(TimestampType)).as("us"),
+          col("event_id"), col("value"))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          expr("transform(array_sort(collect_list(struct(us, event_id, value))), " +
+            "x -> x.value)").as("vals"))
+        .select(col("user_id"), col("n_events"),
+          expr("aggregate(slice(vals, 2, greatest(size(vals) - 1, 0)), " +
+            "CAST(element_at(vals, 1) AS DOUBLE), " +
+            "(acc, x) -> acc * 0.5 + x * 0.5)").as("ewma_std"))
+        .orderBy("user_id")),
+
     // Bounded-history EWMA — the 100 TB shape (VERDICT r7 #2): each key's
     // series is truncated to its last [[EwmaHistory]] = 64 events BEFORE
     // the aggregation buffers anything (row_number from the series end,
@@ -399,6 +422,15 @@ object Windows {
        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
        "list(value ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)), " +
        "(acc, x) -> acc * 0.5 + x * 0.5) AS ewma_zero_seeded " +
+       "FROM events WHERE user_id IS NOT NULL GROUP BY user_id ORDER BY user_id"),
+
+    // bare list_reduce seeds with the FIRST list element — DuckDB's
+    // contract matches the standard EWMA convention exactly
+    "window_ewma_std" ->
+      ("SELECT user_id, count(*) AS n_events, " +
+       "list_reduce(" +
+       "list(value ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id), " +
+       "(acc, x) -> acc * 0.5 + x * 0.5) AS ewma_std " +
        "FROM events WHERE user_id IS NOT NULL GROUP BY user_id ORDER BY user_id"),
 
     // same fold over the list truncated to its last EwmaHistory elements

@@ -315,6 +315,33 @@ class AggWindowSpec extends AnyFunSuite {
     assert(got.keySet == series.keySet)
   }
 
+  test("standard-seed ewma equals a JVM x₁-seeded fold, bit-exact") {
+    // same harness as the zero-seeded pin, but acc starts at the FIRST
+    // element and the recursion applies from the second on
+    import org.apache.spark.sql.types.TimestampType
+    val got = q("window_ewma_std").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val series = Tables.events(spark, Sf0001).where(col("user_id").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts").cast(TimestampType)),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    series.foreach { case (uid, rows) =>
+      val vals = rows.sortBy(e => (e._2, e._3)).map(_._4)
+      val expected = vals.tail.foldLeft(vals.head)((acc, x) => acc * 0.5 + x * 0.5)
+      val (n, ewma) = got(uid)
+      assert(n == rows.length)
+      assert(ewma == expected, s"user $uid: $ewma vs $expected")
+    }
+    assert(got.keySet == series.keySet)
+    // the two conventions must actually disagree somewhere on the fixture —
+    // otherwise this variant pins nothing beyond window_ewma
+    val zero = q("window_ewma").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got.exists { case (uid, (_, v)) => v != zero(uid) },
+      "standard and zero seeds coincide on every fixture series — vacuous")
+  }
+
   test("bounded ewma equals exact ewma bit-for-bit, with truncation exercised") {
     // 64 halvings attenuate the dropped prefix by 2⁻⁶⁴ — below half an ulp
     // of any fixture-scale accumulator within ~25 steps, after which both

@@ -182,14 +182,18 @@ class JoinsSpec extends AnyFunSuite {
   }
 
   test("join_asof_left keeps every fact; matches equal the inner tolerance variant") {
+    // Full-row pin (ADVICE r8): compare (asof_orderkey, asof_date) — an
+    // asof_date drift between the variants must fail HERE, not only at the
+    // external DuckDB hash gate.
     val left = q("join_asof_left").collect()
-      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.get(2)))))
       .toMap
     // LEFT contract: one output row per event, matched or not
     assert(left.size == Tables.events(spark, Sf0001).count())
     // the non-NULL rows are exactly the inner tolerance variant's matches
     val inner = q("join_asof_tolerance").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.get(2)))).toMap
     val matched = left.collect { case (k, Some(v)) => k -> v }
     assert(matched == inner,
       s"left/inner drift: ${(matched.toSet -- inner.toSet).take(3)} / ${(inner.toSet -- matched.toSet).take(3)}")
