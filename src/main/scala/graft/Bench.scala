@@ -101,25 +101,32 @@ object Bench {
       // context effects become visible in the artifact itself
       (name, elapsed, gcSeconds - gc0, cold)
     }
-    // EMIT in reverse run order: the driver artifact keeps only the tail
-    // of the per-query line, so the heavy family (run first) must be
-    // PRINTED last to survive the truncation the r7 audit hit.
+    // EMIT in reverse run order: the driver artifact keeps only the TAIL
+    // of stdout, so the heavy family (run first) must be PRINTED last
+    // within the queries line to survive truncation (r7 audit).
     val emit = results.reverse
     def jmap(f: ((String, Double, Double, Double)) => String) =
       emit.map(f).mkString("{", ",", "}")
     val qs = jmap { case (k, v, _, _) => "\"" + k + "\":" + v }
-    val gcs = jmap { case (k, _, g, _) => "\"" + k + "\":" + f"$g%.3f" }
+    // GC ledger THRESHOLDED to >= 0.02 s (VERDICT r8 #7): the full 188-entry
+    // ledger was itself tail-width and crowded everything else out of the
+    // r8 artifact; entries below the threshold carry no diagnostic signal
+    // (the point is catching cross-charged collections, which are 0.1 s+).
+    val gcs = emit.collect { case (k, _, g, _) if g >= 0.02 =>
+      "\"" + k + "\":" + f"$g%.3f" }.mkString("{", ",", "}")
     // run-1 (cold) times, only where they differ from the reported min —
     // a compact build-cost ledger for the memoized-index families
     val colds = emit.collect { case (k, v, _, c) if c > v =>
       "\"" + k + "\":" + c }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // Per-query detail lines FIRST; the machine-read summary is the short
-    // LAST stdout line — round 1's single giant line overflowed the
-    // driver's tail capture and parsed as null (VERDICT.md missing #4).
+    // LINE ORDER is tail-capture-aware (VERDICT r8 #7: r8's tail window ate
+    // the ledgers): the one tail-sized line (queries) goes FIRST so only
+    // its own head can truncate; the compact cold/gc ledgers follow it and
+    // therefore always survive; the machine-read total stays the LAST line
+    // (round 1's giant last line parsed as null — VERDICT r1 #4).
+    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"cold","cold":$colds,"sf":"$sfDir"}""")
     println(s"""{"metric":"gc","gc":$gcs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
