@@ -190,7 +190,12 @@ object ProfScale {
       // cross-split leakage: a post-filter on the memoized band index
       "dedup_split_leakage",
       // LEFT tolerance as-of: same tagged-union window, NULL-kept facts
-      "join_asof_left")
+      "join_asof_left",
+      // round 9 (VERDICT r8 #6): the persisted-index probe — the index is
+      // ensured during warmup so the timed entry is PROBE-ONLY (zero
+      // training jobs); the term under test is the candidate-list scan,
+      // ~nprobe/K of the corpus
+      "sim_ann_ivfpq_probe")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer
@@ -201,6 +206,9 @@ object ProfScale {
       Tables.lineitem(spark, dir).count()
       Tables.events(spark, dir).count()
       Tables.embeddings(spark, dir).count()
+      // build the persisted ANN index OUTSIDE the timed probe entry —
+      // the probe claim is probe-only cost, the build is its own entry
+      if (targets.contains("sim_ann_ivfpq_probe")) AnnIndex.ensure(spark, dir)
     }
     targets.foreach { q =>
       time(s"$q @1x")(SparkEntry.queries(q)(spark, base).count())
