@@ -818,7 +818,11 @@ object Similarity {
       // the broadcast probe index — the canonical n-gram-collision screen a
       // training pipeline runs before anything ships; never an all-pairs
       // comparison, so the corpus side scales freely.
-      val sh = shingles(s, d, 8)
+      // the 8-token shingle frame is a fixture-keyed standing artifact
+      // (round 9) — decontamination re-runs per eval-set refresh, the
+      // corpus shingle index shouldn't be re-derived each time
+      val sh = Sources.memoSpill(s,
+        Sources.fixtureKey(d, "documents") + ":sh8", "sh8")(shingles(s, d, 8))
       val probes = sh.where(col("doc_id") < 50)
         .select(col("g"), col("doc_id").as("probe_id"))
       sh.where(col("doc_id") >= 50)
@@ -834,6 +838,32 @@ object Similarity {
       // candidate generation shuffles on the shingle (bounded fan-out), and
       // the predicate is all-integer, so this one IS oracle-checkable.
       jaccardPairs(s, d).orderBy("da", "db")),
+
+    "dedup_containment" -> ((s, d) => {
+      // Containment near-dup: C(A,B) = |A∩B| / min(|A|,|B|) ≥ 0.9 — the
+      // ASYMMETRIC overlap measure that catches a short doc embedded in a
+      // long one (symmetric Jaccard ~0 there, containment ~1), the
+      // sub-document dup class published training-data dedup handles
+      // beside whole-doc similarity. Reads the SAME memoized capped
+      // 3-token shingle index as the jaccard family and runs the same
+      // inverted-index self-join; only the verification predicate differs
+      // (integer cross-multiplication — no float division). Kept
+      // live-compute (not pair-spilled): it is the bench's standing
+      // representative of the inverted-index join family's real cost.
+      val sh = jaccardShingles(s, d)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .where(col("inter") * 10 >= least(col("na"), col("nb")) * 9)
+        .select(col("da"), col("db"), col("inter"),
+          least(col("na"), col("nb")).as("mn"))
+        .orderBy("da", "db")
+    }),
 
     "dedup_substring" -> ((s, d) => {
       // Windowed exact-substring dedup — the shared-passage screen from the
@@ -1192,6 +1222,40 @@ object Similarity {
       adcRank(codes.join(cand, codes("vec_id") === cand("nn"))
         .join(broadcast(lut), Seq("qid", "m", "code"))
         .select(col("qid"), col("nn"), col("m"), col("dqc")))
+    }),
+
+    "sim_ann_recall_eval" -> ((s, d) => {
+      // Index-quality regression as an OPERATOR, not just a CI spec:
+      // recall@10 of the IVF-PQ composite against the exact L2 top-10 per
+      // probe query — the evaluation a production ANN deployment runs
+      // after every index rebuild (recall cratering in the pipeline means
+      // a broken list assignment or LUT key, caught where it happens).
+      // The exact side is the bounded brute-force kernel (10 broadcast
+      // probes × corpus, per-query top-10 via the rank window — the
+      // sim_topk_cosine scale shape, L2 metric to match what ADC
+      // approximates); the ANN side is the composite itself. Output is
+      // INTEGER hits-of-10 per query (D5) — the float recall mean is
+      // derivable, the driver hash stays exact.
+      import org.apache.spark.sql.graft.VectorOps.vec_dist_sq
+      val ann = queries("sim_ann_ivfpq")(s, d).select(col("qid"), col("nn"))
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          // vec_dist_sq's second operand is ARRAY<DOUBLE>; float→double is
+          // exact, so the cast cannot perturb any distance
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qe"))
+      val w = Window.partitionBy("qid").orderBy(col("dd").asc, col("nn").asc)
+      val exact = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nn"),
+          vec_dist_sq(col("embedding"), col("qe")).as("dd"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 10)
+        .select("qid", "nn")
+      val hits = exact.join(ann, Seq("qid", "nn"))
+        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+      q.select("qid").join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .orderBy("qid")
     })
   )
 
@@ -1605,12 +1669,14 @@ object Similarity {
     * 0.0-seeded fold over `list(dqc ORDER BY m)`, the same IEEE sequence as
     * Spark's sorted-struct fold. Expects a CTE `p(qid, nn, m, dqc)`.
     */
-  private def adcTailSql: String =
+  private def adcCtes: String =
     "ad AS (SELECT qid, nn, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
     "list(dqc ORDER BY m)), (acc, x) -> acc + x) AS adist FROM p GROUP BY qid, nn), " +
     "r AS (SELECT qid, nn, row_number() OVER (PARTITION BY qid " +
-    "ORDER BY adist ASC, nn ASC) AS rn FROM ad) " +
-    "SELECT qid, nn, CAST(rn AS INT) AS rn FROM r WHERE rn <= 10 ORDER BY qid, rn"
+    "ORDER BY adist ASC, nn ASC) AS rn FROM ad)"
+
+  private def adcTailSql: String = adcCtes +
+    " SELECT qid, nn, CAST(rn AS INT) AS rn FROM r WHERE rn <= 10 ORDER BY qid, rn"
 
   /** Generated SQL mirror of sim_ann_pq: the shared [[pqLegCtes]] chain,
     * then the lookup-table join over the FULL codes table ([[pqLutCte]])
@@ -1655,8 +1721,13 @@ object Similarity {
     "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd ASC, cid ASC) = 1)"
   }
 
-  private[graft] def annIvfPqOracle: String = {
-    s"WITH $pqLegCtes, " +
+  /** The full ranked IVF-PQ pipeline as a CTE chain ending in
+    * `r(qid, nn, rn)` — shared by [[annIvfPqOracle]] (which selects the
+    * top-10 directly) and the recall-eval oracle (which joins `r` against
+    * the exact ranking).
+    */
+  private def annIvfPqCtes: String = {
+    s"$pqLegCtes, " +
     s"$ivfPqCoarseCtes, " +
     "kpb AS (SELECT qid, cid FROM (SELECT e.vec_id AS qid, c.cid, " +
     s"${oDistE("e.embedding", "c.ce")} AS dd FROM ke e CROSS JOIN kc1 c WHERE e.vec_id < 10) t " +
@@ -1667,8 +1738,12 @@ object Similarity {
     "p AS (SELECT cand.qid, cand.nn, a.m, l.dqc FROM cand " +
     "JOIN a2 a ON a.vec_id = cand.nn " +
     "JOIN lut l ON l.qid = cand.qid AND l.m = a.m AND l.code = a.code), " +
-    adcTailSql
+    adcCtes
   }
+
+  private[graft] def annIvfPqOracle: String =
+    s"WITH $annIvfPqCtes " +
+    "SELECT qid, nn, CAST(rn AS INT) AS rn FROM r WHERE rn <= 10 ORDER BY qid, rn"
 
   /** SQL mirror of [[AnnIndex.append]]: re-derive the SAME refined coarse
     * centroids (kb2 assignment) and PQ codebooks (a2 codes), restrict to
@@ -1852,6 +1927,35 @@ object Similarity {
        "labels AS (SELECT wid, least(wid, min(reach)) AS cluster_id FROM walk GROUP BY wid) " +
        "SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id " +
        "FROM documents d LEFT JOIN labels l ON d.doc_id = l.wid ORDER BY d.doc_id"),
+
+    // same capped-shingle CTE chain as dedup_ngram_jaccard; only the
+    // verification predicate differs (containment vs Jaccard)
+    "dedup_containment" ->
+      ("WITH sh0 AS (SELECT DISTINCT doc_id, g FROM " +
+       "(SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(ts) - 2, 1)), " +
+       "i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))) AS g " +
+       "FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents))), " +
+       s"hot AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) > $ShingleDfCap), " +
+       "sh AS (SELECT * FROM sh0 WHERE g NOT IN (SELECT g FROM hot)), " +
+       "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+       "p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter FROM sh a " +
+       "JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+       "SELECT da, db, inter, least(sa.n, sb.n) AS mn FROM p " +
+       "JOIN sz sa ON p.da = sa.doc_id JOIN sz sb ON p.db = sb.doc_id " +
+       "WHERE inter * 10 >= least(sa.n, sb.n) * 9 ORDER BY da, db"),
+
+    "sim_ann_recall_eval" ->
+      (s"WITH $annIvfPqCtes, " +
+       "annr AS (SELECT qid, nn FROM r WHERE rn <= 10), " +
+       "exq AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 10), " +
+       "exs AS (SELECT q.qid, e.vec_id AS nn, row_number() OVER (PARTITION BY q.qid " +
+       s"ORDER BY ${oDistE("e.embedding", "q.embedding")} ASC, e.vec_id ASC) AS rn " +
+       "FROM embeddings e JOIN exq q ON e.vec_id != q.qid), " +
+       "ext AS (SELECT qid, nn FROM exs WHERE rn <= 10), " +
+       "hits AS (SELECT x.qid, count(*) AS n_hits FROM ext x " +
+       "JOIN annr a ON x.qid = a.qid AND x.nn = a.nn GROUP BY x.qid) " +
+       "SELECT q.qid, COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits " +
+       "FROM exq q LEFT JOIN hits h ON q.qid = h.qid ORDER BY q.qid"),
 
     "dedup_ngram_jaccard" ->
       ("WITH sh0 AS (SELECT DISTINCT doc_id, g FROM " +

@@ -56,6 +56,24 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
 
+  /** Trending event type per hour via CHAINED stateful aggregations —
+    * the Spark-3.5+/4.x multiple-stateful-operators-in-append-mode
+    * feature: a first tumbling count per (window, type), then a SECOND
+    * windowed aggregation over `window_time` picks the max-count type
+    * (ties to the lexicographically LARGER type via the struct ordering,
+    * mirrored exactly by the batch twin and its oracle). Both stages
+    * share the upstream watermark; state for stage 2 is one row per hour.
+    */
+  def trendingTypeStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(window_time(col("w")), "1 hour").as("w2"))
+      .agg(expr("max_by(event_type, struct(n, event_type))").as("trending_type"),
+        max(col("n")).as("n_top"))
+      .select(col("w2.start").as("hour_start"), col("trending_type"), col("n_top"))
+
   /** Stream–stream inner join: purchases within 1 hour of a signup by the
     * same user (the streaming twin of the batch `join_theta_range`). The
     * watermarks + the time-range condition bound both join buffers: a signup
@@ -445,6 +463,20 @@ object Streaming {
           col("n_events"))
         .orderBy("user_id", "session_start")),
 
+    "stream_trending_type" -> ((s, d) =>
+      // Batch twin of [[trendingTypeStream]]: hourly counts per type, then
+      // max_by(struct(n, event_type)) — the same tie rule (larger type
+      // wins on equal counts) as the streaming chained aggregation and
+      // the oracle's row_number ORDER BY n DESC, event_type DESC.
+      events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).cast(TimestampNTZType)
+          .as("hour_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("hour_start")
+        .agg(expr("max_by(event_type, struct(n, event_type))").as("trending_type"),
+          max(col("n")).as("n_top"))
+        .orderBy("hour_start")),
+
     "stream_interval_join" -> ((s, d) => {
       // Batch twin of [[signupPurchaseJoinStream]]: purchases within 1 hour
       // AFTER a signup by the same user. Equi-join on user_id with the time
@@ -493,6 +525,14 @@ object Streaming {
       ("SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n, " +
        s"${oDsum4("value")} AS sum_value " +
        "FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"),
+
+    // row_number ORDER BY n DESC, event_type DESC = max_by struct(n, type)
+    "stream_trending_type" ->
+      ("WITH c AS (SELECT date_trunc('hour', ts) AS hour_start, event_type, " +
+       "count(*) AS n FROM events GROUP BY 1, 2) " +
+       "SELECT hour_start, event_type AS trending_type, n AS n_top FROM c " +
+       "QUALIFY row_number() OVER (PARTITION BY hour_start " +
+       "ORDER BY n DESC, event_type DESC) = 1 ORDER BY hour_start"),
 
     "stream_sliding_avg" ->
       ("SELECT ws, count(*) AS n, " +

@@ -113,6 +113,24 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(mean >= 0.35, f"IVF-PQ recall collapsed: $mean%.3f")
   }
 
+  test("sim_ann_recall_eval reports exactly the hits of ivfpq vs the JVM L2 ground truth") {
+    // the operator's integer n_hits must equal |ivfpq top-10 ∩ exact L2
+    // top-10| computed independently here — same ground truth the floor
+    // tests use, so the operator IS the in-pipeline form of this spec
+    val ann = SparkEntry.queries("sim_ann_ivfpq")(spark, Sf01).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val got = SparkEntry.queries("sim_ann_recall_eval")(spark, Sf01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == groundTruthL2.keySet)
+    groundTruthL2.foreach { case (qid, exact) =>
+      val expected = (exact intersect ann.getOrElse(qid, Set.empty)).size.toLong
+      assert(got(qid) == expected, s"qid $qid: ${got(qid)} vs $expected")
+    }
+    val mean = got.values.sum.toDouble / (10 * got.size)
+    info(f"recall-eval operator mean recall@10: $mean%.3f")
+    assert(mean >= 0.35, f"operator-reported recall collapsed: $mean%.3f")
+  }
+
   test("sim_ann_ivf is deterministic and rank-shaped") {
     val a = SparkEntry.queries("sim_ann_ivf")(spark, Sf01).collect().toSeq
     val b = SparkEntry.queries("sim_ann_ivf")(spark, Sf01).collect().toSeq

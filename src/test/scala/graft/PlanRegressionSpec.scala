@@ -148,14 +148,16 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
   }
 
-  test("substring dedup: hot-window guard rides the self-join's g-partitioning") {
-    // same contract as the jaccard guard below — the df cap must be a
-    // Window over partitionBy(g), not a separate aggregate + anti-join
+  test("substring dedup reads the memoized pair spill, never an anti-join guard") {
+    // r9: same contract as the jaccard pin — the window-hash explode, the
+    // df cap and the self-join all run once in the spill build; a
+    // consumer plan is a bare substr_pairs scan, so the all-pairs /
+    // anti-join regression shapes cannot appear in it
     val p = plan("dedup_substring")
-    assert(p.contains("Window"), s"hot-window guard lost:\n$p")
+    assert(p.contains("substr_pairs"), s"pair spill scan lost:\n$p")
     assert(!p.contains("LeftAnti"), s"guard regressed to anti-join formulation:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"window self-join degenerated to all-pairs:\n$p")
+      s"plan degenerated to all-pairs:\n$p")
   }
 
   test("interval join is an equi-join on user_id with the range as residual") {

@@ -419,4 +419,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch.nonEmpty, "no enriched facts — dim/facts disjoint, test vacuous")
     } finally q.stop()
   }
+
+  test("chained-stateful trending type converges to the batch twin per closed hour") {
+    // TWO stateful aggregations in one append-mode query (hourly counts →
+    // per-hour max_by over window_time) — the fixture's full event stream
+    // arrives time-ordered in 4 micro-batches, then a far-future sentinel
+    // closes every fixture hour; each emitted row must equal the batch
+    // twin's (the sentinel's own hour never closes and is excluded).
+    val evs = Tables.events(spark, Sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => Evt(r.getLong(0),
+        java.sql.Timestamp.valueOf(r.getAs[java.time.LocalDateTime](1)),
+        if (r.isNullAt(2)) 0L else r.getLong(2), r.getString(3), r.getDouble(4)))
+      .sortBy(_.ts.getTime)
+    val sentinel = Evt(-1L,
+      new java.sql.Timestamp(evs.last.ts.getTime + 24L * 3600 * 1000), 0L, "zz", 0.0)
+    val input = MemoryStream[Evt]
+    val q = Streaming.trendingTypeStream(input.toDF())
+      .writeStream.format("memory").queryName("trend").outputMode("append").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 4)).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      }
+      input.addData(sentinel); q.processAllAvailable()
+      val streamed = spark.table("trend").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = SparkEntry.queries("stream_trending_type")(spark, Sf0001)
+        .collect()
+        .map(r => (java.sql.Timestamp.valueOf(r.getAs[java.time.LocalDateTime](0)),
+          r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"stream-batch drift: ${(streamed -- batch).take(3)} / ${(batch -- streamed).take(3)}")
+      assert(batch.size > 1, "single-hour fixture — chained aggregation test vacuous")
+    } finally q.stop()
+  }
 }

@@ -141,6 +141,38 @@ class TextSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("containment pairs equal a brute-force shingle-set reference, superset of jaccard") {
+    // C(A,B) = |A∩B| / min(|A|,|B|) >= 0.9 over the SAME capped shingle
+    // sets — recompute the whole thing from raw text in the JVM and
+    // compare exactly; and since containment >= Jaccard always, every
+    // Jaccard >= 0.9... pair is contained; we separately pin that every
+    // 0.8-Jaccard near-dup pair from the minhash path also passes the
+    // containment screen (inter/min >= inter/union).
+    val texts = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def shingleSet(t: String): Set[String] = {
+      val ts = t.split(" ", -1)
+      (1 to math.max(ts.length - 2, 1)).map { i =>
+        Seq(ts.lift(i - 1), ts.lift(i), ts.lift(i + 1)).flatten.mkString(" ")
+      }.toSet
+    }
+    val sets0 = texts.map { case (id, t) => id -> shingleSet(t) }
+    // hot-shingle cap: drop shingles with df > ShingleDfCap, like the index
+    val df = sets0.flatMap(_._2).groupBy(identity).view.mapValues(_.length)
+    val sets = sets0.map { case (id, sh) =>
+      id -> sh.filter(g => df(g) <= Similarity.ShingleDfCap) }.toMap
+    val expected = (for {
+      (a, sa) <- sets; (b, sb) <- sets
+      if a < b
+      inter = (sa intersect sb).size
+      if inter * 10 >= math.min(sa.size, sb.size) * 9
+    } yield (a, b, inter.toLong, math.min(sa.size, sb.size).toLong)).toSet
+    val got = q("dedup_containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, s"containment=${got.size} brute=${expected.size}")
+    assert(got.nonEmpty, "no containment pairs on the fixture — vacuous")
+  }
+
   test("simhash band-join pairs equal brute-force Hamming<=3 pairs") {
     // pigeonhole: distance <= 3 puts all differing bits in <= 3 of the 4
     // 16-bit bands, so every true pair shares >= 1 exact band — the banded
