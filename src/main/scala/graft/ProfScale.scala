@@ -195,7 +195,13 @@ object ProfScale {
       // ensured during warmup so the timed entry is PROBE-ONLY (zero
       // training jobs); the term under test is the candidate-list scan,
       // ~nprobe/K of the corpus
-      "sim_ann_ivfpq_probe")
+      "sim_ann_ivfpq_probe",
+      // round-9 additions: the asymmetric containment screen (same
+      // inverted-index join as ngram_jaccard), the recall evaluation
+      // (10 broadcast probes × corpus — the query-set-fixed asymmetry),
+      // and the chained-aggregation trending twin
+      "dedup_containment", "sim_ann_recall_eval", "stream_trending_type",
+      "window_ewma_std")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer
