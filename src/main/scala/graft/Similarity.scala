@@ -1251,9 +1251,11 @@ object Similarity {
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 10)
         .select("qid", "nn")
-      val hits = exact.join(ann, Seq("qid", "nn"))
+      // both the ANN top-10 frame (10 queries × 10) and the per-query hit
+      // counts are structurally ≤ 100 rows — broadcast, never SMJ
+      val hits = exact.join(broadcast(ann), Seq("qid", "nn"))
         .groupBy("qid").agg(count(lit(1)).as("n_hits"))
-      q.select("qid").join(hits, Seq("qid"), "left")
+      q.select("qid").join(broadcast(hits), Seq("qid"), "left")
         .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
         .orderBy("qid")
     })
