@@ -7,6 +7,24 @@ import TestSpark.{spark, Sf0001}
 class SourcesSpec extends AnyFunSuite {
   private def q(name: String) = SparkEntry.queries(name)(spark, Sf0001)
 
+  test("memoSpill builds once per key, isolates keys, and returns stable content") {
+    // The shared engine every round-9 index/pair spill rests on: the build
+    // closure must run EXACTLY once per key (second read serves the file),
+    // different keys must not share spills, and the served content must
+    // equal what the build produced.
+    import spark.implicits._
+    val built = new java.util.concurrent.atomic.AtomicInteger(0)
+    def build(n: Int) = { built.incrementAndGet(); Seq.tabulate(n)(i => (i.toLong, s"v$i")).toDF("k", "v") }
+    val key = s"memospill-spec-${System.nanoTime()}"
+    val a = Sources.memoSpill(spark, key, "spec_spill")(build(5)).collect().toSet
+    val b = Sources.memoSpill(spark, key, "spec_spill")(build(5)).collect().toSet
+    assert(built.get() == 1, s"build ran ${built.get()} times for one key")
+    assert(a == b && a.size == 5)
+    val c = Sources.memoSpill(spark, key + ":other", "spec_spill")(build(3)).collect().toSet
+    assert(built.get() == 2, "distinct key did not rebuild")
+    assert(c.size == 3 && c != a, "keys shared a spill")
+  }
+
   test("rdd wordcount equals the DataFrame wordcount") {
     val rdd = q("mr_wordcount_rdd").collect().map(r => (r.getString(0), r.getLong(1)))
     val df = q("text_wordcount").collect().map(r => (r.getString(0), r.getLong(1)))
