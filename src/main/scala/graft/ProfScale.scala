@@ -255,6 +255,13 @@ object ProfScale {
         SparkEntry.queries("dedup_incremental_minhash")(spark, incrBig).count())
       time(s"dedup_near_minhash (symmetric contrast) @${k}x-base/fixed-delta")(
         SparkEntry.queries("dedup_near_minhash")(spark, incrBig).count())
+      // incremental CLUSTER maintenance on the same corpus: run 1 builds
+      // the standing base labels (the cold term, ∝ base), run 2 is the
+      // maintenance path the claim is about (∝ delta)
+      time(s"dedup_cluster_incremental @${k}x-base/fixed-delta (cold: builds base labels)")(
+        SparkEntry.queries("dedup_cluster_incremental")(spark, incrBig).count())
+      time(s"dedup_cluster_incremental @${k}x-base/fixed-delta (warm: maintenance only)")(
+        SparkEntry.queries("dedup_cluster_incremental")(spark, incrBig).count())
     }
     spark.stop()
   }

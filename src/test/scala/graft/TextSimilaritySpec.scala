@@ -196,6 +196,30 @@ class TextSimilaritySpec extends AnyFunSuite {
       assert(cluster == find(doc), s"doc $doc: $cluster vs ${find(doc)}") }
   }
 
+  test("incremental cluster maintenance equals the batch closure, with real merges") {
+    val batch = q("dedup_cluster_cc").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val incr = q("dedup_cluster_incremental").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr == batch, {
+      val drift = incr.collect { case (k, v) if batch.get(k) != Some(v) =>
+        (k, v, batch.get(k)) }.take(5)
+      s"incremental != batch closure on: $drift"
+    })
+    // vacuity: the delta must actually CONNECT to the base on this fixture
+    // (a cross-cutoff near-dup pair exists), otherwise the merge path —
+    // the entire point of the operator — never executed
+    val mx = Tables.documents(spark, Sf0001)
+      .agg(org.apache.spark.sql.functions.max("doc_id")).head().getLong(0)
+    val crossPair = Similarity.minhashCandidates(spark, Sf0001, 0.8).collect()
+      .exists { r =>
+        val (da, db) = (r.getLong(0), r.getLong(1))
+        da * Similarity.IncrCutDen <= mx * Similarity.IncrCutNum &&
+        db * Similarity.IncrCutDen > mx * Similarity.IncrCutNum
+      }
+    assert(crossPair, "no cross-cutoff pair on the fixture — merge path untested")
+  }
+
   test("label propagation converges on a 15-hop chain (no premature round cap)") {
     // min-label propagation needs O(diameter) rounds; a path graph is the
     // worst case — a capped loop would mislabel the far end silently while
