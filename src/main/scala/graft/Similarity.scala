@@ -386,16 +386,23 @@ object Similarity {
     * hash-joins in.
     */
   private def minhashCandidatesDelta(s: SparkSession, d: String,
-      threshold: Double): DataFrame = {
-    val (sh, bands) = minhashIndex(s, d)
-    val deltaBands = bands.crossJoin(incrMaxId(s, d))
-      .where(incrIsDelta).drop("mx")
-    val cand = bands.as("x").join(deltaBands.as("y"), Seq("band", "sig"))
-      .where(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      .distinct()
-    verifiedPairs(sh, cand, threshold)
-  }
+      threshold: Double): DataFrame =
+    // like [[minhashCandidates]], the VERIFIED delta pair frame is a
+    // fixture-keyed spill (round 9): the day's-ingest pair table is itself
+    // a persisted artifact — dedup_incremental_minhash and
+    // dedup_cluster_incremental share one probe+verification pass
+    Sources.memoSpill(s,
+        Sources.fixtureKey(d, "documents") + s":mh_pairs_delta:$threshold",
+        "mh_pairs_delta") {
+      val (sh, bands) = minhashIndex(s, d)
+      val deltaBands = bands.crossJoin(incrMaxId(s, d))
+        .where(incrIsDelta).drop("mx")
+      val cand = bands.as("x").join(deltaBands.as("y"), Seq("band", "sig"))
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .distinct()
+      verifiedPairs(sh, cand, threshold)
+    }
 
   /** Connected components by iterative min-label propagation over an
     * undirected pair graph (da < db rows). CC state is O(edges), not
