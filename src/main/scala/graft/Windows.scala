@@ -208,6 +208,23 @@ object Windows {
             .as("ewma_zero_seeded"))
         .orderBy("user_id")),
 
+    // The remaining ANSI rank-family functions (round 9): ntile bucketing,
+    // percent_rank, cume_dist over a TOTAL per-key order (value, event_id
+    // — no ties, so both engines compute identical ranks, and the float
+    // outputs are each ONE IEEE division of two small integers — bit-exact
+    // cross-engine, the same argument as the cosine outputs). One shuffle
+    // on user_id; all three functions share the single window.
+    "window_ntile_dist" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value").asc, col("event_id").asc)
+      events(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Standard-seed EWMA (VERDICT r8 #5): acc = x₁, the textbook
     // convention — the recursion only applies from the SECOND element on
     // (acc ← acc/2 + x/2 over vals[2..]). Same shuffle, total order and
@@ -423,6 +440,15 @@ object Windows {
        "list(value ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)), " +
        "(acc, x) -> acc * 0.5 + x * 0.5) AS ewma_zero_seeded " +
        "FROM events WHERE user_id IS NOT NULL GROUP BY user_id ORDER BY user_id"),
+
+    "window_ntile_dist" ->
+      ("SELECT user_id, event_id, value, " +
+       "ntile(4) OVER w AS quartile, " +
+       "percent_rank() OVER w AS pct_rank, " +
+       "cume_dist() OVER w AS cume " +
+       "FROM events WHERE user_id IS NOT NULL " +
+       "WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC) " +
+       "ORDER BY user_id, event_id"),
 
     // bare list_reduce seeds with the FIRST list element — DuckDB's
     // contract matches the standard EWMA convention exactly

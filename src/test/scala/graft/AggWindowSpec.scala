@@ -315,6 +315,28 @@ class AggWindowSpec extends AnyFunSuite {
     assert(got.keySet == series.keySet)
   }
 
+  test("ntile buckets are balanced and rank fractions are monotone per user") {
+    val rows = q("window_ntile_dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5)))
+    rows.groupBy(_._1).foreach { case (uid, es) =>
+      // ANSI ntile: bucket sizes differ by at most 1, buckets 1..4 in order
+      val sizes = es.groupBy(_._4).view.mapValues(_.length)
+      assert(sizes.keySet == Set(1, 2, 3, 4), s"user $uid buckets: ${sizes.keySet}")
+      assert(sizes.values.max - sizes.values.min <= 1, s"user $uid skewed: $sizes")
+      // sorted by (value, event_id), pct_rank and cume are non-decreasing,
+      // pct_rank spans [0, 1], cume ends at exactly 1.0
+      val ordered = es.sortBy(e => (e._3, e._2))
+      assert(ordered.head._5 == 0.0 && ordered.last._5 == 1.0)
+      assert(ordered.last._6 == 1.0)
+      ordered.sliding(2).foreach { w =>
+        val (a, b) = (w(0), w(1))
+        assert(a._5 <= b._5 && a._6 <= b._6, s"user $uid rank fraction regressed")
+        assert(a._4 <= b._4, s"user $uid ntile not monotone with the order")
+      }
+    }
+  }
+
   test("standard-seed ewma equals a JVM x₁-seeded fold, bit-exact") {
     // same harness as the zero-seeded pin, but acc starts at the FIRST
     // element and the recursion applies from the second on
