@@ -71,16 +71,21 @@ object Sources {
     * truncates lineage so consumers — labelPropagate rounds especially —
     * plan against a bare file scan. Key must include [[fixtureKey]] so a
     * rewritten fixture is never served a stale artifact.
+    *
+    * The build runs inside computeIfAbsent, so concurrent callers with the
+    * same key build exactly once (ADVICE r9: the earlier get/putIfAbsent
+    * race let both run the expensive build and leaked the loser's spill
+    * dir). Spill dirs are never evicted — per-key-per-fixture growth is
+    * bounded by the query surface and cleaned with procDir at JVM exit,
+    * fine for a bench/verify process, not for a long-lived service.
     */
   private[graft] def memoSpill(s: SparkSession, key: String, prefix: String)(
       build: => DataFrame): DataFrame = {
-    val cached = spillCache.get(key)
-    val path = if (cached != null) cached else {
+    val path = spillCache.computeIfAbsent(key, _ => {
       val p = tmpUnique(prefix)
       build.write.mode(SaveMode.Overwrite).parquet(p)
-      val prev = spillCache.putIfAbsent(key, p)
-      if (prev != null) prev else p
-    }
+      p
+    })
     s.read.parquet(path)
   }
 

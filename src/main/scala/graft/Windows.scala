@@ -441,9 +441,11 @@ object Windows {
        "(acc, x) -> acc * 0.5 + x * 0.5) AS ewma_zero_seeded " +
        "FROM events WHERE user_id IS NOT NULL GROUP BY user_id ORDER BY user_id"),
 
+    // CAST to INT: DuckDB's ntile() is BIGINT while Spark's is INT — same
+    // convention as every other rank-family oracle here (ADVICE r9)
     "window_ntile_dist" ->
       ("SELECT user_id, event_id, value, " +
-       "ntile(4) OVER w AS quartile, " +
+       "CAST(ntile(4) OVER w AS INT) AS quartile, " +
        "percent_rank() OVER w AS pct_rank, " +
        "cume_dist() OVER w AS cume " +
        "FROM events WHERE user_id IS NOT NULL " +

@@ -320,9 +320,14 @@ class AggWindowSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3),
         r.getDouble(4), r.getDouble(5)))
     rows.groupBy(_._1).foreach { case (uid, es) =>
-      // ANSI ntile: bucket sizes differ by at most 1, buckets 1..4 in order
+      // ANSI ntile: bucket sizes differ by at most 1; buckets are exactly
+      // 1..min(4, n) — derived from the partition size so a smaller
+      // regenerated fixture flags vacuity, not a fake engine bug (ADVICE r9)
       val sizes = es.groupBy(_._4).view.mapValues(_.length)
-      assert(sizes.keySet == Set(1, 2, 3, 4), s"user $uid buckets: ${sizes.keySet}")
+      assert(sizes.keySet == (1 to math.min(4, es.length)).toSet,
+        s"user $uid buckets: ${sizes.keySet} for n=${es.length}")
+      assert(es.length >= 4, s"user $uid has only ${es.length} events — " +
+        "fixture too small for a meaningful 4-bucket ntile check")
       assert(sizes.values.max - sizes.values.min <= 1, s"user $uid skewed: $sizes")
       // sorted by (value, event_id), pct_rank and cume are non-decreasing,
       // pct_rank spans [0, 1], cume ends at exactly 1.0
