@@ -35,7 +35,11 @@ object AnnIndex {
   private[graft] val builds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def indexRoot(d: String): String = {
-    val key = Sources.fixtureKey(d, "embeddings")
+    // keyed by fixture fingerprint AND index geometry: a PqM/nprobe/K
+    // retune is a different index — without the geometry term a persisted
+    // index from an older build would serve stale codebooks to the
+    // frozen-codebook append path (caught in round 10 when M went 16→32)
+    val key = Sources.fixtureKey(d, "embeddings") + ":" + Similarity.pqGeometryTag
     val safe = java.lang.Long.toHexString(key.hashCode.toLong & 0xffffffffL)
     val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
     s"$base/graft_ann_index/${new java.io.File(d).getName}_$safe"

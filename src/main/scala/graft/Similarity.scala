@@ -190,28 +190,46 @@ object Similarity {
 
   /** Product-quantization geometry: PqM subspaces of PqDim dims each
     * (PqM * PqDim = the embedding dim), PqK codewords per subspace — the
-    * canonical 256 (one byte per subspace), so a vector's code is 16 bytes
-    * vs 256 of raw floats: the 16× compression that makes exhaustive ADC
-    * scans the documented IVF-PQ in-list path at corpus scale. Geometry
-    * picked by measured recall@10 on the sf0.1 fixture (uniform random
-    * vectors, PQ's worst case): (M=8,K=16) 0.12, (8,256) 0.29, (16,64)
-    * 0.43, (16,256) 0.56 — finer subspaces beat more codes per subspace
-    * here because unstructured dims share no variance for a coarse
-    * codebook to exploit.
+    * canonical 256 (one byte per subspace), so a vector's code is 32 bytes
+    * vs 256 of raw floats: 8× compression with exhaustive ADC scans as
+    * the documented IVF-PQ in-list path at corpus scale. Geometry picked
+    * by measured recall@10 on the sf0.1 fixture (uniform random vectors,
+    * PQ's worst case): (M=8,K=16) 0.12, (8,256) 0.29, (16,64) 0.43,
+    * (16,256) 0.56, (32,256) 0.75 — finer subspaces beat more codes per
+    * subspace because unstructured dims share no variance for a coarse
+    * codebook to exploit. M=16 → 32 in round 10 (ADVICE r9 #8): the
+    * per-candidate ADC work and the per-fixture codebook build double
+    * (cold ≈ 10 → 20 s at sf0.1, in the bench cold ledger) for +0.19
+    * full-scan recall — the classic M dial traded toward recall; 8×
+    * compression still makes the codes table the resident artifact.
     */
-  private val PqM = 16
-  private val PqDim = 4
+  private val PqM = 32
+  private val PqDim = 2
   private val PqK = 256
+
+  /** Geometry fingerprint for persisted-index roots (AnnIndex): any change
+    * to the quantization geometry must invalidate on-disk indexes built
+    * under the old one.
+    */
+  private[graft] def pqGeometryTag: String =
+    s"M${PqM}K${PqK}C${IvfPqK}P$IvfPqProbe"
 
   /** IVF-PQ composite geometry (sim_ann_ivfpq): IvfPqK coarse inverted
     * lists, IvfPqProbe probed per query. The coarse metric is L2 — the
     * canonical IVF-PQ formulation (coarse quantizer and ADC then minimize
     * the same squared-error objective), where sim_ann_ivf alone
-    * demonstrates the cosine variant. nprobe/K = 1/4 of the corpus scanned,
-    * matching sim_ann_ivf's operating point so the two are comparable.
+    * demonstrates the cosine variant. nprobe 4 → 6 in round 10 (ADVICE r9
+    * #8): on the uniform-random fixture (no cluster structure) recall
+    * tracks the scanned fraction, and 6/16 of the corpus lifts measured
+    * composite recall@10 0.44 → 0.49 at sf0.1 (0.62 combined with the
+    * M=32 PQ refinement) for ~1.5× the ADC-scan term — at these sf the
+    * fixed per-job floor dominates, so the bench number barely moves.
+    * nprobe stays the recall/scan dial a real deployment tunes per
+    * corpus; sim_ann_ivf keeps nprobe=4 as the 1/4 operating point the
+    * two composites were originally compared at.
     */
   val IvfPqK = 16
-  val IvfPqProbe = 4
+  val IvfPqProbe = 6
 
   /** Multi-probe masks: all 8-bit patterns with <= 3 bits set (93).
     * Hamming radius 2 → 3 in round 6 (VERDICT r5 #7): measured recall@10
