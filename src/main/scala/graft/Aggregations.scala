@@ -101,6 +101,67 @@ object Aggregations {
         .orderBy("event_type")
     }),
 
+    // HyperLogLog-style registers (round 10) — the distinct counter that
+    // does NOT saturate: linear counting (above) stores occupancy and
+    // degrades once occupancy nears m, while HLL registers store
+    // max(rho) = the deepest trailing-zero run seen per bucket, so the
+    // same [[HllRegisters]] longs cover cardinalities from hundreds to
+    // billions — the 100 TB distinct sketch. All-integer and portable:
+    // bucket = h % m, v = floor(h / m) (power-of-two divisor ⇒ exact
+    // IEEE), and rho = length(bin(v & -v)) — the trailing-zero count + 1
+    // via the lowest-set-bit trick, pure bit/string ops both engines
+    // share, no log2 (whose libm rounding is not cross-engine-stable).
+    // State per group is m registers of ≤5 bits, mergeable by MAX — the
+    // spec pins split-merge equality and the estimate within 8% of exact.
+    // Registers themselves are the driver-verified output (the
+    // agg_distinct_sketch contract: ln-based estimates stay out of hashed
+    // output).
+    "agg_hll_sketch" -> ((s, d) => {
+      val h1 = pmod(pmod(col("user_id"), lit(SketchP)) * lit(SketchA)
+        + lit(SketchB), lit(SketchP))
+      val h2 = pmod(h1 * h1, lit(SketchP))
+      events(s, d)
+        .where(col("user_id").isNotNull)
+        .select(col("event_type"),
+          pmod(h2, lit(HllRegisters.toLong)).as("bucket"),
+          floor(h2 / lit(HllRegisters)).cast(LongType).as("v"))
+        .groupBy("event_type", "bucket")
+        .agg(max(when(col("v") === 0, lit(HllMaxRho))
+          .otherwise(length(bin(col("v").bitwiseAND(-col("v")))).cast(LongType)))
+          .as("max_rho"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    // Exact weighted percentiles (round 10): the smallest value whose
+    // cumulative weight reaches p% of the group's total — here
+    // l_extendedprice weighted by l_quantity per returnflag (the "price
+    // quartiles by volume" question). Weights accumulate as exact
+    // DECIMAL and the target test cross-multiplies (cum·100 ≥ tot·p), so
+    // the pick is integer-exact cross-engine — the agg_quantile_sketch
+    // predicate on exact weights instead of binned counts. Shape: one
+    // pre-aggregation to (group, value) — map-side partials absorb
+    // per-value duplication — then a per-group running sum over DISTINCT
+    // values; the windowed frame is value-vocabulary-sized. Where that
+    // vocabulary is itself huge at 100 TB, the binned sketch
+    // (agg_quantile_sketch) is the documented fallback; this is the
+    // exact form.
+    "agg_weighted_percentiles" -> ((s, d) => {
+      val b = lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(sum(dec(col("l_quantity"), 18, 2)).as("w"))
+      val win = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = b.select(col("l_returnflag"), col("l_extendedprice"),
+        sum(col("w")).over(win).as("cum"),
+        sum(col("w")).over(Window.partitionBy("l_returnflag")).as("tot"))
+      def est(p: Int) =
+        min(when(col("cum") * 100 >= col("tot") * p, col("l_extendedprice")))
+      c.groupBy("l_returnflag")
+        .agg(est(25).as("wp25"), est(50).as("wp50"), est(75).as("wp75"),
+          count(lit(1)).as("n_values"))
+        .orderBy("l_returnflag")
+    }),
+
     "agg_rollup" -> ((s, d) =>
       // SQL form: referencing ROLLUP grouping columns above the Expand node
       // from the DataFrame API trips Spark's ambiguous-self-join check; the
@@ -675,6 +736,12 @@ object Aggregations {
     * HLL registers) without changing shape — the sketch stays m bits/group.
     */
   val DistinctSketchRegisters = 4096
+  /** HLL geometry (agg_hll_sketch): 256 registers ≈ 6.5% standard error —
+    * the classic m=2^8 point; HllMaxRho caps the v=0 corner (all ~22
+    * remaining hash bits zero, probability ~m/P).
+    */
+  val HllRegisters = 256
+  val HllMaxRho = 23L
   /** Quantile-sketch bins (agg_quantile_sketch): 256 bins × width 4 cover
     * [0, 1024) — the fixture value domain tops out at ~560 (sf0.1); values
     * past the cap clamp into the last bin, so the sketch degrades (p99 of a
@@ -861,6 +928,36 @@ object Aggregations {
       s"count(DISTINCT ($h1 * $h1) % $SketchP % $DistinctSketchRegisters) AS occupied " +
       "FROM events WHERE user_id IS NOT NULL GROUP BY event_type ORDER BY event_type"
     },
+
+    // same affine+mid-square hash tokens; rho via the lowest-set-bit /
+    // bin-length trick — no log2 (libm rounding is not cross-engine-
+    // stable); floor(h2 / 256) is exact IEEE (power-of-two divisor)
+    "agg_hll_sketch" -> {
+      val h1 = s"(((user_id % $SketchP) * $SketchA + $SketchB) % $SketchP)"
+      s"WITH h AS (SELECT event_type, ($h1 * $h1) % $SketchP AS h2 " +
+      "FROM events WHERE user_id IS NOT NULL), " +
+      s"r AS (SELECT event_type, h2 % $HllRegisters AS bucket, " +
+      s"CAST(floor(h2 / $HllRegisters) AS BIGINT) AS v FROM h) " +
+      "SELECT event_type, bucket, " +
+      s"max(CASE WHEN v = 0 THEN $HllMaxRho " +
+      "ELSE CAST(length(bin(v & -v)) AS BIGINT) END) AS max_rho " +
+      "FROM r GROUP BY event_type, bucket ORDER BY event_type, bucket"
+    },
+
+    // identical pre-agg → running-DECIMAL-sum → cross-multiplied pick
+    "agg_weighted_percentiles" ->
+      ("WITH b AS (SELECT l_returnflag, l_extendedprice, " +
+       "SUM(CAST(l_quantity AS DECIMAL(18,2))) AS w FROM lineitem GROUP BY 1, 2), " +
+       "c AS (SELECT l_returnflag, l_extendedprice, " +
+       "SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice " +
+       "ROWS UNBOUNDED PRECEDING) AS cum, " +
+       "SUM(w) OVER (PARTITION BY l_returnflag) AS tot FROM b) " +
+       "SELECT l_returnflag, " +
+       "min(CASE WHEN cum * 100 >= tot * 25 THEN l_extendedprice END) AS wp25, " +
+       "min(CASE WHEN cum * 100 >= tot * 50 THEN l_extendedprice END) AS wp50, " +
+       "min(CASE WHEN cum * 100 >= tot * 75 THEN l_extendedprice END) AS wp75, " +
+       "count(*) AS n_values " +
+       "FROM c GROUP BY l_returnflag ORDER BY l_returnflag"),
 
     // binning, cumulative rank, and cross-multiplied quantile targets all
     // interpolate the SAME QuantileSketchBins/QuantileSketchWidth constants

@@ -38,6 +38,12 @@ object Etl {
   val GdprBuckets = 1000L
   val GdprCut = 50L
 
+  /** etl_quarantine rules: minimum doc length and the serving-language
+    * allowlist — interpolated into query and oracle alike.
+    */
+  val QuarantineMinChars = 120
+  val QuarantineLangs = Seq("en", "de", "fr")
+
   /** 16-bit Morton spread (bits of x interleave into even positions),
     * generated for either engine: classic magic-mask bit spreading, four
     * shift-or-mask rounds, all BIGINT — bit-identical everywhere.
@@ -419,7 +425,29 @@ object Etl {
       report("event_type", col("event_type"))
         .unionByName(report("user_id", col("user_id")))
         .orderBy("part_key")
-    })
+    }),
+
+    // Row-level DQ quarantine (round 10) — the complement of
+    // etl_dq_checks' aggregate scorecard: rows violating any rule are
+    // EMITTED with the full list of rules they tripped, the frame a
+    // pipeline routes to a quarantine sink while the clean remainder
+    // ships. Map-only (predicates + concat_ws, which skips NULLs on both
+    // engines — the untripped CASE arms vanish), so at 100 TB this is a
+    // free rider on the ingest scan. Rules: the short-doc floor, the
+    // serving-language allowlist, and a metadata-consistency check
+    // (n_chars must equal the text's length — never fires on the
+    // fixtures, PRESENT so the multi-rule tagging is exercised against
+    // rules of both kinds).
+    "etl_quarantine" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          concat_ws(",",
+            when(col("n_chars") < QuarantineMinChars, lit("short_doc")),
+            when(!col("lang").isin(QuarantineLangs: _*), lit("lang_unsupported")),
+            when(length(col("text")) =!= col("n_chars"), lit("len_mismatch")))
+            .as("rules"))
+        .where(col("rules") =!= "")
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -546,6 +574,19 @@ object Etl {
          s"(SELECT $key AS k, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY $key)")
       rpt("event_type", "event_type") + " UNION ALL " +
         rpt("user_id", "user_id") + " ORDER BY part_key"
-    }
+    },
+
+    // concat_ws skips NULL arguments on both engines — untripped rules
+    // vanish from the tag list identically
+    "etl_quarantine" ->
+      ("SELECT doc_id, lang, n_chars, concat_ws(',', " +
+       s"CASE WHEN n_chars < $QuarantineMinChars THEN 'short_doc' END, " +
+       s"CASE WHEN lang NOT IN (${QuarantineLangs.map(l => s"'$l'").mkString(", ")}) " +
+       "THEN 'lang_unsupported' END, " +
+       "CASE WHEN length(text) != n_chars THEN 'len_mismatch' END) AS rules " +
+       "FROM documents " +
+       s"WHERE n_chars < $QuarantineMinChars " +
+       s"OR lang NOT IN (${QuarantineLangs.map(l => s"'$l'").mkString(", ")}) " +
+       "OR length(text) != n_chars ORDER BY doc_id")
   )
 }

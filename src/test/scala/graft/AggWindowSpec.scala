@@ -552,4 +552,76 @@ class AggWindowSpec extends AnyFunSuite {
       s"twap mismatch, e.g. ${(got.toSet -- expected.toSet).take(3)}")
     assert(got.nonEmpty)
   }
+
+  test("hll sketch: registers merge by max across splits and estimate tracks exact") {
+    import Aggregations.{HllRegisters, HllMaxRho}
+    def registers(df: org.apache.spark.sql.DataFrame): Map[(String, Long), Long] = {
+      // JVM reference of the register pipeline on an arbitrary event subset
+      val P = 1000000007L; val A = 2654435761L; val B = 374761393L
+      df.select(col("event_type"), col("user_id")).collect()
+        .filter(!_.isNullAt(1))
+        .map { r =>
+          val h1 = ((r.getLong(1) % P) * A + B) % P
+          val h2 = (h1 * h1) % P
+          val v = h2 / HllRegisters
+          val rho = if (v == 0) HllMaxRho
+            else java.lang.Long.numberOfTrailingZeros(v) + 1L
+          ((r.getString(0), h2 % HllRegisters), rho)
+        }
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    }
+    val events = Tables.events(spark, TestSpark.Sf001)
+    val got = SparkEntry.queries("agg_hll_sketch")(spark, TestSpark.Sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // engine output equals the JVM reference (numberOfTrailingZeros+1 is
+    // the independent form of the bin-length trick)
+    assert(got == registers(events))
+    // MERGEABILITY: registers of two disjoint halves max-merge to the full
+    // registers — the property that makes the sketch shuffle-bounded
+    val even = registers(events.where(col("event_id") % 2 === 0))
+    val odd = registers(events.where(col("event_id") % 2 === 1))
+    val merged = (even.keySet ++ odd.keySet).map(k =>
+      k -> math.max(even.getOrElse(k, 0L), odd.getOrElse(k, 0L))).toMap
+    assert(merged == got, "split registers must max-merge to the full sketch")
+    // estimate (with the standard small-range correction) within 8% of
+    // exact per event_type
+    val exact = events.where(col("user_id").isNotNull)
+      .select("event_type", "user_id").distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = HllRegisters
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    exact.foreach { case (et, n) =>
+      val regs = (0 until m).map(b => got.getOrElse((et, b.toLong), 0L))
+      val raw = alpha * m * m / regs.map(r => math.pow(2.0, -r.toDouble)).sum
+      val zeros = regs.count(_ == 0L)
+      val est = if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+      assert(math.abs(est / n - 1.0) <= 0.08,
+        f"$et: est $est%.1f vs exact $n (${100 * (est / n - 1)}%.1f%%)")
+    }
+  }
+
+  test("weighted percentiles equal a JVM cumulative-weight reference exactly") {
+    val got = SparkEntry.queries("agg_weighted_percentiles")(spark, Sf0001)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    val rows = Tables.lineitem(spark, Sf0001)
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1), BigDecimal(r.getDouble(2))))
+    val expected = rows.groupBy(_._1).map { case (flag, rs) =>
+      val byPrice = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val tot = byPrice.map(_._2).sum
+      def pick(p: Int): Double = {
+        var cum = BigDecimal(0)
+        byPrice.find { case (_, w) => cum += w; cum * 100 >= tot * p }.get._1
+      }
+      flag -> ((pick(25), pick(50), pick(75), byPrice.length.toLong))
+    }
+    assert(got == expected, "weighted percentile mismatch")
+    // ordering sanity: quartiles are monotone within each flag
+    got.values.foreach { case (p25, p50, p75, _) =>
+      assert(p25 <= p50 && p50 <= p75) }
+  }
 }

@@ -144,4 +144,35 @@ class SourcesSpec extends AnyFunSuite {
     // the purge must actually bite on the fixture
     assert(rows.values.map(_._3).sum > 0, "no rows purged — sample missed every user")
   }
+
+  test("etl_quarantine emits exactly the rule-violating docs with full tag lists") {
+    import Etl.{QuarantineMinChars, QuarantineLangs}
+    val got = SparkEntry.queries("etl_quarantine")(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "lang", "n_chars", "text").collect()
+    val expected = docs.flatMap { r =>
+      val (id, lang, n, text) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))
+      val tags = Seq(
+        if (n < QuarantineMinChars) Some("short_doc") else None,
+        if (!QuarantineLangs.contains(lang)) Some("lang_unsupported") else None,
+        if (text.length != n) Some("len_mismatch") else None).flatten
+      if (tags.isEmpty) None else Some(id -> ((lang, n, tags.mkString(","))))
+    }.toMap
+    assert(got == expected, "quarantine set or tags mismatch")
+    // both live rules must fire on the fixture, and at least one doc must
+    // trip BOTH (pins the multi-tag concat order); the consistency rule
+    // must NOT fire (the fixture metadata is clean)
+    val allTags = got.values.map(_._3).toSeq
+    assert(allTags.exists(_.contains("short_doc")))
+    assert(allTags.exists(_.contains("lang_unsupported")))
+    assert(allTags.contains("short_doc,lang_unsupported"),
+      "no doc trips both rules — multi-tag path unexercised")
+    assert(!allTags.exists(_.contains("len_mismatch")),
+      "len_mismatch fired — fixture metadata no longer consistent")
+    // and the clean remainder really is clean
+    assert(got.size < docs.length)
+  }
 }
