@@ -216,6 +216,43 @@ object Graph {
         .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
         .orderBy("deg"))
 ,
+    // Neighbor-set Jaccard link prediction (round 10) over the thresholded
+    // co-purchase graph: for every node pair with >= 1 common neighbor,
+    // |N(u)∩N(w)| / |N(u)∪N(w)| — the classic "customers also bought"
+    // candidate scorer. Common-neighbor counts come from the wedge join
+    // through the shared middle (x.v = y.v, n-ordered so each unordered
+    // pair counts once); unlike the TRIANGLE join this one cannot be
+    // degree-oriented (Jaccard needs EVERY common neighbor, not one
+    // canonical wedge per triangle), so the middle fans out by deg(v)² —
+    // bounded here by the co-order threshold, and at 100 TB the
+    // production variant caps hub middles exactly like ShingleDfCap caps
+    // hot shingles (a 10^6-degree hub contributes no usable similarity
+    // signal anyway). Top-50 on the (jaccard, u, w) total order — the
+    // division's operands are the SAME integers on both engines, so the
+    // double is bit-identical. Reads the memoized edge spill three times
+    // (sym ×2 + degrees), never recomputing the lineitem self-join.
+    "graph_jaccard_neighbors" -> ((s, d) => {
+      val sym = orientedCoEdges(s, d)
+        .select(explode(array(
+          struct(col("src").as("v"), col("dst").as("n")),
+          struct(col("dst").as("v"), col("src").as("n")))).as("x"))
+        .select(col("x.v").as("v"), col("x.n").as("n"))
+      val deg = sym.groupBy(col("v").as("node")).agg(count(lit(1)).as("deg"))
+      val cn = sym.as("x").join(sym.as("y"),
+          col("x.v") === col("y.v") && col("x.n") < col("y.n"))
+        .groupBy(col("x.n").as("u"), col("y.n").as("w"))
+        .agg(count(lit(1)).as("cn"))
+      cn.join(deg.as("du"), col("u") === col("du.node"))
+        .join(deg.as("dw"), col("w") === col("dw.node"))
+        .select(col("u"), col("w"), col("cn"),
+          col("du.deg").as("deg_u"), col("dw.deg").as("deg_w"),
+          (col("cn").cast(DoubleType) /
+            (col("du.deg") + col("dw.deg") - col("cn")).cast(DoubleType))
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("u").asc, col("w").asc)
+        .limit(50)
+    })
+,
     // Connected components of the thresholded co-purchase graph —
     // labelPropagate (the dedup clustering engine) is GRAPH-GENERIC: the
     // same O(edge-endpoints)-per-round min-label loop with adaptive
@@ -343,6 +380,22 @@ object Graph {
     "graph_degree_histogram" ->
       (EdgesCte +
        " SELECT deg, count(*) AS n_nodes FROM dg GROUP BY deg ORDER BY deg"),
+
+    // same thresholded co-purchase edge set as the triangle oracle,
+    // symmetrized; the jaccard division's integer operands are identical
+    // cross-engine so the double hash-matches
+    "graph_jaccard_neighbors" ->
+      ("WITH cs AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+       "e AS (SELECT a.p AS p1, b.p AS p2 FROM cs a JOIN cs b ON a.o = b.o AND a.p < b.p " +
+       s"GROUP BY 1, 2 HAVING count(*) >= $TriMinCoOrders), " +
+       "sym AS (SELECT p1 AS v, p2 AS n FROM e UNION ALL SELECT p2, p1 FROM e), " +
+       "dg AS (SELECT v AS node, count(*) AS deg FROM sym GROUP BY v), " +
+       "cw AS (SELECT x.n AS u, y.n AS w, count(*) AS cn FROM sym x JOIN sym y " +
+       "ON x.v = y.v AND x.n < y.n GROUP BY 1, 2) " +
+       "SELECT u, w, cn, d1.deg AS deg_u, d2.deg AS deg_w, " +
+       "CAST(cn AS DOUBLE) / CAST(d1.deg + d2.deg - cn AS DOUBLE) AS jaccard " +
+       "FROM cw JOIN dg d1 ON d1.node = u JOIN dg d2 ON d2.node = w " +
+       "ORDER BY jaccard DESC, u, w LIMIT 50"),
 
     // transitive closure over the SAME thresholded co-purchase pair set
     // the triangle oracle derives (threshold interpolated), walked by the

@@ -149,6 +149,23 @@ object ScalarFns {
         .agg(map_from_entries(collect_list(struct(col("event_type"), col("cnt")))).as("m"))
         .select(col("user_id"), explode(col("m")).as(Seq("event_type", "cnt")))
         .orderBy("user_id", "event_type"))
+,
+    // Struct create + field access (round 10 — the §2.8 nested-type demo
+    // the family lacked beside arrays and maps): a named struct built
+    // mid-plan, fields projected back out so the registered output stays
+    // scalar (the driver-harness flat-schema rule). Catalyst collapses
+    // CreateNamedStruct(...).field to the field expression, so the struct
+    // round-trip costs nothing at any scale.
+    "fn_struct" -> ((s, d) =>
+      customer(s, d)
+        .select(col("c_custkey"),
+          struct(col("c_name").as("name"), col("c_nationkey").as("nation"),
+            col("c_mktsegment").as("seg")).as("prof"))
+        .select(col("c_custkey"),
+          col("prof.name").as("prof_name"),
+          (col("prof.nation") * 2).as("nation2x"),
+          upper(col("prof.seg")).as("seg_upper"))
+        .orderBy("c_custkey"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -226,6 +243,14 @@ object ScalarFns {
     "fn_string_agg" ->
       ("SELECT c_nationkey, " +
        "array_to_string(list_sort(list(c_name))[1:5], ',') AS first_names, " +
-       "count(*) AS n FROM customer GROUP BY c_nationkey ORDER BY c_nationkey")
+       "count(*) AS n FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"),
+
+    // struct_pack + field access mirrors struct()/dot-projection
+    "fn_struct" ->
+      ("SELECT c_custkey, " +
+       "(struct_pack(name := c_name, nation := c_nationkey, seg := c_mktsegment)).name AS prof_name, " +
+       "(struct_pack(name := c_name, nation := c_nationkey, seg := c_mktsegment)).nation * 2 AS nation2x, " +
+       "upper((struct_pack(name := c_name, nation := c_nationkey, seg := c_mktsegment)).seg) AS seg_upper " +
+       "FROM customer ORDER BY c_custkey")
   )
 }

@@ -183,4 +183,31 @@ class RetrievalGraphSpec extends AnyFunSuite {
       s"kcore mismatch, e.g. ${(got.toSet -- expected.toSet).take(3)} / ${(expected.toSet -- got.toSet).take(3)}")
     assert(got.nonEmpty, "empty 2-core — fixture degenerate")
   }
+
+  test("neighbor jaccard equals a brute-force neighbor-set top-50") {
+    val got = q("graph_jaccard_neighbors").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // brute force: same thresholded edge set, full neighbor-set jaccard
+    // over every common-neighbor pair, same (jaccard desc, u, w) order
+    val li = Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { order =>
+      val ps = order.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= Graph.TriMinCoOrders).keySet
+    val nbrs = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pairs = nbrs.keySet.toSeq.sorted.combinations(2).toSeq
+      .map { case Seq(u, w) => (u, w, (nbrs(u) & nbrs(w)).size.toLong) }
+      .filter(_._3 > 0)
+      .map { case (u, w, cn) =>
+        val (du, dw) = (nbrs(u).size.toLong, nbrs(w).size.toLong)
+        (u, w, cn, du, dw, cn.toDouble / (du + dw - cn).toDouble)
+      }
+    val expected = pairs.sortBy(p => (-p._6, p._1, p._2)).take(50)
+    assert(got.toSeq == expected, "jaccard top-50 mismatch")
+    assert(expected.nonEmpty && expected.head._6 > 0.0)
+  }
 }
