@@ -742,6 +742,20 @@ object Aggregations {
     */
   val HllRegisters = 256
   val HllMaxRho = 23L
+
+  /** JVM form of the HLL register update — the same affine+mid-square +
+    * trailing-zero pipeline the agg_hll_sketch plan and its oracle
+    * interpolate, for streaming state ([[Streaming.hllStream]]) and spec
+    * references. numberOfTrailingZeros(v)+1 ≡ length(bin(v & -v)).
+    */
+  private[graft] def hllBucketRho(uid: Long): (Int, Long) = {
+    val h1 = ((uid % SketchP) * SketchA + SketchB) % SketchP
+    val h2 = (h1 * h1) % SketchP
+    val v = h2 / HllRegisters
+    val rho =
+      if (v == 0L) HllMaxRho else java.lang.Long.numberOfTrailingZeros(v) + 1L
+    ((h2 % HllRegisters).toInt, rho)
+  }
   /** Quantile-sketch bins (agg_quantile_sketch): 256 bins × width 4 cover
     * [0, 1024) — the fixture value domain tops out at ~560 (sf0.1); values
     * past the cap clamp into the last bin, so the sketch degrades (p99 of a

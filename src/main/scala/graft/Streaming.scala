@@ -396,6 +396,39 @@ object Streaming {
       }
   }
 
+  case class HllState(regs: Array[Long], nSeen: Long)
+  case class HllUpdate(event_type: String, n_seen: Long, regs: Seq[Long])
+
+  /** Streaming HLL distinct-count (round 10) — the streaming twin of
+    * `agg_hll_sketch`: per event_type the state is the 256 max(rho)
+    * registers (≤ 2 KB/key) regardless of stream length, updated with the
+    * SAME portable hash pipeline ([[Aggregations.hllBucketRho]]) the batch
+    * plan and its DuckDB oracle interpolate. max-merge is commutative and
+    * idempotent, so arrival order and batch boundaries are irrelevant —
+    * StreamingSpec feeds the corpus id-shuffled across 4 micro-batches and
+    * pins final registers EQUAL to the batch sketch, register for
+    * register. This is the canonical mergeable-sketch streaming shape: the
+    * same state merges across streams, epochs, or partitions at 100 TB.
+    */
+  def hllStream(events: Dataset[EvtRow]): Dataset[HllUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[HllState, HllUpdate](GroupStateTimeout.NoTimeout) {
+        (et: String, it: Iterator[EvtRow], state: GroupState[HllState]) =>
+          val st = state.getOption.getOrElse(
+            HllState(Array.fill(Aggregations.HllRegisters)(0L), 0L))
+          var n = st.nSeen
+          it.foreach { e =>
+            val (b, rho) = Aggregations.hllBucketRho(e.user_id)
+            if (rho > st.regs(b)) st.regs(b) = rho
+            n += 1
+          }
+          state.update(HllState(st.regs, n))
+          HllUpdate(et, n, st.regs.toSeq)
+      }
+  }
+
   def fingerprintDedupStream(docs: DataFrame): Dataset[FpUpdate] = {
     import docs.sparkSession.implicits._
     docs

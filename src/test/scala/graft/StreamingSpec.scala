@@ -453,4 +453,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch.size > 1, "single-hour fixture — chained aggregation test vacuous")
     } finally q.stop()
   }
+
+  test("streaming HLL registers converge to the batch sketch under shuffled arrival") {
+    import spark.implicits._
+    // id-shuffled arrival across 4 micro-batches: max-merge must be
+    // order- and boundary-invariant, so the final registers are EXACTLY
+    // the batch sketch's
+    val evs = Tables.events(spark, Sf0001).where(col("user_id").isNotNull)
+      .select("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => Streaming.EvtRow(r.getLong(0),
+        Timestamp.valueOf(r.getAs[java.time.LocalDateTime](1)),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+      .sortBy(e => e.event_id % 11)
+    val input = MemoryStream[Streaming.EvtRow]
+    val q = Streaming.hllStream(input.toDS())
+      .writeStream.format("memory").queryName("hll").outputMode("update").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 4)).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      }
+      // update mode: latest row per key wins (n_seen is monotone)
+      val streamed = spark.table("hll").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getSeq[Long](2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+      val batch = SparkEntry.queries("agg_hll_sketch")(spark, Sf0001).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view
+        .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (et, (n, regs)) =>
+        assert(n == evs.count(_.event_type == et), s"$et: n_seen drift")
+        val streamedRegs = regs.zipWithIndex.collect {
+          case (r, b) if r > 0 => b.toLong -> r }.toMap
+        assert(streamedRegs == batch(et),
+          s"$et register drift: ${(streamedRegs.toSet -- batch(et).toSet).take(3)}")
+      }
+    } finally q.stop()
+  }
 }
