@@ -201,7 +201,15 @@ object ProfScale {
       // (10 broadcast probes × corpus — the query-set-fixed asymmetry),
       // and the chained-aggregation trending twin
       "dedup_containment", "sim_ann_recall_eval", "stream_trending_type",
-      "window_ewma_std")
+      "window_ewma_std",
+      // round-10 additions: the common-neighbor wedge join (the one
+      // deliberately-unoriented quadratic-in-middle-degree term — the
+      // co-order threshold is its bound), the HLL register aggregation
+      // (shuffle bounded by groups × occupied registers), the weighted
+      // cumulative pick (window frame = per-group value vocabulary), the
+      // map-only rule tagger, and the temp-view SQL path
+      "graph_jaccard_neighbors", "agg_hll_sketch",
+      "agg_weighted_percentiles", "etl_quarantine", "sql_adhoc")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer
