@@ -143,6 +143,40 @@ object TextOps {
         .orderBy("shard", "bin")
     }),
 
+    // The composed pretraining-data pipeline (round 10) — the capstone a
+    // real user runs as ONE plan, not three jobs: exact-dedup to
+    // representatives (one hash shuffle on text; at 100 TB on its sha2
+    // digest — dedup_exact's note), drop low-quality docs (uniq-ratio
+    // ≥ 0.35 as the INTEGER cross-multiplication n_uniq·20 ≥ n_tok·7 —
+    // text_quality's repetitiveness axis, floored where it actually bites:
+    // it drops 20-25% of every fixture), then
+    // pack_sequences' shard-local exclusive-prefix packing over the
+    // survivors. Catalyst pipelines all three stages: dedup's aggregate
+    // feeds the filter map-side, and only survivors reach the packing
+    // shuffle. Output grain = (shard, bin) packing stats of the CLEANED
+    // corpus — diff against pack_sequences' raw-corpus stats to see the
+    // pipeline's effect.
+    "pipeline_pretrain_mini" -> ((s, d) => {
+      val cleaned = documents(s, d)
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"),
+          size(toks(col("text"))).cast(LongType).as("n_tok"),
+          size(array_distinct(toks(col("text")))).cast(LongType).as("n_uniq"))
+        .where(col("n_uniq") * 20 >= col("n_tok") * 7)
+      val byDoc = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cleaned
+        .withColumn("shard", pmod(col("doc_id"), lit(PackShards.toLong)))
+        .withColumn("off", coalesce(sum("n_tok").over(byDoc), lit(0L)))
+        .withColumn("bin", expr(s"off div $PackSeqLen"))
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").cast(LongType).as("total_tokens"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("shard", "bin")
+    }),
+
     // Context-window chunking with overlap: each doc's token stream splits
     // into chunks of 64 tokens at stride 48 (16-token overlap) — the RAG /
     // eval-context preparation step. Pure map-side generate: sequence() of
@@ -497,6 +531,22 @@ object TextOps {
        "c AS (SELECT doc_id, shard, n_tok, CAST(coalesce(sum(n_tok) OVER (" +
        "PARTITION BY shard ORDER BY doc_id " +
        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off FROM t) " +
+       s"SELECT shard, off // $PackSeqLen AS bin, count(*) AS n_docs, " +
+       "CAST(sum(n_tok) AS BIGINT) AS total_tokens, " +
+       "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
+       "FROM c GROUP BY shard, bin ORDER BY shard, bin"),
+
+    // the three verified stages chained as CTEs: dedup reps → integer
+    // quality floor → the pack_sequences chain over survivors
+    "pipeline_pretrain_mini" ->
+      ("WITH r AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text), " +
+       "q AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
+       "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq FROM r), " +
+       s"f AS (SELECT doc_id, n_tok, doc_id % $PackShards AS shard FROM q " +
+       "WHERE n_uniq * 20 >= n_tok * 7), " +
+       "c AS (SELECT doc_id, shard, n_tok, CAST(coalesce(sum(n_tok) OVER (" +
+       "PARTITION BY shard ORDER BY doc_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off FROM f) " +
        s"SELECT shard, off // $PackSeqLen AS bin, count(*) AS n_docs, " +
        "CAST(sum(n_tok) AS BIGINT) AS total_tokens, " +
        "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +

@@ -105,6 +105,37 @@ class RetrievalGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_pretrain_mini equals the composed dedup -> quality -> pack reference") {
+    import TextOps.{PackShards, PackSeqLen}
+    val got = q("pipeline_pretrain_mini").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // stage 1: exact-dedup representatives (min doc_id per text)
+    val reps = docs.groupBy(_._2).values.map(_.minBy(_._1)).toSeq
+    // stage 2: integer quality floor (uniq_ratio >= 0.35 as n_uniq*20 >= n*7)
+    val cleaned = reps.map { case (id, t) =>
+      val tk = t.split(" ", -1) // keep empties: Spark split / string_split
+      (id, tk.length.toLong, tk.distinct.length.toLong)
+    }.filter { case (_, n, u) => u * 20 >= n * 7 }
+    // stage 3: shard-local exclusive-prefix packing of the survivors
+    val expected = cleaned.map { case (id, n, _) => (id % PackShards, id, n) }
+      .groupBy(_._1).toSeq.flatMap { case (shard, rows) =>
+        var off = 0L
+        rows.sortBy(_._2).map { case (_, id, n) =>
+          val bin = off / PackSeqLen; off += n; (shard, bin, id, n)
+        }.groupBy(t => t._2).map { case (bin, ds) =>
+          (shard, bin) -> ((ds.size.toLong, ds.map(_._4).sum,
+            ds.map(_._3).min, ds.map(_._3).max))
+        }
+      }.toMap
+    assert(got == expected, "pipeline packing stats mismatch")
+    // the pipeline must actually drop something vs the raw corpus
+    assert(cleaned.size < docs.length,
+      "pipeline dropped nothing — dedup/quality stages vacuous on fixture")
+  }
+
   test("zorder buckets are tight dyadic boxes, not global-width stripes") {
     // each Z-bucket (morton >> 12) is a rectangle in (partkey, suppkey)
     // space; clustering is real iff the per-bucket bounding boxes tile the
