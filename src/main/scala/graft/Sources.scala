@@ -60,7 +60,7 @@ object Sources {
   }
 
   private val spillCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, () => String]()
 
   /** Generic per-(process, key) deterministic parquet spill — build once,
     * read thereafter from the file. The shared engine behind the
@@ -72,21 +72,29 @@ object Sources {
     * plan against a bare file scan. Key must include [[fixtureKey]] so a
     * rewritten fixture is never served a stale artifact.
     *
-    * The build runs inside computeIfAbsent, so concurrent callers with the
-    * same key build exactly once (ADVICE r9: the earlier get/putIfAbsent
-    * race let both run the expensive build and leaked the loser's spill
-    * dir). Spill dirs are never evicted — per-key-per-fixture growth is
-    * bounded by the query surface and cleaned with procDir at JVM exit,
-    * fine for a bench/verify process, not for a long-lived service.
+    * computeIfAbsent only installs a cheap per-key lazy cell — no Spark
+    * work may run under a CHM bin lock, because some builds re-enter this
+    * map (ccBaseLabels → minhashCandidates is a nested memoSpill; nesting
+    * computeIfAbsent on one CHM violates its contract and can livelock on
+    * a bin collision — ADVICE r10). The build runs when the cell is forced,
+    * synchronized per key by the lazy val's own monitor, so concurrent
+    * same-key callers still build exactly once and no loser's spill dir is
+    * ever created (closing the ADVICE r9 race without the r10 hazard).
+    * Spill dirs are never evicted — per-key-per-fixture growth is bounded
+    * by the query surface and cleaned with procDir at JVM exit, fine for a
+    * bench/verify process, not for a long-lived service.
     */
   private[graft] def memoSpill(s: SparkSession, key: String, prefix: String)(
       build: => DataFrame): DataFrame = {
-    val path = spillCache.computeIfAbsent(key, _ => {
-      val p = tmpUnique(prefix)
-      build.write.mode(SaveMode.Overwrite).parquet(p)
-      p
+    val cell = spillCache.computeIfAbsent(key, _ => {
+      lazy val p: String = {
+        val dir = tmpUnique(prefix)
+        build.write.mode(SaveMode.Overwrite).parquet(dir)
+        dir
+      }
+      () => p
     })
-    s.read.parquet(path)
+    s.read.parquet(cell())
   }
 
   val queries: Map[String, Q] = Map(
