@@ -202,6 +202,8 @@ object Similarity {
     * (cold ≈ 10 → 20 s at sf0.1, in the bench cold ledger) for +0.19
     * full-scan recall — the classic M dial traded toward recall; 8×
     * compression still makes the codes table the resident artifact.
+    * Round 11 ([[annTrainPredSql]]): training sample-bounded, full-scan
+    * recall 0.75 → 0.81 measured at sf0.1 under the sampled codebook.
     */
   private val PqM = 32
   private val PqDim = 2
@@ -212,7 +214,7 @@ object Similarity {
     * under the old one.
     */
   private[graft] def pqGeometryTag: String =
-    s"M${PqM}K${PqK}C${IvfPqK}P$IvfPqProbe"
+    s"M${PqM}K${PqK}C${IvfPqK}P${IvfPqProbe}S$AnnTrainPermille"
 
   /** IVF-PQ composite geometry (sim_ann_ivfpq): IvfPqK coarse inverted
     * lists, IvfPqProbe probed per query. The coarse metric is L2 — the
@@ -226,10 +228,33 @@ object Similarity {
     * fixed per-job floor dominates, so the bench number barely moves.
     * nprobe stays the recall/scan dial a real deployment tunes per
     * corpus; sim_ann_ivf keeps nprobe=4 as the 1/4 operating point the
-    * two composites were originally compared at.
+    * two composites were originally compared at. Round 11
+    * ([[annTrainPredSql]]): composite recall@10 measures 0.53 under the
+    * sample-trained coarse quantizer (0.62 full-corpus-trained) — the
+    * cost of placing 16 centroids from 500 of 2000 fixture vectors; at a
+    * production 100k-vector sample the placement difference vanishes
+    * while the corpus saves the Lloyd assignment pass entirely.
     */
   val IvfPqK = 16
   val IvfPqProbe = 6
+
+  /** Deterministic training-sample rule for the quantizer builds (VERDICT
+    * r10 #2): PQ codebooks and the IVF-PQ coarse centroids train — seeds
+    * AND the Lloyd refinement pass — on the multiplicative-hash sample
+    * `(vec_id * φ) % 1000 < 250` (the sample_hash_split rule with the
+    * Knuth multiplier, 25% of the corpus), then assign the FULL corpus
+    * exactly once. Nobody runs a k-means pass over 100 TB to place 256
+    * codewords: a bounded sample fixes the geometry and the corpus only
+    * pays the single assign scan. The rule is a pure-integer predicate so
+    * the DuckDB oracles interpolate the identical expression
+    * ([[pqLegCtes]]/[[ivfPqCoarseCtes]]), keeping the whole trained index
+    * under the driver's hash gate; at fixture scale 25% of sf0.1 = 500
+    * vectors still covers the PqK=256 seed ranks. Geometry-affecting, so
+    * it rides [[pqGeometryTag]] via AnnTrainPermille.
+    */
+  private val AnnTrainPermille = 250
+  private[graft] def annTrainPredSql: String =
+    s"((vec_id % $SigP) * 2654435761) % 1000 < $AnnTrainPermille"
 
   /** Multi-probe masks: all 8-bit patterns with <= 3 bits set (93).
     * Hamming radius 2 → 3 in round 6 (VERDICT r5 #7): measured recall@10
@@ -1398,20 +1423,23 @@ object Similarity {
 
   /** One-time coarse training for sim_ann_ivfpq: IvfPqK seed vectors by
     * portable-hash rank (bounded collect), one exact-decimal Lloyd round,
-    * min-L2 assignment; returns the refined centroid rows and the spilled
-    * list-assignment path.
+    * min-L2 assignment. Seeds and the Lloyd pass run on the
+    * [[annTrainPredSql]] hash-sample; only the final list assignment scans
+    * the full corpus (VERDICT r10 #2). Returns the refined centroid rows
+    * and the spilled list-assignment path.
     */
   private def trainIvfPqCoarse(s: SparkSession, d: String,
       e: DataFrame): (Seq[Seq[Double]], String) = {
     import org.apache.spark.sql.graft.VectorOps.vec_dist_sq
     import s.implicits._
     implicit val sp: SparkSession = s
-    val seedRows = e.withColumn("hk",
+    val te = e.where(expr(annTrainPredSql))
+    val seedRows = te.withColumn("hk",
         expr(s"pmod(pmod(vec_id, ${SigP}L) * ${sigA(22)}L + ${sigB(22)}L, ${SigP}L)"))
       .orderBy(col("hk"), col("vec_id")).limit(IvfPqK)
       .select(col("embedding")).as[Array[Float]].collect()
     def assign(cent: DataFrame): DataFrame = ivfPqAssign(e, cent)
-    val refinedRows = assign(centFrame(seedRows.toSeq.map(_.map(_.toDouble).toSeq)))
+    val refinedRows = ivfPqAssign(te, centFrame(seedRows.toSeq.map(_.map(_.toDouble).toSeq)))
       .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("cid", "pos")
       .agg((sum(dec(col("v"), 27, 10)).cast(DoubleType) / count(lit(1))).as("c"))
@@ -1485,7 +1513,10 @@ object Similarity {
     import org.apache.spark.sql.graft.VectorOps.vec_dist_sq
     import s.implicits._
     implicit val sp: SparkSession = s
-    val seedRows = embeddings(s, d).withColumn("hk",
+    // seeds + Lloyd on the hash-sample; only the final codes assignment
+    // below scans every vector (VERDICT r10 #2)
+    val tsubs = subs.where(expr(annTrainPredSql))
+    val seedRows = embeddings(s, d).where(expr(annTrainPredSql)).withColumn("hk",
         expr(s"pmod(pmod(vec_id, ${SigP}L) * ${sigA(21)}L + ${sigB(21)}L, ${SigP}L)"))
       .orderBy(col("hk"), col("vec_id")).limit(PqK)
       .select(col("embedding")).as[Array[Float]].collect()
@@ -1497,8 +1528,8 @@ object Similarity {
     // aggregate carries ONLY the winning code — dragging the sub-vector
     // array through the n*M*K-row aggregation state measured 3× slower
     // at sf0.1; the Lloyd step re-attaches sub with a cheap n*M-row join
-    def assign(cb: DataFrame): DataFrame =
-      subs.join(cb, "m")
+    def assign(cb: DataFrame, src: DataFrame): DataFrame =
+      src.join(cb, "m")
         .select(col("vec_id"), col("m"), col("code"),
           vec_dist_sq(col("sub"), col("cw")).as("dist"))
         .groupBy("vec_id", "m")
@@ -1506,8 +1537,8 @@ object Similarity {
     // one Lloyd refinement: exact-decimal per-dimension means per
     // (subspace, code); codes that lose every member simply drop out —
     // mirrored by the oracle's GROUP BY, no re-indexing needed
-    val refined = assign(cb0)
-      .join(subs, Seq("vec_id", "m"))
+    val refined = assign(cb0, tsubs)
+      .join(tsubs, Seq("vec_id", "m"))
       .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
       .groupBy("m", "code", "pos")
       .agg((sum(dec(col("v"), 27, 10)).cast(DoubleType) / count(lit(1))).as("c"))
@@ -1515,7 +1546,7 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cw"))
       .as[(Int, Int, Seq[Double])].collect()
     val path = Sources.tmpUnique("pq_codes")
-    assign(cbFrame(refined.toSeq))
+    assign(cbFrame(refined.toSeq), subs)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
     (refined.toSeq, path)
   }
@@ -1725,25 +1756,29 @@ object Similarity {
     */
   private def pqLegCtes: String = {
     val hk = s"((vec_id % $SigP) * ${sigA(21)} + ${sigB(21)}) % $SigP"
-    def assignCte(cb: String): String =
+    def assignCte(cb: String, src: String): String =
       s"(SELECT vec_id, m, sub, code FROM (SELECT s.vec_id, s.m, s.sub, c.code, " +
-      s"${oDistE("s.sub", "c.cw")} AS dist FROM subs s JOIN $cb c ON c.m = s.m) t " +
+      s"${oDistE("s.sub", "c.cw")} AS dist FROM $src s JOIN $cb c ON c.m = s.m) t " +
       "QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, code ASC) = 1)"
     s"ms AS (SELECT CAST(unnest(range(0, $PqM)) AS INT) AS m), " +
     "subs AS (SELECT vec_id, m, " +
     s"embedding[m * $PqDim + 1 : m * $PqDim + $PqDim] AS sub " +
     "FROM embeddings CROSS JOIN ms), " +
+    // seeds + Lloyd restricted to the annTrainPredSql hash-sample — the
+    // exact mirror of trainPq's sample-bounded training pass
+    s"tsubs AS (SELECT * FROM subs WHERE $annTrainPredSql), " +
     "sd AS (SELECT embedding AS ce, CAST(row_number() OVER (ORDER BY hk, vec_id) AS INT) AS code " +
-    s"FROM (SELECT vec_id, embedding, $hk AS hk FROM embeddings) ORDER BY hk, vec_id LIMIT $PqK), " +
+    s"FROM (SELECT vec_id, embedding, $hk AS hk FROM embeddings WHERE $annTrainPredSql) " +
+    s"ORDER BY hk, vec_id LIMIT $PqK), " +
     "cb0 AS (SELECT m, code, " +
     s"list_transform(ce[m * $PqDim + 1 : m * $PqDim + $PqDim], x -> CAST(x AS DOUBLE)) AS cw " +
     "FROM sd CROSS JOIN ms), " +
-    s"a1 AS ${assignCte("cb0")}, " +
+    s"a1 AS ${assignCte("cb0", "tsubs")}, " +
     s"cm AS (SELECT m, code, pos, ${oDbl("SUM(CAST(v AS DECIMAL(27,10)))")} / count(*) AS c " +
     "FROM (SELECT m, code, unnest(sub) AS v, " +
     "unnest(generate_series(1, len(sub))) AS pos FROM a1) GROUP BY m, code, pos), " +
     "cb1 AS (SELECT m, code, list(c ORDER BY pos) AS cw FROM cm GROUP BY m, code), " +
-    s"a2 AS ${assignCte("cb1")}"
+    s"a2 AS ${assignCte("cb1", "subs")}"
   }
 
   /** Per-query ADC lookup-table CTE — SQL mirror of [[pqLut]]. */
@@ -1792,11 +1827,15 @@ object Similarity {
   private[graft] def ivfPqCoarseCtes: String = {
     val khk = s"((vec_id % $SigP) * ${sigA(22)} + ${sigB(22)}) % $SigP"
     "ke AS (SELECT vec_id, embedding FROM embeddings), " +
+    // seeds + Lloyd on the annTrainPredSql hash-sample (kte), final list
+    // assignment (kb2) over the full corpus — trainIvfPqCoarse's mirror
+    s"kte AS (SELECT vec_id, embedding FROM ke WHERE $annTrainPredSql), " +
     "ksd AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce, " +
     "CAST(row_number() OVER (ORDER BY hk, vec_id) AS INT) AS cid " +
-    s"FROM (SELECT vec_id, embedding, $khk AS hk FROM embeddings) ORDER BY hk, vec_id LIMIT $IvfPqK), " +
+    s"FROM (SELECT vec_id, embedding, $khk AS hk FROM embeddings WHERE $annTrainPredSql) " +
+    s"ORDER BY hk, vec_id LIMIT $IvfPqK), " +
     "kb1 AS (SELECT vec_id, embedding, cid FROM (SELECT e.vec_id, e.embedding, c.cid, " +
-    s"${oDistE("e.embedding", "c.ce")} AS dd FROM ke e CROSS JOIN ksd c) t " +
+    s"${oDistE("e.embedding", "c.ce")} AS dd FROM kte e CROSS JOIN ksd c) t " +
     "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd ASC, cid ASC) = 1), " +
     s"kcm AS (SELECT cid, pos, ${oDbl("SUM(CAST(v AS DECIMAL(27,10)))")} / count(*) AS c " +
     "FROM (SELECT cid, unnest(embedding) AS v, " +
