@@ -241,4 +241,25 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(got.toSeq == expected, "jaccard top-50 mismatch")
     assert(expected.nonEmpty && expected.head._6 > 0.0)
   }
+
+  test("jaccard middle-degree cap binds on a degenerate hub (VERDICT r10 #3)") {
+    // Star: hub 1000 ↔ leaves 1..100 (hub degree 100 > JaccardMidDegCap)
+    // plus one low-degree path 200—201—202. Every fixture degree is far
+    // below the cap, so this synthetic graph is the only place the cap's
+    // behavior is observable: without it the hub middle emits C(100,2) =
+    // 4950 leaf pairs; with it the ONLY wedge routes through node 201.
+    import spark.implicits._
+    val hub = 1000L
+    val undirected = (1L to 100L).map(l => (hub, l)) ++ Seq((200L, 201L), (201L, 202L))
+    val sym = undirected.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("v", "n")
+    val got = Graph.jaccardCore(sym).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // 200 and 202 each have degree 1 (their one neighbor is 201); cn = 1
+    // through the middle 201 → jaccard 1/(1+1-1) = 1.0
+    assert(got.toSeq == Seq((200L, 202L, 1L, 1L, 1L, 1.0)),
+      s"capped wedge set wrong: ${got.toSeq.take(5)}")
+    assert(!got.exists(p => p._1 <= 100L && p._2 <= 100L),
+      "hub-middle leaf pairs leaked past the degree cap")
+  }
 }
