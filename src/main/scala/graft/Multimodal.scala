@@ -182,9 +182,11 @@ object Multimodal {
     // Perceptual-hash near-dup over the binary payload — the multimodal
     // dedup path (round 7; real integer DCT since round 10, VERDICT r9
     // #4). Signature = a REAL pHash: the payload's first PhashWindow
-    // bytes form a zero-padded 8×8 block-brightness grid (8-byte cells,
-    // the crop-to-canonical-raster step a real image pipeline does with a
-    // resize — fakeDecode's contract, no codec libs here), an 8×8
+    // characters (codepoints via ascii(); chars = bytes on the ASCII
+    // fixture corpus) form a zero-padded 8×8 block-brightness grid
+    // (8-char cells, the crop-to-canonical-raster step a real image
+    // pipeline does with a resize — fakeDecode's contract, no codec libs
+    // here), an 8×8
     // fixed-point DCT-II (integer cosine table, scale 8192, interpolated
     // VERBATIM into query, oracle, and spec — the chi-square/LSH-planes
     // precedent) transforms it, and bit k = sign of the k-th AC
@@ -252,15 +254,19 @@ object Multimodal {
       phashOf(s, documents(s, d).select("doc_id", "text"))
     }
 
-  /** The integer 8×8 DCT pHash of each doc's binary payload (round 10):
-    * crop to the first PhashWindow bytes, sum into 64 zero-padded 8-byte
-    * cells (zero-padding means a positive scale factor, so cell SUMS carry
-    * the same coefficient signs as cell means — no division anywhere),
-    * separable two-pass DCT-II against the broadcast integer cosine table,
-    * then 60 sign bits from the AC coefficients in row-major order. All
-    * LongType: |C| ≤ 64·(8·255)·8192² ≈ 8.8e12, far inside Long. Takes
-    * (doc_id, text) so the spec can drive it on perturbed payloads, not
-    * just the fixture corpus.
+  /** The integer 8×8 DCT pHash of each doc's payload (round 10): crop to
+    * the first PhashWindow CHARACTERS of the decoded text — both engines
+    * substring by character and ascii() yields the full codepoint, so for
+    * non-ASCII payloads cells are codepoint sums; on the ASCII fixture
+    * corpus characters coincide with bytes (ADVICE r10). Sum into 64
+    * zero-padded 8-char cells (zero-padding means a positive scale
+    * factor, so cell SUMS carry the same coefficient signs as cell means
+    * — no division anywhere), separable two-pass DCT-II against the
+    * broadcast integer cosine table, then 60 sign bits from the AC
+    * coefficients in row-major order. All LongType: with max codepoint
+    * 0x10FFFF, |C| ≤ 64·(8·0x10FFFF)·8192² ≈ 3.8e16, far inside Long.
+    * Takes (doc_id, text) so the spec can drive it on perturbed payloads,
+    * not just the fixture corpus.
     */
   private[graft] def phashOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
@@ -423,7 +429,8 @@ object Multimodal {
   )
 
   /** Shared phash pair CTE chain (b0 → cl → dt → rt → ct → sg → ks → bd →
-    * p): windowed byte cells, the literal DCT cosine table, the separable
+    * p): windowed character cells (codepoint sums — see [[phashOf]]'s
+    * framing note), the literal DCT cosine table, the separable
     * two-pass integer DCT, sign-bit signature, pigeonhole bands, band
     * equi-join candidates with both phashes carried for the Hamming
     * verification. Mirrors [[phashOf]] stage for stage with the SAME
