@@ -136,6 +136,61 @@ class RetrievalGraphSpec extends AnyFunSuite {
       "pipeline dropped nothing — dedup/quality stages vacuous on fixture")
   }
 
+  test("pipeline_pretrain_full composes five verified stages, each dropping docs") {
+    import TextOps.{PackShards, PackSeqLen}
+    import TestSpark.Sf01
+    // sf0.1, not the usual sf0.001: the smaller fixtures have no exact-dup
+    // texts at all (only sf0.1 carries them), and the stage-drop
+    // accounting below requires every stage to bite
+    val got = SparkEntry.queries("pipeline_pretrain_full")(spark, Sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val docs = Tables.documents(spark, Sf01).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // stage 1: exact-dedup representatives (min doc_id per text)
+    val reps = docs.groupBy(_._2).values.map(_.minBy(_._1)).toSeq
+    val repIds = reps.map(_._1).toSet
+    // stage 2: near-dedup — drop a rep linked by a verified Jaccard>=0.8
+    // pair to a SMALLER rep. The pair frame comes from the independently
+    // driver-verified band index (dedup_near_minhash's oracle row), so
+    // this spec pins the COMPOSITION, not the pair derivation.
+    val pairs = Similarity.minhashCandidates(spark, Sf01, 0.8)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nearDropped = pairs.collect { case (a, b) if repIds(a) => b }.toSet
+    val near = reps.filterNot(r => nearDropped(r._1))
+    // stage 3: the probe set (doc_id < 50) leaves the corpus, and any doc
+    // sharing an 8-shingle with it drops (text_decontaminate's verified
+    // output is the contaminated-id reference)
+    val cont = SparkEntry.queries("text_decontaminate")(spark, Sf01)
+      .collect().map(_.getLong(0)).toSet
+    val decon = near.filter(r => r._1 >= 50 && !cont(r._1))
+    // stage 4: integer quality floor
+    val cleaned = decon.map { case (id, t) =>
+      val tk = t.split(" ", -1)
+      (id, tk.length.toLong, tk.distinct.length.toLong)
+    }.filter { case (_, n, u) => u * 20 >= n * 7 }
+    // stage 5: shard-local exclusive-prefix packing of the survivors
+    val expected = cleaned.map { case (id, n, _) => (id % PackShards, id, n) }
+      .groupBy(_._1).toSeq.flatMap { case (shard, rows) =>
+        var off = 0L
+        rows.sortBy(_._2).map { case (_, id, n) =>
+          val bin = off / PackSeqLen; off += n; (shard, bin, id, n)
+        }.groupBy(t => t._2).map { case (bin, ds) =>
+          (shard, bin) -> ((ds.size.toLong, ds.map(_._4).sum,
+            ds.map(_._3).min, ds.map(_._3).max))
+        }
+      }.toMap
+    assert(got == expected, "full-pipeline packing stats mismatch")
+    // stage-drop accounting: every stage must bite on the fixture — a
+    // vacuous stage means the composition no longer exercises its operator
+    info(s"docs=${docs.length} exact=${reps.size} near=${near.size} " +
+      s"decontam=${decon.size} quality=${cleaned.size}")
+    assert(reps.size < docs.length, "exact-dedup stage vacuous")
+    assert(near.size < reps.size, "near-dedup stage vacuous")
+    assert(decon.size < near.size, "probe/decontamination stage vacuous")
+    assert(cleaned.size < decon.size, "quality stage vacuous")
+  }
+
   test("zorder buckets are tight dyadic boxes, not global-width stripes") {
     // each Z-bucket (morton >> 12) is a rectangle in (partkey, suppkey)
     // space; clustering is real iff the per-bucket bounding boxes tile the
