@@ -311,41 +311,27 @@ object Aggregations {
       // sketch replaces an exact word count whose key space won't fit;
       // here the estimates for the 20 globally-hottest words are emitted,
       // scalatest bounds them against the exact counts, AND (round 5) the
-      // whole sketch is DuckDB-oracle-verified: the hash family is the
-      // PORTABLE polynomial fold (text_fingerprint's machinery, mod 1e9+7)
-      // row-seeded as ((base * A_r + B_r) % p) % w — all non-negative
-      // integer arithmetic, bit-identical cross-engine, so a sketch op no
+      // whole sketch is DuckDB-oracle-verified via the portable [[cmPolyFold]]/
+      // [[cmBucket]] hash family (see the Cm* constants' doc for the
+      // geometry and the large-multiplier requirement), so a sketch op no
       // longer has to hide behind rows-only verification the way the
-      // xxhash-seeded ones do (D5). The per-row multipliers MUST be large
-      // (the public xxhash/murmur mixing primes): with small multipliers
-      // like 2r+1, the four row-hashes are near-proportional transforms of
-      // the same base, a pair colliding in one row tends to collide in all
-      // four, and the min-over-rows stops cancelling collisions (measured:
-      // est 2× over the eps·N bound on the sf0.001 vocabulary).
-      val rows = 4
-      val width = 256
-      val P = 1000000007L
-      val A = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
-      val B = Seq(0L, 374761393L, 3042594569L, 1541459225L)
-      val polyFold = "aggregate(transform(split(w, ''), c -> ascii(c)), 0L, " +
-        s"(acc, x) -> pmod(acc * 31 + x, ${P}L))"
-      def bucket(r: Int) = pmod(
-        pmod(col("base") * lit(A(r)) + lit(B(r)), lit(P)),
-        lit(width.toLong))
+      // xxhash-seeded ones do (D5). Since round 11 the add-mergeable cells
+      // also back the streaming twin [[Streaming.cmStream]].
       val words = documents(s, d)
         .select(explode(split(col("text"), " ")).as("w"))
-      val hashed = words.withColumn("base", expr(polyFold))
+      val hashed = words.withColumn("base", expr(cmPolyFold))
       val cells = hashed.select(col("w"),
-          posexplode(array((0 until rows).map(bucket): _*)).as(Seq("r", "bucket")))
+          posexplode(array((0 until CmRows).map(r => cmBucket(r, col("base"))): _*))
+            .as(Seq("r", "bucket")))
         .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
       // query the sketch for the top-20 exact words (the realistic flow:
       // candidate keys come from a sample or a prior pass)
       val top = words.groupBy("w").agg(count(lit(1)).as("true_cnt"))
         .orderBy(col("true_cnt").desc, col("w").asc).limit(20)
-      top.withColumn("base", expr(polyFold))
+      top.withColumn("base", expr(cmPolyFold))
         .select(col("w"), col("true_cnt"),
-          posexplode(array((0 until rows).map(r =>
-            struct(lit(r).as("r"), bucket(r).as("bucket"))): _*))
+          posexplode(array((0 until CmRows).map(r =>
+            struct(lit(r).as("r"), cmBucket(r, col("base")).as("bucket"))): _*))
             .as(Seq("i", "rb")))
         .select(col("w"), col("true_cnt"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
         .join(cells, Seq("r", "bucket"))
@@ -768,6 +754,38 @@ object Aggregations {
   private val SketchP = 1000000007L
   private val SketchA = 2654435761L
   private val SketchB = 374761393L
+
+  /** Count-min geometry + portable hash family (agg_heavy_hitters and its
+    * streaming twin [[Streaming.cmStream]]): CmRows seeded hash rows ×
+    * CmWidth buckets; base = the polynomial char fold mod 1e9+7
+    * (text_fingerprint's machinery), row hash = ((base·A_r + B_r) mod p)
+    * mod w — all non-negative integer arithmetic, bit-identical across
+    * Spark, DuckDB, and the JVM forms below. The per-row multipliers MUST
+    * be large (the public xxhash/murmur mixing primes): with small
+    * multipliers like 2r+1 the four row-hashes are near-proportional
+    * transforms of the same base, a pair colliding in one row tends to
+    * collide in all four, and the min-over-rows stops cancelling
+    * collisions (measured: est 2× over the eps·N bound on the sf0.001
+    * vocabulary).
+    */
+  val CmRows = 4
+  val CmWidth = 256
+  private[graft] val CmA = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+  private[graft] val CmB = Seq(0L, 374761393L, 3042594569L, 1541459225L)
+  private[graft] val CmP = 1000000007L
+  private[graft] def cmPolyFold: String =
+    "aggregate(transform(split(w, ''), c -> ascii(c)), 0L, " +
+    s"(acc, x) -> pmod(acc * 31 + x, ${CmP}L))"
+  private[graft] def cmBucket(r: Int, base: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(pmod(base * lit(CmA(r)) + lit(CmB(r)), lit(CmP)), lit(CmWidth.toLong))
+  /** JVM forms of the same fold/bucket — streaming state and spec
+    * references. base < p and A_r < 3.3e9, so base·A_r < 3.3e18 stays
+    * inside Long exactly as in the column form.
+    */
+  private[graft] def cmBaseOf(w: String): Long =
+    w.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % CmP)
+  private[graft] def cmBucketOf(r: Int, base: Long): Int =
+    (((base * CmA(r) + CmB(r)) % CmP) % CmWidth).toInt
 
   /** Per-returnflag exact-decimal sufficient statistics (n, Σx, Σy, Σx²,
     * Σy², Σxy) for x = l_quantity, y = l_extendedprice — ONE partial+final

@@ -490,4 +490,43 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming count-min cells converge to the batch sketch under shuffled arrival") {
+    import spark.implicits._
+    // doc-shuffled arrival across 4 micro-batches: cell ADDITION is
+    // commutative, so the final cells — and hence every min-over-rows
+    // estimate — must equal the batch sketch's exactly
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(t => (t._1 * 2654435761L) % 1000003L)
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.cmStream(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cmsketch").outputMode("update").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 4)).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      }
+      // update mode: latest row per sketch row wins (n_seen is monotone)
+      val cells = spark.table("cmsketch").collect()
+        .map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Long](2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)._2).toMap
+      assert(cells.keySet == (0 until Aggregations.CmRows).toSet,
+        s"missing sketch rows: ${cells.keySet}")
+      // conservation: every row's cell mass counts every token once
+      val totalTokens = docs.map(_._2.split(" ", -1).length.toLong).sum
+      cells.values.foreach(cs => assert(cs.sum == totalTokens, "cell mass drift"))
+      // the estimates READ FROM THE STREAMED CELLS must equal the batch
+      // operator's est_cnt for its top-20 words — batch-equal at the
+      // observable level, pinned through the JVM form of the same hashes
+      val batch = SparkEntry.queries("agg_heavy_hitters")(spark, Sf0001).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(batch.nonEmpty)
+      batch.foreach { case (w, _, est) =>
+        val base = Aggregations.cmBaseOf(w)
+        val streamedEst = (0 until Aggregations.CmRows)
+          .map(r => cells(r)(Aggregations.cmBucketOf(r, base))).min
+        assert(streamedEst == est, s"'$w': streamed $streamedEst != batch $est")
+      }
+    } finally q.stop()
+  }
 }
