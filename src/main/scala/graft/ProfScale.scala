@@ -209,7 +209,11 @@ object ProfScale {
       // cumulative pick (window frame = per-group value vocabulary), the
       // map-only rule tagger, and the temp-view SQL path
       "graph_jaccard_neighbors", "agg_hll_sketch",
-      "agg_weighted_percentiles", "etl_quarantine", "sql_adhoc")
+      "agg_weighted_percentiles", "etl_quarantine", "sql_adhoc",
+      // round 11 (VERDICT r10 #6): the persisted-index write path —
+      // training is memoized from warmup's ensure(), so this times the
+      // codes/lists artifact writes, the corpus-linear term of a rebuild
+      "ann_index_build")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer
