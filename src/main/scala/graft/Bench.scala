@@ -151,6 +151,11 @@ object Bench {
     // ledgers follow (they survive a raw tail even if the driver's filter
     // drops them); the machine-read total stays the LAST line and now
     // carries the capped ledgers itself.
+    // spill-footprint diagnostic (VERDICT r10 #8) — stderr, never the
+    // driver-parsed stdout
+    val (spillFiles, spillBytes) = Sources.spillFootprint()
+    System.err.println(
+      f"[bench] spill footprint: $spillFiles files, ${spillBytes / 1e6}%.1f MB under the per-process tmp dir")
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"cold","cold":$colds,"sf":"$sfDir"}""")
     println(s"""{"metric":"gc","gc":$gcs,"sf":"$sfDir"}""")

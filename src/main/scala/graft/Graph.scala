@@ -74,6 +74,9 @@ object Graph {
     */
   private val edgeSpill = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // both path caches clear on the opt-in spill eviction (VERDICT r10 #8)
+  Sources.onSpillEvict(() => { edgeSpill.clear(); triSpill.clear() })
+
   def pagerank(s: SparkSession, d: String): DataFrame = {
     // The edge list is referenced once per iteration plus once for the
     // rank seed — spill it to parquet ONCE and read it back, so the

@@ -295,6 +295,13 @@ object Similarity {
   private val minhashIndexCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, String)]()
 
+  // every spill-path cache in this object clears on the opt-in eviction
+  // (VERDICT r10 #8) so no entry can outlive its directory
+  Sources.onSpillEvict(() => {
+    minhashIndexCache.clear(); fpIndexCache.clear()
+    jaccardShingleCache.clear(); ivfPqCoarseCache.clear(); pqIndexCache.clear()
+  })
+
   private def minhashIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val key = Sources.fixtureKey(d, "documents")
     val cached = minhashIndexCache.get(key)
@@ -1258,10 +1265,14 @@ object Similarity {
       import s.implicits._
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
         vec_norm(col("embedding")).as("nrm"))
+      // seeds + Lloyd on the annTrainPredSql hash-sample, like the PQ/
+      // IVF-PQ trainers (round 11) — only the final list assignment scans
+      // every vector
+      val te = e.where(expr(annTrainPredSql))
       // K=16 seed vectors by portable-hash rank (TakeOrdered, then a 16-ROW
       // collect — the provably-bounded "centroids" side the no-driver-
       // collect rule explicitly sanctions; never the table itself)
-      val seedRows = e.withColumn("hk",
+      val seedRows = te.withColumn("hk",
         expr(s"pmod(pmod(vec_id, ${SigP}L) * ${sigA(20)}L + ${sigB(20)}L, ${SigP}L)"))
         .orderBy(col("hk"), col("vec_id")).limit(16)
         .select(col("embedding")).as[Array[Float]].collect()
@@ -1271,8 +1282,8 @@ object Similarity {
       // assign every vector to its max-cosine centroid (16-way broadcast
       // comparison, ties to the lower cid). max_by keeps this a hash
       // aggregate with map-side partials — no shuffle-and-sort window.
-      def assign(cent: DataFrame): DataFrame =
-        e.crossJoin(broadcast(cent))
+      def assign(src: DataFrame, cent: DataFrame): DataFrame =
+        src.crossJoin(broadcast(cent))
           .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
             (vec_dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("cc"))
           .groupBy("vec_id")
@@ -1282,7 +1293,7 @@ object Similarity {
       // one Lloyd refinement: exact-decimal per-dimension means of each
       // list; again a 16-row collect so the quantizer pipeline runs once
       // instead of once per consuming branch
-      val refinedRows = assign(centFrame(seedRows.toSeq))
+      val refinedRows = assign(te, centFrame(seedRows.toSeq))
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cid", "pos")
         .agg((sum(dec(col("v"), 27, 10)).cast(DoubleType) / count(lit(1))).as("c"))
@@ -1291,7 +1302,7 @@ object Similarity {
         .orderBy("cid")
         .select(col("ce")).as[Array[Float]].collect()
       val refined = centFrame(refinedRows.toSeq)
-      val lists = assign(refined) // carries vec_id, embedding, nrm, cid
+      val lists = assign(e, refined) // carries vec_id, embedding, nrm, cid
       // queries probe the nprobe=4 nearest refined centroids' lists
       val q = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
@@ -1768,23 +1779,27 @@ object Similarity {
     */
   private def annIvfOracle: String = {
     val hk = s"((vec_id % $SigP) * ${sigA(20)} + ${sigB(20)}) % $SigP"
-    def assignCte(cent: String): String =
+    def assignCte(src: String, cent: String): String =
       s"(SELECT vec_id, embedding, nrm, cid FROM (SELECT e.vec_id, e.embedding, e.nrm, $cent.cid, " +
       s"${oDotE("e.embedding", s"$cent.ce")} / (e.nrm * $cent.cn) AS cc " +
-      s"FROM e CROSS JOIN $cent) t " +
+      s"FROM $src e CROSS JOIN $cent) t " +
       "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) = 1)"
     s"WITH e AS (SELECT t.vec_id, t.embedding, ${oNorm("t")} AS nrm FROM embeddings t), " +
+    // seeds + Lloyd restricted to the annTrainPredSql hash-sample (te) —
+    // the round-11 sample-bounded training mirror; b2 assigns the corpus
+    s"te AS (SELECT * FROM e WHERE $annTrainPredSql), " +
     "sd AS (SELECT embedding AS ce, CAST(row_number() OVER (ORDER BY hk, vec_id) AS INT) AS cid " +
-    s"FROM (SELECT vec_id, embedding, $hk AS hk FROM embeddings) ORDER BY hk, vec_id LIMIT 16), " +
+    s"FROM (SELECT vec_id, embedding, $hk AS hk FROM embeddings WHERE $annTrainPredSql) " +
+    "ORDER BY hk, vec_id LIMIT 16), " +
     s"c0 AS (SELECT cid, ce, ${oNormE("ce")} AS cn FROM sd), " +
-    s"b1 AS ${assignCte("c0")}, " +
+    s"b1 AS ${assignCte("te", "c0")}, " +
     s"cm AS (SELECT cid, pos, ${oDbl("SUM(CAST(v AS DECIMAL(27,10)))")} / count(*) AS c " +
     "FROM (SELECT cid, unnest(embedding) AS v, " +
     "unnest(generate_series(1, len(embedding))) AS pos FROM b1) GROUP BY cid, pos), " +
     "rc AS (SELECT cid, list(CAST(c AS FLOAT) ORDER BY pos) AS ce FROM cm GROUP BY cid), " +
     "c1 AS (SELECT CAST(row_number() OVER (ORDER BY cid) AS INT) AS cid, ce, " +
     s"${oNormE("ce")} AS cn FROM rc), " +
-    s"b2 AS ${assignCte("c1")}, " +
+    s"b2 AS ${assignCte("e", "c1")}, " +
     "q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 10), " +
     "pb AS (SELECT qid, qe, qn, cid FROM (SELECT q.qid, q.qe, q.qn, c1.cid, " +
     s"${oDotE("q.qe", "c1.ce")} / (q.qn * c1.cn) AS qc FROM q CROSS JOIN c1) t " +

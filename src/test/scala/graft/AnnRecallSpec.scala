@@ -55,6 +55,7 @@ class AnnRecallSpec extends AnyFunSuite {
     // guards the probe plumbing (a broken list assignment would crater it).
     // Measured 0.46 with the round-6 portable seed hash (deterministic);
     // floor raised 0.2 → 0.35 to pin the healthier operating point.
+    // Round 11: 0.48 under sample-bounded training (annTrainPredSql).
     assert(mean >= 0.35, f"IVF recall collapsed: $mean%.3f")
   }
 

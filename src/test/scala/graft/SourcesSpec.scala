@@ -175,4 +175,21 @@ class SourcesSpec extends AnyFunSuite {
     // and the clean remainder really is clean
     assert(got.size < docs.length)
   }
+
+  test("evictSpills drops every spill and memoized access rebuilds (VERDICT r10 #8)") {
+    // build at least one memoized spill, then evict between queries (the
+    // documented contract: no live frames), then prove a fresh access
+    // rebuilds the identical deterministic content
+    val before = Similarity.minhashCandidates(spark, Sf0001, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (files0, bytes0) = Sources.spillFootprint()
+    assert(files0 > 0 && bytes0 > 0, "no spills present — eviction test vacuous")
+    Sources.evictSpills()
+    val (files1, bytes1) = Sources.spillFootprint()
+    assert(files1 == 0 && bytes1 == 0,
+      s"eviction left $files1 files / $bytes1 bytes behind")
+    val after = Similarity.minhashCandidates(spark, Sf0001, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before, "rebuilt spill content drifted from the original")
+  }
 }
