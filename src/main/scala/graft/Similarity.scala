@@ -214,7 +214,7 @@ object Similarity {
     * under the old one.
     */
   private[graft] def pqGeometryTag: String =
-    s"M${PqM}K${PqK}C${IvfPqK}P${IvfPqProbe}S$AnnTrainPermille"
+    s"M${PqM}K${PqK}C${IvfPqK}P${IvfPqProbe}S${AnnTrainPermille}L$IvfPqLloydRounds"
 
   /** IVF-PQ composite geometry (sim_ann_ivfpq): IvfPqK coarse inverted
     * lists, IvfPqProbe probed per query. The coarse metric is L2 — the
@@ -255,6 +255,17 @@ object Similarity {
   private val AnnTrainPermille = 250
   private[graft] def annTrainPredSql: String =
     s"((vec_id % $SigP) * 2654435761) % 1000 < $AnnTrainPermille"
+
+  /** Lloyd rounds for the IVF-PQ coarse quantizer — each round is one
+    * assign + exact-decimal means over the TRAINING SAMPLE only, so extra
+    * rounds cost O(sample), never a corpus scan. Measured at sf0.1
+    * (round 11): rounds=2 DROPPED composite recall@10 0.53 → 0.50 — on
+    * uniform random vectors (no cluster structure) extra Lloyd rounds
+    * only jitter the centroids, they cannot grow the probed fraction
+    * that recall tracks, so 1 round stays the operating point.
+    * Geometry-affecting (rides [[pqGeometryTag]]).
+    */
+  private[graft] val IvfPqLloydRounds = 1
 
   /** Multi-probe masks: all 8-bit patterns with <= 3 bits set (93).
     * Hamming radius 2 → 3 in round 6 (VERDICT r5 #7): measured recall@10
@@ -1506,19 +1517,25 @@ object Similarity {
         expr(s"pmod(pmod(vec_id, ${SigP}L) * ${sigA(22)}L + ${sigB(22)}L, ${SigP}L)"))
       .orderBy(col("hk"), col("vec_id")).limit(IvfPqK)
       .select(col("embedding")).as[Array[Float]].collect()
-    def assign(cent: DataFrame): DataFrame = ivfPqAssign(e, cent)
-    val refinedRows = ivfPqAssign(te, centFrame(seedRows.toSeq.map(_.map(_.toDouble).toSeq)))
-      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("cid", "pos")
-      .agg((sum(dec(col("v"), 27, 10)).cast(DoubleType) / count(lit(1))).as("c"))
-      .groupBy("cid")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("ce"))
-      .orderBy("cid")
-      .select(col("ce")).as[Seq[Double]].collect()
+    // one Lloyd round over the sample = one assign + exact-decimal means;
+    // run IvfPqLloydRounds of them (sample-only — the corpus never pays)
+    def lloyd(cent: DataFrame): Seq[Seq[Double]] =
+      ivfPqAssign(te, cent)
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg((sum(dec(col("v"), 27, 10)).cast(DoubleType) / count(lit(1))).as("c"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("ce"))
+        .orderBy("cid")
+        .select(col("ce")).as[Seq[Double]].collect().toSeq
+    val refinedRows = (1 to IvfPqLloydRounds).foldLeft(
+      seedRows.toSeq.map(_.map(_.toDouble).toSeq)) {
+      (cent, _) => lloyd(centFrame(cent))
+    }
     val path = Sources.tmpUnique("ivfpq_lists")
-    assign(centFrame(refinedRows.toSeq)).select("vec_id", "cid")
+    ivfPqAssign(e, centFrame(refinedRows)).select("vec_id", "cid")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
-    (refinedRows.toSeq, path)
+    (refinedRows, path)
   }
 
   /** Per-(process, fixture) PQ index cache (fingerprint-keyed like
