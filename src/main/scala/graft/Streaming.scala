@@ -476,6 +476,42 @@ object Streaming {
       }
   }
 
+  case class QsState(bins: Array[Long], nSeen: Long)
+  case class QsUpdate(event_type: String, n_seen: Long, bins: Seq[Long])
+
+  /** Streaming quantile sketch (round 11) — the third mergeable-sketch
+    * twin, completing the family: HLL registers merge by MAX
+    * ([[hllStream]]), count-min cells and these histogram bins merge by
+    * ADDITION ([[cmStream]] / here). Per event_type the state is the
+    * QuantileSketchBins counters of `agg_quantile_sketch`'s bin rule
+    * (clamp(floor(value / width), 0, bins−1) — the identical IEEE scaling
+    * on both engines); quantile reads use the same integer
+    * cross-multiplication, so StreamingSpec pins the p50/p90/p99 read
+    * from the streamed bins EQUAL to the batch operator's output under
+    * shuffled multi-batch arrival. PRECONDITION mirrors the batch plan's
+    * `value IS NOT NULL` filter (EvtRow.value is a primitive Double).
+    */
+  def quantileSketchStream(events: Dataset[EvtRow]): Dataset[QsUpdate] = {
+    import events.sparkSession.implicits._
+    val m = Aggregations.QuantileSketchBins
+    val w = Aggregations.QuantileSketchWidth
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[QsState, QsUpdate](GroupStateTimeout.NoTimeout) {
+        (et: String, it: Iterator[EvtRow], state: GroupState[QsState]) =>
+          val st = state.getOption.getOrElse(QsState(Array.fill(m)(0L), 0L))
+          var n = st.nSeen
+          it.foreach { e =>
+            val b = math.max(0L,
+              math.min(math.floor(e.value / w).toLong, m - 1L)).toInt
+            st.bins(b) += 1L
+            n += 1
+          }
+          state.update(QsState(st.bins, n))
+          QsUpdate(et, n, st.bins.toSeq)
+      }
+  }
+
   def fingerprintDedupStream(docs: DataFrame): Dataset[FpUpdate] = {
     import docs.sparkSession.implicits._
     docs

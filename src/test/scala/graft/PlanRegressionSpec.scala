@@ -299,4 +299,28 @@ class PlanRegressionSpec extends AnyFunSuite {
       && !p.contains("Exchange hashpartitioning(o_orderkey"),
       s"bucketed input re-shuffled on the join key:\n$p")
   }
+
+  test("pipeline_pretrain_full: drops are hash joins over spills, probes broadcast") {
+    // the five-stage chain's 100 TB shape: the near-dup and contamination
+    // drops are (broadcast) hash anti/semi equi-joins against DISTINCT id
+    // frames derived from the memoized pair/shingle SPILLS (bare parquet
+    // scans — no minhash banding or shingle re-derivation in this plan),
+    // and nothing in the chain is a nested-loop join
+    val p = plan("pipeline_pretrain_full")
+    assert(!p.contains("NestedLoop"), s"pipeline grew a nested-loop join:\n$p")
+    assert("(?i)leftanti".r.findAllIn(p).size >= 2,
+      s"expected two anti-join drop stages:\n$p")
+    assert(!p.contains("xxhash64"),
+      s"shingle/banding re-derived inside the pipeline plan (should read spills):\n$p")
+  }
+
+  test("jaccard wedge join: equi-joins only, middle filter is a semi-join") {
+    // the JaccardMidDegCap filter must stay a LeftSemi equi-join on the
+    // middle id — a broadcast of the data-dependent degree frame or a
+    // nested-loop here would undo the structural bound
+    val p = plan("graph_jaccard_neighbors")
+    assert(!p.contains("NestedLoop"), s"wedge join went non-equi:\n$p")
+    assert("(?i)leftsemi".r.findAllIn(p).size >= 1,
+      s"middle-degree cap is not a semi-join:\n$p")
+  }
 }

@@ -529,4 +529,48 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming quantile-sketch bins converge to the batch sketch under shuffled arrival") {
+    import spark.implicits._
+    // the batch twin filters ONLY value IS NOT NULL — null user_ids map
+    // to a sentinel (bins never read user_id), so the streamed row set is
+    // exactly the batch one
+    val evs = Tables.events(spark, Sf0001).where(col("value").isNotNull)
+      .select("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => Streaming.EvtRow(r.getLong(0),
+        Timestamp.valueOf(r.getAs[java.time.LocalDateTime](1)),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3), r.getDouble(4)))
+      .sortBy(e => (e.event_id * 2654435761L) % 1000003L)
+    val input = MemoryStream[Streaming.EvtRow]
+    val q = Streaming.quantileSketchStream(input.toDS())
+      .writeStream.format("memory").queryName("qsketch").outputMode("update").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 4)).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      }
+      // update mode: latest row per key wins (n_seen is monotone)
+      val streamed = spark.table("qsketch").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getSeq[Long](2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+      val batch = SparkEntry.queries("agg_quantile_sketch")(spark, Sf0001).collect()
+        .map(r => (r.getString(0),
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+      assert(streamed.keySet == batch.keySet)
+      val w = Aggregations.QuantileSketchWidth
+      streamed.foreach { case (et, (n, bins)) =>
+        val (bn, p50, p90, p99) = batch(et)
+        assert(n == bn, s"$et: n_seen $n != batch n_rows $bn")
+        // the same integer cross-multiplication read the batch plan uses:
+        // first bin whose cumulative count reaches ceil(pct·n/100)
+        def est(pct: Int): Double = {
+          var cum = 0L
+          val hit = bins.zipWithIndex.find { case (c, _) =>
+            cum += c; cum * 100 >= n * pct }.get._2
+          (hit + 1.0) * w
+        }
+        assert(est(50) == p50 && est(90) == p90 && est(99) == p99,
+          s"$et: streamed (${est(50)},${est(90)},${est(99)}) != batch ($p50,$p90,$p99)")
+      }
+    } finally q.stop()
+  }
 }
