@@ -143,28 +143,35 @@ object AnnIndex {
     * integer PQ-code checksum (the encode path, driver-verified).
     */
   def append(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.graft.VectorOps.vec_dist_sq
+    import org.apache.spark.sql.graft.VectorOps.vec_argmin_dist
+    import s.implicits._
     ensure(s, d)
     val root = indexRoot(d)
     val ow = org.apache.spark.sql.SaveMode.Overwrite
-    val cents = broadcast(s.read.parquet(s"$root/coarse_centroids"))
-    val cb = broadcast(s.read.parquet(s"$root/codebooks"))
+    // bounded collects of the persisted constants (16 centroid rows /
+    // M×K codebook rows — the sanctioned pattern), feeding the fused
+    // round-11 vec_argmin_dist assignments: positions are cids (the
+    // build writes them contiguous 1-based), codes map back through the
+    // code-ascending parallel arrays exactly as in trainPq
+    val centRows = s.read.parquet(s"$root/coarse_centroids").orderBy("cid")
+      .select("ce").as[Seq[Double]].collect().toSeq
+    val cbByM = broadcast(
+      s.read.parquet(s"$root/codebooks").as[(Int, Int, Seq[Double])].collect()
+        .toSeq.groupBy(_._1).toSeq.map { case (m, rs) =>
+          val sorted = rs.sortBy(_._2)
+          (m, sorted.map(_._2), sorted.map(_._3))
+        }.toDF("m", "codes", "cws"))
     val mx = Tables.embeddings(s, d).agg(max(col("vec_id")).as("mx"))
     val delta = Tables.embeddings(s, d).crossJoin(broadcast(mx))
       .where(col("vec_id") * Similarity.IncrCutDen > col("mx") * Similarity.IncrCutNum)
       .select(col("vec_id"), col("embedding"))
-    val assigned = delta.crossJoin(cents)
-      .select(col("vec_id"), col("cid"),
-        vec_dist_sq(col("embedding"), col("ce")).as("dd"))
-      .groupBy("vec_id")
-      .agg(expr("min_by(cid, struct(dd, cid))").as("cid"))
+    val assigned = delta.select(col("vec_id"),
+      vec_argmin_dist(col("embedding"), typedLit(centRows)).as("cid"))
     val codes = Similarity.pqSubspaces(s, d)
       .join(delta.select("vec_id"), Seq("vec_id"))
-      .join(cb, Seq("m"))
-      .select(col("vec_id"), col("m"), col("code"),
-        vec_dist_sq(col("sub"), col("cw")).as("dqc"))
-      .groupBy("vec_id", "m")
-      .agg(expr("min_by(code, struct(dqc, code))").as("code"))
+      .join(cbByM, Seq("m"))
+      .select(col("vec_id"), col("m"),
+        element_at(col("codes"), vec_argmin_dist(col("sub"), col("cws"))).as("code"))
     codes.write.mode(ow).parquet(s"$root/codes_delta")
     assigned.write.mode(ow).partitionBy("cid").parquet(s"$root/lists_delta")
     s.read.parquet(s"$root/lists_delta")

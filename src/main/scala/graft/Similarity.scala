@@ -1481,23 +1481,22 @@ object Similarity {
     broadcast(vecs.zipWithIndex.map { case (v, i) => (i + 1, v) }.toDF("cid", "ce"))
   }
 
-  /** Min-L2 centroid assignment for the IVF-PQ coarse quantizer — corpus ×
-    * K-row broadcast centroid frame, never a shuffle. Package-private (not
-    * just a nested def) so PlanRegressionSpec can pin the BROADCAST join
-    * shape directly (VERDICT r8 nit): centFrame already hints, but the pin
-    * must not depend on hint propagation through the crossJoin — an AQE
-    * threshold change silently turning corpus×16 into a shuffled join is
-    * exactly what the pin guards.
+  /** Min-L2 centroid assignment for the IVF-PQ coarse quantizer — since
+    * round 11 ONE map-side `vec_argmin_dist` against the centroid-rows
+    * LITERAL: the former corpus×K broadcast nested-loop + min_by
+    * aggregate is fused into a single codegen'd expression, so the
+    * assignment has no row explosion, no aggregation, and no exchange at
+    * all (PlanRegressionSpec pins the exchange-free shape; the fused
+    * argmin replicates min_by's (dist, cid) order bit for bit — same
+    * distance fold, strict-less keeps the lowest position on ties). cids
+    * are the contiguous 1-based positions [[centFrame]] assigns, so the
+    * returned position IS the cid. Package-private so the spec pins the
+    * shape the trainer itself calls.
     */
-  private[graft] def ivfPqAssign(e: DataFrame, cent: DataFrame): DataFrame = {
-    import org.apache.spark.sql.graft.VectorOps.vec_dist_sq
-    e.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        vec_dist_sq(col("embedding"), col("ce")).as("dd"))
-      .groupBy("vec_id")
-      .agg(expr("min_by(struct(embedding, cid), struct(dd, cid))").as("best"))
-      .select(col("vec_id"), col("best.embedding").as("embedding"),
-        col("best.cid").as("cid"))
+  private[graft] def ivfPqAssign(e: DataFrame, centRows: Seq[Seq[Double]]): DataFrame = {
+    import org.apache.spark.sql.graft.VectorOps.vec_argmin_dist
+    e.select(col("vec_id"), col("embedding"),
+      vec_argmin_dist(col("embedding"), typedLit(centRows)).as("cid"))
   }
 
   /** One-time coarse training for sim_ann_ivfpq: IvfPqK seed vectors by
@@ -1519,7 +1518,7 @@ object Similarity {
       .select(col("embedding")).as[Array[Float]].collect()
     // one Lloyd round over the sample = one assign + exact-decimal means;
     // run IvfPqLloydRounds of them (sample-only — the corpus never pays)
-    def lloyd(cent: DataFrame): Seq[Seq[Double]] =
+    def lloyd(cent: Seq[Seq[Double]]): Seq[Seq[Double]] =
       ivfPqAssign(te, cent)
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cid", "pos")
@@ -1530,10 +1529,10 @@ object Similarity {
         .select(col("ce")).as[Seq[Double]].collect().toSeq
     val refinedRows = (1 to IvfPqLloydRounds).foldLeft(
       seedRows.toSeq.map(_.map(_.toDouble).toSeq)) {
-      (cent, _) => lloyd(centFrame(cent))
+      (cent, _) => lloyd(cent)
     }
     val path = Sources.tmpUnique("ivfpq_lists")
-    ivfPqAssign(e, centFrame(refinedRows)).select("vec_id", "cid")
+    ivfPqAssign(e, refinedRows).select("vec_id", "cid")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
     (refinedRows, path)
   }
@@ -1605,25 +1604,31 @@ object Similarity {
         expr(s"pmod(pmod(vec_id, ${SigP}L) * ${sigA(21)}L + ${sigB(21)}L, ${SigP}L)"))
       .orderBy(col("hk"), col("vec_id")).limit(PqK)
       .select(col("embedding")).as[Array[Float]].collect()
-    val cb0 = cbFrame(for {
+    val cb0rows: Seq[(Int, Int, Seq[Double])] = for {
       (v, i) <- seedRows.toSeq.zipWithIndex; m <- 0 until PqM
-    } yield (m, i + 1, v.slice(m * PqDim, (m + 1) * PqDim).map(_.toDouble).toSeq))
-    // nearest codeword per (vector, subspace); min_by keeps this a hash
-    // aggregate with map-side partials, ties to the lower code id. The
-    // aggregate carries ONLY the winning code — dragging the sub-vector
-    // array through the n*M*K-row aggregation state measured 3× slower
-    // at sf0.1; the Lloyd step re-attaches sub with a cheap n*M-row join
-    def assign(cb: DataFrame, src: DataFrame): DataFrame =
-      src.join(cb, "m")
-        .select(col("vec_id"), col("m"), col("code"),
-          vec_dist_sq(col("sub"), col("cw")).as("dist"))
-        .groupBy("vec_id", "m")
-        .agg(expr("min_by(code, struct(dist, code))").as("code"))
+    } yield (m, i + 1, v.slice(m * PqDim, (m + 1) * PqDim).map(_.toDouble).toSeq)
+    // nearest codeword per (vector, subspace) — since round 11 ONE
+    // map-side vec_argmin_dist against a broadcast PqM-row frame of
+    // per-subspace PARALLEL (codes, cws) arrays (code-ascending, so the
+    // argmin position maps back through element_at even when a refined
+    // codebook is sparse): the former n×M×K row explosion + min_by
+    // aggregate + its exchange are gone — the assignment is a join
+    // fan-out of M rows and a codegen'd expression, and `sub` rides
+    // along for free (the Lloyd step no longer re-joins to fetch it)
+    def assign(cbRows: Seq[(Int, Int, Seq[Double])], src: DataFrame): DataFrame = {
+      import org.apache.spark.sql.graft.VectorOps.vec_argmin_dist
+      val byM = broadcast(cbRows.groupBy(_._1).toSeq.map { case (m, rs) =>
+        val sorted = rs.sortBy(_._2)
+        (m, sorted.map(_._2), sorted.map(_._3))
+      }.toDF("m", "codes", "cws"))
+      src.join(byM, "m")
+        .select(col("vec_id"), col("m"), col("sub"),
+          element_at(col("codes"), vec_argmin_dist(col("sub"), col("cws"))).as("code"))
+    }
     // one Lloyd refinement: exact-decimal per-dimension means per
     // (subspace, code); codes that lose every member simply drop out —
     // mirrored by the oracle's GROUP BY, no re-indexing needed
-    val refined = assign(cb0, tsubs)
-      .join(tsubs, Seq("vec_id", "m"))
+    val refined = assign(cb0rows, tsubs)
       .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
       .groupBy("m", "code", "pos")
       .agg((sum(dec(col("v"), 27, 10)).cast(DoubleType) / count(lit(1))).as("c"))
@@ -1631,7 +1636,7 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cw"))
       .as[(Int, Int, Seq[Double])].collect()
     val path = Sources.tmpUnique("pq_codes")
-    assign(cbFrame(refined.toSeq), subs)
+    assign(refined.toSeq, subs).select("vec_id", "m", "code")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
     (refined.toSeq, path)
   }

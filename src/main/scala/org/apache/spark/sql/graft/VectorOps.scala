@@ -236,6 +236,75 @@ case class VectorDistSq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 1-based position of the candidate nearest to the point by squared L2 —
+  * the FUSED form of the `crossJoin(broadcast(candidates))` +
+  * `min_by(idx, struct(dist, idx))` assignment pattern the quantizer
+  * trainers used: one map-side expression instead of a K-way row
+  * explosion, an aggregation, and their shuffle. Per-candidate distance
+  * is the identical left-to-right `acc += d*d` fold as [[VectorDistSq]],
+  * and the comparison is `Double.compare(dist, best) < 0` — strictly
+  * less keeps the LOWEST position on exact ties (= min_by's
+  * (dist, idx) order when candidates are sorted by their id), and
+  * Double.compare ranks NaN above every double exactly as Spark's
+  * ordering does. NULL on an empty candidate list, a dimension
+  * mismatch, or a NULL element — never a silently-wrong index.
+  */
+case class VectorArgminDistSq(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "vec_argmin_dist"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorArgminDistSq.argminOf(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, cs) => {
+      s"""
+         |java.lang.Integer r = org.apache.spark.sql.graft.VectorArgminDistSq.argminOf($x, $cs);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.intValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorArgminDistSq =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorArgminDistSq {
+  /** Called from generated code — keep signature stable; null = NULL. */
+  def argminOf(x: ArrayData, cs: ArrayData): java.lang.Integer = {
+    val n = cs.numElements()
+    if (n == 0) return null
+    var best = 0.0
+    var bestPos = -1
+    var c = 0
+    while (c < n) {
+      if (cs.isNullAt(c)) return null
+      val y = cs.getArray(c)
+      if (x.numElements() != y.numElements()) return null
+      var i = 0
+      var acc = 0.0
+      while (i < x.numElements()) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        val d = x.getFloat(i).toDouble - y.getDouble(i)
+        acc += d * d
+        i += 1
+      }
+      if (bestPos < 0 || java.lang.Double.compare(acc, best) < 0) {
+        best = acc
+        bestPos = c
+      }
+      c += 1
+    }
+    bestPos + 1 // 1-based, the SQL array convention (element_at-ready)
+  }
+}
+
 object VectorOps {
   /** Column-API entry points (usable without SQL registration). */
   def vec_dot(a: Column, b: Column): Column =
@@ -248,6 +317,8 @@ object VectorOps {
     ExpressionUtils.column(VectorDotFD(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def vec_dist_sq(a: Column, b: Column): Column =
     ExpressionUtils.column(VectorDistSq(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def vec_argmin_dist(a: Column, cands: Column): Column =
+    ExpressionUtils.column(VectorArgminDistSq(ExpressionUtils.expression(a), ExpressionUtils.expression(cands)))
 
   /** Spark's native bloom-filter sketch pair, exposed to the Column API.
     * `BloomFilterAggregate` / `BloomFilterMightContain` are fully
@@ -285,6 +356,7 @@ object VectorOps {
     reg.createOrReplaceTempFunction("vec_norm", es => VectorNorm(es.head), "built-in")
     reg.createOrReplaceTempFunction("vec_dot_fd", es => VectorDotFD(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_dist_sq", es => VectorDistSq(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_argmin_dist", es => VectorArgminDistSq(es(0), es(1)), "built-in")
   }
 }
 
@@ -310,5 +382,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_dist_sq"),
       new ExpressionInfo(classOf[VectorDistSq].getName, "vec_dist_sq"),
       (es: Seq[Expression]) => VectorDistSq(es(0), es(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_argmin_dist"),
+      new ExpressionInfo(classOf[VectorArgminDistSq].getName, "vec_argmin_dist"),
+      (es: Seq[Expression]) => VectorArgminDistSq(es(0), es(1))))
   }
 }

@@ -186,23 +186,24 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("LeftAnti"), s"guard regressed to anti-join formulation:\n$p")
   }
 
-  test("ivf-pq coarse assignment: centroid side broadcasts, never a shuffled join") {
-    // VERDICT r8 #4: the train-time corpus×16 assignment must plan as a
-    // broadcast nested-loop (16-row build side), not CartesianProduct or a
-    // shuffle — pinned on the shared ivfPqAssign the trainer itself calls,
-    // so the index cache can't hide the shape from the spec.
+  test("ivf-pq coarse assignment: map-only fused argmin, no join and no exchange") {
+    // Round 11 (supersedes the r8 broadcast pin): the train-time corpus×K
+    // assignment is ONE codegen'd vec_argmin_dist against the centroid
+    // literal — the plan must contain no join of any kind and no
+    // exchange, pinned on the shared ivfPqAssign the trainer itself
+    // calls, so the index cache can't hide the shape from the spec.
     import org.apache.spark.sql.functions.col
     val e = Tables.embeddings(spark, Sf0001)
       .select(col("vec_id"), col("embedding"))
-    val cent = e.where(col("vec_id") <= 16)
-      .select(col("vec_id").cast("int").as("cid"),
-        org.apache.spark.sql.functions.expr(
-          "transform(embedding, x -> CAST(x AS DOUBLE))").as("ce"))
+    val cent = e.where(col("vec_id") <= 16).orderBy("vec_id")
+      .select(org.apache.spark.sql.functions.expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE))").as("ce"))
+      .collect().map(_.getSeq[Double](0)).toSeq
     val p = Similarity.ivfPqAssign(e, cent)
       .queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastNestedLoopJoin"), s"assign not broadcast:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
-      s"assign degenerated to a shuffled join:\n$p")
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"fused assignment regressed to a join/shuffle:\n$p")
+    assert(p.contains("vec_argmin_dist"), s"fused argmin missing:\n$p")
   }
 
   test("gaps-islands: streak aggregate reuses the window's user_id partitioning") {

@@ -74,4 +74,39 @@ class VectorOpsSpec extends AnyFunSuite {
       VectorOps.vec_dist_sq(col("v"), typedLit(Seq(1.0, 2.0))).as("d")).collect()
     assert(mism.forall(_.isNullAt(0)))
   }
+
+  test("vec_argmin_dist equals the min_by formulation it fused (round 11)") {
+    import spark.implicits._
+    // against real fixture vectors and a 16-candidate set: the fused
+    // argmin must reproduce crossJoin + min_by(struct(dist, idx)) exactly
+    val cands = Tables.embeddings(spark, Sf0001)
+      .where(col("vec_id") < 16).orderBy("vec_id")
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ce"))
+      .collect().map(_.getSeq[Double](0)).toSeq
+    val e = Tables.embeddings(spark, Sf0001).select("vec_id", "embedding")
+    val fused = e.select(col("vec_id"),
+        VectorOps.vec_argmin_dist(col("embedding"), typedLit(cands)).as("pos"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val reference = e.crossJoin(
+        cands.zipWithIndex.map { case (v, i) => (i + 1, v) }.toDF("pos", "ce"))
+      .select(col("vec_id"), col("pos"),
+        VectorOps.vec_dist_sq(col("embedding"), col("ce")).as("dd"))
+      .groupBy("vec_id")
+      .agg(expr("min_by(pos, struct(dd, pos))").as("pos"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fused == reference, "fused argmin drifted from min_by")
+    // exact tie -> lowest position (duplicate candidate)
+    val tie = Seq((1L, Seq(1.0f, 1.0f))).toDF("id", "v")
+      .select(VectorOps.vec_argmin_dist(col("v"),
+        typedLit(Seq(Seq(9.0, 9.0), Seq(1.0, 1.0), Seq(1.0, 1.0)))).as("p"))
+      .collect()(0).getInt(0)
+    assert(tie == 2, s"tie did not keep the lowest position: $tie")
+    // empty candidate list and dimension mismatch -> NULL
+    val degenerate = Seq((1L, Seq(1.0f, 1.0f))).toDF("id", "v")
+      .select(
+        VectorOps.vec_argmin_dist(col("v"), typedLit(Seq.empty[Seq[Double]])).as("a"),
+        VectorOps.vec_argmin_dist(col("v"), typedLit(Seq(Seq(1.0)))).as("b"))
+      .collect()(0)
+    assert(degenerate.isNullAt(0) && degenerate.isNullAt(1))
+  }
 }
