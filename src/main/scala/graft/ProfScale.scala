@@ -213,7 +213,11 @@ object ProfScale {
       // round 11 (VERDICT r10 #6): the persisted-index write path —
       // training is memoized from warmup's ensure(), so this times the
       // codes/lists artifact writes, the corpus-linear term of a rebuild
-      "ann_index_build")
+      "ann_index_build",
+      // round 11: the five-stage composed pipeline — reads the memoized
+      // pair/shingle spills, so the timed entry is the composition
+      // (anti-join drops + quality + packing), not index derivation
+      "pipeline_pretrain_full")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer
