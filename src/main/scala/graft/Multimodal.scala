@@ -267,8 +267,26 @@ object Multimodal {
     * 0x10FFFF, |C| ≤ 64·(8·0x10FFFF)·8192² ≈ 3.8e16, far inside Long.
     * Takes (doc_id, text) so the spec can drive it on perturbed payloads,
     * not just the fixture corpus.
+    *
+    * Since round 11 the production path is the FUSED codegen expression
+    * `dct_sign_hash` (one map-side pass per doc; the DctT constants ride
+    * in as a literal so query, oracle, and expression share one table) —
+    * the five-stage relational form below survives as
+    * [[phashOfReference]], the unfused cross-check UdxMultimodalSpec pins
+    * the expression against on the fixture, its perturbations, and a
+    * non-ASCII row.
     */
-  private[graft] def phashOf(s: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def phashOf(s: SparkSession, docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      org.apache.spark.sql.graft.TextSignatures.dct_sign_hash(
+        col("text"), typedLit(DctT.flatten)).as("phash"))
+      .where(col("phash").isNotNull)
+
+  /** The original five-stage relational pHash (explode → cell aggregate →
+    * two DCT passes → sign-bit aggregate) — kept as the spec's unfused
+    * reference for [[phashOf]]; see the doc there.
+    */
+  private[graft] def phashOfReference(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     val t = (for { u <- 0 until 8; i <- 0 until 8 } yield (u, i, DctT(u)(i)))
       .toDF("u", "i", "t")

@@ -357,6 +357,7 @@ object VectorOps {
     reg.createOrReplaceTempFunction("vec_dot_fd", es => VectorDotFD(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_dist_sq", es => VectorDistSq(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_argmin_dist", es => VectorArgminDistSq(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("dct_sign_hash", es => DctSignHash(es(0), es(1)), "built-in")
   }
 }
 
@@ -386,5 +387,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_argmin_dist"),
       new ExpressionInfo(classOf[VectorArgminDistSq].getName, "vec_argmin_dist"),
       (es: Seq[Expression]) => VectorArgminDistSq(es(0), es(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("dct_sign_hash"),
+      new ExpressionInfo(classOf[DctSignHash].getName, "dct_sign_hash"),
+      (es: Seq[Expression]) => DctSignHash(es(0), es(1))))
   }
 }

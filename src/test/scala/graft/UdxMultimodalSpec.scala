@@ -175,6 +175,26 @@ class UdxMultimodalSpec extends AnyFunSuite {
       assert(sig(id * 2) == refPhash(t).get, s"doc $id engine vs reference") }
   }
 
+  test("fused dct_sign_hash equals the five-stage relational phash (round 11)") {
+    import spark.implicits._
+    def sigs(df: org.apache.spark.sql.DataFrame) = Map(
+      "fused" -> Multimodal.phashOf(spark, df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "rel" -> Multimodal.phashOfReference(spark, df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // whole fixture corpus
+    val corpus = sigs(Tables.documents(spark, Sf0001).select("doc_id", "text"))
+    assert(corpus("fused") == corpus("rel"), "fused phash drifted on the corpus")
+    assert(corpus("fused").nonEmpty)
+    // edge rows: empty text (signature 0 via the split('')/ascii('') path),
+    // sub-cell text, a non-ASCII payload (codepoint/unit framing), and one
+    // longer than the window
+    val edge = sigs(Seq((1L, ""), (2L, "ab"), (3L, "héllo wörld 你好"),
+      (4L, "xy " * 300)).toDF("doc_id", "text"))
+    assert(edge("fused") == edge("rel"), s"fused phash drifted on edge rows: $edge")
+    assert(edge("fused")(1L) == 0L, "empty text no longer hashes to 0")
+  }
+
   test("embed_dim_stats: all 64 dims, uniform counts, nonnegative variance") {
     val rows = SparkEntry.queries("embed_dim_stats")(spark, TestSpark.Sf001).collect()
     assert(rows.length == 64)
