@@ -641,23 +641,42 @@ object Similarity {
   val SimhashBands = 4
   val SimhashBandBits: Int = SimhashBits / SimhashBands
 
-  /** 60-bit SimHash per doc as tf-weighted vote aggregates — and, since
-    * round 5, DuckDB-oracle-verifiable: the token hash is FOUR 15-bit
-    * portable polynomial folds (multipliers 31/131/137/139, mod 32749 —
-    * the largest 15-bit prime) composed into one 60-bit value, replacing
-    * xxhash64 (no cross-engine SQL form). 60 bits keeps the composition
-    * inside non-negative int64 AND makes each pigeonhole band of the
-    * pairs join exactly one independent 15-bit fold.
+  /** 60-bit SimHash per doc — and, since round 5, DuckDB-oracle-
+    * verifiable: the token hash is FOUR 15-bit portable polynomial folds
+    * (multipliers 31/131/137/139, mod 32749 — the largest 15-bit prime)
+    * composed into one 60-bit value, replacing xxhash64 (no cross-engine
+    * SQL form). 60 bits keeps the composition inside non-negative int64
+    * AND makes each pigeonhole band of the pairs join exactly one
+    * independent 15-bit fold.
     *
-    * Shape: tokens reduce to tf per (doc, token) first, the HOF fold runs
-    * only on DISTINCT tokens (vocabulary-sized — hashing per occurrence
-    * would pay the interpreted-HOF tax on the full token stream), and the
-    * hash joins back via broadcast. Votes weight by tf, so the result
-    * equals the per-occurrence formulation. Everything after the fold is
-    * codegen'd conditional sums with map-side partial aggregation.
+    * Since round 11 the production path is the FUSED codegen expression
+    * `simhash_sign` (TextSignatures.scala): one pass per doc computes the
+    * folds and the ±1 votes per token OCCURRENCE — the same integer
+    * totals as the relational form's tf-weighted distinct-token votes —
+    * so the tf shuffle, the vocabulary hash + broadcast join, and the
+    * 60-column vote aggregate all disappear; the signature stage is a
+    * bare projection at any scale. The relational form survives as
+    * [[simhashesReference]], spec-pinned equal on the fixture corpus.
     */
-  private def simhashes(s: SparkSession, d: String): DataFrame = {
-    val tf = documents(s, d)
+  private def simhashes(s: SparkSession, d: String): DataFrame =
+    simhashOf(documents(s, d).select("doc_id", "text"))
+
+  /** The fused signature over any (doc_id, text) frame — shared by
+    * [[simhashes]] and the fused-vs-relational equality spec.
+    */
+  private[graft] def simhashOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      org.apache.spark.sql.graft.TextSignatures.simhash_sign(col("text"),
+        typedLit(Seq(SimhashBits.toLong, 32749L, 31L, 131L, 137L, 139L)))
+        .as("simhash"))
+      .where(col("simhash").isNotNull)
+
+  /** The original three-stage relational SimHash (tf aggregate →
+    * vocabulary fold + broadcast join → vote aggregate) — kept as the
+    * spec's unfused reference for [[simhashes]]; see the doc there.
+    */
+  private[graft] def simhashesReference(s: SparkSession, docs: DataFrame): DataFrame = {
+    val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
     def fold(m: Int) = expr("aggregate(transform(split(t, ''), c -> ascii(c)), 0L, " +

@@ -117,8 +117,96 @@ object DctSignHash {
   }
 }
 
+/** Token-frequency SimHash sign signature — the FUSED form of
+  * `graft.Similarity.simhashesReference`'s three relational stages
+  * (per-doc tf aggregate → distinct-vocabulary hash + broadcast join →
+  * a bits-wide vote aggregate): one codegen'd pass per doc. The
+  * relational form weights each DISTINCT token's ±1 votes by its tf;
+  * summing ±1 per token OCCURRENCE is the same integer total, so this
+  * needs no tf state at all — tokenize (single-space split, empties
+  * kept, exactly Spark's `split(text, ' ')`), hash each token with four
+  * chained polynomial folds over its UTF-16 units (`ascii` of a
+  * one-unit `split('')` piece is that unit's value) assembled base
+  * 32768, and add ±1 to each of `bits` vote counters by the hash's
+  * bits; bit i of the result is set iff its vote total is positive.
+  *
+  * `params` = [bits, prime, m0, m1, m2, m3] (bits ≤ 63, prime < 32768 so
+  * the four folds pack into a positive Long) — the constants stay at
+  * their one definition site (`Similarity`) and ride in as a literal,
+  * like [[DctSignHash]]'s cosine table. NULL text → NULL.
+  */
+case class SimhashSign(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_sign"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SimhashSign.hashOf(a.asInstanceOf[UTF8String], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, p) => {
+      s"""
+         |java.lang.Long r = org.apache.spark.sql.graft.SimhashSign.hashOf($s, $p);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SimhashSign =
+    copy(left = newLeft, right = newRight)
+}
+
+object SimhashSign {
+  /** Called from generated code — keep signature stable; null = NULL. */
+  def hashOf(text: UTF8String, params: ArrayData): java.lang.Long = {
+    if (params.numElements() != 6) return null
+    val bits = params.getLong(0).toInt
+    val p = params.getLong(1)
+    if (bits < 1 || bits > 63 || p < 2 || p >= 32768) return null
+    val votes = new Array[Long](bits)
+    // Spark split(text, " ") keeps empty tokens (limit -1), including the
+    // [""] a fully-empty text yields — its all-zero folds vote -1
+    // everywhere, exactly like the relational path
+    val toks = text.toString.split(" ", -1)
+    var ti = 0
+    while (ti < toks.length) {
+      val t = toks(ti)
+      var h = 0L
+      var f = 0
+      while (f < 4) {
+        val m = params.getLong(2 + f)
+        var acc = 0L
+        var k = 0
+        while (k < t.length) { acc = (acc * m + t.charAt(k).toLong) % p; k += 1 }
+        h = h * 32768L + acc
+        f += 1
+      }
+      var i = 0
+      while (i < bits) {
+        votes(i) += (if (((h >> i) & 1L) == 1L) 1L else -1L)
+        i += 1
+      }
+      ti += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < bits) {
+      if (votes(i) > 0L) hash |= 1L << (bits - 1 - i)
+      i += 1
+    }
+    hash
+  }
+}
+
 object TextSignatures {
   def dct_sign_hash(text: Column, table: Column): Column =
     ExpressionUtils.column(DctSignHash(
       ExpressionUtils.expression(text), ExpressionUtils.expression(table)))
+  def simhash_sign(text: Column, params: Column): Column =
+    ExpressionUtils.column(SimhashSign(
+      ExpressionUtils.expression(text), ExpressionUtils.expression(params)))
 }

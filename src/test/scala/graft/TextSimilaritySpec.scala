@@ -105,6 +105,25 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("fused simhash_sign equals the relational tf-weighted vote form (round 11)") {
+    import spark.implicits._
+    def both(docs: org.apache.spark.sql.DataFrame) = (
+      Similarity.simhashOf(docs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      Similarity.simhashesReference(spark, docs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // whole fixture corpus (sf0.1 carries the exact-dup groups)
+    val (fc, rc) = both(Tables.documents(spark, Sf01).select("doc_id", "text"))
+    assert(fc == rc, "fused simhash drifted on the corpus")
+    assert(fc.nonEmpty)
+    // edge rows: empty text (one empty token -> all-negative votes ->
+    // hash 0), trailing/double spaces (empty tokens kept), non-ASCII
+    val (fe, re) = both(Seq((1L, ""), (2L, "a  b "), (3L, "héllo 你好 wörld"),
+      (4L, "the the the zebra")).toDF("doc_id", "text"))
+    assert(fe == re, s"fused simhash drifted on edge rows: $fe vs $re")
+    assert(fe(1L) == 0L, "empty text no longer hashes to 0")
+  }
+
   test("connected components match an in-test union-find over the same pair graph") {
     val labels = q("dedup_cluster_cc").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
