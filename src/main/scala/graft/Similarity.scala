@@ -161,7 +161,7 @@ object Similarity {
     * compare hash-invariant counts only); MinHash's oracle must REPRODUCE
     * the banding itself, so its hash family has to be SQL-expressible.
     */
-  private def portableShingles(s: SparkSession, d: String): DataFrame = {
+  private[graft] def portableShingles(s: SparkSession, d: String): DataFrame = {
     val parts = (0 until 3).map(k => s"get(toks, i${if (k == 0) "-1" else s"+${k - 1}"})")
       .mkString(", ")
     def fold(m: Int) = "aggregate(transform(split(raw, ''), c -> ascii(c)), 0L, " +
@@ -284,12 +284,33 @@ object Similarity {
   /** MinHash signatures: h_i(doc) = min over shingles of the affine
     * portable hash ((g mod SigP) * A_i + B_i) mod SigP — every operand a
     * non-negative int64, bit-identical in DuckDB (round 5; previously
-    * xxhash64(i, g), which had no SQL form).
+    * xxhash64(i, g), which had no SQL form). Since round 11 this
+    * relational form (a NumHashes-column min aggregate over the megarow
+    * shingle frame) is the spec REFERENCE; the index build uses
+    * [[minhashSigsFused]] — min over a multiset equals min over its
+    * distinct set, so one fused pass per doc replaces the aggregate and
+    * its exchange entirely.
     */
-  private def minhashSigs(sh: DataFrame): DataFrame = {
+  private[graft] def minhashSigs(sh: DataFrame): DataFrame = {
     val aggs = (0 until NumHashes).map(i =>
       min(expr(s"pmod(pmod(g, ${SigP}L) * ${sigA(i)}L + ${sigB(i)}L, ${SigP}L)")).as(s"h$i"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The fused one-pass signature frame (doc_id, h0..h15) over any
+    * (doc_id, text) frame — `minhash_sigs` (TextSignatures.scala) with
+    * this family's constants; spec-pinned equal to [[minhashSigs]] over
+    * [[portableShingles]].
+    */
+  private[graft] def minhashSigsFused(docs: DataFrame): DataFrame = {
+    val params = Seq(NumHashes.toLong, PortP, SigP) ++
+      (0 until NumHashes).flatMap(i => Seq(sigA(i), sigB(i)))
+    docs.select(col("doc_id"),
+        org.apache.spark.sql.graft.TextSignatures.minhash_sigs(
+          col("text"), typedLit(params)).as("hs"))
+      .where(col("hs").isNotNull)
+      .select(col("doc_id") +: (0 until NumHashes).map(i =>
+        element_at(col("hs"), i + 1).as(s"h$i")): _*)
   }
 
   /** Per-(process, fixture) spill of the distinct-shingle frame and its
@@ -321,7 +342,11 @@ object Similarity {
       val shP = Sources.tmpUnique("mh_shingles")
       val bandP = Sources.tmpUnique("mh_bands")
       portableShingles(s, d).write.mode(ow).parquet(shP)
-      minhashBands(s.read.parquet(shP)).write.mode(ow).parquet(bandP)
+      // bands from the FUSED one-pass signatures (round 11) — the shingle
+      // spill above stays the verification side's standing artifact, but
+      // the signature/band build no longer aggregates over it
+      minhashBands(minhashSigsFused(
+        documents(s, d).select("doc_id", "text"))).write.mode(ow).parquet(bandP)
       val built = (shP, bandP)
       val prev = minhashIndexCache.putIfAbsent(key, built)
       if (prev != null) prev else built
@@ -390,13 +415,13 @@ object Similarity {
       verifiedPairs(sh, cand, threshold)
     }
 
-  /** Band-bucket frame (doc_id, band, sig) from the shingle frame. Band
-    * key: an integer fold of the band's 4 sigs (h*31-chained, max ~3e13 —
-    * no modulus needed) instead of xxhash64 over the columns, so the
-    * oracle reproduces the buckets exactly.
+  /** Band-bucket frame (doc_id, band, sig) from a signature frame
+    * (doc_id, h0..h15). Band key: an integer fold of the band's 4 sigs
+    * (h*31-chained, max ~3e13 — no modulus needed) instead of xxhash64
+    * over the columns, so the oracle reproduces the buckets exactly.
     */
-  private def minhashBands(sh: DataFrame): DataFrame =
-    minhashSigs(sh).select(col("doc_id"),
+  private def minhashBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
       posexplode(array((0 until NumBands).map { b =>
         val cols = (b * BandSize until (b + 1) * BandSize).map(i => s"h$i")
         expr(cols.tail.foldLeft(cols.head)((acc, h) => s"($acc * 31 + $h)"))

@@ -202,11 +202,102 @@ object SimhashSign {
   }
 }
 
+/** The N MinHash signature values of a document in one pass — the FUSED
+  * form of `graft.Similarity`'s relational signature build (shingle
+  * explode + distinct → an N-column min aggregate over ~megarows of
+  * standing shingle index). min over a multiset equals min over its
+  * distinct set, so the fusion needs neither the DISTINCT nor the
+  * aggregate: enumerate the 3-token shingles exactly as the relational
+  * form does (single-space split with empties kept; shingle i joins the
+  * up-to-3 in-range tokens with single spaces, the `concat_ws`/null-`get`
+  * rule; a sub-3-token doc yields its 1 short shingle; an empty text
+  * yields the "" shingle), double-fold each shingle's UTF-16 units into
+  * the 60-bit portable key g, and track the running min of each affine
+  * hash ((g mod sigP)·A_i + B_i) mod sigP.
+  *
+  * `params` = [numHashes, portP, sigP, A_0, B_0, …] — the family
+  * constants ride in from their one definition site like the other fused
+  * signatures'. Returns ARRAY<BIGINT>(numHashes); NULL text → NULL.
+  */
+case class MinhashSigs(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    MinhashSigs.sigsOf(a.asInstanceOf[UTF8String], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, p) => {
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData r =
+         |  org.apache.spark.sql.graft.MinhashSigs.sigsOf($s, $p);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinhashSigs =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinhashSigs {
+  /** Called from generated code — keep signature stable; null = NULL. */
+  def sigsOf(text: UTF8String, params: ArrayData): ArrayData = {
+    if (params.numElements() < 3) return null
+    val nh = params.getLong(0).toInt
+    val portP = params.getLong(1)
+    val sigP = params.getLong(2)
+    if (nh < 1 || params.numElements() != 3 + 2 * nh) return null
+    val mins = Array.fill(nh)(Long.MaxValue)
+    val toks = text.toString.split(" ", -1)
+    val count = math.max(toks.length - 2, 1)
+    var i = 0
+    while (i < count) {
+      // shingle i (1-based in the relational form): tokens i-1, i, i+1 of
+      // which only the in-range ones exist, single-space-joined
+      val sb = new java.lang.StringBuilder
+      var k = i
+      val hi = math.min(i + 3, toks.length)
+      while (k < hi) {
+        if (k > i) sb.append(' ')
+        sb.append(toks(k))
+        k += 1
+      }
+      var f31 = 0L
+      var f131 = 0L
+      var c = 0
+      while (c < sb.length) {
+        val u = sb.charAt(c).toLong
+        f31 = (f31 * 31L + u) % portP
+        f131 = (f131 * 131L + u) % portP
+        c += 1
+      }
+      val gm = (f31 * portP + f131) % sigP
+      var h = 0
+      while (h < nh) {
+        val v = (gm * params.getLong(3 + 2 * h) + params.getLong(4 + 2 * h)) % sigP
+        if (v < mins(h)) mins(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+}
+
 object TextSignatures {
   def dct_sign_hash(text: Column, table: Column): Column =
     ExpressionUtils.column(DctSignHash(
       ExpressionUtils.expression(text), ExpressionUtils.expression(table)))
   def simhash_sign(text: Column, params: Column): Column =
     ExpressionUtils.column(SimhashSign(
+      ExpressionUtils.expression(text), ExpressionUtils.expression(params)))
+  def minhash_sigs(text: Column, params: Column): Column =
+    ExpressionUtils.column(MinhashSigs(
       ExpressionUtils.expression(text), ExpressionUtils.expression(params)))
 }

@@ -124,6 +124,40 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(fe(1L) == 0L, "empty text no longer hashes to 0")
   }
 
+  test("fused minhash_sigs equals the relational shingle-aggregate form (round 11)") {
+    import spark.implicits._
+    def sig16(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (1 to 16).map(r.getLong)).toMap
+    // whole sf0.1 corpus: fused one-pass sigs vs the min aggregate over
+    // the distinct portable-shingle frame (min over a multiset == min
+    // over its distinct set — the identity the fusion rests on)
+    val fused = sig16(Similarity.minhashSigsFused(
+      Tables.documents(spark, Sf01).select("doc_id", "text")))
+    val rel = sig16(Similarity.minhashSigs(Similarity.portableShingles(spark, Sf01)))
+    assert(fused == rel, "fused minhash signatures drifted from the relational form")
+    assert(fused.nonEmpty)
+    // edge rows: empty text (the "" shingle), 1- and 2-token docs (short
+    // shingles via the null-skipping concat_ws rule), empty tokens kept
+    val edge = Seq((1L, ""), (2L, "solo"), (3L, "two tokens"),
+      (4L, "a  b"), (5L, "w x y z")).toDF("doc_id", "text")
+    val fusedE = sig16(Similarity.minhashSigsFused(edge))
+    // relational path over the same rows: rebuild its shingle frame inline
+    // (portableShingles is fixture-bound)
+    val parts = (0 until 3).map(k => s"get(toks, i${if (k == 0) "-1" else s"+${k - 1}"})")
+      .mkString(", ")
+    def fold(m: Int) = "aggregate(transform(split(raw, ''), c -> ascii(c)), 0L, " +
+      s"(acc, x) -> pmod(acc * $m + x, 1073741789L))"
+    val relE = sig16(Similarity.minhashSigs(edge
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(
+        expr(s"transform(sequence(1, greatest(size(toks) - 2, 1)), " +
+          s"i -> concat_ws(' ', $parts))")).as("raw"))
+      .select(col("doc_id"),
+        expr(s"(${fold(31)}) * 1073741789L + (${fold(131)})").as("g"))
+      .distinct()))
+    assert(fusedE == relE, s"fused minhash drifted on edge rows")
+  }
+
   test("connected components match an in-test union-find over the same pair graph") {
     val labels = q("dedup_cluster_cc").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
