@@ -104,4 +104,52 @@ class PropertiesSpec extends AnyFunSuite {
       assert(sigs.distinct.length == 1)
     }
   }
+
+  test("fused signature kernels equal their relational forms on generated text (round 11)") {
+    // generator covers the inputs the fixture can't: arbitrary unicode
+    // (incl. supplementary-plane), runs of spaces, leading/trailing
+    // spaces, empty strings, and lengths straddling the 512-char pHash
+    // window — the fused kernel and the relational plan must agree on
+    // EVERY one, not just the ASCII corpus
+    val weird = Gen.frequency(
+      (4, Gen.asciiPrintableStr),
+      (2, Gen.listOf(Gen.oneOf(vocab, Gen.const(" "), Gen.const("")))
+        .map(_.mkString(" "))),
+      (2, Gen.listOfN(40, Gen.oneOf('a', ' ', 'é', '你', '☃'))
+        .map(_.mkString)),
+      (1, Gen.const("")),
+      (1, Gen.chooseNum(500, 600).map("xy " * _)))
+    val texts = samples(weird, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    // simhash: fused vs the tf-weighted relational form
+    val shF = Similarity.simhashOf(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shR = Similarity.simhashesReference(spark, df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shF == shR, "simhash_sign diverged on generated text")
+    // phash: fused vs the five-stage relational form
+    val phF = Multimodal.phashOf(spark, df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val phR = Multimodal.phashOfReference(spark, df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(phF == phR, "dct_sign_hash diverged on generated text")
+    // minhash sigs: fused vs the min aggregate over the distinct shingles
+    val parts = (0 until 3).map(k => s"get(toks, i${if (k == 0) "-1" else s"+${k - 1}"})")
+      .mkString(", ")
+    def fold(m: Int) = "aggregate(transform(split(raw, ''), c -> ascii(c)), 0L, " +
+      s"(acc, x) -> pmod(acc * $m + x, 1073741789L))"
+    val mhR = Similarity.minhashSigs(df
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(
+        expr(s"transform(sequence(1, greatest(size(toks) - 2, 1)), " +
+          s"i -> concat_ws(' ', $parts))")).as("raw"))
+      .select(col("doc_id"),
+        expr(s"(${fold(31)}) * 1073741789L + (${fold(131)})").as("g"))
+      .distinct())
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getLong)).toMap
+    val mhF = Similarity.minhashSigsFused(df).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong)).toMap
+    assert(mhF == mhR, "minhash_sigs diverged on generated text")
+  }
 }
