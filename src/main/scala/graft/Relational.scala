@@ -18,6 +18,15 @@ import Tables._
 object Relational {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Gain G in `sample_lang_temperature`'s quota = floor(sqrt(n_lang)·G) —
+    * the fixed normalizer of the α = 1/2 temperature mix (a constant, not a
+    * Σ-over-langs normalization, so no order-dependent double summation can
+    * diverge cross-engine). G = 8 downsamples every fixture language at
+    * sf0.01+ while keeping the tail languages' share ≥ 90%. Interpolated
+    * into the oracle SQL from this one definition site.
+    */
+  val LangTempGain = 8L
+
   val queries: Map[String, Q] = Map(
     "scan_project" -> ((s, d) =>
       nation(s, d)
@@ -217,6 +226,35 @@ object Relational {
         .orderBy("source")
     }),
 
+    // Temperature-scaled language rebalancing (the mT5/CC-100 recipe,
+    // α = 1/2): each language's target quota ∝ n_lang^α, so dominant
+    // languages are downsampled hard while tail languages keep most of
+    // their docs — on this fixture en (43% of the corpus) keeps ~54% at
+    // sf0.01 while de/es/fr/zh keep ~94%. Determinism (D5): the quota is
+    // floor(sqrt(n)·G) — sqrt is correctly rounded IEEE on both engines
+    // and its argument is an exact integer count, so the quota is
+    // bit-reproducible; membership is the shared multiplicative hash
+    // tested by integer cross-multiplication (hash·n < quota·10⁶ — exact,
+    // no float rate). Plan: a ≤|langs|-row count aggregate BROADCASTS onto
+    // a map-side filter over the corpus + one final ≤|langs|-row
+    // aggregate — at 100 TB one scan, no corpus shuffle, and a doc's fate
+    // is re-derivable in isolation (auditable sampling).
+    "sample_lang_temperature" -> ((s, d) => {
+      val counts = documents(s, d)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("quota",
+          floor(sqrt(col("n_docs").cast(DoubleType)) * LangTempGain)
+            .cast(LongType))
+      documents(s, d)
+        .join(broadcast(counts), "lang")
+        .where(mhash(col("doc_id"), 1000000L) * col("n_docs") <
+          col("quota") * lit(1000000L))
+        .groupBy("lang")
+        .agg(max(col("n_docs")).as("n_docs"), max(col("quota")).as("quota"),
+          count(lit(1)).as("n_kept"), lsum(col("n_chars")).as("chars_kept"))
+        .orderBy("lang")
+    }),
+
     // The ad-hoc SQL entry surface (VERDICT r9, What's missing #2): a user
     // of the reference submits query TEXT, not a compiled plan. Every
     // fixture table is registered as a temp view over the cached,
@@ -341,8 +379,21 @@ object Relational {
        "SELECT source, count(*) AS n_kept, " +
        s"${oLsum("n_chars")} AS chars_kept FROM t " +
        "WHERE ((doc_id % 1000000007) * 2654435761) % 1000 < rate " +
-       "GROUP BY source ORDER BY source")
-,
+       "GROUP BY source ORDER BY source"),
+
+    // quota floor(sqrt(n)·G) mirrored token-for-token (sqrt IEEE-exact on
+    // the integer count); membership by integer cross-multiplication
+    "sample_lang_temperature" ->
+      ("WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1), " +
+       "q AS (SELECT lang, n_docs, " +
+       s"CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * $LangTempGain) AS BIGINT) AS quota FROM c), " +
+       "k AS (SELECT d.lang, d.doc_id, d.n_chars, q.n_docs, q.quota " +
+       "FROM documents d JOIN q USING (lang) " +
+       "WHERE ((d.doc_id % 1000000007) * 2654435761) % 1000000 * q.n_docs < q.quota * 1000000) " +
+       "SELECT lang, max(n_docs) AS n_docs, max(quota) AS quota, " +
+       "count(*) AS n_kept, " + s"${oLsum("n_chars")} AS chars_kept " +
+       "FROM k GROUP BY lang ORDER BY lang"),
+
     "sql_adhoc" ->
       ("SELECT n_name, o_orderstatus, count(*) AS n_orders, " +
        s"${oDsum2("o_totalprice")} AS sum_price " +

@@ -79,6 +79,44 @@ object TextOps {
   /** Independent packing shards (pack_sequences) — the parallelism knob. */
   val PackShards = 8
 
+  /** Per-doc mean unigram surprisal (milli-bits) at or above which
+    * `text_lm_surprisal` flags a document as rare-token-heavy — 5 bits/token,
+    * i.e. the doc's average token is ≥ 32× rarer than a uniform draw over
+    * corpus occurrences would predict; flags ~3% of the fixture corpus
+    * (15/500 at sf0.01, 193/5000 at sf0.1). Interpolated into the oracle SQL
+    * from this one definition site.
+    */
+  val LmSurprisalFlagMilli = 5000L
+
+  /** Whole-corpus (doc_id, word, tf) index — the standing artifact shared by
+    * `text_tfidf_topk` and `text_lm_surprisal` (one fixture-keyed build, read
+    * thereafter; the bm25 posting-list pattern from round 9).
+    */
+  private def tfIndex(s: SparkSession, d: String): DataFrame =
+    Sources.memoSpill(s,
+        Sources.fixtureKey(d, "documents") + ":tfidf_tf", "tfidf_tf") {
+      documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    }
+
+  /** Exact fixed-point log2 in micro-bits, as a SQL fragment over a BIGINT
+    * column/expression ≥ 1: ilog2 via the binary-string length
+    * (length(bin(x)) − 1 — exact on both engines, no libm), plus a linearly
+    * interpolated fraction ((x − 2^i)·10⁶ div 2^i), all in exact integer
+    * arithmetic (`div`, never `/` — Spark's `/` is double division). 2^i
+    * comes from power(2, i): powers of two are exactly representable
+    * doubles and pow is exact on them in every IEEE libm, so the BIGINT
+    * cast is deterministic cross-engine (rule D5 — no transcendental whose
+    * last ulp could differ). The DuckDB oracle mirror uses `//` in place of
+    * `div` (identical floor semantics on the non-negative operands here).
+    */
+  private def log2MicroSql(x: String, idiv: String = "div"): String = {
+    val i = s"(length(bin($x)) - 1)"
+    val p = s"CAST(power(2, $i) AS BIGINT)"
+    s"(CAST($i AS BIGINT) * 1000000 + (($x - $p) * 1000000) $idiv $p)"
+  }
+
   /** Portable content fingerprint: polynomial rolling hash over codepoints,
     * mod 1e9+7, folded left-to-right in BIGINT — deterministic and
     * engine-portable. Shared by `text_fingerprint`, its oracle, and
@@ -311,13 +349,9 @@ object TextOps {
       // (tf, df, rn); the score is derivable.
       import org.apache.spark.sql.expressions.Window
       // whole-corpus (doc, word) tf index — fixture-keyed standing
-      // artifact like the bm25 posting list (round 9)
-      val tf = Sources.memoSpill(s,
-          Sources.fixtureKey(d, "documents") + ":tfidf_tf", "tfidf_tf") {
-        documents(s, d)
-          .select(col("doc_id"), explode(toks(col("text"))).as("word"))
-          .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      }
+      // artifact like the bm25 posting list (round 9); shared with
+      // text_lm_surprisal via [[tfIndex]]
+      val tf = tfIndex(s, d)
       val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
       val n = documents(s, d).agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word").asc)
@@ -327,6 +361,36 @@ object TextOps {
         .where(col("rn") <= 3)
         .select("doc_id", "word", "tf", "df", "rn")
         .orderBy("doc_id", "rn")
+    }),
+
+    // Unigram-LM quality scoring (the CCNet/Gopher "perplexity filter"
+    // shape): score each document by its mean per-token surprisal
+    // −log2 p(token) under the corpus's own unigram model, flag the
+    // rare-token-heavy tail. Everything is EXACT integer fixed-point
+    // (rule D5): p(token) = c/N is never materialized as a float —
+    // surprisal = log2µ(N) − log2µ(c) in micro-bits via [[log2MicroSql]]
+    // (binary-length ilog2 + interpolated fraction, `div` arithmetic), so
+    // the scores hash-match DuckDB bit-for-bit where a libm ln() would
+    // diverge in the last ulp. Plan shape = tfidf's: the memoized standing
+    // tf index, a word-keyed count aggregate (mergeable partials), one
+    // shuffle join tf⋈counts on word, a 1-row corpus total broadcast, and
+    // a per-doc re-aggregate — at 100 TB every stage is partial+final
+    // hash aggregation or an equi-join on the token key; nothing collects.
+    "text_lm_surprisal" -> ((s, d) => {
+      val tf = tfIndex(s, d)
+      val cnt = tf.groupBy("word").agg(lsum(col("tf")).as("c"))
+      val n = cnt.agg(lsum(col("c")).as("n"))
+      tf.join(cnt, "word").crossJoin(broadcast(n))
+        .withColumn("surp_micro",
+          expr(s"${log2MicroSql("n")} - ${log2MicroSql("c")}"))
+        .groupBy("doc_id")
+        .agg(lsum(col("tf")).as("n_tokens"),
+          lsum(expr("tf * surp_micro")).as("bits_sum"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("(bits_sum div n_tokens) div 1000").as("surprisal_millibits"))
+        .withColumn("flagged",
+          col("surprisal_millibits") >= lit(LmSurprisalFlagMilli))
+        .orderBy("doc_id")
     }),
 
     "sample_importance_weighted" -> ((s, d) =>
@@ -667,6 +731,23 @@ object TextOps {
        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rn FROM s) " +
        "SELECT doc_id, word, tf, df, CAST(rn AS INT) AS rn FROM r " +
        "WHERE rn <= 3 ORDER BY doc_id, rn"),
+
+    // log2MicroSql mirrored with `//` (DuckDB floor div ≡ Spark div on the
+    // non-negative operands); bin()/power() exact on both engines (D5 note
+    // at the definition site)
+    "text_lm_surprisal" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+       "tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2), " +
+       "cnt AS (SELECT word, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY 1), " +
+       "n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt), " +
+       "sp AS (SELECT doc_id, tf, " +
+       s"${log2MicroSql("n", "//")} - ${log2MicroSql("c", "//")} AS surp_micro " +
+       "FROM tf JOIN cnt USING (word) CROSS JOIN n), " +
+       "sc AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, " +
+       "CAST(SUM(tf * surp_micro) AS BIGINT) AS bits_sum FROM sp GROUP BY doc_id) " +
+       "SELECT doc_id, n_tokens, (bits_sum // n_tokens) // 1000 AS surprisal_millibits, " +
+       s"(bits_sum // n_tokens) // 1000 >= $LmSurprisalFlagMilli AS flagged " +
+       "FROM sc ORDER BY doc_id"),
 
     "sample_importance_weighted" ->
       ("SELECT doc_id, source, n_tok, n_uniq FROM " +

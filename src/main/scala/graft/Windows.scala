@@ -332,8 +332,53 @@ object Windows {
             sum(col("dt_s")).cast(DoubleType)).as("twap_milli"))
         .where(col("held_s") > 0)
         .orderBy("user_id")
+    }),
+
+    // Trailing-window z-score anomaly detection — the streaming-adjacent
+    // outlier flag every metrics pipeline runs: each event's value against
+    // the mean/stddev of its type's last ZscoreWindow events. Sufficient
+    // statistics (n, Σv, Σv²) accumulate as EXACT decimals inside the rows
+    // frame (the ab_test recipe lifted into a window), then one double
+    // render and an IEEE op sequence the oracle mirrors token-for-token —
+    // sqrt is correctly rounded on both engines, so even the derived z
+    // hash-matches. Population variance (÷n): the window is a fixed frame,
+    // not a sample. var > 0 guards the 0/0 constant-window case (NaN
+    // ordering differs cross-engine; a constant window has no outlier by
+    // definition). One shuffle on event_type, per-row state is the frame's
+    // 20 rows; warm-up rows (n < ZscoreWindow) are excluded so every
+    // reported z is over a full window. At 100 TB: partition by
+    // (event_type, day) upstream to bound any one window partition.
+    "window_anomaly_zscore" -> ((s, d) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-(ZscoreWindow - 1), Window.currentRow)
+      val nD = col("n").cast(DoubleType)
+      val s1D = col("s1").cast(DoubleType)
+      val s2D = col("s2").cast(DoubleType)
+      val varPop = greatest(nD * s2D - s1D * s1D, lit(0.0)) / (nD * nD)
+      events(s, d).where(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s1",
+          sum(dec(col("value"), 18, 4)).over(w).cast(DecimalType(38, 4)))
+        .withColumn("s2",
+          sum(dec(col("value"), 18, 4) * dec(col("value"), 18, 4)).over(w)
+            .cast(DecimalType(38, 8)))
+        .withColumn("z", (col("value") - s1D / nD) / sqrt(varPop))
+        .where(col("n") === ZscoreWindow && varPop > 0.0 &&
+          abs(col("z")) > ZscoreFlagSigma)
+        .select("event_id", "event_type", "value", "z")
+        .orderBy("event_id")
     })
   )
+
+  /** Trailing frame length for `window_anomaly_zscore` (rows, incl. the
+    * current one) and its flag threshold in σ — |z| > 3 flags ~1.4% of
+    * fixture events (144 at sf0.01). Both interpolated into the oracle SQL
+    * from this one definition site.
+    */
+  val ZscoreWindow = 20
+  val ZscoreFlagSigma = 3.0
 
   /** Bounded-history EWMA window: 64 steps at α = 1/2 attenuate the
     * truncated prefix by 2⁻⁶⁴ — beyond double precision for any realistic
@@ -495,6 +540,24 @@ object Windows {
        "CAST(CAST(SUM(v_milli * dt_s) AS BIGINT) AS DOUBLE) / " +
        "CAST(CAST(SUM(dt_s) AS BIGINT) AS DOUBLE) AS twap_milli " +
        "FROM iv WHERE dt_s IS NOT NULL " +
-       "GROUP BY user_id HAVING CAST(SUM(dt_s) AS BIGINT) > 0 ORDER BY user_id")
+       "GROUP BY user_id HAVING CAST(SUM(dt_s) AS BIGINT) > 0 ORDER BY user_id"),
+
+    // exact-decimal window moments, one DOUBLE render (oDbl's VARCHAR
+    // path), then the identical IEEE op sequence as the Spark plan
+    "window_anomaly_zscore" ->
+      ("WITH b AS (SELECT event_id, event_type, value, " +
+       "count(*) OVER w AS n, " +
+       "CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4)) AS s1, " +
+       "CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(38,8)) AS s2 " +
+       "FROM events WHERE value IS NOT NULL " +
+       "WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC " +
+       s"ROWS BETWEEN ${ZscoreWindow - 1} PRECEDING AND CURRENT ROW)), " +
+       "zz AS (SELECT event_id, event_type, value, n, " +
+       s"greatest(CAST(n AS DOUBLE) * ${oDbl("s2")} - ${oDbl("s1")} * ${oDbl("s1")}, 0.0) " +
+       "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_pop, " +
+       s"(value - ${oDbl("s1")} / CAST(n AS DOUBLE)) AS dev FROM b) " +
+       "SELECT event_id, event_type, value, dev / sqrt(var_pop) AS z FROM zz " +
+       s"WHERE n = $ZscoreWindow AND var_pop > 0.0 " +
+       s"AND abs(dev / sqrt(var_pop)) > $ZscoreFlagSigma ORDER BY event_id")
   )
 }

@@ -528,6 +528,44 @@ class AggWindowSpec extends AnyFunSuite {
     assert(got.values.exists(_._5 > 0), "no IQR outliers anywhere — degenerate fixture")
   }
 
+  test("window_anomaly_zscore flags exactly the reference trailing-window outliers") {
+    import java.time.ZoneOffset
+    val Zw = Windows.ZscoreWindow
+    val evs = Tables.events(spark, Sf0001)
+      .where(col("value").isNotNull)
+      .select("event_type", "ts", "event_id", "value").collect()
+      .map { r =>
+        val t = r.getAs[java.time.LocalDateTime]("ts")
+        (r.getString(0), t.toEpochSecond(ZoneOffset.UTC) * 1000000L + t.getNano / 1000,
+          r.getLong(2), r.getDouble(3))
+      }
+    // reference: exact-decimal moment sums over each trailing Zw-row frame,
+    // then the identical IEEE op sequence as the plan (and its oracle)
+    val expected = scala.collection.mutable.Map.empty[Long, Double]
+    evs.groupBy(_._1).foreach { case (_, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      for (i <- (Zw - 1) until sorted.length) {
+        val win = sorted.slice(i - (Zw - 1), i + 1)
+        val decs = win.map(e => BigDecimal(e._4).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        val s1D = decs.sum.toDouble
+        val s2D = decs.map(x => x * x).sum.toDouble
+        val nD = Zw.toDouble
+        val varPop = math.max(nD * s2D - s1D * s1D, 0.0) / (nD * nD)
+        val v = sorted(i)._4
+        val z = (v - s1D / nD) / math.sqrt(varPop)
+        if (varPop > 0.0 && math.abs(z) > Windows.ZscoreFlagSigma)
+          expected(sorted(i)._3) = z
+      }
+    }
+    val got = q("window_anomaly_zscore").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got.nonEmpty, "no outliers flagged on the fixture")
+    assert(got.keySet == expected.keySet,
+      s"flag sets differ: extra=${got.keySet -- expected.keySet} missing=${expected.keySet -- got.keySet}")
+    got.foreach { case (id, z) =>
+      assert(z == expected(id), s"event $id: z $z != ${expected(id)}") }
+  }
+
   test("window_twap matches a driver-side interval-weighted reference") {
     val got = q("window_twap").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap

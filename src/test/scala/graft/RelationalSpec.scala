@@ -71,6 +71,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(tailKept < tailFull / 2, s"tail kept $tailKept of $tailFull")
   }
 
+  test("sample_lang_temperature: head language keep-rate strictly below every tail language's") {
+    val out = SparkEntry.queries("sample_lang_temperature")(spark, TestSpark.Sf001)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val full = Tables.documents(spark, TestSpark.Sf001).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == full.keySet, "every fixture language must appear")
+    out.foreach { case (lang, (nDocs, quota, nKept, _)) =>
+      assert(nDocs == full(lang), s"$lang corpus count")
+      assert(quota ==
+        math.floor(math.sqrt(nDocs.toDouble) * Relational.LangTempGain).toLong,
+        s"$lang quota formula")
+      assert(nKept <= nDocs, s"$lang kept more than it had")
+    }
+    val (enN, _, enK, _) = out("en")
+    assert(enK < enN, "the head language (en) must actually be downsampled")
+    out.filterNot(_._1 == "en").foreach { case (lang, (n, _, k, _)) =>
+      // keep-rate comparison by integer cross-multiplication (no float)
+      assert(enK * n < k * enN, s"en keep-rate not strictly below $lang's")
+    }
+  }
+
   test("filter_compound respects every predicate") {
     val rows = SparkEntry.queries("filter_compound")(spark, Sf0001).collect()
     assert(rows.nonEmpty)

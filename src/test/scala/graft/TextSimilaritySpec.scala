@@ -490,6 +490,36 @@ class TextSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("text_lm_surprisal equals an exact-integer JVM unigram-LM reference") {
+    // the same fixed-point log2 (binary-length ilog2 + interpolated
+    // fraction) computed with JVM integer ops — pins the SQL `bin`/`power`
+    // formulation to the arithmetic it claims to implement
+    def log2Micro(x: Long): Long = {
+      val i = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      val p = 1L << i
+      i * 1000000L + (x - p) * 1000000L / p
+    }
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val cnt = docs.flatMap(_._2).groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val n = cnt.values.sum
+    val expected = docs.map { case (id, toks) =>
+      val bits = toks.map(w => log2Micro(n) - log2Micro(cnt(w))).sum
+      id -> ((toks.size.toLong, (bits / toks.size) / 1000))
+    }.toMap
+    val got = q("text_lm_surprisal").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.length == expected.size)
+    got.foreach { case (id, nTok, sm, fl) =>
+      val (en, esm) = expected(id)
+      assert(nTok == en && sm == esm, s"doc $id: got ($nTok, $sm) want ($en, $esm)")
+      assert(fl == (sm >= TextOps.LmSurprisalFlagMilli), s"doc $id flag")
+    }
+    // the interpolated fraction must discriminate (the pure-ilog2 form
+    // collapsed the whole fixture to one score — keep that regression out)
+    assert(got.map(_._3).distinct.length > 1, "surprisal is constant across the corpus")
+  }
+
   test("text_rare_ngram_filter: counts reconcile and the frequent set is honored") {
     val rows = q("text_rare_ngram_filter").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
