@@ -512,6 +512,66 @@ object Streaming {
       }
   }
 
+  case class ZsState(ring: Seq[Long], nSeen: Long)
+  case class ZsFlag(event_id: Long, event_type: String, value: Double, z: Double)
+
+  /** Streaming trailing-window z-score (round 11) — the streaming twin of
+    * `window_anomaly_zscore`: per event_type the state is a ring of the
+    * last [[Windows.ZscoreWindow]] values as EXACT scale-4 fixed-point
+    * longs (the decimal(18,4) unscaled value — ~160 bytes/key regardless
+    * of stream length, where the batch twin's window frame re-reads 20
+    * rows per row). Each arriving event with a full ring computes the
+    * IDENTICAL IEEE op sequence as the batch plan: integer-exact Σv / Σv²
+    * (scaled 10⁴/10⁸ — the same rationals as the batch decimal window
+    * sums), one correctly-rounded double render each
+    * (BigDecimal.doubleValue — the same render Spark's Decimal.toDouble
+    * performs), then max(n·s2 − s1², 0)/n², z = (v − s1/n)/sqrt(var).
+    * Flags emit in Append mode (an anomaly is a fact, never superseded).
+    *
+    * Unlike the mergeable sketches this state is ORDER-dependent (a ring
+    * is a suffix, not a set): within a micro-batch the iterator sorts by
+    * the batch twin's (epoch µs, event_id) total order; across batches
+    * the ring follows arrival — on time-ordered arrival the flag stream
+    * is BIT-EQUAL to the batch operator (StreamingSpec pins event ids and
+    * exact z doubles over contiguous chunked arrival). PRECONDITION
+    * mirrors the batch plan's `value IS NOT NULL` filter (EvtRow.value is
+    * a primitive Double).
+    */
+  def zscoreStream(events: Dataset[EvtRow]): Dataset[ZsFlag] = {
+    import events.sparkSession.implicits._
+    val Zw = Windows.ZscoreWindow
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[ZsState, ZsFlag](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (et: String, it: Iterator[EvtRow], state: GroupState[ZsState]) =>
+          var ring = state.getOption.map(_.ring.toVector)
+            .getOrElse(Vector.empty[Long])
+          var n = state.getOption.map(_.nSeen).getOrElse(0L)
+          val out = Vector.newBuilder[ZsFlag]
+          it.toSeq.sortBy(e => (epochUs(e.ts), e.event_id)).foreach { e =>
+            val scaled = BigDecimal(e.value)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+              .underlying.unscaledValue.longValueExact
+            ring = (ring :+ scaled).takeRight(Zw)
+            n += 1
+            if (ring.length == Zw) {
+              val s1D = java.math.BigDecimal.valueOf(ring.sum, 4).doubleValue
+              val s2D = java.math.BigDecimal
+                .valueOf(ring.map(x => x * x).sum, 8).doubleValue
+              val nD = Zw.toDouble
+              val varPop = math.max(nD * s2D - s1D * s1D, 0.0) / (nD * nD)
+              val z = (e.value - s1D / nD) / math.sqrt(varPop)
+              if (varPop > 0.0 && math.abs(z) > Windows.ZscoreFlagSigma)
+                out += ZsFlag(e.event_id, et, e.value, z)
+            }
+          }
+          state.update(ZsState(ring, n))
+          out.result().iterator
+      }
+  }
+
   def fingerprintDedupStream(docs: DataFrame): Dataset[FpUpdate] = {
     import docs.sparkSession.implicits._
     docs

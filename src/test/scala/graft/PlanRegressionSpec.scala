@@ -324,4 +324,32 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert("(?i)leftsemi".r.findAllIn(p).size >= 1,
       s"middle-degree cap is not a semi-join:\n$p")
   }
+
+  test("lang temperature mix: quota frame broadcasts, corpus never shuffles on lang") {
+    // the ≤|langs|-row count frame must ride a BroadcastHashJoin onto a
+    // map-side filter — an SMJ here would shuffle the whole corpus by
+    // lang just to read a 5-row quota table
+    val p = plan("sample_lang_temperature")
+    assert(p.contains("BroadcastHashJoin"), s"quota join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the quota join:\n$p")
+  }
+
+  test("lm surprisal: count aggregates keep map-side partials, corpus total broadcasts") {
+    // the word-count aggregate must be partial+final (mergeable at 100 TB)
+    // and the 1-row N frame a broadcast, not a shuffled join side
+    val p = plan("text_lm_surprisal")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, s"partial agg lost:\n$p")
+    assert("(?i)broadcast".r.findAllIn(p).size >= 1, s"corpus total not broadcast:\n$p")
+  }
+
+  test("anomaly z-score: one hash exchange (the event_type window shuffle)") {
+    // the moments, z, and the flag filter are all computed inside the one
+    // window pass — a second hash exchange would mean a redundant
+    // re-shuffle (the final orderBy's range exchange is the D1 total
+    // order, not data movement for computation)
+    val p = plan("window_anomaly_zscore")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"window pass re-shuffles:\n$p")
+    assert(p.contains("Window"), s"no window operator:\n$p")
+  }
 }

@@ -354,6 +354,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming z-score flags equal batch window_anomaly_zscore bit-for-bit on time-ordered arrival") {
+    // same contract as the ewma twin: the ring state is order-dependent,
+    // so the feed is the batch total order in 4 contiguous micro-batches;
+    // every flagged event_id AND its exact z double must match the batch
+    // window operator (proving the 20-long ring + scaled-integer sums
+    // reproduce the decimal window moments exactly)
+    val evs = Tables.events(spark, Sf0001).where(col("value").isNotNull)
+      .select("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => Streaming.EvtRow(r.getLong(0),
+        Timestamp.valueOf(r.getAs[java.time.LocalDateTime](1)),
+        if (r.isNullAt(2)) 0L else r.getLong(2), r.getString(3), r.getDouble(4)))
+      .sortBy(e => (Streaming.epochUs(e.ts), e.event_id))
+    val input = MemoryStream[Streaming.EvtRow]
+    val q = Streaming.zscoreStream(input.toDS())
+      .writeStream.format("memory").queryName("zsflag").outputMode("append").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 4)).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("zsflag").collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      val batch = SparkEntry.queries("window_anomaly_zscore")(spark, Sf0001)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(batch.nonEmpty, "batch twin flagged nothing — vacuous fixture")
+      assert(streamed == batch,
+        s"stream-batch drift: extra=${(streamed.keySet -- batch.keySet).take(3)} " +
+        s"missing=${(batch.keySet -- streamed.keySet).take(3)}")
+    } finally q.stop()
+  }
+
   test("fingerprint dedup stream converges to batch dedup_exact under shuffled arrival") {
     // The full sf0.001 documents corpus, arrival order decorrelated from
     // doc_id and split across 4 micro-batches: duplicates of one text land
