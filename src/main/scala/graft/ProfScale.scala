@@ -217,7 +217,15 @@ object ProfScale {
       // round 11: the five-stage composed pipeline — reads the memoized
       // pair/shingle spills, so the timed entry is the composition
       // (anti-join drops + quality + packing), not index derivation
-      "pipeline_pretrain_full")
+      "pipeline_pretrain_full",
+      // late round 11: the unigram-LM scorer (vocabulary grows ~k× under
+      // the Caesar-perturbed copies — the tf⋈counts join is the term
+      // under test), the language temperature mix (map-side filter — the
+      // ≤|langs|-row quota build is the only aggregate), and the trailing
+      // z-score window (events grow k× over a FIXED 5-ary partition key —
+      // the known serialization risk its comment prescribes
+      // (event_type, day) pre-partitioning for; this measures it)
+      "text_lm_surprisal", "sample_lang_temperature", "window_anomaly_zscore")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer
