@@ -110,8 +110,14 @@ object TextOps {
     * cast is deterministic cross-engine (rule D5 — no transcendental whose
     * last ulp could differ). The DuckDB oracle mirror uses `//` in place of
     * `div` (identical floor semantics on the non-negative operands here).
+    *
+    * DOMAIN: (x − 2^i)·10⁶ must fit a BIGINT, i.e. x < ~9.2×10¹² (≈ 9
+    * trillion token occurrences, ~36 TB of text in one count). Under the
+    * session's ANSI mode an overflow throws loudly rather than wrapping;
+    * beyond that corpus size run the counts per language/source shard (the
+    * usual deployment) or drop the fraction's scale a step.
     */
-  private def log2MicroSql(x: String, idiv: String = "div"): String = {
+  private[graft] def log2MicroSql(x: String, idiv: String = "div"): String = {
     val i = s"(length(bin($x)) - 1)"
     val p = s"CAST(power(2, $i) AS BIGINT)"
     s"(CAST($i AS BIGINT) * 1000000 + (($x - $p) * 1000000) $idiv $p)"

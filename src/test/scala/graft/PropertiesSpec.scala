@@ -152,4 +152,26 @@ class PropertiesSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (1 to 16).map(r.getLong)).toMap
     assert(mhF == mhR, "minhash_sigs diverged on generated text")
   }
+
+  test("fixed-point log2 SQL fragment equals the JVM reference across magnitudes") {
+    // text_lm_surprisal's exactness claim, beyond fixture counts: the
+    // bin()/power()/div formulation must equal integer bit arithmetic for
+    // ANY count in the documented domain (x < ~9.2e12 before the ·10⁶
+    // interpolation product can overflow). Edges: 1 (ilog2 = 0, fraction
+    // 0), exact powers of two (fraction exactly 0), power-of-two ± 1, and
+    // the domain's top decade.
+    def ref(x: Long): Long = {
+      val i = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      val p = 1L << i
+      i * 1000000L + (x - p) * 1000000L / p
+    }
+    val edges = Seq(1L, 2L, 3L, 4L, 7L, 8L, 9L, (1L << 42) - 1, 1L << 42,
+      (1L << 42) + 1, 4000000000000L)
+    val xs = (samples(Gen.chooseNum(1L, 4000000000000L), 300) ++ edges).distinct
+    val got = xs.toDF("x")
+      .select(col("x"), expr(TextOps.log2MicroSql("x")).as("lg"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    xs.foreach(x => assert(got(x) == ref(x),
+      s"x=$x: sql ${got(x)} != jvm ${ref(x)}"))
+  }
 }
