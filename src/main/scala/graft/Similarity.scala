@@ -1023,11 +1023,15 @@ object Similarity {
     // eval set) leave the training corpus and any doc sharing an 8-token
     // shingle with them is dropped (text_decontaminate's screen); the
     // integer quality floor and shard-local packing are
-    // pipeline_pretrain_mini's stages verbatim. All dedup/decontam drops
-    // are left-anti equi-joins against DISTINCT id frames and the pair/
-    // shingle sources are the standing memoized indexes — at 100 TB this
-    // plan reads the band index and shingle index, never re-derives them,
-    // and only survivors reach the packing shuffle.
+    // pipeline_pretrain_mini's stages verbatim; and (late round 11) the
+    // unigram-LM surprisal filter — text_lm_surprisal's exact fixed-point
+    // score against the FULL-CORPUS model (not the survivor subset),
+    // like a production reference-LM filter — drops the rare-token-heavy
+    // tail before packing. All dedup/decontam/surprisal drops are
+    // left-anti equi-joins against DISTINCT id frames and the pair/
+    // shingle/tf sources are the standing memoized indexes — at 100 TB
+    // this plan reads the band index, shingle index, and tf index, never
+    // re-derives them, and only survivors reach the packing shuffle.
     "pipeline_pretrain_full" -> ((s, d) => {
       val ex = documents(s, d).groupBy("text").agg(min(col("doc_id")).as("doc_id"))
       val nearDrop = minhashCandidates(s, d, 0.8)
@@ -1038,6 +1042,9 @@ object Similarity {
       val cont = sh.where(col("doc_id") >= 50)
         .join(broadcast(probeG), Seq("g"), "left_semi")
         .select("doc_id").distinct()
+      val surpFlag = TextOps.lmScores(s, d)
+        .where(col("surprisal_millibits") >= lit(TextOps.LmSurprisalFlagMilli))
+        .select("doc_id")
       val tk = split(col("text"), " ")
       val cleaned = ex
         .join(nearDrop, Seq("doc_id"), "left_anti")
@@ -1047,6 +1054,7 @@ object Similarity {
           size(tk).cast(LongType).as("n_tok"),
           size(array_distinct(tk)).cast(LongType).as("n_uniq"))
         .where(col("n_uniq") * 20 >= col("n_tok") * 7)
+        .join(surpFlag, Seq("doc_id"), "left_anti")
       val byDoc = Window.partitionBy("shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       cleaned
@@ -2166,12 +2174,13 @@ object Similarity {
        "JOIN sh p ON c.g = p.g AND p.doc_id < 50 AND c.doc_id >= 50 " +
        "ORDER BY c.doc_id, probe_id"),
 
-    // the five verified stages chained as CTEs: the shared minhash pair
+    // the six verified stages chained as CTEs: the shared minhash pair
     // chain (pr), exact reps, the near-drop anti set, the decontamination
     // shingle screen (dsh/cont — raw-string shingles; the Spark side keys
     // on xxhash64 of the same strings, equality-preserving as in
-    // text_decontaminate), then pipeline_pretrain_mini's quality + pack
-    // tail over the survivors
+    // text_decontaminate), the full-corpus unigram surprisal flags
+    // (ltok…lflag — text_lm_surprisal's fixed-point log2 chain verbatim),
+    // then pipeline_pretrain_mini's quality + pack tail over the survivors
     "pipeline_pretrain_full" ->
       ("WITH " + minhashPairsCte + ", " +
        "ex AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text), " +
@@ -2182,13 +2191,24 @@ object Similarity {
        "FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents))), " +
        "cont AS (SELECT DISTINCT c.doc_id FROM dsh c " +
        "JOIN dsh p ON c.g = p.g AND p.doc_id < 50 AND c.doc_id >= 50), " +
+       "ltok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+       "ltf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM ltok GROUP BY 1, 2), " +
+       "lcnt AS (SELECT word, CAST(SUM(tf) AS BIGINT) AS lc FROM ltf GROUP BY 1), " +
+       "ln AS (SELECT CAST(SUM(lc) AS BIGINT) AS lnn FROM lcnt), " +
+       "lsp AS (SELECT doc_id, tf, " +
+       s"${TextOps.log2MicroSql("lnn", "//")} - ${TextOps.log2MicroSql("lc", "//")} AS surp_micro " +
+       "FROM ltf JOIN lcnt USING (word) CROSS JOIN ln), " +
+       "lflag AS (SELECT doc_id FROM (SELECT doc_id, " +
+       "(CAST(SUM(tf * surp_micro) AS BIGINT) // CAST(SUM(tf) AS BIGINT)) // 1000 AS sm " +
+       s"FROM lsp GROUP BY doc_id) WHERE sm >= ${TextOps.LmSurprisalFlagMilli}), " +
        "sv AS (SELECT e.doc_id, e.text FROM ex e WHERE e.doc_id >= 50 " +
        "AND NOT EXISTS (SELECT 1 FROM ndrop n WHERE n.doc_id = e.doc_id) " +
        "AND NOT EXISTS (SELECT 1 FROM cont ct WHERE ct.doc_id = e.doc_id)), " +
        "qq AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
        "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq FROM sv), " +
        s"ff AS (SELECT doc_id, n_tok, doc_id % ${TextOps.PackShards} AS shard FROM qq " +
-       "WHERE n_uniq * 20 >= n_tok * 7), " +
+       "WHERE n_uniq * 20 >= n_tok * 7 " +
+       "AND NOT EXISTS (SELECT 1 FROM lflag lf WHERE lf.doc_id = qq.doc_id)), " +
        "cc AS (SELECT doc_id, shard, n_tok, CAST(coalesce(sum(n_tok) OVER (" +
        "PARTITION BY shard ORDER BY doc_id " +
        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off FROM ff) " +

@@ -92,7 +92,7 @@ object TextOps {
     * `text_tfidf_topk` and `text_lm_surprisal` (one fixture-keyed build, read
     * thereafter; the bm25 posting-list pattern from round 9).
     */
-  private def tfIndex(s: SparkSession, d: String): DataFrame =
+  private[graft] def tfIndex(s: SparkSession, d: String): DataFrame =
     Sources.memoSpill(s,
         Sources.fixtureKey(d, "documents") + ":tfidf_tf", "tfidf_tf") {
       documents(s, d)
@@ -121,6 +121,28 @@ object TextOps {
     val i = s"(length(bin($x)) - 1)"
     val p = s"CAST(power(2, $i) AS BIGINT)"
     s"(CAST($i AS BIGINT) * 1000000 + (($x - $p) * 1000000) $idiv $p)"
+  }
+
+  /** Per-doc unigram-LM surprisal frame (doc_id, n_tokens,
+    * surprisal_millibits) — the scoring engine behind `text_lm_surprisal`
+    * and the pipeline's surprisal filter stage. The 1-row corpus total
+    * attaches via the repo's sanctioned bounded-BNLJ pattern
+    * (crossJoin(broadcast(1-row)) — the incrMaxId precedent; a
+    * constant-key equi-join does not survive constant folding, Catalyst
+    * rewrites it back to the same BNLJ).
+    */
+  private[graft] def lmScores(s: SparkSession, d: String): DataFrame = {
+    val tf = tfIndex(s, d)
+    val cnt = tf.groupBy("word").agg(lsum(col("tf")).as("c"))
+    val n = cnt.agg(lsum(col("c")).as("n"))
+    tf.join(cnt, "word").crossJoin(broadcast(n))
+      .withColumn("surp_micro",
+        expr(s"${log2MicroSql("n")} - ${log2MicroSql("c")}"))
+      .groupBy("doc_id")
+      .agg(lsum(col("tf")).as("n_tokens"),
+        lsum(expr("tf * surp_micro")).as("bits_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(bits_sum div n_tokens) div 1000").as("surprisal_millibits"))
   }
 
   /** Portable content fingerprint: polynomial rolling hash over codepoints,
@@ -382,22 +404,11 @@ object TextOps {
     // shuffle join tf⋈counts on word, a 1-row corpus total broadcast, and
     // a per-doc re-aggregate — at 100 TB every stage is partial+final
     // hash aggregation or an equi-join on the token key; nothing collects.
-    "text_lm_surprisal" -> ((s, d) => {
-      val tf = tfIndex(s, d)
-      val cnt = tf.groupBy("word").agg(lsum(col("tf")).as("c"))
-      val n = cnt.agg(lsum(col("c")).as("n"))
-      tf.join(cnt, "word").crossJoin(broadcast(n))
-        .withColumn("surp_micro",
-          expr(s"${log2MicroSql("n")} - ${log2MicroSql("c")}"))
-        .groupBy("doc_id")
-        .agg(lsum(col("tf")).as("n_tokens"),
-          lsum(expr("tf * surp_micro")).as("bits_sum"))
-        .select(col("doc_id"), col("n_tokens"),
-          expr("(bits_sum div n_tokens) div 1000").as("surprisal_millibits"))
+    "text_lm_surprisal" -> ((s, d) =>
+      lmScores(s, d)
         .withColumn("flagged",
           col("surprisal_millibits") >= lit(LmSurprisalFlagMilli))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     "sample_importance_weighted" -> ((s, d) =>
       // Quality-weighted subsampling — the training-data curation step

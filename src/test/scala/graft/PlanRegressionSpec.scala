@@ -302,15 +302,20 @@ class PlanRegressionSpec extends AnyFunSuite {
   }
 
   test("pipeline_pretrain_full: drops are hash joins over spills, probes broadcast") {
-    // the five-stage chain's 100 TB shape: the near-dup and contamination
-    // drops are (broadcast) hash anti/semi equi-joins against DISTINCT id
-    // frames derived from the memoized pair/shingle SPILLS (bare parquet
-    // scans — no minhash banding or shingle re-derivation in this plan),
-    // and nothing in the chain is a nested-loop join
+    // the six-stage chain's 100 TB shape: the near-dup, contamination, and
+    // surprisal drops are (broadcast) hash anti/semi equi-joins against
+    // DISTINCT id frames derived from the memoized pair/shingle/tf SPILLS
+    // (bare parquet scans — no minhash banding, shingle, or token
+    // re-derivation in this plan). The ONE permitted nested-loop join is
+    // the surprisal stage's provably-1-row corpus-total broadcast (the
+    // sanctioned bounded-BNLJ pattern); any second one, or a
+    // CartesianProduct, is a regression.
     val p = plan("pipeline_pretrain_full")
-    assert(!p.contains("NestedLoop"), s"pipeline grew a nested-loop join:\n$p")
-    assert("(?i)leftanti".r.findAllIn(p).size >= 2,
-      s"expected two anti-join drop stages:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1 &&
+      !p.contains("CartesianProduct"),
+      s"pipeline grew an unbounded nested-loop join:\n$p")
+    assert("(?i)leftanti".r.findAllIn(p).size >= 3,
+      s"expected three anti-join drop stages:\n$p")
     assert(!p.contains("xxhash64"),
       s"shingle/banding re-derived inside the pipeline plan (should read spills):\n$p")
   }

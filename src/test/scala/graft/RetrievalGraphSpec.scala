@@ -136,7 +136,7 @@ class RetrievalGraphSpec extends AnyFunSuite {
       "pipeline dropped nothing — dedup/quality stages vacuous on fixture")
   }
 
-  test("pipeline_pretrain_full composes five verified stages, each dropping docs") {
+  test("pipeline_pretrain_full composes six verified stages, each dropping docs") {
     import TextOps.{PackShards, PackSeqLen}
     import TestSpark.Sf01
     // sf0.1, not the usual sf0.001: the smaller fixtures have no exact-dup
@@ -165,11 +165,17 @@ class RetrievalGraphSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     val decon = near.filter(r => r._1 >= 50 && !cont(r._1))
     // stage 4: integer quality floor
-    val cleaned = decon.map { case (id, t) =>
+    val floored = decon.map { case (id, t) =>
       val tk = t.split(" ", -1)
       (id, tk.length.toLong, tk.distinct.length.toLong)
     }.filter { case (_, n, u) => u * 20 >= n * 7 }
-    // stage 5: shard-local exclusive-prefix packing of the survivors
+    // stage 5 (late round 11): the full-corpus unigram surprisal filter —
+    // text_lm_surprisal's verified flag column is the reference, so the
+    // spec again pins the COMPOSITION, not the score derivation
+    val surpFlagged = SparkEntry.queries("text_lm_surprisal")(spark, Sf01)
+      .collect().collect { case r if r.getBoolean(3) => r.getLong(0) }.toSet
+    val cleaned = floored.filterNot { case (id, _, _) => surpFlagged(id) }
+    // stage 6: shard-local exclusive-prefix packing of the survivors
     val expected = cleaned.map { case (id, n, _) => (id % PackShards, id, n) }
       .groupBy(_._1).toSeq.flatMap { case (shard, rows) =>
         var off = 0L
@@ -184,11 +190,12 @@ class RetrievalGraphSpec extends AnyFunSuite {
     // stage-drop accounting: every stage must bite on the fixture — a
     // vacuous stage means the composition no longer exercises its operator
     info(s"docs=${docs.length} exact=${reps.size} near=${near.size} " +
-      s"decontam=${decon.size} quality=${cleaned.size}")
+      s"decontam=${decon.size} quality=${floored.size} surprisal=${cleaned.size}")
     assert(reps.size < docs.length, "exact-dedup stage vacuous")
     assert(near.size < reps.size, "near-dedup stage vacuous")
     assert(decon.size < near.size, "probe/decontamination stage vacuous")
-    assert(cleaned.size < decon.size, "quality stage vacuous")
+    assert(floored.size < decon.size, "quality stage vacuous")
+    assert(cleaned.size < floored.size, "surprisal stage vacuous")
   }
 
   test("zorder buckets are tight dyadic boxes, not global-width stripes") {
