@@ -130,6 +130,14 @@ object TextOps {
     * (crossJoin(broadcast(1-row)) — the incrMaxId precedent; a
     * constant-key equi-join does not survive constant folding, Catalyst
     * rewrites it back to the same BNLJ).
+    *
+    * MODEL COUPLING: scores are against the corpus's OWN unigram model,
+    * so changing the corpus composition moves every absolute score —
+    * e.g. doubling the corpus with disjoint-vocabulary text adds exactly
+    * 1000 millibits to every doc (N doubles, counts don't). A production
+    * deployment freezes a REFERENCE model instead: the tf/cnt frames here
+    * are exactly that artifact — persist them once (memoSpill already
+    * does per fixture) and score any new corpus against the saved counts.
     */
   private[graft] def lmScores(s: SparkSession, d: String): DataFrame = {
     val tf = tfIndex(s, d)
