@@ -512,7 +512,7 @@ object Streaming {
       }
   }
 
-  case class ZsState(ring: Seq[Long], nSeen: Long)
+  case class ZsState(ring: Seq[Long])
   case class ZsFlag(event_id: Long, event_type: String, value: Double, z: Double)
 
   /** Streaming trailing-window z-score (round 11) — the streaming twin of
@@ -522,11 +522,17 @@ object Streaming {
     * of stream length, where the batch twin's window frame re-reads 20
     * rows per row). Each arriving event with a full ring computes the
     * IDENTICAL IEEE op sequence as the batch plan: integer-exact Σv / Σv²
-    * (scaled 10⁴/10⁸ — the same rationals as the batch decimal window
-    * sums), one correctly-rounded double render each
-    * (BigDecimal.doubleValue — the same render Spark's Decimal.toDouble
-    * performs), then max(n·s2 − s1², 0)/n², z = (v − s1/n)/sqrt(var).
-    * Flags emit in Append mode (an anomaly is a fact, never superseded).
+    * accumulated in BigInt (scaled 10⁴/10⁸ — the same rationals as the
+    * batch DECIMAL(38,4)/(38,8) window sums; a Long Σx² would silently
+    * wrap for |v| beyond ~3·10⁵ where the batch decimals stay exact —
+    * ADVICE-class bug caught in round-11 review), one correctly-rounded
+    * double render each (BigDecimal.doubleValue — the same render Spark's
+    * Decimal.toDouble performs), then max(n·s2 − s1², 0)/n²,
+    * z = (v − s1/n)/sqrt(var). The scale-4 fixed-point conversion uses
+    * longValueExact, so a value outside the decimal(18,4) domain throws
+    * loudly — matching the batch plan's ANSI decimal-overflow error
+    * rather than silently diverging. Flags emit in Append mode (an
+    * anomaly is a fact, never superseded).
     *
     * Unlike the mergeable sketches this state is ORDER-dependent (a ring
     * is a suffix, not a set): within a micro-batch the iterator sorts by
@@ -548,18 +554,17 @@ object Streaming {
         (et: String, it: Iterator[EvtRow], state: GroupState[ZsState]) =>
           var ring = state.getOption.map(_.ring.toVector)
             .getOrElse(Vector.empty[Long])
-          var n = state.getOption.map(_.nSeen).getOrElse(0L)
           val out = Vector.newBuilder[ZsFlag]
           it.toSeq.sortBy(e => (epochUs(e.ts), e.event_id)).foreach { e =>
             val scaled = BigDecimal(e.value)
               .setScale(4, BigDecimal.RoundingMode.HALF_UP)
               .underlying.unscaledValue.longValueExact
             ring = (ring :+ scaled).takeRight(Zw)
-            n += 1
             if (ring.length == Zw) {
-              val s1D = java.math.BigDecimal.valueOf(ring.sum, 4).doubleValue
-              val s2D = java.math.BigDecimal
-                .valueOf(ring.map(x => x * x).sum, 8).doubleValue
+              val s1 = ring.foldLeft(BigInt(0))(_ + _)
+              val s2 = ring.foldLeft(BigInt(0))((a, x) => a + BigInt(x) * x)
+              val s1D = new java.math.BigDecimal(s1.bigInteger, 4).doubleValue
+              val s2D = new java.math.BigDecimal(s2.bigInteger, 8).doubleValue
               val nD = Zw.toDouble
               val varPop = math.max(nD * s2D - s1D * s1D, 0.0) / (nD * nD)
               val z = (e.value - s1D / nD) / math.sqrt(varPop)
@@ -567,7 +572,7 @@ object Streaming {
                 out += ZsFlag(e.event_id, et, e.value, z)
             }
           }
-          state.update(ZsState(ring, n))
+          state.update(ZsState(ring))
           out.result().iterator
       }
   }

@@ -160,11 +160,7 @@ class PropertiesSpec extends AnyFunSuite {
     // interpolation product can overflow). Edges: 1 (ilog2 = 0, fraction
     // 0), exact powers of two (fraction exactly 0), power-of-two ± 1, and
     // the domain's top decade.
-    def ref(x: Long): Long = {
-      val i = 63 - java.lang.Long.numberOfLeadingZeros(x)
-      val p = 1L << i
-      i * 1000000L + (x - p) * 1000000L / p
-    }
+    val ref = TestSpark.log2MicroRef _
     val edges = Seq(1L, 2L, 3L, 4L, 7L, 8L, 9L, (1L << 42) - 1, 1L << 42,
       (1L << 42) + 1, 4000000000000L)
     val xs = (samples(Gen.chooseNum(1L, 4000000000000L), 300) ++ edges).distinct

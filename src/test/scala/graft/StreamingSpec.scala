@@ -384,6 +384,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("zscoreStream is exact in the large-value domain where Long squares would wrap") {
+    // values ~9e4 scale to ~9e8 fixed-point; one window's Σx² ≈ 1.6e19
+    // exceeds Long.MaxValue (9.2e18) — a Long accumulator wraps silently
+    // (the round-11 review catch) while the batch twin's DECIMAL(38,8)
+    // stays exact. The BigInt accumulator must reproduce the batch
+    // arithmetic bit-for-bit here too.
+    val vals = (0 until 40).map(i => 90000.0 + (i % 7) * 3.25) :+ 90800.0
+    val evs = vals.zipWithIndex.map { case (v, i) =>
+      Streaming.EvtRow(i.toLong, new Timestamp(1700000000000L + i * 60000L),
+        1L, "big", v)
+    }
+    val Zw = Windows.ZscoreWindow
+    val expected = scala.collection.mutable.Map.empty[Long, Double]
+    for (i <- (Zw - 1) until evs.length) {
+      val win = evs.slice(i - (Zw - 1), i + 1)
+      val decs = win.map(e =>
+        BigDecimal(e.value).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+      val s1D = decs.sum.toDouble
+      val s2D = decs.map(x => x * x).sum.toDouble
+      val nD = Zw.toDouble
+      val varPop = math.max(nD * s2D - s1D * s1D, 0.0) / (nD * nD)
+      val z = (evs(i).value - s1D / nD) / math.sqrt(varPop)
+      if (varPop > 0.0 && math.abs(z) > Windows.ZscoreFlagSigma)
+        expected(evs(i).event_id) = z
+    }
+    assert(expected.contains(40L), "the spike must flag in the reference")
+    val input = MemoryStream[Streaming.EvtRow]
+    val q = Streaming.zscoreStream(input.toDS())
+      .writeStream.format("memory").queryName("zsbig").outputMode("append").start()
+    try {
+      input.addData(evs); q.processAllAvailable()
+      val got = spark.table("zsbig").collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(got == expected.toMap,
+        s"large-value drift: got=$got expected=$expected")
+    } finally q.stop()
+  }
+
   test("fingerprint dedup stream converges to batch dedup_exact under shuffled arrival") {
     // The full sf0.001 documents corpus, arrival order decorrelated from
     // doc_id and split across 4 micro-batches: duplicates of one text land

@@ -8,6 +8,17 @@ object TestSpark {
   val Sf001  = "/root/testdata/sf0.01"
   val Sf01   = "/root/testdata/sf0.1"
 
+  /** JVM twin of [[TextOps.log2MicroSql]] (exact fixed-point log2 in
+    * micro-bits) — ONE definition shared by every spec that pins the SQL
+    * formulation, so a future scale change can't update one copy and
+    * leave another silently pinning the old arithmetic.
+    */
+  def log2MicroRef(x: Long): Long = {
+    val i = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val p = 1L << i
+    i * 1000000L + (x - p) * 1000000L / p
+  }
+
   lazy val spark: SparkSession = {
     System.setProperty("derby.system.home", "/tmp/graft_derby")
     val s = SparkSession.builder()

@@ -494,11 +494,7 @@ class TextSimilaritySpec extends AnyFunSuite {
     // the same fixed-point log2 (binary-length ilog2 + interpolated
     // fraction) computed with JVM integer ops — pins the SQL `bin`/`power`
     // formulation to the arithmetic it claims to implement
-    def log2Micro(x: Long): Long = {
-      val i = 63 - java.lang.Long.numberOfLeadingZeros(x)
-      val p = 1L << i
-      i * 1000000L + (x - p) * 1000000L / p
-    }
+    val log2Micro = TestSpark.log2MicroRef _
     val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
     val cnt = docs.flatMap(_._2).groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
