@@ -399,6 +399,33 @@ object TextOps {
         .orderBy("doc_id", "rn")
     }),
 
+    // Per-language Shannon entropy of the token distribution — the
+    // information-theoretic corpus-diversity metric (text_token_gini's
+    // 1 − Σp² is the collision approximation of this; entropy separates
+    // distributions gini compresses together). Exact integer fixed-point
+    // via the same [[log2MicroSql]] kernel as text_lm_surprisal:
+    // H ≈ (Σ_w c_w·(log2µ(N_l) − log2µ(c_w))) div N_l, in milli-bits —
+    // H = Σ p·log2(1/p) restated with p = c/N never materialized as a
+    // float. Overflow: Σ c·surp ≤ N·log2µ(N) ≈ 1.2×10¹⁴ at sf0.1 — far
+    // inside BIGINT. Plan: two partial+final hash aggregates (the second
+    // ≤|langs| rows) and a ≤|langs|-row broadcast — the same 100 TB shape
+    // as text_token_gini.
+    "text_token_entropy" -> ((s, d) => {
+      val wc = documents(s, d)
+        .select(col("lang"), explode(toks(col("text"))).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      val tot = wc.groupBy("lang").agg(lsum(col("c")).as("n"))
+      wc.join(broadcast(tot), "lang")
+        .withColumn("bits",
+          expr(s"c * (${log2MicroSql("n")} - ${log2MicroSql("c")})"))
+        .groupBy("lang")
+        .agg(max(col("n")).as("n_tokens"), count(lit(1)).as("n_vocab"),
+          lsum(col("bits")).as("bits_sum"))
+        .select(col("lang"), col("n_tokens"), col("n_vocab"),
+          expr("(bits_sum div n_tokens) div 1000").as("entropy_millibits"))
+        .orderBy("lang")
+    }),
+
     // Unigram-LM quality scoring (the CCNet/Gopher "perplexity filter"
     // shape): score each document by its mean per-token surprisal
     // −log2 p(token) under the corpus's own unigram model, flag the
@@ -756,6 +783,18 @@ object TextOps {
        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rn FROM s) " +
        "SELECT doc_id, word, tf, df, CAST(rn AS INT) AS rn FROM r " +
        "WHERE rn <= 3 ORDER BY doc_id, rn"),
+
+    "text_token_entropy" ->
+      ("WITH wc AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM " +
+       "(SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) " +
+       "GROUP BY lang, w), " +
+       "tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM wc GROUP BY lang), " +
+       "bt AS (SELECT wc.lang, wc.c, tot.n, " +
+       s"wc.c * (${log2MicroSql("n", "//")} - ${log2MicroSql("c", "//")}) AS bits " +
+       "FROM wc JOIN tot USING (lang)) " +
+       "SELECT lang, max(n) AS n_tokens, count(*) AS n_vocab, " +
+       "(CAST(SUM(bits) AS BIGINT) // max(n)) // 1000 AS entropy_millibits " +
+       "FROM bt GROUP BY lang ORDER BY lang"),
 
     // log2MicroSql mirrored with `//` (DuckDB floor div ≡ Spark div on the
     // non-negative operands); bin()/power() exact on both engines (D5 note

@@ -516,6 +516,33 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(got.map(_._3).distinct.length > 1, "surprisal is constant across the corpus")
   }
 
+  test("text_token_entropy equals an exact-integer JVM reference, bounded by log2(vocab)") {
+    val docs = Tables.documents(spark, Sf0001).select("lang", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1).split(" ", -1).toSeq)
+    val byLang = docs.groupBy(_._1).view.mapValues(_.flatMap(_._2)).toMap
+    val expected = byLang.map { case (lang, toks) =>
+      val cnt = toks.groupBy(identity).map { case (_, xs) => xs.size.toLong }
+      val n = toks.size.toLong
+      val bits = cnt.map(c =>
+        c * (TestSpark.log2MicroRef(n) - TestSpark.log2MicroRef(c))).sum
+      lang -> ((n, cnt.size.toLong, (bits / n) / 1000))
+    }
+    val got = q("text_token_entropy").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (lang, t) =>
+      assert(t == expected(lang), s"$lang: got $t want ${expected(lang)}")
+      // uniform bound H ≤ log2(vocab); the interpolated fixed-point log2
+      // is within ~86 millibits of true log2 per term, so allow 200
+      val (_, v, h) = t
+      val uniform = (math.log(v.toDouble) / math.log(2.0) * 1000).toLong
+      assert(h <= uniform + 200, s"$lang entropy $h above uniform bound $uniform")
+    }
+    // entropy must discriminate across languages on the fixture (en has
+    // ~3× the tokens and a larger working vocabulary)
+    assert(got.values.map(_._3).toSet.size > 1, "entropy constant across languages")
+  }
+
   test("text_rare_ngram_filter: counts reconcile and the frequent set is honored") {
     val rows = q("text_rare_ngram_filter").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
