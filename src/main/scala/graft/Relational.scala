@@ -237,8 +237,11 @@ object Relational {
     // tested by integer cross-multiplication (hash·n < quota·10⁶ — exact,
     // no float rate). Plan: a ≤|langs|-row count aggregate BROADCASTS onto
     // a map-side filter over the corpus + one final ≤|langs|-row
-    // aggregate — at 100 TB one scan, no corpus shuffle, and a doc's fate
-    // is re-derivable in isolation (auditable sampling).
+    // aggregate — two corpus scans (the counting pass, then the filter
+    // pass), NO corpus shuffle, and a doc's fate is re-derivable in
+    // isolation (auditable sampling). At 100 TB the counting scan
+    // disappears if per-language counts come from partition metadata or
+    // table statistics; the filter pass is then the only read.
     "sample_lang_temperature" -> ((s, d) => {
       val counts = documents(s, d)
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))

@@ -2191,16 +2191,8 @@ object Similarity {
        "FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents))), " +
        "cont AS (SELECT DISTINCT c.doc_id FROM dsh c " +
        "JOIN dsh p ON c.g = p.g AND p.doc_id < 50 AND c.doc_id >= 50), " +
-       "ltok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
-       "ltf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM ltok GROUP BY 1, 2), " +
-       "lcnt AS (SELECT word, CAST(SUM(tf) AS BIGINT) AS lc FROM ltf GROUP BY 1), " +
-       "ln AS (SELECT CAST(SUM(lc) AS BIGINT) AS lnn FROM lcnt), " +
-       "lsp AS (SELECT doc_id, tf, " +
-       s"${TextOps.log2MicroSql("lnn", "//")} - ${TextOps.log2MicroSql("lc", "//")} AS surp_micro " +
-       "FROM ltf JOIN lcnt USING (word) CROSS JOIN ln), " +
-       "lflag AS (SELECT doc_id FROM (SELECT doc_id, " +
-       "(CAST(SUM(tf * surp_micro) AS BIGINT) // CAST(SUM(tf) AS BIGINT)) // 1000 AS sm " +
-       s"FROM lsp GROUP BY doc_id) WHERE sm >= ${TextOps.LmSurprisalFlagMilli}), " +
+       TextOps.lmScoreCtes("l") + ", " +
+       s"lflag AS (SELECT doc_id FROM lsc WHERE sm >= ${TextOps.LmSurprisalFlagMilli}), " +
        "sv AS (SELECT e.doc_id, e.text FROM ex e WHERE e.doc_id >= 50 " +
        "AND NOT EXISTS (SELECT 1 FROM ndrop n WHERE n.doc_id = e.doc_id) " +
        "AND NOT EXISTS (SELECT 1 FROM cont ct WHERE ct.doc_id = e.doc_id)), " +

@@ -153,6 +153,31 @@ object TextOps {
         expr("(bits_sum div n_tokens) div 1000").as("surprisal_millibits"))
   }
 
+  /** Shared DuckDB-oracle fragment: the unigram-surprisal scoring chain as
+    * CTEs (tokenize → per-doc tf → corpus counts → corpus total →
+    * per-occurrence surprisal → per-doc (n_tokens, bits_sum, sm)). ONE
+    * definition site for the load-bearing scoring SQL, reused by the
+    * `text_lm_surprisal` oracle and `pipeline_pretrain_full`'s flag stage
+    * (the minhashPairsCte pattern — a formula change here cannot leave
+    * the pipeline oracle scoring with stale arithmetic). The `p` prefix
+    * renames every CTE so the fragment composes into WITH-chains whose
+    * other fragments own the bare names. log2MicroSql mirrored with `//`
+    * (DuckDB floor div ≡ Spark `div` on the non-negative operands);
+    * bin()/power() exact on both engines (D5 note at the definition
+    * site).
+    */
+  private[graft] def lmScoreCtes(p: String = ""): String =
+    s"${p}tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+    s"${p}tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM ${p}tok GROUP BY 1, 2), " +
+    s"${p}cnt AS (SELECT word, CAST(SUM(tf) AS BIGINT) AS c FROM ${p}tf GROUP BY 1), " +
+    s"${p}n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ${p}cnt), " +
+    s"${p}sp AS (SELECT doc_id, tf, " +
+    s"${log2MicroSql("n", "//")} - ${log2MicroSql("c", "//")} AS surp_micro " +
+    s"FROM ${p}tf JOIN ${p}cnt USING (word) CROSS JOIN ${p}n), " +
+    s"${p}sc AS (SELECT doc_id, n_tokens, bits_sum, (bits_sum // n_tokens) // 1000 AS sm " +
+    s"FROM (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, " +
+    s"CAST(SUM(tf * surp_micro) AS BIGINT) AS bits_sum FROM ${p}sp GROUP BY doc_id))"
+
   /** Portable content fingerprint: polynomial rolling hash over codepoints,
     * mod 1e9+7, folded left-to-right in BIGINT — deterministic and
     * engine-portable. Shared by `text_fingerprint`, its oracle, and
@@ -406,10 +431,14 @@ object TextOps {
     // via the same [[log2MicroSql]] kernel as text_lm_surprisal:
     // H ≈ (Σ_w c_w·(log2µ(N_l) − log2µ(c_w))) div N_l, in milli-bits —
     // H = Σ p·log2(1/p) restated with p = c/N never materialized as a
-    // float. Overflow: Σ c·surp ≤ N·log2µ(N) ≈ 1.2×10¹⁴ at sf0.1 — far
-    // inside BIGINT. Plan: two partial+final hash aggregates (the second
-    // ≤|langs| rows) and a ≤|langs|-row broadcast — the same 100 TB shape
-    // as text_token_gini.
+    // float. DOMAIN: Σ c·surp ≤ N·log2µ(N) must fit a BIGINT — overflow
+    // at N ≈ 2.4×10¹¹ tokens PER LANGUAGE (~1 TB of text in one
+    // language; 1.2×10¹⁴ at sf0.1, comfortable). Under ANSI both engines
+    // error loudly rather than wrap; past that, shard the per-language
+    // counts (by source, say) and merge milli-bit partials downstream —
+    // the same prescription as log2MicroSql's own domain note. Plan: two
+    // partial+final hash aggregates (the second ≤|langs| rows) and a
+    // ≤|langs|-row broadcast — the same shape as text_token_gini.
     "text_token_entropy" -> ((s, d) => {
       val wc = documents(s, d)
         .select(col("lang"), explode(toks(col("text"))).as("w"))
@@ -800,17 +829,9 @@ object TextOps {
     // non-negative operands); bin()/power() exact on both engines (D5 note
     // at the definition site)
     "text_lm_surprisal" ->
-      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
-       "tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2), " +
-       "cnt AS (SELECT word, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY 1), " +
-       "n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt), " +
-       "sp AS (SELECT doc_id, tf, " +
-       s"${log2MicroSql("n", "//")} - ${log2MicroSql("c", "//")} AS surp_micro " +
-       "FROM tf JOIN cnt USING (word) CROSS JOIN n), " +
-       "sc AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, " +
-       "CAST(SUM(tf * surp_micro) AS BIGINT) AS bits_sum FROM sp GROUP BY doc_id) " +
-       "SELECT doc_id, n_tokens, (bits_sum // n_tokens) // 1000 AS surprisal_millibits, " +
-       s"(bits_sum // n_tokens) // 1000 >= $LmSurprisalFlagMilli AS flagged " +
+      ("WITH " + lmScoreCtes() +
+       " SELECT doc_id, n_tokens, sm AS surprisal_millibits, " +
+       s"sm >= $LmSurprisalFlagMilli AS flagged " +
        "FROM sc ORDER BY doc_id"),
 
     "sample_importance_weighted" ->
