@@ -225,7 +225,10 @@ object ProfScale {
       // z-score window (events grow k× over a FIXED 5-ary partition key —
       // the known serialization risk its comment prescribes
       // (event_type, day) pre-partitioning for; this measures it)
-      "text_lm_surprisal", "sample_lang_temperature", "window_anomaly_zscore")
+      "text_lm_surprisal", "sample_lang_temperature", "window_anomaly_zscore",
+      // the bounded sibling: same rows, (event_type, week) partitions —
+      // 25 window partitions vs the global variant's 5 on this fixture
+      "window_anomaly_zscore_bounded")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer
