@@ -223,8 +223,8 @@ object ProfScale {
       // under test), the language temperature mix (map-side filter — the
       // ≤|langs|-row quota build is the only aggregate), and the trailing
       // z-score window (events grow k× over a FIXED 5-ary partition key —
-      // the known serialization risk its comment prescribes
-      // (event_type, day) pre-partitioning for; this measures it)
+      // the serialization risk the `_bounded` week-keyed sibling exists
+      // to remove; this measures the global form's cost)
       "text_lm_surprisal", "sample_lang_temperature", "window_anomaly_zscore",
       // the bounded sibling: same rows, (event_type, week) partitions —
       // 25 window partitions vs the global variant's 5 on this fixture

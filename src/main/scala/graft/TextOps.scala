@@ -431,29 +431,28 @@ object TextOps {
     // via the same [[log2MicroSql]] kernel as text_lm_surprisal:
     // H ≈ (Σ_w c_w·(log2µ(N_l) − log2µ(c_w))) div N_l, in milli-bits —
     // H = Σ p·log2(1/p) restated with p = c/N never materialized as a
-    // float. DOMAIN: Σ c·surp ≤ N·log2µ(N) must fit a BIGINT — overflow
-    // at N ≈ 2.4×10¹¹ tokens PER LANGUAGE (~1 TB of text in one
+    // float, and rearranged to avoid any join: Σ c·(L(N) − L(c)) =
+    // N·L(N) − Σ c·L(c) EXACTLY in integer arithmetic (Σc = N), so one
+    // aggregate collects (N, |vocab|, Σ c·L(c)) and the entropy is a
+    // post-agg expression — genuinely text_token_gini's shape: two
+    // partial+final hash aggregates, the second ≤|langs| rows, ONE
+    // corpus scan, no broadcast. DOMAIN: N·log2µ(N) must fit a BIGINT —
+    // overflow at N ≈ 2.4×10¹¹ tokens PER LANGUAGE (~1 TB of text in one
     // language; 1.2×10¹⁴ at sf0.1, comfortable). Under ANSI both engines
     // error loudly rather than wrap; past that, shard the per-language
     // counts (by source, say) and merge milli-bit partials downstream —
-    // the same prescription as log2MicroSql's own domain note. Plan: two
-    // partial+final hash aggregates (the second ≤|langs| rows) and a
-    // ≤|langs|-row broadcast — the same shape as text_token_gini.
-    "text_token_entropy" -> ((s, d) => {
-      val wc = documents(s, d)
+    // the same prescription as log2MicroSql's own domain note.
+    "text_token_entropy" -> ((s, d) =>
+      documents(s, d)
         .select(col("lang"), explode(toks(col("text"))).as("w"))
         .groupBy("lang", "w").agg(count(lit(1)).as("c"))
-      val tot = wc.groupBy("lang").agg(lsum(col("c")).as("n"))
-      wc.join(broadcast(tot), "lang")
-        .withColumn("bits",
-          expr(s"c * (${log2MicroSql("n")} - ${log2MicroSql("c")})"))
         .groupBy("lang")
-        .agg(max(col("n")).as("n_tokens"), count(lit(1)).as("n_vocab"),
-          lsum(col("bits")).as("bits_sum"))
+        .agg(lsum(col("c")).as("n_tokens"), count(lit(1)).as("n_vocab"),
+          lsum(expr(s"c * ${log2MicroSql("c")}")).as("cbits"))
         .select(col("lang"), col("n_tokens"), col("n_vocab"),
-          expr("(bits_sum div n_tokens) div 1000").as("entropy_millibits"))
-        .orderBy("lang")
-    }),
+          expr(s"((n_tokens * ${log2MicroSql("n_tokens")} - cbits) " +
+            "div n_tokens) div 1000").as("entropy_millibits"))
+        .orderBy("lang")),
 
     // Unigram-LM quality scoring (the CCNet/Gopher "perplexity filter"
     // shape): score each document by its mean per-token surprisal
@@ -813,17 +812,18 @@ object TextOps {
        "SELECT doc_id, word, tf, df, CAST(rn AS INT) AS rn FROM r " +
        "WHERE rn <= 3 ORDER BY doc_id, rn"),
 
+    // N·L(N) − Σ c·L(c) rearrangement mirrored — no join on either engine
     "text_token_entropy" ->
       ("WITH wc AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM " +
        "(SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) " +
        "GROUP BY lang, w), " +
-       "tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM wc GROUP BY lang), " +
-       "bt AS (SELECT wc.lang, wc.c, tot.n, " +
-       s"wc.c * (${log2MicroSql("n", "//")} - ${log2MicroSql("c", "//")}) AS bits " +
-       "FROM wc JOIN tot USING (lang)) " +
-       "SELECT lang, max(n) AS n_tokens, count(*) AS n_vocab, " +
-       "(CAST(SUM(bits) AS BIGINT) // max(n)) // 1000 AS entropy_millibits " +
-       "FROM bt GROUP BY lang ORDER BY lang"),
+       "st AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens, " +
+       "count(*) AS n_vocab, " +
+       s"CAST(SUM(c * ${log2MicroSql("c", "//")}) AS BIGINT) AS cbits " +
+       "FROM wc GROUP BY lang) " +
+       "SELECT lang, n_tokens, n_vocab, " +
+       s"((n_tokens * ${log2MicroSql("n_tokens", "//")} - cbits) // n_tokens) // 1000 " +
+       "AS entropy_millibits FROM st ORDER BY lang"),
 
     // log2MicroSql mirrored with `//` (DuckDB floor div ≡ Spark div on the
     // non-negative operands); bin()/power() exact on both engines (D5 note
