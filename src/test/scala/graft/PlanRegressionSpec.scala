@@ -330,6 +330,16 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"middle-degree cap is not a semi-join:\n$p")
   }
 
+  test("token entropy: joins-free single-scan aggregate chain") {
+    // the N·L(N) − Σ c·L(c) rearrangement's whole point: no per-language
+    // total frame, no broadcast join, one corpus scan — a reintroduced
+    // join means someone reverted to the two-pass form
+    val p = plan("text_token_entropy")
+    assert(!p.contains("Join"), s"entropy grew a join:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1, s"entropy reads the corpus twice:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, s"partial agg lost:\n$p")
+  }
+
   test("lang temperature mix: quota frame broadcasts, corpus never shuffles on lang") {
     // the ≤|langs|-row count frame must ride a BroadcastHashJoin onto a
     // map-side filter — an SMJ here would shuffle the whole corpus by
