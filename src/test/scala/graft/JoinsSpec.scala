@@ -201,4 +201,65 @@ class JoinsSpec extends AnyFunSuite {
     assert(left.values.exists(_.isEmpty),
       "no NULL-feature rows — the staleness bound stopped discriminating")
   }
+
+  test("q17: fixture quantities are integral (the avg-determinism precondition)") {
+    // tpch_q17_like's cross-engine exactness rests on avg(l_quantity) being
+    // exact-sum/count: integral doubles sum exactly in any order below 2^53.
+    // Pin the precondition so a fixture change fails HERE with a message,
+    // not at the external hash gate.
+    val nonIntegral = Tables.lineitem(spark, Sf0001)
+      .where(col("l_quantity") =!= floor(col("l_quantity"))).count()
+    assert(nonIntegral == 0, s"$nonIntegral non-integral quantities break q17's avg determinism")
+  }
+
+  test("q17 correlated scalar equals a driver-side brute force") {
+    val perPartAvg = Tables.lineitem(spark, Sf0001)
+      .groupBy("l_partkey").agg(avg("l_quantity").as("a")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val partBrand = Tables.part(spark, Sf0001).select("p_partkey", "p_brand")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = Tables.lineitem(spark, Sf0001)
+      .select("l_partkey", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .filter { case (pk, qty) => qty < 0.2 * perPartAvg(pk) }
+      .groupBy { case (pk, _) => partBrand(pk) }
+      .view.mapValues(_.size.toLong).toMap
+    val got = q("tpch_q17_like").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"q17 drift: got=$got expected=$expected")
+  }
+
+  test("q20: every reported supplier has a qualifying line; every omitted has none") {
+    val reported = q("tpch_q20_like").collect().map(_.getLong(0)).toSet
+    val perPartAvg = Tables.lineitem(spark, Sf0001)
+      .groupBy("l_partkey").agg(avg("l_quantity").as("a")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val qualifying = Tables.lineitem(spark, Sf0001)
+      .select("l_suppkey", "l_partkey", "l_quantity", "l_returnflag", "l_discount")
+      .collect()
+      .filter(r => r.getString(3) == "R" && r.getDouble(4) >= 0.10 &&
+        r.getDouble(2) > 1.8 * perPartAvg(r.getLong(1)))
+      .map(_.getLong(0)).toSet
+    assert(reported == qualifying, s"q20 drift: ${reported -- qualifying} / ${qualifying -- reported}")
+    val all = Tables.supplier(spark, Sf0001).count()
+    assert(reported.nonEmpty && reported.size < all,
+      s"q20 threshold stopped discriminating: ${reported.size}/$all")
+  }
+
+  test("q22: anti-join excludes exactly the customers with a big open order") {
+    val rows = q("tpch_q22_like").collect()
+    assert(rows.nonEmpty)
+    // reconstruct the kept set from the grouped output via a direct re-query
+    val keptCount = rows.map(_.getLong(1)).sum
+    val cust = Tables.customer(spark, Sf0001)
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    val positives = cust.map(_._2).filter(_ > 0)
+    val (sumBal, n) = (positives.sum, positives.size)
+    val bigOpen = Tables.orders(spark, Sf0001)
+      .where(col("o_orderstatus") === "O" && col("o_totalprice") > 200000)
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val expected = cust.count { case (ck, bal) => bal * n > sumBal && !bigOpen(ck) }
+    assert(keptCount == expected, s"q22 kept $keptCount, brute force says $expected")
+  }
 }

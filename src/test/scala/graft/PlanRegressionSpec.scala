@@ -367,4 +367,37 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"window pass re-shuffles:\n$p")
     assert(p.contains("Window"), s"no window operator:\n$p")
   }
+
+  test("q17: correlated scalar subquery decorrelates to one agg + join") {
+    // RewriteCorrelatedScalarSubquery must turn the per-row avg subquery
+    // into a grouped aggregate joined back on l_partkey — the physical plan
+    // may contain NO subquery node (a surviving one re-executes per row: a
+    // 6-billion-scan disaster at 100 TB). The avg side keeps map-side
+    // partial aggregation so the decorrelated agg is mergeable.
+    val p = plan("tpch_q17_like")
+    assert(!p.contains("Subquery"), s"correlated subquery survived physical planning:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, s"partial agg lost on decorrelated avg:\n$p")
+    assert("(?i)join".r.findAllIn(p).nonEmpty, s"no join (decorrelation shape changed):\n$p")
+  }
+
+  test("q20: nested EXISTS decorrelates to semi-join over the scalar's agg+join") {
+    // both correlation levels must be gone: the inner scalar becomes a
+    // per-part aggregate joined to lineitem, the EXISTS a LeftSemi onto
+    // supplier — no subquery node anywhere in the physical plan
+    val p = plan("tpch_q20_like")
+    assert(!p.contains("Subquery"), s"nested subquery survived physical planning:\n$p")
+    assert(p.contains("LeftSemi"), s"EXISTS did not plan as a semi-join:\n$p")
+  }
+
+  test("q22: NOT EXISTS plans as anti-join; uncorrelated scalars are one-row subqueries") {
+    // the correlated NOT EXISTS must be a LeftAnti hash join (never a
+    // per-customer probe); the two UNcorrelated scalars legitimately stay
+    // as one-time subquery results (executed once, broadcast as literals —
+    // that is the efficient plan, so only the anti-join shape is pinned).
+    val p = plan("tpch_q22_like")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not plan as an anti-join:\n$p")
+    val pushed = """PushedFilters: \[[^\]]*EqualTo\(o_orderstatus,O\)""".r
+    assert(pushed.findFirstIn(p).isDefined,
+      s"orders status filter not pushed into the anti-join build scan:\n$p")
+  }
 }
