@@ -79,6 +79,36 @@ object TextOps {
   /** Independent packing shards (pack_sequences) — the parallelism knob. */
   val PackShards = 8
 
+  /** Top-K word vocabulary (text_vocab_encode / pack_sequences_ids).
+    * 24 < the fixture's 31-word vocabulary, so the UNK fallback is
+    * exercised non-vacuously at every SF (~20% of tokens are OOV).
+    * Reserved ids: 0 = PAD (never emitted by the encoder — a packer that
+    * right-pads its final bin would use it), 1 = UNK; word ids start at 2,
+    * assigned by (count DESC, word ASC) rank — the deterministic tie-break
+    * both engines share.
+    */
+  val VocabSize = 24
+  val UnkId = 1L
+
+  /** The ranked top-K vocabulary (word, id). Plan shape for 100 TB: counts
+    * come from the memoized standing tf index (one corpus pass, amortized
+    * across every text operator), the top-K is `orderBy().limit()` — which
+    * Catalyst plans as TakeOrderedAndProject, a per-partition heap + driver
+    * merge of K rows, NEVER a global sort of the vocabulary — and the final
+    * row_number window runs over exactly K rows (bounded single partition by
+    * construction). The frame is then broadcast by every consumer: encoding
+    * is a map-side hash probe, the corpus never shuffles on `word`.
+    */
+  private[graft] def vocabFrame(s: SparkSession, d: String): DataFrame = {
+    val topk = tfIndex(s, d)
+      .groupBy("word").agg(lsum(col("tf")).as("c"))
+      .orderBy(col("c").desc, col("word").asc)
+      .limit(VocabSize)
+    topk.withColumn("id",
+      row_number().over(Window.orderBy(col("c").desc, col("word").asc)) + lit(1L))
+      .select("word", "id")
+  }
+
   /** Per-doc mean unigram surprisal (milli-bits) at or above which
     * `text_lm_surprisal` flags a document as rare-token-heavy — 5 bits/token,
     * i.e. the doc's average token is ≥ 32× rarer than a uniform draw over
@@ -662,10 +692,107 @@ object TextOps {
         .agg(count(lit(1)).as("support"))
         .where(col("support") >= CooccurMinSupport)
         .orderBy("w1", "w2")
+    }),
+
+    // Vocabulary encoding (round 12, VERDICT r11 #3): each document becomes
+    // its token-ID sequence under the ranked top-K vocabulary, OOV words
+    // mapping to UNK=1 — the tokenizer step every pretraining pipeline runs
+    // before packing. Plan: posexplode is map-side, the id lookup is a
+    // BROADCAST left join against the K-row vocab (the corpus never
+    // shuffles on `word`), and the one real shuffle is the doc_id
+    // re-aggregate, where array_sort(struct(pos, id)) restores token order
+    // exactly (collect_list is partition-order dependent; the sort makes
+    // the result order-independent — rule D1 at the row level). The id
+    // sequence renders as a space-joined string: SQL-expressible on both
+    // engines and hash-stable (array cells stringify differently across
+    // pandas conversions).
+    "text_vocab_encode" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "word")))
+        .join(broadcast(vocabFrame(s, d)), Seq("word"), "left")
+        .select(col("doc_id"), col("pos"), coalesce(col("id"), lit(UnkId)).as("id"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("id") === UnkId, 1L).otherwise(0L)).as("n_unk"),
+          collect_list(struct(col("pos"), col("id"))).as("pid"))
+        .withColumn("ids_str",
+          expr("concat_ws(' ', transform(array_sort(pid), x -> CAST(x.id AS STRING)))"))
+        .select("doc_id", "n_tok", "n_unk", "ids_str")
+        .orderBy("doc_id")),
+
+    // Id-level sequence packing (round 12): pack_sequences upgraded from
+    // fill STATISTICS to the actual training ARTIFACT — each (shard, bin)
+    // row carries its real PackSeqLen-token id stream, docs straddling bin
+    // boundaries exactly as the offset arithmetic dictates. Same shard
+    // decomposition as pack_sequences (parallelism = PackShards, no global
+    // running sum); each token's global stream position is its doc's
+    // exclusive-prefix offset + its in-doc position, its bin that position
+    // div PackSeqLen. Shuffles: the per-shard offset window, then ONE
+    // (shard, bin) aggregate; the vocab probe is broadcast map-side. At
+    // 100 TB the string_agg render becomes the sink's int32 array write,
+    // but grain and arithmetic are exactly this plan's.
+    "pack_sequences_ids" -> ((s, d) => {
+      val byDoc = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      documents(s, d)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(PackShards.toLong)).as("shard"),
+          toks(col("text")).as("tk"))
+        .withColumn("n_tok", size(col("tk")).cast(LongType))
+        .withColumn("off", coalesce(sum("n_tok").over(byDoc), lit(0L)))
+        .select(col("shard"), col("off"), posexplode(col("tk")).as(Seq("pos", "word")))
+        .withColumn("gpos", col("off") + col("pos"))
+        .join(broadcast(vocabFrame(s, d)), Seq("word"), "left")
+        .select(col("shard"), col("gpos"), coalesce(col("id"), lit(UnkId)).as("id"))
+        .withColumn("bin", expr(s"gpos div $PackSeqLen"))
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_ids"),
+          sum(when(col("id") === UnkId, 1L).otherwise(0L)).as("n_unk"),
+          collect_list(struct(col("gpos"), col("id"))).as("gid"))
+        .withColumn("ids_str",
+          expr("concat_ws(' ', transform(array_sort(gid), x -> CAST(x.id AS STRING)))"))
+        .select("shard", "bin", "n_ids", "n_unk", "ids_str")
+        .orderBy("shard", "bin")
     })
   )
 
+  /** Shared vocab CTE body (ranked top-VocabSize, ids from 2) — interpolated
+    * into both id-encoding oracles from ONE definition so the rank rule and
+    * K cannot desynchronize between them (the pack_sequences precedent).
+    */
+  private def vocabCte: String =
+    "cnt AS (SELECT word, count(*) AS c FROM " +
+    "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY word), " +
+    s"top AS (SELECT word, c FROM cnt ORDER BY c DESC, word ASC LIMIT $VocabSize), " +
+    "vocab AS (SELECT word, row_number() OVER (ORDER BY c DESC, word ASC) + 1 AS id FROM top)"
+
   val oracles: Map[String, String] = Map(
+    "text_vocab_encode" ->
+      (s"WITH $vocabCte, " +
+       "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word, " +
+       "unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos FROM documents), " +
+       s"enc AS (SELECT t.doc_id, t.pos, coalesce(v.id, $UnkId) AS id " +
+       "FROM tok t LEFT JOIN vocab v ON t.word = v.word) " +
+       "SELECT doc_id, count(*) AS n_tok, " +
+       s"CAST(sum(CASE WHEN id = $UnkId THEN 1 ELSE 0 END) AS BIGINT) AS n_unk, " +
+       "string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS ids_str " +
+       "FROM enc GROUP BY doc_id ORDER BY doc_id"),
+
+    "pack_sequences_ids" ->
+      (s"WITH $vocabCte, " +
+       s"d AS (SELECT doc_id, doc_id % $PackShards AS shard, " +
+       "string_split(text, ' ') AS tk FROM documents), " +
+       "c AS (SELECT doc_id, shard, tk, CAST(coalesce(sum(CAST(len(tk) AS BIGINT)) OVER (" +
+       "PARTITION BY shard ORDER BY doc_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off FROM d), " +
+       "tok AS (SELECT shard, off + unnest(range(0, len(tk))) AS gpos, " +
+       "unnest(tk) AS word FROM c), " +
+       s"enc AS (SELECT shard, gpos, coalesce(v.id, $UnkId) AS id " +
+       "FROM tok t LEFT JOIN vocab v ON t.word = v.word) " +
+       s"SELECT shard, gpos // $PackSeqLen AS bin, count(*) AS n_ids, " +
+       s"CAST(sum(CASE WHEN id = $UnkId THEN 1 ELSE 0 END) AS BIGINT) AS n_unk, " +
+       "string_agg(CAST(id AS VARCHAR), ' ' ORDER BY gpos) AS ids_str " +
+       "FROM enc GROUP BY shard, bin ORDER BY shard, bin"),
+
     // PackShards/PackSeqLen interpolate from the SAME constants the Spark
     // side uses (ADVICE.md round 5) — a constant change can no longer
     // silently desynchronize query and oracle.

@@ -640,4 +640,69 @@ class TextSimilaritySpec extends AnyFunSuite {
       s"leak set drift: ${(got -- expected).take(3)} / ${(expected -- got).take(3)}")
     assert(got.nonEmpty, "no cross-split near-dups on the fixture — screen untested")
   }
+
+  test("text_vocab_encode: exact round-trip through the inverse vocab, UNK accounting") {
+    val vocab = TextOps.vocabFrame(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // vocab ids are dense 2..K+1 and disjoint from PAD=0 / UNK=1
+    assert(vocab.size == TextOps.VocabSize)
+    assert(vocab.values.toSeq.sorted == (2L to TextOps.VocabSize + 1L))
+    val inverse = vocab.map(_.swap)
+    val texts = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = q("text_vocab_encode").collect()
+    assert(out.length == texts.size, "one encoded row per document")
+    var unkSeen = 0L
+    out.foreach { r =>
+      val (docId, nTok, nUnk, ids) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3).split(" ").map(_.toLong))
+      val words = texts(docId).split(" ")
+      assert(nTok == words.length && ids.length == words.length)
+      // position-exact encode: in-vocab words round-trip through the inverse
+      // map; OOV words are exactly the UNK positions
+      words.zip(ids).foreach { case (w, id) =>
+        vocab.get(w) match {
+          case Some(v) => assert(id == v, s"doc $docId: '$w' encoded $id, vocab says $v")
+          case None    => assert(id == TextOps.UnkId, s"doc $docId: OOV '$w' not UNK ($id)")
+        }
+      }
+      assert(nUnk == ids.count(_ == TextOps.UnkId))
+      // decode check: every non-UNK id inverts to the original word
+      words.zip(ids).filter(_._2 != TextOps.UnkId)
+        .foreach { case (w, id) => assert(inverse(id) == w) }
+      unkSeen += nUnk
+    }
+    assert(unkSeen > 0, "UNK path never exercised — VocabSize no longer < fixture vocab")
+  }
+
+  test("pack_sequences_ids: bins are exact PackSeqLen slices of the shard id streams") {
+    // rebuild each shard's id stream from text_vocab_encode's per-doc
+    // sequences in doc_id order, then require every (shard, bin) row to be
+    // exactly its PackSeqLen-slice — straddling, fill and UNK counts all
+    // follow from slice equality
+    val perDoc = q("text_vocab_encode").collect()
+      .map(r => (r.getLong(0), r.getString(3).split(" ").map(_.toLong)))
+      .sortBy(_._1)
+    val shardStream = perDoc.groupBy { case (id, _) => id % TextOps.PackShards }
+      .view.mapValues(_.flatMap(_._2)).toMap
+    val out = q("pack_sequences_ids").collect()
+    out.foreach { r =>
+      val (shard, bin, nIds, nUnk, ids) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getString(4).split(" ").map(_.toLong))
+      val lo = (bin * TextOps.PackSeqLen).toInt
+      val expected = shardStream(shard).slice(lo, lo + TextOps.PackSeqLen)
+      assert(ids.sameElements(expected), s"shard $shard bin $bin id stream drift")
+      assert(nIds == expected.length && nUnk == expected.count(_ == TextOps.UnkId))
+    }
+    // coverage: bins per shard tile the whole stream (no gap, no overlap)
+    val binTokens = out.map(r => r.getLong(2)).sum
+    assert(binTokens == shardStream.values.map(_.length.toLong).sum)
+    // every full bin is exactly PackSeqLen; only a shard's LAST bin may be short
+    val byShard = out.groupBy(_.getLong(0))
+    byShard.values.foreach { rows =>
+      val maxBin = rows.map(_.getLong(1)).max
+      rows.filter(_.getLong(1) < maxBin)
+        .foreach(r => assert(r.getLong(2) == TextOps.PackSeqLen))
+    }
+  }
 }
