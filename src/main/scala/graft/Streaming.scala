@@ -539,9 +539,26 @@ object Streaming {
     * the batch twin's (epoch µs, event_id) total order; across batches
     * the ring follows arrival — on time-ordered arrival the flag stream
     * is BIT-EQUAL to the batch operator (StreamingSpec pins event ids and
-    * exact z doubles over contiguous chunked arrival). PRECONDITION
+    * exact z doubles over contiguous chunked arrival), while an event
+    * arriving in a LATER micro-batch than a chronologically-later peer is
+    * folded at its arrival position (no watermark reorder buffer by
+    * design — a reorder buffer would trade the ~160-byte key state for
+    * watermark-sized buffering; StreamingSpec pins the divergence under
+    * cross-batch late arrival against an arrival-order JVM reference, so
+    * the precondition is a tested contract, not a comment). PRECONDITION
     * mirrors the batch plan's `value IS NOT NULL` filter (EvtRow.value is
     * a primitive Double).
+    *
+    * MEMORY BOUND: the per-KEY state is the fixed ~160-byte ring, but the
+    * intra-batch sort (`it.toSeq.sortBy`) materializes each key's slice
+    * of the CURRENT micro-batch — O(batch rows per key), unbounded in
+    * batch size (unlike cmStream/hllStream/quantileSketchStream, whose
+    * folds are chunk-safe iterators). Production knob: cap the trigger
+    * (maxOffsetsPerTrigger / maxFilesPerTrigger) so a micro-batch's
+    * hottest key fits an executor — the same sizing rule any
+    * sort-within-group stage obeys; the sort itself cannot be streamed
+    * away while the twin contract requires the batch total order within
+    * a trigger.
     */
   def zscoreStream(events: Dataset[EvtRow]): Dataset[ZsFlag] = {
     import events.sparkSession.implicits._

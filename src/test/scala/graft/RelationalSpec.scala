@@ -94,6 +94,40 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_lang_temperature: a zero-keep language still reports its row (ADVICE r11)") {
+    // Synthetic corpus engineered so one language's hash filter keeps
+    // NOTHING: lang 'zz' has 100 docs whose multiplicative hash all land
+    // >= quota·10⁶/n (quota = floor(sqrt(100)·8) = 80, threshold 800000),
+    // lang 'aa' has 4 docs that always pass (threshold 4·10⁶ > hash max).
+    // The completeness contract: 'zz' must emit (100, 80, 0, 0), not vanish.
+    def h(id: Long): Long = ((id % 1000000007L) * 2654435761L) % 1000000L
+    val zzIds = Iterator.from(0).map(_.toLong).filter(h(_) >= 800000L).take(100).toSeq
+    val aaIds = Iterator.from(0).map(_.toLong).filter(h(_) < 800000L).take(4).toSeq
+    import spark.implicits._
+    val dir = Sources.tmpUnique("langtemp_zero")
+    (zzIds.map((_, "zz")) ++ aaIds.map((_, "aa")))
+      .map { case (id, l) => (id, s"doc $id", l, "src_0", 6L + id.toString.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("sample_lang_temperature")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set("aa", "zz"), s"language rows missing: ${out.keySet}")
+    val (zn, zq, zk, zc) = out("zz")
+    assert((zn, zq, zk, zc) == ((100L, 80L, 0L, 0L)),
+      s"zero-keep language misreported: ${out("zz")}")
+    val (an, _, ak, _) = out("aa")
+    assert(an == 4L && ak == 4L, s"always-pass language misreported: ${out("aa")}")
+  }
+
+  test("sample_lang_temperature_stats equals the live-count form row-for-row") {
+    val live = SparkEntry.queries("sample_lang_temperature")(spark, TestSpark.Sf001)
+      .collect().map(_.toSeq).toSeq
+    val stats = SparkEntry.queries("sample_lang_temperature_stats")(spark, TestSpark.Sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(live == stats, "the standing stats artifact changed the sample")
+  }
+
   test("filter_compound respects every predicate") {
     val rows = SparkEntry.queries("filter_compound")(spark, Sf0001).collect()
     assert(rows.nonEmpty)

@@ -422,6 +422,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("zscoreStream under cross-batch late arrival: equals the arrival-order reference, diverges from batch") {
+    // ADVICE r11: the ring is arrival-order dependent ACROSS micro-batches
+    // by design (no watermark reorder buffer). Pin both halves of that
+    // contract: (a) the stream equals a JVM reference that replays the
+    // ACTUAL arrival order (sorted within each batch only), and (b) that
+    // output genuinely DIFFERS from the batch twin's global time order on
+    // this fixture — so the time-ordered-arrival precondition is a tested
+    // property, not a comment.
+    val Zw = Windows.ZscoreWindow
+    def ev(i: Int, v: Double) = Streaming.EvtRow(
+      i.toLong, new Timestamp(1700000000000L + i * 60000L), 1L, "late", v)
+    // 40 time-ordered events with a value TREND (so different ring
+    // compositions give different moments), a spike at the end
+    val all = (0 until 39).map(i => ev(i, 10.0 + i * 0.1)) :+ ev(39, 1000.0)
+    // arrival: events 25..34 are LATE — they sit INSIDE the spike's
+    // trailing 20-window in time order, but land in batch 2 after the
+    // spike has already been folded, so the spike's ring (and its z)
+    // differs between the two orderings
+    val batch1 = all.take(25) ++ all.drop(35)
+    val batch2 = all.slice(25, 35)
+    def replay(arrival: Seq[Seq[Streaming.EvtRow]]): Map[Long, Double] = {
+      var ring = Vector.empty[BigDecimal]
+      val flags = scala.collection.mutable.Map.empty[Long, Double]
+      arrival.foreach(_.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        ring = (ring :+ BigDecimal(e.value)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)).takeRight(Zw)
+        if (ring.length == Zw) {
+          val s1D = ring.sum.toDouble
+          val s2D = ring.map(x => x * x).sum.toDouble
+          val nD = Zw.toDouble
+          val varPop = math.max(nD * s2D - s1D * s1D, 0.0) / (nD * nD)
+          val z = (e.value - s1D / nD) / math.sqrt(varPop)
+          if (varPop > 0.0 && math.abs(z) > Windows.ZscoreFlagSigma)
+            flags(e.event_id) = z
+        }
+      })
+      flags.toMap
+    }
+    val arrivalRef = replay(Seq(batch1, batch2))
+    val batchRef = replay(Seq(all))
+    assert(arrivalRef != batchRef,
+      "fixture failed to discriminate — late arrival produced identical flags")
+    val input = MemoryStream[Streaming.EvtRow]
+    val q = Streaming.zscoreStream(input.toDS())
+      .writeStream.format("memory").queryName("zslate").outputMode("append").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val got = spark.table("zslate").collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(got == arrivalRef,
+        s"stream != arrival-order reference: got=$got expected=$arrivalRef")
+    } finally q.stop()
+  }
+
   test("fingerprint dedup stream converges to batch dedup_exact under shuffled arrival") {
     // The full sf0.001 documents corpus, arrival order decorrelated from
     // doc_id and split across 4 micro-batches: duplicates of one text land
