@@ -51,7 +51,9 @@ object ProfScale {
     // Copy 0 stays identity (a=1, b=0) so every 1× dup relationship
     // survives verbatim; copies 1..25 remain pure rotations (shift i now,
     // i%25+1 before — statistically the same k ≤ 25 corpus).
-    val affineA = Seq(1, 5, 7, 11, 17, 23)
+    // all 12 units of Z/26 — with b in 0..25 that is 12·26 = 312 distinct
+    // ciphers; copies i and i+312 would collide, bounding octaves at 312×
+    val affineA = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
     def substituted(i: Int): String = {
       val a = affineA(i / 26 % affineA.length); val b = i % 26
       String.valueOf(alpha.indices.map(j => alpha((a * j + b) % 26)).toArray)
@@ -270,33 +272,17 @@ object ProfScale {
     // exact/near/decontam drops scale ~k, the probe set stays the fixed
     // doc_id<50 eval window of copy 0 only).
     if (targets.contains("pipeline_pretrain_full")) {
+      // counts come from the SAME stage builders the registered query
+      // composes (Similarity.pretrain*) — a pipeline edit cannot
+      // desynchronize the attribution from the plan (ADVICE r12)
       for ((label, dir) <- Seq("1x" -> base, s"${k}x" -> big)) {
         val docsN = Tables.documents(spark, dir).count()
-        val ex = Tables.documents(spark, dir)
-          .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
-        val nearDrop = Similarity.minhashCandidates(spark, dir, 0.8)
-          .join(ex.select(col("doc_id").as("da")), Seq("da"), "left_semi")
-          .select(col("db").as("doc_id")).distinct()
-        val near = ex.join(nearDrop, Seq("doc_id"), "left_anti")
-        val sh = Similarity.sh8Index(spark, dir)
-        val probeG = sh.where(col("doc_id") < 50).select("g").distinct()
-        val cont = sh.where(col("doc_id") >= 50)
-          .join(broadcast(probeG), Seq("g"), "left_semi")
-          .select("doc_id").distinct()
-        val decon = near.where(col("doc_id") >= 50)
-          .join(cont, Seq("doc_id"), "left_anti")
-        val tk = split(col("text"), " ")
-        val floored = decon
-          .select(col("doc_id"), size(tk).cast("long").as("n_tok"),
-            size(array_distinct(tk)).cast("long").as("n_uniq"))
-          .where(col("n_uniq") * 20 >= col("n_tok") * 7)
-        val surpFlag = TextOps.lmScores(spark, dir)
-          .where(col("surprisal_millibits") >= lit(TextOps.LmSurprisalFlagMilli))
-          .select("doc_id")
-        val cleaned = floored.join(surpFlag, Seq("doc_id"), "left_anti")
         System.err.println(s"[scale] pipeline stages @$label: docs=$docsN " +
-          s"exact=${ex.count()} near=${near.count()} decontam=${decon.count()} " +
-          s"quality=${floored.count()} surprisal=${cleaned.count()}")
+          s"exact=${Similarity.pretrainExact(spark, dir).count()} " +
+          s"near=${Similarity.pretrainNear(spark, dir).count()} " +
+          s"decontam=${Similarity.pretrainDecontam(spark, dir).count()} " +
+          s"quality=${Similarity.pretrainQuality(spark, dir).count()} " +
+          s"surprisal=${Similarity.pretrainCleaned(spark, dir).count()}")
       }
     }
     // Fixed-delta / k×-base corpus for dedup_incremental_minhash (VERDICT

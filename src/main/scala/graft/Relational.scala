@@ -52,7 +52,9 @@ object Relational {
         col("quota") * lit(1000000L))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_kept"), lsum(col("n_chars")).as("chars_kept"))
-    counts.join(kept, Seq("lang"), "left")
+    // both sides are ≤|langs|-row aggregates; the hint removes a stray
+    // sort-merge exchange pair from the final report join (VERDICT r12 #3)
+    counts.join(broadcast(kept), Seq("lang"), "left")
       .select(col("lang"), col("n_docs"), col("quota"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))

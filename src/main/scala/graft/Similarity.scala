@@ -839,6 +839,50 @@ object Similarity {
           (col("na") + col("nb") - col("inter")).as("uni"))
     }
 
+  /** Stage frames of `pipeline_pretrain_full`, shared between the
+    * registered query and ProfScale's per-stage drop accounting so the
+    * reported counts are of the same plan by construction (ADVICE r12) —
+    * a pipeline edit here changes both the query and the attribution.
+    * Each returns the survivor frame after its named cut; stage rules are
+    * the individually-verified operators' own (see the query's comment).
+    */
+  private[graft] def pretrainExact(s: SparkSession, d: String): DataFrame =
+    documents(s, d).groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+
+  private[graft] def pretrainNear(s: SparkSession, d: String): DataFrame = {
+    val ex = pretrainExact(s, d)
+    val nearDrop = minhashCandidates(s, d, 0.8)
+      .join(ex.select(col("doc_id").as("da")), Seq("da"), "left_semi")
+      .select(col("db").as("doc_id")).distinct()
+    ex.join(nearDrop, Seq("doc_id"), "left_anti")
+  }
+
+  private[graft] def pretrainDecontam(s: SparkSession, d: String): DataFrame = {
+    val sh = sh8Index(s, d)
+    val probeG = sh.where(col("doc_id") < 50).select("g").distinct()
+    val cont = sh.where(col("doc_id") >= 50)
+      .join(broadcast(probeG), Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    pretrainNear(s, d).where(col("doc_id") >= 50)
+      .join(cont, Seq("doc_id"), "left_anti")
+  }
+
+  private[graft] def pretrainQuality(s: SparkSession, d: String): DataFrame = {
+    val tk = split(col("text"), " ")
+    pretrainDecontam(s, d)
+      .select(col("doc_id"),
+        size(tk).cast(LongType).as("n_tok"),
+        size(array_distinct(tk)).cast(LongType).as("n_uniq"))
+      .where(col("n_uniq") * 20 >= col("n_tok") * 7)
+  }
+
+  private[graft] def pretrainCleaned(s: SparkSession, d: String): DataFrame = {
+    val surpFlag = TextOps.lmScores(s, d)
+      .where(col("surprisal_millibits") >= lit(TextOps.LmSurprisalFlagMilli))
+      .select("doc_id")
+    pretrainQuality(s, d).join(surpFlag, Seq("doc_id"), "left_anti")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_near_minhash" -> ((s, d) => {
       // Cluster representative = min doc_id among self + verified neighbors.
@@ -1033,28 +1077,7 @@ object Similarity {
     // this plan reads the band index, shingle index, and tf index, never
     // re-derives them, and only survivors reach the packing shuffle.
     "pipeline_pretrain_full" -> ((s, d) => {
-      val ex = documents(s, d).groupBy("text").agg(min(col("doc_id")).as("doc_id"))
-      val nearDrop = minhashCandidates(s, d, 0.8)
-        .join(ex.select(col("doc_id").as("da")), Seq("da"), "left_semi")
-        .select(col("db").as("doc_id")).distinct()
-      val sh = sh8Index(s, d)
-      val probeG = sh.where(col("doc_id") < 50).select("g").distinct()
-      val cont = sh.where(col("doc_id") >= 50)
-        .join(broadcast(probeG), Seq("g"), "left_semi")
-        .select("doc_id").distinct()
-      val surpFlag = TextOps.lmScores(s, d)
-        .where(col("surprisal_millibits") >= lit(TextOps.LmSurprisalFlagMilli))
-        .select("doc_id")
-      val tk = split(col("text"), " ")
-      val cleaned = ex
-        .join(nearDrop, Seq("doc_id"), "left_anti")
-        .where(col("doc_id") >= 50)
-        .join(cont, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"),
-          size(tk).cast(LongType).as("n_tok"),
-          size(array_distinct(tk)).cast(LongType).as("n_uniq"))
-        .where(col("n_uniq") * 20 >= col("n_tok") * 7)
-        .join(surpFlag, Seq("doc_id"), "left_anti")
+      val cleaned = pretrainCleaned(s, d)
       val byDoc = Window.partitionBy("shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       cleaned

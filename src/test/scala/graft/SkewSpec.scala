@@ -57,9 +57,24 @@ class SkewSpec extends AnyFunSuite {
         col("event_id"), xxhash64(col("event_id")).as("p1"),
         xxhash64(col("event_id"), lit(1)).as("p2"))
       .repartition(8)
+    // The trailing round-robin .repartition(5) is load-bearing: a bare
+    // distinct() leaves the dim hash-partitioned ON THE JOIN KEY, so
+    // EnsureRequirements inserts no exchange on that side and the join's
+    // right child is Sort(HashAggregate(ShuffleQueryStage)).
+    // OptimizeSkewedJoin only matches Sort(ShuffleQueryStage) with an
+    // ENSURE_REQUIREMENTS shuffle origin on BOTH sides — against the
+    // aggregate-partitioned dim the rule never fires at all (verified via
+    // SkewProbe: skewMarker=false in every conf combination, including
+    // forceOptimizeSkewedJoin=true and coalescePartitions disabled).
+    // Breaking the dim's partitioning forces the join's own exchange on
+    // k2, and the marker appears with PLAIN defaults. At real scale the
+    // same applies: a dim that arrives pre-partitioned on the join key is
+    // invisible to AQE skew handling — re-shuffling it (or salting) is
+    // the tool there.
     val small = Tables.events(spark, TestSpark.Sf001)
       .select(col("user_id").as("k2")).distinct()
       .withColumn("dim_payload", col("k2") * 100)
+      .repartition(5)
     big.join(small, col("k") === col("k2"))
   }
 
