@@ -262,4 +262,33 @@ class JoinsSpec extends AnyFunSuite {
     val expected = cust.count { case (ck, bal) => bal * n > sumBal && !bigOpen(ck) }
     assert(keptCount == expected, s"q22 kept $keptCount, brute force says $expected")
   }
+
+  test("q21: EXISTS/NOT-EXISTS with <> correlation equals a driver-side brute force, both non-vacuous") {
+    val fOrders = Tables.orders(spark, Sf0001)
+      .where(col("o_orderstatus") === "F")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val lines = Tables.lineitem(spark, Sf0001)
+      .select("l_orderkey", "l_suppkey", "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byOrder = lines.groupBy(_._1)
+    val supName = Tables.supplier(spark, Sf0001).select("s_suppkey", "s_name")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val base = lines.filter { case (ok, _, rf) => rf == "R" && fOrders(ok) }
+    val afterExists = base.filter { case (ok, sk, _) =>
+      byOrder(ok).exists(_._2 != sk) }
+    val survivors = afterExists.filter { case (ok, sk, _) =>
+      !byOrder(ok).exists(l => l._2 != sk && l._3 == "R") }
+    // both quantifiers must do real work on this fixture
+    assert(afterExists.length < base.length, "EXISTS stopped discriminating (no single-supplier orders)")
+    assert(survivors.length < afterExists.length && survivors.nonEmpty,
+      s"NOT EXISTS stopped discriminating: ${survivors.length}/${afterExists.length}")
+    val expected = survivors.groupBy(l => supName(l._2))
+      .view.mapValues(_.length.toLong).toMap
+    val rows = q("tpch_q21_like").collect()
+    val got = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"q21 drift: got=$got expected=$expected")
+    // output contract: (numwait DESC, s_name ASC) total order
+    val order = rows.map(r => (-r.getLong(1), r.getString(0)))
+    assert(order.sameElements(order.sorted), "q21 output order violated")
+  }
 }

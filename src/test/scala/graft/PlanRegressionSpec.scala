@@ -400,4 +400,17 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(pushed.findFirstIn(p).isDefined,
       s"orders status filter not pushed into the anti-join build scan:\n$p")
   }
+
+  test("q21: both <>-correlated quantifiers decorrelate to semi + anti joins") {
+    // the EXISTS and NOT EXISTS each correlate on l_orderkey equality PLUS
+    // an l_suppkey inequality; both must plan as hash joins keyed on the
+    // equality with the `<>` riding as a join condition — never a per-row
+    // subquery (a surviving one re-scans lineitem per line at 100 TB)
+    val p = plan("tpch_q21_like")
+    assert(!p.contains("Subquery"), s"correlated quantifier survived physical planning:\n$p")
+    assert(p.contains("LeftSemi"), s"EXISTS did not plan as a semi-join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not plan as an anti-join:\n$p")
+    assert("""NOT \(l_suppkey""".r.findFirstIn(p).isDefined,
+      s"the <> correlation is not a join condition:\n$p")
+  }
 }
