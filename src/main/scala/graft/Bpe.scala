@@ -1,0 +1,288 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Byte-pair-encoding vocabulary learning + subword encoding (VERDICT r12
+  * #2 — the real-pipeline replacement for the word-level top-24 toy behind
+  * `text_vocab_encode`). Classic corpus-level BPE: seed every distinct word
+  * as its character sequence, then for [[BpeMerges]] rounds merge the
+  * highest-weighted adjacent symbol pair ((count DESC, pair ASC) tie-break,
+  * counts weighted by word frequency), greedy leftmost non-overlapping
+  * within each word.
+  *
+  * Scale shape: the corpus is scanned ONCE (the word-frequency aggregate);
+  * the merge loop then iterates on the distinct-WORD symbol frame —
+  * vocabulary-sized (10^6-10^7 types at 100 TB), never corpus-sized. Each
+  * round is one window pass (partitioned by word — a stable partitioning
+  * reused across rounds) plus one pair-count aggregate whose argmax is a
+  * bounded 1-row driver collect (the Lloyd-centroid precedent); the merged
+  * frame spills per round (pagerank's pattern) so round r reads round r-1's
+  * parquet instead of recomputing the whole chain. Encoding never joins the
+  * corpus on `word`: the 16-row merge table compiles into a map-side
+  * aggregate() fold chain (exactly the production shape — tokenizers ship
+  * the merge list, not a word table), so the only encode shuffle is the
+  * final per-doc re-aggregate.
+  *
+  * Greedy-equivalence note (spec-pinned): the learning loop selects merge
+  * sites via island arithmetic on candidate runs (select odd ranks within
+  * each maximal run of consecutive candidates — runs only arise for s1==s2
+  * pairs); the encoder's left fold merges when the accumulator's last
+  * element is s1 and the current element is s2. Both implement leftmost
+  * non-overlapping matching: a fold-merged token (= s1+s2) can never equal
+  * s1 again (s2 nonempty), so a merge never chains onto its own output
+  * within a round, and disjoint occurrences re-merge exactly like the
+  * island rule's odd ranks.
+  */
+object Bpe {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Number of deterministic merge rounds. Measured against the fixture:
+    * every SF supplies >= 24 non-empty best pairs (BpeSpec pins supply
+    * >= BpeMerges at sf0.001), so the loop never starves; interpolated
+    * into the oracle so query and oracle cannot desynchronize.
+    */
+  val BpeMerges = 16
+
+  /** One learned artifact per (process, fixture): merge table + final
+    * word-symbol frame, parquet-spilled. Keyed by the documents fixture
+    * fingerprint so an in-place rewrite invalidates the memo (the
+    * triSpill/edgeSpill convention).
+    */
+  private val bpeSpill =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  Sources.onSpillEvict(() => bpeSpill.clear())
+
+  private def wordFreq(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Runs the learning loop; returns (mergesPath, symsPath). */
+  private def learn(s: SparkSession, d: String): (String, String) = {
+    val key = Sources.fixtureKey(d, "documents") + s":bpe:$BpeMerges"
+    val cached = bpeSpill.get(key)
+    if (cached != null) return cached
+    val wfPath = Sources.tmpUnique("bpe_wf")
+    wordFreq(s, d).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(wfPath)
+    val wf = s.read.parquet(wfPath)
+    val w = Window.partitionBy("word").orderBy("pos")
+    // seed: one row per (word, char position)
+    var symsPath = Sources.tmpUnique("bpe_syms0")
+    wf.select(col("word"),
+        explode(sequence(lit(1L), length(col("word")).cast(LongType))).as("pos"))
+      .select(col("word"), col("pos"),
+        col("word").substr(col("pos").cast(IntegerType), lit(1)).as("sym"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(symsPath)
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    for (r <- 1 to BpeMerges) {
+      val syms = s.read.parquet(symsPath)
+      val best = syms
+        .withColumn("nxt", lead("sym", 1).over(w))
+        .where(col("nxt").isNotNull)
+        .join(wf, "word")
+        .groupBy(col("sym").as("s1"), col("nxt").as("s2"))
+        .agg(sum("freq").as("c"))
+        .orderBy(col("c").desc, col("s1").asc, col("s2").asc)
+        .limit(1).collect() // bounded: exactly one row (the argmax)
+      require(best.nonEmpty,
+        s"BPE pair supply exhausted at round $r < $BpeMerges (fixture too small)")
+      val (s1, s2, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      merges += ((r.toLong, s1, s2, c))
+      // greedy leftmost merge: candidates = positions starting (s1,s2);
+      // within each maximal run of consecutive candidates (possible only
+      // when s1==s2) select odd ranks; drop the position after each
+      // selected start; renumber densely for the next round
+      val islandW = Window.partitionBy("word", "island")
+      val next = syms
+        .withColumn("cand",
+          col("sym") === lit(s1) &&
+            coalesce(lead("sym", 1).over(w) === lit(s2), lit(false)))
+        .withColumn("crn",
+          sum(when(col("cand"), 1L).otherwise(0L)).over(w))
+        .withColumn("island", col("pos") - col("crn"))
+        .withColumn("sel", col("cand") &&
+          pmod(col("crn") - min(when(col("cand"), col("crn"))).over(islandW),
+            lit(2L)) === 0L)
+        .withColumn("psel", lag("sel", 1, false).over(w))
+        .where(!col("psel"))
+        .select(col("word"), col("pos").as("opos"),
+          when(col("sel"), lit(s1 + s2)).otherwise(col("sym")).as("sym"))
+        .withColumn("pos",
+          row_number().over(Window.partitionBy("word").orderBy("opos")).cast(LongType))
+        .select("word", "pos", "sym")
+      val p = Sources.tmpUnique(s"bpe_syms$r")
+      // the loop frame is vocabulary-sized (types, not tokens); bound the
+      // spill's file count so 16 rounds don't scatter 16×32 tiny files —
+      // production trainers bound the active-set parallelism the same way
+      next.coalesce(4).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+      symsPath = p
+    }
+    val mergesPath = Sources.tmpUnique("bpe_merges")
+    import s.implicits._
+    merges.toSeq.toDF("rank", "s1", "s2", "pair_count")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(mergesPath)
+    val built = (mergesPath, symsPath)
+    val prev = bpeSpill.putIfAbsent(key, built)
+    if (prev != null) prev else built
+  }
+
+  /** The learned merge table: (rank, s1, s2, merged, pair_count). */
+  private[graft] def mergesFrame(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(learn(s, d)._1)
+      .select(col("rank"), col("s1"), col("s2"),
+        concat(col("s1"), col("s2")).as("merged"), col("pair_count"))
+
+  /** The final word → subword-symbol frame (word, pos, sym) after all
+    * [[BpeMerges]] rounds — the training-side result the encoder's fold
+    * must reproduce (BpeSpec pins the equivalence).
+    */
+  private[graft] def wordSymsFrame(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(learn(s, d)._2)
+
+  private def sqlLit(x: String): String = x.replace("'", "''")
+
+  /** Driver-side (rank, s1, s2) merge list — bounded (BpeMerges rows). */
+  private def mergeList(s: SparkSession, d: String): Seq[(Long, String, String)] =
+    mergesFrame(s, d).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  /** Vocabulary id map: 0=PAD, 1=UNK (reserved, unreachable — chars cover
+    * every word), base characters sorted ASC from 2, merge tokens after
+    * them in rank order; string collisions (a later merge reproducing an
+    * existing token) take the MIN id on both engines. Bounded collect:
+    * |chars| + BpeMerges rows.
+    */
+  private def vocabIds(s: SparkSession, d: String): Seq[(String, Long)] = {
+    val chars = wordFreq(s, d)
+      .select(explode(sequence(lit(1L), length(col("word")).cast(LongType))).as("pos"),
+        col("word"))
+      .select(col("word").substr(col("pos").cast(IntegerType), lit(1)).as("sym"))
+      .distinct().orderBy("sym").collect().map(_.getString(0)).toSeq
+    val nCh = chars.length.toLong
+    val base = chars.zipWithIndex.map { case (c, i) => (c, i + 2L) }
+    val merged = mergeList(s, d).map { case (r, s1, s2) => (s1 + s2, nCh + 1L + r) }
+    (base ++ merged).groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).min) }.toSeq
+  }
+
+  /** Compiles the rank-ordered merge list into a map-side expression:
+    * char-split the word, then one aggregate() left fold per merge — the
+    * production encode shape (broadcast the merge list, never join the
+    * corpus on word).
+    */
+  private def encodeExpr(merges: Seq[(Long, String, String)]): String = {
+    var e = "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    merges.foreach { case (_, s1, s2) =>
+      val (a, b, m) = (sqlLit(s1), sqlLit(s2), sqlLit(s1 + s2))
+      e = s"aggregate($e, CAST(array() AS ARRAY<STRING>), (acc, x) -> " +
+        s"IF(size(acc) > 0 AND element_at(acc, -1) = '$a' AND x = '$b', " +
+        s"concat(slice(acc, 1, size(acc) - 1), array('$m')), concat(acc, array(x))))"
+    }
+    e
+  }
+
+  val queries: Map[String, Q] = Map(
+    // The learned merge table itself — the shippable tokenizer artifact.
+    // Rounds are deterministic: integer pair counts, (count DESC, pair ASC)
+    // argmax, greedy leftmost application (BpeSpec pins vs an in-JVM
+    // reference implementation).
+    "text_bpe_vocab" -> ((s, d) =>
+      mergesFrame(s, d).orderBy("rank")),
+
+    // Subword encoding of every document under the learned vocab: per doc
+    // the word count, subword count, and the position-exact subword id
+    // stream. The merge list compiles into a map-side fold chain (16
+    // aggregate() HOFs — no corpus shuffle on word, no vocab-sized
+    // broadcast); ids attach via a literal map (|chars|+16 entries); the
+    // one real shuffle is the doc_id re-aggregate with the standing
+    // array_sort(struct(pos, ·)) order fix.
+    "text_bpe_encode" -> ((s, d) => {
+      val ml = mergeList(s, d)
+      val vocab = vocabIds(s, d)
+      val mapArgs = vocab.sortBy(_._1)
+        .map { case (sym, id) => s"'${sqlLit(sym)}', ${id}L" }.mkString(", ")
+      documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .withColumn("subs", expr(encodeExpr(ml)))
+        .withColumn("ids", expr(s"transform(subs, x -> element_at(map($mapArgs), x))"))
+        .select(col("doc_id"), col("pos"),
+          size(col("ids")).cast(LongType).as("n_sub"),
+          expr("concat_ws(' ', transform(ids, x -> CAST(x AS STRING)))").as("ids_w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum("n_sub").as("n_sub"),
+          collect_list(struct(col("pos"), col("ids_w"))).as("pid"))
+        .withColumn("ids_str",
+          expr("concat_ws(' ', transform(array_sort(pid), x -> x.ids_w))"))
+        .select("doc_id", "n_tok", "n_sub", "ids_str")
+        .orderBy("doc_id")
+    })
+  )
+
+  /** The per-round CTE chain (wf, s0, then p/b/f/s per round). Generated
+    * from [[BpeMerges]] so round count cannot desynchronize; MATERIALIZED
+    * on the frames referenced more than once per round — inlined CTEs
+    * would expand the reference tree exponentially in rounds.
+    */
+  private def roundCtes: String = {
+    val sb = new StringBuilder
+    sb ++= "wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY word), "
+    sb ++= "s0 AS MATERIALIZED (SELECT word, CAST(i AS BIGINT) AS pos, " +
+      "substr(word, CAST(i AS INT), 1) AS sym FROM wf, " +
+      "unnest(range(1, len(word) + 1)) AS u(i))"
+    for (r <- 1 to BpeMerges) {
+      val p = r - 1
+      sb ++= s", p$r AS (SELECT s1, s2, sum(freq) AS c FROM " +
+        s"(SELECT word, sym AS s1, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS s2 " +
+        s"FROM s$p) t JOIN wf USING (word) WHERE s2 IS NOT NULL GROUP BY s1, s2)"
+      sb ++= s", b$r AS MATERIALIZED (SELECT s1, s2, c FROM p$r " +
+        "ORDER BY c DESC, s1 ASC, s2 ASC LIMIT 1)"
+      sb ++= s", f$r AS (SELECT word, pos, sym, s1, s2, (cand AND " +
+        "(crn - min(CASE WHEN cand THEN crn END) OVER " +
+        "(PARTITION BY word, pos - crn)) % 2 = 0) AS sel FROM " +
+        "(SELECT word, pos, sym, s1, s2, cand, " +
+        "sum(CASE WHEN cand THEN 1 ELSE 0 END) OVER " +
+        "(PARTITION BY word ORDER BY pos) AS crn FROM " +
+        "(SELECT s.word, s.pos, s.sym, b.s1, b.s2, (s.sym = b.s1 AND " +
+        "lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = b.s2) AS cand " +
+        s"FROM s$p s CROSS JOIN b$r b)))"
+      sb ++= s", s$r AS MATERIALIZED (SELECT word, " +
+        "row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, " +
+        "CASE WHEN sel THEN s1 || s2 ELSE sym END AS sym FROM " +
+        "(SELECT *, lag(sel, 1, false) OVER (PARTITION BY word ORDER BY pos) AS psel " +
+        s"FROM f$r) WHERE NOT psel)"
+    }
+    sb.toString
+  }
+
+  val oracles: Map[String, String] = Map(
+    "text_bpe_vocab" ->
+      (s"WITH $roundCtes " +
+        (1 to BpeMerges).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS rank, s1, s2, s1 || s2 AS merged, " +
+          s"CAST(c AS BIGINT) AS pair_count FROM b$r").mkString(" UNION ALL ") +
+        " ORDER BY rank"),
+
+    "text_bpe_encode" ->
+      (s"WITH $roundCtes, " +
+        "mtab AS (" +
+        (1 to BpeMerges).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS rank, s1 || s2 AS merged FROM b$r")
+          .mkString(" UNION ALL ") + "), " +
+        "chars AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym ASC) + 1 AS BIGINT) AS id " +
+        "FROM (SELECT DISTINCT sym FROM s0)), " +
+        "vocab AS (SELECT sym, CAST(min(id) AS BIGINT) AS id FROM " +
+        "(SELECT sym, id FROM chars UNION ALL SELECT merged AS sym, " +
+        "(SELECT count(*) FROM chars) + 1 + rank AS id FROM mtab) GROUP BY sym), " +
+        s"wsub AS (SELECT word, string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY pos) AS ids_w, " +
+        s"CAST(count(*) AS BIGINT) AS n_sub FROM s$BpeMerges JOIN vocab v USING (sym) GROUP BY word), " +
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word, " +
+        "unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos FROM documents) " +
+        "SELECT doc_id, count(*) AS n_tok, CAST(sum(n_sub) AS BIGINT) AS n_sub, " +
+        "string_agg(ids_w, ' ' ORDER BY pos) AS ids_str " +
+        "FROM tok JOIN wsub USING (word) GROUP BY doc_id ORDER BY doc_id")
+  )
+}

@@ -244,7 +244,14 @@ object ProfScale {
       "text_lm_surprisal", "sample_lang_temperature", "window_anomaly_zscore",
       // the bounded sibling: same rows, (event_type, week) partitions —
       // 25 window partitions vs the global variant's 5 on this fixture
-      "window_anomaly_zscore_bounded")
+      "window_anomaly_zscore_bounded",
+      // round 13: BPE learning (one corpus scan + a 16-round loop on the
+      // distinct-word frame — the affine-perturbed copies grow the word
+      // TYPE count ~k× while the char alphabet stays fixed, so this
+      // measures the loop's vocabulary-linear term) and the map-side fold
+      // encoder (corpus-linear, no join — the per-token fold cost is the
+      // term under test)
+      "text_bpe_vocab", "text_bpe_encode")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer

@@ -413,4 +413,17 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert("""NOT \(l_suppkey""".r.findFirstIn(p).isDefined,
       s"the <> correlation is not a join condition:\n$p")
   }
+
+  test("text_bpe_encode: the merge fold is map-side — no join, one doc_id aggregate") {
+    // the encoder must compile the merge list into per-row expressions
+    // (scan → posexplode → fold projects → partial/final aggregate); a
+    // join on `word` (vocab-table probe) or any extra exchange means the
+    // corpus is being shuffled to apply a 16-row broadcastable rule set
+    val p = plan("text_bpe_encode")
+    assert(!"(?i)join".r.findFirstIn(p).isDefined, s"encode plans a join:\n$p")
+    assert("(?i)hashaggregate".r.findAllIn(p).size >= 2,
+      s"partial aggregation lost on the doc_id re-aggregate:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"more shuffles than the doc_id agg + output sort need:\n$p")
+  }
 }
