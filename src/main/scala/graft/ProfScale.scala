@@ -15,7 +15,18 @@ object ProfScale {
     // args(1..): optional target filter, e.g. `ProfScale 16 graph_pagerank
     // dedup_cluster_cc` — lets the expensive 16x point measure just the
     // iterative tail without paying for the whole dedup family.
-    val only = args.drop(1).toSet
+    // `--verbatim` (VERDICT r12 #3): replicate documents VERBATIM (disjoint
+    // doc_id ranges, no prefix, no cipher) — distribution-preserving mass
+    // growth. Every downstream stage of pipeline_pretrain_full then drops
+    // exactly its 1× fraction of the surviving mass (the corpus unigram
+    // distribution, per-doc token multisets, and quality ratios are all
+    // unchanged), while the exact-dedup stage honestly absorbs the
+    // replication itself (verbatim copies ARE exact duplicates — dropping
+    // (k-1)/k of them is the operator doing its job, not an artifact).
+    // The cipher mode remains the default for TIMING octaves, where copies
+    // must NOT collapse at the first stage.
+    val verbatim = args.drop(1).contains("--verbatim")
+    val only = args.drop(1).filterNot(_.startsWith("--")).toSet
     val base = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -66,11 +77,16 @@ object ProfScale {
         concat(t.substr(p + lit(1), len - p), t.substr(lit(1), p))
       }
     (0 until k).map { i =>
-      val prefix = s"copy$i " // n_chars adjusts by the ACTUAL prefix length
-      docs.select((col("doc_id") + lit(i * n)).as("doc_id"),
-        concat(lit(prefix), perturb(col("text"), i)).as("text"),
-        col("lang"), col("source"),
-        (col("n_chars") + lit(prefix.length)).as("n_chars"))
+      if (verbatim)
+        docs.select((col("doc_id") + lit(i * n)).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+      else {
+        val prefix = s"copy$i " // n_chars adjusts by the ACTUAL prefix length
+        docs.select((col("doc_id") + lit(i * n)).as("doc_id"),
+          concat(lit(prefix), perturb(col("text"), i)).as("text"),
+          col("lang"), col("source"),
+          (col("n_chars") + lit(prefix.length)).as("n_chars"))
+      }
     }.reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(s"$big/documents.parquet")
     // orders/lineitem replicate k× too (round 5): order keys offset so the
