@@ -68,56 +68,69 @@ object Bench {
       Thread.sleep(100)
       val gc0 = gcSeconds
       // A failed query reports -1, not its time-to-exception — otherwise a
-      // crash masquerades as a fast successful run in the metrics. Queries
-      // over 0.3 s get a second run and report the MIN: the first execution
-      // of a heavy pipeline pays one-time JIT/codegen compilation and is the
-      // most exposed to host scheduling noise; min-of-2 reports steady-state
-      // while bounding the extra bench wall-clock (threshold history: r3/r5
-      // driver noise, lowered 1.0 → 0.3 s in r6).
-      // (elapsed = min-of-2 steady state, cold = run 1). Reporting BOTH
-      // keeps round-over-round deltas comparable for the memoized-index
-      // families (PQ/IVF-PQ codebooks, minhash/jaccard shingle spills,
-      // phash signatures): their run 1 pays the per-fixture build, run 2
-      // probes warm — a min-only artifact would silently time warm probes
+      // crash masquerades as a fast successful run in the metrics. EVERY
+      // query now runs at least twice and reports the MIN (VERDICT r12 #6:
+      // the r12 +9.5% warm_total drift lived entirely in single-run
+      // sub-0.3s queries, where one scheduling hiccup lands straight in
+      // the artifact); queries whose first run exceeds 0.3 s get a THIRD
+      // run — their run 1 pays one-time JIT/codegen or a memoized-family
+      // build, so min-of-3 gives two clean steady-state samples.
+      // (elapsed = min over runs, cold = run 1.) Reporting BOTH keeps
+      // round-over-round deltas comparable for the memoized-index families
+      // (PQ/IVF-PQ codebooks, minhash/jaccard shingle spills, phash
+      // signatures): run 1 pays the per-fixture build, later runs probe
+      // warm — a min-only artifact would silently time warm probes
       // against earlier rounds' cold builds (ADVICE r7).
-      val (elapsed, cold) =
+      // disp = relative spread between the two LAST runs (the pair that
+      // excludes the build-paying run 1 whenever a third run exists) —
+      // the per-query noise floor, so a warm_total drift is attributable
+      // from the artifact alone (VERDICT r12 #6).
+      val (elapsed, cold, disp) =
         try {
           val t1 = once()
           // a failed RERUN must not discard the valid first measurement;
           // GC between the runs so run 1's garbage is not charged to run 2
-          // (min-of-2 only defends against noise that hits ONE run)
-          val best = if (t1 > 0.3) try {
-            System.gc(); Thread.sleep(100)
-            math.min(t1, once())
-          } catch { case _: Throwable => t1 }
-          else t1
-          (best, t1)
+          // (min-of-N only defends against noise that hits ONE run)
+          def rerun(): Double =
+            try { System.gc(); Thread.sleep(100); once() }
+            catch { case _: Throwable => -1.0 }
+          val t2 = rerun()
+          val t3 = if (t1 > 0.3 && t2 >= 0) rerun() else -1.0
+          val runs = Seq(t1, t2, t3).filter(_ >= 0)
+          val (a, b) = if (t3 >= 0) (t2, t3) else if (t2 >= 0) (t1, t2) else (t1, t1)
+          val lo = math.min(a, b)
+          val d = if (lo > 0) (math.max(a, b) - lo) / lo else 0.0
+          (runs.min, t1, d)
         }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          (-1.0, -1.0)
+          (-1.0, -1.0, -1.0)
         }
       // GC seconds attributable to this query's measurement window —
       // context effects become visible in the artifact itself
-      (name, elapsed, gcSeconds - gc0, cold)
+      (name, elapsed, gcSeconds - gc0, cold, disp)
     }
     // EMIT in reverse run order: the driver artifact keeps only the TAIL
     // of stdout, so the heavy family (run first) must be PRINTED last
     // within the queries line to survive truncation (r7 audit).
     val emit = results.reverse
-    def jmap(f: ((String, Double, Double, Double)) => String) =
+    def jmap(f: ((String, Double, Double, Double, Double)) => String) =
       emit.map(f).mkString("{", ",", "}")
-    val qs = jmap { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qs = jmap { case (k, v, _, _, _) => "\"" + k + "\":" + v }
     // GC ledger THRESHOLDED to >= 0.02 s (VERDICT r8 #7): the full 188-entry
     // ledger was itself tail-width and crowded everything else out of the
     // r8 artifact; entries below the threshold carry no diagnostic signal
     // (the point is catching cross-charged collections, which are 0.1 s+).
-    val gcs = emit.collect { case (k, _, g, _) if g >= 0.02 =>
+    val gcs = emit.collect { case (k, _, g, _, _) if g >= 0.02 =>
       "\"" + k + "\":" + f"$g%.3f" }.mkString("{", ",", "}")
     // run-1 (cold) times, only where they differ from the reported min —
     // a compact build-cost ledger for the memoized-index families
-    val colds = emit.collect { case (k, v, _, c) if c > v =>
+    val colds = emit.collect { case (k, v, _, c, _) if c > v =>
       "\"" + k + "\":" + c }.mkString("{", ",", "}")
+    // dispersion ledger, thresholded to >= 25% relative spread — the
+    // queries whose timing is noise-dominated this run (VERDICT r12 #6)
+    val disps = emit.collect { case (k, _, _, _, d) if d >= 0.25 =>
+      "\"" + k + "\":" + f"$d%.2f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // The r9 artifact proved the driver's "tail" is NOT a raw byte tail:
     // it kept only the queries line and the total line — the cold/gc lines
@@ -134,8 +147,15 @@ object Bench {
       pairs.sortBy(-_._2).take(5)
         .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
-    val coldTop = top5(results.collect { case (k, v, _, c) if c > v && v >= 0 => (k, c) })
-    val gcTop = top5(results.collect { case (k, _, g, _) if g >= 0.02 => (k, g) })
+    val coldTop = top5(results.collect { case (k, v, _, c, _) if c > v && v >= 0 => (k, c) })
+    val gcTop = top5(results.collect { case (k, _, g, _, _) if g >= 0.02 => (k, g) })
+    // dispersion summary rides the guaranteed-surviving total line:
+    // top-5 noisiest queries + the median relative spread across all —
+    // a warm_total drift reads as environmental iff disp_med/disp_top
+    // moved with it (VERDICT r12 #6)
+    val dispTop = top5(results.collect { case (k, _, _, _, d) if d >= 0 => (k, d) })
+    val dispAll = results.collect { case (_, _, _, _, d) if d >= 0 => d }.sorted
+    val dispMed = if (dispAll.isEmpty) 0.0 else dispAll(dispAll.length / 2)
     // Decomposition for round-over-round reads (VERDICT r10 #1): `value`
     // sums the reported min-of-2 per query, i.e. it is ALREADY the warm
     // steady-state total — one-time memoized-family builds land only in
@@ -145,7 +165,7 @@ object Bench {
     // one-time build surplus Σ(run1 − min) across every query whose first
     // run paid a build — compare warm_total across rounds for regressions,
     // read cold_extra for the deliberate build-cost trades.
-    val coldExtra = results.collect { case (_, v, _, c) if c > v && v >= 0 => c - v }.sum
+    val coldExtra = results.collect { case (_, v, _, c, _) if c > v && v >= 0 => c - v }.sum
     // LINE ORDER is tail-capture-aware: the one tail-sized line (queries)
     // goes FIRST so only its own head can truncate; the full cold/gc
     // ledgers follow (they survive a raw tail even if the driver's filter
@@ -159,9 +179,11 @@ object Bench {
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"cold","cold":$colds,"sf":"$sfDir"}""")
     println(s"""{"metric":"gc","gc":$gcs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"disp","disp":$disps,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"warm_total":$total,""" +
-      f""""cold_extra":$coldExtra%.3f,""" +
-      s""""unit":"sec","cold_top":$coldTop,"gc_top":$gcTop,"sf":"$sfDir"}""")
+      f""""cold_extra":$coldExtra%.3f,"disp_med":$dispMed%.3f,""" +
+      s""""unit":"sec","cold_top":$coldTop,"gc_top":$gcTop,""" +
+      s""""disp_top":$dispTop,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -218,6 +218,46 @@ object Bpe {
           expr("concat_ws(' ', transform(array_sort(pid), x -> x.ids_w))"))
         .select("doc_id", "n_tok", "n_sub", "ids_str")
         .orderBy("doc_id")
+    }),
+
+    // The capstone VERDICT r12 #2 asked for: pack the SUBWORD id streams
+    // into PackSeqLen training rows (pack_sequences_ids' grain under the
+    // learned BPE vocab — no UNK column, subwords cover every word).
+    // Same shard decomposition; a doc's global offset is the sum of PRIOR
+    // docs' subword counts in its shard (a rangeBetween window — exclusive
+    // of the current doc's own rows), a word's offset within its doc a
+    // second window, a subword's position its in-word index. All id
+    // derivation is the same map-side fold as text_bpe_encode; shuffles
+    // are the two window exchanges (doc_id, shard) + the (shard, bin)
+    // re-aggregate.
+    "pack_sequences_bpe" -> ((s, d) => {
+      val ml = mergeList(s, d)
+      val vocab = vocabIds(s, d)
+      val mapArgs = vocab.sortBy(_._1)
+        .map { case (sym, id) => s"'${sqlLit(sym)}', ${id}L" }.mkString(", ")
+      val byWordInDoc = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val priorDocsInShard = Window.partitionBy("shard").orderBy("doc_id")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      documents(s, d)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(TextOps.PackShards.toLong)).as("shard"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .withColumn("subs", expr(encodeExpr(ml)))
+        .withColumn("ids", expr(s"transform(subs, x -> element_at(map($mapArgs), x))"))
+        .withColumn("n_sub", size(col("ids")).cast(LongType))
+        .withColumn("woff", coalesce(sum("n_sub").over(byWordInDoc), lit(0L)))
+        .withColumn("off", coalesce(sum("n_sub").over(priorDocsInShard), lit(0L)))
+        .select(col("shard"), (col("off") + col("woff")).as("base"),
+          posexplode(col("ids")).as(Seq("sidx", "id")))
+        .withColumn("gpos", col("base") + col("sidx"))
+        .withColumn("bin", expr(s"gpos div ${TextOps.PackSeqLen}"))
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_ids"),
+          collect_list(struct(col("gpos"), col("id"))).as("gid"))
+        .withColumn("ids_str",
+          expr("concat_ws(' ', transform(array_sort(gid), x -> CAST(x.id AS STRING)))"))
+        .select("shard", "bin", "n_ids", "ids_str")
+        .orderBy("shard", "bin")
     })
   )
 
@@ -283,6 +323,40 @@ object Bpe {
         "unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos FROM documents) " +
         "SELECT doc_id, count(*) AS n_tok, CAST(sum(n_sub) AS BIGINT) AS n_sub, " +
         "string_agg(ids_w, ' ' ORDER BY pos) AS ids_str " +
-        "FROM tok JOIN wsub USING (word) GROUP BY doc_id ORDER BY doc_id")
+        "FROM tok JOIN wsub USING (word) GROUP BY doc_id ORDER BY doc_id"),
+
+    // mechanism differs by design (the oracle derives ids from the
+    // training CTE chain's word table; Spark re-derives them map-side),
+    // the packed streams must hash-match anyway
+    "pack_sequences_bpe" ->
+      (s"WITH $roundCtes, " +
+        "mtab AS (" +
+        (1 to BpeMerges).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS rank, s1 || s2 AS merged FROM b$r")
+          .mkString(" UNION ALL ") + "), " +
+        "chars AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym ASC) + 1 AS BIGINT) AS id " +
+        "FROM (SELECT DISTINCT sym FROM s0)), " +
+        "vocab AS (SELECT sym, CAST(min(id) AS BIGINT) AS id FROM " +
+        "(SELECT sym, id FROM chars UNION ALL SELECT merged AS sym, " +
+        "(SELECT count(*) FROM chars) + 1 + rank AS id FROM mtab) GROUP BY sym), " +
+        s"wid AS (SELECT word, pos AS spos, v.id FROM s$BpeMerges JOIN vocab v USING (sym)), " +
+        "wn AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sub FROM wid GROUP BY word), " +
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word, " +
+        "unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos FROM documents), " +
+        "dn AS (SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS d_sub " +
+        "FROM tok JOIN wn USING (word) GROUP BY doc_id), " +
+        s"do_ AS (SELECT doc_id, doc_id % ${TextOps.PackShards} AS shard, " +
+        "CAST(coalesce(sum(d_sub) OVER (PARTITION BY doc_id % " +
+        s"${TextOps.PackShards} ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off FROM dn), " +
+        "wo AS (SELECT t.doc_id, t.pos, t.word, CAST(coalesce(sum(wn.n_sub) OVER " +
+        "(PARTITION BY t.doc_id ORDER BY t.pos " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS woff " +
+        "FROM tok t JOIN wn ON t.word = wn.word), " +
+        "g AS (SELECT do_.shard, do_.off + wo.woff + wid.spos - 1 AS gpos, wid.id " +
+        "FROM wo JOIN do_ USING (doc_id) JOIN wid ON wo.word = wid.word) " +
+        s"SELECT shard, gpos // ${TextOps.PackSeqLen} AS bin, count(*) AS n_ids, " +
+        "string_agg(CAST(id AS VARCHAR), ' ' ORDER BY gpos) AS ids_str " +
+        "FROM g GROUP BY shard, bin ORDER BY shard, bin")
   )
 }

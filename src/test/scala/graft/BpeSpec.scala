@@ -144,4 +144,33 @@ class BpeSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(got == expected, s"fold/window divergence:\n got=$got\n exp=$expected")
   }
+
+  test("pack_sequences_bpe: bins are exact PackSeqLen slices of the shard subword streams") {
+    // rebuild each shard's id stream from text_bpe_encode's per-doc
+    // streams in doc order; every bin must be the exact PackSeqLen slice
+    // at its offset (docs straddle bins; only each shard's last bin may be
+    // short), and per-shard totals must conserve ids
+    val enc = SparkEntry.queries("text_bpe_encode")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    val shardStream = enc.groupBy { case (id, _) => id % TextOps.PackShards }
+      .view.mapValues(_.sortBy(_._1).flatMap(_._2.split(" ")).toSeq).toMap
+    val packed = SparkEntry.queries("pack_sequences_bpe")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(packed.nonEmpty)
+    packed.groupBy(_._1).foreach { case (shard, bins) =>
+      val stream = shardStream(shard)
+      val sorted = bins.sortBy(_._2)
+      assert(sorted.map(_._3).sum == stream.length.toLong,
+        s"shard $shard: packed ids != stream length")
+      sorted.foreach { case (_, bin, n, ids) =>
+        val off = (bin * TextOps.PackSeqLen).toInt
+        val slice = stream.slice(off, off + TextOps.PackSeqLen)
+        assert(ids.split(" ").toSeq == slice && n == slice.length.toLong,
+          s"shard $shard bin $bin is not the exact stream slice")
+      }
+      // full-bin invariant: all but the last bin carry exactly PackSeqLen
+      assert(sorted.dropRight(1).forall(_._3 == TextOps.PackSeqLen.toLong),
+        s"shard $shard has a short interior bin")
+    }
+  }
 }
