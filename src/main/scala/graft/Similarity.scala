@@ -622,7 +622,21 @@ object Similarity {
       // star graph wastes at most CcFuse−1 cheap steps in its only
       // propagation round.
       val start = labels.withColumn("prev", col("cluster_id"))
-      val jump = (1 to CcFuse).foldLeft(start)((l, _) => pointerJump(hop(l)))
+      // Convergence observes the LAST fused step only (round 13, VERDICT
+      // r12 #8): `prev` re-arms to the label held just BEFORE the final
+      // hop+jump, so `changed` counts that step alone. Sound by the same
+      // monotone argument as before — hop and jump are non-increasing per
+      // node, so a final step that changes no label means jump(hop(l)) = l,
+      // i.e. the round function's fixpoint (hop-stability ⇒ adjacent nodes
+      // share labels ⇒ component-uniform) — but STRICTLY more aggressive:
+      // a round whose early fused steps did the remaining work now
+      // terminates the loop immediately instead of paying one more full
+      // spill round just to observe changed=0. On the star-shaped dedup
+      // fixtures this halves the round count (2 → 1); a path graph still
+      // iterates to its true fixpoint (TextSimilaritySpec pins it).
+      val preSteps = (1 until CcFuse).foldLeft(start)((l, _) => pointerJump(hop(l)))
+      val rearmed = preSteps.withColumn("prev", col("cluster_id"))
+      val jump = pointerJump(hop(rearmed))
       // EVERY round spills to tmp parquet (two alternating paths) and reads
       // back — durable lineage flattening (blocks survive executor loss,
       // re-execution recomputes from the file), AND shape-identical round
