@@ -95,7 +95,12 @@ object Bench {
             try { System.gc(); Thread.sleep(100); once() }
             catch { case _: Throwable => -1.0 }
           val t2 = rerun()
-          val t3 = if (t1 > 0.3 && t2 >= 0) rerun() else -1.0
+          // run 3 unconditionally (code-review r13): sub-0.3 s queries pay
+          // whole-stage-codegen compilation in run 1, so a (t1, t2) disp
+          // pair reports compile cost as scheduling noise for exactly the
+          // population the dispersion metric exists to diagnose; the third
+          // run is bounded by the same sub-0.3 s runtime it measures
+          val t3 = if (t2 >= 0) rerun() else -1.0
           val runs = Seq(t1, t2, t3).filter(_ >= 0)
           val (a, b) = if (t3 >= 0) (t2, t3) else if (t2 >= 0) (t1, t2) else (t1, t1)
           val lo = math.min(a, b)
@@ -123,9 +128,12 @@ object Bench {
     // (the point is catching cross-charged collections, which are 0.1 s+).
     val gcs = emit.collect { case (k, _, g, _, _) if g >= 0.02 =>
       "\"" + k + "\":" + f"$g%.3f" }.mkString("{", ",", "}")
-    // run-1 (cold) times, only where they differ from the reported min —
-    // a compact build-cost ledger for the memoized-index families
-    val colds = emit.collect { case (k, v, _, c, _) if c > v =>
+    // run-1 (cold) times, only where the surplus over the reported min is
+    // a real build cost (> 0.3 s) — with every query now rerun, an
+    // unthresholded c > v fires on ~half the suite from pure timing noise,
+    // re-creating the r8 tail-width crowding and polluting cold_extra's
+    // build-cost semantics (code-review r13)
+    val colds = emit.collect { case (k, v, _, c, _) if c - v > 0.3 =>
       "\"" + k + "\":" + c }.mkString("{", ",", "}")
     // dispersion ledger, thresholded to >= 25% relative spread — the
     // queries whose timing is noise-dominated this run (VERDICT r12 #6)
@@ -147,7 +155,7 @@ object Bench {
       pairs.sortBy(-_._2).take(5)
         .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
-    val coldTop = top5(results.collect { case (k, v, _, c, _) if c > v && v >= 0 => (k, c) })
+    val coldTop = top5(results.collect { case (k, v, _, c, _) if c - v > 0.3 && v >= 0 => (k, c) })
     val gcTop = top5(results.collect { case (k, _, g, _, _) if g >= 0.02 => (k, g) })
     // dispersion summary rides the guaranteed-surviving total line:
     // top-5 noisiest queries + the median relative spread across all —
@@ -165,7 +173,7 @@ object Bench {
     // one-time build surplus Σ(run1 − min) across every query whose first
     // run paid a build — compare warm_total across rounds for regressions,
     // read cold_extra for the deliberate build-cost trades.
-    val coldExtra = results.collect { case (_, v, _, c, _) if c > v && v >= 0 => c - v }.sum
+    val coldExtra = results.collect { case (_, v, _, c, _) if c - v > 0.3 && v >= 0 => c - v }.sum
     // LINE ORDER is tail-capture-aware: the one tail-sized line (queries)
     // goes FIRST so only its own head can truncate; the full cold/gc
     // ledgers follow (they survive a raw tail even if the driver's filter

@@ -53,7 +53,7 @@ object Bpe {
     * triSpill/edgeSpill convention).
     */
   private val bpeSpill =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
   Sources.onSpillEvict(() => bpeSpill.clear())
 
   private def wordFreq(s: SparkSession, d: String): DataFrame =
@@ -61,8 +61,8 @@ object Bpe {
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
-  /** Runs the learning loop; returns (mergesPath, symsPath). */
-  private def learn(s: SparkSession, d: String): (String, String) = {
+  /** Runs the learning loop; returns (mergesPath, symsPath, wfPath). */
+  private def learn(s: SparkSession, d: String): (String, String, String) = {
     val key = Sources.fixtureKey(d, "documents") + s":bpe:$BpeMerges"
     val cached = bpeSpill.get(key)
     if (cached != null) return cached
@@ -72,8 +72,14 @@ object Bpe {
     val w = Window.partitionBy("word").orderBy("pos")
     // seed: one row per (word, char position)
     var symsPath = Sources.tmpUnique("bpe_syms0")
+    // sequence(1, 0) in Spark auto-steps DOWN to [1, 0] — an empty word
+    // (split on consecutive spaces) would seed two ""-symbol rows here
+    // while the oracle's range(1, len+1) yields none (code-review r13);
+    // the empty-array guard makes both sides emit zero rows identically
     wf.select(col("word"),
-        explode(sequence(lit(1L), length(col("word")).cast(LongType))).as("pos"))
+        explode(when(length(col("word")) >= 1,
+          sequence(lit(1L), length(col("word")).cast(LongType)))
+          .otherwise(array().cast("array<bigint>"))).as("pos"))
       .select(col("word"), col("pos"),
         col("word").substr(col("pos").cast(IntegerType), lit(1)).as("sym"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(symsPath)
@@ -125,7 +131,7 @@ object Bpe {
     import s.implicits._
     merges.toSeq.toDF("rank", "s1", "s2", "pair_count")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(mergesPath)
-    val built = (mergesPath, symsPath)
+    val built = (mergesPath, symsPath, wfPath)
     val prev = bpeSpill.putIfAbsent(key, built)
     if (prev != null) prev else built
   }
@@ -157,8 +163,14 @@ object Bpe {
     * |chars| + BpeMerges rows.
     */
   private def vocabIds(s: SparkSession, d: String): Seq[(String, Long)] = {
-    val chars = wordFreq(s, d)
-      .select(explode(sequence(lit(1L), length(col("word")).cast(LongType))).as("pos"),
+    // alphabet comes from learn()'s spilled word-frequency frame — a
+    // vocabulary-sized parquet read, NOT a fresh corpus scan+shuffle per
+    // encode-query construction (code-review r13); same empty-word guard
+    // as the seed frame
+    val chars = s.read.parquet(learn(s, d)._3)
+      .select(explode(when(length(col("word")) >= 1,
+          sequence(lit(1L), length(col("word")).cast(LongType)))
+          .otherwise(array().cast("array<bigint>"))).as("pos"),
         col("word"))
       .select(col("word").substr(col("pos").cast(IntegerType), lit(1)).as("sym"))
       .distinct().orderBy("sym").collect().map(_.getString(0)).toSeq
@@ -174,7 +186,10 @@ object Bpe {
     * corpus on word).
     */
   private def encodeExpr(merges: Seq[(Long, String, String)]): String = {
-    var e = "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    // empty-word guard mirrors the seed frame's (Spark sequence(1, 0) is
+    // the descending [1, 0], which would emit two "" symbols per empty word)
+    var e = "IF(length(word) < 1, CAST(array() AS ARRAY<STRING>), " +
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1)))"
     merges.foreach { case (_, s1, s2) =>
       val (a, b, m) = (sqlLit(s1), sqlLit(s2), sqlLit(s1 + s2))
       e = s"aggregate($e, CAST(array() AS ARRAY<STRING>), (acc, x) -> " +

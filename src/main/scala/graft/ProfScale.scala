@@ -25,7 +25,13 @@ object ProfScale {
     // (k-1)/k of them is the operator doing its job, not an artifact).
     // The cipher mode remains the default for TIMING octaves, where copies
     // must NOT collapse at the first stage.
-    val verbatim = args.drop(1).contains("--verbatim")
+    val flags = args.drop(1).filter(_.startsWith("--")).toSet
+    // fail loudly on unknown flags (the Bench SPARK_GRAFT_ONLY convention):
+    // a typo'd --verbatim would otherwise run the full expensive octave in
+    // cipher mode and mislabel the resulting table (code-review r13)
+    require(flags.subsetOf(Set("--verbatim")),
+      s"unknown flags: ${(flags -- Set("--verbatim")).mkString(", ")}")
+    val verbatim = flags.contains("--verbatim")
     val only = args.drop(1).filterNot(_.startsWith("--")).toSet
     val base = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")

@@ -77,6 +77,11 @@ object SkewProbe {
     val tAggDimAqe = minOf3 {
       big.join(dimAggPartitioned, col("k") === col("k2")).count()
     }
+    // salted runs measure with skew handling OFF on both dim shapes —
+    // AQE can fire on the salted join's own exchanges, so leaving it on
+    // here would fold AQE help into the salted baseline the comparison
+    // is against (code-review r13)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
     val tAggDimSalt = minOf3 {
       Joins.saltedJoin(big, dimAggPartitioned, "k", "k2", col("event_id"), 8).count()
     }
