@@ -656,6 +656,81 @@ object Joins {
            |                AND l3.l_suppkey <> l1.l_suppkey
            |                AND l3.l_returnflag = 'R')
            |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin)
+    }),
+
+    // TPC-H Q18 shape (large-volume customers): uncorrelated IN over a
+    // GROUPED subquery with HAVING — the remaining classic subquery
+    // position after q17/q20/q21/q22 (scalar / nested-EXISTS / same-table
+    // EXISTS+NOT EXISTS / NOT EXISTS): the IN build side is itself an
+    // aggregate, so Catalyst plans Aggregate-below-LeftSemi — one grouped
+    // pass over lineitem probed by the join, never a per-row re-scan. At
+    // 100 TB both the semi build and the outer sum aggregate on
+    // l_orderkey, so AQE can reuse one exchange. T=200 measured
+    // non-vacuous: 99/1473, 874/14743, 9185/147236 orders qualify at
+    // sf0.001/0.01/0.1. Determinism: l_quantity is integral (q17's pinned
+    // fixture property), so double sums are exact and the BIGINT cast is
+    // portable; o_orderkey is unique per output row, making the
+    // (sum_qty DESC, o_orderkey) order total.
+    "tpch_q18_like" -> ((s, d) => {
+      val li = Tables.view(s, d, "lineitem"); val cu = Tables.view(s, d, "customer")
+      val or = Tables.view(s, d, "orders")
+      s.sql(
+        s"""SELECT c.c_custkey, o.o_orderkey, CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+           |FROM $cu c JOIN $or o ON c.c_custkey = o.o_custkey
+           |JOIN $li l ON o.o_orderkey = l.l_orderkey
+           |WHERE o.o_orderkey IN (SELECT l2.l_orderkey FROM $li l2
+           |                       GROUP BY l2.l_orderkey
+           |                       HAVING sum(l2.l_quantity) > 200)
+           |GROUP BY c.c_custkey, o.o_orderkey
+           |ORDER BY sum_qty DESC, o.o_orderkey ASC LIMIT 100""".stripMargin)
+    }),
+
+    // TPC-H Q15 shape (top supplier): an aggregate VIEW consumed twice —
+    // once as the join input, once under an uncorrelated scalar max — with
+    // the equality taken on the EXACT decimal revenue, so ties (if any)
+    // all surface and the comparison never rides a double. Catalyst plans
+    // the scalar as a one-row subquery result broadcast into the filter;
+    // the view itself is one grouped pass over the filtered fact. The
+    // fixture yields exactly one max supplier at every SF (measured
+    // 1/10, 1/100, 1/1000) — non-empty, and the ties rule is still the
+    // contract. Revenue render follows the q3/q5 dsum4 convention.
+    "tpch_q15_like" -> ((s, d) => {
+      val li = Tables.view(s, d, "lineitem"); val su = Tables.view(s, d, "supplier")
+      s.sql(
+        s"""WITH revenue AS (
+           |  SELECT l_suppkey AS supplier_no,
+           |    sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+           |        (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_revenue
+           |  FROM $li WHERE l_returnflag = 'N' GROUP BY l_suppkey)
+           |SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+           |FROM $su s JOIN revenue r ON s.s_suppkey = r.supplier_no
+           |WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+           |ORDER BY s.s_suppkey""".stripMargin)
+    }),
+
+    // TPC-H Q11 shape (important stock): HAVING-style filter of a grouped
+    // aggregate against an uncorrelated GLOBAL scalar of the same measure.
+    // The fixture has no partsupp, so part value = Σ extendedprice per
+    // l_partkey and the threshold is 1.2× the average part value — scale-
+    // free (a fixed TPC-H fraction goes vacuous as |parts| grows with SF;
+    // measured 37/200, 322/2000, 3336/20000 parts pass at 1.2×). The
+    // comparison is pure BIGINT cross-multiplication in micros
+    // (vmic·nparts·10 > 12·total_micro): DECIMAL(18,4)·10⁴ is integral so
+    // the BIGINT cast is exact, and no engine-specific decimal-width
+    // promotion is ever consulted. Ordering is taken on the exact decimal,
+    // then rendered double.
+    "tpch_q11_like" -> ((s, d) => {
+      val li = Tables.view(s, d, "lineitem")
+      s.sql(
+        s"""SELECT l_partkey, CAST(v AS DOUBLE) AS value FROM
+           | (SELECT l_partkey,
+           |         sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS v,
+           |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS vmic
+           |  FROM $li GROUP BY l_partkey) t
+           |WHERE vmic * (SELECT 10 * count(DISTINCT l_partkey) FROM $li)
+           |      > 12 * (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT)
+           |              FROM $li)
+           |ORDER BY v DESC, l_partkey ASC""".stripMargin)
     })
   )
 
@@ -882,6 +957,37 @@ object Joins {
        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 " +
        "WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey " +
        "AND l3.l_returnflag = 'R') " +
-       "GROUP BY s_name ORDER BY numwait DESC, s_name")
+       "GROUP BY s_name ORDER BY numwait DESC, s_name"),
+
+    // IN-over-grouped-HAVING verbatim — DuckDB executes the same
+    // membership text Spark turns into Aggregate-below-LeftSemi
+    "tpch_q18_like" ->
+      ("SELECT c.c_custkey, o.o_orderkey, CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty " +
+       "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
+       "JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+       "WHERE o.o_orderkey IN (SELECT l2.l_orderkey FROM lineitem l2 " +
+       "GROUP BY l2.l_orderkey HAVING sum(l2.l_quantity) > 200) " +
+       "GROUP BY c.c_custkey, o.o_orderkey " +
+       "ORDER BY sum_qty DESC, o.o_orderkey ASC LIMIT 100"),
+
+    "tpch_q15_like" ->
+      ("WITH revenue AS (SELECT l_suppkey AS supplier_no, " +
+       "sum(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+       "(1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_revenue " +
+       "FROM lineitem WHERE l_returnflag = 'N' GROUP BY l_suppkey) " +
+       s"SELECT s.s_suppkey, s.s_name, ${oDbl("r.total_revenue")} AS total_revenue " +
+       "FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no " +
+       "WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue) " +
+       "ORDER BY s.s_suppkey"),
+
+    "tpch_q11_like" ->
+      ("SELECT l_partkey, " + oDbl("v") + " AS value FROM " +
+       "(SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS v, " +
+       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS vmic " +
+       "FROM lineitem GROUP BY l_partkey) t " +
+       "WHERE vmic * (SELECT 10 * count(DISTINCT l_partkey) FROM lineitem) " +
+       "> 12 * (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT) " +
+       "FROM lineitem) " +
+       "ORDER BY v DESC, l_partkey ASC")
   )
 }

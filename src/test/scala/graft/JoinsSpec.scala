@@ -291,4 +291,53 @@ class JoinsSpec extends AnyFunSuite {
     val order = rows.map(r => (-r.getLong(1), r.getString(0)))
     assert(order.sameElements(order.sorted), "q21 output order violated")
   }
+
+  test("q18: IN-over-grouped-HAVING equals a driver-side brute force, threshold discriminates") {
+    val qtyByOrder = Tables.lineitem(spark, Sf0001)
+      .select("l_orderkey", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val bigOrders = qtyByOrder.filter(_._2 > 200).keySet
+    assert(bigOrders.nonEmpty && bigOrders.size < qtyByOrder.size,
+      s"q18 threshold stopped discriminating: ${bigOrders.size}/${qtyByOrder.size}")
+    val custOf = Tables.orders(spark, Sf0001).select("o_orderkey", "o_custkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = bigOrders.toSeq
+      .map(ok => (custOf(ok), ok, qtyByOrder(ok).toLong))
+      .sortBy { case (_, ok, sq) => (-sq, ok) }.take(100)
+      .map { case (ck, ok, sq) => (ck, ok, sq) }.toSet
+    val got = q("tpch_q18_like").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, s"q18 drift: extra=${got -- expected} missing=${expected -- got}")
+  }
+
+  test("q15: reported suppliers are exactly the exact-decimal revenue argmax") {
+    def d4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val rev = Tables.lineitem(spark, Sf0001)
+      .where(col("l_returnflag") === "N")
+      .select("l_suppkey", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getLong(0), d4(r.getDouble(1)) * (1 - d4(r.getDouble(2)))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val mx = rev.values.max
+    val expected = rev.filter(_._2 == mx).keySet
+    val got = q("tpch_q15_like").collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"q15 drift: got=$got expected=$expected")
+    assert(got.nonEmpty && got.size < rev.size, "q15 argmax stopped discriminating")
+  }
+
+  test("q11: 1.2x-average part-value screen equals an integer-micros brute force") {
+    def d4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val vals = Tables.lineitem(spark, Sf0001)
+      .select("l_partkey", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), d4(r.getDouble(1))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val totalMic = (vals.values.sum * 10000).toBigInt
+    val n = vals.size
+    val expected = vals.filter { case (_, v) =>
+      (v * 10000).toBigInt * n * 10 > totalMic * 12 }.keySet
+    val got = q("tpch_q11_like").collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"q11 drift: extra=${got -- expected} missing=${expected -- got}")
+    assert(got.nonEmpty && got.size < n,
+      s"q11 threshold stopped discriminating: ${got.size}/$n")
+  }
 }

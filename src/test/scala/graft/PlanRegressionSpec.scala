@@ -414,6 +414,42 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"the <> correlation is not a join condition:\n$p")
   }
 
+  test("q18: IN over grouped HAVING plans as Aggregate-below-LeftSemi, no subquery") {
+    // the membership build side is itself a grouped aggregate; Catalyst
+    // must rewrite the IN to a LeftSemi join whose build is that aggregate
+    // — a surviving subquery node re-runs the grouping per outer row
+    val p = plan("tpch_q18_like")
+    assert(!p.contains("Subquery"), s"IN subquery survived physical planning:\n$p")
+    assert(p.contains("LeftSemi"), s"IN did not plan as a semi-join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"partial aggregation lost on the semi build or outer sum:\n$p")
+  }
+
+  test("q15: scalar max stays a one-row subquery; the view aggregates once per consumer") {
+    // the UNcorrelated max legitimately stays a one-time scalar subquery
+    // result (the efficient plan, as q22 pins); what must NOT appear is a
+    // per-supplier re-execution — i.e. any join keyed on the subquery side
+    val p = plan("tpch_q15_like")
+    assert(p.contains("Subquery"), s"scalar max shape changed:\n$p")
+    assert("(?i)hashjoin".r.findAllIn(p).nonEmpty, s"supplier join lost:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"revenue view lost partial aggregation:\n$p")
+  }
+
+  test("q11: global-scalar HAVING screen is scan + aggregate, no join in the main chain") {
+    // both scalars are one-row subquery results injected as literals into
+    // the post-aggregate filter; the main chain must be scan → partial/
+    // final aggregate → filter → sort, with no join node at all
+    val p = plan("tpch_q11_like")
+    assert(p.contains("Subquery"), s"global scalar shape changed:\n$p")
+    // the scalars themselves are join-free lineitem aggregates, so the
+    // WHOLE plan (subquery sections included) must contain no join node
+    assert("(?i)(hashjoin|mergejoin|nestedloop)".r.findFirstIn(p).isEmpty,
+      s"unexpected join in the q11 plan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"part-value aggregate lost map-side partials:\n$p")
+  }
+
   test("text_bpe_encode: the merge fold is map-side — no join, one doc_id aggregate") {
     // the encoder must compile the merge list into per-row expressions
     // (scan → posexplode → fold projects → partial/final aggregate); a
