@@ -273,7 +273,15 @@ object ProfScale {
       // measures the loop's vocabulary-linear term) and the map-side fold
       // encoder (corpus-linear, no join — the per-token fold cost is the
       // term under test)
-      "text_bpe_vocab", "text_bpe_encode")
+      "text_bpe_vocab", "text_bpe_encode",
+      // round 13: DSIR importance selection — corpus-linear (one token
+      // aggregate + a 256-row broadcast probe); the per-copy cipher words
+      // spread over the same 256 buckets, so the weight table stays fixed
+      // while the token stream grows ~k×. dedup_semdedup is deliberately
+      // NOT an octave target: at FIXED K its within-cluster pair space
+      // grows k² by construction (the documented K-is-the-scale-dial
+      // caveat) — a timing row would measure the caveat, not a regression.
+      "sample_dsir")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer

@@ -897,6 +897,65 @@ object Similarity {
     pretrainQuality(s, d).join(surpFlag, Seq("doc_id"), "left_anti")
   }
 
+  /** SemDeDup similarity threshold (Abbas et al. 2023: cluster the
+    * embedding space, then drop all-but-one of each within-cluster eps-
+    * ball). The synthetic fixture carries no true semantic dups (max
+    * within-cluster cosine ≈ 0.45-0.47), so 0.35 marks the same top-tail
+    * convention as `dedup_embedding_cosine`; with real embeddings this
+    * would be ~0.95. Measured non-vacuous at every SF: 59/500, 71/500,
+    * 635/2000 vectors dropped.
+    */
+  private val SemDedupEps = 0.35
+
+  /** The deterministic IVF coarse quantizer, shared by `sim_ann_ivf` and
+    * `dedup_semdedup` (one geometry, two consumers — a pipeline edit
+    * cannot desynchronize them): K=16 seed vectors ranked by the portable
+    * affine hash of vec_id, one Lloyd refinement with exact-decimal
+    * component means over the [[annTrainPredSql]] sample, then the
+    * full-corpus max-cosine assignment. Returns (refined 16-row centroid
+    * frame (cid, ce, cn), lists (vec_id, embedding, nrm, cid)). Both
+    * collects are provably bounded (16 rows each). SQL mirror:
+    * [[ivfListsCtes]].
+    */
+  private[graft] def ivfQuantize(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.graft.VectorOps.{vec_dot, vec_norm}
+    import s.implicits._
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      vec_norm(col("embedding")).as("nrm"))
+    val te = e.where(expr(annTrainPredSql))
+    val seedRows = te.withColumn("hk",
+      expr(s"pmod(pmod(vec_id, ${SigP}L) * ${sigA(20)}L + ${sigB(20)}L, ${SigP}L)"))
+      .orderBy(col("hk"), col("vec_id")).limit(16)
+      .select(col("embedding")).as[Array[Float]].collect()
+    def centFrame(vecs: Seq[Array[Float]]): DataFrame =
+      vecs.zipWithIndex.map { case (v, i) => (i + 1, v) }.toDF("cid", "ce")
+        .withColumn("cn", vec_norm(col("ce")))
+    // assign every vector to its max-cosine centroid (16-way broadcast
+    // comparison, ties to the lower cid). max_by keeps this a hash
+    // aggregate with map-side partials — no shuffle-and-sort window.
+    def assign(src: DataFrame, cent: DataFrame): DataFrame =
+      src.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+          (vec_dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("cc"))
+        .groupBy("vec_id")
+        .agg(expr("max_by(struct(embedding, nrm, cid), struct(cc, -cid))").as("best"))
+        .select(col("vec_id"), col("best.embedding").as("embedding"),
+          col("best.nrm").as("nrm"), col("best.cid").as("cid"))
+    // one Lloyd refinement: exact-decimal per-dimension means of each
+    // list; again a 16-row collect so the quantizer pipeline runs once
+    // instead of once per consuming branch
+    val refinedRows = assign(te, centFrame(seedRows.toSeq))
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg((sum(dec(col("v"), 27, 10)).cast(DoubleType) / count(lit(1))).as("c"))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> CAST(x.c AS FLOAT))").as("ce"))
+      .orderBy("cid")
+      .select(col("ce")).as[Array[Float]].collect()
+    val refined = centFrame(refinedRows.toSeq)
+    (refined, assign(e, refined))
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_near_minhash" -> ((s, d) => {
       // Cluster representative = min doc_id among self + verified neighbors.
@@ -1230,6 +1289,38 @@ object Similarity {
         .orderBy("va", "vb")
     }),
 
+    // SemDeDup (Abbas et al. 2023, public): SEMANTIC dedup at corpus
+    // scale — k-means-cluster the embedding space, then compare pairs only
+    // WITHIN a cluster, dropping every vector that has an earlier
+    // (lower vec_id) eps-neighbor in its cluster; min-id-wins is the same
+    // representative convention as dedup_exact. The cluster blocking is
+    // what makes this the 100 TB form of dedup_embedding_cosine: pairs
+    // cost Σ|cluster|² instead of n², and K is the scale dial (K ~
+    // n/target_list_size keeps lists bounded; here K=16 on 500-2000
+    // vectors). The quantizer is the SHARED [[ivfQuantize]] — the same
+    // geometry sim_ann_ivf probes, so index and dedup agree by
+    // construction. The within-cluster self-join hash-partitions on cid
+    // (16 keys at fixture K — at production K the key space is wide);
+    // cosine runs through the codegen'd vec_dot. Output: every vector
+    // with its cluster and drop flag.
+    "dedup_semdedup" -> ((s, d) => {
+      import org.apache.spark.sql.graft.VectorOps.vec_dot
+      val lists = ivfQuantize(s, d)._2
+      val a = lists.select(col("cid"), col("vec_id").as("va"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = lists.select(col("cid"), col("vec_id").as("vb"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val drops = a.join(b, Seq("cid"))
+        .where(col("va") < col("vb") &&
+          vec_dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= SemDedupEps)
+        .select(col("vb").as("vec_id")).distinct()
+      lists.select("vec_id", "cid")
+        .join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"),
+          coalesce(col("dropped"), lit(false)).as("dropped"))
+        .orderBy("vec_id")
+    }),
+
     "sim_topk_cosine" -> ((s, d) => {
       // Brute-force half-triangular top-k — the exact baseline the ANN
       // variants are measured against. Broadcast join (build side transits
@@ -1362,47 +1453,13 @@ object Similarity {
       // disk-partitioned by centroid id and only nprobe/K of the corpus is
       // ever scanned.
       import org.apache.spark.sql.graft.VectorOps.{vec_dot, vec_norm}
-      import s.implicits._
+      // seeds + Lloyd + assignment live in [[ivfQuantize]] (round 13 —
+      // shared with dedup_semdedup); only the final list assignment scans
+      // every vector, and both internal collects are bounded 16-row
+      // centroid frames (the no-driver-collect rule's sanctioned case)
+      val (refined, lists) = ivfQuantize(s, d)
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
         vec_norm(col("embedding")).as("nrm"))
-      // seeds + Lloyd on the annTrainPredSql hash-sample, like the PQ/
-      // IVF-PQ trainers (round 11) — only the final list assignment scans
-      // every vector
-      val te = e.where(expr(annTrainPredSql))
-      // K=16 seed vectors by portable-hash rank (TakeOrdered, then a 16-ROW
-      // collect — the provably-bounded "centroids" side the no-driver-
-      // collect rule explicitly sanctions; never the table itself)
-      val seedRows = te.withColumn("hk",
-        expr(s"pmod(pmod(vec_id, ${SigP}L) * ${sigA(20)}L + ${sigB(20)}L, ${SigP}L)"))
-        .orderBy(col("hk"), col("vec_id")).limit(16)
-        .select(col("embedding")).as[Array[Float]].collect()
-      def centFrame(vecs: Seq[Array[Float]]): DataFrame =
-        vecs.zipWithIndex.map { case (v, i) => (i + 1, v) }.toDF("cid", "ce")
-          .withColumn("cn", vec_norm(col("ce")))
-      // assign every vector to its max-cosine centroid (16-way broadcast
-      // comparison, ties to the lower cid). max_by keeps this a hash
-      // aggregate with map-side partials — no shuffle-and-sort window.
-      def assign(src: DataFrame, cent: DataFrame): DataFrame =
-        src.crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
-            (vec_dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("cc"))
-          .groupBy("vec_id")
-          .agg(expr("max_by(struct(embedding, nrm, cid), struct(cc, -cid))").as("best"))
-          .select(col("vec_id"), col("best.embedding").as("embedding"),
-            col("best.nrm").as("nrm"), col("best.cid").as("cid"))
-      // one Lloyd refinement: exact-decimal per-dimension means of each
-      // list; again a 16-row collect so the quantizer pipeline runs once
-      // instead of once per consuming branch
-      val refinedRows = assign(te, centFrame(seedRows.toSeq))
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos")
-        .agg((sum(dec(col("v"), 27, 10)).cast(DoubleType) / count(lit(1))).as("c"))
-        .groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> CAST(x.c AS FLOAT))").as("ce"))
-        .orderBy("cid")
-        .select(col("ce")).as[Array[Float]].collect()
-      val refined = centFrame(refinedRows.toSeq)
-      val lists = assign(e, refined) // carries vec_id, embedding, nrm, cid
       // queries probe the nprobe=4 nearest refined centroids' lists
       val q = e.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
@@ -1888,7 +1945,12 @@ object Similarity {
     * row_number() OVER (ORDER BY cid) — identical even if a seed list ever
     * came back empty.
     */
-  private def annIvfOracle: String = {
+  /** Shared CTE chain ending at `b2` — the full-corpus IVF cluster
+    * assignment (vec_id, embedding, nrm, cid), the SQL mirror of
+    * [[ivfQuantize]]. Consumed by [[annIvfOracle]] and the
+    * dedup_semdedup oracle, so both verify the SAME quantizer text.
+    */
+  private def ivfListsCtes: String = {
     val hk = s"((vec_id % $SigP) * ${sigA(20)} + ${sigB(20)}) % $SigP"
     def assignCte(src: String, cent: String): String =
       s"(SELECT vec_id, embedding, nrm, cid FROM (SELECT e.vec_id, e.embedding, e.nrm, $cent.cid, " +
@@ -1910,7 +1972,11 @@ object Similarity {
     "rc AS (SELECT cid, list(CAST(c AS FLOAT) ORDER BY pos) AS ce FROM cm GROUP BY cid), " +
     "c1 AS (SELECT CAST(row_number() OVER (ORDER BY cid) AS INT) AS cid, ce, " +
     s"${oNormE("ce")} AS cn FROM rc), " +
-    s"b2 AS ${assignCte("e", "c1")}, " +
+    s"b2 AS ${assignCte("e", "c1")}"
+  }
+
+  private def annIvfOracle: String =
+    ivfListsCtes + ", " +
     "q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 10), " +
     "pb AS (SELECT qid, qe, qn, cid FROM (SELECT q.qid, q.qe, q.qn, c1.cid, " +
     s"${oDotE("q.qe", "c1.ce")} / (q.qn * c1.cn) AS qc FROM q CROSS JOIN c1) t " +
@@ -1921,7 +1987,17 @@ object Similarity {
     "r AS (SELECT qid, nn, row_number() OVER (PARTITION BY qid " +
     "ORDER BY cos DESC, nn ASC) AS rn FROM cand) " +
     "SELECT qid, nn, CAST(rn AS INT) AS rn FROM r WHERE rn <= 10 ORDER BY qid, rn"
-  }
+
+  /** dedup_semdedup oracle: the same quantizer chain, then the within-
+    * cluster earlier-eps-neighbor drop rule.
+    */
+  private def semDedupOracle: String =
+    ivfListsCtes + ", " +
+    "dr AS (SELECT DISTINCT b.vec_id FROM b2 a JOIN b2 b " +
+    "ON a.cid = b.cid AND a.vec_id < b.vec_id " +
+    s"WHERE ${oDotE("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $SemDedupEps) " +
+    "SELECT l.vec_id, l.cid, (dr.vec_id IS NOT NULL) AS dropped " +
+    "FROM b2 l LEFT JOIN dr ON l.vec_id = dr.vec_id ORDER BY l.vec_id"
 
   /** DuckDB fragment: squared L2 distance between a float list and a double
     * list as the [[seededFold]] zip the sim_knn oracle proved bit-identical
@@ -2076,6 +2152,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "sim_ann_lsh" -> annLshOracle,
     "sim_ann_ivf" -> annIvfOracle,
+    "dedup_semdedup" -> semDedupOracle,
     "sim_ann_pq" -> annPqOracle,
     "sim_ann_ivfpq" -> annIvfPqOracle,
 

@@ -215,6 +215,19 @@ object TextOps {
     * state key) so the batch and streaming dedup surfaces key on the SAME
     * hash by construction.
     */
+  /** DSIR feature-hash bucket count. 256 keeps the weight table a
+    * trivially broadcastable frame while leaving every bucket populated
+    * at sf0.001 (50 docs × ~120 tokens ≈ 6k tokens over 256 buckets); at
+    * real scale this is the paper's 10k-bucket dial — raising it only
+    * grows the broadcast table, never the corpus-side work.
+    */
+  val DsirBuckets = 256
+
+  /** DSIR selection size: 25 keeps the screen discriminating even at
+    * sf0.001's 50 documents (a K ≥ corpus size would go vacuous).
+    */
+  val DsirTopK = 25
+
   val FingerprintExpr: String =
     "aggregate(transform(split(text, ''), c -> ascii(c)), 0L, " +
     "(acc, x) -> pmod(acc * 31 + x, 1000000007L))"
@@ -522,6 +535,46 @@ object TextOps {
           col("n_uniq") * lit(1000000L))
         .orderBy("doc_id")),
 
+    // DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling" — public): score every
+    // doc by how much more likely its hashed-unigram features are under a
+    // TARGET distribution than under the raw corpus, then keep the top
+    // slice. Target here = the corpus' own English slice (the high-
+    // resource slice standing in for the paper's quality domain); features
+    // = words hashed into DsirBuckets buckets by the portable polynomial
+    // kernel (the text_fingerprint hash), so the feature space is bounded
+    // regardless of vocabulary size — the property that makes DSIR run at
+    // 100 TB. Everything is exact fixed point (rule D5): add-one-smoothed
+    // bucket log-probs in micro-bits via the shared log2 kernel, per-doc
+    // score = Σ c_b·w_b as BIGINT, and deterministic top-K by
+    // (score DESC, doc_id) replaces the paper's Gumbel resampling.
+    // Scale shape: ONE token-stream aggregate builds BOTH distributions
+    // (conditional sums) and collapses to a DsirBuckets-row weight table
+    // that BROADCASTS onto the per-doc bucket counts; the only corpus-
+    // sized exchange is the (doc_id, bucket) aggregate, and the final
+    // selection is a TakeOrdered, never a global sort.
+    "sample_dsir" -> ((s, d) => {
+      val B = DsirBuckets
+      val bkt = expr("pmod(aggregate(transform(split(word, ''), c -> ascii(c)), 0L, " +
+        s"(acc, x) -> pmod(acc * 31 + x, 1000000007L)), ${B}L)")
+      val tok = documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("word"))
+        .select(col("doc_id"), col("lang"), bkt.as("b"))
+      val stats = tok.groupBy("b").agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      val tot = stats.agg(lsum(col("cr")).as("nr"), lsum(col("ct")).as("nt"))
+      val w = stats.crossJoin(broadcast(tot))
+        .select(col("b"), expr(
+          s"${log2MicroSql("ct + 1")} - ${log2MicroSql(s"nt + $B")} - " +
+          s"(${log2MicroSql("cr + 1")} - ${log2MicroSql(s"nr + $B")})").as("w"))
+      tok.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .join(broadcast(w), Seq("b"))
+        .groupBy("doc_id").agg(lsum(col("c") * col("w")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id").asc)
+        .limit(DsirTopK)
+    }),
+
     "text_bm25_topk" -> ((s, d) => {
       // BM25 retrieval: rank corpus docs (doc_id >= 20) for each probe
       // query (doc_id < 20, its distinct tokens = the query terms) — the
@@ -766,6 +819,24 @@ object TextOps {
     "vocab AS (SELECT word, row_number() OVER (ORDER BY c DESC, word ASC) + 1 AS id FROM top)"
 
   val oracles: Map[String, String] = Map(
+    "sample_dsir" ->
+      ("WITH tok AS (SELECT doc_id, lang, " +
+       oIntFold("list_transform(string_split(word, ''), c -> CAST(ascii(c) AS BIGINT))",
+         "(acc, x) -> (acc * 31 + x) % 1000000007") +
+       s" % $DsirBuckets AS b FROM " +
+       "(SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents)), " +
+       "stats AS (SELECT b, CAST(count(*) AS BIGINT) AS cr, " +
+       "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct " +
+       "FROM tok GROUP BY b), " +
+       "tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM stats), " +
+       s"w AS (SELECT b, ${log2MicroSql("ct + 1", "//")} - ${log2MicroSql(s"nt + $DsirBuckets", "//")} - " +
+       s"(${log2MicroSql("cr + 1", "//")} - ${log2MicroSql(s"nr + $DsirBuckets", "//")}) AS w " +
+       "FROM stats CROSS JOIN tot), " +
+       "pd AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY doc_id, b) " +
+       "SELECT doc_id, CAST(sum(c * w) AS BIGINT) AS score_micro " +
+       "FROM pd JOIN w USING (b) GROUP BY doc_id " +
+       s"ORDER BY score_micro DESC, doc_id ASC LIMIT $DsirTopK"),
+
     "text_vocab_encode" ->
       (s"WITH $vocabCte, " +
        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word, " +

@@ -141,4 +141,29 @@ class AnnRecallSpec extends AnyFunSuite {
     a.groupBy(_.getLong(0)).values.foreach { rs =>
       assert(rs.map(_.getInt(2)).sorted.sameElements(1 to rs.length)) }
   }
+
+  test("dedup_semdedup drop rule equals a brute force over the shared quantizer lists") {
+    // the brute force consumes the SAME ivfQuantize lists the query does,
+    // so this pins exactly the within-cluster earlier-eps-neighbor rule
+    // (and that the output covers every vector with its assigned cluster)
+    val lists = Similarity.ivfQuantize(spark, Sf01)._2
+      .select("vec_id", "cid", "embedding", "nrm").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray, r.getDouble(3)))
+    def dot(a: Array[Float], b: Array[Float]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    val byCid = lists.groupBy(_._2)
+    val expectedDropped = lists.filter { case (vid, cid, v, n) =>
+      byCid(cid).exists { case (vid2, _, v2, n2) =>
+        vid2 < vid && dot(v2, v) / (n2 * n) >= 0.35 } }.map(_._1).toSet
+    val rows = SparkEntry.queries("dedup_semdedup")(spark, Sf01).collect()
+    assert(rows.length == lists.length, "semdedup must report every vector")
+    val gotByVid = rows.map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    lists.foreach { case (vid, cid, _, _) =>
+      assert(gotByVid(vid)._1 == cid, s"cluster drift for vec $vid") }
+    val gotDropped = rows.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(gotDropped == expectedDropped,
+      s"drop-rule drift: extra=${gotDropped -- expectedDropped} missing=${expectedDropped -- gotDropped}")
+    assert(gotDropped.nonEmpty && gotDropped.size < lists.length,
+      s"eps stopped discriminating: ${gotDropped.size}/${lists.length}")
+  }
 }

@@ -705,4 +705,41 @@ class TextSimilaritySpec extends AnyFunSuite {
         .foreach(r => assert(r.getLong(2) == TextOps.PackSeqLen))
     }
   }
+
+  test("sample_dsir equals a JVM fixed-point brute force and over-selects the target language") {
+    import TestSpark.log2MicroRef
+    val B = TextOps.DsirBuckets.toLong
+    // JVM twin of the portable polynomial bucket hash (the
+    // text_fingerprint kernel mod DsirBuckets)
+    def bucket(word: String): Long = {
+      var acc = 0L
+      word.foreach { ch => acc = (acc * 31 + ch.toInt) % 1000000007L }
+      acc % B
+    }
+    val docs = Tables.documents(spark, Sf0001)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // split(text, " ") keeps trailing empties in Spark — mirror with -1
+    val tokens = docs.flatMap { case (id, lang, text) =>
+      text.split(" ", -1).map(w => (id, lang, bucket(w))) }
+    val cr = tokens.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val ct = tokens.filter(_._2 == "en").groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val nr = tokens.length.toLong
+    val nt = tokens.count(_._2 == "en").toLong
+    def w(b: Long): Long =
+      log2MicroRef(ct.getOrElse(b, 0L) + 1) - log2MicroRef(nt + B) -
+        (log2MicroRef(cr(b) + 1) - log2MicroRef(nr + B))
+    val scores = tokens.groupBy(_._1).view.mapValues { ts =>
+      ts.groupBy(_._3).map { case (b, g) => g.length.toLong * w(b) }.sum }.toMap
+    val expected = scores.toSeq.sortBy { case (id, sc) => (-sc, id) }
+      .take(TextOps.DsirTopK)
+    val got = q("sample_dsir").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected, s"dsir drift: got=$got expected=$expected")
+    // the selection must actually track the target distribution: the
+    // English share among selected docs exceeds the corpus base rate
+    val langOf = docs.map(x => x._1 -> x._2).toMap
+    val selEn = got.count(g => langOf(g._1) == "en").toDouble / got.length
+    val baseEn = docs.count(_._2 == "en").toDouble / docs.length
+    assert(selEn > baseEn, s"dsir not target-seeking: selected en=$selEn base=$baseEn")
+  }
 }
