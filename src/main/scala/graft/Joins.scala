@@ -731,6 +731,29 @@ object Joins {
            |      > 12 * (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT)
            |              FROM $li)
            |ORDER BY v DESC, l_partkey ASC""".stripMargin)
+    }),
+
+    // TPC-H Q16 shape (parts/supplier relationship): NOT IN — the one
+    // subquery FORM with semantics none of the joins above carry: x NOT IN
+    // (S) is three-valued (false if S contains NULL, unknown if x is NULL),
+    // so a plain LeftAnti is wrong in general and Catalyst must plan a
+    // NULL-AWARE anti join (single-column NOT IN + broadcastable build →
+    // BroadcastHashJoin LeftAnti BuildRight with the null-aware marker;
+    // PlanRegressionSpec pins it). At 100 TB the blacklist side is small by
+    // nature (it's an exclusion list), so the null-aware probe stays a
+    // broadcast — the exact reason NOT IN is usable at scale despite its
+    // semantics. Blacklist = suppliers with s_acctbal < 1000 (the fixture's
+    // "complaints" stand-in; measured non-vacuous 1/10, 15/100, 169/1000).
+    // count(DISTINCT l_suppkey) per brand exercises a distinct aggregate
+    // ABOVE the anti join (Expand + two-phase agg, partials preserved).
+    "tpch_q16_like" -> ((s, d) => {
+      val li = Tables.view(s, d, "lineitem"); val pt = Tables.view(s, d, "part")
+      val su = Tables.view(s, d, "supplier")
+      s.sql(
+        s"""SELECT p_brand, count(DISTINCT l_suppkey) AS supplier_cnt
+           |FROM $li l JOIN $pt p ON p.p_partkey = l.l_partkey
+           |WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM $su WHERE s_acctbal < 1000)
+           |GROUP BY p_brand ORDER BY supplier_cnt DESC, p_brand""".stripMargin)
     })
   )
 
@@ -988,6 +1011,13 @@ object Joins {
        "WHERE vmic * (SELECT 10 * count(DISTINCT l_partkey) FROM lineitem) " +
        "> 12 * (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT) " +
        "FROM lineitem) " +
-       "ORDER BY v DESC, l_partkey ASC")
+       "ORDER BY v DESC, l_partkey ASC"),
+
+    // NOT IN verbatim — DuckDB evaluates the same three-valued membership
+    "tpch_q16_like" ->
+      ("SELECT p_brand, count(DISTINCT l_suppkey) AS supplier_cnt " +
+       "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey " +
+       "WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000) " +
+       "GROUP BY p_brand ORDER BY supplier_cnt DESC, p_brand")
   )
 }

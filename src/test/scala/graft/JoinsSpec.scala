@@ -340,4 +340,23 @@ class JoinsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.size < n,
       s"q11 threshold stopped discriminating: ${got.size}/$n")
   }
+
+  test("q16: NOT IN blacklist equals a brute force and actually excludes suppliers") {
+    val blacklist = Tables.supplier(spark, Sf0001)
+      .where(col("s_acctbal") < 1000).select("s_suppkey")
+      .collect().map(_.getLong(0)).toSet
+    assert(blacklist.nonEmpty, "blacklist empty at sf0.001 — threshold went vacuous")
+    val brandOf = Tables.part(spark, Sf0001).select("p_partkey", "p_brand")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val li = Tables.lineitem(spark, Sf0001).select("l_partkey", "l_suppkey")
+      .collect().map(r => (brandOf(r.getLong(0)), r.getLong(1)))
+    // the exclusion must do real work on this fixture
+    assert(li.exists { case (_, sk) => blacklist(sk) },
+      "blacklisted suppliers never appear in lineitem — NOT IN untested")
+    val expected = li.filterNot { case (_, sk) => blacklist(sk) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length.toLong).toMap
+    val got = q("tpch_q16_like").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"q16 drift: got=$got expected=$expected")
+  }
 }

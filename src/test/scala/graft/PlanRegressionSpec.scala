@@ -450,6 +450,19 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"part-value aggregate lost map-side partials:\n$p")
   }
 
+  test("q16: NOT IN plans as the NULL-AWARE broadcast anti join") {
+    // NOT IN is three-valued, so a plain LeftAnti would be a WRONG
+    // rewrite in general; Catalyst's single-column optimization plans a
+    // BroadcastHashJoin LeftAnti flagged null-aware — pin the flag, not
+    // just the join type
+    // BroadcastHashJoinExec prints the isNullAwareAntiJoin flag as the
+    // trailing boolean: "... LeftAnti, BuildRight, true"
+    val p = plan("tpch_q16_like")
+    val naaj = """BroadcastHashJoin \[l_suppkey[^\n]*LeftAnti, BuildRight, true""".r
+    assert(naaj.findFirstIn(p).isDefined,
+      s"NOT IN did not plan as the null-aware broadcast anti join:\n$p")
+  }
+
   test("text_bpe_encode: the merge fold is map-side — no join, one doc_id aggregate") {
     // the encoder must compile the merge list into per-row expressions
     // (scan → posexplode → fold projects → partial/final aggregate); a
