@@ -516,6 +516,37 @@ object TextOps {
           col("surprisal_millibits") >= lit(LmSurprisalFlagMilli))
         .orderBy("doc_id")),
 
+    // CCNet-style perplexity banding (Wenzek et al. 2020, public): rank
+    // documents PER LANGUAGE by LM surprisal (the shared exact fixed-point
+    // [[lmScores]] chain), cut each language into head/middle/tail
+    // terciles, keep head+middle — the published screen that biases a
+    // crawl toward fluent text without an absolute threshold that breaks
+    // per language (an absolute cut would drop whole low-resource
+    // languages; text_lm_surprisal's global flag shows exactly that
+    // failure mode at 64x — DESIGN round 12). Every decision is integer-
+    // exact: millibit surprisal, row_number over (surprisal, doc_id),
+    // tercile tests by cross-multiplication (rnk·3 ≤ n, rnk·3 ≤ 2n).
+    // Plan: the standing surprisal chain, a doc_id-keyed join to recover
+    // lang, then ONE per-language window (rank + count share the sort).
+    // At 100 TB the exact per-lang ranking becomes a sampled-threshold
+    // pass (approx per-lang quantiles of the same millibit scores); the
+    // band contract is unchanged.
+    "sample_perplexity_band" -> ((s, d) => {
+      val wLang = Window.partitionBy("lang")
+      lmScores(s, d)
+        .join(documents(s, d).select("doc_id", "lang"), "doc_id")
+        .withColumn("rnk", row_number().over(
+          wLang.orderBy(col("surprisal_millibits").asc, col("doc_id").asc)))
+        .withColumn("n", count(lit(1)).over(wLang))
+        .withColumn("band",
+          when(col("rnk") * 3 <= col("n"), "head")
+            .when(col("rnk") * 3 <= col("n") * 2, "middle")
+            .otherwise("tail"))
+        .select(col("doc_id"), col("lang"), col("surprisal_millibits"),
+          col("band"), (col("rnk") * 3 <= col("n") * 2).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     "sample_importance_weighted" -> ((s, d) =>
       // Quality-weighted subsampling — the training-data curation step
       // after quality scoring: keep each doc with probability equal to its
@@ -1031,6 +1062,20 @@ object TextOps {
        " SELECT doc_id, n_tokens, sm AS surprisal_millibits, " +
        s"sm >= $LmSurprisalFlagMilli AS flagged " +
        "FROM sc ORDER BY doc_id"),
+
+    // same scoring chain, per-language tercile cuts — integer rank
+    // cross-multiplication so the band edges are exact on both engines
+    "sample_perplexity_band" ->
+      ("WITH " + lmScoreCtes() +
+       ", wl AS (SELECT sc.doc_id, d.lang, sc.sm FROM sc " +
+       "JOIN documents d USING (doc_id)), " +
+       "r AS (SELECT doc_id, lang, sm, " +
+       "row_number() OVER (PARTITION BY lang ORDER BY sm, doc_id) AS rnk, " +
+       "count(*) OVER (PARTITION BY lang) AS n FROM wl) " +
+       "SELECT doc_id, lang, sm AS surprisal_millibits, " +
+       "CASE WHEN rnk * 3 <= n THEN 'head' WHEN rnk * 3 <= n * 2 THEN 'middle' " +
+       "ELSE 'tail' END AS band, rnk * 3 <= n * 2 AS keep " +
+       "FROM r ORDER BY doc_id"),
 
     "sample_importance_weighted" ->
       ("SELECT doc_id, source, n_tok, n_uniq FROM " +

@@ -742,4 +742,32 @@ class TextSimilaritySpec extends AnyFunSuite {
     val baseEn = docs.count(_._2 == "en").toDouble / docs.length
     assert(selEn > baseEn, s"dsir not target-seeking: selected en=$selEn base=$baseEn")
   }
+
+  test("sample_perplexity_band: per-language terciles over the verified surprisal scores") {
+    // banding is pinned GIVEN the scores: text_lm_surprisal is itself
+    // oracle-verified, so ranking its output in the JVM isolates exactly
+    // the tercile/keep logic under test
+    val surp = q("text_lm_surprisal").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val langOf = Tables.documents(spark, Sf0001).select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = langOf.keys.toSeq.groupBy(langOf).flatMap { case (_, ids) =>
+      val ranked = ids.sortBy(id => (surp(id), id))
+      val n = ranked.length
+      ranked.zipWithIndex.map { case (id, i) =>
+        val rnk = i + 1
+        val band = if (rnk * 3 <= n) "head"
+          else if (rnk * 3 <= 2 * n) "middle" else "tail"
+        id -> ((band, rnk * 3 <= 2 * n))
+      }
+    }
+    val got = q("sample_perplexity_band").collect()
+      .map(r => r.getLong(0) -> ((r.getString(3), r.getBoolean(4)))).toMap
+    assert(got == expected, s"band drift: ${got.toSet -- expected.toSet}")
+    // the cuts are real at sf0.001: every language shows all three bands
+    got.toSeq.groupBy(x => langOf(x._1)).foreach { case (lang, xs) =>
+      assert(xs.map(_._2._1).toSet == Set("head", "middle", "tail"),
+        s"$lang missing bands: ${xs.map(_._2._1).toSet}")
+    }
+  }
 }
