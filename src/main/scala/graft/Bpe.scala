@@ -152,7 +152,7 @@ object Bpe {
   private def sqlLit(x: String): String = x.replace("'", "''")
 
   /** Driver-side (rank, s1, s2) merge list — bounded (BpeMerges rows). */
-  private def mergeList(s: SparkSession, d: String): Seq[(Long, String, String)] =
+  private[graft] def mergeList(s: SparkSession, d: String): Seq[(Long, String, String)] =
     mergesFrame(s, d).orderBy("rank").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
 
@@ -162,7 +162,7 @@ object Bpe {
     * existing token) take the MIN id on both engines. Bounded collect:
     * |chars| + BpeMerges rows.
     */
-  private def vocabIds(s: SparkSession, d: String): Seq[(String, Long)] = {
+  private[graft] def vocabIds(s: SparkSession, d: String): Seq[(String, Long)] = {
     // alphabet comes from learn()'s spilled word-frequency frame — a
     // vocabulary-sized parquet read, NOT a fresh corpus scan+shuffle per
     // encode-query construction (code-review r13); same empty-word guard
@@ -185,7 +185,7 @@ object Bpe {
     * production encode shape (broadcast the merge list, never join the
     * corpus on word).
     */
-  private def encodeExpr(merges: Seq[(Long, String, String)]): String = {
+  private[graft] def encodeExpr(merges: Seq[(Long, String, String)]): String = {
     // empty-word guard mirrors the seed frame's (Spark sequence(1, 0) is
     // the descending [1, 0], which would emit two "" symbols per empty word)
     var e = "IF(length(word) < 1, CAST(array() AS ARRAY<STRING>), " +
@@ -197,6 +197,38 @@ object Bpe {
         s"concat(slice(acc, 1, size(acc) - 1), array('$m')), concat(acc, array(x))))"
     }
     e
+  }
+
+  /** The encoded corpus as a STANDING ARTIFACT: (doc_id, shard, pos, ids)
+    * — one row per word occurrence with its subword-id array, memoSpilled
+    * per (fixture, merge geometry). This is what a production pipeline
+    * stores after tokenization; every consumer (text_bpe_encode,
+    * pack_sequences_bpe) reads the parquet instead of re-running the
+    * merge fold. Measured why (bench r13, sf0.1): the 16-deep aggregate()
+    * fold chain never enters whole-stage codegen (HOFs are interpreted),
+    * so ONE full evaluation costs ~14 s — and without a materialization
+    * boundary CollapseProject inlines the fold into every dependent
+    * expression (n_sub, the pack generator), which put pack_sequences_bpe
+    * at 20.8 s WARM; a persist() boundary just moved the cost into the
+    * columnar cache build (16 s, every run). The spill pays the fold once
+    * per fixture (cold ledger, like every standing index) and the warm
+    * path drops to ~1 s. n_sub is intentionally NOT stored: size(ids)
+    * inside the build would re-inline the whole fold a second time.
+    */
+  private[graft] def encodedCorpus(s: SparkSession, d: String): DataFrame = {
+    val ml = mergeList(s, d)
+    val vocab = vocabIds(s, d)
+    val mapArgs = vocab.sortBy(_._1)
+      .map { case (sym, id) => s"'${sqlLit(sym)}', ${id}L" }.mkString(", ")
+    Sources.memoSpill(s,
+        Sources.fixtureKey(d, "documents") + s":bpe_enc:$BpeMerges", "bpe_enc") {
+      documents(s, d)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(TextOps.PackShards.toLong)).as("shard"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .withColumn("subs", expr(encodeExpr(ml)))
+        .select(col("doc_id"), col("shard"), col("pos"),
+          expr(s"transform(subs, x -> element_at(map($mapArgs), x))").as("ids"))
+    }
   }
 
   val queries: Map[String, Q] = Map(
@@ -214,15 +246,12 @@ object Bpe {
     // broadcast); ids attach via a literal map (|chars|+16 entries); the
     // one real shuffle is the doc_id re-aggregate with the standing
     // array_sort(struct(pos, ·)) order fix.
-    "text_bpe_encode" -> ((s, d) => {
-      val ml = mergeList(s, d)
-      val vocab = vocabIds(s, d)
-      val mapArgs = vocab.sortBy(_._1)
-        .map { case (sym, id) => s"'${sqlLit(sym)}', ${id}L" }.mkString(", ")
-      documents(s, d)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-        .withColumn("subs", expr(encodeExpr(ml)))
-        .withColumn("ids", expr(s"transform(subs, x -> element_at(map($mapArgs), x))"))
+    "text_bpe_encode" -> ((s, d) =>
+      // consumes the standing [[encodedCorpus]] id streams (one fold pass
+      // per fixture, paid at spill build — see encodedCorpus for the
+      // measured why); the query itself is a parquet scan + one doc_id
+      // aggregate, no join, no corpus shuffle on word (pin unchanged)
+      encodedCorpus(s, d)
         .select(col("doc_id"), col("pos"),
           size(col("ids")).cast(LongType).as("n_sub"),
           expr("concat_ws(' ', transform(ids, x -> CAST(x AS STRING)))").as("ids_w"))
@@ -232,8 +261,7 @@ object Bpe {
         .withColumn("ids_str",
           expr("concat_ws(' ', transform(array_sort(pid), x -> x.ids_w))"))
         .select("doc_id", "n_tok", "n_sub", "ids_str")
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // The capstone VERDICT r12 #2 asked for: pack the SUBWORD id streams
     // into PackSeqLen training rows (pack_sequences_ids' grain under the
@@ -242,23 +270,15 @@ object Bpe {
     // docs' subword counts in its shard (a rangeBetween window — exclusive
     // of the current doc's own rows), a word's offset within its doc a
     // second window, a subword's position its in-word index. All id
-    // derivation is the same map-side fold as text_bpe_encode; shuffles
-    // are the two window exchanges (doc_id, shard) + the (shard, bin)
-    // re-aggregate.
+    // derivation comes from the standing [[encodedCorpus]] streams;
+    // shuffles are the two window exchanges (doc_id, shard) + the
+    // (shard, bin) re-aggregate.
     "pack_sequences_bpe" -> ((s, d) => {
-      val ml = mergeList(s, d)
-      val vocab = vocabIds(s, d)
-      val mapArgs = vocab.sortBy(_._1)
-        .map { case (sym, id) => s"'${sqlLit(sym)}', ${id}L" }.mkString(", ")
       val byWordInDoc = Window.partitionBy("doc_id").orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, -1)
       val priorDocsInShard = Window.partitionBy("shard").orderBy("doc_id")
         .rangeBetween(Window.unboundedPreceding, -1)
-      documents(s, d)
-        .select(col("doc_id"), pmod(col("doc_id"), lit(TextOps.PackShards.toLong)).as("shard"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-        .withColumn("subs", expr(encodeExpr(ml)))
-        .withColumn("ids", expr(s"transform(subs, x -> element_at(map($mapArgs), x))"))
+      encodedCorpus(s, d)
         .withColumn("n_sub", size(col("ids")).cast(LongType))
         .withColumn("woff", coalesce(sum("n_sub").over(byWordInDoc), lit(0L)))
         .withColumn("off", coalesce(sum("n_sub").over(priorDocsInShard), lit(0L)))

@@ -905,7 +905,7 @@ object Similarity {
     * would be ~0.95. Measured non-vacuous at every SF: 59/500, 71/500,
     * 635/2000 vectors dropped.
     */
-  private val SemDedupEps = 0.35
+  private[graft] val SemDedupEps = 0.35
 
   /** The deterministic IVF coarse quantizer, shared by `sim_ann_ivf` and
     * `dedup_semdedup` (one geometry, two consumers — a pipeline edit

@@ -216,15 +216,17 @@ object TextOps {
     * hash by construction.
     */
   /** DSIR feature-hash bucket count. 256 keeps the weight table a
-    * trivially broadcastable frame while leaving every bucket populated
-    * at sf0.001 (50 docs × ~120 tokens ≈ 6k tokens over 256 buckets); at
-    * real scale this is the paper's 10k-bucket dial — raising it only
-    * grows the broadcast table, never the corpus-side work.
+    * trivially broadcastable frame while leaving every bucket well
+    * populated at sf0.001 (500 docs × ~56 tokens ≈ 28k tokens over 256
+    * buckets — measured, code-review r13); at real scale this is the
+    * paper's 10k-bucket dial — raising it only grows the broadcast
+    * table, never the corpus-side work.
     */
   val DsirBuckets = 256
 
-  /** DSIR selection size: 25 keeps the screen discriminating even at
-    * sf0.001's 50 documents (a K ≥ corpus size would go vacuous).
+  /** DSIR selection size: 25 of sf0.001's 500 documents keeps the screen
+    * strongly discriminating at every SF (a K ≥ corpus size would go
+    * vacuous).
     */
   val DsirTopK = 25
 
@@ -588,22 +590,30 @@ object TextOps {
       val B = DsirBuckets
       val bkt = expr("pmod(aggregate(transform(split(word, ''), c -> ascii(c)), 0L, " +
         s"(acc, x) -> pmod(acc * 31 + x, 1000000007L)), ${B}L)")
-      val tok = documents(s, d)
+      // ONE tokenize/hash pass (code-review r13): the per-doc bucket
+      // counts are the finest grain, and lang is functionally dependent
+      // on doc_id, so both distributions derive from the (doc_id, lang,
+      // b) aggregate — the corpus is scanned and hashed exactly once,
+      // persisted across the two consumers and released after use
+      val perDoc = documents(s, d)
         .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("word"))
         .select(col("doc_id"), col("lang"), bkt.as("b"))
-      val stats = tok.groupBy("b").agg(
-        count(lit(1)).as("cr"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+        .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
+        .persist()
+      val stats = perDoc.groupBy("b").agg(
+        lsum(col("c")).as("cr"),
+        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("ct"))
       val tot = stats.agg(lsum(col("cr")).as("nr"), lsum(col("ct")).as("nt"))
       val w = stats.crossJoin(broadcast(tot))
         .select(col("b"), expr(
           s"${log2MicroSql("ct + 1")} - ${log2MicroSql(s"nt + $B")} - " +
           s"(${log2MicroSql("cr + 1")} - ${log2MicroSql(s"nr + $B")})").as("w"))
-      tok.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-        .join(broadcast(w), Seq("b"))
-        .groupBy("doc_id").agg(lsum(col("c") * col("w")).as("score_micro"))
-        .orderBy(col("score_micro").desc, col("doc_id").asc)
-        .limit(DsirTopK)
+      Similarity.releaseAfterUse("dsir_perdoc",
+        perDoc.join(broadcast(w), Seq("b"))
+          .groupBy("doc_id").agg(lsum(col("c") * col("w")).as("score_micro"))
+          .orderBy(col("score_micro").desc, col("doc_id").asc)
+          .limit(DsirTopK),
+        Seq(perDoc))
     }),
 
     "text_bm25_topk" -> ((s, d) => {

@@ -154,7 +154,7 @@ class AnnRecallSpec extends AnyFunSuite {
     val byCid = lists.groupBy(_._2)
     val expectedDropped = lists.filter { case (vid, cid, v, n) =>
       byCid(cid).exists { case (vid2, _, v2, n2) =>
-        vid2 < vid && dot(v2, v) / (n2 * n) >= 0.35 } }.map(_._1).toSet
+        vid2 < vid && dot(v2, v) / (n2 * n) >= Similarity.SemDedupEps } }.map(_._1).toSet
     val rows = SparkEntry.queries("dedup_semdedup")(spark, Sf01).collect()
     assert(rows.length == lists.length, "semdedup must report every vector")
     val gotByVid = rows.map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
