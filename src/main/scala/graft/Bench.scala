@@ -57,15 +57,17 @@ object Bench {
       val fn = SparkEntry.queries(name)
       def once(): Double = {
         val t0 = System.nanoTime()
-        // toRdd forces FULL output-column materialization (code-review/
-        // bench audit r13): a plain count() lets Catalyst prune unused
-        // projection expressions through aggregates and eliminate final
-        // sorts, so a query whose cost lives in a projected expression
-        // (e.g. the BPE merge fold) measured at a fraction of what any
-        // real consumer pays — text_bpe_encode read 1.5 s warm while its
-        // pruned fold actually costs ~14 s. InternalRow count runs the
-        // complete plan without driver-side row conversion.
-        fn(spark, sfDir).queryExecution.toRdd.count()
+        // fullCount forces FULL output-column materialization (code-
+        // review/bench audit r13): a plain count() lets Catalyst prune
+        // unused projection expressions through aggregates and eliminate
+        // final sorts, so a query whose cost lives in a projected
+        // expression (e.g. the BPE merge fold) measured at a fraction of
+        // what any real consumer pays — text_bpe_encode read 1.5 s warm
+        // while its pruned fold actually costs ~14 s. The wrapper also
+        // posts the SQL-execution-end event a bare toRdd action would
+        // skip, so releaseAfterUse cache releases still fire (second
+        // review pass caught the leak).
+        org.apache.spark.sql.graft.Exec.fullCount(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
       // GC + settle BEFORE each query (VERDICT r7 #1): clear the previous

@@ -215,20 +215,33 @@ object Bpe {
     * path drops to ~1 s. n_sub is intentionally NOT stored: size(ids)
     * inside the build would re-inline the whole fold a second time.
     */
-  private[graft] def encodedCorpus(s: SparkSession, d: String): DataFrame = {
+  private[graft] def encodedCorpus(s: SparkSession, d: String): DataFrame =
+    Sources.memoSpill(s,
+        Sources.fixtureKey(d, "documents") + s":bpe_enc:$BpeMerges", "bpe_enc") {
+      encodedCorpusBuild(s, d)
+    }
+
+  /** The spill-build plan behind [[encodedCorpus]] — the merge-fold shape
+    * the plan pin audits (the merge list compiles into per-row fold
+    * expressions; ids attach via a literal map; the corpus is NEVER
+    * joined on `word`). Kept as its own def so (a) the mergeList/vocabIds
+    * driver collects run only on a spill MISS (memoSpill's build is
+    * by-name — computing them outside charged two wasted driver jobs to
+    * every warm construction, second review pass), and (b)
+    * PlanRegressionSpec can pin THIS plan, where the no-join invariant
+    * actually lives now.
+    */
+  private[graft] def encodedCorpusBuild(s: SparkSession, d: String): DataFrame = {
     val ml = mergeList(s, d)
     val vocab = vocabIds(s, d)
     val mapArgs = vocab.sortBy(_._1)
       .map { case (sym, id) => s"'${sqlLit(sym)}', ${id}L" }.mkString(", ")
-    Sources.memoSpill(s,
-        Sources.fixtureKey(d, "documents") + s":bpe_enc:$BpeMerges", "bpe_enc") {
-      documents(s, d)
-        .select(col("doc_id"), pmod(col("doc_id"), lit(TextOps.PackShards.toLong)).as("shard"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-        .withColumn("subs", expr(encodeExpr(ml)))
-        .select(col("doc_id"), col("shard"), col("pos"),
-          expr(s"transform(subs, x -> element_at(map($mapArgs), x))").as("ids"))
-    }
+    documents(s, d)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(TextOps.PackShards.toLong)).as("shard"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .withColumn("subs", expr(encodeExpr(ml)))
+      .select(col("doc_id"), col("shard"), col("pos"),
+        expr(s"transform(subs, x -> element_at(map($mapArgs), x))").as("ids"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -241,11 +254,12 @@ object Bpe {
 
     // Subword encoding of every document under the learned vocab: per doc
     // the word count, subword count, and the position-exact subword id
-    // stream. The merge list compiles into a map-side fold chain (16
-    // aggregate() HOFs — no corpus shuffle on word, no vocab-sized
-    // broadcast); ids attach via a literal map (|chars|+16 entries); the
-    // one real shuffle is the doc_id re-aggregate with the standing
-    // array_sort(struct(pos, ·)) order fix.
+    // stream. The fold machinery (merge list compiled into per-row
+    // aggregate() HOFs, ids via a literal map, no corpus join on word)
+    // lives in [[encodedCorpusBuild]] and runs once per fixture; this
+    // query reads the standing id streams, and its one real shuffle is
+    // the doc_id re-aggregate with the standing array_sort(struct(pos, ·))
+    // order fix.
     "text_bpe_encode" -> ((s, d) =>
       // consumes the standing [[encodedCorpus]] id streams (one fold pass
       // per fixture, paid at spill build — see encodedCorpus for the

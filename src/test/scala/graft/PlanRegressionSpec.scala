@@ -463,16 +463,28 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"NOT IN did not plan as the null-aware broadcast anti join:\n$p")
   }
 
-  test("text_bpe_encode: the merge fold is map-side — no join, one doc_id aggregate") {
-    // the encoder must compile the merge list into per-row expressions
-    // (scan → posexplode → fold projects → partial/final aggregate); a
-    // join on `word` (vocab-table probe) or any extra exchange means the
-    // corpus is being shuffled to apply a 16-row broadcastable rule set
+  test("text_bpe_encode: spill-read + one doc_id aggregate, no join") {
+    // the query consumes the standing encodedCorpus parquet; its own
+    // plan must stay scan → aggregate → sort
     val p = plan("text_bpe_encode")
     assert(!"(?i)join".r.findFirstIn(p).isDefined, s"encode plans a join:\n$p")
     assert("(?i)hashaggregate".r.findAllIn(p).size >= 2,
       s"partial aggregation lost on the doc_id re-aggregate:\n$p")
     assert("Exchange".r.findAllIn(p).size <= 2,
       s"more shuffles than the doc_id agg + output sort need:\n$p")
+  }
+
+  test("encodedCorpus build: the merge fold is map-side — no join, no corpus shuffle on word") {
+    // the no-corpus-join-on-word invariant moved INTO the spill build
+    // when the encoded corpus became a standing artifact (second r13
+    // review pass: the old pin had gone vacuous) — a join on `word`
+    // (vocab-table probe) here means the corpus is being shuffled to
+    // apply a 16-row broadcastable rule set; the fold projects must be
+    // per-row expressions over the scan
+    val p = Bpe.encodedCorpusBuild(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!"(?i)join".r.findFirstIn(p).isDefined, s"spill build plans a join:\n$p")
+    assert(!p.contains("Exchange"), s"spill build shuffles the corpus:\n$p")
+    assert(p.contains("aggregate("), s"merge-fold projects missing from the build plan:\n$p")
   }
 }

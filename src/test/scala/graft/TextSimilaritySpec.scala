@@ -175,14 +175,21 @@ class TextSimilaritySpec extends AnyFunSuite {
     // listener rides the async execution-listener bus, so poll briefly.
     val sc = spark.sparkContext
     def persisted = sc.getPersistentRDDs.size
-    for (name <- Seq("dedup_simhash_pairs", "dedup_cluster_cc")) {
+    // exercise BOTH consuming-action paths: a plain Dataset action and
+    // Bench's Exec.fullCount (second r13 review pass: a bare toRdd action
+    // posts no SQL-execution-end event, so a count()-only pin would mask
+    // a bench that silently never releases)
+    val actions: Seq[(String, org.apache.spark.sql.DataFrame => Unit)] = Seq(
+      ("count", df => { df.count(); () }),
+      ("fullCount", df => { org.apache.spark.sql.graft.Exec.fullCount(df); () }))
+    for ((actionName, act) <- actions; name <- Seq("dedup_simhash_pairs", "dedup_cluster_cc")) {
       val baseline = persisted
-      q(name).count() // consuming action → listener fires → frames freed
+      act(q(name)) // consuming action → listener fires → frames freed
       val deadline = System.currentTimeMillis() + 30000
       while (persisted > baseline && System.currentTimeMillis() < deadline)
         Thread.sleep(100)
       assert(persisted <= baseline,
-        s"$name left ${persisted - baseline} cached frame(s) after its action")
+        s"$name left ${persisted - baseline} cached frame(s) after $actionName")
     }
   }
 
