@@ -239,6 +239,13 @@ object Bpe {
     documents(s, d)
       .select(col("doc_id"), pmod(col("doc_id"), lit(TextOps.PackShards.toLong)).as("shard"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      // round-robin BEFORE the fold: the fixture is a single parquet row
+      // group, so without this the interpreted fold runs in ONE task
+      // (~14 s measured at sf0.1); the cheap row shuffle spreads it over
+      // every core. NOT a shuffle on `word` — the no-corpus-join
+      // invariant is untouched (plan pin allows exactly this round-robin
+      // exchange and nothing keyed).
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("subs", expr(encodeExpr(ml)))
       .select(col("doc_id"), col("shard"), col("pos"),
         expr(s"transform(subs, x -> element_at(map($mapArgs), x))").as("ids"))

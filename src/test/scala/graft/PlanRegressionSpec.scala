@@ -484,7 +484,12 @@ class PlanRegressionSpec extends AnyFunSuite {
     val p = Bpe.encodedCorpusBuild(spark, Sf0001)
       .queryExecution.executedPlan.toString
     assert(!"(?i)join".r.findFirstIn(p).isDefined, s"spill build plans a join:\n$p")
-    assert(!p.contains("Exchange"), s"spill build shuffles the corpus:\n$p")
+    // exactly one exchange is allowed and it must be the round-robin
+    // parallelism spread, never a key shuffle (a hash exchange on word
+    // would mean the vocab is being applied by co-location, not map-side)
+    val exchanges = "Exchange [A-Za-z]+".r.findAllIn(p).toSeq
+    assert(exchanges.size <= 1 && exchanges.forall(_.contains("RoundRobin")),
+      s"spill build shuffles the corpus on a key: $exchanges\n$p")
     assert(p.contains("aggregate("), s"merge-fold projects missing from the build plan:\n$p")
   }
 }
