@@ -1321,6 +1321,37 @@ object Similarity {
         .orderBy("vec_id")
     }),
 
+    // Prototype-based data pruning (Sorscher et al. 2022, "Beyond neural
+    // scaling laws" — public): rank every vector by cosine to its own
+    // cluster prototype and KEEP the hard half (lowest prototype
+    // similarity) — the published finding is that pruning EASY examples
+    // (nearest the prototype) beats random pruning at scale. Prototypes =
+    // the SHARED [[ivfQuantize]] centroids (the same geometry the index
+    // probes and semdedup blocks on). One broadcast join against the
+    // 16-row centroid frame + one per-cluster window; the keep rule is
+    // integer rank cross-multiplication (rnk·2 ≤ n, rank over
+    // (proto_cos ASC, vec_id)), so the cut is exact on both engines.
+    // The raw cosine is deliberately NOT in the output: the float
+    // centroid components can differ in the last ulp across engines
+    // (float→DECIMAL rounding-mode drift in the Lloyd means — invisible
+    // to every RANK consumer, fatal to a hashed double), so the output
+    // carries the hardness RANK, which the sim_ann_ivf oracle precedent
+    // proves gate-stable on these well-separated cosines.
+    "sample_prototype_prune" -> ((s, d) => {
+      import org.apache.spark.sql.graft.VectorOps.vec_dot
+      val (refined, lists) = ivfQuantize(s, d)
+      val wC = Window.partitionBy("cid")
+      lists.join(broadcast(refined), Seq("cid"))
+        .select(col("vec_id"), col("cid"),
+          (vec_dot(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("proto_cos"))
+        .withColumn("rnk", row_number().over(
+          wC.orderBy(col("proto_cos").asc, col("vec_id").asc)))
+        .withColumn("n", count(lit(1)).over(wC))
+        .select(col("vec_id"), col("cid"), col("rnk"),
+          (col("rnk") * 2 <= col("n")).as("keep"))
+        .orderBy("vec_id")
+    }),
+
     "sim_topk_cosine" -> ((s, d) => {
       // Brute-force half-triangular top-k — the exact baseline the ANN
       // variants are measured against. Broadcast join (build side transits
@@ -2153,6 +2184,16 @@ object Similarity {
     "sim_ann_lsh" -> annLshOracle,
     "sim_ann_ivf" -> annIvfOracle,
     "dedup_semdedup" -> semDedupOracle,
+    "sample_prototype_prune" ->
+      (ivfListsCtes + ", " +
+       "pc AS (SELECT l.vec_id, l.cid, " +
+       s"${oDotE("l.embedding", "c.ce")} / (l.nrm * c.cn) AS proto_cos " +
+       "FROM b2 l JOIN c1 c USING (cid)), " +
+       "r AS (SELECT vec_id, cid, " +
+       "row_number() OVER (PARTITION BY cid ORDER BY proto_cos, vec_id) AS rnk, " +
+       "count(*) OVER (PARTITION BY cid) AS n FROM pc) " +
+       "SELECT vec_id, cid, CAST(rnk AS INT) AS rnk, rnk * 2 <= n AS keep " +
+       "FROM r ORDER BY vec_id"),
     "sim_ann_pq" -> annPqOracle,
     "sim_ann_ivfpq" -> annIvfPqOracle,
 

@@ -166,4 +166,31 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(gotDropped.nonEmpty && gotDropped.size < lists.length,
       s"eps stopped discriminating: ${gotDropped.size}/${lists.length}")
   }
+
+  test("sample_prototype_prune keeps exactly the per-cluster hard half of the shared quantizer") {
+    val (refinedDf, listsDf) = Similarity.ivfQuantize(spark, Sf01)
+    val cent = refinedDf.select("cid", "ce", "cn").collect()
+      .map(r => r.getInt(0) -> ((r.getSeq[Float](1).toArray, r.getDouble(2)))).toMap
+    val lists = listsDf.select("vec_id", "cid", "embedding", "nrm").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray, r.getDouble(3)))
+    def dot(a: Array[Float], b: Array[Float]) =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    val expected = lists.groupBy(_._2).flatMap { case (cid, vs) =>
+      val (ce, cn) = cent(cid)
+      val ranked = vs.map { case (vid, _, v, n) => (vid, dot(v, ce) / (n * cn)) }
+        .sortBy { case (vid, c) => (c, vid) }
+      val n = ranked.length
+      ranked.zipWithIndex.toSeq.map { case ((vid, _), i) =>
+        vid -> ((cid, i + 1, (i + 1) * 2 <= n)) }
+    }.toMap
+    val got = SparkEntry.queries("sample_prototype_prune")(spark, Sf01).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(got == expected,
+      s"prototype-prune drift: ${(got.toSet -- expected.toSet).take(5)}")
+    // the cut is a real half-split in every cluster
+    got.toSeq.groupBy(_._2._1).foreach { case (cid, xs) =>
+      val kept = xs.count(_._2._3)
+      assert(kept == xs.length / 2, s"cluster $cid kept $kept of ${xs.length}")
+    }
+  }
 }

@@ -173,4 +173,30 @@ class BpeSpec extends AnyFunSuite {
         s"shard $shard has a short interior bin")
     }
   }
+
+  test("fold encoder equals the greedy reference on an adversarial random {a,b} corpus") {
+    // a two-letter alphabet maximizes the hard cases (s1==s2 candidate
+    // runs, overlapping merge outputs like (aa,aa) after round 1) — 300
+    // seeded-random words plus hand-picked pathologicals, with the merge
+    // list LEARNED from the same corpus so every merge fires somewhere.
+    // This generalizes the fixture pin: the fold must equal per-round
+    // greedy leftmost application on inputs the fixture never exercises.
+    val rnd = new scala.util.Random(42)
+    val words = (Seq("aaaa", "aaaaa", "aaaaaa", "ababab", "aabbaabb",
+      "abba", "baab", "bbbb", "aabaa") ++
+      (1 to 300).map(_ => (1 to (1 + rnd.nextInt(10)))
+        .map(_ => if (rnd.nextBoolean()) "a" else "b").mkString)).distinct
+    val wf = words.map(_ -> 1L).toMap
+    val (merges, expSyms) = referenceBpe(wf, 8)
+    assert(merges.nonEmpty && merges.exists { case (_, s1, s2, _) => s1 == s2 },
+      "corpus failed to produce an s1==s2 merge — the hard case is untested")
+    val ml = merges.map { case (r, s1, s2, _) => (r, s1, s2) }
+    import spark.implicits._
+    val got = words.toDF("word")
+      .withColumn("subs", expr(Bpe.encodeExpr(ml)))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    words.foreach { w =>
+      assert(got(w) == expSyms(w),
+        s"fold drift on '$w': got=${got(w)} exp=${expSyms(w)} merges=$ml") }
+  }
 }
