@@ -236,16 +236,21 @@ object Bpe {
     val vocab = vocabIds(s, d)
     val mapArgs = vocab.sortBy(_._1)
       .map { case (sym, id) => s"'${sqlLit(sym)}', ${id}L" }.mkString(", ")
-    documents(s, d)
+    val exploded = documents(s, d)
       .select(col("doc_id"), pmod(col("doc_id"), lit(TextOps.PackShards.toLong)).as("shard"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-      // round-robin BEFORE the fold: the fixture is a single parquet row
-      // group, so without this the interpreted fold runs in ONE task
-      // (~14 s measured at sf0.1); the cheap row shuffle spreads it over
-      // every core. NOT a shuffle on `word` — the no-corpus-join
-      // invariant is untouched (plan pin allows exactly this round-robin
-      // exchange and nothing keyed).
-      .repartition(s.sparkContext.defaultParallelism)
+    // round-robin BEFORE the fold, but ONLY when the scan is under-split
+    // (the fixture is a single parquet row group, so the interpreted
+    // fold otherwise runs in ONE task — ~14 s measured at sf0.1); at
+    // production input sizes the scan has natural splits and the whole
+    // exploded corpus must not transit a shuffle for zero gain
+    // (second-pass review). NOT a shuffle on `word` — the no-corpus-join
+    // invariant is untouched (plan pin allows at most this round-robin
+    // exchange and nothing keyed).
+    val par = s.sparkContext.defaultParallelism
+    val spread = if (exploded.rdd.getNumPartitions < par)
+      exploded.repartition(par) else exploded
+    spread
       .withColumn("subs", expr(encodeExpr(ml)))
       .select(col("doc_id"), col("shard"), col("pos"),
         expr(s"transform(subs, x -> element_at(map($mapArgs), x))").as("ids"))

@@ -192,5 +192,21 @@ class AnnRecallSpec extends AnyFunSuite {
       val kept = xs.count(_._2._3)
       assert(kept == xs.length / 2, s"cluster $cid kept $kept of ${xs.length}")
     }
+    // PRECONDITION pin (q17 integral-quantity pattern): the keep bit
+    // rides a rank over proto_cos, and the float centroid components can
+    // drift ~6e-9 across engines — the gate is stable only while the
+    // cosine GAP at each cluster's half-cut dwarfs that drift. Pin the
+    // margin here so a denser/adversarial fixture fails with a message,
+    // not at the external hash gate.
+    lists.groupBy(_._2).foreach { case (cid, vs) =>
+      val (ce, cn) = cent(cid)
+      val sorted = vs.map { case (vid, _, v, n) => dot(v, ce) / (n * cn) }.sorted
+      val cut = sorted.length / 2
+      if (cut > 0 && cut < sorted.length) {
+        val gap = sorted(cut) - sorted(cut - 1)
+        assert(gap > 1e-6,
+          f"cluster $cid half-cut gap $gap%.2e is within cross-engine centroid drift")
+      }
+    }
   }
 }
