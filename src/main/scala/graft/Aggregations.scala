@@ -151,9 +151,15 @@ object Aggregations {
         .agg(sum(dec(col("l_quantity"), 18, 2)).as("w"))
       val win = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // the per-flag TOTAL as a 3-row broadcast join, not an unbounded
+      // window: the full-frame window buffered every partition a second
+      // time just to attach one constant per flag (bench r13 — this was
+      // the #2 warm query at 2.6 s once count()-pruning stopped hiding
+      // the window passes); exact decimal sums either way
+      val tot = b.groupBy("l_returnflag").agg(sum(col("w")).as("tot"))
       val c = b.select(col("l_returnflag"), col("l_extendedprice"),
-        sum(col("w")).over(win).as("cum"),
-        sum(col("w")).over(Window.partitionBy("l_returnflag")).as("tot"))
+        sum(col("w")).over(win).as("cum"))
+        .join(broadcast(tot), Seq("l_returnflag"))
       def est(p: Int) =
         min(when(col("cum") * 100 >= col("tot") * p, col("l_extendedprice")))
       c.groupBy("l_returnflag")
