@@ -251,7 +251,15 @@ object Bpe {
     val spread = if (exploded.rdd.getNumPartitions < par)
       exploded.repartition(par) else exploded
     spread
-      .withColumn("subs", expr(encodeExpr(ml)))
+      // the native BpeApply expression replaces the 16-deep aggregate()
+      // fold chain for the BUILD (same algorithm, one tight JVM loop —
+      // HOFs evaluate interpretively at ~50µs/word; BpeSpec pins native
+      // == SQL fold == greedy reference on an adversarial corpus).
+      // encodeExpr remains the portable SQL form the oracle and the
+      // equivalence spec exercise.
+      .withColumn("subs",
+        org.apache.spark.sql.graft.BpeOps.bpe_apply(col("word"),
+          ml.map { case (_, s1, s2) => (s1, s2) }))
       .select(col("doc_id"), col("shard"), col("pos"),
         expr(s"transform(subs, x -> element_at(map($mapArgs), x))").as("ids"))
   }

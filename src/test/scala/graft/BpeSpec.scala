@@ -198,5 +198,14 @@ class BpeSpec extends AnyFunSuite {
     words.foreach { w =>
       assert(got(w) == expSyms(w),
         s"fold drift on '$w': got=${got(w)} exp=${expSyms(w)} merges=$ml") }
+    // the native expression (the spill build's engine path) must agree
+    // with both the SQL fold and the reference on the same corpus
+    val gotNative = words.toDF("word")
+      .withColumn("subs", org.apache.spark.sql.graft.BpeOps.bpe_apply(
+        col("word"), ml.map { case (_, s1, s2) => (s1, s2) }))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    words.foreach { w =>
+      assert(gotNative(w) == expSyms(w),
+        s"native drift on '$w': got=${gotNative(w)} exp=${expSyms(w)}") }
   }
 }

@@ -490,6 +490,7 @@ class PlanRegressionSpec extends AnyFunSuite {
     val exchanges = "Exchange [A-Za-z]+".r.findAllIn(p).toSeq
     assert(exchanges.size <= 1 && exchanges.forall(_.contains("RoundRobin")),
       s"spill build shuffles the corpus on a key: $exchanges\n$p")
-    assert(p.contains("aggregate("), s"merge-fold projects missing from the build plan:\n$p")
+    assert(p.contains("bpe_apply"),
+      s"native merge-application expression missing from the build plan:\n$p")
   }
 }
