@@ -325,7 +325,7 @@ object Aggregations {
       // also back the streaming twin [[Streaming.cmStream]].
       val words = documents(s, d)
         .select(explode(split(col("text"), " ")).as("w"))
-      val hashed = words.withColumn("base", expr(cmPolyFold))
+      val hashed = words.withColumn("base", cmBase(col("w")))
       val cells = hashed.select(col("w"),
           posexplode(array((0 until CmRows).map(r => cmBucket(r, col("base"))): _*))
             .as(Seq("r", "bucket")))
@@ -334,7 +334,7 @@ object Aggregations {
       // candidate keys come from a sample or a prior pass)
       val top = words.groupBy("w").agg(count(lit(1)).as("true_cnt"))
         .orderBy(col("true_cnt").desc, col("w").asc).limit(20)
-      top.withColumn("base", expr(cmPolyFold))
+      top.withColumn("base", cmBase(col("w")))
         .select(col("w"), col("true_cnt"),
           posexplode(array((0 until CmRows).map(r =>
             struct(lit(r).as("r"), cmBucket(r, col("base")).as("bucket"))): _*))
@@ -782,6 +782,12 @@ object Aggregations {
   private[graft] def cmPolyFold: String =
     "aggregate(transform(split(w, ''), c -> ascii(c)), 0L, " +
     s"(acc, x) -> pmod(acc * 31 + x, ${CmP}L))"
+  /** Engine path for the same per-word base hash: the codegen'd
+    * code-point loop (value-identical to [[cmPolyFold]], spec-pinned);
+    * the SQL string remains the portable mirror the oracle executes.
+    */
+  private[graft] def cmBase(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.BpeOps.poly_hash(c, CmP)
   private[graft] def cmBucket(r: Int, base: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(pmod(base * lit(CmA(r)) + lit(CmB(r)), lit(CmP)), lit(CmWidth.toLong))
   /** JVM forms of the same fold/bucket — streaming state and spec

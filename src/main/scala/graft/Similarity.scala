@@ -373,7 +373,7 @@ object Similarity {
     val path = if (cached != null) cached else {
       val p = Sources.tmpUnique("fp_index")
       documents(s, d)
-        .select(col("doc_id"), expr(TextOps.FingerprintExpr).as("fp"))
+        .select(col("doc_id"), TextOps.polyFingerprint(col("text")).as("fp"))
         .crossJoin(incrMaxId(s, d))
         .withColumn("isd", incrIsDelta)
         .drop("mx")

@@ -460,7 +460,7 @@ object Streaming {
     import docs.sparkSession.implicits._
     docs
       .select(explode(split(col("text"), " ")).as("w"))
-      .select(expr(Aggregations.cmPolyFold).as("base"))
+      .select(Aggregations.cmBase(col("w")).as("base"))
       .select(posexplode(array((0 until Aggregations.CmRows).map(r =>
         Aggregations.cmBucket(r, col("base"))): _*)).as(Seq("r", "bucket")))
       .as[(Int, Long)]
@@ -598,7 +598,7 @@ object Streaming {
     import docs.sparkSession.implicits._
     docs
       .select(col("doc_id").cast(LongType).as("doc_id"),
-        expr(TextOps.FingerprintExpr).as("fingerprint"))
+        TextOps.polyFingerprint(col("text")).as("fingerprint"))
       .as[(Long, Long)]
       .groupByKey(_._2)
       .mapGroupsWithState[FpState, FpUpdate](GroupStateTimeout.NoTimeout) {

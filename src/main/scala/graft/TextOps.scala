@@ -234,6 +234,18 @@ object TextOps {
     "aggregate(transform(split(text, ''), c -> ascii(c)), 0L, " +
     "(acc, x) -> pmod(acc * 31 + x, 1000000007L))"
 
+  /** The engine path for the same hash: the codegen'd
+    * [[org.apache.spark.sql.graft.PolyHash]] code-point loop —
+    * value-identical to [[FingerprintExpr]] (spec-pinned incl.
+    * non-ASCII), but it stays inside whole-stage codegen where the HOF
+    * chain evaluates interpretively and splits the stage. All Spark-side
+    * consumers (text_fingerprint, the incremental fp index, the
+    * streaming dedup state key) use this form; the SQL string remains
+    * the portable definition the oracles execute.
+    */
+  private[graft] def polyFingerprint(c: Column): Column =
+    org.apache.spark.sql.graft.BpeOps.poly_hash(c, 1000000007L)
+
   val queries: Map[String, Q] = Map(
     "text_wordcount" -> ((s, d) =>
       documents(s, d)
@@ -439,7 +451,7 @@ object TextOps {
     "text_fingerprint" -> ((s, d) =>
       // See [[FingerprintExpr]] — also the streaming dedup state key.
       documents(s, d)
-        .select(col("doc_id"), expr(FingerprintExpr).as("fingerprint"))
+        .select(col("doc_id"), polyFingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
     "text_tfidf_topk" -> ((s, d) => {
@@ -588,8 +600,7 @@ object TextOps {
     // selection is a TakeOrdered, never a global sort.
     "sample_dsir" -> ((s, d) => {
       val B = DsirBuckets
-      val bkt = expr("pmod(aggregate(transform(split(word, ''), c -> ascii(c)), 0L, " +
-        s"(acc, x) -> pmod(acc * 31 + x, 1000000007L)), ${B}L)")
+      val bkt = pmod(polyFingerprint(col("word")), lit(B.toLong))
       // ONE tokenize/hash pass (code-review r13): the per-doc bucket
       // counts are the finest grain, and lang is functionally dependent
       // on doc_id, so both distributions derive from the (doc_id, lang,

@@ -3,7 +3,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -73,7 +73,64 @@ case class BpeApply(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** The portable polynomial rolling hash (Σ-fold of `acc·31 + codepoint`
+  * mod m) as a codegen'd expression. The SQL form
+  * (`aggregate(transform(split(x, ''), c -> ascii(c)), …)`) is the
+  * DuckDB-mirrorable definition every oracle executes, but as a Spark
+  * plan it is an interpreted HOF chain that also breaks whole-stage
+  * codegen around its projection — and it sits in HOT paths (the
+  * fingerprint dedup key, count-min bucketing, DSIR features), not a
+  * one-time build. This expression generates the tight code-point loop
+  * inline, so the hash stays inside whole-stage codegen. Value-identical
+  * to the SQL fold by construction (same traversal: Spark `split(x, '')`
+  * yields per-code-point strings and `ascii` returns the code point;
+  * spec-pinned incl. non-ASCII).
+  */
+case class PolyHash(child: Expression, mod: Long)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+
+  override def nullSafeEval(w: Any): Any = {
+    val s = w.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      s"""
+         |java.lang.String $s = $x.toString();
+         |long $acc = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $acc = ($acc * 31L + $cp) % ${mod}L;
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
 object BpeOps {
   def bpe_apply(w: Column, merges: Seq[(String, String)]): Column =
     ExpressionUtils.column(BpeApply(ExpressionUtils.expression(w), merges))
+  def poly_hash(w: Column, mod: Long): Column =
+    ExpressionUtils.column(PolyHash(ExpressionUtils.expression(w), mod))
 }

@@ -750,6 +750,29 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(selEn > baseEn, s"dsir not target-seeking: selected en=$selEn base=$baseEn")
   }
 
+  test("poly_hash equals the portable SQL fold on fixture texts and adversarial strings") {
+    // the codegen'd code-point loop is the engine path for the
+    // fingerprint/count-min/DSIR hashes; the HOF string remains the
+    // portable definition the oracles execute — pin value equality on
+    // the real corpus plus empty/whitespace/non-ASCII cases
+    import spark.implicits._
+    val adversarial = Seq("", " ", "  ", "a", "héllo", "中文字符", "mixé中s",
+      "word word", "\ttab")
+    val texts = Tables.documents(spark, Sf0001).select("text").collect()
+      .map(_.getString(0)).toSeq ++ adversarial
+    val rows = texts.toDF("text")
+      .select(expr(TextOps.FingerprintExpr).as("sqlFp"),
+        TextOps.polyFingerprint(col("text")).as("natFp"),
+        expr("aggregate(transform(split(text, ''), c -> ascii(c)), 0L, " +
+          s"(acc, x) -> pmod(acc * 31 + x, ${Aggregations.CmP}L))").as("sqlCm"),
+        Aggregations.cmBase(col("text")).as("natCm"))
+      .collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getLong(0) == r.getLong(1), s"fingerprint drift on '${t.take(30)}'")
+      assert(r.getLong(2) == r.getLong(3), s"cm-base drift on '${t.take(30)}'")
+    }
+  }
+
   test("sample_perplexity_band: per-language terciles over the verified surprisal scores") {
     // banding is pinned GIVEN the scores: text_lm_surprisal is itself
     // oracle-verified, so ranking its output in the JVM isolates exactly
