@@ -794,8 +794,21 @@ object Aggregations {
     * references. base < p and A_r < 3.3e9, so base·A_r < 3.3e18 stays
     * inside Long exactly as in the column form.
     */
-  private[graft] def cmBaseOf(w: String): Long =
-    w.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % CmP)
+  private[graft] def cmBaseOf(w: String): Long = {
+    // code-point iteration, NOT per-UTF-16-char fold: the column forms
+    // (SQL split('')+ascii and the native PolyHash loop) both fold code
+    // points, so a supplementary-plane word folded per char here would
+    // silently diverge from the stream/batch state it mirrors
+    // (code-review r13 fourth pass)
+    var acc = 0L
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      acc = (acc * 31 + cp) % CmP
+      i += Character.charCount(cp)
+    }
+    acc
+  }
   private[graft] def cmBucketOf(r: Int, base: Long): Int =
     (((base * CmA(r) + CmB(r)) % CmP) % CmWidth).toInt
 

@@ -230,9 +230,15 @@ object TextOps {
     */
   val DsirTopK = 25
 
+  /** Fingerprint-family modulus — ONE definition interpolated into both
+    * the SQL string and the native wrapper (code-review r13: the literal
+    * had spread to four sites; only the equality spec caught a miss).
+    */
+  private[graft] val FpP = 1000000007L
+
   val FingerprintExpr: String =
     "aggregate(transform(split(text, ''), c -> ascii(c)), 0L, " +
-    "(acc, x) -> pmod(acc * 31 + x, 1000000007L))"
+    s"(acc, x) -> pmod(acc * 31 + x, ${FpP}L))"
 
   /** The engine path for the same hash: the codegen'd
     * [[org.apache.spark.sql.graft.PolyHash]] code-point loop —
@@ -244,7 +250,7 @@ object TextOps {
     * the portable definition the oracles execute.
     */
   private[graft] def polyFingerprint(c: Column): Column =
-    org.apache.spark.sql.graft.BpeOps.poly_hash(c, 1000000007L)
+    org.apache.spark.sql.graft.BpeOps.poly_hash(c, FpP)
 
   val queries: Map[String, Q] = Map(
     "text_wordcount" -> ((s, d) =>

@@ -277,9 +277,13 @@ class PlanRegressionSpec extends AnyFunSuite {
     // query itself joins no constant frames at all...
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"constant-frame join leaked back into the probe plan:\n$p")
-    // ...and never re-fingerprints the corpus (that is the spill's job)
+    // ...and never re-fingerprints the corpus (that is the spill's job) —
+    // guard BOTH hash forms: the old HOF chain renders as split(text…),
+    // the native path as poly_hash(text…) (code-review r13 fourth pass)
     assert(!p.contains("split(text"),
       s"corpus re-fingerprinted instead of reading the fp index:\n$p")
+    assert(!p.contains("poly_hash(text"),
+      s"corpus re-hashed natively instead of reading the fp index:\n$p")
   }
 
   test("dpp join injects a runtime partition filter into the fact scan") {

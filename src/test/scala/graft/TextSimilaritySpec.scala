@@ -757,7 +757,10 @@ class TextSimilaritySpec extends AnyFunSuite {
     // the real corpus plus empty/whitespace/non-ASCII cases
     import spark.implicits._
     val adversarial = Seq("", " ", "  ", "a", "héllo", "中文字符", "mixé中s",
-      "word word", "\ttab")
+      "word word", "\ttab",
+      // supplementary-plane chars: the one class where code-point vs
+      // code-unit traversal diverges (U+1F600 + U+10348)
+      "a😀b", "𐍈x😀")
     val texts = Tables.documents(spark, Sf0001).select("text").collect()
       .map(_.getString(0)).toSeq ++ adversarial
     val rows = texts.toDF("text")
