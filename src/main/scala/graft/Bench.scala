@@ -112,9 +112,16 @@ object Bench {
           // run is bounded by the same sub-0.3 s runtime it measures
           val t3 = if (t2 >= 0) rerun() else -1.0
           val runs = Seq(t1, t2, t3).filter(_ >= 0)
-          val (a, b) = if (t3 >= 0) (t2, t3) else if (t2 >= 0) (t1, t2) else (t1, t1)
-          val lo = math.min(a, b)
-          val d = if (lo > 0) (math.max(a, b) - lo) / lo else 0.0
+          // a query with no valid SECOND sample reports disp = -1.0, not
+          // 0.0 (ADVICE r13): crashing reruns are the opposite of
+          // noise-free, and -1 is excluded by every d >= 0 consumer below
+          val d =
+            if (t2 < 0) -1.0
+            else {
+              val (a, b) = if (t3 >= 0) (t2, t3) else (t1, t2)
+              val lo = math.min(a, b)
+              if (lo > 0) (math.max(a, b) - lo) / lo else 0.0
+            }
           (runs.min, t1, d)
         }
         catch { case e: Throwable =>
@@ -184,20 +191,22 @@ object Bench {
     // run paid a build — compare warm_total across rounds for regressions,
     // read cold_extra for the deliberate build-cost trades.
     val coldExtra = results.collect { case (_, v, _, c, _) if c - v > 0.3 && v >= 0 => c - v }.sum
-    // LINE ORDER is tail-capture-aware: the one tail-sized line (queries)
-    // goes FIRST so only its own head can truncate; the full cold/gc
-    // ledgers follow (they survive a raw tail even if the driver's filter
-    // drops them); the machine-read total stays the LAST line and now
-    // carries the capped ledgers itself.
+    // LINE ORDER is tail-capture-aware, revised (VERDICT r13 #6): the r13
+    // driver artifact truncated the queries line's HEAD too — printed
+    // first, only its tail survived the window, losing the per-query warm
+    // map. The warm map is the one ledger the judge reads per-query, so
+    // it now prints SECOND-TO-LAST (full line inside the tail window) and
+    // the machine-read total stays the LAST line; the cold/gc/disp
+    // ledgers print first and bear the truncation risk instead.
     // spill-footprint diagnostic (VERDICT r10 #8) — stderr, never the
     // driver-parsed stdout
     val (spillFiles, spillBytes) = Sources.spillFootprint()
     System.err.println(
       f"[bench] spill footprint: $spillFiles files, ${spillBytes / 1e6}%.1f MB under the per-process tmp dir")
-    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"cold","cold":$colds,"sf":"$sfDir"}""")
     println(s"""{"metric":"gc","gc":$gcs,"sf":"$sfDir"}""")
     println(s"""{"metric":"disp","disp":$disps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"warm_total":$total,""" +
       f""""cold_extra":$coldExtra%.3f,"disp_med":$dispMed%.3f,""" +
       s""""unit":"sec","cold_top":$coldTop,"gc_top":$gcTop,""" +

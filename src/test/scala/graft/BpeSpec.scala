@@ -14,10 +14,18 @@ import TestSpark.{spark, Sf0001}
   */
 class BpeSpec extends AnyFunSuite {
 
+  /** Code-point segmentation (NOT UTF-16 units): Spark `substr`/`length`
+    * and the native `BpeApply` all operate on code points, so the JVM
+    * reference must seed the same way or an astral-plane segmentation
+    * regression would slip the equivalence pins (ADVICE r13).
+    */
+  private def cps(w: String): Seq[String] =
+    w.codePoints().toArray.toSeq.map(cp => new String(Character.toChars(cp)))
+
   /** Reference BPE: the textbook sequential algorithm on driver-side maps. */
   private def referenceBpe(wf: Map[String, Long], rounds: Int)
       : (Seq[(Long, String, String, Long)], Map[String, Seq[String]]) = {
-    var syms: Map[String, Seq[String]] = wf.keys.map(w => w -> w.map(_.toString)).toMap
+    var syms: Map[String, Seq[String]] = wf.keys.map(w => w -> cps(w)).toMap
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     for (r <- 1 to rounds) {
       val counts = scala.collection.mutable.Map[(String, String), Long]()
@@ -67,7 +75,7 @@ class BpeSpec extends AnyFunSuite {
     // rebuild the inverse vocab exactly as the query defines it: chars
     // sorted ASC from 2, merge tokens at nChars+1+rank, min id on collision
     val wf = fixtureWf
-    val chars = wf.keys.flatMap(_.map(_.toString)).toSeq.distinct.sorted
+    val chars = wf.keys.flatMap(cps).toSeq.distinct.sorted
     val (merges, _) = referenceBpe(wf, Bpe.BpeMerges)
     val vocab = (chars.zipWithIndex.map { case (c, i) => (c, i + 2L) } ++
       merges.map { case (r, s1, s2, _) => (s1 + s2, chars.length + 1L + r) })
@@ -132,7 +140,7 @@ class BpeSpec extends AnyFunSuite {
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
     val merges = SparkEntry.queries("text_bpe_vocab")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(3)))
-    val chars = syms.keys.flatMap(_.map(_.toString)).toSeq.distinct.sorted
+    val chars = syms.keys.flatMap(cps).toSeq.distinct.sorted
     val vocab = (chars.zipWithIndex.map { case (c, i) => (c, i + 2L) } ++
       merges.map { case (r, m) => (m, chars.length + 1L + r) })
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
@@ -182,8 +190,14 @@ class BpeSpec extends AnyFunSuite {
     // This generalizes the fixture pin: the fold must equal per-round
     // greedy leftmost application on inputs the fixture never exercises.
     val rnd = new scala.util.Random(42)
+    // the supplementary-plane words (U+1D552 MATHEMATICAL DOUBLE-STRUCK a,
+    // 2 UTF-16 units per code point) pin code-point segmentation end to
+    // end: a UTF-16-seeded reference would split the surrogate pair and
+    // every engine path would diverge from it here (ADVICE r13)
+    val astral = "𝕒" // U+1D552
     val words = (Seq("aaaa", "aaaaa", "aaaaaa", "ababab", "aabbaabb",
-      "abba", "baab", "bbbb", "aabaa") ++
+      "abba", "baab", "bbbb", "aabaa",
+      astral * 4, s"a${astral}b$astral", s"$astral$astral" + "ab") ++
       (1 to 300).map(_ => (1 to (1 + rnd.nextInt(10)))
         .map(_ => if (rnd.nextBoolean()) "a" else "b").mkString)).distinct
     val wf = words.map(_ -> 1L).toMap
