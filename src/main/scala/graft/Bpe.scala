@@ -47,6 +47,94 @@ object Bpe {
     */
   val BpeMerges = 16
 
+  /** Max merges selected per distributed round (VERDICT r13 #1).
+    * Production vocabularies are 30k-100k merges and the serial loop pays
+    * 2 driver-synchronized jobs per merge — the per-round fixed cost
+    * (driver round-trip, job scheduling, spill) dominates at that count
+    * regardless of corpus size. Batching selects a PREFIX of the sorted
+    * pair list that is provably serial-equivalent (see [[selectBatch]]),
+    * so the merge table is bit-identical to the one-merge-per-round
+    * algorithm the oracle's CTE chain implements, while the driver
+    * round-trip count drops ~BatchK-fold.
+    */
+  val BpeBatchK = 16
+
+  /** Serial-equivalent batch selection. Input: the (count DESC, s1 ASC,
+    * s2 ASC)-sorted head of the pair table (batchK+1 rows suffice — the
+    * walk below never looks past position batchK+1). Rule:
+    *
+    *  1. Walk the sorted prefix, selecting pairs whose symbols are
+    *     disjoint from every previously selected pair; HALT at the first
+    *     conflicting pair (or after batchK selections).
+    *  2. Let c_stop = the count at the halt position (-1 if the list was
+    *     exhausted first, i.e. no unseen pair exists).
+    *  3. Keep the longest PREFIX of the selections in which every pair
+    *     after the argmax has count > c_stop AND count > c_self/2 for
+    *     every PRIOR kept self-pair (s,s) with count c_self (checked as
+    *     2·count > c_self — counts are integers).
+    *
+    * Why this equals serial (the proof the BpeSpec 300-corpus property
+    * pins): for the j-th kept pair s_j, the prior kept merges are
+    * symbol-disjoint so count(s_j) is unchanged, and serial round j's
+    * competitors are (a) unselected pre-batch pairs — at or after the halt
+    * position, so count <= c_stop < count(s_j) — and (b) pairs NEWLY
+    * created by prior kept merges (s1,s2)→m. For s1 != s2 every new
+    * (x,m)/(m,y)/(m,m') occurrence was an (x,s1)/(s2,y)/(s2,s1') adjacency
+    * pre-batch, a pair that shares a symbol with a kept merge, hence
+    * unselected and <= c_stop. For a SELF-pair (s,s)→m that ancestor
+    * argument fails — (m,m)/(m,s) descend from the kept pair ITSELF
+    * (e.g. (a,a,21) spawns (aa,aa,9), which outranked an naively-kept
+    * (b,c,7) in the property test) — but within each maximal run of L
+    * consecutive s's the merge takes floor(L/2) sites leaving at most
+    * floor(L/2)-1 (m,m) and (L odd) one trailing (m,s) adjacency, both
+    * <= (L-1)/2, so summed over the corpus each descendant counts
+    * <= c_self/2; the 2·count > c_self guard clears them strictly. Hence
+    * serial round j's argmax is exactly s_j — strictly, never by
+    * tie-break (a tying new pair could sort lexicographically earlier).
+    * The trim must be a PREFIX cut, not a filter: a dropped selection
+    * stays unmerged with count >= every later selection's, so it (not
+    * they) would win the next serial round. (With no kept self-pairs both
+    * conditions are monotone in the walk's non-increasing counts, so
+    * prefix == filter; the guard makes it explicit.)
+    *
+    * The conflict set includes each selection's OUTPUT token s1+s2, not
+    * just its operands: a later candidate naming that token as a symbol
+    * (possible when the string already exists as a symbol from an earlier
+    * round) would, under serial, be recounted AFTER the new tokens exist —
+    * its pre-batch count is stale, so it must halt the walk. The reverse
+    * direction (a candidate whose own output collides with an already-used
+    * symbol or output) is provably safe — the new tokens only appear after
+    * every earlier kept merge has fired, matching serial order — and two
+    * kept merges may share an output string (e.g. (a,bc) and (ab,c)):
+    * serial produces both rows the same way and the vocab's min-id rule
+    * already folds the collision.
+    */
+  private[graft] def selectBatch(
+      sortedHead: Seq[(String, String, Long)], batchK: Int)
+      : Seq[(String, String, Long)] = {
+    val sel = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    val used = scala.collection.mutable.Set[String]()
+    var cStop = -1L
+    var halted = false
+    val it = sortedHead.iterator
+    while (!halted && sel.length < batchK && it.hasNext) {
+      val p @ (s1, s2, c) = it.next()
+      if (used(s1) || used(s2)) { cStop = c; halted = true }
+      else { sel += p; used += s1; used += s2; used += s1 + s2 }
+    }
+    if (!halted && it.hasNext) cStop = it.next()._3
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var selfCap = -1L // max count among kept self-pairs so far
+    var ok = true
+    for (p @ (s1, s2, c) <- sel if ok) {
+      if (out.isEmpty || (c > cStop && 2L * c > selfCap)) {
+        out += p
+        if (s1 == s2) selfCap = math.max(selfCap, c)
+      } else ok = false
+    }
+    out.toSeq
+  }
+
   /** One learned artifact per (process, fixture): merge table + final
     * word-symbol frame, parquet-spilled. Keyed by the documents fixture
     * fingerprint so an in-place rewrite invalidates the memo (the
@@ -56,18 +144,39 @@ object Bpe {
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
   Sources.onSpillEvict(() => bpeSpill.clear())
 
-  private def wordFreq(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+  private def wordFreq(corpus: DataFrame): DataFrame =
+    corpus
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
-  /** Runs the learning loop; returns (mergesPath, symsPath, wfPath). */
-  private def learn(s: SparkSession, d: String): (String, String, String) = {
-    val key = Sources.fixtureKey(d, "documents") + s":bpe:$BpeMerges"
+  /** Runs the learning loop on the full fixture corpus. */
+  private def learn(s: SparkSession, d: String): (String, String, String) =
+    learnLoop(s, documents(s, d),
+      Sources.fixtureKey(d, "documents") + s":bpe:$BpeMerges", BpeMerges, BpeBatchK)
+
+  /** The batched learning loop (VERDICT r13 #1); returns (mergesPath,
+    * symsPath, wfPath). Each distributed round: one pair-count aggregate
+    * whose sorted (batchK+1)-row head is a bounded driver collect,
+    * [[selectBatch]] on the head (serial-equivalent — the proof above),
+    * then ONE window pass applying every selected merge simultaneously,
+    * spilled. Simultaneous application is exact because candidate spans of
+    * distinct batch pairs are disjoint AND non-adjacent: an overlap or
+    * adjacency between an A-candidate (sym, nxt) = (s1, s2) and a
+    * B-candidate (t1, t2) would force a symbol equality (s2 = t1, s1 = t2,
+    * …) that [[selectBatch]]'s used-set already rejected. Hence the
+    * per-merge island arithmetic is untouched (runs of consecutive
+    * candidates still arise only within one s1==s2 pair — two candidates of
+    * DIFFERENT pairs at adjacent positions would need sym(p+1) to be both
+    * s2 and t1) and the merged token at a selected start is simply
+    * concat(sym, nxt). Driver-synchronized jobs drop from 2·nMerges to
+    * 2·rounds, rounds ≈ nMerges / E[batch] (measured in DESIGN.md r14).
+    */
+  private[graft] def learnLoop(s: SparkSession, corpus: DataFrame, key: String,
+      nMerges: Int, batchK: Int): (String, String, String) = {
     val cached = bpeSpill.get(key)
     if (cached != null) return cached
     val wfPath = Sources.tmpUnique("bpe_wf")
-    wordFreq(s, d).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(wfPath)
+    wordFreq(corpus).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(wfPath)
     val wf = s.read.parquet(wfPath)
     val w = Window.partitionBy("word").orderBy("pos")
     // seed: one row per (word, char position)
@@ -84,29 +193,39 @@ object Bpe {
         col("word").substr(col("pos").cast(IntegerType), lit(1)).as("sym"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(symsPath)
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
-    for (r <- 1 to BpeMerges) {
+    var round = 0
+    while (merges.length < nMerges) {
+      round += 1
       val syms = s.read.parquet(symsPath)
-      val best = syms
+      // bounded driver collect: batchK+1 rows — the walk in selectBatch
+      // never looks past position batchK+1 (the +1 row only supplies
+      // c_stop when the walk fills the whole batch without a conflict)
+      val head = syms
         .withColumn("nxt", lead("sym", 1).over(w))
         .where(col("nxt").isNotNull)
         .join(wf, "word")
         .groupBy(col("sym").as("s1"), col("nxt").as("s2"))
         .agg(sum("freq").as("c"))
         .orderBy(col("c").desc, col("s1").asc, col("s2").asc)
-        .limit(1).collect() // bounded: exactly one row (the argmax)
-      require(best.nonEmpty,
-        s"BPE pair supply exhausted at round $r < $BpeMerges (fixture too small)")
-      val (s1, s2, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-      merges += ((r.toLong, s1, s2, c))
-      // greedy leftmost merge: candidates = positions starting (s1,s2);
-      // within each maximal run of consecutive candidates (possible only
-      // when s1==s2) select odd ranks; drop the position after each
-      // selected start; renumber densely for the next round
+        .limit(batchK + 1).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      require(head.nonEmpty,
+        s"BPE pair supply exhausted after ${merges.length} merges < $nMerges (fixture too small)")
+      val batch = selectBatch(head, math.min(batchK, nMerges - merges.length))
+      batch.foreach { case (s1, s2, c) =>
+        merges += ((merges.length + 1L, s1, s2, c)) }
+      // greedy leftmost merge, all batch pairs in ONE pass: candidates =
+      // positions starting any batch pair (at most one pair can match a
+      // position — distinct pairs share no s1); within each maximal run of
+      // consecutive candidates (possible only when s1==s2, see the
+      // non-adjacency argument above) select odd ranks; drop the position
+      // after each selected start; renumber densely for the next round
       val islandW = Window.partitionBy("word", "island")
+      val candExpr = batch.map { case (s1, s2, _) =>
+        col("sym") === lit(s1) && col("nxt") === lit(s2) }.reduce(_ || _)
       val next = syms
-        .withColumn("cand",
-          col("sym") === lit(s1) &&
-            coalesce(lead("sym", 1).over(w) === lit(s2), lit(false)))
+        .withColumn("nxt", lead("sym", 1).over(w))
+        .withColumn("cand", coalesce(candExpr, lit(false)))
         .withColumn("crn",
           sum(when(col("cand"), 1L).otherwise(0L)).over(w))
         .withColumn("island", col("pos") - col("crn"))
@@ -116,11 +235,11 @@ object Bpe {
         .withColumn("psel", lag("sel", 1, false).over(w))
         .where(!col("psel"))
         .select(col("word"), col("pos").as("opos"),
-          when(col("sel"), lit(s1 + s2)).otherwise(col("sym")).as("sym"))
+          when(col("sel"), concat(col("sym"), col("nxt"))).otherwise(col("sym")).as("sym"))
         .withColumn("pos",
           row_number().over(Window.partitionBy("word").orderBy("opos")).cast(LongType))
         .select("word", "pos", "sym")
-      val p = Sources.tmpUnique(s"bpe_syms$r")
+      val p = Sources.tmpUnique(s"bpe_syms$round")
       // the loop frame is vocabulary-sized (types, not tokens); bound the
       // spill's file count so the rounds don't scatter rounds×32 tiny
       // files. repartition, NOT coalesce (VERDICT r13 #3): coalesce

@@ -182,6 +182,95 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  /** Batched reference (the selectBatch rule driven in-JVM): per round sort
+    * ALL pairs, take the (batchK+1)-row head, selectBatch, apply the batch
+    * SEQUENTIALLY (provably equal to simultaneous application — batch pairs
+    * are symbol-disjoint so no merge can create or destroy another's
+    * candidate sites). Mirrors Bpe.learnLoop's driver protocol exactly.
+    */
+  private def referenceBpeBatched(wf: Map[String, Long], rounds: Int, batchK: Int)
+      : (Seq[(Long, String, String, Long)], Map[String, Seq[String]]) = {
+    var syms: Map[String, Seq[String]] = wf.keys.map(w => w -> cps(w)).toMap
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    def applyOne(s: Seq[String], s1: String, s2: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == s1 && s(i + 1) == s2) { out += s1 + s2; i += 2 }
+        else { out += s(i); i += 1 }
+      }
+      out.toSeq
+    }
+    while (merges.length < rounds) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((w, f) <- wf; Seq(a, b) <- syms(w).sliding(2) if syms(w).length >= 2)
+        counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+      if (counts.isEmpty) return (merges.toSeq, syms)
+      val head = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }
+        .take(math.min(batchK, rounds - merges.length) + 1)
+        .map { case ((a, b), n) => (a, b, n) }
+      val batch = Bpe.selectBatch(head, math.min(batchK, rounds - merges.length))
+      batch.foreach { case (s1, s2, c) => merges += ((merges.length + 1L, s1, s2, c)) }
+      batch.foreach { case (s1, s2, _) =>
+        syms = syms.map { case (w, s) => w -> applyOne(s, s1, s2) } }
+    }
+    (merges.toSeq, syms)
+  }
+
+  test("selectBatch batching equals serial merge-by-merge on 300 random corpora") {
+    // the pure-JVM pin of the serial-equivalence proof: for random corpora
+    // (3-letter alphabet maximizes count ties and symbol conflicts — the
+    // halt/trim edge cases), the batched protocol's merge TABLE and final
+    // segmentation must be bit-identical to the one-merge-per-round
+    // algorithm, at every batch width
+    val rnd = new scala.util.Random(1337)
+    for (trial <- 1 to 300) {
+      val words = (1 to (3 + rnd.nextInt(12))).map(_ =>
+        (1 to (1 + rnd.nextInt(8))).map(_ => "abc" (rnd.nextInt(3)).toString).mkString)
+      val wf = words.groupBy(identity).map { case (w, g) =>
+        w -> (g.size.toLong + rnd.nextInt(3)) }
+      val rounds = 1 + rnd.nextInt(10)
+      val (expM, expS) = referenceBpe(wf, rounds)
+      for (batchK <- Seq(2, 3, 16)) {
+        val (gotM, gotS) = referenceBpeBatched(wf, rounds, batchK)
+        // both variants starve identically when the pair supply runs out
+        // (serial no-ops its remaining iterations, batched returns early),
+        // so the comparison is strict equality, not a prefix check
+        assert(gotM == expM,
+          s"trial $trial batchK=$batchK merge drift:\n got=$gotM\n exp=$expM\n wf=$wf")
+        assert(gotS == expS, s"trial $trial batchK=$batchK segmentation drift (wf=$wf)")
+      }
+    }
+  }
+
+  test("distributed batched loop equals the serial reference on a disjoint-pair corpus") {
+    // engineered so round 1's head holds several symbol-DISJOINT top pairs
+    // (batch size > 1 — the fixture corpora mostly batch 1-2 because 'e'/
+    // 't' dominate English pair heads): distinct two-letter alphabets per
+    // word family with strictly decreasing frequencies, plus one family
+    // whose pair CONFLICTS with a higher-ranked one (forcing the halt) and
+    // a tie pair (exercising the c_stop trim)
+    import spark.implicits._
+    val dir = Sources.tmpUnique("bpe_batch")
+    val fams = Seq(("ab", 40L), ("cd", 30L), ("ce", 20L), ("fg", 20L), ("hi", 10L))
+    val docs = fams.zipWithIndex.map { case ((w, f), i) =>
+      (i.toLong, ((w + " ") * f.toInt).trim, "xx", "s", (w.length + 1) * f - 1L) } ++
+      Seq((fams.length.toLong, "jklmnopqrstuvwxyz", "xx", "s", 17L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val wf = fams.map { case (w, f) => w -> f }.toMap + ("jklmnopqrstuvwxyz" -> 1L)
+    val (expMerges, expSyms) = referenceBpe(wf, Bpe.BpeMerges)
+    assert(expMerges.length == Bpe.BpeMerges)
+    val got = SparkEntry.queries("text_bpe_vocab")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got.toSeq == expMerges,
+      s"batched-loop merge drift:\n got=${got.toSeq}\n exp=$expMerges")
+    val syms = Bpe.wordSymsFrame(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(syms == expSyms, "batched-loop segmentation drift")
+  }
+
   test("fold encoder equals the greedy reference on an adversarial random {a,b} corpus") {
     // a two-letter alphabet maximizes the hard cases (s1==s2 candidate
     // runs, overlapping merge outputs like (aa,aa) after round 1) — 300
