@@ -112,15 +112,18 @@ object Bench {
           // run is bounded by the same sub-0.3 s runtime it measures
           val t3 = if (t2 >= 0) rerun() else -1.0
           val runs = Seq(t1, t2, t3).filter(_ >= 0)
-          // a query with no valid SECOND sample reports disp = -1.0, not
-          // 0.0 (ADVICE r13): crashing reruns are the opposite of
-          // noise-free, and -1 is excluded by every d >= 0 consumer below
+          // a query with ANY crashed rerun reports disp = -1.0, not a
+          // fallback pair (ADVICE r13 + r14): run 3 is attempted whenever
+          // run 2 succeeded, so t3 < 0 there means a crash — falling back
+          // to (t1, t2) would both hide the crash and report run-1
+          // build/codegen cost as dispersion, exactly what the sentinel
+          // exists to prevent. -1 is excluded by every d >= 0 consumer
+          // below.
           val d =
-            if (t2 < 0) -1.0
+            if (t2 < 0 || t3 < 0) -1.0
             else {
-              val (a, b) = if (t3 >= 0) (t2, t3) else (t1, t2)
-              val lo = math.min(a, b)
-              if (lo > 0) (math.max(a, b) - lo) / lo else 0.0
+              val lo = math.min(t2, t3)
+              if (lo > 0) (math.max(t2, t3) - lo) / lo else 0.0
             }
           (runs.min, t1, d)
         }

@@ -101,35 +101,66 @@ object Bpe {
     * just its operands: a later candidate naming that token as a symbol
     * (possible when the string already exists as a symbol from an earlier
     * round) would, under serial, be recounted AFTER the new tokens exist —
-    * its pre-batch count is stale, so it must halt the walk. The reverse
-    * direction (a candidate whose own output collides with an already-used
-    * symbol or output) is provably safe — the new tokens only appear after
-    * every earlier kept merge has fired, matching serial order — and two
-    * kept merges may share an output string (e.g. (a,bc) and (ab,c)):
-    * serial produces both rows the same way and the vocab's min-id rule
-    * already folds the collision.
+    * its pre-batch count is stale, so it must halt the walk.
+    *
+    * OUTPUT-COLLISION tightening (ADVICE r14): when a kept merge's output
+    * string m = s1+s2 ALREADY EXISTS — as a prior-ROUND merge output still
+    * live in the corpus (`priorOutputs`), or as an earlier symbol/output of
+    * THIS batch (`used` hit at selection time) — a competitor pair (m,z)
+    * can combine its stale pre-batch population (counted in this round's
+    * table, <= c_stop because (m,z) shares m with the kept merge and so
+    * was never selected) with occurrences NEWLY created by the kept merge
+    * (<= c_stop by the ancestor argument above). The two populations sum:
+    * serial round j could see (m,z) at up to 2·c_stop (and a self-pair
+    * descendant at up to c_stop + c_self/2), which the plain c > c_stop
+    * trim does not dominate. Whether global greedy merging can actually
+    * realize the coexistence is unproven either way — a 350k-corpus random
+    * search found zero reachable collisions, and the minimal cases reduce
+    * to a contradiction (the two decompositions of a colliding string,
+    * e.g. [aa,b] vs [a,ab] for "aab", require the constituent merges
+    * (a,a)/(a,b) to have fired in OPPOSITE global orders, but the merge
+    * sequence is totally ordered and applies globally) — so the trim is
+    * CONSERVATIVE: once any kept pair's output collides, every LATER keep
+    * additionally requires c > 2·c_stop and 2·c > 2·c_stop + c_self — an
+    * earlier prefix cut is always serial-safe (the dropped selections are
+    * simply re-derived by the next rounds' exact counts). Pre-collision
+    * keeps are unaffected: a competitor only gains its new population
+    * AFTER the colliding merge fires. Single-char alphabet symbols can
+    * never collide (every output is >= 2 code points), so `priorOutputs`
+    * — the accumulated merge-output strings — is exactly the multi-char
+    * symbol universe and no corpus scan is needed.
     */
   private[graft] def selectBatch(
-      sortedHead: Seq[(String, String, Long)], batchK: Int)
+      sortedHead: Seq[(String, String, Long)], batchK: Int,
+      priorOutputs: Set[String] = Set.empty)
       : Seq[(String, String, Long)] = {
-    val sel = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    val sel = scala.collection.mutable.ArrayBuffer[(String, String, Long, Boolean)]()
     val used = scala.collection.mutable.Set[String]()
     var cStop = -1L
     var halted = false
     val it = sortedHead.iterator
     while (!halted && sel.length < batchK && it.hasNext) {
-      val p @ (s1, s2, c) = it.next()
+      val (s1, s2, c) = it.next()
       if (used(s1) || used(s2)) { cStop = c; halted = true }
-      else { sel += p; used += s1; used += s2; used += s1 + s2 }
+      else {
+        val outTok = s1 + s2
+        val collides = used(outTok) || priorOutputs(outTok)
+        sel += ((s1, s2, c, collides))
+        used += s1; used += s2; used += outTok
+      }
     }
     if (!halted && it.hasNext) cStop = it.next()._3
     val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var selfCap = -1L // max count among kept self-pairs so far
+    var strict = false // an already-kept pair's output collided
     var ok = true
-    for (p @ (s1, s2, c) <- sel if ok) {
-      if (out.isEmpty || (c > cStop && 2L * c > selfCap)) {
-        out += p
+    for ((s1, s2, c, collides) <- sel if ok) {
+      val baseOk = c > cStop && 2L * c > selfCap
+      val strictOk = !strict || (c > 2L * cStop && 2L * c > 2L * cStop + selfCap)
+      if (out.isEmpty || (baseOk && strictOk)) {
+        out += ((s1, s2, c))
         if (s1 == s2) selfCap = math.max(selfCap, c)
+        if (collides) strict = true
       } else ok = false
     }
     out.toSeq
@@ -144,7 +175,7 @@ object Bpe {
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
   Sources.onSpillEvict(() => bpeSpill.clear())
 
-  private def wordFreq(corpus: DataFrame): DataFrame =
+  private[graft] def wordFreq(corpus: DataFrame): DataFrame =
     corpus
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -153,6 +184,22 @@ object Bpe {
   private def learn(s: SparkSession, d: String): (String, String, String) =
     learnLoop(s, documents(s, d),
       Sources.fixtureKey(d, "documents") + s":bpe:$BpeMerges", BpeMerges, BpeBatchK)
+
+  /** Held-out residue for the unseen-text encode contract (VERDICT r13 #2):
+    * docs with doc_id % 10 == NovelResidue are EXCLUDED from training and
+    * encoded as novel text by `text_bpe_encode_novel`.
+    */
+  val NovelResidue = 7L
+
+  /** Runs the learning loop on the TRAINING split only (doc_id % 10 !=
+    * [[NovelResidue]]) — the tokenizer artifact the novel-encode contract
+    * probes. Same loop, separate spill key (the two merge tables are
+    * different artifacts).
+    */
+  private def learnTrain(s: SparkSession, d: String): (String, String, String) =
+    learnLoop(s,
+      documents(s, d).where(pmod(col("doc_id"), lit(10L)) =!= lit(NovelResidue)),
+      Sources.fixtureKey(d, "documents") + s":bpe_train10:$BpeMerges", BpeMerges, BpeBatchK)
 
   /** The batched learning loop (VERDICT r13 #1); returns (mergesPath,
     * symsPath, wfPath). Each distributed round: one pair-count aggregate
@@ -211,7 +258,8 @@ object Bpe {
         .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
       require(head.nonEmpty,
         s"BPE pair supply exhausted after ${merges.length} merges < $nMerges (fixture too small)")
-      val batch = selectBatch(head, math.min(batchK, nMerges - merges.length))
+      val batch = selectBatch(head, math.min(batchK, nMerges - merges.length),
+        merges.map { case (_, s1, s2, _) => s1 + s2 }.toSet)
       batch.foreach { case (s1, s2, c) =>
         merges += ((merges.length + 1L, s1, s2, c)) }
       // greedy leftmost merge, all batch pairs in ONE pass: candidates =
@@ -261,7 +309,10 @@ object Bpe {
 
   /** The learned merge table: (rank, s1, s2, merged, pair_count). */
   private[graft] def mergesFrame(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(learn(s, d)._1)
+    mergesFrameFrom(s, learn(s, d))
+
+  private def mergesFrameFrom(s: SparkSession, art: (String, String, String)): DataFrame =
+    s.read.parquet(art._1)
       .select(col("rank"), col("s1"), col("s2"),
         concat(col("s1"), col("s2")).as("merged"), col("pair_count"))
 
@@ -276,7 +327,11 @@ object Bpe {
 
   /** Driver-side (rank, s1, s2) merge list — bounded (BpeMerges rows). */
   private[graft] def mergeList(s: SparkSession, d: String): Seq[(Long, String, String)] =
-    mergesFrame(s, d).orderBy("rank").collect()
+    mergeListFrom(s, learn(s, d))
+
+  private def mergeListFrom(s: SparkSession, art: (String, String, String))
+      : Seq[(Long, String, String)] =
+    mergesFrameFrom(s, art).orderBy("rank").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
 
   /** Vocabulary id map: 0=PAD, 1=UNK (reserved, unreachable — chars cover
@@ -285,12 +340,16 @@ object Bpe {
     * existing token) take the MIN id on both engines. Bounded collect:
     * |chars| + BpeMerges rows.
     */
-  private[graft] def vocabIds(s: SparkSession, d: String): Seq[(String, Long)] = {
+  private[graft] def vocabIds(s: SparkSession, d: String): Seq[(String, Long)] =
+    vocabIdsFrom(s, learn(s, d))
+
+  private def vocabIdsFrom(s: SparkSession, art: (String, String, String))
+      : Seq[(String, Long)] = {
     // alphabet comes from learn()'s spilled word-frequency frame — a
     // vocabulary-sized parquet read, NOT a fresh corpus scan+shuffle per
     // encode-query construction (code-review r13); same empty-word guard
     // as the seed frame
-    val chars = s.read.parquet(learn(s, d)._3)
+    val chars = s.read.parquet(art._3)
       .select(explode(when(length(col("word")) >= 1,
           sequence(lit(1L), length(col("word")).cast(LongType)))
           .otherwise(array().cast("array<bigint>"))).as("pos"),
@@ -299,7 +358,7 @@ object Bpe {
       .distinct().orderBy("sym").collect().map(_.getString(0)).toSeq
     val nCh = chars.length.toLong
     val base = chars.zipWithIndex.map { case (c, i) => (c, i + 2L) }
-    val merged = mergeList(s, d).map { case (r, s1, s2) => (s1 + s2, nCh + 1L + r) }
+    val merged = mergeListFrom(s, art).map { case (r, s1, s2) => (s1 + s2, nCh + 1L + r) }
     (base ++ merged).groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).min) }.toSeq
   }
 
@@ -458,6 +517,59 @@ object Bpe {
           expr("concat_ws(' ', transform(array_sort(gid), x -> CAST(x.id AS STRING)))"))
         .select("shard", "bin", "n_ids", "ids_str")
         .orderBy("shard", "bin")
+    }),
+
+    // Unseen-text encode contract (VERDICT r13 #2): the tokenizer is
+    // learned on the TRAINING split (doc_id % 10 != NovelResidue) and
+    // encodes the HELD-OUT docs, deterministically perturbed so the novel
+    // population is non-vacuous at every SF: 1-based word positions with
+    // p % 7 == 1 are upper-cased (unseen CHARACTERS — the fixture alphabet
+    // is lowercase-only, so every such symbol falls back to UNK=1: the
+    // case-variant text a production tokenizer meets constantly), and
+    // p % 7 == 4 are reversed (novel WORDS over the known alphabet — the
+    // subword-sharing path, where the train-learned merges still apply).
+    // The merge fold is corpus-independent (a string rewrite), so encode
+    // is the same native BpeApply + literal-map lookup as the training
+    // encoder, plus the coalesce-to-UNK the training path never needs.
+    // No standing spill: the held-out slice is 10% of the corpus and the
+    // fold is native (~1µs/word) — one map-side pass per run, the only
+    // shuffle the per-doc re-aggregate.
+    "text_bpe_encode_novel" -> ((s, d) => {
+      val art = learnTrain(s, d)
+      val ml = mergeListFrom(s, art)
+      val vocab = vocabIdsFrom(s, art)
+      val mapArgs = vocab.sortBy(_._1)
+        .map { case (sym, id) => s"'${sqlLit(sym)}', ${id}L" }.mkString(", ")
+      documents(s, d)
+        .where(pmod(col("doc_id"), lit(10L)) === lit(NovelResidue))
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word0")))
+        // 1-based position rule mirrors the oracle's range(1, n+1)
+        // enumeration; the perturbation applies BEFORE the empty-token
+        // filter (upper('')/'' stay '', filtered identically both sides)
+        .withColumn("word",
+          when(pmod(col("pos") + lit(1), lit(7)) === 1, upper(col("word0")))
+            .when(pmod(col("pos") + lit(1), lit(7)) === 4, reverse(col("word0")))
+            .otherwise(col("word0")))
+        .where(col("word") =!= "")
+        .withColumn("subs",
+          org.apache.spark.sql.graft.BpeOps.bpe_apply(col("word"),
+            ml.map { case (_, s1, s2) => (s1, s2) }))
+        // UNK=1 fallback: ids never collide with it (chars start at 2,
+        // merges above them), so id == 1 <=> symbol outside the train vocab
+        .withColumn("ids",
+          expr(s"transform(subs, x -> coalesce(element_at(map($mapArgs), x), 1L))"))
+        .select(col("doc_id"), col("pos"),
+          size(col("ids")).cast(LongType).as("n_sub"),
+          expr("size(filter(ids, x -> x = 1))").cast(LongType).as("n_unk_w"),
+          expr("concat_ws(' ', transform(ids, x -> CAST(x AS STRING)))").as("ids_w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum("n_sub").as("n_sub"),
+          sum("n_unk_w").as("n_unk"),
+          collect_list(struct(col("pos"), col("ids_w"))).as("pid"))
+        .withColumn("ids_str",
+          expr("concat_ws(' ', transform(array_sort(pid), x -> x.ids_w))"))
+        .select("doc_id", "n_tok", "n_sub", "n_unk", "ids_str")
+        .orderBy("doc_id")
     })
   )
 
@@ -466,12 +578,30 @@ object Bpe {
     * on the frames referenced more than once per round — inlined CTEs
     * would expand the reference tree exponentially in rounds.
     */
-  private def roundCtes: String = {
+  private def roundCtes: String = roundCtesWith("", None)
+
+  /** Parameterized CTE chain (VERDICT r13 #2). `trainWhere` restricts the
+    * TRAINING corpus (wf — the frame pair counts join against); when
+    * `extraWords` is given (a SELECT yielding a `word` column), those
+    * words are ADDED to the seed frame so the chain SEGMENTS them under
+    * the train-learned merges without letting them vote on any argmax:
+    * p_r inner-joins wf, so extra-only words contribute zero count. With
+    * default arguments the generated SQL is byte-identical to the
+    * original single-corpus chain.
+    */
+  private def roundCtesWith(trainWhere: String, extraWords: Option[String]): String = {
     val sb = new StringBuilder
+    val docFilter = if (trainWhere.isEmpty) "" else s" WHERE $trainWhere"
     sb ++= "wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM " +
-      "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY word), "
+      s"(SELECT unnest(string_split(text, ' ')) AS word FROM documents$docFilter) GROUP BY word), "
+    val seedSrc = extraWords match {
+      case None => "wf"
+      case Some(sel) =>
+        sb ++= s"wa AS MATERIALIZED (SELECT word FROM wf UNION $sel), "
+        "wa"
+    }
     sb ++= "s0 AS MATERIALIZED (SELECT word, CAST(i AS BIGINT) AS pos, " +
-      "substr(word, CAST(i AS INT), 1) AS sym FROM wf, " +
+      s"substr(word, CAST(i AS INT), 1) AS sym FROM $seedSrc, " +
       "unnest(range(1, len(word) + 1)) AS u(i))"
     for (r <- 1 to BpeMerges) {
       val p = r - 1
@@ -557,6 +687,41 @@ object Bpe {
         "FROM wo JOIN do_ USING (doc_id) JOIN wid ON wo.word = wid.word) " +
         s"SELECT shard, gpos // ${TextOps.PackSeqLen} AS bin, count(*) AS n_ids, " +
         "string_agg(CAST(id AS VARCHAR), ' ' ORDER BY gpos) AS ids_str " +
-        "FROM g GROUP BY shard, bin ORDER BY shard, bin")
+        "FROM g GROUP BY shard, bin ORDER BY shard, bin"),
+
+    // train/held-out split chain: wf (and so every b_r argmax) sees only
+    // the training docs; the seed frame additionally carries the perturbed
+    // held-out words so s16 segments them under the SAME merge sequence
+    // the fold applies (chain == fold is word-local, pinned in BpeSpec);
+    // vocab chars are train-restricted, novel symbols LEFT-join to UNK=1
+    "text_bpe_encode_novel" -> {
+      val novelTok =
+        "SELECT doc_id, pos, CASE WHEN pos % 7 = 1 THEN upper(word) " +
+          "WHEN pos % 7 = 4 THEN reverse(word) ELSE word END AS word FROM " +
+          "(SELECT doc_id, unnest(string_split(text, ' ')) AS word, " +
+          "unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos FROM documents " +
+          s"WHERE doc_id % 10 = $NovelResidue)"
+      s"WITH ${roundCtesWith(s"doc_id % 10 != $NovelResidue",
+          Some(s"SELECT DISTINCT word FROM ($novelTok) WHERE word != ''"))}, " +
+        "mtab AS (" +
+        (1 to BpeMerges).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS rank, s1 || s2 AS merged FROM b$r")
+          .mkString(" UNION ALL ") + "), " +
+        "chars AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym ASC) + 1 AS BIGINT) AS id " +
+        "FROM (SELECT DISTINCT sym FROM s0 JOIN wf USING (word))), " +
+        "vocab AS (SELECT sym, CAST(min(id) AS BIGINT) AS id FROM " +
+        "(SELECT sym, id FROM chars UNION ALL SELECT merged AS sym, " +
+        "(SELECT count(*) FROM chars) + 1 + rank AS id FROM mtab) GROUP BY sym), " +
+        "wsub AS (SELECT word, " +
+        "string_agg(CAST(coalesce(v.id, 1) AS VARCHAR), ' ' ORDER BY pos) AS ids_w, " +
+        "CAST(count(*) AS BIGINT) AS n_sub, " +
+        "CAST(count(*) FILTER (WHERE v.id IS NULL) AS BIGINT) AS n_unk_w " +
+        s"FROM s$BpeMerges LEFT JOIN vocab v USING (sym) GROUP BY word), " +
+        s"tok AS ($novelTok) " +
+        "SELECT doc_id, count(*) AS n_tok, CAST(sum(n_sub) AS BIGINT) AS n_sub, " +
+        "CAST(sum(n_unk_w) AS BIGINT) AS n_unk, " +
+        "string_agg(ids_w, ' ' ORDER BY pos) AS ids_str " +
+        "FROM tok JOIN wsub USING (word) GROUP BY doc_id ORDER BY doc_id"
+    }
   )
 }

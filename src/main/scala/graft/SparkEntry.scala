@@ -20,7 +20,8 @@ object SparkEntry {
       Windows.queries ++ ScalarFns.queries ++ TextOps.queries ++
       Similarity.queries ++ Streaming.queries ++ Udx.queries ++
       Multimodal.queries ++ Sources.queries ++ Etl.queries ++
-      Analytics.queries ++ Graph.queries ++ AnnIndex.queries ++ Bpe.queries
+      Analytics.queries ++ Graph.queries ++ AnnIndex.queries ++ Bpe.queries ++
+      Unigram.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       Windows.oracles ++ ScalarFns.oracles ++ TextOps.oracles ++
       Similarity.oracles ++ Streaming.oracles ++ Udx.oracles ++
       Multimodal.oracles ++ Sources.oracles ++ Etl.oracles ++
-      Analytics.oracles ++ Graph.oracles ++ AnnIndex.oracles ++ Bpe.oracles
+      Analytics.oracles ++ Graph.oracles ++ AnnIndex.oracles ++ Bpe.oracles ++
+      Unigram.oracles
 }
