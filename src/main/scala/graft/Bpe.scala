@@ -298,6 +298,8 @@ object Bpe {
       next.repartition(4).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
       symsPath = p
     }
+    System.err.println(
+      s"[bpe] $key: ${merges.length} merges in $round rounds (batchK=$batchK)")
     val mergesPath = Sources.tmpUnique("bpe_merges")
     import s.implicits._
     merges.toSeq.toDF("rank", "s1", "s2", "pair_count")

@@ -754,7 +754,185 @@ object Joins {
            |FROM $li l JOIN $pt p ON p.p_partkey = l.l_partkey
            |WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM $su WHERE s_acctbal < 1000)
            |GROUP BY p_brand ORDER BY supplier_cnt DESC, p_brand""".stripMargin)
-    })
+    }),
+
+    // TPC-H Q4 shape (order priority checking): EXISTS with a correlated
+    // INEQUALITY (l_shipdate > o_orderdate) — decorrelates to a LeftSemi
+    // hash join on the orderkey equality with the date comparison riding
+    // as the join condition, then a 5-group aggregate.
+    "tpch_q4_like" -> ((s, d) =>
+      orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1996-04-01").cast(TimestampType))
+        .join(lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")),
+
+    // TPC-H Q6 shape (forecasting revenue change): the pure scan-filter-
+    // aggregate — every predicate (date range, discount band, quantity
+    // cap) must reach the parquet scan as a pushed filter; the plan is
+    // one scan + two-phase agg, zero joins/shuffles beyond the final
+    // single-partition agg exchange.
+    "tpch_q6_like" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice"), 18, 4) * dec(col("l_discount"), 18, 4))
+          .cast(DoubleType).as("revenue"))),
+
+    // TPC-H Q7 shape (volume shipping): the two-nation-alias join — the
+    // same nation dim joins twice (supplier side, customer side) with a
+    // DISJUNCTIVE pair condition (residue classes: the fixture's single
+    // named pair is empty at sf0.001), grouped by direction and shipping
+    // year. The only shuffle join is lineitem⋈orders; supplier/customer/
+    // both nation aliases broadcast.
+    "tpch_q7_like" -> ((s, d) => {
+      val n1 = nation(s, d)
+        .select(col("n_nationkey").as("n1k"), col("n_name").as("supp_nation"))
+      val n2 = nation(s, d)
+        .select(col("n_nationkey").as("n2k"), col("n_name").as("cust_nation"))
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+        .join(broadcast(supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+        .join(orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(customer(s, d)), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1k"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2k"))
+        .where((pmod(col("n1k"), lit(5)) === 1 && pmod(col("n2k"), lit(5)) === 2) ||
+          (pmod(col("n1k"), lit(5)) === 2 && pmod(col("n2k"), lit(5)) === 1))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast(LongType).as("yr"))
+        .agg(sum(dec(col("l_extendedprice"), 18, 4) *
+          (lit(1) - dec(col("l_discount"), 18, 4))).cast(DoubleType).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    }),
+
+    // TPC-H Q8 shape (national market share): the full two-sided star plus
+    // region, with the share as a conditional-over-total ratio — both sums
+    // exact DECIMAL, ONE double render each, then the correctly-rounded
+    // IEEE division (the agg_ab_test determinism recipe).
+    "tpch_q8_like" -> ((s, d) => {
+      val n1 = nation(s, d)
+        .select(col("n_nationkey").as("n1k"), col("n_name").as("supp_nation"))
+      val n2 = nation(s, d)
+        .select(col("n_nationkey").as("n2k"), col("n_regionkey").as("n2r"))
+      lineitem(s, d)
+        .join(broadcast(supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+        .join(orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(customer(s, d)), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1k"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2k"))
+        .join(broadcast(region(s, d)), col("n2r") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .withColumn("vol", dec(col("l_extendedprice"), 18, 4) *
+          (lit(1) - dec(col("l_discount"), 18, 4)))
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("yr"))
+        .agg((sum(when(col("supp_nation") === "NATION_3", col("vol")))
+          .cast(DoubleType) / sum(col("vol")).cast(DoubleType)).as("mkt_share"))
+        .orderBy("yr")
+    }),
+
+    // TPC-H Q9 shape (product-type profit): part-name LIKE screen into the
+    // four-way join, profit as an exact decimal expression (retailprice·qty
+    // stands in for the missing ps_supplycost term), grouped by supplier
+    // nation × order year.
+    "tpch_q9_like" -> ((s, d) =>
+      part(s, d).filter(col("p_name").like("%red%"))
+        .join(lineitem(s, d), col("p_partkey") === col("l_partkey"))
+        .join(broadcast(supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+        .join(orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast(LongType).as("yr"))
+        .agg(sum(dec(col("l_extendedprice"), 18, 4) *
+            (lit(1) - dec(col("l_discount"), 18, 4)) -
+            dec(col("p_retailprice"), 18, 4) * dec(col("l_quantity"), 18, 4))
+          .cast(DoubleType).as("profit"))
+        .orderBy("nation", "yr")),
+
+    // TPC-H Q10 shape (returned-item reporting): quarter window + return
+    // flag into a top-20 by revenue — the TakeOrdered path with a
+    // (revenue DESC, custkey ASC) total order so the cut is deterministic.
+    "tpch_q10_like" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+            col("o_orderdate") < lit("1996-04-01").cast(TimestampType)),
+          col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(dec(col("l_extendedprice"), 18, 4) *
+          (lit(1) - dec(col("l_discount"), 18, 4))).cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)),
+
+    // TPC-H Q12 shape (shipping-priority screen; l_shipmode is absent from
+    // the fixture so l_linestatus carries the grouping): conditional
+    // high/low priority counts over the order⋈lineitem year window.
+    "tpch_q12_like" -> ((s, d) =>
+      orders(s, d)
+        .join(lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+            col("l_shipdate") < lit("1997-01-01").cast(TimestampType)),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")),
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER with
+    // the filter in the JOIN CONDITION (moving it to WHERE would silently
+    // turn the join inner and lose zero-order customers), then the
+    // two-level count-of-counts aggregate.
+    "tpch_q13_like" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d),
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderpriority") =!= "1-URGENT", "left_outer")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // TPC-H Q14 shape (promotion effect): conditional-share ratio over the
+    // part join in a one-month window — NULL-else conditional sum so both
+    // engines skip non-promo rows identically.
+    "tpch_q14_like" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1996-10-01").cast(TimestampType))
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .withColumn("vol", dec(col("l_extendedprice"), 18, 4) *
+          (lit(1) - dec(col("l_discount"), 18, 4)))
+        .agg((sum(when(col("p_type") === "PROMO", col("vol"))).cast(DoubleType) /
+          sum(col("vol")).cast(DoubleType)).as("promo_share"))),
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicates): the
+    // OR-of-ANDs join — Catalyst must extract the p_partkey equi-key for
+    // the hash join and keep the three brand/size/quantity branches as the
+    // join filter; a nested-loop fallback here would be the plan bug the
+    // pin guards against.
+    "tpch_q19_like" -> ((s, d) =>
+      lineitem(s, d)
+        .join(broadcast(part(s, d)),
+          col("p_partkey") === col("l_partkey") && (
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+              col("l_quantity").between(20, 30))))
+        .agg(sum(dec(col("l_extendedprice"), 18, 4) *
+          (lit(1) - dec(col("l_discount"), 18, 4))).cast(DoubleType).as("revenue")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1018,6 +1196,104 @@ object Joins {
       ("SELECT p_brand, count(DISTINCT l_suppkey) AS supplier_cnt " +
        "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey " +
        "WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000) " +
-       "GROUP BY p_brand ORDER BY supplier_cnt DESC, p_brand")
+       "GROUP BY p_brand ORDER BY supplier_cnt DESC, p_brand"),
+
+    "tpch_q4_like" ->
+      ("SELECT o_orderpriority, count(*) AS order_count FROM orders " +
+       "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01' " +
+       "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
+       "AND l_shipdate > o_orderdate) " +
+       "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    "tpch_q6_like" ->
+      ("SELECT " + oDbl("SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+        "CAST(l_discount AS DECIMAL(18,4)))") + " AS revenue " +
+       "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+       "AND l_shipdate < TIMESTAMP '1997-01-01' " +
+       "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"),
+
+    "tpch_q7_like" ->
+      ("SELECT supp_nation, cust_nation, yr, " + oDbl("SUM(vol)") + " AS revenue FROM (" +
+       "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+       "CAST(year(l_shipdate) AS BIGINT) AS yr, " +
+       "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS vol " +
+       "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey " +
+       "JOIN orders ON o_orderkey = l_orderkey " +
+       "JOIN customer ON c_custkey = o_custkey " +
+       "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+       "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+       "WHERE ((n1.n_nationkey % 5 = 1 AND n2.n_nationkey % 5 = 2) OR " +
+       "(n1.n_nationkey % 5 = 2 AND n2.n_nationkey % 5 = 1)) " +
+       "AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01') " +
+       "GROUP BY supp_nation, cust_nation, yr ORDER BY supp_nation, cust_nation, yr"),
+
+    "tpch_q8_like" ->
+      ("SELECT yr, " + oDbl("SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol END)") +
+       " / " + oDbl("SUM(vol)") + " AS mkt_share FROM (" +
+       "SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, n1.n_name AS supp_nation, " +
+       "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS vol " +
+       "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey " +
+       "JOIN orders ON o_orderkey = l_orderkey " +
+       "JOIN customer ON c_custkey = o_custkey " +
+       "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+       "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+       "JOIN region ON n2.n_regionkey = r_regionkey " +
+       "WHERE r_name = 'ASIA') " +
+       "GROUP BY yr ORDER BY yr"),
+
+    "tpch_q9_like" ->
+      ("SELECT nation, yr, " + oDbl("SUM(amount)") + " AS profit FROM (" +
+       "SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr, " +
+       "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) - " +
+       "CAST(p_retailprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)) AS amount " +
+       "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+       "JOIN supplier ON s_suppkey = l_suppkey " +
+       "JOIN orders ON o_orderkey = l_orderkey " +
+       "JOIN nation ON s_nationkey = n_nationkey " +
+       "WHERE p_name LIKE '%red%') " +
+       "GROUP BY nation, yr ORDER BY nation, yr"),
+
+    "tpch_q10_like" ->
+      ("SELECT c_custkey, c_name, n_name, " + oDbl("SUM(vol)") + " AS revenue FROM (" +
+       "SELECT c_custkey, c_name, n_name, " +
+       "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS vol " +
+       "FROM customer JOIN orders ON c_custkey = o_custkey " +
+       "JOIN lineitem ON l_orderkey = o_orderkey " +
+       "JOIN nation ON c_nationkey = n_nationkey " +
+       "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01' " +
+       "AND l_returnflag = 'R') " +
+       "GROUP BY c_custkey, c_name, n_name ORDER BY revenue DESC, c_custkey LIMIT 20"),
+
+    "tpch_q12_like" ->
+      ("SELECT l_linestatus, " +
+       "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+       "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count " +
+       "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+       "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
+       "GROUP BY l_linestatus ORDER BY l_linestatus"),
+
+    "tpch_q13_like" ->
+      ("SELECT c_count, count(*) AS custdist FROM (" +
+       "SELECT c_custkey, count(o_orderkey) AS c_count " +
+       "FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey " +
+       "AND o_orderpriority <> '1-URGENT' " +
+       "GROUP BY c_custkey) " +
+       "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
+
+    "tpch_q14_like" ->
+      ("SELECT " + oDbl("SUM(CASE WHEN p_type = 'PROMO' THEN " +
+        "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) END)") +
+       " / " + oDbl("SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,4))))") + " AS promo_share " +
+       "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+       "WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'"),
+
+    "tpch_q19_like" ->
+      ("SELECT " + oDbl("SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,4))))") + " AS revenue " +
+       "FROM lineitem JOIN part ON p_partkey = l_partkey AND (" +
+       "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11) OR " +
+       "(p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20) OR " +
+       "(p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))")
   )
 }

@@ -29,8 +29,8 @@ object ProfScale {
     // fail loudly on unknown flags (the Bench SPARK_GRAFT_ONLY convention):
     // a typo'd --verbatim would otherwise run the full expensive octave in
     // cipher mode and mislabel the resulting table (code-review r13)
-    require(flags.subsetOf(Set("--verbatim")),
-      s"unknown flags: ${(flags -- Set("--verbatim")).mkString(", ")}")
+    require(flags.subsetOf(Set("--verbatim", "--bpe-rounds", "--semdedup")),
+      s"unknown flags: ${(flags -- Set("--verbatim", "--bpe-rounds", "--semdedup")).mkString(", ")}")
     val verbatim = flags.contains("--verbatim")
     val only = args.drop(1).filterNot(_.startsWith("--")).toSet
     val base = "/root/testdata/sf0.1"
@@ -166,6 +166,54 @@ object ProfScale {
       val t0 = System.nanoTime(); val rows = f
       System.err.println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
     }
+    // BPE merge-round octave (VERDICT r13 #1, the measurement half): FIXED
+    // corpus (the k× ciphered replica — word-type supply ~k×107, enough
+    // for 256 merges where the 1× fixture tops out near ~107), merge count
+    // varied 16/64/256, serial protocol (batchK=1 — 2 driver-synchronized
+    // jobs per MERGE) vs the batched one (2 per ROUND, rounds ≈
+    // nMerges/E[batch]). learnLoop prints its rounds-taken line per entry;
+    // the table for DESIGN.md is (m, batchK) → seconds + rounds.
+    if (flags.contains("--bpe-rounds")) {
+      val corpus = Tables.documents(spark, big)
+      for (m <- Seq(16, 64, 256); bk <- Seq(1, Bpe.BpeBatchK)) {
+        val t0 = System.nanoTime()
+        Bpe.learnLoop(spark, corpus, s"bperounds:$k:$m:$bk", m, bk)
+        System.err.println(
+          f"[scale] bpe_learn m=$m batchK=$bk: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      spark.stop(); return
+    }
+    // SemDeDup pair-space octave (VERDICT r13 #7): the claim under test is
+    // that with K scaled ~ n/target_list_size the within-cluster pair work
+    // tracks Σ|cluster|² ≈ n·target — NOT n² — while FIXED K at a grown
+    // corpus degrades toward n²/K (the documented K-is-the-scale-dial
+    // caveat). Three rows: 1× @K=16, k× @K=16 (the caveat), k× @K=16k
+    // (the dial). Σ|c|² is computed from the lists frame itself.
+    if (flags.contains("--semdedup")) {
+      import org.apache.spark.sql.graft.VectorOps.vec_dot
+      def probe(label: String, dir: String, kq: Int): Unit = {
+        val t0 = System.nanoTime()
+        val lists = Similarity.ivfQuantize(spark, dir, kq)._2
+        val a = lists.select(col("cid"), col("vec_id").as("va"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val b = lists.select(col("cid"), col("vec_id").as("vb"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        val drops = a.join(b, Seq("cid"))
+          .where(col("va") < col("vb") &&
+            vec_dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= Similarity.SemDedupEps)
+          .select(col("vb")).distinct().count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val pairSq = lists.groupBy("cid").count()
+          .agg(sum(col("count") * col("count"))).head().getLong(0)
+        val n = lists.count()
+        System.err.println(
+          f"[scale] semdedup $label K=$kq: $secs%.2f s, n=$n, sum|c|^2=$pairSq, drops=$drops")
+      }
+      probe("1x", base, 16)
+      probe(s"${k}x", big, 16)
+      probe(s"${k}x", big, 16 * k)
+      spark.stop(); return
+    }
     val targets = Seq("dedup_exact", "dedup_near_minhash", "dedup_ngram_jaccard",
       "dedup_cluster_jaccard", "dedup_cluster_cc", "dedup_simhash_pairs",
       "text_decontaminate", "text_tfidf_topk",
@@ -281,7 +329,14 @@ object ProfScale {
       // NOT an octave target: at FIXED K its within-cluster pair space
       // grows k² by construction (the documented K-is-the-scale-dial
       // caveat) — a timing row would measure the caveat, not a regression.
-      "sample_dsir")
+      "sample_dsir",
+      // round 15: the unigram-LM dual (EM segmentation jobs on the
+      // vocabulary-sized distinct-word frame — word-TYPE count grows ~k×
+      // under the cipher while the alphabet stays fixed, so this measures
+      // the loop's vocabulary-linear term plus the corpus-linear encode)
+      // and the held-out novel encoder (native fold + UNK fallback over
+      // the 10% slice — corpus-linear, no join)
+      "text_unigram_vocab", "text_unigram_encode", "text_bpe_encode_novel")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer

@@ -917,7 +917,8 @@ object Similarity {
     * collects are provably bounded (16 rows each). SQL mirror:
     * [[ivfListsCtes]].
     */
-  private[graft] def ivfQuantize(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def ivfQuantize(s: SparkSession, d: String, k: Int = 16)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.graft.VectorOps.{vec_dot, vec_norm}
     import s.implicits._
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
@@ -925,7 +926,7 @@ object Similarity {
     val te = e.where(expr(annTrainPredSql))
     val seedRows = te.withColumn("hk",
       expr(s"pmod(pmod(vec_id, ${SigP}L) * ${sigA(20)}L + ${sigB(20)}L, ${SigP}L)"))
-      .orderBy(col("hk"), col("vec_id")).limit(16)
+      .orderBy(col("hk"), col("vec_id")).limit(k)
       .select(col("embedding")).as[Array[Float]].collect()
     def centFrame(vecs: Seq[Array[Float]]): DataFrame =
       vecs.zipWithIndex.map { case (v, i) => (i + 1, v) }.toDF("cid", "ce")

@@ -19,7 +19,7 @@ class ContractSpec extends AnyFunSuite {
     // driver-verified > scalatest-only: deleting an oracle silently
     // downgrades a query to the weaker rows-only check — pin the floor
     // (raise it when adding oracles, never lower without cause)
-    assert(SparkEntry.oracleSql.size >= 226,
+    assert(SparkEntry.oracleSql.size >= 236,
       s"oracle count fell to ${SparkEntry.oracleSql.size}")
   }
 
@@ -47,7 +47,8 @@ class ContractSpec extends AnyFunSuite {
   test("every multi-row oracle carries an ORDER BY (rule D1)") {
     // single-row global aggregates are exempt (no row order to pin)
     val singleRow = Set("agg_global", "etl_dq_checks", "etl_compact_small_files",
-      "agg_ab_test", "agg_chi_square", "agg_mann_whitney", "agg_ks_test")
+      "agg_ab_test", "agg_chi_square", "agg_mann_whitney", "agg_ks_test",
+      "tpch_q6_like", "tpch_q14_like", "tpch_q19_like")
     val unordered = SparkEntry.oracleSql.collect {
       case (k, sql) if !singleRow.contains(k) && !sql.toUpperCase.contains("ORDER BY") => k
     }

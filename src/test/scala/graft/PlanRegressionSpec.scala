@@ -497,4 +497,80 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("bpe_apply"),
       s"native merge-application expression missing from the build plan:\n$p")
   }
+
+  test("text_bpe_encode_novel: map-side fold + UNK fallback, no corpus join") {
+    // the novel encoder is the same no-join invariant as the training
+    // path: merges + vocab ride as per-row expressions (bpe_apply + a
+    // literal map with coalesce-to-UNK); the only shuffles are the doc_id
+    // re-aggregate and the output sort
+    val p = plan("text_bpe_encode_novel")
+    assert(!"(?i)join".r.findFirstIn(p).isDefined, s"novel encode plans a join:\n$p")
+    assert(p.contains("bpe_apply"),
+      s"native merge application missing from the novel-encode plan:\n$p")
+    assert("(?i)hashaggregate|objecthashaggregate|sortaggregate".r.findAllIn(p).nonEmpty,
+      s"doc_id re-aggregate missing:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"more shuffles than the doc agg + sort need:\n$p")
+  }
+
+  test("q4: correlated-inequality EXISTS decorrelates to a LeftSemi hash join") {
+    val p = plan("tpch_q4_like")
+    assert(!p.contains("Subquery"), s"EXISTS kept a physical subquery:\n$p")
+    assert("(?i)join [^\n]*leftsemi|leftsemi".r.findFirstIn(p.toLowerCase).isDefined,
+      s"no semi join in the q4 plan:\n$p")
+  }
+
+  test("q6: every predicate reaches the parquet scan, no join anywhere") {
+    val p = plan("tpch_q6_like")
+    assert("(?i)(hashjoin|mergejoin|nestedloop)".r.findFirstIn(p).isEmpty,
+      s"unexpected join:\n$p")
+    val scan = p.split("FileScan parquet").find(_.contains("lineitem")).get
+    // date + discount + quantity predicates all pushed
+    assert(scan.contains("PushedFilters") && scan.contains("l_shipdate") &&
+      scan.contains("l_discount") && scan.contains("l_quantity"),
+      s"predicates did not push into the scan:\n$scan")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"partial agg lost:\n$p")
+  }
+
+  test("q7: single shuffle join — every dimension side broadcasts") {
+    val p = plan("tpch_q7_like")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"dimension joins lost their broadcasts:\n$p")
+    // the one non-broadcast join is lineitem⋈orders
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size <= 1,
+      s"more than one shuffle join:\n$p")
+  }
+
+  test("q10: top-20 plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("tpch_q10_like")
+    assert(p.contains("TakeOrderedAndProject"), s"q10 lost the top-k path:\n$p")
+  }
+
+  test("q13: join-condition filter keeps the LEFT OUTER join outer") {
+    val p = plan("tpch_q13_like")
+    assert("(?i)leftouter".r.findFirstIn(p).isDefined,
+      s"left outer degraded (zero-order customers lost):\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 3,
+      s"two-level count-of-counts lost an aggregate phase:\n$p")
+  }
+
+  test("q19: OR-of-ANDs extracts the equi-key — hash join, never nested-loop") {
+    val p = plan("tpch_q19_like")
+    assert(p.contains("BroadcastHashJoin"),
+      s"disjunctive join fell off the hash path:\n$p")
+    assert(!"(?i)nestedloop".r.findFirstIn(p).isDefined,
+      s"nested-loop fallback:\n$p")
+  }
+
+  test("text_unigram_encode: native Viterbi map-side, no corpus join on word") {
+    // the unigram model (costs + id map) is a bounded literal inside the
+    // per-row expressions — a join on `word` would mean the corpus is
+    // shuffled to apply a <=72-row broadcastable model
+    val p = plan("text_unigram_encode")
+    assert(!"(?i)join".r.findFirstIn(p).isDefined, s"unigram encode plans a join:\n$p")
+    assert(p.contains("unigram_segment"),
+      s"native Viterbi expression missing from the plan:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"more shuffles than the doc agg + sort need:\n$p")
+  }
 }
