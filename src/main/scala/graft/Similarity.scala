@@ -535,6 +535,57 @@ object Similarity {
     */
   val CcFuse = 2
 
+  /** Mirrored-edge count at or below which connected components solve
+    * DRIVER-SIDE (one bounded collect + union-find) instead of the
+    * distributed label-propagation loop. This is the standard two-regime
+    * CC design (the published MapReduce CC algorithms — Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" — all finish small
+    * residual graphs locally): each loop round costs a fixed ~0.6-1 s
+    * write-job floor REGARDLESS of frame size, so a 4-round convergence
+    * on a 10k-edge graph pays ~3.5 s of pure scheduling for milliseconds
+    * of actual work, while a 1M-edge collect is ~16 MB of longs — far
+    * under any driver budget. Result is bit-identical by construction:
+    * both regimes assign every node the MIN doc_id of its component. At
+    * 100 TB the cap is a constant: real corpus graphs exceed it and take
+    * the loop; what the cap removes is the fixed-cost regime where the
+    * loop is pure overhead. `-Dgraft.cc.forceLoop=true` disables the
+    * local path (specs pin local == loop; ProfScale can measure the
+    * distributed path explicitly).
+    */
+  val CcLocalEdgeCap = 1000000
+
+  private def ccForceLoop: Boolean = java.lang.Boolean.getBoolean("graft.cc.forceLoop")
+
+  /** Driver union-find over a bounded edge list: path-halving find, then
+    * one pass mapping every node to the min id of its component.
+    */
+  private def unionFindMinLabels(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) {
+        val gp = parent.getOrElse(p, p)
+        parent(x) = gp
+        x = gp
+        p = parent.getOrElse(x, x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = scala.collection.mutable.HashSet[Long]()
+    edges.foreach { case (a, b) => nodes += a; nodes += b }
+    val minOf = scala.collection.mutable.HashMap[Long, Long]()
+    nodes.foreach { n =>
+      val r = find(n)
+      minOf(r) = math.min(minOf.getOrElse(r, Long.MaxValue), n)
+    }
+    nodes.toSeq.map(n => (n, minOf(find(n))))
+  }
+
   private[graft] def labelPropagate(docs: DataFrame, pairs: DataFrame,
       tag: String = "labelPropagate", durableEdges: Boolean = false): DataFrame = {
     // Both edge directions in ONE pipeline pass: explode a 2-element array
@@ -566,6 +617,25 @@ object Similarity {
         mirrored.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
         docs.sparkSession.read.parquet(p)
       }
+    // Two-regime gate (round 15): probe the edge frame with a bounded
+    // limit-collect (for the non-durable case the spill above already
+    // truncated lineage, so the probe is a cheap parquet read either way);
+    // at or under [[CcLocalEdgeCap]] solve driver-side — identical labels,
+    // none of the loop's per-round write-job floor.
+    if (!ccForceLoop) {
+      val head = edges.limit(CcLocalEdgeCap + 1).collect()
+      if (head.length <= CcLocalEdgeCap) {
+        if (ccVerbose) System.err.println(
+          s"[labelPropagate] $tag: local union-find over ${head.length} mirrored edges")
+        val lbls = unionFindMinLabels(head.map(r => (r.getLong(0), r.getLong(1))))
+        import docs.sparkSession.implicits._
+        return docs.select(col("doc_id"))
+          .join(broadcast(lbls.toDF("doc_id", "cluster_id")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+          .orderBy("doc_id")
+      }
+    }
     var changed = 1L
     var iter = 0
     // Two alternating spill paths — a round reads its input from one and

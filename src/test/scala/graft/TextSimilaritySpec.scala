@@ -280,17 +280,53 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(crossPair, "no cross-cutoff pair on the fixture — merge path untested")
   }
 
+  /** Runs f with the two-regime gate disabled so the DISTRIBUTED loop is
+    * the path under test (the fixture graphs are far below CcLocalEdgeCap
+    * and would otherwise exercise only the driver union-find).
+    */
+  private def withForceLoop[T](f: => T): T = {
+    System.setProperty("graft.cc.forceLoop", "true")
+    try f finally System.clearProperty("graft.cc.forceLoop")
+  }
+
   test("label propagation converges on a 15-hop chain (no premature round cap)") {
     // min-label propagation needs O(diameter) rounds; a path graph is the
     // worst case — a capped loop would mislabel the far end silently while
-    // the dedup_cluster_jaccard recursive-CTE oracle stays exact
+    // the dedup_cluster_jaccard recursive-CTE oracle stays exact. Forced
+    // onto the LOOP path: the chain is exactly the shape the distributed
+    // regime must still handle at scale.
     import spark.implicits._
     val docs = (0L until 20L).toDF("doc_id")
     val chain = (0L until 15L).map(i => (i, i + 1)).toDF("da", "db")
-    val out = Similarity.labelPropagate(docs, chain).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = withForceLoop {
+      Similarity.labelPropagate(docs, chain).collect()
+    }.map(r => r.getLong(0) -> r.getLong(1)).toMap
     (0L to 15L).foreach(i => assert(out(i) == 0L, s"chain node $i"))
     (16L until 20L).foreach(i => assert(out(i) == i, s"isolated node $i"))
+  }
+
+  test("local union-find regime equals the distributed loop on random graphs") {
+    // the round-15 two-regime gate: below CcLocalEdgeCap components solve
+    // driver-side — the labels must be BIT-identical to the loop's (both
+    // assign the component MIN id) on adversarial shapes: chains (worst
+    // diameter), stars, multi-component mixes, self-loops, duplicate and
+    // mirrored edges
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 8) {
+      val n = 10 + rnd.nextInt(40)
+      val edges = ((1 to (n + rnd.nextInt(2 * n))).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+        (0L until 14L).map(i => (i + n.toLong, i + n.toLong + 1))).toSeq // plus a chain
+      val docs = (0L until (n + 20L)).toDF("doc_id")
+      val pairs = edges.toDF("da", "db")
+      val local = Similarity.labelPropagate(docs, pairs, s"uf_$trial").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      val loop = withForceLoop {
+        Similarity.labelPropagate(docs, pairs, s"uf_loop_$trial").collect()
+      }.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(local == loop, s"trial $trial: regimes disagree\n local=$local\n loop=$loop")
+    }
   }
 
   test("clustering result survives a second action after the release listener fires") {
@@ -298,11 +334,12 @@ class TextSimilaritySpec extends AnyFunSuite {
     // first action; a second action on the SAME DataFrame must recompute
     // correctly (lineage is never truncated — spill rounds are durable
     // parquet), not crash or change values. The 15-hop chain forces >= 3
-    // rounds, so a spill round is actually in the ancestry being re-run.
+    // rounds, so a spill round is actually in the ancestry being re-run
+    // (loop path forced — the local regime has no spill rounds to test).
     import spark.implicits._
     val docs = (0L until 20L).toDF("doc_id")
     val chain = (0L until 15L).map(i => (i, i + 1)).toDF("da", "db")
-    val df = Similarity.labelPropagate(docs, chain, "spec_rerun")
+    val df = withForceLoop { Similarity.labelPropagate(docs, chain, "spec_rerun") }
     val first = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val second = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(first == second)
