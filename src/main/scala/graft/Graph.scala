@@ -296,6 +296,37 @@ object Graph {
     // convergence at scale = the same spill loop with the observed
     // change-count fixpoint test labelPropagate uses.
     "graph_kcore" -> ((s, d) => {
+      // Two-regime gate (round 15, the labelPropagate design): the peel
+      // loop pays the same fixed per-write-job floor as the CC loop, so a
+      // graph under Similarity.CcLocalEdgeCap peels driver-side — the
+      // SAME bounded-rounds-with-early-exit semantics over the collected
+      // edge array, bit-identical by construction (each round drops the
+      // identical edge set; after the fixpoint every round is the
+      // identity either way). -Dgraft.cc.forceLoop=true restores the
+      // distributed loop (spec/ProfScale escape hatch).
+      val edges0 = orientedCoEdges(s, d).select(col("src").as("p1"), col("dst").as("p2"))
+      val probe =
+        if (Similarity.ccForceLoop) null
+        else edges0.limit(Similarity.CcLocalEdgeCap + 1).collect()
+      if (probe != null && probe.length <= Similarity.CcLocalEdgeCap) {
+        var cur = probe.map(r => (r.getLong(0), r.getLong(1)))
+        var r = 0
+        var prev = -1
+        while (r < KcoreRounds && cur.length != prev) {
+          prev = cur.length
+          val deg = scala.collection.mutable.HashMap[Long, Long]()
+          cur.foreach { case (a, b) =>
+            deg(a) = deg.getOrElse(a, 0L) + 1; deg(b) = deg.getOrElse(b, 0L) + 1 }
+          cur = cur.filter { case (a, b) => deg(a) >= KcoreK && deg(b) >= KcoreK }
+          r += 1
+        }
+        val coreDeg = scala.collection.mutable.HashMap[Long, Long]()
+        cur.foreach { case (a, b) =>
+          coreDeg(a) = coreDeg.getOrElse(a, 0L) + 1
+          coreDeg(b) = coreDeg.getOrElse(b, 0L) + 1 }
+        import s.implicits._
+        coreDeg.toSeq.toDF("node", "core_deg").orderBy("node")
+      } else {
       def peelOnce(df: DataFrame): DataFrame = {
         val deg = df.select(col("p1").as("node"))
           .unionAll(df.select(col("p2").as("node")))
@@ -311,7 +342,7 @@ object Graph {
       // Early exit on an unchanged edge count is EXACT: peel only removes
       // edges (monotone), so equal count ⇒ equal set ⇒ every remaining
       // round is the identity — bounded semantics preserved.
-      var cur = orientedCoEdges(s, d).select(col("src").as("p1"), col("dst").as("p2"))
+      var cur = edges0
       var prev = -1L
       var r = 0
       while (r < KcoreRounds) {
@@ -331,6 +362,7 @@ object Graph {
       cur.select(col("p1").as("node")).unionAll(cur.select(col("p2").as("node")))
         .groupBy("node").agg(count(lit(1)).as("core_deg"))
         .orderBy("node")
+      }
     })
   )
 

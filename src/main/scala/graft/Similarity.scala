@@ -554,7 +554,8 @@ object Similarity {
     */
   val CcLocalEdgeCap = 1000000
 
-  private def ccForceLoop: Boolean = java.lang.Boolean.getBoolean("graft.cc.forceLoop")
+  private[graft] def ccForceLoop: Boolean =
+    java.lang.Boolean.getBoolean("graft.cc.forceLoop")
 
   /** Driver union-find over a bounded edge list: path-halving find, then
     * one pass mapping every node to the min id of its component.

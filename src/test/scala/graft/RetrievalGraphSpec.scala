@@ -277,6 +277,19 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(got.nonEmpty, "empty 2-core — fixture degenerate")
   }
 
+  test("kcore local regime equals the distributed peel loop") {
+    // the round-15 two-regime gate: the driver-side peel (default on the
+    // fixture's small graph) must match the distributed spill loop
+    // row-for-row under -Dgraft.cc.forceLoop
+    val local = q("graph_kcore").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    System.setProperty("graft.cc.forceLoop", "true")
+    val loop =
+      try q("graph_kcore").collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      finally System.clearProperty("graft.cc.forceLoop")
+    assert(local == loop, s"kcore regimes disagree:\n local=$local\n loop=$loop")
+  }
+
   test("neighbor jaccard equals a brute-force neighbor-set top-50") {
     val got = q("graph_jaccard_neighbors").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
