@@ -149,16 +149,36 @@ object Aggregations {
       val b = lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_extendedprice"))
         .agg(sum(dec(col("l_quantity"), 18, 2)).as("w"))
-      val win = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        // DISTRIBUTED prefix sum (round 15): the per-flag running sum used
+        // to serialize each flag's ~200k distinct prices into ONE window
+        // task (3 tasks total at sf0.1 — measured the whole query's
+        // bottleneck). Bucketing the price axis (floor-div is monotone,
+        // so bucket order == value order) splits the cumulative into a
+        // tiny per-bucket-offsets window (flags × ~600 buckets) plus
+        // within-bucket windows partitioned (flag, bucket) — full
+        // parallelism, exact same cum values (DECIMAL addition is exact
+        // and associative). The bucket width is plan-internal: the output
+        // is bit-identical, so the oracle is untouched.
+        .withColumn("bkt",
+          floor(col("l_extendedprice") / lit(10000.0)).cast(LongType))
+      val offW = Window.partitionBy("l_returnflag").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bs = b.groupBy("l_returnflag", "bkt").agg(sum("w").as("bw"))
+      val off = bs
+        .select(col("l_returnflag"), col("bkt"),
+          coalesce(sum(col("bw")).over(offW), lit(0).cast(DecimalType(38, 2)))
+            .as("off"))
+      val inW = Window.partitionBy("l_returnflag", "bkt").orderBy("l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       // the per-flag TOTAL as a 3-row broadcast join, not an unbounded
-      // window: the full-frame window buffered every partition a second
-      // time just to attach one constant per flag (bench r13 — this was
-      // the #2 warm query at 2.6 s once count()-pruning stopped hiding
-      // the window passes); exact decimal sums either way
-      val tot = b.groupBy("l_returnflag").agg(sum(col("w")).as("tot"))
-      val c = b.select(col("l_returnflag"), col("l_extendedprice"),
-        sum(col("w")).over(win).as("cum"))
+      // window (bench r13) — and derived from the ~1800-row bucket
+      // subtotal frame, not a third full aggregate over b (exact either
+      // way: decimal addition is associative)
+      val tot = bs.groupBy("l_returnflag").agg(sum(col("bw")).as("tot"))
+      val c = b.select(col("l_returnflag"), col("bkt"), col("l_extendedprice"),
+        sum(col("w")).over(inW).as("cum_in"))
+        .join(broadcast(off), Seq("l_returnflag", "bkt"))
+        .withColumn("cum", col("off") + col("cum_in"))
         .join(broadcast(tot), Seq("l_returnflag"))
       def est(p: Int) =
         min(when(col("cum") * 100 >= col("tot") * p, col("l_extendedprice")))
