@@ -131,8 +131,6 @@ object Unigram {
     if (prev != null) prev else model
   }
 
-  private def sqlLit(x: String): String = x.replace("'", "''")
-
   val queries: Map[String, Q] = Map(
     // The learned model — the shippable tokenizer artifact: every
     // surviving token with its final Viterbi-usage count and exact
@@ -155,16 +153,21 @@ object Unigram {
       val costs = vocab.map { case (t, _, cm) => (t, cm) }
       val ids = vocab.map(_._1).sortWith(utf8Less).zipWithIndex
         .map { case (t, i) => (t, i + 2L) }
-      val mapArgs = ids.map { case (t, id) => s"'${sqlLit(t)}', ${id}L" }.mkString(", ")
       documents(s, d)
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
         .where(col("word") =!= "")
-        .withColumn("seg", org.apache.spark.sql.graft.UnigramOps
-          .unigram_segment(col("word"), costs, MaxSub, log2Micro(tot)))
-        // coalesce-to-UNK mirrors the expression's own char fallback;
-        // unreachable on the training corpus (chars always survive)
-        .withColumn("ids",
-          expr(s"transform(seg, x -> coalesce(element_at(map($mapArgs), x), 1L))"))
+        // fused segment+id-map native pass (UNK=1 fallback inside;
+        // unreachable on the training corpus since chars always survive
+        // pruning). MEASURED plan-shape note: CollapseProject inlines the
+        // DP column into both consumers below (size + render), so the DP
+        // runs twice per word — but the single-reference alternative
+        // (posexplode then aggregate 1.3M id rows) measured 3.6 s against
+        // this shape's 1.7 s at sf0.1: the duplicated ~µs-scale DP is
+        // cheaper than shuffling and collect_list-ing the exploded
+        // stream. Kept deliberately; the same trade-off said the opposite
+        // for BPE's 50µs interpreted fold (hence its spill).
+        .withColumn("ids", org.apache.spark.sql.graft.UnigramOps
+          .unigram_encode_ids(col("word"), costs, ids, MaxSub, log2Micro(tot)))
         .select(col("doc_id"), col("pos"),
           size(col("ids")).cast(LongType).as("n_sub"),
           expr("concat_ws(' ', transform(ids, x -> CAST(x AS STRING)))").as("ids_w"))
@@ -175,6 +178,51 @@ object Unigram {
           expr("concat_ws(' ', transform(array_sort(pid), x -> x.ids_w))"))
         .select("doc_id", "n_tok", "n_sub", "ids_str")
         .orderBy("doc_id")
+    }),
+
+    // The pack capstone under THIS tokenizer (the pack_sequences_bpe
+    // pattern on unigram ids): PackSeqLen training rows of Viterbi subword
+    // ids. Same shard decomposition and three-level offsets — doc offset a
+    // rangeBetween window over prior docs in shard, word offset a window
+    // within doc, subword position its in-segmentation index. No standing
+    // spill: the native DP derives the id streams map-side in the same
+    // pass (contrast encodedCorpus, whose interpreted fold forced the BPE
+    // spill). Measured plan note: an exploded-stream row_number
+    // formulation (gpos as one shard window over id rows) was tried and
+    // measured SLOWER (3.2 vs 2.2 s at sf0.1) — the word-level windows
+    // run on 6× fewer rows than the exploded stream.
+    "pack_sequences_unigram" -> ((s, d) => {
+      val (vocab, tot) = learn(s, d)
+      val costs = vocab.map { case (t, _, cm) => (t, cm) }
+      val ids = vocab.map(_._1).sortWith(utf8Less).zipWithIndex
+        .map { case (t, i) => (t, i + 2L) }
+      val byWordInDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val priorDocsInShard = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("doc_id")
+        .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      documents(s, d)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(TextOps.PackShards.toLong)).as("shard"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .where(col("word") =!= "")
+        .withColumn("ids", org.apache.spark.sql.graft.UnigramOps
+          .unigram_encode_ids(col("word"), costs, ids, MaxSub, log2Micro(tot)))
+        .withColumn("n_sub", size(col("ids")).cast(LongType))
+        .withColumn("woff", coalesce(sum("n_sub").over(byWordInDoc), lit(0L)))
+        .withColumn("off", coalesce(sum("n_sub").over(priorDocsInShard), lit(0L)))
+        .select(col("shard"), (col("off") + col("woff")).as("base"),
+          posexplode(col("ids")).as(Seq("sidx", "id")))
+        .withColumn("gpos", col("base") + col("sidx"))
+        .withColumn("bin", expr(s"gpos div ${TextOps.PackSeqLen}"))
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_ids"),
+          collect_list(struct(col("gpos"), col("id"))).as("gid"))
+        .withColumn("ids_str",
+          expr("concat_ws(' ', transform(array_sort(gid), x -> CAST(x.id AS STRING)))"))
+        .select("shard", "bin", "n_ids", "ids_str")
+        .orderBy("shard", "bin")
     })
   )
 
@@ -273,6 +321,36 @@ object Unigram {
         "unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos FROM documents) " +
         "SELECT doc_id, count(*) AS n_tok, CAST(sum(n_sub) AS BIGINT) AS n_sub, " +
         "string_agg(ids_w, ' ' ORDER BY pos) AS ids_str " +
-        "FROM tok JOIN wsub USING (word) GROUP BY doc_id ORDER BY doc_id")
+        "FROM tok JOIN wsub USING (word) GROUP BY doc_id ORDER BY doc_id"),
+
+    // the pack_sequences_bpe oracle pattern over the unigram id streams:
+    // wid (word -> in-segmentation position + id) from the final DP chain,
+    // then the identical three-level offset windows
+    "pack_sequences_unigram" ->
+      (s"WITH $modelCtes, ${dpChain("enc", s"v$EmRounds")}, " +
+        "vid AS (SELECT token, CAST(row_number() OVER (ORDER BY token ASC) + 1 AS BIGINT) AS id " +
+        s"FROM v$EmRounds), " +
+        "wid AS (SELECT t.word, CAST(t.tpos AS BIGINT) AS spos, vid.id FROM " +
+        "(SELECT word, unnest(string_split(seg, ' ')) AS token, " +
+        "unnest(range(1, len(string_split(seg, ' ')) + 1)) AS tpos FROM encf) t " +
+        "JOIN vid USING (token)), " +
+        "wn AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sub FROM wid GROUP BY word), " +
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word, " +
+        "unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos FROM documents), " +
+        "dn AS (SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS d_sub " +
+        "FROM tok JOIN wn USING (word) GROUP BY doc_id), " +
+        s"do_ AS (SELECT doc_id, doc_id % ${TextOps.PackShards} AS shard, " +
+        "CAST(coalesce(sum(d_sub) OVER (PARTITION BY doc_id % " +
+        s"${TextOps.PackShards} ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off FROM dn), " +
+        "wo AS (SELECT t.doc_id, t.pos, t.word, CAST(coalesce(sum(wn.n_sub) OVER " +
+        "(PARTITION BY t.doc_id ORDER BY t.pos " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS woff " +
+        "FROM tok t JOIN wn ON t.word = wn.word), " +
+        "g AS (SELECT do_.shard, do_.off + wo.woff + wid.spos - 1 AS gpos, wid.id " +
+        "FROM wo JOIN do_ USING (doc_id) JOIN wid ON wo.word = wid.word) " +
+        s"SELECT shard, gpos // ${TextOps.PackSeqLen} AS bin, count(*) AS n_ids, " +
+        "string_agg(CAST(id AS VARCHAR), ' ' ORDER BY gpos) AS ids_str " +
+        "FROM g GROUP BY shard, bin ORDER BY shard, bin")
   )
 }

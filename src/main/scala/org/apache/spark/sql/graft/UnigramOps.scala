@@ -34,21 +34,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * JVM loop (~O(len·maxSub) map probes per word); one virtual call per row
   * is noise next to it.
   */
-case class UnigramSegment(child: Expression, vocab: Seq[(String, Long)],
-    maxSub: Int, unkCostMicro: Long)
-  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
-
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "unigram_segment"
-
-  @transient private lazy val vmap: Map[String, Long] = vocab.toMap
-
+private[graft] object UnigramDp {
   private def segLess(a: String, b: String): Boolean =
     UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
 
-  override def nullSafeEval(w: Any): Any = {
-    val word = w.asInstanceOf[UTF8String].toString
+  /** The shared Viterbi DP (doc above): min-cost tokenization, ties by
+    * (token-count ASC, segmentation-string ASC in UTF-8 binary order).
+    */
+  def segment(word: String, vmap: Map[String, Long], maxSub: Int,
+      unkCostMicro: Long): Array[String] = {
     val cps: Array[String] = {
       val arr = word.codePoints().toArray
       val out = new Array[String](arr.length)
@@ -57,7 +51,7 @@ case class UnigramSegment(child: Expression, vocab: Seq[(String, Long)],
       out
     }
     val n = cps.length
-    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    if (n == 0) return Array.empty
     val cost = new Array[Long](n + 1)
     val ntok = new Array[Int](n + 1)
     val seg = new Array[String](n + 1)
@@ -85,10 +79,54 @@ case class UnigramSegment(child: Expression, vocab: Seq[(String, Long)],
       cost(p) = bc; ntok(p) = bn; seg(p) = bs
       p += 1
     }
-    new GenericArrayData(seg(n).split(" ").map(UTF8String.fromString(_)))
+    seg(n).split(" ")
   }
+}
+
+case class UnigramSegment(child: Expression, vocab: Seq[(String, Long)],
+    maxSub: Int, unkCostMicro: Long)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "unigram_segment"
+
+  @transient private lazy val vmap: Map[String, Long] = vocab.toMap
+
+  override def nullSafeEval(w: Any): Any =
+    new GenericArrayData(
+      UnigramDp.segment(w.asInstanceOf[UTF8String].toString, vmap, maxSub, unkCostMicro)
+        .map(UTF8String.fromString(_)))
 
   override protected def withNewChildInternal(newChild: Expression): UnigramSegment =
+    copy(child = newChild)
+}
+
+/** Segment AND id-map in one native pass: tokens → vocabulary ids (UNK=1
+  * for tokens outside the id map — the same fallback semantics as the
+  * consumers' coalesce). Exists because the id lookup as a SQL
+  * `transform(seg, x -> element_at(map(...), x))` is an interpreted HOF
+  * over every word occurrence — measured ~1 s of the 1.7 s
+  * text_unigram_encode warm pass at sf0.1 — while inside the expression
+  * it is one hash probe per token on the already-computed segmentation.
+  */
+case class UnigramEncodeIds(child: Expression, vocab: Seq[(String, Long)],
+    idMap: Seq[(String, Long)], maxSub: Int, unkCostMicro: Long)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "unigram_encode_ids"
+
+  @transient private lazy val vmap: Map[String, Long] = vocab.toMap
+  @transient private lazy val ids: Map[String, Long] = idMap.toMap
+
+  override def nullSafeEval(w: Any): Any =
+    new GenericArrayData(
+      UnigramDp.segment(w.asInstanceOf[UTF8String].toString, vmap, maxSub, unkCostMicro)
+        .map(t => ids.getOrElse(t, 1L)))
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramEncodeIds =
     copy(child = newChild)
 }
 
@@ -97,4 +135,8 @@ object UnigramOps {
       unkCostMicro: Long): Column =
     ExpressionUtils.column(
       UnigramSegment(ExpressionUtils.expression(w), vocab, maxSub, unkCostMicro))
+  def unigram_encode_ids(w: Column, vocab: Seq[(String, Long)],
+      idMap: Seq[(String, Long)], maxSub: Int, unkCostMicro: Long): Column =
+    ExpressionUtils.column(UnigramEncodeIds(ExpressionUtils.expression(w),
+      vocab, idMap, maxSub, unkCostMicro))
 }

@@ -568,8 +568,8 @@ class PlanRegressionSpec extends AnyFunSuite {
     // shuffled to apply a <=72-row broadcastable model
     val p = plan("text_unigram_encode")
     assert(!"(?i)join".r.findFirstIn(p).isDefined, s"unigram encode plans a join:\n$p")
-    assert(p.contains("unigram_segment"),
-      s"native Viterbi expression missing from the plan:\n$p")
+    assert(p.contains("unigram_encode_ids"),
+      s"fused native Viterbi+id-map expression missing from the plan:\n$p")
     assert("Exchange".r.findAllIn(p).size <= 2,
       s"more shuffles than the doc agg + sort need:\n$p")
   }

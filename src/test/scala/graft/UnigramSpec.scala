@@ -174,6 +174,34 @@ class UnigramSpec extends AnyFunSuite {
     }
   }
 
+  test("pack_sequences_unigram: bins are exact PackSeqLen slices of the shard streams") {
+    // rebuild each shard's id stream from text_unigram_encode's per-doc
+    // streams in doc order; every bin must be the exact PackSeqLen slice
+    // at its offset and per-shard totals must conserve ids (the
+    // pack_sequences_bpe pin, under this tokenizer)
+    val enc = SparkEntry.queries("text_unigram_encode")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    val shardStream = enc.groupBy { case (id, _) => id % TextOps.PackShards }
+      .view.mapValues(_.sortBy(_._1).flatMap(_._2.split(" ")).toSeq).toMap
+    val packed = SparkEntry.queries("pack_sequences_unigram")(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(packed.nonEmpty)
+    packed.groupBy(_._1).foreach { case (shard, bins) =>
+      val stream = shardStream(shard)
+      val sorted = bins.sortBy(_._2)
+      assert(sorted.map(_._3).sum == stream.length.toLong,
+        s"shard $shard: packed ids != stream length")
+      sorted.foreach { case (_, bin, n, ids) =>
+        val off = (bin * TextOps.PackSeqLen).toInt
+        val slice = stream.slice(off, off + TextOps.PackSeqLen)
+        assert(ids.split(" ").toSeq == slice && n == slice.length.toLong,
+          s"shard $shard bin $bin is not the exact stream slice")
+      }
+      assert(sorted.dropRight(1).forall(_._3 == TextOps.PackSeqLen.toLong),
+        s"shard $shard has a short interior bin")
+    }
+  }
+
   test("unk fallback fires per code point on out-of-vocab characters") {
     import spark.implicits._
     val costs = Seq("a" -> 1000000L, "b" -> 1000000L, "ab" -> 1500000L)
