@@ -456,6 +456,35 @@ object Bpe {
         expr(s"transform(subs, x -> element_at(map($mapArgs), x))").as("ids"))
   }
 
+  /** Tokenize-at-ingest: the STREAMING form of the encoder — the same
+    * compiled merge fold (native BpeApply) + literal id map applied to a
+    * streaming frame of (doc_id, text). Stateless append-mode map: no
+    * state store, no watermark, no shuffle — tokenization is a pure
+    * per-record function, which is exactly why production pipelines run
+    * it at ingest and leave the per-doc/packing re-aggregates to
+    * downstream batch (or a separate stateful stage). Same definition
+    * site as the batch encoder (mergeList/vocabIds from the learned
+    * artifacts), so batch and stream agree by construction; BpeSpec pins
+    * the streamed rows equal to text_bpe_encode's per-doc output.
+    */
+  private[graft] def encodeStream(s: SparkSession, d: String, docs: DataFrame): DataFrame = {
+    val ml = mergeList(s, d)
+    val vocab = vocabIds(s, d)
+    val mapArgs = vocab.sortBy(_._1)
+      .map { case (sym, id) => s"'${sqlLit(sym)}', ${id}L" }.mkString(", ")
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .where(col("word") =!= "")
+      .withColumn("subs",
+        org.apache.spark.sql.graft.BpeOps.bpe_apply(col("word"),
+          ml.map { case (_, s1, s2) => (s1, s2) }))
+      .select(col("doc_id"), col("pos"),
+        expr(s"size(transform(subs, x -> element_at(map($mapArgs), x)))")
+          .cast(LongType).as("n_sub"),
+        expr(s"concat_ws(' ', transform(subs, x -> CAST(element_at(map($mapArgs), x) AS STRING)))")
+          .as("ids_w"))
+  }
+
   val queries: Map[String, Q] = Map(
     // The learned merge table itself — the shippable tokenizer artifact.
     // Rounds are deterministic: integer pair counts, (count DESC, pair ASC)

@@ -336,7 +336,8 @@ object ProfScale {
       // the loop's vocabulary-linear term plus the corpus-linear encode)
       // and the held-out novel encoder (native fold + UNK fallback over
       // the 10% slice — corpus-linear, no join)
-      "text_unigram_vocab", "text_unigram_encode", "text_bpe_encode_novel")
+      "text_unigram_vocab", "text_unigram_encode", "text_bpe_encode_novel",
+      "pack_sequences_unigram")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer

@@ -248,6 +248,39 @@ class BpeSpec extends AnyFunSuite {
       "no novel word received a merged-token id — subword transfer is vacuous")
   }
 
+  test("tokenize-at-ingest: the streaming encoder equals the batch encoder") {
+    // the stateless streaming map (file-source readStream -> BpeApply +
+    // id map, append mode, no state/watermark) must produce per-word rows
+    // that reassemble into exactly text_bpe_encode's per-doc output —
+    // batch and stream share the definition site, this pins it stays so
+    val dir = "/tmp/graft_bpe_stream_src"
+    val ckpt = "/tmp/graft_bpe_stream_ckpt"
+    for (p <- Seq(dir, ckpt)) {
+      val f = new java.io.File(p)
+      def rm(x: java.io.File): Unit = { if (x.isDirectory) x.listFiles().foreach(rm); x.delete() }
+      if (f.exists()) rm(f)
+    }
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text")
+    docs.write.parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = Bpe.encodeStream(spark, Sf0001, stream)
+      .writeStream.format("memory").queryName("bpe_ingest")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("bpe_ingest").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+        .groupBy(_._1).view.mapValues { rows =>
+          val sorted = rows.sortBy(_._2)
+          (sorted.length.toLong, sorted.map(_._3).sum, sorted.map(_._4).mkString(" "))
+        }.toMap
+      val batch = SparkEntry.queries("text_bpe_encode")(spark, Sf0001).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(streamed == batch,
+        s"stream/batch tokenization drift (stream ${streamed.size} docs, batch ${batch.size})")
+    } finally q.stop()
+  }
+
   /** Batched reference (the selectBatch rule driven in-JVM): per round sort
     * ALL pairs, take the (batchK+1)-row head, selectBatch, apply the batch
     * SEQUENTIALLY (provably equal to simultaneous application — batch pairs
