@@ -49,11 +49,15 @@ object Unigram {
   val SeedK = 48
   /** Viterbi-EM rounds (segment → re-count → prune). */
   val EmRounds = 2
-  /** Oracle DP-chain unroll bound — the Spark learner REQUIRES the fixture
+  /** Oracle DP-chain unroll bound — the Spark learner REQUIRES the corpus
     * max word length to fit (the oracle would silently drop longer words;
-    * the require turns that into a loud failure instead). Fixture max is 8.
+    * the require turns that into a loud failure instead). Fixture max is
+    * 8; 16 also covers ProfScale's ciphered replicas, whose per-copy
+    * circular TEXT rotation merges one word pair at the seam (≤ 8+8
+    * chars at any octave). Unused positions cost nothing: every p-CTE
+    * filters len(word) >= p, so past the corpus max they are empty.
     */
-  val MaxWordLen = 10
+  val MaxWordLen = 16
 
   /** JVM mirror of [[TextOps.log2MicroSql]] — exact fixed-point log2 in
     * micro-bits (x >= 1; truncating Long division equals floor on the
