@@ -132,6 +132,45 @@ object Aggregations {
         .orderBy("event_type", "bucket")
     }),
 
+    // Sketch MERGE — the property that makes sketches the 100 TB distinct
+    // counter: HLL register state is re-aggregatable (merge = per-bucket
+    // MAX, associative + commutative + idempotent), so per-partition
+    // partials (here: per event DAY, the natural ingest partition) stored
+    // once can answer any coarser rollup WITHOUT re-scanning raw events —
+    // the incremental-warehouse pattern (etl_incremental_agg's contract,
+    // applied to a non-linear aggregate). The query materializes the daily
+    // partial sketches, merges them per event_type, and reports the merged
+    // summary (days folded in, occupied registers, register mass); a spec
+    // pins the merged registers bit-equal to agg_hll_sketch's direct
+    // single-pass registers — the algebraic claim, asserted. Plan: two
+    // map-side-combinable aggregates + one broadcast join on the
+    // event-type-sized day-count frame; at 100 TB the daily partials are
+    // what you'd persist (m registers × groups per day — KBs), and the
+    // merge job never touches raw data.
+    "agg_sketch_merge" -> ((s, d) => {
+      val h1 = pmod(pmod(col("user_id"), lit(SketchP)) * lit(SketchA)
+        + lit(SketchB), lit(SketchP))
+      val h2 = pmod(h1 * h1, lit(SketchP))
+      val daily = events(s, d)
+        .where(col("user_id").isNotNull)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          pmod(h2, lit(HllRegisters.toLong)).as("bucket"),
+          floor(h2 / lit(HllRegisters)).cast(LongType).as("v"))
+        .groupBy("event_type", "day", "bucket")
+        .agg(max(when(col("v") === 0, lit(HllMaxRho))
+          .otherwise(length(bin(col("v").bitwiseAND(-col("v")))).cast(LongType)))
+          .as("rho"))
+      val merged = daily
+        .groupBy("event_type", "bucket").agg(max("rho").as("rho"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("occupied"), sum("rho").as("sum_rho"))
+      val nDays = daily.select("event_type", "day").distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      merged.join(broadcast(nDays), Seq("event_type"))
+        .select("event_type", "n_days", "occupied", "sum_rho")
+        .orderBy("event_type")
+    }),
+
     // Exact weighted percentiles (round 10): the smallest value whose
     // cumulative weight reaches p% of the group's total — here
     // l_extendedprice weighted by l_quantity per returnflag (the "price
@@ -1019,6 +1058,27 @@ object Aggregations {
       s"max(CASE WHEN v = 0 THEN $HllMaxRho " +
       "ELSE CAST(length(bin(v & -v)) AS BIGINT) END) AS max_rho " +
       "FROM r GROUP BY event_type, bucket ORDER BY event_type, bucket"
+    },
+
+    // the daily-partial → merged rollup, mirrored CTE for CTE
+    "agg_sketch_merge" -> {
+      val h1 = s"(((user_id % $SketchP) * $SketchA + $SketchB) % $SketchP)"
+      s"WITH h AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
+      s"($h1 * $h1) % $SketchP AS h2 FROM events WHERE user_id IS NOT NULL), " +
+      s"r AS (SELECT event_type, day, h2 % $HllRegisters AS bucket, " +
+      s"CAST(floor(h2 / $HllRegisters) AS BIGINT) AS v FROM h), " +
+      "daily AS (SELECT event_type, day, bucket, " +
+      s"max(CASE WHEN v = 0 THEN $HllMaxRho " +
+      "ELSE CAST(length(bin(v & -v)) AS BIGINT) END) AS rho " +
+      "FROM r GROUP BY event_type, day, bucket), " +
+      "merged AS (SELECT event_type, bucket, max(rho) AS rho FROM daily " +
+      "GROUP BY event_type, bucket), " +
+      "m2 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS occupied, " +
+      "CAST(sum(rho) AS BIGINT) AS sum_rho FROM merged GROUP BY event_type), " +
+      "nd AS (SELECT event_type, CAST(count(DISTINCT day) AS BIGINT) AS n_days " +
+      "FROM daily GROUP BY event_type) " +
+      "SELECT event_type, n_days, occupied, sum_rho FROM m2 " +
+      "JOIN nd USING (event_type) ORDER BY event_type"
     },
 
     // identical pre-agg → running-DECIMAL-sum → cross-multiplied pick

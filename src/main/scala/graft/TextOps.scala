@@ -76,6 +76,11 @@ object TextOps {
 
   /** Tokens per packed training sequence (pack_sequences). */
   val PackSeqLen = 512
+  /** Stopword evidence list for [[text_gopher_rules]] — the published rule
+    * requires a minimum count of common function words; the list is the
+    * subset of Gopher's that the synthetic fixture vocabulary can contain.
+    */
+  val GopherStop: Seq[String] = Seq("the", "a", "of", "and", "to")
   /** Independent packing shards (pack_sequences) — the parallelism knob. */
   val PackShards = 8
 
@@ -413,6 +418,44 @@ object TextOps {
           when(col("uniq_ratio") >= 0.5 && col("n_tokens") >= 20, "good")
             .when(col("uniq_ratio") >= 0.25, "fair")
             .otherwise("poor"))
+        .orderBy("doc_id")),
+
+    // Published quality-rule filter (Gopher — Rae et al. 2021 Appendix A;
+    // the same heuristic battery RefinedWeb/Dolma reuse), as a per-rule
+    // flag vector so downstream can audit WHICH rule dropped a doc rather
+    // than just that it dropped: word-count bounds, mean-word-length
+    // bounds, minimum stopword evidence, top-word concentration cap, and
+    // duplicate-word-fraction cap. Thresholds are the published shapes
+    // scaled to the fixture's ranges (docs are 10-99 words; each rule
+    // fires BOTH ways at sf0.001/0.01/0.1 — measured in DuckDB before
+    // wiring, the non-vacuity discipline). All-integer predicates: means
+    // and fractions compare by cross-multiplication (sum_len >= 4n, not
+    // sum_len/n >= 4.0), so the flags are bit-identical cross-engine.
+    // Shape at 100 TB: tokens → (doc, word) partial-aggregated counts →
+    // one per-doc aggregate; two map-side-combinable hash aggregates, no
+    // join, no window — embarrassingly parallel in doc_id.
+    "text_gopher_rules" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_words"),
+          count(lit(1)).as("n_uniq"),
+          max("c").as("top_c"),
+          sum(length(col("word")) * col("c")).as("sum_len"),
+          sum(when(col("word").isin(GopherStop: _*), col("c"))
+            .otherwise(lit(0L))).as("n_stop"))
+        .select(col("doc_id"), col("n_words"), col("n_uniq"),
+          col("top_c"), col("sum_len"), col("n_stop"),
+          (col("n_words") >= 20 && col("n_words") <= 90).as("wc_ok"),
+          (col("sum_len") >= col("n_words") * 4 &&
+            col("sum_len") <= col("n_words") * 5).as("mean_len_ok"),
+          (col("n_stop") >= 2).as("stop_ok"),
+          (col("top_c") * 5 <= col("n_words")).as("top_word_ok"),
+          ((col("n_words") - col("n_uniq")) * 10 <= col("n_words") * 6).as("dup_ok"))
+        .withColumn("keep",
+          col("wc_ok") && col("mean_len_ok") && col("stop_ok") &&
+            col("top_word_ok") && col("dup_ok"))
         .orderBy("doc_id")),
 
     "text_tokens" -> ((s, d) =>
@@ -1028,6 +1071,27 @@ object TextOps {
        "CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq, " +
        "CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of')) AS INT) AS n_stop " +
        "FROM documents) ORDER BY doc_id"),
+
+    "text_gopher_rules" ->
+      ("WITH wc AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c FROM " +
+       "(SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) " +
+       "GROUP BY doc_id, word), " +
+       "s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, " +
+       "CAST(count(*) AS BIGINT) AS n_uniq, CAST(max(c) AS BIGINT) AS top_c, " +
+       "CAST(sum(len(word) * c) AS BIGINT) AS sum_len, " +
+       "CAST(sum(CASE WHEN word IN ('the', 'a', 'of', 'and', 'to') THEN c " +
+       "ELSE 0 END) AS BIGINT) AS n_stop FROM wc GROUP BY doc_id) " +
+       "SELECT doc_id, n_words, n_uniq, top_c, sum_len, n_stop, " +
+       "n_words >= 20 AND n_words <= 90 AS wc_ok, " +
+       "sum_len >= n_words * 4 AND sum_len <= n_words * 5 AS mean_len_ok, " +
+       "n_stop >= 2 AS stop_ok, " +
+       "top_c * 5 <= n_words AS top_word_ok, " +
+       "(n_words - n_uniq) * 10 <= n_words * 6 AS dup_ok, " +
+       "(n_words >= 20 AND n_words <= 90) AND " +
+       "(sum_len >= n_words * 4 AND sum_len <= n_words * 5) AND " +
+       "n_stop >= 2 AND top_c * 5 <= n_words AND " +
+       "(n_words - n_uniq) * 10 <= n_words * 6 AS keep " +
+       "FROM s ORDER BY doc_id"),
 
     "text_tokens" ->
       ("SELECT doc_id, " +

@@ -81,13 +81,29 @@ object Unigram {
     new java.util.concurrent.ConcurrentHashMap[String, (Seq[(String, Long, Long)], Long)]()
   Sources.onSpillEvict(() => uniMemo.clear())
 
-  private[graft] def learn(s: SparkSession, d: String): (Seq[(String, Long, Long)], Long) = {
-    val key = Sources.fixtureKey(d, "documents") + s":unigram:$MaxSub:$SeedK:$EmRounds"
+  private[graft] def learn(s: SparkSession, d: String): (Seq[(String, Long, Long)], Long) =
+    learnFrom(s, d, trainOnly = false)
+
+  /** Train-split variant (the novel-encode contract): the model is learned
+    * on docs with doc_id % 10 != [[Bpe.NovelResidue]] only, so the held-out
+    * slice is genuinely unseen text. Memoized under a distinct key.
+    */
+  private[graft] def learnTrain(s: SparkSession, d: String): (Seq[(String, Long, Long)], Long) =
+    learnFrom(s, d, trainOnly = true)
+
+  private def learnFrom(s: SparkSession, d: String,
+      trainOnly: Boolean): (Seq[(String, Long, Long)], Long) = {
+    val split = if (trainOnly) ":train" else ""
+    val key = Sources.fixtureKey(d, "documents") + s":unigram:$MaxSub:$SeedK:$EmRounds$split"
     val cached = uniMemo.get(key)
     if (cached != null) return cached
+    val docs0 = documents(s, d)
+    val docs = if (trainOnly)
+      docs0.where(pmod(col("doc_id"), lit(10L)) =!= lit(Bpe.NovelResidue))
+    else docs0
     // one corpus scan; the loop below runs on this vocabulary-sized frame
     val wfPath = Sources.tmpUnique("uni_wf")
-    Bpe.wordFreq(documents(s, d))
+    Bpe.wordFreq(docs)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(wfPath)
     val wf = s.read.parquet(wfPath)
     val maxLen = wf.agg(max(length(col("word")))).collect()(0).getInt(0)
@@ -195,6 +211,56 @@ object Unigram {
     // formulation (gpos as one shard window over id rows) was tried and
     // measured SLOWER (3.2 vs 2.2 s at sf0.1) — the word-level windows
     // run on 6× fewer rows than the exploded stream.
+    // Unseen-text encode contract for THIS tokenizer family (the
+    // text_bpe_encode_novel protocol on unigram-LM): the model is learned
+    // on the TRAIN split (doc_id % 10 != Bpe.NovelResidue) and the
+    // held-out docs are encoded under it, deterministically perturbed so
+    // both novel populations are non-vacuous at every SF — 1-based word
+    // positions p % 7 == 1 upper-cased (unseen CHARACTERS: the lowercase
+    // fixture alphabet means every such code point takes the DP's
+    // per-code-point UNK edge at cost log2µ(total) and maps to id 1) and
+    // p % 7 == 4 reversed (novel WORDS over known characters — the
+    // Viterbi path is built from train-learned tokens, the
+    // subword-transfer case). Where BPE's novel path needed a
+    // coalesce-to-UNK bolted onto the fold, the unigram DP carries its
+    // own fallback edge natively (UnigramDp: out-of-vocab single code
+    // points cost unkCostMicro) — the published advantage of the
+    // unigram-LM family: open-vocabulary encode is part of the model, not
+    // a patch. Map-side like every encoder here: model + id map ride in
+    // the native expression, no corpus join, the one shuffle is the
+    // per-doc re-aggregate over 10% of the corpus.
+    "text_unigram_encode_novel" -> ((s, d) => {
+      val (vocab, tot) = learnTrain(s, d)
+      val costs = vocab.map { case (t, _, cm) => (t, cm) }
+      val ids = vocab.map(_._1).sortWith(utf8Less).zipWithIndex
+        .map { case (t, i) => (t, i + 2L) }
+      documents(s, d)
+        .where(pmod(col("doc_id"), lit(10L)) === lit(Bpe.NovelResidue))
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word0")))
+        // 1-based position rule mirrors the oracle's range(1, n+1)
+        // enumeration; perturbation BEFORE the empty-token filter (the
+        // text_bpe_encode_novel precedent — upper('')/'' stay '')
+        .withColumn("word",
+          when(pmod(col("pos") + lit(1), lit(7)) === 1, upper(col("word0")))
+            .when(pmod(col("pos") + lit(1), lit(7)) === 4, reverse(col("word0")))
+            .otherwise(col("word0")))
+        .where(col("word") =!= "")
+        .withColumn("ids", org.apache.spark.sql.graft.UnigramOps
+          .unigram_encode_ids(col("word"), costs, ids, MaxSub, log2Micro(tot)))
+        .select(col("doc_id"), col("pos"),
+          size(col("ids")).cast(LongType).as("n_sub"),
+          expr("size(filter(ids, x -> x = 1))").cast(LongType).as("n_unk_w"),
+          expr("concat_ws(' ', transform(ids, x -> CAST(x AS STRING)))").as("ids_w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum("n_sub").as("n_sub"),
+          sum("n_unk_w").as("n_unk"),
+          collect_list(struct(col("pos"), col("ids_w"))).as("pid"))
+        .withColumn("ids_str",
+          expr("concat_ws(' ', transform(array_sort(pid), x -> x.ids_w))"))
+        .select("doc_id", "n_tok", "n_sub", "n_unk", "ids_str")
+        .orderBy("doc_id")
+    }),
+
     "pack_sequences_unigram" -> ((s, d) => {
       val (vocab, tot) = learn(s, d)
       val costs = vocab.map { case (t, _, cm) => (t, cm) }
@@ -234,17 +300,18 @@ object Unigram {
 
   private def l2(x: String): String = TextOps.log2MicroSql(x, "//")
 
-  /** One Viterbi DP chain under vocab CTE `vin`: position CTEs
+  /** One Viterbi DP chain under vocab CTE `vin` over the word frame `src`
+    * (default the training word-frequency CTE): position CTEs
     * `${pre}p1..${pre}p$MaxWordLen` (argmin state per (word, prefix
     * length) — the window sort is the engine-mirrored tie-break) and the
     * final-state union `${pre}f` (word → seg at p = len(word)).
     */
-  private def dpChain(pre: String, vin: String): String = {
+  private def dpChain(pre: String, vin: String, src: String = "wf"): String = {
     val ps = (1 to MaxWordLen).map { p =>
       val branches = (1 to math.min(MaxSub, p)).map { l =>
         if (l == p)
           s"SELECT w.word, v.cost AS cost, 1 AS ntok, v.token AS seg " +
-            s"FROM wf w JOIN $vin v ON v.token = substr(w.word, 1, $p) " +
+            s"FROM $src w JOIN $vin v ON v.token = substr(w.word, 1, $p) " +
             s"WHERE len(w.word) >= $p"
         else
           s"SELECT d.word, d.cost + v.cost AS cost, d.ntok + 1 AS ntok, " +
@@ -281,12 +348,18 @@ object Unigram {
       s"FROM ${vout}_c, (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM ${vout}_c) t)"
 
   /** Shared chain: wf, substring seed, v0, then EmRounds × (DP + EM step).
-    * The final vocab CTE is v$EmRounds.
+    * The final vocab CTE is v$EmRounds. `docWhere` restricts the training
+    * corpus (the novel-encode contract trains on the doc_id split); with
+    * the default the generated SQL is byte-identical to the original
+    * single-corpus chain.
     */
-  private def modelCtes: String = {
+  private def modelCtes: String = modelCtesWhere("")
+
+  private def modelCtesWhere(docWhere: String): String = {
     val sb = new StringBuilder
+    val filt = if (docWhere.isEmpty) "" else s" WHERE $docWhere"
     sb ++= "wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM " +
-      "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) GROUP BY word), "
+      s"(SELECT unnest(string_split(text, ' ')) AS word FROM documents$filt) GROUP BY word), "
     sb ++= "cand AS MATERIALIZED (SELECT sub, CAST(sum(freq) AS BIGINT) AS cnt FROM " +
       "(SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS sub, freq " +
       "FROM wf, unnest(range(1, len(word) + 1)) AS u(i), " +
@@ -326,6 +399,44 @@ object Unigram {
         "SELECT doc_id, count(*) AS n_tok, CAST(sum(n_sub) AS BIGINT) AS n_sub, " +
         "string_agg(ids_w, ' ' ORDER BY pos) AS ids_str " +
         "FROM tok JOIN wsub USING (word) GROUP BY doc_id ORDER BY doc_id"),
+
+    // the text_bpe_encode_novel oracle protocol on the unigram chain: the
+    // model CTEs train-filter, the held-out token stream perturbs at the
+    // same 1-based positions, and the DP runs over the DISTINCT novel
+    // words under vnovel = final vocab ∪ (unseen single chars at the UNK
+    // cost log2µ(total)) — exactly the native DP's per-code-point
+    // fallback edge. Ids come from the TRAIN vocab only (LEFT JOIN,
+    // coalesce to UNK=1), so an unseen char maps to 1 on both engines.
+    "text_unigram_encode_novel" ->
+      (s"WITH ${modelCtesWhere(s"doc_id % 10 != ${Bpe.NovelResidue}")}, " +
+        "nt AS MATERIALIZED (SELECT doc_id, pos, word FROM (" +
+        "SELECT doc_id, pos, CASE WHEN pos % 7 = 1 THEN upper(word0) " +
+        "WHEN pos % 7 = 4 THEN reverse(word0) ELSE word0 END AS word FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS word0, " +
+        "unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos " +
+        s"FROM documents WHERE doc_id % 10 = ${Bpe.NovelResidue})) WHERE word <> ''), " +
+        "nw AS MATERIALIZED (SELECT DISTINCT word FROM nt), " +
+        s"unkt AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM v$EmRounds), " +
+        "unkch AS (SELECT DISTINCT substr(word, CAST(i AS INT), 1) AS token " +
+        "FROM nw, unnest(range(1, len(word) + 1)) AS u(i) " +
+        "WHERE substr(word, CAST(i AS INT), 1) NOT IN " +
+        s"(SELECT token FROM v$EmRounds)), " +
+        s"vnovel AS MATERIALIZED (SELECT token, cost FROM v$EmRounds " +
+        s"UNION ALL SELECT token, ${l2("tot")} AS cost FROM unkch, unkt), " +
+        s"${dpChain("enc", "vnovel", "nw")}, " +
+        "vid AS (SELECT token, CAST(row_number() OVER (ORDER BY token ASC) + 1 AS BIGINT) AS id " +
+        s"FROM v$EmRounds), " +
+        "wsub AS (SELECT t.word, " +
+        "string_agg(CAST(coalesce(vid.id, 1) AS VARCHAR), ' ' ORDER BY t.tpos) AS ids_w, " +
+        "CAST(count(*) AS BIGINT) AS n_sub, " +
+        "CAST(sum(CASE WHEN vid.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk " +
+        "FROM (SELECT word, unnest(string_split(seg, ' ')) AS token, " +
+        "unnest(range(1, len(string_split(seg, ' ')) + 1)) AS tpos FROM encf) t " +
+        "LEFT JOIN vid USING (token) GROUP BY t.word) " +
+        "SELECT doc_id, count(*) AS n_tok, CAST(sum(n_sub) AS BIGINT) AS n_sub, " +
+        "CAST(sum(n_unk) AS BIGINT) AS n_unk, " +
+        "string_agg(ids_w, ' ' ORDER BY pos) AS ids_str " +
+        "FROM nt JOIN wsub USING (word) GROUP BY doc_id ORDER BY doc_id"),
 
     // the pack_sequences_bpe oracle pattern over the unigram id streams:
     // wid (word -> in-segmentation position + id) from the final DP chain,

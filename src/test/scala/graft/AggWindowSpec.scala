@@ -618,6 +618,36 @@ class AggWindowSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("agg_sketch_merge: daily partials fold to the single-pass sketch summary") {
+    // the op's algebraic claim: merging per-day partial registers by MAX
+    // yields the same state as the direct single-pass sketch — so the
+    // summary (occupied registers, register mass) derived from
+    // agg_hll_sketch's direct registers must equal the op's output, and
+    // the day counts must match the raw calendar
+    val direct = SparkEntry.queries("agg_hll_sketch")(spark, TestSpark.Sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expOcc = direct.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expSum = direct.groupBy { case ((et, _), _) => et }
+      .view.mapValues(_.values.sum).toMap
+    val expDays = Tables.events(spark, TestSpark.Sf001)
+      .where(col("user_id").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("d")).distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("agg_sketch_merge")(spark, TestSpark.Sf001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == expOcc.keySet)
+    got.foreach { case (et, (nDays, occ, sumRho)) =>
+      assert(nDays == expDays(et), s"$et n_days $nDays vs ${expDays(et)}")
+      assert(occ == expOcc(et), s"$et occupied $occ vs ${expOcc(et)}")
+      assert(sumRho == expSum(et), s"$et sum_rho $sumRho vs ${expSum(et)}")
+    }
+    // the merge is non-vacuous: more than one daily partial folded in
+    assert(got.values.exists(_._1 > 1),
+      "every group has a single day — the merge never exercised")
+  }
+
   test("hll sketch: registers merge by max across splits and estimate tracks exact") {
     import Aggregations.{HllRegisters, HllMaxRho}
     def registers(df: org.apache.spark.sql.DataFrame): Map[(String, Long), Long] = {

@@ -7,6 +7,41 @@ import TestSpark.{spark, Sf0001, Sf01}
 class TextSimilaritySpec extends AnyFunSuite {
   private def q(name: String) = SparkEntry.queries(name)(spark, Sf0001)
 
+  test("text_gopher_rules equals a JVM reference and every rule fires both ways") {
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val stop = TextOps.GopherStop.toSet
+    val exp = docs.map { case (id, text) =>
+      val ws = text.split(" ", -1).toSeq
+      val counts = ws.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = ws.size.toLong
+      val nUniq = counts.size.toLong
+      val top = counts.values.max
+      val sumLen = ws.map(_.length.toLong).sum
+      val nStop = ws.count(stop).toLong
+      val flags = (n >= 20 && n <= 90, sumLen >= 4 * n && sumLen <= 5 * n,
+        nStop >= 2, top * 5 <= n, (n - nUniq) * 10 <= n * 6)
+      id -> ((n, nUniq, top, sumLen, nStop, flags,
+        flags._1 && flags._2 && flags._3 && flags._4 && flags._5))
+    }.toMap
+    val got = q("text_gopher_rules").collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), (r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+          r.getBoolean(9), r.getBoolean(10)), r.getBoolean(11)))
+    }.toMap
+    assert(got == exp)
+    // non-vacuity: every rule passes somewhere AND fails somewhere, and the
+    // composite keep is neither empty nor total (measured 191/500 at
+    // sf0.001 when the thresholds were fixed)
+    val allFlags = exp.values.map(_._6).toSeq
+    Seq[((Boolean, Boolean, Boolean, Boolean, Boolean)) => Boolean](
+      _._1, _._2, _._3, _._4, _._5).zipWithIndex.foreach { case (f, i) =>
+      assert(allFlags.exists(f) && allFlags.exists(!f(_)), s"rule $i is vacuous")
+    }
+    val keeps = exp.values.count(_._7)
+    assert(keeps > 0 && keeps < exp.size, "composite keep is degenerate")
+  }
+
   /** Union-find (path compression, canonical = min id) over a pair list;
     * returns the find function — the reference oracle both CC tests share.
     */

@@ -202,6 +202,56 @@ class UnigramSpec extends AnyFunSuite {
     }
   }
 
+  test("novel-encode contract: UNK reachable, model transfers to unseen words") {
+    // the text_bpe_encode_novel protocol under the unigram family: learn on
+    // the train split, perturb held-out docs (1-based p%7==1 upper-cased →
+    // unseen chars, p%7==4 reversed → novel words), encode under the
+    // train model with the DP's native per-code-point UNK edge
+    val allDocs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val trainWf: Map[String, Long] = allDocs
+      .filter { case (id, _) => id % 10 != Bpe.NovelResidue }
+      .flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val (vocab, tot) = refLearn(trainWf)
+    val costs = vocab.map { case (t, _, cm) => (t, cm) }.toMap
+    val ids = vocab.map(_._1).sortWith(utf8Less).zipWithIndex
+      .map { case (t, i) => (t, i + 2L) }.toMap
+    val unk = l2(tot)
+    val got = SparkEntry.queries("text_unigram_encode_novel")(spark, Sf0001).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val held = allDocs.filter { case (id, _) => id % 10 == Bpe.NovelResidue }
+    assert(got.keySet == held.map(_._1).toSet)
+    var unkSeen = false
+    var novelMulti = false
+    held.foreach { case (id, text) =>
+      // perturbation BEFORE the empty filter — positions count every split
+      // slot, the registered query's posexplode semantics
+      val words = text.split(" ", -1).toSeq.zipWithIndex.map { case (w, i) =>
+        val p = i + 1
+        if (p % 7 == 1) w.toUpperCase
+        else if (p % 7 == 4) w.reverse
+        else w
+      }.filter(_.nonEmpty)
+      val segs = words.map(w => refViterbi(w, costs, unk))
+      val idStreams = segs.map(_.map(t => ids.getOrElse(t, 1L)))
+      val nUnk = idStreams.map(_.count(_ == 1L).toLong).sum
+      if (nUnk > 0) unkSeen = true
+      words.zip(segs).foreach { case (w, sg) =>
+        if (!trainWf.contains(w) && sg.exists(t => cps(t).length >= 2 && ids.contains(t)))
+          novelMulti = true
+      }
+      val exp = (words.size.toLong, idStreams.map(_.size.toLong).sum, nUnk,
+        idStreams.map(_.mkString(" ")).mkString(" "))
+      assert(got(id) == exp, s"doc $id novel-encode drift: got=${got(id)} exp=$exp")
+    }
+    // both novel populations are non-vacuous on the fixture
+    assert(unkSeen, "UNK never fired — the unseen-character population is vacuous")
+    assert(novelMulti,
+      "no novel word received a multi-char train token — the transfer claim is vacuous")
+  }
+
   test("unk fallback fires per code point on out-of-vocab characters") {
     import spark.implicits._
     val costs = Seq("a" -> 1000000L, "b" -> 1000000L, "ab" -> 1500000L)
