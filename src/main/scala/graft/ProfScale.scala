@@ -337,7 +337,14 @@ object ProfScale {
       // and the held-out novel encoder (native fold + UNK fallback over
       // the 10% slice — corpus-linear, no join)
       "text_unigram_vocab", "text_unigram_encode", "text_bpe_encode_novel",
-      "pack_sequences_unigram")
+      "pack_sequences_unigram",
+      // round 15 (cont.): the unigram novel encoder (train-split learn is
+      // the fixed term, the perturbed 10% slice the corpus-linear one),
+      // the Gopher rule battery (two map-side-combinable aggregates — the
+      // cheapest possible shape, the row is the proof), and the sketch
+      // merge (daily partial registers: groups × days × occupied-register
+      // bound on the shuffle, raw rows only in the first partial pass)
+      "text_unigram_encode_novel", "text_gopher_rules", "agg_sketch_merge")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer
