@@ -27,6 +27,11 @@ object Similarity {
   val NumHashes = 16
   val BandSize = 4
   val NumBands: Int = NumHashes / BandSize
+  /** Probe-slice bound for [[dedup_minhash_recall]] — ground truth is exact
+    * Jaccard partners of docs below this id (the sim_ann_recall_eval
+    * query-set-fixed asymmetry; non-vacuous at sf0.001's 500 docs).
+    */
+  val MhRecallProbes = 50L
 
   /** Release a persist()ed frame. Safe at any point: lineage stays intact
     * (no localCheckpoint anywhere in this file since round 4 — iterative
@@ -1038,6 +1043,52 @@ object Similarity {
         .join(neighbors, Seq("doc_id"), "left")
         .groupBy("doc_id")
         .agg(least(min(col("nb")), first(col("doc_id"))).as("rep_id"))
+        .orderBy("doc_id")
+    }),
+
+    // Recall evaluation for the banded-LSH dedup path — the sim_ann_recall_eval
+    // contract applied to MinHash: ground truth is the EXACT Jaccard ≥ 0.8
+    // partner set of a bounded probe slice (doc_id < MhRecallProbes),
+    // computed through the same inverted shingle index the verifier uses
+    // (probe shingles × corpus — query-set-fixed asymmetry, never
+    // all-pairs); found = the banded candidate pairs touching a probe.
+    // verifiedPairs re-checks exact Jaccard on band survivors, so found ⊆
+    // truth by construction and n_missed counts exactly the pairs the
+    // 4-band×4-row collision structure failed to surface — the quantity
+    // the published S-curve (1-(1-s^r)^b) prices, here measured instead of
+    // assumed. Exact dups (s=1) always collide, so misses concentrate at
+    // the s≈threshold boundary. At 100 TB the truth side stays bounded by
+    // the probe slice; the found side reads the standing pair spill.
+    "dedup_minhash_recall" -> ((s, d) => {
+      val (sh, _) = minhashIndex(s, d)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.where(col("doc_id") < MhRecallProbes)
+        .select(col("doc_id").as("p"), col("g"))
+        .join(sh.select(col("doc_id").as("q"), col("g")), "g")
+        .where(col("p") =!= col("q"))
+        .groupBy("p", "q").agg(count(lit(1)).as("inter"))
+      val truth = inter
+        .join(sz.select(col("doc_id").as("p"), col("n").as("np")), "p")
+        .join(sz.select(col("doc_id").as("q"), col("n").as("nq")), "q")
+        .where(col("inter") * 1000000L >= (col("np") + col("nq") - col("inter")) * 800000L)
+        .select("p", "q")
+      val mh = minhashCandidates(s, d, 0.8)
+      val found = mh.select(col("da").as("p"), col("db").as("q"))
+        .union(mh.select(col("db").as("p"), col("da").as("q")))
+        .where(col("p") < MhRecallProbes)
+        .withColumn("hit", lit(1L))
+      val agg = truth.join(found, Seq("p", "q"), "left")
+        .groupBy("p")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      documents(s, d).select(col("doc_id"))
+        .where(col("doc_id") < MhRecallProbes)
+        .join(agg, col("doc_id") === col("p"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          coalesce(col("n_found"), lit(0L)).as("n_found"),
+          (coalesce(col("n_true"), lit(0L)) - coalesce(col("n_found"), lit(0L)))
+            .as("n_missed"))
         .orderBy("doc_id")
     }),
 
@@ -2279,6 +2330,27 @@ object Similarity {
        "CASE WHEN a.is_train THEN pr.da ELSE pr.db END AS train_doc " +
        "FROM pr JOIN sp a ON pr.da = a.doc_id JOIN sp b ON pr.db = b.doc_id " +
        "WHERE a.is_train != b.is_train ORDER BY test_doc, train_doc"),
+
+    // truth = exact-Jaccard partners of the probe slice through the same
+    // shingle frame; found = the banded pair CTE in both directions —
+    // found ⊆ truth by the verifier, so the LEFT join counts band misses
+    "dedup_minhash_recall" ->
+      ("WITH " + minhashPairsCte + ", " +
+       s"pp AS (SELECT a.doc_id AS p, b.doc_id AS q, count(*) AS inter " +
+       s"FROM sh a JOIN sh b ON a.g = b.g AND b.doc_id != a.doc_id " +
+       s"WHERE a.doc_id < $MhRecallProbes GROUP BY 1, 2), " +
+       "tr AS (SELECT pp.p, pp.q FROM pp " +
+       "JOIN sz sa ON pp.p = sa.doc_id JOIN sz sb ON pp.q = sb.doc_id " +
+       "WHERE pp.inter * 1000000 >= (sa.n + sb.n - pp.inter) * 800000), " +
+       "fo AS (SELECT da AS p, db AS q FROM pr UNION ALL SELECT db, da FROM pr), " +
+       "ag AS (SELECT tr.p, CAST(count(*) AS BIGINT) AS n_true, " +
+       "CAST(sum(CASE WHEN fo.p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found " +
+       "FROM tr LEFT JOIN fo ON tr.p = fo.p AND tr.q = fo.q GROUP BY tr.p) " +
+       "SELECT d.doc_id, coalesce(ag.n_true, 0) AS n_true, " +
+       "coalesce(ag.n_found, 0) AS n_found, " +
+       "coalesce(ag.n_true, 0) - coalesce(ag.n_found, 0) AS n_missed " +
+       s"FROM documents d LEFT JOIN ag ON ag.p = d.doc_id " +
+       s"WHERE d.doc_id < $MhRecallProbes ORDER BY d.doc_id"),
 
     "dedup_near_minhash" ->
       ("WITH " + minhashPairsCte + ", " +

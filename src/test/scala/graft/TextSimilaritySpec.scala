@@ -7,6 +7,45 @@ import TestSpark.{spark, Sf0001, Sf01}
 class TextSimilaritySpec extends AnyFunSuite {
   private def q(name: String) = SparkEntry.queries(name)(spark, Sf0001)
 
+  test("dedup_minhash_recall: truth equals a brute-force Jaccard sweep; found ⊆ truth") {
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(text: String): Set[String] = {
+      val ts = text.split(" ", -1)
+      (1 to math.max(ts.length - 2, 1)).map { i =>
+        // 1-based window, OOB positions skipped — concat_ws semantics
+        (i to math.min(i + 2, ts.length)).map(j => ts(j - 1)).mkString(" ")
+      }.toSet
+    }
+    val sh = docs.view.mapValues(shingles).toMap
+    val probes = docs.keys.filter(_ < Similarity.MhRecallProbes).toSeq.sorted
+    val truth = probes.map { p =>
+      p -> docs.keys.filter { q =>
+        q != p && {
+          val inter = (sh(p) & sh(q)).size.toLong
+          val uni = (sh(p) | sh(q)).size.toLong
+          inter * 1000000L >= uni * 800000L
+        }
+      }.toSet
+    }.toMap
+    val got = q("dedup_minhash_recall").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == probes.toSet)
+    got.foreach { case (p, (nTrue, nFound, nMissed)) =>
+      assert(nTrue == truth(p).size.toLong, s"probe $p n_true $nTrue vs ${truth(p).size}")
+      assert(nFound <= nTrue && nMissed == nTrue - nFound, s"probe $p accounting broken")
+    }
+    // non-vacuity: the probe slice has real near-dup structure to recall
+    assert(got.values.map(_._1).sum > 0, "no probe has any true partner")
+    // exact duplicates (s=1) always share every band — they can never be
+    // missed, so any miss must come from a sub-identical pair
+    truth.foreach { case (p, qs) =>
+      qs.filter(qb => docs(qb) == docs(p)).foreach { _ =>
+        assert(got(p)._2 > 0, s"probe $p has an exact dup but found nothing")
+      }
+    }
+  }
+
   test("text_gopher_rules equals a JVM reference and every rule fires both ways") {
     val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
