@@ -19,6 +19,16 @@ import Tables._
 object Aggregations {
   type Q = (SparkSession, String) => DataFrame
 
+  /** agg_kmv_overlap: bottom-k sketch size and the mhash modulus. k=256
+    * engages the estimation regime exactly where the fixture crosses it
+    * (sf0.001/0.01 daily cohorts run ≤150 distinct users — exact regime;
+    * sf0.1 runs ~1330/day — estimated; measured before wiring). M=1e12
+    * keeps (k-1)*M inside int64 with six headroom digits for the jaccard
+    * micro product.
+    */
+  val KmvK = 256
+  val KmvM = 1000000000000L
+
   val queries: Map[String, Q] = Map(
     "agg_global" -> ((s, d) =>
       lineitem(s, d).agg(
@@ -169,6 +179,79 @@ object Aggregations {
       merged.join(broadcast(nDays), Seq("event_type"))
         .select("event_type", "n_days", "occupied", "sum_rho")
         .orderBy("event_type")
+    }),
+
+    // KMV (bottom-k) sketch with set-INTERSECTION estimation (Beyer et
+    // al. 2007 / the theta-sketch family) — the capability HLL registers
+    // lack: HLL merges by MAX (union only), while a KMV sketch (the k
+    // smallest distinct hash values per set) supports overlap: for pair
+    // (A, B), U = k smallest of sketch(A) ∪ sketch(B); any h ∈ U that
+    // belongs to A also sits in sketch(A) (h ≤ kth-of-union ≤ kth-of-A),
+    // so |U ∩ A ∩ B| is computable FROM THE SKETCHES ALONE — Jaccard ≈
+    // K∩/|U|, union ≈ (k-1)·M/h_k, intersection = their product. Audience
+    // overlap over 100 TB of events from KB-sized per-segment sketches.
+    // All-integer ([[Det.mhash]] into [0, M), truncating div), so the
+    // estimates themselves are driver-verified — unlike the ln-based HLL
+    // estimate that must stay scalatest-side. Exact regime (|U| < k, the
+    // whole set is in the sketch) reports exact counts; the spec pins
+    // both regimes against a JVM brute force. Scale shape: distinct
+    // (type, h) is one map-side-combinable aggregate; bottom-k is the
+    // ASSOCIATIVE two-level pick — k smallest within each (type, salt)
+    // window (64-way parallel), then k smallest of the ≤ 64k survivors
+    // per type — never a full-set sort, never a giant window partition;
+    // the pair stage runs on day-pair frames bounded at 2k rows each.
+    // Cohorts are DAYS (not event_type, whose per-type user sets are
+    // IDENTICAL on this fixture — a vacuous overlap; daily active-user
+    // sets partially overlap at every SF, measured before wiring): the
+    // 100 TB deployment persists one KB-sized sketch per (day, segment)
+    // at ingest and answers any later day-pair retention/overlap question
+    // from sketches alone — the agg_sketch_merge pattern extended to the
+    // non-mergeable-looking INTERSECTION.
+    "agg_kmv_overlap" -> ((s, d) => {
+      val h0 = events(s, d)
+        .where(col("user_id").isNotNull)
+        .select(to_date(col("ts")).as("t"), mhash(col("user_id"), KmvM).as("h"))
+        .distinct()
+      val l1 = h0.withColumn("salt", pmod(col("h"), lit(64L)))
+        .withColumn("rn", row_number()
+          .over(Window.partitionBy("t", "salt").orderBy("h")))
+        .where(col("rn") <= KmvK).drop("salt", "rn")
+      // fixture-keyed memoSpill (the dedup-pair-table pattern): the
+      // sketch frame (days × k rows, KBs) is referenced three times
+      // below (day list + both pair sides) — an inline chain would
+      // re-run the raw-events distinct per reference, tripling the only
+      // corpus-sized stage. The spill is also the op's POINT: at 100 TB
+      // this parquet IS the per-day sketch store the ingest job persists,
+      // and the pair stage never touches raw events again.
+      val sk = Sources.memoSpill(s,
+          Sources.fixtureKey(d, "events") + ":kmv_sketch", "kmv_sketch") {
+        l1.withColumn("rn", row_number()
+            .over(Window.partitionBy("t").orderBy("h")))
+          .where(col("rn") <= KmvK).drop("rn")
+      }
+      val tt = sk.select(col("t")).distinct()
+      val tp = tt.as("x").join(tt.as("y"), col("x.t") < col("y.t"))
+        .select(col("x.t").as("ta"), col("y.t").as("tb"))
+      val ea = tp.join(sk.withColumnRenamed("t", "ta"), Seq("ta"))
+        .select("ta", "tb", "h")
+      val eb = tp.join(sk.withColumnRenamed("t", "tb"), Seq("tb"))
+        .select("ta", "tb", "h")
+      val u = ea.unionAll(eb)
+        .groupBy("ta", "tb", "h").agg(count(lit(1)).as("nsrc"))
+        .withColumn("rn", row_number()
+          .over(Window.partitionBy("ta", "tb").orderBy("h")))
+        .where(col("rn") <= KmvK)
+      val unionEst = when(col("u_size") < KmvK, col("u_size"))
+        .otherwise(expr(s"(${KmvK - 1} * cast($KmvM as bigint)) div hk"))
+      u.groupBy("ta", "tb")
+        .agg(count(lit(1)).as("u_size"), max("h").as("hk"),
+          sum(when(col("nsrc") === 2L, 1L).otherwise(0L)).as("k_inter"))
+        .select(col("ta"), col("tb"), col("u_size"), col("k_inter"),
+          unionEst.as("union_est"),
+          expr("k_inter * 1000000 div u_size").as("jacc_micro"))
+        .withColumn("inter_est",
+          expr("jacc_micro * union_est div 1000000"))
+        .orderBy("ta", "tb")
     }),
 
     // Exact weighted percentiles (round 10): the smallest value whose
@@ -1079,6 +1162,36 @@ object Aggregations {
       "FROM daily GROUP BY event_type) " +
       "SELECT event_type, n_days, occupied, sum_rho FROM m2 " +
       "JOIN nd USING (event_type) ORDER BY event_type"
+    },
+
+    // one-level bottom-k (== the associative two-level pick), same mhash,
+    // same truncating integer estimates; non-negative operands make // and
+    // div identical
+    "agg_kmv_overlap" -> {
+      val est = s"CASE WHEN u_size < $KmvK THEN u_size " +
+        s"ELSE (${KmvK - 1} * CAST($KmvM AS BIGINT)) // hk END"
+      "WITH h0 AS (SELECT DISTINCT CAST(ts AS DATE) AS t, " +
+      s"((user_id % 1000000007) * 2654435761) % $KmvM AS h " +
+      "FROM events WHERE user_id IS NOT NULL), " +
+      "sk AS (SELECT t, h FROM (SELECT t, h, " +
+      "row_number() OVER (PARTITION BY t ORDER BY h) AS rn FROM h0) " +
+      s"WHERE rn <= $KmvK), " +
+      "tt AS (SELECT DISTINCT t FROM sk), " +
+      "tp AS (SELECT x.t AS ta, y.t AS tb FROM tt x JOIN tt y ON x.t < y.t), " +
+      "u AS (SELECT ta, tb, h, count(*) AS nsrc FROM (" +
+      "SELECT tp.ta, tp.tb, sk.h FROM tp JOIN sk ON sk.t = tp.ta " +
+      "UNION ALL SELECT tp.ta, tp.tb, sk.h FROM tp JOIN sk ON sk.t = tp.tb) " +
+      "GROUP BY 1, 2, 3), " +
+      "ru AS (SELECT * FROM (SELECT u.*, " +
+      "row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn FROM u) " +
+      s"WHERE rn <= $KmvK), " +
+      "ag AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS u_size, max(h) AS hk, " +
+      "CAST(sum(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS k_inter " +
+      "FROM ru GROUP BY 1, 2) " +
+      s"SELECT ta, tb, u_size, k_inter, CAST($est AS BIGINT) AS union_est, " +
+      "CAST(k_inter * 1000000 // u_size AS BIGINT) AS jacc_micro, " +
+      s"CAST((k_inter * 1000000 // u_size) * ($est) // 1000000 AS BIGINT) AS inter_est " +
+      "FROM ag ORDER BY ta, tb"
     },
 
     // identical pre-agg → running-DECIMAL-sum → cross-multiplied pick

@@ -39,6 +39,15 @@ object Graph {
   val KcoreK = 2
   val KcoreRounds = 6
 
+  /** graph_bfs_distance: seeds = co-purchase graph endpoints with part id
+    * below this bound (interpolated into the oracle), distances reported
+    * up to [[BfsRounds]] hops. 100 keeps every fixture non-vacuous
+    * (measured layer spread before wiring: sf0.001 hops 0-1 — the tiny
+    * graph is near-complete; sf0.01 hops 0-6; sf0.1 hops 0-5).
+    */
+  val BfsSeedCap = 100L
+  val BfsRounds = 6
+
   /** Customer–supplier edges, symmetric: (src, dst). Node ids: customer
     * c → 2c, supplier s → 2s+1. Both directions emit from ONE pass via
     * explode — the self-union form shares the distinct's shuffle between
@@ -280,6 +289,81 @@ object Graph {
         .orderBy("node")
     }),
 
+    // Multi-source BFS over the same thresholded co-purchase graph — the
+    // distance primitive next to CC (membership), kcore (density) and
+    // pagerank (centrality): hop distance from a seed set (part ids <
+    // BfsSeedCap that appear as graph endpoints) for every node within
+    // BfsRounds hops; unreached nodes are excluded on both engines. Same
+    // two-regime gate as CC/kcore: a graph at or under CcLocalEdgeCap
+    // mirrored edges runs textbook frontier BFS driver-side (exact, and
+    // ~10x on fixtures — the per-write-job floor dominates tiny loops);
+    // above it, fixed-round distributed relaxation: each round is one
+    // edges ⋈ dist equi-join + a min aggregation — O(edges) shuffled per
+    // round, the labelPropagate state contract — fused two rounds per
+    // parquet spill (per-ACTION fixed cost dominates; a 2-deep plan
+    // references its input 4 times, cheap against a bare parquet scan).
+    // After r full relaxations every discovered node carries its EXACT
+    // BFS distance (<= r), so the round cap equals the oracle's d <
+    // BfsRounds recursion guard, and an unchanged row count is an exact
+    // early exit: no new node this round means the frontier is empty and
+    // discovered distances are final (BFS never lowers a distance).
+    "graph_bfs_distance" -> ((s, d) => {
+      val e0 = orientedCoEdges(s, d).select(col("src"), col("dst"))
+      val probe =
+        if (Similarity.ccForceLoop) null
+        else e0.limit(Similarity.CcLocalEdgeCap + 1).collect()
+      if (probe != null && probe.length <= Similarity.CcLocalEdgeCap) {
+        val adj = scala.collection.mutable.HashMap[Long,
+          scala.collection.mutable.ArrayBuffer[Long]]()
+        probe.foreach { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          adj.getOrElseUpdate(a, new scala.collection.mutable.ArrayBuffer) += b
+          adj.getOrElseUpdate(b, new scala.collection.mutable.ArrayBuffer) += a
+        }
+        val dist = scala.collection.mutable.HashMap[Long, Long]()
+        var frontier = adj.keys.filter(_ < BfsSeedCap).toSeq
+        frontier.foreach(n => dist(n) = 0L)
+        var hop = 0L
+        while (frontier.nonEmpty && hop < BfsRounds) {
+          hop += 1
+          frontier = frontier.flatMap(adj(_)).distinct.filterNot(dist.contains)
+          frontier.foreach(n => dist(n) = hop)
+        }
+        import s.implicits._
+        dist.toSeq.toDF("node", "dist").orderBy("node")
+      } else {
+        val sym = e0.select(explode(array(
+            struct(col("src").as("a"), col("dst").as("b")),
+            struct(col("dst").as("a"), col("src").as("b")))).as("x"))
+          .select(col("x.a").as("src"), col("x.b").as("dst"))
+        var dist = sym.where(col("src") < BfsSeedCap)
+          .select(col("src").as("node")).distinct()
+          .withColumn("dist", lit(0L))
+        var r = 0
+        var prev = -1L
+        while (r < BfsRounds) {
+          val take = math.min(2, BfsRounds - r)
+          var df = dist
+          (1 to take).foreach { _ =>
+            df = df.unionAll(
+                sym.join(df, col("src") === col("node"))
+                  .select(col("dst").as("node"), (col("dist") + lit(1L)).as("dist")))
+              .groupBy("node").agg(min("dist").as("dist"))
+          }
+          val obs = org.apache.spark.sql.Observation()
+          val p = Sources.tmpUnique("bfs_round")
+          df.observe(obs, count(lit(1)).as("nodes"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+          val n = obs.get("nodes").asInstanceOf[Long]
+          dist = s.read.parquet(p)
+          r += take
+          if (n == prev) r = BfsRounds // frontier empty — rest are no-ops
+          prev = n
+        }
+        dist.orderBy("node")
+      }
+    }),
+
     // k-core decomposition (K = KcoreK) of the same thresholded
     // co-purchase graph — the density filter community detection and
     // spam/fraud screens start from: iteratively peel nodes of degree
@@ -480,6 +564,20 @@ object Graph {
        "labels AS (SELECT wid, least(wid, min(reach)) AS component_id FROM walk GROUP BY wid) " +
        "SELECT p.p_partkey AS node, COALESCE(l.component_id, p.p_partkey) AS component_id " +
        "FROM part p LEFT JOIN labels l ON p.p_partkey = l.wid ORDER BY node"),
+
+    // the same thresholded co-purchase edge set, walked by a depth-carrying
+    // recursive CTE: UNION-dedup on (node, d) rows bounds the working set
+    // at nodes × (BfsRounds + 1) even on cyclic graphs, and the d <
+    // BfsRounds guard is exactly the Spark loop's round cap
+    "graph_bfs_distance" ->
+      ("WITH RECURSIVE ce0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+       "pe AS (SELECT a.p AS p1, b.p AS p2 FROM ce0 a JOIN ce0 b ON a.o = b.o AND a.p < b.p " +
+       s"GROUP BY a.p, b.p HAVING count(*) >= $TriMinCoOrders), " +
+       "edges AS (SELECT p1 AS da, p2 AS db FROM pe UNION SELECT p2, p1 FROM pe), " +
+       s"seeds AS (SELECT DISTINCT da AS node FROM edges WHERE da < $BfsSeedCap), " +
+       "walk(node, d) AS (SELECT node, 0 FROM seeds " +
+       s"UNION SELECT e.db, w.d + 1 FROM walk w JOIN edges e ON e.da = w.node WHERE w.d < $BfsRounds) " +
+       "SELECT node, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY node ORDER BY node"),
 
     // the same fixed KcoreRounds peel, one chained CTE stage per round —
     // generated from the identical constants the Spark loop uses. Every

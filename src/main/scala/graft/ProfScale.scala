@@ -344,7 +344,21 @@ object ProfScale {
       // cheapest possible shape, the row is the proof), and the sketch
       // merge (daily partial registers: groups × days × occupied-register
       // bound on the shuffle, raw rows only in the first partial pass)
-      "text_unigram_encode_novel", "text_gopher_rules", "agg_sketch_merge")
+      "text_unigram_encode_novel", "text_gopher_rules", "agg_sketch_merge",
+      // round 15 (cont.): the LSH recall eval (truth side is probe-slice ×
+      // corpus through the inverted shingle index — the query-set-fixed
+      // asymmetry; found side reads the standing pair spill) and the
+      // span-removal ledger (non-overlapping segments: ~n/8 explode rows,
+      // one aggregate + one join — the sub-shingle-cost claim under test)
+      "dedup_minhash_recall", "dedup_span_remove",
+      // multi-source BFS: per-copy partkey offsets give k disjoint copies
+      // of the co-purchase graph, but only copy 0 holds seed ids <
+      // BfsSeedCap — the probe measures the edge-build + the seed-sliced
+      // walk staying flat as unreachable copies multiply
+      "graph_bfs_distance",
+      // KMV overlap: raw events grow k× but every post-distinct frame is
+      // bounded by days × k sketch rows — the persisted-sketch claim
+      "agg_kmv_overlap")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer

@@ -32,6 +32,15 @@ object Similarity {
     * query-set-fixed asymmetry; non-vacuous at sf0.001's 500 docs).
     */
   val MhRecallProbes = 50L
+  /** Non-overlapping segment width (tokens) for [[dedup_span_remove]] —
+    * the removal granularity. Published exact-substring removal (Lee et
+    * al. 2022) uses a suffix-array over the whole corpus; the distributed
+    * form trades that for fixed segments: a duplicated run of >= 2*SpanSeg
+    * tokens always contains a fully-duplicated aligned segment, so the
+    * guarantee degrades gracefully (shorter shared runs may be missed,
+    * never spuriously removed — removal requires VERBATIM equality).
+    */
+  val SpanSeg = 8
 
   /** Release a persist()ed frame. Safe at any point: lineage stays intact
     * (no localCheckpoint anywhere in this file since round 4 — iterative
@@ -1089,6 +1098,48 @@ object Similarity {
           coalesce(col("n_found"), lit(0L)).as("n_found"),
           (coalesce(col("n_true"), lit(0L)) - coalesce(col("n_found"), lit(0L)))
             .as("n_missed"))
+        .orderBy("doc_id")
+    }),
+
+    // Duplicated-span REMOVAL — the published exact-substring dedup stage
+    // (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    // Better"): where dedup_substring REPORTS doc pairs sharing a verbatim
+    // run, this op APPLIES the edit — every duplicated [[SpanSeg]]-token
+    // aligned segment is dropped from all but its canonical first
+    // occurrence (global min (doc_id, pos)), the keep-one rule that
+    // preserves exactly one copy of boilerplate instead of nuking it
+    // corpus-wide. Output is the per-doc removal ledger (segments, dup
+    // occurrences, removed occurrences, tokens removed) — the audit frame
+    // a curation pipeline joins back to rebuild cleaned text. Scale shape:
+    // segment explode is corpus-linear (non-overlapping — ~n/SpanSeg rows,
+    // CHEAPER than the stride-1 shingle families), the occurrence count +
+    // canonical-min is ONE map-side-combinable aggregate on the 64-bit
+    // segment hash (min over a struct is associative — no window, no
+    // sort), and the join back is segs ⋈ grp on g where grp has one row
+    // per DISTINCT segment. A mega-duplicated boilerplate segment skews
+    // that join key; AQE skew-join splits it (the build side stays one
+    // row per key, so no correctness hazard — only task balance).
+    "dedup_span_remove" -> ((s, d) => {
+      val segs = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, (size(toks) + ${SpanSeg - 1}) div $SpanSeg), " +
+            s"p -> struct(p as pos, " +
+            s"xxhash64(concat_ws(' ', slice(toks, (p - 1) * $SpanSeg + 1, $SpanSeg))) as g, " +
+            s"least($SpanSeg, size(toks) - (p - 1) * $SpanSeg) as ntok))")).as("sg"))
+        .select(col("doc_id"), col("sg.pos").as("pos"),
+          col("sg.g").as("g"), col("sg.ntok").as("ntok"))
+      val grp = segs.groupBy("g").agg(
+        count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("keep"))
+      val removed = col("cnt") > 1L &&
+        !(col("keep.doc_id") === col("doc_id") && col("keep.pos") === col("pos"))
+      segs.join(grp, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_seg"),
+          sum(when(col("cnt") > 1L, 1L).otherwise(0L)).as("n_dup"),
+          sum(when(removed, 1L).otherwise(0L)).as("n_removed"),
+          sum(when(removed, col("ntok").cast("long")).otherwise(0L)).as("tok_removed"))
         .orderBy("doc_id")
     }),
 
@@ -2351,6 +2402,22 @@ object Similarity {
        "coalesce(ag.n_true, 0) - coalesce(ag.n_found, 0) AS n_missed " +
        s"FROM documents d LEFT JOIN ag ON ag.p = d.doc_id " +
        s"WHERE d.doc_id < $MhRecallProbes ORDER BY d.doc_id"),
+
+    // segment grouping on raw seg TEXT (Spark groups the xxhash64 key —
+    // the dedup_substring precedent); rn = 1 over (doc_id, p) is the same
+    // canonical keeper as Spark's min(struct) since (doc_id, p) is unique
+    "dedup_span_remove" ->
+      (s"WITH s0 AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), " +
+       s"sg AS (SELECT doc_id, unnest(generate_series(1, (len(ts) + ${SpanSeg - 1}) // $SpanSeg)) AS p, ts FROM s0), " +
+       s"segs AS (SELECT doc_id, p, array_to_string(ts[(p - 1) * $SpanSeg + 1 : p * $SpanSeg], ' ') AS seg, " +
+       s"least($SpanSeg, len(ts) - (p - 1) * $SpanSeg) AS ntok FROM sg), " +
+       "mk AS (SELECT doc_id, ntok, count(*) OVER (PARTITION BY seg) AS cnt, " +
+       "row_number() OVER (PARTITION BY seg ORDER BY doc_id, p) AS rn FROM segs) " +
+       "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seg, " +
+       "CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, " +
+       "CAST(sum(CASE WHEN cnt > 1 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, " +
+       "CAST(sum(CASE WHEN cnt > 1 AND rn > 1 THEN ntok ELSE 0 END) AS BIGINT) AS tok_removed " +
+       "FROM mk GROUP BY doc_id ORDER BY doc_id"),
 
     "dedup_near_minhash" ->
       ("WITH " + minhashPairsCte + ", " +

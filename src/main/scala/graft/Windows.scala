@@ -54,6 +54,31 @@ object Windows {
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     }),
 
+    // Running-peak / maximum drawdown (round 15) — the RUNNING MAX frame
+    // the window family lacked (sum/avg/count frames exist; max is the
+    // one backing peak-tracking, high-watermark billing, and the
+    // risk-metric drawdown = how far below its running peak a series has
+    // fallen). Per customer over the (o_orderdate, o_orderkey) total
+    // order: peak = cumulative max of the order value, dd = peak − value,
+    // reported as the per-customer summary (n, final peak, max dd). All
+    // integer cents (exact DECIMAL(18,2) view of the double, ×100 —
+    // rule D2), so max/subtraction are bit-exact cross-engine. Shape: one
+    // window partitioned by the real customer key (full parallelism, no
+    // global sort) + one map-side-combinable aggregate.
+    "window_drawdown" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          (dec(col("o_totalprice"), 18, 2) * 100).cast(LongType).as("v"))
+        .withColumn("peak", max("v").over(w))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), max("peak").as("peak_cents"),
+          max(col("peak") - col("v")).as("max_dd_cents"))
+        .orderBy("o_custkey")
+    }),
+
     "window_moving_avg" -> ((s, d) => {
       val daily = events(s, d)
         .groupBy(date_trunc("day", col("ts")).cast(TimestampNTZType).as("day"))
@@ -427,6 +452,17 @@ object Windows {
        "(SELECT p_brand, p_partkey, p_retailprice, " +
        "row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rn " +
        "FROM part) WHERE rn <= 3 ORDER BY p_brand, rn"),
+
+    // identical cents view, running max, per-customer summary
+    "window_drawdown" ->
+      ("WITH v AS (SELECT o_custkey, o_orderkey, o_orderdate, " +
+       "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM orders), " +
+       "p AS (SELECT o_custkey, v, max(v) OVER (PARTITION BY o_custkey " +
+       "ORDER BY o_orderdate ASC, o_orderkey ASC " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak FROM v) " +
+       "SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, " +
+       "max(peak) AS peak_cents, max(peak - v) AS max_dd_cents " +
+       "FROM p GROUP BY o_custkey ORDER BY o_custkey"),
 
     "window_running_sum" ->
       ("SELECT o_custkey, o_orderkey, o_orderdate, " +

@@ -7,6 +7,74 @@ import TestSpark.{spark, Sf0001, Sf01}
 class AggWindowSpec extends AnyFunSuite {
   private def q(name: String) = SparkEntry.queries(name)(spark, Sf0001)
 
+  test("window_drawdown equals a JVM running-peak scan and the fixture draws down") {
+    val orders = Tables.orders(spark, Sf0001)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        (Det.dec(col("o_totalprice"), 18, 2) * 100)
+          .cast(org.apache.spark.sql.types.LongType).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2), r.getLong(3)))
+    implicit val ldtOrd: Ordering[java.time.LocalDateTime] =
+      Ordering.fromLessThan(_.isBefore(_))
+    val exp = orders.groupBy(_._1).view.mapValues { os =>
+      val seq = os.sortBy(o => (o._3, o._2)).map(_._4)
+      val peaks = seq.scanLeft(Long.MinValue)(math.max).drop(1)
+      (seq.length.toLong, peaks.max, peaks.zip(seq).map(p => p._1 - p._2).max)
+    }.toMap
+    val got = q("window_drawdown").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == exp, s"drawdown mismatch, e.g. ${(got.toSet -- exp.toSet).take(3)}")
+    // non-vacuity: some customer's order values actually fall from a peak
+    assert(got.values.exists(_._3 > 0L), "no drawdown anywhere — vacuous")
+    // both regimes exist on the fixture (2 of 150 customers never draw
+    // down — measured in DuckDB), and a current-row-inclusive peak can
+    // never sit below the value it includes
+    assert(got.values.exists(_._3 == 0L) && got.values.forall(_._3 >= 0L))
+  }
+
+  test("kmv overlap: exact regime equals truth; estimates within KMV error at sf0.1") {
+    def trueSets(sf: String): Map[java.sql.Date, Set[Long]] =
+      Tables.events(spark, sf)
+        .where(col("user_id").isNotNull)
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+        .collect().groupBy(_.getDate(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+    // exact regime (sf0.001 daily cohorts <= 15 users << k): every output
+    // column must equal the brute-force truth, estimates included
+    val t0 = trueSets(Sf0001)
+    val got0 = q("agg_kmv_overlap").collect()
+      .map(r => (r.getDate(0), r.getDate(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got0.nonEmpty)
+    got0.foreach { case ((a, b), (uSize, kInter, uEst, jacc, iEst)) =>
+      val (sa, sb) = (t0(a), t0(b))
+      // hash collisions inside a 15-user cohort at M=1e12 are impossible
+      // to observe; sizes are exact
+      val (tu, ti) = ((sa | sb).size.toLong, (sa & sb).size.toLong)
+      assert(uSize == tu && kInter == ti && uEst == tu, s"($a,$b) exact regime broken")
+      assert(jacc == ti * 1000000L / tu && iEst == jacc * tu / 1000000L)
+    }
+    // estimation regime (sf0.1: ~1330 users/day > k): union within 10%
+    // (KMV std err ~ 1/sqrt(k) ~ 6%), jaccard within 0.12, and the
+    // overlap is non-trivially partial (the reason cohorts are days)
+    val t1 = trueSets(Sf01)
+    val got1 = SparkEntry.queries("agg_kmv_overlap")(spark, Sf01).collect()
+      .map(r => (r.getDate(0), r.getDate(1)) ->
+        ((r.getLong(2), r.getLong(4), r.getLong(5)))).toMap
+    var partial = 0
+    got1.foreach { case ((a, b), (uSize, uEst, jacc)) =>
+      assert(uSize == Aggregations.KmvK, s"($a,$b) estimation regime not engaged")
+      val (sa, sb) = (t1(a), t1(b))
+      val tu = (sa | sb).size.toDouble
+      val tj = (sa & sb).size.toDouble / tu
+      assert(math.abs(uEst - tu) / tu <= 0.10, s"($a,$b) union $uEst vs $tu")
+      assert(math.abs(jacc / 1e6 - tj) <= 0.12, s"($a,$b) jacc $jacc vs $tj")
+      if (jacc > 0L && jacc < 1000000L) partial += 1
+    }
+    assert(partial > 0, "no pair has partial overlap — contract vacuous")
+  }
+
   test("exact-decimal moment stats agree with Spark's built-in corr/covar/stddev") {
     import org.apache.spark.sql.functions._
     val got = q("agg_corr_stats").collect()

@@ -290,6 +290,44 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(local == loop, s"kcore regimes disagree:\n local=$local\n loop=$loop")
   }
 
+  test("bfs distance equals a JVM frontier BFS; local regime equals the spill loop") {
+    // brute force: rebuild the thresholded co-purchase edge set, mirror,
+    // BFS from the seed slice with the same hop cap
+    val li = Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val co = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity)
+      // filter + keySet, NOT .collect — see the triangle spec's NB above
+      .filter(_._2.size >= Graph.TriMinCoOrders).keySet
+    val adj = scala.collection.mutable.HashMap[Long, Set[Long]]().withDefaultValue(Set.empty)
+    co.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val exp = scala.collection.mutable.HashMap[Long, Long]()
+    var frontier = adj.keys.filter(_ < Graph.BfsSeedCap).toSet
+    frontier.foreach(n => exp(n) = 0L)
+    var hop = 0L
+    while (frontier.nonEmpty && hop < Graph.BfsRounds) {
+      hop += 1
+      frontier = frontier.flatMap(adj(_)).filterNot(exp.contains)
+      frontier.foreach(n => exp(n) = hop)
+    }
+    val got = q("graph_bfs_distance").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exp.toMap, s"bfs mismatch, e.g. ${(got.toSet -- exp.toSet).take(3)}" +
+      s" / ${(exp.toSet -- got.toSet).take(3)}")
+    // non-vacuity: seeds exist and at least one non-seed layer was reached
+    assert(got.values.exists(_ == 0L) && got.values.exists(_ > 0L))
+    // regime equality: the driver BFS (default on this fixture) must match
+    // the distributed fixed-round relaxation row-for-row
+    System.setProperty("graft.cc.forceLoop", "true")
+    val loop =
+      try q("graph_bfs_distance").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally System.clearProperty("graft.cc.forceLoop")
+    assert(loop == got, "bfs regimes disagree")
+  }
+
   test("neighbor jaccard equals a brute-force neighbor-set top-50") {
     val got = q("graph_jaccard_neighbors").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

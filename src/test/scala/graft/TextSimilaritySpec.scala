@@ -46,6 +46,43 @@ class TextSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_span_remove equals a JVM brute force; keep-one rule preserves one copy") {
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val W = Similarity.SpanSeg
+    // (doc, pos, segText, ntok) — non-overlapping W-token segments, last
+    // segment ragged; mirrors slice()'s tail-clamping
+    val occ = docs.toSeq.flatMap { case (id, text) =>
+      val ts = text.split(" ", -1)
+      val nSeg = (ts.length + W - 1) / W
+      (1 to nSeg).map { p =>
+        val seg = ts.slice((p - 1) * W, math.min(p * W, ts.length))
+        (id, p, seg.mkString(" "), seg.length)
+      }
+    }
+    val cnt = occ.groupBy(_._3).view.mapValues(_.size).toMap
+    val keeper = occ.groupBy(_._3).view
+      .mapValues(os => os.map(o => (o._1, o._2)).min).toMap
+    val exp = occ.groupBy(_._1).view.mapValues { os =>
+      val dup = os.filter(o => cnt(o._3) > 1)
+      val rem = dup.filter(o => keeper(o._3) != ((o._1, o._2)))
+      (os.size.toLong, dup.size.toLong, rem.size.toLong, rem.map(_._4.toLong).sum)
+    }.toMap
+    val got = q("dedup_span_remove").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet == docs.keySet)
+    got.foreach { case (id, g) => assert(g == exp(id), s"doc $id: $g vs ${exp(id)}") }
+    // non-vacuity + the keep-one rule: something was removed, and every
+    // duplicated segment retains EXACTLY one occurrence corpus-wide
+    assert(got.values.map(_._3).sum > 0, "no segment was ever removed")
+    val removedTotal = got.values.map(_._3).sum
+    val dupOccTotal = occ.count(o => cnt(o._3) > 1)
+    val dupSegTypes = cnt.count(_._2 > 1)
+    assert(removedTotal == dupOccTotal - dupSegTypes,
+      "removed != duplicated occurrences minus one keeper per segment type")
+  }
+
   test("text_gopher_rules equals a JVM reference and every rule fires both ways") {
     val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
