@@ -201,6 +201,62 @@ object Bpe {
       documents(s, d).where(pmod(col("doc_id"), lit(10L)) =!= lit(NovelResidue)),
       Sources.fixtureKey(d, "documents") + s":bpe_train10:$BpeMerges", BpeMerges, BpeBatchK)
 
+  /** GPT-2-family regex pre-tokenizer (VERDICT r15 #2), simplified to the
+    * three alternatives this corpus can exercise: letter runs, digit runs,
+    * and punctuation runs, each with its LEADING SPACE attached (" the" is
+    * a different pretoken than "the" — the published byte-level design
+    * decision that lets the vocabulary encode word boundaries without a
+    * whitespace token). Same semantics under Java regex (Spark) and RE2
+    * (DuckDB): no lookarounds, no escapes, no quotes.
+    */
+  val BytePretokRe = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+  /** Pretoken-frequency frame for the byte-level learner — [[wordFreq]]
+    * with the regex pre-tokenizer in place of the whitespace split.
+    */
+  private[graft] def byteWordFreq(corpus: DataFrame): DataFrame =
+    corpus
+      .select(explode(expr(s"regexp_extract_all(text, '$BytePretokRe', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  private val byteAsciiChecked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** BYTE-level BPE artifacts: the char-level [[learnLoopWf]] machinery
+    * over regex pretokens, under the GPT-2 byte↔unicode identification.
+    * On this corpus the byte→char map is the IDENTITY — the fixture is
+    * pure ASCII (verified loudly below: a non-ASCII codepoint would make
+    * char ≠ UTF-8 byte and the symbol arithmetic silently wrong, the
+    * MaxWordLen-style contract), so "symbol" and "byte" coincide and one
+    * merge loop serves both tokenizer families. Full GPT-2 generality
+    * (bytes ≥ 128 rendered as the printable-unicode alias table) changes
+    * only the seed map, never the loop. The ASCII check reads the SPILLED
+    * vocabulary-sized pretoken frame, not the corpus, and runs once per
+    * artifact (memo below).
+    */
+  private[graft] def learnBytes(s: SparkSession, d: String): (String, String, String) = {
+    val art = learnLoopWf(s, byteWordFreq(documents(s, d)),
+      Sources.fixtureKey(d, "documents") + s":bpe_bytes:$BpeMerges", BpeMerges, BpeBatchK)
+    if (byteAsciiChecked.add(art._3)) {
+      val mx = s.read.parquet(art._3)
+        .agg(max(expr("array_max(transform(split(word, ''), c -> ascii(c)))")))
+        .collect()(0).getInt(0)
+      require(mx < 128,
+        s"corpus codepoint $mx >= 128: byte-level BPE's byte==char identity " +
+          "needs the GPT-2 byte alias table for non-ASCII input")
+    }
+    art
+  }
+
+  /** Byte-level id space: 0 = PAD, bytes 0–255 ↦ ids 1–256 STRUCTURALLY
+    * (every possible input byte has an id whether or not the corpus ever
+    * produced it — GPT-2's base-vocabulary design), merge rank r ↦ 256+r.
+    * There is NO UNK id: any input text decomposes into bytes and every
+    * byte is in-vocabulary, which is the whole point of byte-level BPE —
+    * ByteBpeSpec pins that encoding never-seen characters yields ids with
+    * zero fallbacks and exact round-trip.
+    */
+  val ByteIdBase = 256L
+
   /** The batched learning loop (VERDICT r13 #1); returns (mergesPath,
     * symsPath, wfPath). Each distributed round: one pair-count aggregate
     * whose sorted (batchK+1)-row head is a bounded driver collect,
@@ -219,11 +275,22 @@ object Bpe {
     * 2·rounds, rounds ≈ nMerges / E[batch] (measured in DESIGN.md r14).
     */
   private[graft] def learnLoop(s: SparkSession, corpus: DataFrame, key: String,
+      nMerges: Int, batchK: Int): (String, String, String) =
+    learnLoopWf(s, wordFreq(corpus), key, nMerges, batchK)
+
+  /** [[learnLoop]] over an explicit word-frequency frame — the seam that
+    * lets the BYTE-level learner feed regex pretokens (leading spaces and
+    * all) through the identical merge machinery: every step below is
+    * string-agnostic (seeding substr's any symbol string, pair counting
+    * groups on it), so char-level and byte-level BPE share one loop and
+    * one serial-equivalence proof.
+    */
+  private[graft] def learnLoopWf(s: SparkSession, wf0: DataFrame, key: String,
       nMerges: Int, batchK: Int): (String, String, String) = {
     val cached = bpeSpill.get(key)
     if (cached != null) return cached
     val wfPath = Sources.tmpUnique("bpe_wf")
-    wordFreq(corpus).write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(wfPath)
+    wf0.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(wfPath)
     val wf = s.read.parquet(wfPath)
     val w = Window.partitionBy("word").orderBy("pos")
     // seed: one row per (word, char position)
@@ -478,10 +545,15 @@ object Bpe {
       .withColumn("subs",
         org.apache.spark.sql.graft.BpeOps.bpe_apply(col("word"),
           ml.map { case (_, s1, s2) => (s1, s2) }))
+      // UNK=1 fallback, same contract as text_bpe_encode_novel: streaming
+      // ingest is exactly where unseen text appears, and a bare element_at
+      // would return null — concat_ws silently drops nulls while size()
+      // still counts them, an inconsistent row (ADVICE r15). With coalesce
+      // the row degrades to UNK=1 and n_sub == tokens in ids_w always.
       .select(col("doc_id"), col("pos"),
-        expr(s"size(transform(subs, x -> element_at(map($mapArgs), x)))")
+        expr(s"size(transform(subs, x -> coalesce(element_at(map($mapArgs), x), 1L)))")
           .cast(LongType).as("n_sub"),
-        expr(s"concat_ws(' ', transform(subs, x -> CAST(element_at(map($mapArgs), x) AS STRING)))")
+        expr(s"concat_ws(' ', transform(subs, x -> CAST(coalesce(element_at(map($mapArgs), x), 1L) AS STRING)))")
           .as("ids_w"))
   }
 
@@ -620,11 +692,12 @@ object Bpe {
     * default arguments the generated SQL is byte-identical to the
     * original single-corpus chain.
     */
-  private def roundCtesWith(trainWhere: String, extraWords: Option[String]): String = {
+  private def roundCtesWith(trainWhere: String, extraWords: Option[String],
+      tokUnnest: String = "unnest(string_split(text, ' '))"): String = {
     val sb = new StringBuilder
     val docFilter = if (trainWhere.isEmpty) "" else s" WHERE $trainWhere"
     sb ++= "wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM " +
-      s"(SELECT unnest(string_split(text, ' ')) AS word FROM documents$docFilter) GROUP BY word), "
+      s"(SELECT $tokUnnest AS word FROM documents$docFilter) GROUP BY word), "
     val seedSrc = extraWords match {
       case None => "wf"
       case Some(sel) =>

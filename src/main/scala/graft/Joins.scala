@@ -1267,7 +1267,11 @@ object Joins {
     "tpch_q12_like" ->
       ("SELECT l_linestatus, " +
        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
-       "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count " +
+       // low is the explicit complement (THEN 0 ELSE 1), not NOT IN: on a
+       // NULL priority NOT IN yields NULL -> ELSE 0, while Spark's
+       // .otherwise(1L) counts the row — complement form makes both sides
+       // count NULL as low (ADVICE r15).
+       "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count " +
        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
        "GROUP BY l_linestatus ORDER BY l_linestatus"),

@@ -175,12 +175,19 @@ object Similarity {
     * compare hash-invariant counts only); MinHash's oracle must REPRODUCE
     * the banding itself, so its hash family has to be SQL-expressible.
     */
-  private[graft] def portableShingles(s: SparkSession, d: String): DataFrame = {
+  private[graft] def portableShingles(s: SparkSession, d: String): DataFrame =
+    portableShinglesOf(documents(s, d))
+
+  /** Frame-level form of [[portableShingles]] — over any (doc_id, text)
+    * frame, so the recall harness can run the identical shingle pipeline
+    * on an ENGINEERED corpus (MinhashRecallSpec) as on the fixture.
+    */
+  private[graft] def portableShinglesOf(docs: DataFrame): DataFrame = {
     val parts = (0 until 3).map(k => s"get(toks, i${if (k == 0) "-1" else s"+${k - 1}"})")
       .mkString(", ")
     def fold(m: Int) = "aggregate(transform(split(raw, ''), c -> ascii(c)), 0L, " +
       s"(acc, x) -> pmod(acc * $m + x, ${PortP}L))"
-    documents(s, d)
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(
         expr(s"transform(sequence(1, greatest(size(toks) - 2, 1)), " +
@@ -418,6 +425,40 @@ object Similarity {
     * every round. At 100 TB this spill IS the persisted near-dup pair
     * table a production pipeline maintains next to its band index.
     */
+  /** Recall harness over an ARBITRARY (doc_id, text) frame: exact-Jaccard
+    * truth pairs (≥ threshold, from the same portable shingle pipeline the
+    * index uses) left-joined against the banded candidate pairs — one row
+    * per TRUE pair with its found flag. The engineered-corpus entry point
+    * (VERDICT r15 #5): the fixture's own near-dup population happens to
+    * collide in every band (recall 1.0 — a vacuous measurement), so
+    * MinhashRecallSpec feeds this a synthetic corpus of 0.8 ≤ s < 1 pairs
+    * where the 4×4 S-curve predicts real misses, and checks the measured
+    * miss rate against 1-(1-s^r)^b. Candidates (not verified pairs) are
+    * the found side: a true pair that collides always survives exact-
+    * Jaccard verification, so truth ∩ candidates = truth ∩ verified.
+    */
+  private[graft] def minhashRecallOf(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = portableShinglesOf(docs)
+    val bands = minhashBands(minhashSigsFused(docs.select("doc_id", "text")))
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "sig"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("da"), col("g"))
+      .join(sh.select(col("doc_id").as("db"), col("g")), "g")
+      .where(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    val thrNum = math.round(threshold * 1000000).toInt
+    inter
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .where(col("inter") * 1000000L >= (col("na") + col("nb") - col("inter")) * thrNum)
+      .join(cand.withColumn("hit", lit(1L)), Seq("da", "db"), "left")
+      .select(col("da"), col("db"), col("inter"), col("na"), col("nb"),
+        coalesce(col("hit"), lit(0L)).as("found"))
+  }
+
   def minhashCandidates(s: SparkSession, d: String, threshold: Double): DataFrame =
     Sources.memoSpill(s,
         Sources.fixtureKey(d, "documents") + s":mh_pairs:$threshold", "mh_pairs") {
@@ -1675,7 +1716,12 @@ object Similarity {
           Window.partitionBy("qid").orderBy(col("qc").desc, col("cid").asc)))
         .where(col("pk") <= 4)
         .select("qid", "qe", "qn", "cid")
-      probes.join(lists, Seq("cid"))
+      // the probed lists join BROADCASTS the probe side (nqueries × nprobe
+      // rows — bounded and tiny vs the corpus-sized lists): without the
+      // hint Catalyst sort-merge-joins on cid, shuffling the ENTIRE list
+      // table for a 40-row probe frame (VERDICT r15 #3; the ivfpq probe
+      // join set the precedent, pinned in PlanRegressionSpec)
+      broadcast(probes).join(lists, Seq("cid"))
         .where(col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id").as("nn"),
           (vec_dot(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))

@@ -213,6 +213,103 @@ object TextOps {
     s"FROM (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, " +
     s"CAST(SUM(tf * surp_micro) AS BIGINT) AS bits_sum FROM ${p}sp GROUP BY doc_id))"
 
+  /** Per-doc mean BIGRAM surprisal (millibits) at or above which
+    * `text_lm_surprisal_bigram` flags a document. Measured on the fixture
+    * before wiring (rule: constants are non-vacuous at every SF): the
+    * add-one bigram score distribution sits at median ≈ 4.9 bits with a
+    * p95–p97 shoulder just under 5.0, so 5000 flags the rare-transition
+    * tail — 9/500 at sf0.001, 14/500 at sf0.01, 154/5000 at sf0.1.
+    */
+  val BigramFlagMilli = 5000L
+
+  /** Whole-corpus (doc_id, prev, w, tf) BIGRAM index — the standing
+    * artifact behind the bigram LM family, the bigram analogue of
+    * [[tfIndex]] (one fixture-keyed build, read thereafter). Every token
+    * gets a context: position 1's predecessor is the BOS sentinel chr(1)
+    * (a codepoint the space-tokenized fixture vocabulary cannot contain),
+    * so c(BOS, w) counts document-initial words and c(BOS) = #docs — the
+    * standard sentence-boundary convention, and it keeps per-doc token
+    * counts identical to the unigram scorer's. The transform-over-
+    * sequence form builds (prev, w) pairs map-side from the token array —
+    * no per-doc window, no shuffle before the (doc_id, prev, w)
+    * aggregate, which is the index's one exchange.
+    */
+  private[graft] def biIndex(s: SparkSession, d: String): DataFrame =
+    Sources.memoSpill(s,
+        Sources.fixtureKey(d, "documents") + ":bigram_tf", "bigram_tf") {
+      documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ts)), i -> struct(" +
+          "CASE WHEN i = 1 THEN chr(1) ELSE get(ts, i-2) END AS prev, " +
+          "get(ts, i-1) AS w))")).as("bg"))
+        .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.w").as("w"))
+        .groupBy("doc_id", "prev", "w").agg(count(lit(1)).as("tf"))
+    }
+
+  /** Per-doc mean bigram surprisal frame (doc_id, n_tokens,
+    * surprisal_millibits) — the CCNet filter position upgraded from
+    * unigram to a conditional model: each token is scored under add-one
+    * (Laplace) smoothed P(w|prev) = (c(prev,w)+1) / (c(prev)+V), V the
+    * corpus token-type count, so unseen-in-context transitions get a
+    * finite surprisal instead of ∞ and the smoothing stays ALL-INTEGER —
+    * surprisal = log2µ(c(prev)+V) − log2µ(c(prev,w)+1) in the exact
+    * fixed-point [[log2MicroSql]] kernel, same D5 contract as [[lmScores]]
+    * (no libm, hash-matches DuckDB bit-for-bit). Add-one is the degenerate
+    * (k=1) case of the Katz/Jelinek-Mercer backoff family; a production
+    * deployment swaps the +1/+V constants for per-context backoff weights,
+    * the plan shape below is unchanged.
+    *
+    * Plan shape at 100 TB: the memoized standing bigram index, a
+    * (prev, w)-keyed count aggregate (mergeable partials, vocab²-bounded
+    * output), a prev-keyed rollup of THAT frame (vocab-bounded — never a
+    * second corpus pass), a 1-row type-count broadcast, two equi-joins on
+    * the bigram/context keys, and one per-doc re-aggregate. Same model
+    * coupling note as [[lmScores]]: scores are against the corpus's own
+    * model; the persisted cb/cc frames ARE the freezable reference
+    * artifact.
+    */
+  private[graft] def lmScoresBigram(s: SparkSession, d: String): DataFrame = {
+    val bi = biIndex(s, d)
+    val cb = bi.groupBy("prev", "w").agg(lsum(col("tf")).as("cb"))
+    val cc = cb.groupBy("prev").agg(lsum(col("cb")).as("cc"))
+    val v = cb.select("w").distinct().agg(count(lit(1)).as("v"))
+    bi.join(cb, Seq("prev", "w")).join(cc, Seq("prev")).crossJoin(broadcast(v))
+      .withColumn("surp_micro",
+        expr(s"${log2MicroSql("(cc + v)")} - ${log2MicroSql("(cb + 1)")}"))
+      .groupBy("doc_id")
+      .agg(lsum(col("tf")).as("n_tokens"),
+        lsum(expr("tf * surp_micro")).as("bits_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(bits_sum div n_tokens) div 1000").as("surprisal_millibits"))
+  }
+
+  /** Shared DuckDB-oracle fragment for the bigram scoring chain — the
+    * bigram analogue of [[lmScoreCtes]], ONE definition site reused by
+    * both bigram oracles. The BOS convention, add-one arithmetic, and
+    * fixed-point kernel mirror [[lmScoresBigram]] token-for-token
+    * (`//` ≡ Spark `div` on the non-negative operands; chr(1) identical
+    * on both engines; DuckDB ts[i] is 1-based where Spark get() is
+    * 0-based, hence ts[i-1] vs get(ts, i-2) for the same predecessor).
+    */
+  private[graft] def bigramScoreCtes(p: String = ""): String =
+    s"${p}btok AS (SELECT doc_id, bg.prev AS prev, bg.w AS w FROM (" +
+    "SELECT doc_id, unnest(list_transform(generate_series(1, len(ts)), " +
+    "i -> struct_pack(prev := CASE WHEN i = 1 THEN chr(1) ELSE ts[i-1] END, " +
+    "w := ts[i]))) AS bg " +
+    s"FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents))), " +
+    s"${p}btf AS (SELECT doc_id, prev, w, CAST(count(*) AS BIGINT) AS tf " +
+    s"FROM ${p}btok GROUP BY 1, 2, 3), " +
+    s"${p}bcb AS (SELECT prev, w, CAST(SUM(tf) AS BIGINT) AS cb FROM ${p}btf GROUP BY 1, 2), " +
+    s"${p}bcc AS (SELECT prev, CAST(SUM(cb) AS BIGINT) AS cc FROM ${p}bcb GROUP BY 1), " +
+    s"${p}bv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM ${p}bcb), " +
+    s"${p}bsp AS (SELECT doc_id, tf, " +
+    s"${log2MicroSql("(cc + v)", "//")} - ${log2MicroSql("(cb + 1)", "//")} AS surp_micro " +
+    s"FROM ${p}btf JOIN ${p}bcb USING (prev, w) JOIN ${p}bcc USING (prev) CROSS JOIN ${p}bv), " +
+    s"${p}bsc AS (SELECT doc_id, n_tokens, (bits_sum // n_tokens) // 1000 AS sm " +
+    s"FROM (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, " +
+    s"CAST(SUM(tf * surp_micro) AS BIGINT) AS bits_sum FROM ${p}bsp GROUP BY doc_id))"
+
   /** Portable content fingerprint: polynomial rolling hash over codepoints,
     * mod 1e9+7, folded left-to-right in BIGINT — deterministic and
     * engine-portable. Shared by `text_fingerprint`, its oracle, and
@@ -597,6 +694,41 @@ object TextOps {
     "sample_perplexity_band" -> ((s, d) => {
       val wLang = Window.partitionBy("lang")
       lmScores(s, d)
+        .join(documents(s, d).select("doc_id", "lang"), "doc_id")
+        .withColumn("rnk", row_number().over(
+          wLang.orderBy(col("surprisal_millibits").asc, col("doc_id").asc)))
+        .withColumn("n", count(lit(1)).over(wLang))
+        .withColumn("band",
+          when(col("rnk") * 3 <= col("n"), "head")
+            .when(col("rnk") * 3 <= col("n") * 2, "middle")
+            .otherwise("tail"))
+        .select(col("doc_id"), col("lang"), col("surprisal_millibits"),
+          col("band"), (col("rnk") * 3 <= col("n") * 2).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // Bigram-LM quality scoring — the CCNet filter position upgraded to a
+    // conditional model (VERDICT r15 #1): mean per-token surprisal under
+    // add-one P(w|prev), exact fixed-point throughout (see
+    // [[lmScoresBigram]] for the model, smoothing, and 100 TB plan shape).
+    // The flag cut is [[BigramFlagMilli]], measured non-vacuous at every SF.
+    "text_lm_surprisal_bigram" -> ((s, d) =>
+      lmScoresBigram(s, d)
+        .withColumn("flagged",
+          col("surprisal_millibits") >= lit(BigramFlagMilli))
+        .orderBy("doc_id")),
+
+    // Perplexity banding re-cut under the bigram scores — same per-language
+    // tercile contract as sample_perplexity_band (rank + count share one
+    // window; integer cross-multiplication band edges), but ranking by the
+    // conditional-model surprisal, which separates "rare words" from "rare
+    // transitions" (a doc of common words in scrambled order scores high
+    // here and low under the unigram model — the fluency signal CCNet's
+    // LM actually measures). Same 100 TB note: the exact per-lang ranking
+    // becomes a sampled-threshold pass at scale, band contract unchanged.
+    "sample_perplexity_band_bigram" -> ((s, d) => {
+      val wLang = Window.partitionBy("lang")
+      lmScoresBigram(s, d)
         .join(documents(s, d).select("doc_id", "lang"), "doc_id")
         .withColumn("rnk", row_number().over(
           wLang.orderBy(col("surprisal_millibits").asc, col("doc_id").asc)))
@@ -1167,6 +1299,26 @@ object TextOps {
        "CASE WHEN rnk * 3 <= n THEN 'head' WHEN rnk * 3 <= n * 2 THEN 'middle' " +
        "ELSE 'tail' END AS band, rnk * 3 <= n * 2 AS keep " +
        "FROM r ORDER BY doc_id"),
+
+    // bigram chain mirrored from ONE fragment site ([[bigramScoreCtes]]);
+    // same `//` ≡ `div` + bin()/power() exactness notes as the unigram pair
+    "text_lm_surprisal_bigram" ->
+      ("WITH " + bigramScoreCtes() +
+       " SELECT doc_id, n_tokens, sm AS surprisal_millibits, " +
+       s"sm >= $BigramFlagMilli AS flagged " +
+       "FROM bsc ORDER BY doc_id"),
+
+    "sample_perplexity_band_bigram" ->
+      ("WITH " + bigramScoreCtes() +
+       ", bwl AS (SELECT bsc.doc_id, d.lang, bsc.sm FROM bsc " +
+       "JOIN documents d USING (doc_id)), " +
+       "br AS (SELECT doc_id, lang, sm, " +
+       "row_number() OVER (PARTITION BY lang ORDER BY sm, doc_id) AS rnk, " +
+       "count(*) OVER (PARTITION BY lang) AS n FROM bwl) " +
+       "SELECT doc_id, lang, sm AS surprisal_millibits, " +
+       "CASE WHEN rnk * 3 <= n THEN 'head' WHEN rnk * 3 <= n * 2 THEN 'middle' " +
+       "ELSE 'tail' END AS band, rnk * 3 <= n * 2 AS keep " +
+       "FROM br ORDER BY doc_id"),
 
     "sample_importance_weighted" ->
       ("SELECT doc_id, source, n_tok, n_uniq FROM " +

@@ -93,8 +93,8 @@ object Unigram {
 
   private def learnFrom(s: SparkSession, d: String,
       trainOnly: Boolean): (Seq[(String, Long, Long)], Long) = {
-    val split = if (trainOnly) ":train" else ""
-    val key = Sources.fixtureKey(d, "documents") + s":unigram:$MaxSub:$SeedK:$EmRounds$split"
+    val splitTag = if (trainOnly) ":train" else ""
+    val key = Sources.fixtureKey(d, "documents") + s":unigram:$MaxSub:$SeedK:$EmRounds$splitTag"
     val cached = uniMemo.get(key)
     if (cached != null) return cached
     val docs0 = documents(s, d)
@@ -109,6 +109,18 @@ object Unigram {
     val maxLen = wf.agg(max(length(col("word")))).collect()(0).getInt(0)
     require(maxLen <= MaxWordLen,
       s"fixture word length $maxLen exceeds the oracle DP unroll $MaxWordLen")
+    // The novel-encode path runs the oracle DP over HELD-OUT words too, so
+    // on a train-only learn the bound must hold over the full corpus — a
+    // held-out word longer than MaxWordLen would be silently truncated by
+    // the oracle's unroll, the exact divergence this require makes loud
+    // (ADVICE r15). One cheap max-agg scan, paid once per memoized model.
+    if (trainOnly) {
+      val maxLenAll = docs0
+        .select(explode(split(col("text"), " ")).as("word"))
+        .agg(max(length(col("word")))).collect()(0).getInt(0)
+      require(maxLenAll <= MaxWordLen,
+        s"held-out word length $maxLenAll exceeds the oracle DP unroll $MaxWordLen")
+    }
     // seed: occurrence-weighted substring counts, lengths 1..MaxSub
     // (empty-word guard: Spark sequence(1, 0) descends — the Bpe seed
     // precedent)
