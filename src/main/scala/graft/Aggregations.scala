@@ -29,6 +29,70 @@ object Aggregations {
   val KmvK = 256
   val KmvM = 1000000000000L
 
+  /** The per-day bottom-k sketch frame (t, h) — the KB-sized artifact the
+    * whole KMV family reads. Deterministic two-level pick: k smallest per
+    * (day, salt%64) window (64-way parallel), then k smallest of the ≤64k
+    * survivors per day — never a full-set sort, never a giant window
+    * partition (bottom-k is associative, so the two-level pick equals the
+    * one-level one the oracle runs). Fixture-keyed memoSpill (the
+    * dedup-pair-table pattern): referenced three times by the pair stage
+    * (day list + both sides) — an inline chain would re-run the
+    * raw-events distinct per reference, tripling the only corpus-sized
+    * stage. [[KmvStore]] promotes this same frame to a CROSS-SESSION
+    * parquet artifact (VERDICT r15 #8).
+    */
+  private[graft] def kmvSketchFrame(s: SparkSession, d: String): DataFrame = {
+    val h0 = events(s, d)
+      .where(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("t"), mhash(col("user_id"), KmvM).as("h"))
+      .distinct()
+    val l1 = h0.withColumn("salt", pmod(col("h"), lit(64L)))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("t", "salt").orderBy("h")))
+      .where(col("rn") <= KmvK).drop("salt", "rn")
+    Sources.memoSpill(s,
+        Sources.fixtureKey(d, "events") + ":kmv_sketch", "kmv_sketch") {
+      l1.withColumn("rn", row_number()
+          .over(Window.partitionBy("t").orderBy("h")))
+        .where(col("rn") <= KmvK).drop("rn")
+    }
+  }
+
+  /** Day-pair overlap estimation over ANY (t, h) sketch frame — shared by
+    * `agg_kmv_overlap` (in-process spill) and `kmv_overlap_probe` (the
+    * persisted [[KmvStore]]), so the two surfaces answer from the SAME
+    * arithmetic by construction. All-integer: U = k smallest of the
+    * sketch union, K∩ = union members present in both sketches (h ≤
+    * kth-of-union ⇒ h in the member sketch), Jaccard micro-fixed-point,
+    * union ≈ (k−1)·M/h_k, intersection = product. Exact regime when
+    * |U| < k.
+    */
+  private[graft] def kmvOverlapOf(sk: DataFrame): DataFrame = {
+    val tt = sk.select(col("t")).distinct()
+    val tp = tt.as("x").join(tt.as("y"), col("x.t") < col("y.t"))
+      .select(col("x.t").as("ta"), col("y.t").as("tb"))
+    val ea = tp.join(sk.withColumnRenamed("t", "ta"), Seq("ta"))
+      .select("ta", "tb", "h")
+    val eb = tp.join(sk.withColumnRenamed("t", "tb"), Seq("tb"))
+      .select("ta", "tb", "h")
+    val u = ea.unionAll(eb)
+      .groupBy("ta", "tb", "h").agg(count(lit(1)).as("nsrc"))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("ta", "tb").orderBy("h")))
+      .where(col("rn") <= KmvK)
+    val unionEst = when(col("u_size") < KmvK, col("u_size"))
+      .otherwise(expr(s"(${KmvK - 1} * cast($KmvM as bigint)) div hk"))
+    u.groupBy("ta", "tb")
+      .agg(count(lit(1)).as("u_size"), max("h").as("hk"),
+        sum(when(col("nsrc") === 2L, 1L).otherwise(0L)).as("k_inter"))
+      .select(col("ta"), col("tb"), col("u_size"), col("k_inter"),
+        unionEst.as("union_est"),
+        expr("k_inter * 1000000 div u_size").as("jacc_micro"))
+      .withColumn("inter_est",
+        expr("jacc_micro * union_est div 1000000"))
+      .orderBy("ta", "tb")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_global" -> ((s, d) =>
       lineitem(s, d).agg(
@@ -207,52 +271,8 @@ object Aggregations {
     // at ingest and answers any later day-pair retention/overlap question
     // from sketches alone — the agg_sketch_merge pattern extended to the
     // non-mergeable-looking INTERSECTION.
-    "agg_kmv_overlap" -> ((s, d) => {
-      val h0 = events(s, d)
-        .where(col("user_id").isNotNull)
-        .select(to_date(col("ts")).as("t"), mhash(col("user_id"), KmvM).as("h"))
-        .distinct()
-      val l1 = h0.withColumn("salt", pmod(col("h"), lit(64L)))
-        .withColumn("rn", row_number()
-          .over(Window.partitionBy("t", "salt").orderBy("h")))
-        .where(col("rn") <= KmvK).drop("salt", "rn")
-      // fixture-keyed memoSpill (the dedup-pair-table pattern): the
-      // sketch frame (days × k rows, KBs) is referenced three times
-      // below (day list + both pair sides) — an inline chain would
-      // re-run the raw-events distinct per reference, tripling the only
-      // corpus-sized stage. The spill is also the op's POINT: at 100 TB
-      // this parquet IS the per-day sketch store the ingest job persists,
-      // and the pair stage never touches raw events again.
-      val sk = Sources.memoSpill(s,
-          Sources.fixtureKey(d, "events") + ":kmv_sketch", "kmv_sketch") {
-        l1.withColumn("rn", row_number()
-            .over(Window.partitionBy("t").orderBy("h")))
-          .where(col("rn") <= KmvK).drop("rn")
-      }
-      val tt = sk.select(col("t")).distinct()
-      val tp = tt.as("x").join(tt.as("y"), col("x.t") < col("y.t"))
-        .select(col("x.t").as("ta"), col("y.t").as("tb"))
-      val ea = tp.join(sk.withColumnRenamed("t", "ta"), Seq("ta"))
-        .select("ta", "tb", "h")
-      val eb = tp.join(sk.withColumnRenamed("t", "tb"), Seq("tb"))
-        .select("ta", "tb", "h")
-      val u = ea.unionAll(eb)
-        .groupBy("ta", "tb", "h").agg(count(lit(1)).as("nsrc"))
-        .withColumn("rn", row_number()
-          .over(Window.partitionBy("ta", "tb").orderBy("h")))
-        .where(col("rn") <= KmvK)
-      val unionEst = when(col("u_size") < KmvK, col("u_size"))
-        .otherwise(expr(s"(${KmvK - 1} * cast($KmvM as bigint)) div hk"))
-      u.groupBy("ta", "tb")
-        .agg(count(lit(1)).as("u_size"), max("h").as("hk"),
-          sum(when(col("nsrc") === 2L, 1L).otherwise(0L)).as("k_inter"))
-        .select(col("ta"), col("tb"), col("u_size"), col("k_inter"),
-          unionEst.as("union_est"),
-          expr("k_inter * 1000000 div u_size").as("jacc_micro"))
-        .withColumn("inter_est",
-          expr("jacc_micro * union_est div 1000000"))
-        .orderBy("ta", "tb")
-    }),
+    "agg_kmv_overlap" -> ((s, d) =>
+      kmvOverlapOf(kmvSketchFrame(s, d))),
 
     // Exact weighted percentiles (round 10): the smallest value whose
     // cumulative weight reaches p% of the group's total — here

@@ -247,6 +247,10 @@ object Bpe {
     art
   }
 
+  /** The byte-level merge list (rank, s1, s2) — ByteBpeSpec's entry point. */
+  private[graft] def byteMergeList(s: SparkSession, d: String): Seq[(Long, String, String)] =
+    mergeListFrom(s, learnBytes(s, d))
+
   /** Byte-level id space: 0 = PAD, bytes 0–255 ↦ ids 1–256 STRUCTURALLY
     * (every possible input byte has an id whether or not the corpus ever
     * produced it — GPT-2's base-vocabulary design), merge rank r ↦ 256+r.
@@ -637,6 +641,54 @@ object Bpe {
     // No standing spill: the held-out slice is 10% of the corpus and the
     // fold is native (~1µs/word) — one map-side pass per run, the only
     // shuffle the per-doc re-aggregate.
+    // BYTE-level BPE merge table (VERDICT r15 #2): the GPT-2 family —
+    // regex pretokens with leading spaces attached ([[BytePretokRe]]),
+    // merges learned over the byte stream (== char stream on this ASCII
+    // corpus, loudly checked in [[learnBytes]]). Space is an ordinary
+    // symbol here, so the table learns boundary merges (" t", " s"…) the
+    // whitespace-split char BPE structurally cannot — compare the two
+    // vocab outputs to see the published design difference directly.
+    "text_bpe_bytes_vocab" -> ((s, d) =>
+      mergesFrameFrom(s, learnBytes(s, d)).orderBy("rank")),
+
+    // Byte-level subword encoding: regex pretokenize, apply the byte merge
+    // fold (same native BpeApply), then ids under the STRUCTURAL byte id
+    // space ([[ByteIdBase]] doc): single-byte symbols map by arithmetic
+    // (ascii+1 — every possible byte has an id, no table), multi-byte
+    // symbols are exactly the merge outputs so the literal merge map is
+    // total over them — element_at cannot return null BY CONSTRUCTION,
+    // which is the "UNK structurally unreachable" property this family
+    // exists for (ByteBpeSpec pins it on never-seen characters).
+    // Plan shape = encodeStream's: one map-side pass (native fold, no
+    // interpreted HOF in the hot path), the per-doc re-aggregate the only
+    // shuffle.
+    "text_bpe_bytes_encode" -> ((s, d) => {
+      val art = learnBytes(s, d)
+      val ml = mergeListFrom(s, art)
+      val mapArgs = ml
+        .map { case (r, s1, s2) => s"'${sqlLit(s1 + s2)}', ${ByteIdBase + r}L" }
+        .mkString(", ")
+      documents(s, d)
+        .select(col("doc_id"),
+          posexplode(expr(s"regexp_extract_all(text, '$BytePretokRe', 0)"))
+            .as(Seq("pos", "word")))
+        .withColumn("subs",
+          org.apache.spark.sql.graft.BpeOps.bpe_apply(col("word"),
+            ml.map { case (_, s1, s2) => (s1, s2) }))
+        .select(col("doc_id"), col("pos"),
+          size(col("subs")).cast(LongType).as("n_sub"),
+          expr(s"concat_ws(' ', transform(subs, x -> CAST(CASE WHEN length(x) = 1 " +
+            s"THEN ascii(x) + 1 ELSE element_at(map($mapArgs), x) END AS STRING)))")
+            .as("ids_w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum("n_sub").as("n_sub"),
+          collect_list(struct(col("pos"), col("ids_w"))).as("pid"))
+        .withColumn("ids_str",
+          expr("concat_ws(' ', transform(array_sort(pid), x -> x.ids_w))"))
+        .select("doc_id", "n_tok", "n_sub", "ids_str")
+        .orderBy("doc_id")
+    }),
+
     "text_bpe_encode_novel" -> ((s, d) => {
       val art = learnTrain(s, d)
       val ml = mergeListFrom(s, art)
@@ -682,6 +734,13 @@ object Bpe {
     * would expand the reference tree exponentially in rounds.
     */
   private def roundCtes: String = roundCtesWith("", None)
+
+  /** The byte-level chain: identical serial machinery, seeded from the
+    * regex pretokens (group 0 = whole match on both engines; DuckDB's
+    * default group is already 0).
+    */
+  private def byteRoundCtes: String = roundCtesWith("", None,
+    s"unnest(regexp_extract_all(text, '$BytePretokRe'))")
 
   /** Parameterized CTE chain (VERDICT r13 #2). `trainWhere` restricts the
     * TRAINING corpus (wf — the frame pair counts join against); when
@@ -755,6 +814,32 @@ object Bpe {
         s"CAST(count(*) AS BIGINT) AS n_sub FROM s$BpeMerges JOIN vocab v USING (sym) GROUP BY word), " +
         "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word, " +
         "unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos FROM documents) " +
+        "SELECT doc_id, count(*) AS n_tok, CAST(sum(n_sub) AS BIGINT) AS n_sub, " +
+        "string_agg(ids_w, ' ' ORDER BY pos) AS ids_str " +
+        "FROM tok JOIN wsub USING (word) GROUP BY doc_id ORDER BY doc_id"),
+
+    "text_bpe_bytes_vocab" ->
+      (s"WITH $byteRoundCtes " +
+        (1 to BpeMerges).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS rank, s1, s2, s1 || s2 AS merged, " +
+          s"CAST(c AS BIGINT) AS pair_count FROM b$r").mkString(" UNION ALL ") +
+        " ORDER BY rank"),
+
+    // ids by the structural byte arithmetic (ascii+1) for single-byte
+    // symbols, 256+rank via the merge table otherwise — the LEFT JOIN can
+    // only miss on single-byte symbols, where the CASE never reads it
+    "text_bpe_bytes_encode" ->
+      (s"WITH $byteRoundCtes, " +
+        "mtab AS (" +
+        (1 to BpeMerges).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS rank, s1 || s2 AS merged FROM b$r")
+          .mkString(" UNION ALL ") + "), " +
+        "wsub AS (SELECT word, string_agg(CAST(CASE WHEN len(sym) = 1 " +
+        s"THEN ascii(sym) + 1 ELSE $ByteIdBase + m.rank END AS VARCHAR), ' ' ORDER BY pos) AS ids_w, " +
+        s"CAST(count(*) AS BIGINT) AS n_sub " +
+        s"FROM s$BpeMerges s LEFT JOIN mtab m ON s.sym = m.merged GROUP BY word), " +
+        s"tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '$BytePretokRe')) AS word, " +
+        s"unnest(range(1, len(regexp_extract_all(text, '$BytePretokRe')) + 1)) AS pos FROM documents) " +
         "SELECT doc_id, count(*) AS n_tok, CAST(sum(n_sub) AS BIGINT) AS n_sub, " +
         "string_agg(ids_w, ' ' ORDER BY pos) AS ids_str " +
         "FROM tok JOIN wsub USING (word) GROUP BY doc_id ORDER BY doc_id"),

@@ -29,9 +29,16 @@ object ProfScale {
     // fail loudly on unknown flags (the Bench SPARK_GRAFT_ONLY convention):
     // a typo'd --verbatim would otherwise run the full expensive octave in
     // cipher mode and mislabel the resulting table (code-review r13)
-    require(flags.subsetOf(Set("--verbatim", "--bpe-rounds", "--semdedup")),
-      s"unknown flags: ${(flags -- Set("--verbatim", "--bpe-rounds", "--semdedup")).mkString(", ")}")
+    val known = Set("--verbatim", "--bpe-rounds", "--semdedup", "--force-loop")
+    require(flags.subsetOf(known),
+      s"unknown flags: ${(flags -- known).mkString(", ")}")
     val verbatim = flags.contains("--verbatim")
+    // `--force-loop` (VERDICT r15 #4): disable the bounded-collect driver
+    // regime for the CC/kcore/BFS family so the octave measures the
+    // DISTRIBUTED loop — the code path the 100 TB claim actually rests on
+    // (the fixtures alone exercise only the driver regime since round 15).
+    if (flags.contains("--force-loop"))
+      System.setProperty("graft.cc.forceLoop", "true")
     val only = args.drop(1).filterNot(_.startsWith("--")).toSet
     val base = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
@@ -358,7 +365,29 @@ object ProfScale {
       "graph_bfs_distance",
       // KMV overlap: raw events grow k× but every post-distinct frame is
       // bounded by days × k sketch rows — the persisted-sketch claim
-      "agg_kmv_overlap")
+      "agg_kmv_overlap",
+      // round 16 (VERDICT r15 #4): raw connected components joins the
+      // octave targets so the `--force-loop` regime rows cover the whole
+      // CC/kcore/BFS family (dedup_cluster_cc measures the same
+      // labelPropagate kernel through the dedup pair graph; this is the
+      // co-purchase one)
+      "graph_connected_components",
+      // round 16: the bigram scorer (bigram index grows ~k× in rows, the
+      // (prev,w) model frame ~k× in types under the cipher; the tf⋈cb⋈cc
+      // joins are the terms under test — text_lm_surprisal's shape one
+      // conditioning level up) and its per-language banding window
+      "text_lm_surprisal_bigram", "sample_perplexity_band_bigram",
+      // round 16: byte-level BPE — same vocabulary-linear loop term as
+      // text_bpe_vocab but over regex pretokens (the space-attached TYPE
+      // count is ~2× the bare-word one, fixed 256-symbol alphabet), and
+      // the corpus-linear native-fold encoder with structural ids
+      "text_bpe_bytes_vocab", "text_bpe_bytes_encode",
+      // round 16 (VERDICT r15 #8): the persisted sketch store — build is
+      // the corpus-linear nightly ingest term (distinct + two-level
+      // bottom-k + the day-partitioned write), probe must stay FLAT (it
+      // reads days × k persisted rows, never raw events; ensured in
+      // warmup like the ANN probe)
+      "kmv_store_build", "kmv_overlap_probe")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer
@@ -372,6 +401,9 @@ object ProfScale {
       // build the persisted ANN index OUTSIDE the timed probe entry —
       // the probe claim is probe-only cost, the build is its own entry
       if (targets.contains("sim_ann_ivfpq_probe")) AnnIndex.ensure(spark, dir)
+      // same probe-only discipline for the KMV store: the build is its own
+      // octave entry (kmv_store_build), the probe times sketch-reads only
+      if (targets.contains("kmv_overlap_probe")) KmvStore.ensure(spark, dir)
     }
     targets.foreach { q =>
       time(s"$q @1x")(SparkEntry.queries(q)(spark, base).count())

@@ -267,6 +267,24 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"probe/codebook/LUT joins no longer broadcast:\n$p")
   }
 
+  test("ivf: probes broadcast onto the lists — no SMJ over the corpus-sized side") {
+    // VERDICT r15 #3, mirroring the ivfpq pin: the probe frame is
+    // nqueries × nprobe rows, the lists side the whole corpus; without
+    // the broadcast hint Catalyst sort-merge-joined on cid, shuffling
+    // every list row for a 40-row probe
+    val p = plan("sim_ann_ivf")
+    assert(!p.contains("CartesianProduct"), s"IVF degenerated to all-pairs:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"probed-lists join regressed to a corpus shuffle:\n$p")
+    // the two bounded 16-row centroid frames plan as broadcast BNLJs (the
+    // sanctioned constant-frame pattern); the list probe must be a
+    // broadcast HASH equi-join on cid
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"more BNLJs than the two 16-row centroid frames:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      s"probe join no longer broadcast:\n$p")
+  }
+
   test("bloom incremental dedup: map-side bloom probe, equi-joins only") {
     val p = plan("dedup_bloom_incremental")
     // the bloom answers "definitely new" as a scalar-subquery filter on the
