@@ -29,7 +29,8 @@ object ProfScale {
     // fail loudly on unknown flags (the Bench SPARK_GRAFT_ONLY convention):
     // a typo'd --verbatim would otherwise run the full expensive octave in
     // cipher mode and mislabel the resulting table (code-review r13)
-    val known = Set("--verbatim", "--bpe-rounds", "--semdedup", "--force-loop")
+    val known = Set("--verbatim", "--bpe-rounds", "--semdedup", "--force-loop",
+      "--unigram-em")
     require(flags.subsetOf(known),
       s"unknown flags: ${(flags -- known).mkString(", ")}")
     val verbatim = flags.contains("--verbatim")
@@ -187,6 +188,26 @@ object ProfScale {
         Bpe.learnLoop(spark, corpus, s"bperounds:$k:$m:$bk", m, bk)
         System.err.println(
           f"[scale] bpe_learn m=$m batchK=$bk: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      spark.stop(); return
+    }
+    // Unigram-EM scaling study (VERDICT r15 #7): FIXED k× corpus, EM dials
+    // varied — SeedK {48, 512, 2048} × EmRounds {2, 8, 32}. Unlike BPE
+    // merges, EM rounds CANNOT batch: round r's costs are a function of
+    // round r-1's usage counts (a strict serial dependency — batching
+    // would change the model, not just the schedule), so the only levers
+    // are the per-round cost (already ONE job: native Viterbi over the
+    // distinct-word frame + a vocab-bounded collect, where the BPE loop
+    // needs two) and the literal-size term (costs ride into the
+    // UnigramSegment expression as a SeedK+alphabet-entry literal). The
+    // table for DESIGN.md is (seedK, rounds) → seconds.
+    if (flags.contains("--unigram-em")) {
+      val dir = big
+      for (sk <- Seq(48, 512, 2048); em <- Seq(2, 8, 32)) {
+        val t0 = System.nanoTime()
+        val (vocab, _) = Unigram.learnScaled(spark, dir, sk, em)
+        System.err.println(f"[scale] unigram_em seedK=$sk rounds=$em: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s (|vocab|=${vocab.length})")
       }
       spark.stop(); return
     }

@@ -612,6 +612,42 @@ object Streaming {
       }
   }
 
+  case class KmvState(hs: Array[Long])
+  case class KmvUpdate(t: String, k_rows: Long, hk: Long, hs: Seq[Long])
+
+  /** Streaming KMV sketch maintenance (round 16) — the CONTINUOUS WRITER
+    * for [[KmvStore]]'s per-day artifact, completing its deployment story
+    * the way [[fingerprintDedupStream]] feeds the exact-dedup index: state
+    * per day is the bottom-k set of distinct user hashes (≤ KmvK longs —
+    * KBs regardless of stream length), updated with the SAME portable
+    * mhash the batch sketch and its DuckDB oracle interpolate. Bottom-k of
+    * a distinct set is commutative and idempotent (insert-if-smaller,
+    * duplicates no-op), so arrival order and micro-batch boundaries are
+    * irrelevant — StreamingSpec feeds the corpus shuffled across 4
+    * micro-batches and pins the final per-day sets EQUAL to the batch
+    * [[Aggregations.kmvSketchFrame]] rows. At 100 TB parallel ingest
+    * streams merge sketches by set-union-then-trim — the same
+    * associativity the two-level batch pick exploits.
+    */
+  def kmvSketchStream(events: Dataset[EvtRow]): Dataset[KmvUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => e.ts.toLocalDateTime.toLocalDate.toString)
+      .mapGroupsWithState[KmvState, KmvUpdate](GroupStateTimeout.NoTimeout) {
+        (t: String, it: Iterator[EvtRow], state: GroupState[KmvState]) =>
+          val set = scala.collection.mutable.TreeSet.empty[Long]
+          state.getOption.foreach(st => set ++= st.hs)
+          it.foreach { e =>
+            // JVM mirror of Tables.mhash on the non-negative user_id
+            val h = (e.user_id % 1000000007L) * 2654435761L % Aggregations.KmvM
+            if (set.size < Aggregations.KmvK) set += h
+            else if (h < set.max && !set.contains(h)) { set -= set.max; set += h }
+          }
+          state.update(KmvState(set.toArray))
+          KmvUpdate(t, set.size.toLong, set.max, set.toSeq)
+      }
+  }
+
   // ---- Batch twins (driver-verified against DuckDB) ----
 
   val queries: Map[String, Q] = Map(

@@ -91,10 +91,19 @@ object Unigram {
   private[graft] def learnTrain(s: SparkSession, d: String): (Seq[(String, Long, Long)], Long) =
     learnFrom(s, d, trainOnly = true)
 
-  private def learnFrom(s: SparkSession, d: String,
-      trainOnly: Boolean): (Seq[(String, Long, Long)], Long) = {
+  /** ProfScale's EM-scaling entry (VERDICT r15 #7): the same learner at
+    * non-default (seedK, emRounds) — production SentencePiece vocabs are
+    * 32k candidates over many more rounds, and the study measures which
+    * term dominates (the per-round job floor vs the vocab-linear work).
+    */
+  private[graft] def learnScaled(s: SparkSession, d: String, seedK: Int,
+      emRounds: Int): (Seq[(String, Long, Long)], Long) =
+    learnFrom(s, d, trainOnly = false, seedK, emRounds)
+
+  private def learnFrom(s: SparkSession, d: String, trainOnly: Boolean,
+      seedK: Int = SeedK, emRounds: Int = EmRounds): (Seq[(String, Long, Long)], Long) = {
     val splitTag = if (trainOnly) ":train" else ""
-    val key = Sources.fixtureKey(d, "documents") + s":unigram:$MaxSub:$SeedK:$EmRounds$splitTag"
+    val key = Sources.fixtureKey(d, "documents") + s":unigram:$MaxSub:$seedK:$emRounds$splitTag"
     val cached = uniMemo.get(key)
     if (cached != null) return cached
     val docs0 = documents(s, d)
@@ -137,12 +146,25 @@ object Unigram {
     val chars = cand.where(length(col("sub")) === 1).orderBy("sub").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     val multi = cand.where(length(col("sub")) >= 2)
-      .orderBy(col("cnt").desc, col("sub").asc).limit(SeedK).collect()
+      .orderBy(col("cnt").desc, col("sub").asc).limit(seedK).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     val isChar = chars.map(_._1).toSet
     var vocab: Seq[(String, Long)] = chars ++ multi
     var tot = vocab.map(_._2).sum
-    for (_ <- 1 to EmRounds) {
+    // EXACT fixpoint early-exit (VERDICT r15 #7, the measured conclusion):
+    // EM rounds cannot batch (round r's costs are a function of round
+    // r-1's usage — a strict serial dependency), and the scaling study
+    // shows time is ~linear in ROUNDS and flat in SeedK (the per-round
+    // job floor dominates; 0.25 s/round marginal at 16×, |vocab| stable
+    // from round ~4 at every seed size). The honest production lever is
+    // therefore convergence: if a round reproduces the previous (vocab,
+    // counts) exactly, the costs — a pure function of them — are
+    // unchanged, so every later segmentation and re-count is the
+    // identity; breaking is result-identical to running all remaining
+    // rounds. Default EmRounds=2 never triggers it (model unchanged);
+    // the 32-round study point drops 8.7 → ~2.5 s.
+    var converged = false
+    for (_ <- 1 to emRounds if !converged) {
       val costs = vocab.map { case (t, c) => (t, log2Micro(tot) - log2Micro(c)) }
       val unk = log2Micro(tot)
       // ONE job per round: native Viterbi over distinct words, usage counts
@@ -152,9 +174,11 @@ object Unigram {
           .unigram_segment(col("word"), costs, MaxSub, unk)).as("token"), col("freq"))
         .groupBy("token").agg(sum("freq").as("u")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      vocab = chars.map { case (t, _) => (t, math.max(usage.getOrElse(t, 0L), 1L)) } ++
+      val next = chars.map { case (t, _) => (t, math.max(usage.getOrElse(t, 0L), 1L)) } ++
         vocab.collect { case (t, _) if !isChar(t) && usage.getOrElse(t, 0L) >= 1L =>
           (t, usage(t)) }
+      converged = next == vocab
+      vocab = next
       tot = vocab.map(_._2).sum
     }
     val t0 = tot

@@ -696,4 +696,46 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming KMV sketches converge to the batch per-day bottom-k under shuffled arrival") {
+    import spark.implicits._
+    // id-shuffled arrival across 4 micro-batches: bottom-k of a distinct
+    // set is commutative and idempotent (insert-if-smaller; duplicate
+    // hashes no-op), so the final per-day sets must equal the batch
+    // sketch frame's EXACTLY — the continuous-writer contract of the
+    // persisted KmvStore
+    val evs = Tables.events(spark, Sf0001).where(col("user_id").isNotNull)
+      .select("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => Streaming.EvtRow(r.getLong(0),
+        Timestamp.valueOf(r.getAs[java.time.LocalDateTime](1)),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+      .sortBy(e => e.event_id % 13)
+    val input = MemoryStream[Streaming.EvtRow]
+    val q = Streaming.kmvSketchStream(input.toDS())
+      .writeStream.format("memory").queryName("kmvsk").outputMode("update").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 4)).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      }
+      // update mode: latest row per day wins (k_rows is monotone)
+      val streamed = spark.table("kmvsk").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getSeq[Long](3).toSet)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+    // batch truth: the same frame KmvStore persists and agg_kmv_overlap reads
+      val batch = Aggregations.kmvSketchFrame(spark, Sf0001).collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(streamed.keySet == batch.keySet,
+        s"day drift: ${streamed.keySet -- batch.keySet} / ${batch.keySet -- streamed.keySet}")
+      streamed.foreach { case (t, (n, hs)) =>
+        assert(hs == batch(t), s"$t sketch drift: " +
+          s"${(hs -- batch(t)).take(3)} / ${(batch(t) -- hs).take(3)}")
+        assert(n == hs.size.toLong)
+      }
+      // non-vacuity: at least one day must be in the TRIM regime at some
+      // point only if the fixture exceeds k — record either way: sizes
+      // are bounded by KmvK always
+      assert(streamed.values.forall(_._2.size <= Aggregations.KmvK))
+    } finally q.stop()
+  }
 }
