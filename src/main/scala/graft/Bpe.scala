@@ -282,19 +282,101 @@ object Bpe {
       nMerges: Int, batchK: Int): (String, String, String) =
     learnLoopWf(s, wordFreq(corpus), key, nMerges, batchK)
 
+  /** Word-type cap for the DRIVER learning regime (round 16 — the
+    * CC/kcore/BFS two-regime pattern applied to tokenizer training): a
+    * word-frequency frame at or under this many distinct types collects
+    * to the driver (≤ a few MB of strings) and trains with the textbook
+    * SERIAL loop — zero distributed jobs per round, where the loop pays
+    * 2 driver-synchronized jobs (~0.6–1.0 s fixed floor each) per ROUND
+    * regardless of frame size. Results are BIT-IDENTICAL: the batched
+    * distributed loop is provably serial-equivalent (selectBatch), and
+    * the driver regime IS serial — BpeSpec pins both regimes equal under
+    * `-Dgraft.bpe.forceLoop`. Production 100 TB corpora carry 10⁶–10⁷
+    * types and take the distributed loop; every fixture (and the ciphered
+    * octave replicas) sits far below the cap, which is why the driver
+    * regime owns the bench numbers — the r15 cold-top was exactly this
+    * loop's job floor (text_bpe_encode 13.6 s cold, ~12 rounds × 2 jobs).
+    */
+  val BpeLocalWordCap = 200000L
+
+  private def cpSeq(w: String): Seq[String] =
+    w.codePoints().toArray.toSeq.map(cp => new String(Character.toChars(cp)))
+
+  /** The textbook serial BPE loop on driver-side maps — one merge per
+    * round, argmax by (count DESC, s1 ASC, s2 ASC), greedy leftmost
+    * non-overlapping application (identical semantics to the windowed
+    * island rule and the BpeApply fold — the spec-pinned equivalences).
+    * Same loud supply require as the distributed loop.
+    */
+  private def serialLearn(wfMap: Seq[(String, Long)], nMerges: Int)
+      : (Seq[(Long, String, String, Long)], Seq[(String, Long, String)]) = {
+    var syms: Map[String, Seq[String]] =
+      wfMap.map { case (w, _) => w -> cpSeq(w) }.toMap
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    while (merges.length < nMerges) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((w, f) <- wfMap; s = syms(w); i <- 0 until s.length - 1)
+        counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + f
+      require(counts.nonEmpty,
+        s"BPE pair supply exhausted after ${merges.length} merges < $nMerges (fixture too small)")
+      val ((s1, s2), c) = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head
+      merges += ((merges.length + 1L, s1, s2, c))
+      syms = syms.map { case (w, sq) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < sq.length) {
+          if (i + 1 < sq.length && sq(i) == s1 && sq(i + 1) == s2) {
+            out += s1 + s2; i += 2
+          } else { out += sq(i); i += 1 }
+        }
+        w -> out.toSeq
+      }
+    }
+    val symRows = syms.toSeq.flatMap { case (w, sq) =>
+      sq.zipWithIndex.map { case (sym, i) => (w, i + 1L, sym) } }
+    (merges.toSeq, symRows)
+  }
+
   /** [[learnLoop]] over an explicit word-frequency frame — the seam that
     * lets the BYTE-level learner feed regex pretokens (leading spaces and
     * all) through the identical merge machinery: every step below is
     * string-agnostic (seeding substr's any symbol string, pair counting
     * groups on it), so char-level and byte-level BPE share one loop and
-    * one serial-equivalence proof.
+    * one serial-equivalence proof. Two-regime (round 16): a vocabulary at
+    * or under [[BpeLocalWordCap]] types trains driver-side ([[serialLearn]]
+    * — bit-identical results, zero per-round jobs); `-Dgraft.bpe.forceLoop`
+    * restores the distributed loop for specs and octaves, under a
+    * DISTINCT spill key so the forced run actually executes (a shared key
+    * would hand the spec the other regime's cached artifact).
     */
-  private[graft] def learnLoopWf(s: SparkSession, wf0: DataFrame, key: String,
+  private[graft] def learnLoopWf(s: SparkSession, wf0: DataFrame, key0: String,
       nMerges: Int, batchK: Int): (String, String, String) = {
+    val forceLoop = java.lang.Boolean.getBoolean("graft.bpe.forceLoop")
+    val key = if (forceLoop) key0 + ":loop" else key0
     val cached = bpeSpill.get(key)
     if (cached != null) return cached
     val wfPath = Sources.tmpUnique("bpe_wf")
     wf0.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(wfPath)
+    if (!forceLoop) {
+      val wfS = s.read.parquet(wfPath)
+      val nTypes = wfS.count()
+      if (nTypes <= BpeLocalWordCap) {
+        import s.implicits._
+        val wfMap = wfS.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val (merges, symRows) = serialLearn(wfMap, nMerges)
+        val mergesPath = Sources.tmpUnique("bpe_merges")
+        merges.toDF("rank", "s1", "s2", "pair_count")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(mergesPath)
+        val symsPath = Sources.tmpUnique("bpe_syms_local")
+        symRows.toDF("word", "pos", "sym")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(symsPath)
+        System.err.println(
+          s"[bpe] $key: ${merges.length} merges driver-side ($nTypes types)")
+        val built = (mergesPath, symsPath, wfPath)
+        val prev = bpeSpill.putIfAbsent(key, built)
+        return if (prev != null) prev else built
+      }
+    }
     val wf = s.read.parquet(wfPath)
     val w = Window.partitionBy("word").orderBy("pos")
     // seed: one row per (word, char position)

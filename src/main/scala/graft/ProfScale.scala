@@ -182,6 +182,10 @@ object ProfScale {
     // nMerges/E[batch]). learnLoop prints its rounds-taken line per entry;
     // the table for DESIGN.md is (m, batchK) → seconds + rounds.
     if (flags.contains("--bpe-rounds")) {
+      // the study's subject is the DISTRIBUTED schedule (jobs per round);
+      // the round-16 driver regime would absorb the fixture-sized frames
+      // and measure nothing
+      System.setProperty("graft.bpe.forceLoop", "true")
       val corpus = Tables.documents(spark, big)
       for (m <- Seq(16, 64, 256); bk <- Seq(1, Bpe.BpeBatchK)) {
         val t0 = System.nanoTime()
