@@ -402,6 +402,9 @@ object ProfScale {
       // joins are the terms under test — text_lm_surprisal's shape one
       // conditioning level up) and its per-language banding window
       "text_lm_surprisal_bigram", "sample_perplexity_band_bigram",
+      // Kneser-Ney: same bigram-index shape plus two vocab-bounded
+      // rollups (continuation counts) and a third equi-join
+      "text_lm_surprisal_kn",
       // round 16: byte-level BPE — same vocabulary-linear loop term as
       // text_bpe_vocab but over regex pretokens (the space-attached TYPE
       // count is ~2× the bare-word one, fixed 256-symbol alphabet), and

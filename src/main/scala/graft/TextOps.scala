@@ -284,6 +284,55 @@ object TextOps {
         expr("(bits_sum div n_tokens) div 1000").as("surprisal_millibits"))
   }
 
+  /** text_lm_surprisal_kn's flag cut (millibits). Measured on the fixture
+    * before wiring: the KN score shoulder sits just under 5.0 bits —
+    * 5000 flags 5/500, 11/500, 169/5000 across the SFs (non-vacuous
+    * everywhere, both flagged and unflagged populations present).
+    */
+  val KnFlagMilli = 5000L
+
+  /** Interpolated Kneser-Ney bigram scores (Kneser & Ney 1995; Chen &
+    * Goodman 1998 — the published count-LM state of the art, and the
+    * smoothing real CCNet-style filters use where add-one is the
+    * classroom baseline): P(w|prev) = (c(prev,w)−D)/c(prev) +
+    * D·S(prev)/c(prev) · pw(w)/B with absolute discount D = 1/2, where
+    * S(prev) = distinct successors of prev, pw(w) = distinct PREDECESSOR
+    * count of w (the continuation count — "how many contexts does w
+    * complete", the insight that demotes high-frequency-but-single-
+    * context words like "Francisco"), B = total bigram types. D = 1/2
+    * clears every denominator: multiplying through by 2·c(prev)·B gives
+    * P = ((2·cb−1)·B + S·pw) / (2·cc·B) — ALL-INTEGER, so the exact
+    * fixed-point kernel applies verbatim: surprisal = log2µ(2·cc·B) −
+    * log2µ((2·cb−1)·B + S·pw). Probabilities sum to 1 over w (Σpw = B),
+    * so num ≤ den and the surprisal is non-negative; every scored token
+    * is observed (cb ≥ 1) so the numerator is ≥ B > 0 — no zero-count
+    * edge in the in-corpus scorer. Domain measured at sf0.1: den ≤
+    * 1.8e7, num ≤ 7e5 — eight orders inside the kernel's 9.2e12 bound;
+    * at 100 TB shard the counts per language/source as usual.
+    *
+    * Plan shape: the same memoized bigram index, the vocab²-bounded cb
+    * frame, two vocab-bounded rollups OF THAT FRAME (cc+S by prev, pw by
+    * w — never a second corpus pass), a 1-row B broadcast, three
+    * equi-joins, one per-doc re-aggregate.
+    */
+  private[graft] def lmScoresKn(s: SparkSession, d: String): DataFrame = {
+    val bi = biIndex(s, d)
+    val cb = bi.groupBy("prev", "w").agg(lsum(col("tf")).as("cb"))
+    val cc = cb.groupBy("prev").agg(lsum(col("cb")).as("cc"), count(lit(1)).as("sx"))
+    val pw = cb.groupBy("w").agg(count(lit(1)).as("pw"))
+    val b = cb.agg(count(lit(1)).as("b"))
+    bi.join(cb, Seq("prev", "w")).join(cc, Seq("prev")).join(pw, Seq("w"))
+      .crossJoin(broadcast(b))
+      .withColumn("surp_micro",
+        expr(s"${log2MicroSql("(2 * cc * b)")} - " +
+          s"${log2MicroSql("((2 * cb - 1) * b + sx * pw)")}"))
+      .groupBy("doc_id")
+      .agg(lsum(col("tf")).as("n_tokens"),
+        lsum(expr("tf * surp_micro")).as("bits_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(bits_sum div n_tokens) div 1000").as("surprisal_millibits"))
+  }
+
   /** Shared DuckDB-oracle fragment for the bigram scoring chain — the
     * bigram analogue of [[lmScoreCtes]], ONE definition site reused by
     * both bigram oracles. The BOS convention, add-one arithmetic, and
@@ -726,6 +775,16 @@ object TextOps {
     // here and low under the unigram model — the fluency signal CCNet's
     // LM actually measures). Same 100 TB note: the exact per-lang ranking
     // becomes a sampled-threshold pass at scale, band contract unchanged.
+    // Kneser-Ney bigram scoring — the published smoothing upgrade over
+    // add-one (see [[lmScoresKn]] for the model, the D=1/2 integer
+    // clearing, and the 100 TB plan shape); flag cut [[KnFlagMilli]],
+    // measured non-vacuous at every SF
+    "text_lm_surprisal_kn" -> ((s, d) =>
+      lmScoresKn(s, d)
+        .withColumn("flagged",
+          col("surprisal_millibits") >= lit(KnFlagMilli))
+        .orderBy("doc_id")),
+
     "sample_perplexity_band_bigram" -> ((s, d) => {
       val wLang = Window.partitionBy("lang")
       lmScoresBigram(s, d)
@@ -1307,6 +1366,27 @@ object TextOps {
        " SELECT doc_id, n_tokens, sm AS surprisal_millibits, " +
        s"sm >= $BigramFlagMilli AS flagged " +
        "FROM bsc ORDER BY doc_id"),
+
+    // KN chain: the shared bigram-index CTEs up to bcb, then the
+    // continuation/type rollups and the D=1/2 integer-cleared formula —
+    // arithmetic mirrored token-for-token from [[lmScoresKn]]
+    "text_lm_surprisal_kn" ->
+      ("WITH " + bigramScoreCtes() +
+       ", kcc AS (SELECT prev, CAST(SUM(cb) AS BIGINT) AS cc, " +
+       "CAST(count(*) AS BIGINT) AS sx FROM bcb GROUP BY 1), " +
+       "kpw AS (SELECT w, CAST(count(*) AS BIGINT) AS pw FROM bcb GROUP BY 1), " +
+       "kb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bcb), " +
+       "ksp AS (SELECT doc_id, tf, " +
+       s"${log2MicroSql("(2 * cc * b)", "//")} - " +
+       s"${log2MicroSql("((2 * cb - 1) * b + sx * pw)", "//")} AS surp_micro " +
+       "FROM btf JOIN bcb USING (prev, w) JOIN kcc USING (prev) " +
+       "JOIN kpw USING (w) CROSS JOIN kb), " +
+       "ksc AS (SELECT doc_id, n_tokens, (bits_sum // n_tokens) // 1000 AS sm " +
+       "FROM (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, " +
+       "CAST(SUM(tf * surp_micro) AS BIGINT) AS bits_sum FROM ksp GROUP BY doc_id)) " +
+       "SELECT doc_id, n_tokens, sm AS surprisal_millibits, " +
+       s"sm >= $KnFlagMilli AS flagged " +
+       "FROM ksc ORDER BY doc_id"),
 
     "sample_perplexity_band_bigram" ->
       ("WITH " + bigramScoreCtes() +
