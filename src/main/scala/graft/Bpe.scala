@@ -206,10 +206,21 @@ object Bpe {
     * and punctuation runs, each with its LEADING SPACE attached (" the" is
     * a different pretoken than "the" — the published byte-level design
     * decision that lets the vocabulary encode word boundaries without a
-    * whitespace token). Same semantics under Java regex (Spark) and RE2
-    * (DuckDB): no lookarounds, no escapes, no quotes.
+    * whitespace token), plus a trailing lone-space alternative so the
+    * tokenization is LOSSLESS on space runs (code-review r16: without it
+    * "a  b" dropped the second space and decode(encode(x)) lost bytes —
+    * the exact contract byte-level BPE exists to keep). GPT-2 handles
+    * this with `\s+(?!\S)`, but RE2 (the DuckDB oracle's engine) has no
+    * lookahead — the lone-space form is equivalent on this alphabet:
+    * alternatives match in order, so a space followed by a token is
+    * always consumed as that token's leading space, and only runs/
+    * trailing spaces fall through to the lone-space match, one byte per
+    * pretoken. Every byte class is covered ⇒ concat(pretokens) == input
+    * for ANY input (ByteBpeSpec pins space runs + trailing spaces). Same
+    * semantics under Java regex (Spark) and RE2: no lookarounds, no
+    * escapes, no quotes.
     */
-  val BytePretokRe = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+  val BytePretokRe = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| "
 
   /** Pretoken-frequency frame for the byte-level learner — [[wordFreq]]
     * with the regex pre-tokenizer in place of the whitespace split.
@@ -236,13 +247,17 @@ object Bpe {
   private[graft] def learnBytes(s: SparkSession, d: String): (String, String, String) = {
     val art = learnLoopWf(s, byteWordFreq(documents(s, d)),
       Sources.fixtureKey(d, "documents") + s":bpe_bytes:$BpeMerges", BpeMerges, BpeBatchK)
-    if (byteAsciiChecked.add(art._3)) {
+    // memo-latch only AFTER the require passes (code-review r16): adding
+    // first meant one loud failure, then every retry silently served the
+    // invalid artifact — the opposite of the check's purpose
+    if (!byteAsciiChecked.contains(art._3)) {
       val mx = s.read.parquet(art._3)
         .agg(max(expr("array_max(transform(split(word, ''), c -> ascii(c)))")))
         .collect()(0).getInt(0)
       require(mx < 128,
         s"corpus codepoint $mx >= 128: byte-level BPE's byte==char identity " +
           "needs the GPT-2 byte alias table for non-ASCII input")
+      byteAsciiChecked.add(art._3)
     }
     art
   }
@@ -319,7 +334,19 @@ object Bpe {
         counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + f
       require(counts.nonEmpty,
         s"BPE pair supply exhausted after ${merges.length} merges < $nMerges (fixture too small)")
-      val ((s1, s2), c) = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head
+      // tie-break in UTF-8 BINARY order (the Unigram.utf8Less precedent,
+      // code-review r16): the distributed loop's orderBy compares
+      // UTF8String bytes and the oracle mirrors it — JVM String.compareTo
+      // is UTF-16 code units, which inverts supplementary-plane vs
+      // high-BMP symbols and would silently break the regimes'
+      // bit-identity on a non-ASCII vocabulary
+      def u8lt(a: String, b: String): Boolean =
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+      val ((s1, s2), c) = counts.toSeq.sortWith { case (((a1, b1), n1), ((a2, b2), n2)) =>
+        n1 > n2 || (n1 == n2 && (u8lt(a1, a2) ||
+          (a1 == a2 && u8lt(b1, b2))))
+      }.head
       merges += ((merges.length + 1L, s1, s2, c))
       syms = syms.map { case (w, sq) =>
         val out = scala.collection.mutable.ArrayBuffer[String]()

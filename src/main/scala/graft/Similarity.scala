@@ -444,18 +444,18 @@ object Similarity {
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("da"), col("g"))
+    // truth = exact-Jaccard verification of every shingle-sharing pair,
+    // through the SAME verifiedPairs kernel the dedup family uses — one
+    // definition site for the threshold arithmetic (code-review r16: the
+    // previous inline copy could drift from a future fixed-point change
+    // and silently skew measured recall)
+    val sharedPairs = sh.select(col("doc_id").as("da"), col("g"))
       .join(sh.select(col("doc_id").as("db"), col("g")), "g")
       .where(col("da") < col("db"))
-      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
-    val thrNum = math.round(threshold * 1000000).toInt
-    inter
-      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
-      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-      .where(col("inter") * 1000000L >= (col("na") + col("nb") - col("inter")) * thrNum)
+      .select("da", "db").distinct()
+    verifiedPairs(sh, sharedPairs, threshold)
       .join(cand.withColumn("hit", lit(1L)), Seq("da", "db"), "left")
-      .select(col("da"), col("db"), col("inter"), col("na"), col("nb"),
+      .select(col("da"), col("db"), col("inter"), col("uni"),
         coalesce(col("hit"), lit(0L)).as("found"))
   }
 

@@ -632,14 +632,26 @@ object Streaming {
   def kmvSketchStream(events: Dataset[EvtRow]): Dataset[KmvUpdate] = {
     import events.sparkSession.implicits._
     events
+      // day key via toLocalDateTime — the exact inverse of the
+      // Timestamp.valueOf(LocalDateTime) construction every EvtRow source
+      // in this repo uses (both sides go through the SAME JVM default
+      // zone, so the NTZ wall-clock round-trips regardless of what that
+      // zone is); keying through to_date on the re-encoded TimestampType
+      // column would instead convert epoch→session-tz and DIVERGE from
+      // the batch frame whenever JVM default ≠ session tz
       .groupByKey(e => e.ts.toLocalDateTime.toLocalDate.toString)
       .mapGroupsWithState[KmvState, KmvUpdate](GroupStateTimeout.NoTimeout) {
         (t: String, it: Iterator[EvtRow], state: GroupState[KmvState]) =>
           val set = scala.collection.mutable.TreeSet.empty[Long]
           state.getOption.foreach(st => set ++= st.hs)
           it.foreach { e =>
-            // JVM mirror of Tables.mhash on the non-negative user_id
-            val h = (e.user_id % 1000000007L) * 2654435761L % Aggregations.KmvM
+            // JVM mirror of Tables.mhash with FULL pmod semantics
+            // (code-review r16): a literal % keeps the sign, so a
+            // negative user_id would hash negative — and then win every
+            // bottom-k comparison — where the batch pmod is always
+            // non-negative (the Tables.mhash doc's own warning)
+            val a = ((e.user_id % 1000000007L) + 1000000007L) % 1000000007L
+            val h = a * 2654435761L % Aggregations.KmvM
             if (set.size < Aggregations.KmvK) set += h
             else if (h < set.max && !set.contains(h)) { set -= set.max; set += h }
           }

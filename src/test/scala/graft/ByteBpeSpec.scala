@@ -70,7 +70,12 @@ class ByteBpeSpec extends AnyFunSuite {
   }
 
   test("round-trip is exact on training-corpus text and on novel text") {
-    for (text <- Seq("the fast key order sort table scan", "THE Quick-99 zebra!? (x_7)")) {
+    // the last three exercise the lone-space fallback (code-review r16:
+    // space RUNS and trailing spaces previously vanished in
+    // pretokenization — lossy encode with no UNK and no error)
+    for (text <- Seq("the fast key order sort table scan",
+        "THE Quick-99 zebra!? (x_7)",
+        "a  b", "the fast ", "  x   y  ")) {
       val enc = encode(text)
       val rebuilt = enc.map { case (_, ids) => decode(ids) }.mkString
       assert(rebuilt == text, s"round-trip: [$rebuilt] != [$text]")
