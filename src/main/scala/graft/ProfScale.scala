@@ -415,7 +415,11 @@ object ProfScale {
       // bottom-k + the day-partitioned write), probe must stay FLAT (it
       // reads days × k persisted rows, never raw events; ensured in
       // warmup like the ANN probe)
-      "kmv_store_build", "kmv_overlap_probe")
+      "kmv_store_build", "kmv_overlap_probe",
+      // round 16: NN-descent — the LINEAR graph-ANN build (candidates are
+      // ≤ n·M² per round via equi-joins; the exact all-pairs build is the
+      // documented quadratic non-target): the octave is the claim
+      "sim_ann_graph_nnd")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer

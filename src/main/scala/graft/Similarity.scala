@@ -38,6 +38,21 @@ object Similarity {
     * over these lists against brute force.
     */
   val GraphAnnM = 8
+  /** NN-descent rounds for [[queries sim_ann_graph_nnd]]. Measured on the
+    * fixture before wiring (recall vs the exact graph per round: 0.10 /
+    * 0.31 / 0.55 / 0.69 / 0.75 — random high-dim embeddings are the
+    * family's documented hard case, weak hub structure): 4 rounds is the
+    * knee. Production runs more rounds + sampling (Dong et al. 2011);
+    * the per-round shape is what scales, not the fixture's recall.
+    */
+  val NndRounds = 4
+  /** Deterministic init offsets: neighbor j of vector v is (v + off_j)
+    * mod n — id arithmetic is uncorrelated with embedding geometry, so
+    * this is the paper's random init made reproducible. All distinct and
+    * < 200 ≤ n at every SF; an off ≡ 0 (mod n) would only self-link,
+    * which the candidate stage filters.
+    */
+  val NndInitOffsets: Seq[Long] = Seq(1L, 3L, 7L, 17L, 41L, 67L, 101L, 151L)
   /** Non-overlapping segment width (tokens) for [[dedup_span_remove]] —
     * the removal granularity. Published exact-substring removal (Lee et
     * al. 2022) uses a suffix-array over the whole corpus; the distributed
@@ -443,6 +458,53 @@ object Similarity {
     * the found side: a true pair that collides always survives exact-
     * Jaccard verification, so truth ∩ candidates = truth ∩ verified.
     */
+  /** NN-descent graph build (see the sim_ann_graph_nnd registration for
+    * the algorithm story): returns (vec_id, rn, nb) after `rounds`
+    * iterations, memoized per (fixture, rounds). The contiguity require
+    * makes the id-arithmetic init's contract loud (ProfScale replicas
+    * keep 0..k·n-1 contiguous by construction). Each round reads the
+    * previous round's parquet spill — the pagerank/BPE loop pattern: a
+    * bounded 2-column frame per round, never a growing lineage.
+    */
+  private[graft] def nndGraphFrame(s: SparkSession, d: String, rounds: Int): DataFrame =
+    Sources.memoSpill(s,
+        Sources.fixtureKey(d, "embeddings") + s":nnd:$rounds:$GraphAnnM", "nnd") {
+      import org.apache.spark.sql.graft.VectorOps.{vec_dot, vec_norm}
+      val ow = org.apache.spark.sql.SaveMode.Overwrite
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        vec_norm(col("embedding")).as("nrm"))
+      val st = e.agg(min(col("vec_id")), max(col("vec_id")), count(lit(1))).collect()(0)
+      val n = st.getLong(2)
+      require(st.getLong(0) == 0L && st.getLong(1) == n - 1,
+        s"NN-descent id-arithmetic init needs contiguous vec_ids 0..n-1 " +
+          s"(got min=${st.getLong(0)} max=${st.getLong(1)} n=$n)")
+      val ea = e.select(col("vec_id").as("v"), col("embedding").as("ev"), col("nrm").as("nv"))
+      val eb = e.select(col("vec_id").as("nb"), col("embedding").as("en"), col("nrm").as("nn"))
+      var curPath = Sources.tmpUnique("nnd_r0")
+      e.select(col("vec_id").as("v"), explode(lit(NndInitOffsets.toArray)).as("off"))
+        .select(col("v"), pmod(col("v") + col("off"), lit(n)).as("nb"))
+        .write.mode(ow).parquet(curPath)
+      for (r <- 1 to rounds) {
+        val cur = s.read.parquet(curPath).select("v", "nb")
+        val cand = cur
+          .unionAll(cur.select(col("nb").as("v"), col("v").as("nb")))
+          .unionAll(cur.as("x").join(cur.as("y"), col("x.nb") === col("y.v"))
+            .select(col("x.v").as("v"), col("y.nb").as("nb")))
+          .where(col("v") =!= col("nb")).distinct()
+        val ranked = cand.join(ea, "v").join(eb, "nb")
+          .select(col("v"), col("nb"),
+            (vec_dot(col("ev"), col("en")) / (col("nv") * col("nn"))).as("cos"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("v").orderBy(col("cos").desc, col("nb").asc)))
+          .where(col("rn") <= GraphAnnM)
+        val p = Sources.tmpUnique(s"nnd_r$r")
+        ranked.select("v", "rn", "nb").write.mode(ow).parquet(p)
+        curPath = p
+      }
+      s.read.parquet(curPath)
+        .select(col("v").as("vec_id"), col("rn"), col("nb"))
+    }
+
   private[graft] def minhashRecallOf(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = portableShinglesOf(docs)
     val bands = minhashBands(minhashSigsFused(docs.select("doc_id", "text")))
@@ -1573,6 +1635,21 @@ object Similarity {
         .orderBy("vec_id")
     }),
 
+    // NN-DESCENT (Dong et al. 2011) — the published LINEAR-work build for
+    // the graph-ANN base layer, upgrading the DESIGN claim from
+    // "documented" to "measured": start from a deterministic
+    // geometry-blind init ([[NndInitOffsets]]) and iterate "my neighbors'
+    // neighbors are probably my neighbors" — per round, candidates(v) =
+    // N(v) ∪ N⁻¹(v) ∪ N(N(v)) (≤ M + M + M² = 72 rows per vector, O(n·M²)
+    // TOTAL — linear in n where the exact build is quadratic), re-ranked
+    // top-M by the exact cosine kernel. Every stage is an equi-join on
+    // the vector id or one bounded per-vector rank window; rounds spill
+    // parquet (the pagerank pattern). Fixture convergence measured in
+    // DESIGN; GraphAnnSpec pins recall-vs-exact-graph at the round knee
+    // and strict improvement over the 1-round graph.
+    "sim_ann_graph_nnd" -> ((s, d) =>
+      nndGraphFrame(s, d, NndRounds).orderBy("vec_id", "rn")),
+
     // The k-NN neighbor-list table — the BASE-LAYER artifact of
     // graph-based ANN (NSW/HNSW, Malkov & Yashunin 2018), the dominant
     // published query-time ANN family and the one gap VERDICT r15 named
@@ -2585,6 +2662,35 @@ object Similarity {
        s"${oDot("a", "b")} / (${oNorm("a")} * ${oNorm("b")}) AS cos " +
        "FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id) " +
        "ORDER BY cos DESC, va, vb LIMIT 20"),
+
+    // the serial NN-descent chain, generated from the SAME round count and
+    // offsets (the BPE roundCtes convention — a dial change cannot
+    // desynchronize query and oracle); `%` == pmod on the non-negative
+    // init operands, cosine via the shared bit-identical fold
+    "sim_ann_graph_nnd" -> {
+      val offs = NndInitOffsets.mkString(", ")
+      val sb = new StringBuilder
+      sb ++= "WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings), "
+      sb ++= "g0 AS MATERIALIZED (SELECT e.vec_id AS v, " +
+        "(e.vec_id + o.off) % nn.n AS nb FROM embeddings e CROSS JOIN nn " +
+        s"CROSS JOIN (SELECT unnest([$offs]) AS off) o)"
+      for (r <- 1 to NndRounds) {
+        val p = r - 1
+        sb ++= s", c$r AS (SELECT DISTINCT v, nb FROM (" +
+          s"SELECT v, nb FROM g$p UNION SELECT nb AS v, v AS nb FROM g$p " +
+          s"UNION SELECT x.v, y.nb AS nb FROM g$p x JOIN g$p y ON x.nb = y.v) " +
+          "WHERE v != nb)"
+        sb ++= s", s$r AS MATERIALIZED (SELECT v, nb, row_number() OVER " +
+          "(PARTITION BY v ORDER BY cos DESC, nb ASC) AS rn FROM " +
+          s"(SELECT c.v, c.nb, ${oDot("a", "b")} / (${oNorm("a")} * ${oNorm("b")}) AS cos " +
+          s"FROM c$r c JOIN embeddings a ON a.vec_id = c.v " +
+          "JOIN embeddings b ON b.vec_id = c.nb))"
+        sb ++= s", g$r AS MATERIALIZED (SELECT v, nb FROM s$r WHERE rn <= $GraphAnnM)"
+      }
+      sb ++= s" SELECT v AS vec_id, CAST(rn AS INT) AS rn, nb FROM s$NndRounds " +
+        s"WHERE rn <= $GraphAnnM ORDER BY vec_id, rn"
+      sb.toString
+    },
 
     // same cosine fold, rank-only output (the D5 rule)
     "sim_ann_graph_knn" ->

@@ -109,6 +109,26 @@ class GraphAnnSpec extends AnyFunSuite {
       f"wider beam materially hurt recall: $r64%.3f vs $r32%.3f")
   }
 
+  test("NN-descent converges toward the exact graph and beats its own early rounds") {
+    // the linear-work build (Dong et al. 2011) vs the exact quadratic one:
+    // recall = fraction of true top-M edges found. Measured per round on
+    // this fixture: 0.10 / 0.31 / 0.55 / 0.69 (rounds 1-4) — random
+    // high-dim embeddings are the family's documented hard case; the
+    // assertion pins the knee with margin plus strict convergence, the
+    // regression canary for the candidate-generation joins
+    def recallOf(rounds: Int): Double = {
+      val got = Similarity.nndGraphFrame(spark, d, rounds).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      val exact = nbrs.toSeq.flatMap { case (v, l) => l.map((v, _)) }.toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val r1 = recallOf(1)
+    val rK = recallOf(Similarity.NndRounds)
+    info(f"nn-descent recall vs exact graph: round1 $r1%.3f, round${Similarity.NndRounds} $rK%.3f")
+    assert(rK >= 0.60, f"converged recall $rK%.3f below the measured floor")
+    assert(rK > r1 + 0.2, f"no convergence: $rK%.3f vs round-1 $r1%.3f")
+  }
+
   test("greedy-only search (ef=1) is strictly worse than the beam — the beam earns its cost") {
     val r1 = recallAt(1)
     val r32 = recallAt(32)
