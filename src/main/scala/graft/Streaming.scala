@@ -612,6 +612,45 @@ object Streaming {
       }
   }
 
+  /** Score-at-ingest surprisal (round 16) — the other half of
+    * [[Bpe.encodeStream]]'s tokenize-at-ingest story, and the deployment
+    * mode [[TextOps.lmScores]]' model-coupling note prescribes: a
+    * production pipeline freezes a REFERENCE unigram model (here the
+    * fixture corpus's counts — the exact frames lmScores memoizes) and
+    * scores every ARRIVING document against it, instead of re-deriving a
+    * corpus-relative model per batch. The count table joins the stream as
+    * a broadcast static side (stream-static equi-join — append-safe); the
+    * corpus total is frozen INTO the plan as a literal at stream
+    * definition (loading the model IS freezing it). Unknown words take
+    * the open-vocabulary cost log2µ(N) − log2µ(1) = log2µ(N), the
+    * Unigram UNK convention — unseen text degrades to maximal surprisal
+    * instead of erroring, which is exactly the filter's job on a crawl
+    * stream. Same exact fixed-point kernel, so StreamingSpec pins the
+    * streamed scores EQUAL to text_lm_surprisal's on the reference corpus
+    * itself (where coalesce never fires) and pins the UNK cost on a
+    * genuinely novel document. The per-doc aggregate is the one stateful
+    * stage (update mode; production bounds it with a watermark on the
+    * ingest timestamp — each doc lives in one micro-batch).
+    */
+  def surprisalStream(s: SparkSession, d: String, docs: DataFrame): DataFrame = {
+    val tf = TextOps.tfIndex(s, d)
+    val cnt = tf.groupBy("word").agg(Det.lsum(col("tf")).as("c"))
+    val nTot = cnt.agg(Det.lsum(col("c"))).collect()(0).getLong(0)
+    val surp = s"${TextOps.log2MicroSql(nTot.toString)} - ${TextOps.log2MicroSql("c1")}"
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(cnt), Seq("word"), "left")
+      .withColumn("c1", coalesce(col("c"), lit(1L)))
+      .withColumn("surp_micro", expr(surp))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("surp_micro")).as("bits_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(bits_sum div n_tokens) div 1000").as("surprisal_millibits"))
+      .withColumn("flagged",
+        col("surprisal_millibits") >= lit(TextOps.LmSurprisalFlagMilli))
+  }
+
   case class KmvState(hs: Array[Long])
   case class KmvUpdate(t: String, k_rows: Long, hk: Long, hs: Seq[Long])
 

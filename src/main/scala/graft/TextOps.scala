@@ -333,6 +333,25 @@ object TextOps {
         expr("(bits_sum div n_tokens) div 1000").as("surprisal_millibits"))
   }
 
+  /** The KN oracle chain — [[bigramScoreCtes]]' index CTEs plus the
+    * continuation/type rollups and the D = 1/2 integer-cleared scoring,
+    * ONE definition site shared by both KN oracles.
+    */
+  private[graft] def knScoreCtes: String =
+    bigramScoreCtes() +
+    ", kcc AS (SELECT prev, CAST(SUM(cb) AS BIGINT) AS cc, " +
+    "CAST(count(*) AS BIGINT) AS sx FROM bcb GROUP BY 1), " +
+    "kpw AS (SELECT w, CAST(count(*) AS BIGINT) AS pw FROM bcb GROUP BY 1), " +
+    "kb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bcb), " +
+    "ksp AS (SELECT doc_id, tf, " +
+    s"${log2MicroSql("(2 * cc * b)", "//")} - " +
+    s"${log2MicroSql("((2 * cb - 1) * b + sx * pw)", "//")} AS surp_micro " +
+    "FROM btf JOIN bcb USING (prev, w) JOIN kcc USING (prev) " +
+    "JOIN kpw USING (w) CROSS JOIN kb), " +
+    "ksc AS (SELECT doc_id, n_tokens, (bits_sum // n_tokens) // 1000 AS sm " +
+    "FROM (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, " +
+    "CAST(SUM(tf * surp_micro) AS BIGINT) AS bits_sum FROM ksp GROUP BY doc_id))"
+
   /** Shared DuckDB-oracle fragment for the bigram scoring chain — the
     * bigram analogue of [[lmScoreCtes]], ONE definition site reused by
     * both bigram oracles. The BOS convention, add-one arithmetic, and
@@ -402,6 +421,32 @@ object TextOps {
     */
   private[graft] def polyFingerprint(c: Column): Column =
     org.apache.spark.sql.graft.BpeOps.poly_hash(c, FpP)
+
+  /** CCNet-style per-language tercile banding over ANY per-doc surprisal
+    * frame (doc_id, n_tokens, surprisal_millibits) — ONE definition site
+    * for the band contract, shared by the unigram / add-one-bigram / KN
+    * banding ops (round 16: three verbatim copies had accumulated).
+    * Every decision is integer-exact: millibit scores, row_number over
+    * (surprisal, doc_id), tercile tests by cross-multiplication. One
+    * per-language window carries rank + count; at 100 TB the exact
+    * per-lang ranking becomes a sampled-threshold pass (approx per-lang
+    * quantiles of the same millibit scores), band contract unchanged.
+    */
+  private def bandedByLang(s: SparkSession, d: String, scores: DataFrame): DataFrame = {
+    val wLang = Window.partitionBy("lang")
+    scores
+      .join(documents(s, d).select("doc_id", "lang"), "doc_id")
+      .withColumn("rnk", row_number().over(
+        wLang.orderBy(col("surprisal_millibits").asc, col("doc_id").asc)))
+      .withColumn("n", count(lit(1)).over(wLang))
+      .withColumn("band",
+        when(col("rnk") * 3 <= col("n"), "head")
+          .when(col("rnk") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("surprisal_millibits"),
+        col("band"), (col("rnk") * 3 <= col("n") * 2).as("keep"))
+      .orderBy("doc_id")
+  }
 
   val queries: Map[String, Q] = Map(
     "text_wordcount" -> ((s, d) =>
@@ -740,21 +785,8 @@ object TextOps {
     // At 100 TB the exact per-lang ranking becomes a sampled-threshold
     // pass (approx per-lang quantiles of the same millibit scores); the
     // band contract is unchanged.
-    "sample_perplexity_band" -> ((s, d) => {
-      val wLang = Window.partitionBy("lang")
-      lmScores(s, d)
-        .join(documents(s, d).select("doc_id", "lang"), "doc_id")
-        .withColumn("rnk", row_number().over(
-          wLang.orderBy(col("surprisal_millibits").asc, col("doc_id").asc)))
-        .withColumn("n", count(lit(1)).over(wLang))
-        .withColumn("band",
-          when(col("rnk") * 3 <= col("n"), "head")
-            .when(col("rnk") * 3 <= col("n") * 2, "middle")
-            .otherwise("tail"))
-        .select(col("doc_id"), col("lang"), col("surprisal_millibits"),
-          col("band"), (col("rnk") * 3 <= col("n") * 2).as("keep"))
-        .orderBy("doc_id")
-    }),
+    "sample_perplexity_band" -> ((s, d) =>
+      bandedByLang(s, d, lmScores(s, d))),
 
     // Bigram-LM quality scoring — the CCNet filter position upgraded to a
     // conditional model (VERDICT r15 #1): mean per-token surprisal under
@@ -785,21 +817,15 @@ object TextOps {
           col("surprisal_millibits") >= lit(KnFlagMilli))
         .orderBy("doc_id")),
 
-    "sample_perplexity_band_bigram" -> ((s, d) => {
-      val wLang = Window.partitionBy("lang")
-      lmScoresBigram(s, d)
-        .join(documents(s, d).select("doc_id", "lang"), "doc_id")
-        .withColumn("rnk", row_number().over(
-          wLang.orderBy(col("surprisal_millibits").asc, col("doc_id").asc)))
-        .withColumn("n", count(lit(1)).over(wLang))
-        .withColumn("band",
-          when(col("rnk") * 3 <= col("n"), "head")
-            .when(col("rnk") * 3 <= col("n") * 2, "middle")
-            .otherwise("tail"))
-        .select(col("doc_id"), col("lang"), col("surprisal_millibits"),
-          col("band"), (col("rnk") * 3 <= col("n") * 2).as("keep"))
-        .orderBy("doc_id")
-    }),
+    "sample_perplexity_band_bigram" -> ((s, d) =>
+      bandedByLang(s, d, lmScoresBigram(s, d))),
+
+    // The banding under the BEST smoother in the family — Kneser-Ney
+    // scores through the same per-language tercile contract. Production
+    // CCNet runs exactly this position: a real LM's per-doc score, cut
+    // per language.
+    "sample_perplexity_band_kn" -> ((s, d) =>
+      bandedByLang(s, d, lmScoresKn(s, d))),
 
     "sample_importance_weighted" -> ((s, d) =>
       // Quality-weighted subsampling — the training-data curation step
@@ -1367,26 +1393,26 @@ object TextOps {
        s"sm >= $BigramFlagMilli AS flagged " +
        "FROM bsc ORDER BY doc_id"),
 
-    // KN chain: the shared bigram-index CTEs up to bcb, then the
-    // continuation/type rollups and the D=1/2 integer-cleared formula —
-    // arithmetic mirrored token-for-token from [[lmScoresKn]]
+    // KN chain ([[knScoreCtes]] — the shared bigram-index CTEs up to bcb,
+    // then the continuation/type rollups and the D=1/2 integer-cleared
+    // formula, arithmetic mirrored token-for-token from [[lmScoresKn]])
     "text_lm_surprisal_kn" ->
-      ("WITH " + bigramScoreCtes() +
-       ", kcc AS (SELECT prev, CAST(SUM(cb) AS BIGINT) AS cc, " +
-       "CAST(count(*) AS BIGINT) AS sx FROM bcb GROUP BY 1), " +
-       "kpw AS (SELECT w, CAST(count(*) AS BIGINT) AS pw FROM bcb GROUP BY 1), " +
-       "kb AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bcb), " +
-       "ksp AS (SELECT doc_id, tf, " +
-       s"${log2MicroSql("(2 * cc * b)", "//")} - " +
-       s"${log2MicroSql("((2 * cb - 1) * b + sx * pw)", "//")} AS surp_micro " +
-       "FROM btf JOIN bcb USING (prev, w) JOIN kcc USING (prev) " +
-       "JOIN kpw USING (w) CROSS JOIN kb), " +
-       "ksc AS (SELECT doc_id, n_tokens, (bits_sum // n_tokens) // 1000 AS sm " +
-       "FROM (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, " +
-       "CAST(SUM(tf * surp_micro) AS BIGINT) AS bits_sum FROM ksp GROUP BY doc_id)) " +
-       "SELECT doc_id, n_tokens, sm AS surprisal_millibits, " +
+      ("WITH " + knScoreCtes +
+       " SELECT doc_id, n_tokens, sm AS surprisal_millibits, " +
        s"sm >= $KnFlagMilli AS flagged " +
        "FROM ksc ORDER BY doc_id"),
+
+    "sample_perplexity_band_kn" ->
+      ("WITH " + knScoreCtes +
+       ", kwl AS (SELECT ksc.doc_id, d.lang, ksc.sm FROM ksc " +
+       "JOIN documents d USING (doc_id)), " +
+       "kr AS (SELECT doc_id, lang, sm, " +
+       "row_number() OVER (PARTITION BY lang ORDER BY sm, doc_id) AS rnk, " +
+       "count(*) OVER (PARTITION BY lang) AS n FROM kwl) " +
+       "SELECT doc_id, lang, sm AS surprisal_millibits, " +
+       "CASE WHEN rnk * 3 <= n THEN 'head' WHEN rnk * 3 <= n * 2 THEN 'middle' " +
+       "ELSE 'tail' END AS band, rnk * 3 <= n * 2 AS keep " +
+       "FROM kr ORDER BY doc_id"),
 
     "sample_perplexity_band_bigram" ->
       ("WITH " + bigramScoreCtes() +

@@ -738,4 +738,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.values.forall(_._2.size <= Aggregations.KmvK))
     } finally q.stop()
   }
+
+  test("score-at-ingest surprisal equals the batch scorer; unseen words take the UNK cost") {
+    import spark.implicits._
+    // the frozen-reference-model contract: scoring the reference corpus
+    // itself through the stream must reproduce text_lm_surprisal exactly
+    // (same counts, same fixed-point kernel; the coalesce-to-1 never
+    // fires), and a genuinely novel doc must score the open-vocabulary
+    // cost log2u(N) per token instead of erroring
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(t => (t._1 * 2654435761L) % 1000003L)
+    val novelId = 999999L
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.surprisalStream(spark, Sf0001,
+        input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("surpstream").outputMode("update").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 4)).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      }
+      input.addData(Seq((novelId, "zzzzz qqqqq wwwww"))); q.processAllAvailable()
+      val streamed = spark.table("surpstream").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+      val batch = SparkEntry.queries("text_lm_surprisal")(spark, Sf0001).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      assert((streamed - novelId) == batch,
+        s"stream-batch drift on the reference corpus: " +
+          s"${(streamed - novelId).toSet.diff(batch.toSet).take(3)}")
+      // novel doc: every token unseen -> per-token surprisal log2u(N)
+      val nTot = docs.map(_._2.split(" ").length.toLong).sum
+      val expSm = TestSpark.log2MicroRef(nTot) / 1000L
+      val (nt, sm, fl) = streamed(novelId)
+      assert(nt == 3L && sm == expSm && fl == (sm >= TextOps.LmSurprisalFlagMilli),
+        s"novel doc scored ($nt, $sm, $fl), expected (3, $expSm)")
+    } finally q.stop()
+  }
 }
