@@ -798,6 +798,35 @@ object Bpe {
         .orderBy("doc_id")
     }),
 
+    // Tokenizer FERTILITY by language — the published tokenizer-fairness
+    // eval (XLM-R/mBART-era: a vocabulary trained on skewed data tokenizes
+    // low-resource languages into more, shorter pieces, inflating their
+    // effective sequence length and training cost): per language, mean
+    // subwords-per-pretoken (fertility) and bytes-per-subword
+    // (compression) under the learned BYTE-level vocabulary, in exact
+    // micro fixed point (counts and div only — D5). One corpus pass
+    // (regex pretokenize + native fold), one per-language aggregate; at
+    // 100 TB this is the scan-bound audit a tokenizer release runs per
+    // corpus slice.
+    "text_tokenizer_fertility" -> ((s, d) => {
+      val art = learnBytes(s, d)
+      val ml = mergeListFrom(s, art)
+      documents(s, d)
+        .select(col("lang"),
+          explode(expr(s"regexp_extract_all(text, '$BytePretokRe', 0)")).as("word"))
+        .withColumn("n_sub",
+          size(org.apache.spark.sql.graft.BpeOps.bpe_apply(col("word"),
+            ml.map { case (_, s1, s2) => (s1, s2) })).cast(LongType))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tok"),
+          sum("n_sub").as("n_sub"),
+          Det.lsum(length(col("word"))).as("n_bytes"))
+        .select(col("lang"), col("n_tok"), col("n_sub"), col("n_bytes"),
+          expr("n_sub * 1000000 div n_tok").as("fertility_micro"),
+          expr("n_bytes * 1000000 div n_sub").as("bytes_per_sub_micro"))
+        .orderBy("lang")
+    }),
+
     "text_bpe_encode_novel" -> ((s, d) => {
       val art = learnTrain(s, d)
       val ml = mergeListFrom(s, art)
@@ -952,6 +981,23 @@ object Bpe {
         "SELECT doc_id, count(*) AS n_tok, CAST(sum(n_sub) AS BIGINT) AS n_sub, " +
         "string_agg(ids_w, ' ' ORDER BY pos) AS ids_str " +
         "FROM tok JOIN wsub USING (word) GROUP BY doc_id ORDER BY doc_id"),
+
+    // per-pretoken segment sizes from the byte chain's final word table;
+    // micro ratios via `//` ≡ `div` on the non-negative counts
+    "text_tokenizer_fertility" ->
+      (s"WITH $byteRoundCtes, " +
+        s"wsub AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sub " +
+        s"FROM s$BpeMerges GROUP BY word), " +
+        s"tok AS (SELECT d.lang, unnest(regexp_extract_all(d.text, '$BytePretokRe')) AS word " +
+        "FROM documents d), " +
+        "ag AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tok, " +
+        "CAST(SUM(n_sub) AS BIGINT) AS n_sub, " +
+        "CAST(SUM(len(word)) AS BIGINT) AS n_bytes " +
+        "FROM tok JOIN wsub USING (word) GROUP BY lang) " +
+        "SELECT lang, n_tok, n_sub, n_bytes, " +
+        "CAST(n_sub * 1000000 // n_tok AS BIGINT) AS fertility_micro, " +
+        "CAST(n_bytes * 1000000 // n_sub AS BIGINT) AS bytes_per_sub_micro " +
+        "FROM ag ORDER BY lang"),
 
     // mechanism differs by design (the oracle derives ids from the
     // training CTE chain's word table; Spark re-derives them map-side),
