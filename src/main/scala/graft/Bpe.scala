@@ -222,45 +222,79 @@ object Bpe {
     */
   val BytePretokRe = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| "
 
+  /** Deterministic multi-byte perturbation of the documents corpus for the
+    * BYTE-level tokenizer family (VERDICT r16 #1): the fixture text is
+    * ASCII-transliterated (lowercase a–y + space at every SF), so the
+    * byte-level keys re-inflect it per language — accented Latin for
+    * de/fr/es (2-byte UTF-8), CJK for zh (3-byte), a mathematical-alphabet
+    * letter for en (4-byte, supplementary plane) — exercising every UTF-8
+    * length class through the GPT-2 alias machinery. One definition site:
+    * [[pertCaseSql]] renders this table as a CASE/replace expression whose
+    * text is valid in BOTH Spark and DuckDB, so query and oracle perturb
+    * identically by construction. The char-level tokenizer keys keep the
+    * raw corpus (their contract predates the byte family and their merge
+    * tables are a separate artifact).
+    */
+  private[graft] val BytePerturb: Seq[(String, Seq[(String, String)])] = Seq(
+    "zh" -> Seq("e" -> "中", "o" -> "文"),
+    "de" -> Seq("u" -> "ü", "s" -> "ß"),
+    "fr" -> Seq("e" -> "é", "c" -> "ç"),
+    "es" -> Seq("n" -> "ñ", "a" -> "á"),
+    "en" -> Seq("w" -> "𝓌"))
+
+  /** [[BytePerturb]] as engine-portable SQL (plain CASE + nested replace —
+    * identical semantics in Spark and DuckDB; no quotes/backslashes in the
+    * replacement table, so no escaping question arises).
+    */
+  private[graft] def pertCaseSql: String = {
+    val whens = BytePerturb.map { case (lang, reps) =>
+      val inner = reps.foldLeft("text") { case (e, (f, t)) =>
+        s"replace($e, '$f', '$t')" }
+      s"WHEN lang = '$lang' THEN $inner"
+    }.mkString(" ")
+    s"CASE $whens ELSE text END"
+  }
+
+  /** The byte family's corpus: documents with [[pertCaseSql]] applied. */
+  private[graft] def byteDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), col("lang"),
+      expr(pertCaseSql).as("text"))
+
+  /** The GPT-2 alias table escaped for embedding in a single-quoted SQL
+    * literal (it contains `'` — byte 39 is printable and maps to itself;
+    * Spark additionally treats backslash as an escape, hence [[sqlLit]]).
+    */
+  private def aliasLitSpark: String =
+    sqlLit(org.apache.spark.sql.graft.ByteAlias.aliasStr)
+  private[graft] def aliasLitDuck: String =
+    org.apache.spark.sql.graft.ByteAlias.aliasStr.replace("'", "''")
+
   /** Pretoken-frequency frame for the byte-level learner — [[wordFreq]]
-    * with the regex pre-tokenizer in place of the whitespace split.
+    * with the regex pre-tokenizer in place of the whitespace split, each
+    * pretoken rendered into GPT-2 ALIAS SPACE (one alias char per UTF-8
+    * octet — [[org.apache.spark.sql.graft.ByteAlias]]). Everything
+    * downstream (seeding, merges, symbols) lives in alias space, which is
+    * exactly the published byte-level design: the merge loop stays
+    * byte-agnostic because the alias rendering already IS the byte
+    * decomposition.
     */
   private[graft] def byteWordFreq(corpus: DataFrame): DataFrame =
     corpus
-      .select(explode(expr(s"regexp_extract_all(text, '$BytePretokRe', 0)")).as("word"))
+      .select(explode(expr(s"regexp_extract_all(text, '$BytePretokRe', 0)")).as("word0"))
+      .select(org.apache.spark.sql.graft.BpeOps.utf8_alias(col("word0")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
-  private val byteAsciiChecked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   /** BYTE-level BPE artifacts: the char-level [[learnLoopWf]] machinery
-    * over regex pretokens, under the GPT-2 byte↔unicode identification.
-    * On this corpus the byte→char map is the IDENTITY — the fixture is
-    * pure ASCII (verified loudly below: a non-ASCII codepoint would make
-    * char ≠ UTF-8 byte and the symbol arithmetic silently wrong, the
-    * MaxWordLen-style contract), so "symbol" and "byte" coincide and one
-    * merge loop serves both tokenizer families. Full GPT-2 generality
-    * (bytes ≥ 128 rendered as the printable-unicode alias table) changes
-    * only the seed map, never the loop. The ASCII check reads the SPILLED
-    * vocabulary-sized pretoken frame, not the corpus, and runs once per
-    * artifact (memo below).
+    * over alias-rendered regex pretokens of the [[byteDocs]] corpus. Since
+    * round 17 the byte→symbol map is the published GPT-2 alias bijection
+    * (not the old ASCII-only identity), so the family is total over
+    * arbitrary UTF-8 — the multi-byte perturbation above exercises 2-, 3-
+    * and 4-byte sequences end to end, and the old loud ASCII require is
+    * gone because the contract it guarded no longer exists.
     */
-  private[graft] def learnBytes(s: SparkSession, d: String): (String, String, String) = {
-    val art = learnLoopWf(s, byteWordFreq(documents(s, d)),
-      Sources.fixtureKey(d, "documents") + s":bpe_bytes:$BpeMerges", BpeMerges, BpeBatchK)
-    // memo-latch only AFTER the require passes (code-review r16): adding
-    // first meant one loud failure, then every retry silently served the
-    // invalid artifact — the opposite of the check's purpose
-    if (!byteAsciiChecked.contains(art._3)) {
-      val mx = s.read.parquet(art._3)
-        .agg(max(expr("array_max(transform(split(word, ''), c -> ascii(c)))")))
-        .collect()(0).getInt(0)
-      require(mx < 128,
-        s"corpus codepoint $mx >= 128: byte-level BPE's byte==char identity " +
-          "needs the GPT-2 byte alias table for non-ASCII input")
-      byteAsciiChecked.add(art._3)
-    }
-    art
-  }
+  private[graft] def learnBytes(s: SparkSession, d: String): (String, String, String) =
+    learnLoopWf(s, byteWordFreq(byteDocs(s, d)),
+      Sources.fixtureKey(d, "documents") + s":bpe_bytes_u8:$BpeMerges", BpeMerges, BpeBatchK)
 
   /** The byte-level merge list (rank, s1, s2) — ByteBpeSpec's entry point. */
   private[graft] def byteMergeList(s: SparkSession, d: String): Seq[(Long, String, String)] =
@@ -505,7 +539,17 @@ object Bpe {
   private[graft] def wordSymsFrame(s: SparkSession, d: String): DataFrame =
     s.read.parquet(learn(s, d)._2)
 
-  private def sqlLit(x: String): String = x.replace("'", "''")
+  /** Escape a string for a single-quoted SPARK SQL literal: quotes double,
+    * and backslashes double too — Spark's parser treats backslash as an
+    * escape in string literals under the default
+    * escapedStringLiterals=false (ADVICE r16: byte-level pretokens make a
+    * backslash-bearing merge symbol reachable on a richer corpus; without
+    * this the map key would silently parse to a different string than the
+    * bpe_apply output). DuckDB-side literals escape quotes only
+    * ([[aliasLitDuck]]) — standard SQL strings there are backslash-inert.
+    */
+  private def sqlLit(x: String): String =
+    x.replace("\\", "\\\\").replace("'", "''")
 
   /** Driver-side (rank, s1, s2) merge list — bounded (BpeMerges rows). */
   private[graft] def mergeList(s: SparkSession, d: String): Seq[(Long, String, String)] =
@@ -750,44 +794,54 @@ object Bpe {
     // No standing spill: the held-out slice is 10% of the corpus and the
     // fold is native (~1µs/word) — one map-side pass per run, the only
     // shuffle the per-doc re-aggregate.
-    // BYTE-level BPE merge table (VERDICT r15 #2): the GPT-2 family —
-    // regex pretokens with leading spaces attached ([[BytePretokRe]]),
-    // merges learned over the byte stream (== char stream on this ASCII
-    // corpus, loudly checked in [[learnBytes]]). Space is an ordinary
-    // symbol here, so the table learns boundary merges (" t", " s"…) the
-    // whitespace-split char BPE structurally cannot — compare the two
-    // vocab outputs to see the published design difference directly.
+    // BYTE-level BPE merge table (VERDICT r15 #2; GPT-2 alias space since
+    // round 17): regex pretokens with leading spaces attached
+    // ([[BytePretokRe]]) over the multi-byte [[byteDocs]] corpus, each
+    // rendered one-alias-char-per-UTF-8-octet before the merge loop. Space
+    // is byte 32 — non-printable, so it renders as 'Ġ' and the table
+    // learns the published boundary merges ("Ġt", "Ġs"…) the
+    // whitespace-split char BPE structurally cannot; multi-byte codepoints
+    // contribute their continuation bytes as ordinary symbols, which is
+    // how GPT-2 vocabularies share sub-codepoint structure across CJK.
     "text_bpe_bytes_vocab" -> ((s, d) =>
       mergesFrameFrom(s, learnBytes(s, d)).orderBy("rank")),
 
-    // Byte-level subword encoding: regex pretokenize, apply the byte merge
-    // fold (same native BpeApply), then ids under the STRUCTURAL byte id
-    // space ([[ByteIdBase]] doc): single-byte symbols map by arithmetic
-    // (ascii+1 — every possible byte has an id, no table), multi-byte
-    // symbols are exactly the merge outputs so the literal merge map is
-    // total over them — element_at cannot return null BY CONSTRUCTION,
-    // which is the "UNK structurally unreachable" property this family
-    // exists for (ByteBpeSpec pins it on never-seen characters).
-    // Plan shape = encodeStream's: one map-side pass (native fold, no
-    // interpreted HOF in the hot path), the per-doc re-aggregate the only
-    // shuffle.
+    // Byte-level subword encoding: regex pretokenize the perturbed corpus,
+    // alias-render (codegen'd utf8_alias), apply the byte merge fold (same
+    // native BpeApply), then ids under the STRUCTURAL byte id space
+    // ([[ByteIdBase]] doc): single-alias-char symbols map by POSITION in
+    // the alias table (instr — character-indexed on both engines, so the
+    // id is byte value + 1 with no vocabulary lookup that could miss);
+    // multi-char symbols are exactly the merge outputs, so the literal
+    // merge map is total over them — the lookup cannot return null BY
+    // CONSTRUCTION, which is the "UNK structurally unreachable" property
+    // this family exists for (ByteBpeSpec pins it on never-seen
+    // characters, now including codepoints ≥ 128). Two merges can
+    // legitimately emit the same merged string; the id map takes the MIN
+    // rank (the vocabIds convention, ADVICE r16) and the oracle's mtab
+    // mirrors with min(rank) GROUP BY merged.
+    // Plan shape = encodeStream's: one map-side pass (native fold +
+    // codegen'd alias, no interpreted HOF in the hot path), the per-doc
+    // re-aggregate the only shuffle.
     "text_bpe_bytes_encode" -> ((s, d) => {
       val art = learnBytes(s, d)
       val ml = mergeListFrom(s, art)
-      val mapArgs = ml
-        .map { case (r, s1, s2) => s"'${sqlLit(s1 + s2)}', ${ByteIdBase + r}L" }
+      val mapArgs = ml.groupBy { case (_, s1, s2) => s1 + s2 }
+        .map { case (m, rs) => (m, rs.map(_._1).min) }.toSeq.sortBy(_._1)
+        .map { case (m, r) => s"'${sqlLit(m)}', ${ByteIdBase + r}L" }
         .mkString(", ")
-      documents(s, d)
+      byteDocs(s, d)
         .select(col("doc_id"),
           posexplode(expr(s"regexp_extract_all(text, '$BytePretokRe', 0)"))
-            .as(Seq("pos", "word")))
+            .as(Seq("pos", "word0")))
         .withColumn("subs",
-          org.apache.spark.sql.graft.BpeOps.bpe_apply(col("word"),
+          org.apache.spark.sql.graft.BpeOps.bpe_apply(
+            org.apache.spark.sql.graft.BpeOps.utf8_alias(col("word0")),
             ml.map { case (_, s1, s2) => (s1, s2) }))
         .select(col("doc_id"), col("pos"),
           size(col("subs")).cast(LongType).as("n_sub"),
           expr(s"concat_ws(' ', transform(subs, x -> CAST(CASE WHEN length(x) = 1 " +
-            s"THEN ascii(x) + 1 ELSE element_at(map($mapArgs), x) END AS STRING)))")
+            s"THEN instr('$aliasLitSpark', x) ELSE element_at(map($mapArgs), x) END AS STRING)))")
             .as("ids_w"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tok"), sum("n_sub").as("n_sub"),
@@ -804,23 +858,27 @@ object Bpe {
     // effective sequence length and training cost): per language, mean
     // subwords-per-pretoken (fertility) and bytes-per-subword
     // (compression) under the learned BYTE-level vocabulary, in exact
-    // micro fixed point (counts and div only — D5). One corpus pass
-    // (regex pretokenize + native fold), one per-language aggregate; at
-    // 100 TB this is the scan-bound audit a tokenizer release runs per
-    // corpus slice.
+    // micro fixed point (counts and div only — D5). n_bytes is TRUE UTF-8
+    // octets (octet_length — VERDICT r16 #3; on the perturbed multi-byte
+    // corpus chars ≠ bytes, which is the whole point of the metric: CJK
+    // text costs 3 bytes per codepoint before the tokenizer even starts).
+    // One corpus pass (regex pretokenize + codegen'd alias + native fold),
+    // one per-language aggregate; at 100 TB this is the scan-bound audit a
+    // tokenizer release runs per corpus slice.
     "text_tokenizer_fertility" -> ((s, d) => {
       val art = learnBytes(s, d)
       val ml = mergeListFrom(s, art)
-      documents(s, d)
+      byteDocs(s, d)
         .select(col("lang"),
-          explode(expr(s"regexp_extract_all(text, '$BytePretokRe', 0)")).as("word"))
+          explode(expr(s"regexp_extract_all(text, '$BytePretokRe', 0)")).as("word0"))
         .withColumn("n_sub",
-          size(org.apache.spark.sql.graft.BpeOps.bpe_apply(col("word"),
+          size(org.apache.spark.sql.graft.BpeOps.bpe_apply(
+            org.apache.spark.sql.graft.BpeOps.utf8_alias(col("word0")),
             ml.map { case (_, s1, s2) => (s1, s2) })).cast(LongType))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_tok"),
           sum("n_sub").as("n_sub"),
-          Det.lsum(length(col("word"))).as("n_bytes"))
+          Det.lsum(octet_length(col("word0"))).as("n_bytes"))
         .select(col("lang"), col("n_tok"), col("n_sub"), col("n_bytes"),
           expr("n_sub * 1000000 div n_tok").as("fertility_micro"),
           expr("n_bytes * 1000000 div n_sub").as("bytes_per_sub_micro"))
@@ -873,12 +931,48 @@ object Bpe {
     */
   private def roundCtes: String = roundCtesWith("", None)
 
-  /** The byte-level chain: identical serial machinery, seeded from the
-    * regex pretokens (group 0 = whole match on both engines; DuckDB's
-    * default group is already 0).
+  /** The byte-level chain (GPT-2 alias space since round 17): the
+    * perturbed corpus ([[pertCaseSql]]), regex pretokens with positions
+    * (group 0 = whole match on both engines; DuckDB's default group is
+    * already 0), the alias rendering done ARITHMETICALLY over the
+    * vocabulary-sized distinct-pretoken frame — codepoints via ord(), the
+    * standard UTF-8 encoding formulas in integer `//`/`%` (exact
+    * cross-engine), alias chars by 1-based substr into the shared
+    * [[aliasLitDuck]] table — then the identical serial merge machinery
+    * over alias words. `wa` (word0 → alias word) and `tok0`
+    * (doc_id, lang, pos, word0) are exported for the encode/fertility
+    * tails.
     */
-  private def byteRoundCtes: String = roundCtesWith("", None,
-    s"unnest(regexp_extract_all(text, '$BytePretokRe'))")
+  private def byteRoundCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"bdocs AS MATERIALIZED (SELECT doc_id, lang, $pertCaseSql AS text " +
+      "FROM documents), "
+    sb ++= s"tok0 AS MATERIALIZED (SELECT doc_id, lang, " +
+      s"unnest(regexp_extract_all(text, '$BytePretokRe')) AS word0, " +
+      s"unnest(range(1, len(regexp_extract_all(text, '$BytePretokRe')) + 1)) AS pos " +
+      "FROM bdocs), "
+    sb ++= "wf0 AS (SELECT word0, CAST(count(*) AS BIGINT) AS freq FROM tok0 GROUP BY word0), "
+    // per-codepoint → per-UTF-8-byte decomposition of each DISTINCT pretoken
+    sb ++= "wcp AS (SELECT word0, i, ord(substr(word0, CAST(i AS INT), 1)) AS cp " +
+      "FROM (SELECT word0 FROM wf0), unnest(range(1, len(word0) + 1)) AS u(i)), "
+    sb ++= "wnb AS (SELECT word0, i, cp, CASE WHEN cp < 128 THEN 1 WHEN cp < 2048 THEN 2 " +
+      "WHEN cp < 65536 THEN 3 ELSE 4 END AS nb FROM wcp), "
+    sb ++= "wby AS (SELECT word0, i, j, CASE WHEN nb = 1 THEN cp " +
+      "WHEN j = 1 THEN CASE nb WHEN 2 THEN 192 + cp // 64 WHEN 3 THEN 224 + cp // 4096 " +
+      "ELSE 240 + cp // 262144 END " +
+      "ELSE 128 + (cp // (CASE WHEN j = nb THEN 1 WHEN j = nb - 1 THEN 64 ELSE 4096 END)) % 64 " +
+      "END AS b FROM wnb, unnest(range(1, nb + 1)) AS v(j)), "
+    sb ++= s"wa AS MATERIALIZED (SELECT word0, string_agg(substr('$aliasLitDuck', " +
+      "CAST(b + 1 AS INT), 1), '' ORDER BY i, j) AS word FROM wby GROUP BY word0), "
+    // alias rendering is injective (UTF-8 is), so this join is 1:1
+    sb ++= "wf AS MATERIALIZED (SELECT wa.word AS word, wf0.freq AS freq " +
+      "FROM wf0 JOIN wa USING (word0)), "
+    sb ++= "s0 AS MATERIALIZED (SELECT word, CAST(i AS BIGINT) AS pos, " +
+      "substr(word, CAST(i AS INT), 1) AS sym FROM wf, " +
+      "unnest(range(1, len(word) + 1)) AS u(i))"
+    appendMergeRounds(sb)
+    sb.toString
+  }
 
   /** Parameterized CTE chain (VERDICT r13 #2). `trainWhere` restricts the
     * TRAINING corpus (wf — the frame pair counts join against); when
@@ -889,8 +983,8 @@ object Bpe {
     * default arguments the generated SQL is byte-identical to the
     * original single-corpus chain.
     */
-  private def roundCtesWith(trainWhere: String, extraWords: Option[String],
-      tokUnnest: String = "unnest(string_split(text, ' '))"): String = {
+  private def roundCtesWith(trainWhere: String, extraWords: Option[String]): String = {
+    val tokUnnest = "unnest(string_split(text, ' '))"
     val sb = new StringBuilder
     val docFilter = if (trainWhere.isEmpty) "" else s" WHERE $trainWhere"
     sb ++= "wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM " +
@@ -904,6 +998,16 @@ object Bpe {
     sb ++= "s0 AS MATERIALIZED (SELECT word, CAST(i AS BIGINT) AS pos, " +
       s"substr(word, CAST(i AS INT), 1) AS sym FROM $seedSrc, " +
       "unnest(range(1, len(word) + 1)) AS u(i))"
+    appendMergeRounds(sb)
+    sb.toString
+  }
+
+  /** The per-round p/b/f/s CTE quartet appended after a chain that defines
+    * `wf` (word, freq) and `s0` (word, pos, sym) — shared verbatim by the
+    * char-level chain and the byte-level alias chain (the merge machinery
+    * is string-agnostic by design; see [[learnLoopWf]]).
+    */
+  private def appendMergeRounds(sb: StringBuilder): Unit =
     for (r <- 1 to BpeMerges) {
       val p = r - 1
       sb ++= s", p$r AS (SELECT s1, s2, sum(freq) AS c FROM " +
@@ -926,8 +1030,6 @@ object Bpe {
         "(SELECT *, lag(sel, 1, false) OVER (PARTITION BY word ORDER BY pos) AS psel " +
         s"FROM f$r) WHERE NOT psel)"
     }
-    sb.toString
-  }
 
   val oracles: Map[String, String] = Map(
     "text_bpe_vocab" ->
@@ -963,37 +1065,40 @@ object Bpe {
           s"CAST(c AS BIGINT) AS pair_count FROM b$r").mkString(" UNION ALL ") +
         " ORDER BY rank"),
 
-    // ids by the structural byte arithmetic (ascii+1) for single-byte
-    // symbols, 256+rank via the merge table otherwise — the LEFT JOIN can
-    // only miss on single-byte symbols, where the CASE never reads it
+    // ids by the structural alias-table position (instr — character-
+    // indexed, = byte value + 1) for single-char symbols, 256+rank via the
+    // merge table otherwise; mtab min-rank-dedups colliding merge outputs
+    // (the vocabIds convention, mirroring the Spark map's min — ADVICE
+    // r16: without the GROUP BY a collision fans out duplicate rows here
+    // while Spark's map() throws). The LEFT JOIN can only miss on
+    // single-char symbols, where the CASE never reads it.
     "text_bpe_bytes_encode" ->
       (s"WITH $byteRoundCtes, " +
-        "mtab AS (" +
+        "mtab AS (SELECT merged, CAST(min(rank) AS BIGINT) AS rank FROM (" +
         (1 to BpeMerges).map(r =>
           s"SELECT CAST($r AS BIGINT) AS rank, s1 || s2 AS merged FROM b$r")
-          .mkString(" UNION ALL ") + "), " +
+          .mkString(" UNION ALL ") + ") GROUP BY merged), " +
         "wsub AS (SELECT word, string_agg(CAST(CASE WHEN len(sym) = 1 " +
-        s"THEN ascii(sym) + 1 ELSE $ByteIdBase + m.rank END AS VARCHAR), ' ' ORDER BY pos) AS ids_w, " +
+        s"THEN instr('$aliasLitDuck', sym) ELSE $ByteIdBase + m.rank END AS VARCHAR), ' ' ORDER BY pos) AS ids_w, " +
         s"CAST(count(*) AS BIGINT) AS n_sub " +
-        s"FROM s$BpeMerges s LEFT JOIN mtab m ON s.sym = m.merged GROUP BY word), " +
-        s"tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '$BytePretokRe')) AS word, " +
-        s"unnest(range(1, len(regexp_extract_all(text, '$BytePretokRe')) + 1)) AS pos FROM documents) " +
+        s"FROM s$BpeMerges s LEFT JOIN mtab m ON s.sym = m.merged GROUP BY word) " +
         "SELECT doc_id, count(*) AS n_tok, CAST(sum(n_sub) AS BIGINT) AS n_sub, " +
         "string_agg(ids_w, ' ' ORDER BY pos) AS ids_str " +
-        "FROM tok JOIN wsub USING (word) GROUP BY doc_id ORDER BY doc_id"),
+        "FROM tok0 JOIN wa USING (word0) JOIN wsub USING (word) " +
+        "GROUP BY doc_id ORDER BY doc_id"),
 
     // per-pretoken segment sizes from the byte chain's final word table;
-    // micro ratios via `//` ≡ `div` on the non-negative counts
+    // n_bytes = strlen (true UTF-8 octets — VERDICT r16 #3; ≡ the alias
+    // word's char length by construction); micro ratios via `//` ≡ `div`
+    // on the non-negative counts
     "text_tokenizer_fertility" ->
       (s"WITH $byteRoundCtes, " +
         s"wsub AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sub " +
         s"FROM s$BpeMerges GROUP BY word), " +
-        s"tok AS (SELECT d.lang, unnest(regexp_extract_all(d.text, '$BytePretokRe')) AS word " +
-        "FROM documents d), " +
         "ag AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tok, " +
         "CAST(SUM(n_sub) AS BIGINT) AS n_sub, " +
-        "CAST(SUM(len(word)) AS BIGINT) AS n_bytes " +
-        "FROM tok JOIN wsub USING (word) GROUP BY lang) " +
+        "CAST(SUM(strlen(word0)) AS BIGINT) AS n_bytes " +
+        "FROM tok0 JOIN wa USING (word0) JOIN wsub USING (word) GROUP BY lang) " +
         "SELECT lang, n_tok, n_sub, n_bytes, " +
         "CAST(n_sub * 1000000 // n_tok AS BIGINT) AS fertility_micro, " +
         "CAST(n_bytes * 1000000 // n_sub AS BIGINT) AS bytes_per_sub_micro " +

