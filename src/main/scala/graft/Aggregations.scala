@@ -129,12 +129,27 @@ object Aggregations {
 
     "agg_approx_distinct" -> ((s, d) =>
       // HLL sketch — mergeable, constant memory per group: the only way
-      // COUNT(DISTINCT) stays tractable at 100 TB. No SQL oracle (sketch
-      // values are engine-specific); scalatest checks ±5% vs exact. The
-      // PORTABLE driver-verified twin is agg_distinct_sketch below.
+      // COUNT(DISTINCT) stays tractable at 100 TB. The sketch VALUE is
+      // engine-specific (never hashable), so since round 17 (VERDICT r16
+      // #4) the registered output is a banded SELF-CHECK: the plan
+      // computes the HLL estimate AND the exact distinct in one aggregate
+      // and ships (group, exact, |approx − exact| ≤ 5% of exact) — the
+      // oracle computes (group, exact, TRUE), so the key hash-matches iff
+      // the sketch honors its bound in-plan (this is the audit form; a
+      // production query ships the approx alone, which is the whole
+      // point of the sketch). Sketch rsd = 0.02 (measured: the default
+      // 0.05 sketch lands 6.7% off at sf0.1's 1500-distinct groups — one
+      // bad register draw past its own 1σ; 0.02 measures 0.4% at every
+      // SF, so the 5% band carries ~2.5σ of headroom and still costs
+      // constant KBs per group); the PORTABLE driver-verified twin is
+      // agg_distinct_sketch below.
       events(s, d)
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx") - col("exact_users")) * 20 <= col("exact_users"))
+            .as("within_5pct"))
         .orderBy("event_type")),
 
     "agg_distinct_sketch" -> ((s, d) => {
@@ -414,17 +429,41 @@ object Aggregations {
         .orderBy("o_orderstatus")
     }),
 
-    "agg_approx_quantile" -> ((s, d) =>
-      // KLL/GK-style sketch percentiles — mergeable, bounded memory: the
+    "agg_approx_quantile" -> ((s, d) => {
+      // GK-style sketch percentiles — mergeable, bounded memory: the
       // 100 TB path where exact percentile's full sort is off the table.
-      // No SQL oracle (sketch internals are engine-specific); scalatest
-      // bounds it against the exact percentile.
-      events(s, d)
-        .groupBy("event_type")
+      // Sketch internals are engine-specific, so since round 17 (VERDICT
+      // r16 #4) the registered output is a banded SELF-CHECK: exact
+      // DISCRETE percentiles via an explicit rank rule — smallest value
+      // whose rank satisfies rn·K ≥ n·q by integer cross-multiplication,
+      // identical on both engines, no interpolation so the shipped double
+      // is a SELECTED datum, never computed — plus booleans asserting the
+      // approx_percentile value lands within the exact [q−δ, q+δ] rank
+      // band, δ = 0.005 = 5× the published 1/accuracy rank guarantee at
+      // accuracy=1000. Oracle emits (group, exacts, TRUE, TRUE): the key
+      // hash-matches iff the sketch honors its bound. (Audit form — the
+      // production query ships the approx alone; the exact rank pass here
+      // IS the full sort the sketch replaces.)
+      val wE = Window.partitionBy("event_type")
+      val ranked = events(s, d).where(col("value").isNotNull)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(
+          wE.orderBy(col("value").asc, col("event_id").asc)))
+        .withColumn("n", count(lit(1)).over(wE))
+      def at(numer: Int, denom: Int) =
+        min(when(col("rn") * denom >= col("n") * numer, col("value")))
+      ranked.groupBy("event_type")
         .agg(
-          expr("approx_percentile(value, 0.5, 1000)").as("p50"),
-          expr("approx_percentile(value, 0.99, 1000)").as("p99"))
-        .orderBy("event_type")),
+          expr("approx_percentile(value, 0.5, 1000)").as("a50"),
+          expr("approx_percentile(value, 0.99, 1000)").as("a99"),
+          at(1, 2).as("p50_exact"), at(99, 100).as("p99_exact"),
+          at(495, 1000).as("lo50"), at(505, 1000).as("hi50"),
+          at(985, 1000).as("lo99"), at(995, 1000).as("hi99"))
+        .select(col("event_type"), col("p50_exact"), col("p99_exact"),
+          (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("p50_in_band"),
+          (col("a99") >= col("lo99") && col("a99") <= col("hi99")).as("p99_in_band"))
+        .orderBy("event_type")
+    }),
 
     "agg_quantile_sketch" -> ((s, d) => {
       // Binned-histogram quantile sketch over PORTABLE integer arithmetic
@@ -1106,6 +1145,29 @@ object Aggregations {
       ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, " +
        "count(DISTINCT l_suppkey) AS n_supps FROM lineitem " +
        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    // banded self-check (VERDICT r16 #4): the oracle asserts the exact
+    // distinct and that the band boolean is TRUE — the Spark side computes
+    // the boolean from its own HLL estimate in-plan, so a sketch that
+    // breaks its 5% bound fails the hash, while the engine-specific
+    // estimate itself never enters the hashed output
+    "agg_approx_distinct" ->
+      ("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, " +
+       "TRUE AS within_5pct FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // same contract for the percentile sketch: exact DISCRETE percentiles
+    // by the identical integer rank rule (smallest value with rn·K ≥ n·q —
+    // selected data, no interpolation), bands asserted TRUE
+    "agg_approx_quantile" ->
+      ("WITH r AS (SELECT event_type, value, " +
+       "row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn, " +
+       "count(*) OVER (PARTITION BY event_type) AS n " +
+       "FROM events WHERE value IS NOT NULL) " +
+       "SELECT event_type, " +
+       "min(CASE WHEN rn * 2 >= n THEN value END) AS p50_exact, " +
+       "min(CASE WHEN rn * 100 >= n * 99 THEN value END) AS p99_exact, " +
+       "TRUE AS p50_in_band, TRUE AS p99_in_band " +
+       "FROM r GROUP BY event_type ORDER BY event_type"),
 
     "agg_boolean" ->
       ("SELECT l_returnflag, " +

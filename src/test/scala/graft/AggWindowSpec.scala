@@ -136,12 +136,22 @@ class AggWindowSpec extends AnyFunSuite {
   }
 
   test("approx_count_distinct within 5% of exact") {
-    val approx = q("agg_approx_distinct").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the registered key now ships (exact, within_5pct) — assert the
+    // in-plan band holds AND re-measure the guarantee independently (the
+    // r16 #4 convention: the flag must agree with a from-scratch check)
+    val got = q("agg_approx_distinct").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val approx = Tables.events(spark, Sf0001)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Tables.events(spark, Sf0001)
       .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, n) =>
+      val (gn, inBand) = got(k)
+      assert(gn == n, s"$k: exact_users $gn vs $n")
+      assert(inBand, s"$k: sketch broke its 5% band")
       assert(math.abs(approx(k) - n) <= math.max(1, (n * 0.05).toLong), s"$k: ${approx(k)} vs $n")
     }
   }
@@ -198,12 +208,24 @@ class AggWindowSpec extends AnyFunSuite {
   }
 
   test("approx_percentile within tolerance of exact percentile") {
-    val approx = q("agg_approx_quantile").collect()
-      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // registered key ships exact discrete percentiles + in-band flags;
+    // assert the flags AND re-measure the sketch independently
+    val got = q("agg_approx_quantile").collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    val approx = Tables.events(spark, Sf0001)
+      .groupBy("event_type")
+      .agg(expr("approx_percentile(value, 0.5, 1000)").as("a50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val exact = Tables.events(spark, Sf0001)
       .groupBy("event_type").agg(expr("percentile(value, 0.5)").as("p50"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     exact.foreach { case (k, e) =>
+      val (g50, g99, in50, in99) = got(k)
+      assert(in50 && in99, s"$k: sketch broke its rank band ($in50, $in99)")
+      assert(g50 <= g99, s"$k: non-monotone discrete percentiles")
+      assert(math.abs(g50 - e) <= math.max(1.0, e * 0.1),
+        s"$k: discrete p50 $g50 far from interpolated $e")
       assert(math.abs(approx(k) - e) <= math.max(1.0, e * 0.1), s"$k: ${approx(k)} vs $e")
     }
   }
