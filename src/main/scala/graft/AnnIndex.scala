@@ -39,8 +39,9 @@ object AnnIndex {
     // retune is a different index — without the geometry term a persisted
     // index from an older build would serve stale codebooks to the
     // frozen-codebook append path (caught in round 10 when M went 16→32)
+    // 64-bit fingerprint fold (ADVICE r16 — see KmvStore.storeRoot)
     val key = Sources.fixtureKey(d, "embeddings") + ":" + Similarity.pqGeometryTag
-    val safe = java.lang.Long.toHexString(key.hashCode.toLong & 0xffffffffL)
+    val safe = Sources.stableHex64(key)
     val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
     s"$base/graft_ann_index/${new java.io.File(d).getName}_$safe"
   }

@@ -35,9 +35,12 @@ object KmvStore {
   private[graft] val builds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def storeRoot(d: String): String = {
+    // full fingerprint+geometry folded through a 64-bit hash (ADVICE r16:
+    // 32-bit String.hashCode left a collision window where a stale store
+    // could silently serve a different corpus)
     val key = Sources.fixtureKey(d, "events") +
       s":kmv:${Aggregations.KmvK}:${Aggregations.KmvM}"
-    val safe = java.lang.Long.toHexString(key.hashCode.toLong & 0xffffffffL)
+    val safe = Sources.stableHex64(key)
     val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
     s"$base/graft_kmv_store/${new java.io.File(d).getName}_$safe"
   }

@@ -1085,8 +1085,15 @@ object Similarity {
   }
 
   private[graft] def pretrainCleaned(s: SparkSession, d: String): DataFrame = {
-    val surpFlag = TextOps.lmScores(s, d)
-      .where(col("surprisal_millibits") >= lit(TextOps.LmSurprisalFlagMilli))
+    // Kneser-Ney since round 17 (VERDICT r16 #7): the composite's LM
+    // filter reads the best reference model the engine has —
+    // lmScoresKn's exact integer-cleared KN bigram scores against the
+    // full-corpus index — not the classroom unigram it shipped with
+    // while KN was being built. Same plan shape: the memoized bigram
+    // index, vocab-bounded rollups, one left-anti against the flag set;
+    // still one Catalyst plan end to end.
+    val surpFlag = TextOps.lmScoresKn(s, d)
+      .where(col("surprisal_millibits") >= lit(TextOps.KnFlagMilli))
       .select("doc_id")
     pretrainQuality(s, d).join(surpFlag, Seq("doc_id"), "left_anti")
   }
@@ -2746,9 +2753,10 @@ object Similarity {
     // chain (pr), exact reps, the near-drop anti set, the decontamination
     // shingle screen (dsh/cont — raw-string shingles; the Spark side keys
     // on xxhash64 of the same strings, equality-preserving as in
-    // text_decontaminate), the full-corpus unigram surprisal flags
-    // (ltok…lflag — text_lm_surprisal's fixed-point log2 chain verbatim),
-    // then pipeline_pretrain_mini's quality + pack tail over the survivors
+    // text_decontaminate), the full-corpus KNESER-NEY surprisal flags
+    // (knScoreCtes — text_lm_surprisal_kn's integer-cleared chain
+    // verbatim, the round-17 filter upgrade), then
+    // pipeline_pretrain_mini's quality + pack tail over the survivors
     "pipeline_pretrain_full" ->
       ("WITH " + minhashPairsCte + ", " +
        "ex AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text), " +
@@ -2759,8 +2767,8 @@ object Similarity {
        "FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents))), " +
        "cont AS (SELECT DISTINCT c.doc_id FROM dsh c " +
        "JOIN dsh p ON c.g = p.g AND p.doc_id < 50 AND c.doc_id >= 50), " +
-       TextOps.lmScoreCtes("l") + ", " +
-       s"lflag AS (SELECT doc_id FROM lsc WHERE sm >= ${TextOps.LmSurprisalFlagMilli}), " +
+       TextOps.knScoreCtes + ", " +
+       s"lflag AS (SELECT doc_id FROM ksc WHERE sm >= ${TextOps.KnFlagMilli}), " +
        "sv AS (SELECT e.doc_id, e.text FROM ex e WHERE e.doc_id >= 50 " +
        "AND NOT EXISTS (SELECT 1 FROM ndrop n WHERE n.doc_id = e.doc_id) " +
        "AND NOT EXISTS (SELECT 1 FROM cont ct WHERE ct.doc_id = e.doc_id)), " +

@@ -59,6 +59,22 @@ object Sources {
     s"$d@${f.length()}:${f.lastModified()}"
   }
 
+  /** 64-bit FNV-1a of a key string as 16 hex chars — the directory-name
+    * fingerprint for CROSS-SESSION persisted artifact roots (AnnIndex,
+    * KmvStore, the graph-ANN index). ADVICE r16: the previous 32-bit
+    * String.hashCode left a real (if tiny) chance that two different
+    * corpus fingerprints collide and a probe silently serves the other
+    * corpus's artifact — the exact staleness the key exists to prevent;
+    * 64 bits of a proper mix removes it for any realistic artifact count.
+    */
+  private[graft] def stableHex64(key: String): String = {
+    var h = 0xcbf29ce484222325L
+    val bs = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bs.length) { h ^= (bs(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    f"$h%016x"
+  }
+
   private val spillCache =
     new java.util.concurrent.ConcurrentHashMap[String, () => String]()
 

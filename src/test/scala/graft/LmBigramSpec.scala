@@ -16,7 +16,11 @@ class LmBigramSpec extends AnyFunSuite {
   import TestSpark.spark
 
   private val d = TestSpark.Sf0001
-  private val Bos = ""
+  // the queries' BOS sentinel is chr(1) — the reference uses the SAME
+  // token (ADVICE r16: an empty-string Bos would conflate a genuine ""
+  // token from a leading/doubled space with BOS, mis-specifying the
+  // expected values rather than testing the query)
+  private val Bos = "\u0001"
 
   private lazy val corpus: Seq[(Long, Seq[String])] =
     Tables.documents(spark, d).select("doc_id", "text").collect()
