@@ -7,35 +7,90 @@ import Tables._
 
 /** Multimodal column plumbing (BASELINE.json north-star).
   *
-  * The fixtures carry no real image/audio bytes (and this container has no
-  * codec libraries — see the builder brief), so media decode is STUBBED with
-  * a deterministic fake: the Spark-side plumbing — binary columns with typed
-  * metadata, partition-preserving `mapPartitions` batch processing, schema
-  * of the decoded features, frame sampling as a generator — is real and
-  * tested; only the innermost "decode" is a clearly-marked fake.
+  * The fixtures carry no real image/audio bytes, so each doc's media
+  * payload is GENERATED — a real PNG, rendered executor-side from the
+  * doc's codepoints by integer pixel formulas ([[renderPng]]) — and then
+  * genuinely DECODED with `javax.imageio` (VERDICT r16 #6: the old
+  * deterministic `fakeDecode` byte-sampler is gone). The decode stage sees
+  * only opaque bytes and a real codec; the pixel formulas are shared
+  * verbatim with the DuckDB oracles, so the decoded features carry full
+  * hash oracles even though a binary codec sits in the middle of the plan.
   *
   * At 100 TB the same shape holds: binary payloads stay in parquet/object
-  * storage, the decode UDF runs partition-local with no shuffle, and all
-  * downstream analytics operate on the small typed feature columns.
+  * storage, the codec runs partition-local inside `mapPartitions` with no
+  * shuffle and no driver round-trip, and all downstream analytics operate
+  * on the small typed feature columns.
   */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Decoded-feature schema: what a real image decode would produce. */
+  /** Decoded-feature schema: per-channel integer means over real pixels. */
   case class MediaFeatures(
-    doc_id: Long, n_bytes: Int, fake_width: Int, fake_height: Int,
-    channels: Int, brightness: Long)
+    doc_id: Long, width: Int, height: Int, channels: Int,
+    mean_r: Long, mean_g: Long, mean_b: Long)
 
-  /** STUB decode: a real implementation would decode image bytes here
-    * (JPEG/PNG → pixels). Deterministic fake: dimensions derive from the
-    * payload length, "brightness" is the exact integer mean of the first
-    * 64 bytes. Signature and batch shape match the real thing.
+  /** Raster geometry per doc: W = 8 + doc_id % 9, H = 8 + doc_id % 7 —
+    * doc-dependent so a decode that ignores the actual image header fails
+    * loudly on every doc whose id isn't ≡ 0 (mod 63).
     */
-  def fakeDecode(docId: Long, bytes: Array[Byte]): MediaFeatures = {
-    val n = bytes.length
-    val head = bytes.take(64)
-    val bright = if (head.isEmpty) 0L else head.map(b => (b & 0xff).toLong).sum / head.length
-    MediaFeatures(docId, n, 64 + (n % 512), 64 + (n % 384), 3, bright)
+  private def dims(docId: Long): (Int, Int) =
+    (8 + (docId % 9).toInt, 8 + (docId % 7).toInt)
+
+  /** Pixel value formulas (shared with the oracles): gray source
+    * c(i) = codepoint(text, i mod len) mod 256 (0 for empty text), then
+    * r = c, g = 255 − c, b = (c + 64) mod 256 — three distinct channels so
+    * a decode that transposes or collapses channels cannot hash-match.
+    */
+  private def graySrc(cps: Array[Int], i: Int): Int =
+    if (cps.isEmpty) 0 else cps(i % cps.length) % 256
+
+  /** Render the doc's deterministic W×H RGB raster and ENCODE it as a real
+    * PNG via javax.imageio — the payload-generation half of the mm decode
+    * contract. PNG is lossless 8-bit RGB, so the decode side recovers the
+    * exact pixel integers the oracle recomputes arithmetically.
+    */
+  private[graft] def renderPng(docId: Long, text: String): Array[Byte] = {
+    val (w, h) = dims(docId)
+    val cps = text.codePoints().toArray
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val c = graySrc(cps, y * w + x)
+        img.setRGB(x, y, (c << 16) | ((255 - c) << 8) | ((c + 64) % 256))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode: ImageIO parses the PNG byte stream; dimensions
+    * come from the decoded header, channel means from the decoded pixels
+    * (integer div — exact). Nothing here knows the generation formulas.
+    */
+  private[graft] def decodePng(docId: Long, bytes: Array[Byte]): MediaFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"doc $docId: payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    MediaFeatures(docId, w, h, img.getColorModel.getNumColorComponents,
+      sr / n, sg / n, sb / n)
   }
 
   /** documents.text encoded to a binary payload column — the stand-in for a
@@ -45,6 +100,16 @@ object Multimodal {
     df.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
       col("lang").as("meta_lang"), col("source").as("meta_source"))
 
+  /** The media table: (doc_id, PNG payload), rendered partition-local. */
+  private[graft] def mediaPayload(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    val spark = s
+    import spark.implicits._
+    documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, renderPng(id, t)) })
+  }
+
   val queries: Map[String, Q] = Map(
     // Pure-SQL metadata over the binary column — oracle-checkable.
     "mm_binary_meta" -> ((s, d) =>
@@ -52,34 +117,33 @@ object Multimodal {
         .select(col("doc_id"), length(col("payload")).as("n_bytes"), col("meta_lang"))
         .orderBy("doc_id")),
 
-    // Partition-local batch decode via typed mapPartitions (no shuffle).
+    // Partition-local batch decode via typed mapPartitions (no shuffle):
+    // generate the real PNG payloads, then genuinely decode them with
+    // javax.imageio and emit header dims + per-channel integer means.
     "mm_decode_features" -> ((s, d) => {
       val spark = s
       import spark.implicits._
-      withBinaryPayload(documents(s, d))
-        .select(col("doc_id"), col("payload"))
-        .as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, bytes) => fakeDecode(id, bytes) })
+      mediaPayload(s, d)
+        .mapPartitions(_.map { case (id, bytes) => decodePng(id, bytes) })
         .toDF()
         .orderBy("doc_id")
     }),
 
-    // "Resize": strided byte sampling down to a fixed 16-byte thumbnail —
-    // the STUB stand-in for an image resize; partition-local execution
-    // matches the real thing. The registered output renders the thumbnail
-    // as a CSV string: raw array columns crash the driver's pandas sort
-    // (round-1 harness error; ContractSpec now forbids them in outputs).
+    // Resize: REAL nearest-neighbor downsample of the decoded image to a
+    // 4×4 thumbnail — thumb(tx, ty) = pixel(tx·W div 4, ty·H div 4), red
+    // channel, rendered as CSV (raw array columns crash the driver's
+    // pandas sort — round-1 harness error; ContractSpec forbids them).
+    // Partition-local like the decode; the oracle recomputes the sampled
+    // pixels arithmetically.
     "mm_resize_thumbnail" -> ((s, d) => {
       val spark = s
       import spark.implicits._
-      withBinaryPayload(documents(s, d))
-        .select(col("doc_id"), col("payload"))
-        .as[(Long, Array[Byte])]
+      mediaPayload(s, d)
         .mapPartitions(_.map { case (id, bytes) =>
-          val n = bytes.length
-          val thumb = (0 until 16).map { i =>
-            if (n == 0) 0 else bytes(math.min((i.toLong * n / 16).toInt, n - 1)) & 0xff
-          }
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val thumb = for (ty <- 0 until 4; tx <- 0 until 4)
+            yield (img.getRGB(tx * w / 4, ty * h / 4) >> 16) & 0xff
           (id, thumb.mkString(","))
         })
         .toDF("doc_id", "thumb_csv")
@@ -349,29 +413,36 @@ object Multimodal {
       ("SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, " +
        "lang AS meta_lang FROM documents ORDER BY doc_id"),
 
-    // The stub decode reads UTF-8 payload bytes; the fixture corpus is pure
-    // ASCII at every sf (verified: octet_length(encode(text)) = length(text)
-    // for all docs), so byte i ≡ ascii(char i) and the whole decode is
-    // SQL-expressible. A non-ASCII corpus would drop these two oracles back
-    // to scalatest-only; the Spark side needs no change.
+    // the decode side runs a real codec; the oracle recomputes the pixel
+    // GENERATION formulas (shared integer arithmetic — dims from doc_id,
+    // c = codepoint(text, i mod len) mod 256, r/g/b = c / 255−c /
+    // (c+64) mod 256) and the per-channel floor means, so a decode that
+    // misreads the header, transposes channels, or loses a pixel cannot
+    // hash-match
     "mm_decode_features" ->
-      ("SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, " +
-       "CAST(64 + octet_length(encode(text)) % 512 AS INT) AS fake_width, " +
-       "CAST(64 + octet_length(encode(text)) % 384 AS INT) AS fake_height, " +
+      ("WITH px AS (SELECT doc_id, len(text) AS ln, " +
+       "8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h, text FROM documents), " +
+       "g AS (SELECT doc_id, w, h, CASE WHEN ln = 0 THEN 0 ELSE " +
+       "ascii(substr(text, CAST(i % ln AS INT) + 1, 1)) % 256 END AS c " +
+       "FROM px, unnest(range(0, w * h)) AS u(i)) " +
+       "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
        "3 AS channels, " +
-       "CAST(CASE WHEN length(text) = 0 THEN 0 ELSE " +
-       "list_reduce(list_transform(generate_series(1, least(64, length(text))), " +
-       "i -> ascii(substr(text, CAST(i AS INT), 1))), (a, b) -> a + b) " +
-       "// least(64, length(text)) END AS BIGINT) AS brightness " +
-       "FROM documents ORDER BY doc_id"),
+       "CAST(SUM(c) // (w * h) AS BIGINT) AS mean_r, " +
+       "CAST(SUM(255 - c) // (w * h) AS BIGINT) AS mean_g, " +
+       "CAST(SUM((c + 64) % 256) // (w * h) AS BIGINT) AS mean_b " +
+       "FROM g GROUP BY doc_id, w, h ORDER BY doc_id"),
 
+    // nearest-neighbor sample points recomputed arithmetically: thumb t
+    // (row-major 4×4) reads pixel (x, y) = (t%4 · w // 4, t//4 · h // 4),
+    // red channel = c itself
     "mm_resize_thumbnail" ->
-      ("SELECT doc_id, " +
-       "array_to_string(list_transform(generate_series(0, 15), i -> " +
-       "CAST(CASE WHEN length(text) = 0 THEN 0 " +
-       "ELSE ascii(substr(text, CAST(least(i * length(text) // 16, length(text) - 1) AS INT) + 1, 1)) " +
+      ("SELECT doc_id, array_to_string(list_transform(generate_series(0, 15), t -> " +
+       "CAST(CASE WHEN ln = 0 THEN 0 ELSE " +
+       "ascii(substr(text, CAST(((((t // 4) * h) // 4) * w + (((t % 4) * w) // 4)) % ln AS INT) + 1, 1)) % 256 " +
        "END AS VARCHAR)), ',') AS thumb_csv " +
-       "FROM documents ORDER BY doc_id"),
+       "FROM (SELECT doc_id, len(text) AS ln, " +
+       "8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h, text FROM documents) " +
+       "ORDER BY doc_id"),
 
     "mm_embed_quantize" ->
       ("SELECT vec_id, maxabs, " +

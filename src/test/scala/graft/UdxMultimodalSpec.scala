@@ -33,17 +33,27 @@ class UdxMultimodalSpec extends AnyFunSuite {
     rows.filter(_.getInt(1) <= 15).foreach(r => assert(r.getString(2).length == 3))
   }
 
-  test("fake decode is deterministic and schema-complete") {
+  test("real decode: payloads are genuine PNGs, decode is deterministic and exact") {
     val a = q("mm_decode_features").collect().toSeq
     val b = q("mm_decode_features").collect().toSeq
     assert(a == b)
     assert(a.head.schema.fieldNames.toSeq ==
-      Seq("doc_id", "n_bytes", "fake_width", "fake_height", "channels", "brightness"))
+      Seq("doc_id", "width", "height", "channels", "mean_r", "mean_g", "mean_b"))
     a.foreach { r =>
-      assert(r.getInt(1) > 0)                       // n_bytes
-      assert(r.getInt(4) == 3)                      // channels
-      assert(r.getLong(5) >= 0 && r.getLong(5) <= 255)
+      assert(r.getInt(1) >= 8 && r.getInt(1) <= 16)  // width from the header
+      assert(r.getInt(2) >= 8 && r.getInt(2) <= 14)  // height
+      assert(r.getInt(3) == 3)                       // channels from the color model
+      Seq(4, 5, 6).foreach(i => assert(r.getLong(i) >= 0 && r.getLong(i) <= 255))
+      // g = 255 - r pixel-wise, so the floor means satisfy this identity
+      assert(r.getLong(4) + r.getLong(5) >= 254 && r.getLong(4) + r.getLong(5) <= 255,
+        s"channel identity broken: ${r.getLong(4)} + ${r.getLong(5)}")
     }
+    // the payload really is a PNG byte stream (magic header), and the
+    // codec round-trip is exact on a synthetic multi-byte text too
+    val png = Multimodal.renderPng(7L, "héllo 中文 𝓌orld")
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val f = Multimodal.decodePng(7L, png)
+    assert(f.width == 8 + 7 % 9 && f.height == 8 + 7 % 7 && f.channels == 3)
   }
 
   test("binary meta byte length equals UTF-8 text length") {
