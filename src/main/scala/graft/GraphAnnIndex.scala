@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-session persisted GRAPH-ANN index (VERDICT r16 #2 — the
+  * sim_ann_ivfpq_probe / kmv_overlap_probe convention applied to the
+  * NN-descent neighbor lists): the build writes the [[Similarity.NndBuildK]]-deep
+  * lists AND the vectors to a stable parquet layout, so a FRESH
+  * SparkSession answers graph-expansion queries by reading the index,
+  * with zero descent rounds — and zero scans of the embeddings table —
+  * in the probe plan. This closes the last asymmetry in the ANN family:
+  * IVF-PQ and KMV already had persisted probe-only twins; the graph
+  * family's search half previously lived only in GraphAnnSpec's JVM beam.
+  *
+  * Layout under [[indexRoot]]:
+  *   lists/    (vec_id, rn, nb)            — NndBuildK rows per vector
+  *   vectors/  (vec_id, embedding, nrm)    — the stored vectors (graph-ANN
+  *                                           indexes ship vectors with the
+  *                                           graph; HNSW's layout)
+  *   _GANN_OK                              — completion marker, written LAST
+  *
+  * The probe is the DATAFLOW-EXPRESSIBLE slice of beam search: bounded-
+  * depth neighbor expansion — candidates(q) = N(q) ∪ N(N(q)) over the
+  * persisted lists (two self-joins), exact-cosine re-rank, top
+  * [[ProbeTopK]] — for a fixed in-index probe set. Full greedy beam
+  * search is inherently sequential per query (one node's list at a time)
+  * and stays in GraphAnnSpec as the measured recall truth; at 100 TB the
+  * beam serves from a KV store feeding on exactly these persisted lists.
+  * Root keyed by the embeddings fingerprint + the full graph geometry
+  * via the 64-bit [[Sources.stableHex64]] (the ADVICE r16 keying).
+  */
+object GraphAnnIndex {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Probe-set bound (vec_id < ProbeQids) and per-query result depth. */
+  val ProbeQids = 10L
+  val ProbeTopK = 10
+
+  /** Build invocations in this process — lets GraphAnnSpec PROVE the
+    * probe path triggered no descent rounds.
+    */
+  private[graft] val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def indexRoot(d: String): String = {
+    val key = Sources.fixtureKey(d, "embeddings") +
+      s":gann:${Similarity.NndRounds}:${Similarity.NndBuildK}:${Similarity.NndSampleK}"
+    val safe = Sources.stableHex64(key)
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    s"$base/graft_gann_index/${new java.io.File(d).getName}_$safe"
+  }
+
+  private def marker(root: String) = new java.io.File(root, "_GANN_OK")
+
+  /** True if the persisted index already existed (probe-only path). */
+  def ensure(s: SparkSession, d: String): Boolean =
+    if (marker(indexRoot(d)).isFile) true else { build(s, d).count(); false }
+
+  /** Build (or rebuild) the index from the NN-descent pipeline — the SAME
+    * memoized frame sim_ann_graph_nnd reads, so the persisted lists are
+    * bit-identical to the in-process operator's — and return a 1-row
+    * graph-quality summary: vector/edge counts plus the MUTUAL-edge count
+    * (edges whose reverse edge is also in the graph — the symmetry metric
+    * graph-ANN papers track, since beam search traverses lists as if
+    * undirected).
+    */
+  def build(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graft.VectorOps.vec_norm
+    builds.incrementAndGet()
+    val root = indexRoot(d)
+    val ow = org.apache.spark.sql.SaveMode.Overwrite
+    marker(root).delete()
+    Similarity.nndGraphFrame(s, d, Similarity.NndRounds)
+      .write.mode(ow).parquet(s"$root/lists")
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), vec_norm(col("embedding")).as("nrm"))
+      .write.mode(ow).parquet(s"$root/vectors")
+    val ok = marker(root)
+    ok.getParentFile.mkdirs()
+    java.nio.file.Files.write(ok.toPath, Array.emptyByteArray)
+    summary(s, root)
+  }
+
+  private def summary(s: SparkSession, root: String): DataFrame = {
+    val g = s.read.parquet(s"$root/lists").select("vec_id", "nb")
+    g.agg(countDistinct(col("vec_id")).as("n_vectors"),
+        count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(
+        g.as("a").join(g.as("b"),
+            col("a.vec_id") === col("b.nb") && col("a.nb") === col("b.vec_id"))
+          .agg(count(lit(1)).as("n_mutual"))))
+  }
+
+  /** Probe-only graph expansion over the persisted index: every frame in
+    * the plan — the probe set included — is a bare parquet scan of the
+    * artifacts (no descent, no embeddings-table scan; GraphAnnSpec pins
+    * builds == 0 on re-probe). Two bounded self-join hops on the lists,
+    * exact cosine from the stored vectors, rank-only output (the D5 rule).
+    */
+  def probe(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graft.VectorOps.vec_dot
+    ensure(s, d)
+    val root = indexRoot(d)
+    val lists = s.read.parquet(s"$root/lists").select("vec_id", "nb")
+    val vecs = s.read.parquet(s"$root/vectors")
+    val qids = vecs.where(col("vec_id") < ProbeQids)
+      .select(col("vec_id").as("qid"))
+    val h1 = lists.join(broadcast(qids), col("vec_id") === col("qid"))
+      .select(col("qid"), col("nb"))
+    val h2 = h1.join(lists.select(col("vec_id").as("nb"), col("nb").as("nb2")), "nb")
+      .select(col("qid"), col("nb2").as("nb"))
+    val cand = h1.unionAll(h2)
+      .where(col("nb") =!= col("qid")).distinct()
+    val q = vecs.where(col("vec_id") < ProbeQids)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    cand
+      .join(vecs.select(col("vec_id").as("nb"), col("embedding").as("ne"),
+        col("nrm").as("nn")), "nb")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("nb"),
+        (vec_dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("nb").asc)))
+      .where(col("rn") <= ProbeTopK)
+      .select(col("qid"), col("rn").cast("int").as("rn"), col("nb").as("nn"))
+      .orderBy("qid", "rn")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Always REBUILDS (the ann_index_build convention): the bench times
+    // the cold descent+write explicitly, keeping warm-probe timings
+    // honestly separated from training.
+    "gann_index_build" -> ((s, d) => build(s, d)),
+    "sim_ann_graph_probe" -> (probe _)
+  )
+
+  val oracles: Map[String, String] = {
+    val g = s"(SELECT v, nb FROM s${Similarity.NndRounds} " +
+      s"WHERE rn <= ${Similarity.NndBuildK})"
+    Map(
+      "gann_index_build" ->
+        (s"WITH ${Similarity.nndChainCtes}, gg AS (SELECT v, nb FROM $g) " +
+         "SELECT CAST(count(DISTINCT v) AS BIGINT) AS n_vectors, " +
+         "CAST(count(*) AS BIGINT) AS n_edges, " +
+         "CAST((SELECT count(*) FROM gg a JOIN gg b " +
+         "ON a.v = b.nb AND a.nb = b.v) AS BIGINT) AS n_mutual FROM gg"),
+
+      "sim_ann_graph_probe" ->
+        (s"WITH ${Similarity.nndChainCtes}, gg AS (SELECT v, nb FROM $g), " +
+         s"q AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < $ProbeQids), " +
+         "h1 AS (SELECT q.qid, gg.nb FROM q JOIN gg ON gg.v = q.qid), " +
+         "h2 AS (SELECT h1.qid, g2.nb FROM h1 JOIN gg g2 ON g2.v = h1.nb), " +
+         "cand AS (SELECT DISTINCT qid, nb FROM " +
+         "(SELECT qid, nb FROM h1 UNION ALL SELECT qid, nb FROM h2) " +
+         "WHERE nb != qid), " +
+         "sc AS (SELECT qid, nb, row_number() OVER " +
+         "(PARTITION BY qid ORDER BY cos DESC, nb ASC) AS rn FROM " +
+         s"(SELECT cand.qid, cand.nb, " +
+         s"${Similarity.oDot("a", "b")} / (${Similarity.oNorm("a")} * ${Similarity.oNorm("b")}) AS cos " +
+         "FROM cand JOIN embeddings a ON a.vec_id = cand.qid " +
+         "JOIN embeddings b ON b.vec_id = cand.nb)) " +
+         s"SELECT qid, CAST(rn AS INT) AS rn, nb AS nn FROM sc " +
+         s"WHERE rn <= $ProbeTopK ORDER BY qid, rn")
+    )
+  }
+}

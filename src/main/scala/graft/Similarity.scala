@@ -2269,10 +2269,67 @@ object Similarity {
   private def seededFold(listExpr: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $listExpr), (acc, x) -> acc + x)"
 
-  private def oDot(a: String, b: String): String =
+  /** The serial NN-descent CTE chain (the WITH body, ending at
+    * s$NndRounds/g$NndRounds), generated from the SAME round count,
+    * offsets, build width, and sample size as [[nndGraphFrame]] (the BPE
+    * roundCtes convention — a dial change cannot desynchronize query and
+    * oracle); `%` == pmod on the non-negative operands, cosine via the
+    * shared bit-identical fold. Per round: rs = the deterministic mhash
+    * ρK-sample of reverse edges per (vertex, flag class), bn/bo = the
+    * local-join sets, c = local-join pairs (new×new both directions via
+    * the ordered self-join, new×old both ways) ∪ the retained list, g =
+    * top-NndBuildK with the fresh-edge flag recomputed by anti-lookup.
+    * Shared by the sim_ann_graph_nnd oracle and the persisted graph-index
+    * oracles ([[GraphAnnIndex]]).
+    */
+  private[graft] def nndChainCtes: String = {
+    val offs = NndInitOffsets.mkString(", ")
+    val sb = new StringBuilder
+    sb ++= "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings), "
+    sb ++= "g0 AS MATERIALIZED (SELECT e.vec_id AS v, " +
+      "(e.vec_id + o.off) % nn.n AS nb, TRUE AS isnew FROM embeddings e CROSS JOIN nn " +
+      s"CROSS JOIN (SELECT unnest([$offs]) AS off) o)"
+    for (r <- 1 to NndRounds) {
+      val p = r - 1
+      // reverse-sampled in UNALIASED coordinates first (no column renames
+      // in the same scope as the window — lateral-alias ambiguity), then
+      // flipped: sample vertex = the edge TARGET, key = source·131071 +
+      // target, tiebreak source asc
+      sb ++= s", rs$r AS (SELECT nb AS v, v AS nb, isnew FROM (" +
+        "SELECT v, nb, isnew, row_number() OVER (" +
+        "PARTITION BY nb, isnew ORDER BY " +
+        "((v * 131071 + nb) % 1000000007) * 2654435761 % 1000000007, v) AS srn " +
+        s"FROM g$p) WHERE srn <= $NndSampleK)"
+      sb ++= s", bn$r AS (SELECT DISTINCT v, nb FROM (" +
+        s"SELECT v, nb FROM g$p WHERE isnew UNION ALL " +
+        s"SELECT v, nb FROM rs$r WHERE isnew))"
+      sb ++= s", bo$r AS (SELECT DISTINCT v, nb FROM (" +
+        s"SELECT v, nb FROM g$p WHERE NOT isnew UNION ALL " +
+        s"SELECT v, nb FROM rs$r WHERE NOT isnew))"
+      sb ++= s", c$r AS (SELECT DISTINCT v, nb FROM (" +
+        s"SELECT x.nb AS v, y.nb AS nb FROM bn$r x JOIN bn$r y " +
+        "ON x.v = y.v AND x.nb != y.nb " +
+        s"UNION ALL SELECT x.nb AS v, y.nb AS nb FROM bn$r x JOIN bo$r y " +
+        "ON x.v = y.v AND x.nb != y.nb " +
+        s"UNION ALL SELECT y.nb AS v, x.nb AS nb FROM bn$r x JOIN bo$r y " +
+        "ON x.v = y.v AND x.nb != y.nb " +
+        s"UNION ALL SELECT v, nb FROM g$p) WHERE v != nb)"
+      sb ++= s", s$r AS MATERIALIZED (SELECT v, nb, row_number() OVER " +
+        "(PARTITION BY v ORDER BY cos DESC, nb ASC) AS rn FROM " +
+        s"(SELECT c.v, c.nb, ${oDot("a", "b")} / (${oNorm("a")} * ${oNorm("b")}) AS cos " +
+        s"FROM c$r c JOIN embeddings a ON a.vec_id = c.v " +
+        "JOIN embeddings b ON b.vec_id = c.nb))"
+      sb ++= s", g$r AS MATERIALIZED (SELECT s.v, s.nb, " +
+        s"(p.nb IS NULL) AS isnew FROM (SELECT v, nb FROM s$r " +
+        s"WHERE rn <= $NndBuildK) s LEFT JOIN g$p p ON s.v = p.v AND s.nb = p.nb)"
+    }
+    sb.toString
+  }
+
+  private[graft] def oDot(a: String, b: String): String =
     oDotE(s"$a.embedding", s"$b.embedding")
 
-  private def oNorm(t: String): String = oNormE(s"$t.embedding")
+  private[graft] def oNorm(t: String): String = oNormE(s"$t.embedding")
 
   /** [[oDot]]/[[oNorm]] over explicit list-expressions (the IVF oracle dots
     * query vectors against derived centroid lists, not `alias.embedding`).
@@ -2734,60 +2791,13 @@ object Similarity {
        "FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id) " +
        "ORDER BY cos DESC, va, vb LIMIT 20"),
 
-    // the serial NN-descent chain, generated from the SAME round count,
-    // offsets, build width, and sample size (the BPE roundCtes convention
-    // — a dial change cannot desynchronize query and oracle); `%` == pmod
-    // on the non-negative operands, cosine via the shared bit-identical
-    // fold. Per round: rv = reverse edges with flags, rs = the
-    // deterministic mhash ρK-sample per (vertex, flag class), bn/bo = the
-    // local-join sets, c = local-join pairs (new×new both directions via
-    // the ordered self-join, new×old both ways) ∪ the retained list, g =
-    // top-NndBuildK with the fresh-edge flag recomputed by anti-lookup.
-    "sim_ann_graph_nnd" -> {
-      val offs = NndInitOffsets.mkString(", ")
-      val sb = new StringBuilder
-      sb ++= "WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings), "
-      sb ++= "g0 AS MATERIALIZED (SELECT e.vec_id AS v, " +
-        "(e.vec_id + o.off) % nn.n AS nb, TRUE AS isnew FROM embeddings e CROSS JOIN nn " +
-        s"CROSS JOIN (SELECT unnest([$offs]) AS off) o)"
-      for (r <- 1 to NndRounds) {
-        val p = r - 1
-        // reverse-sampled in UNALIASED coordinates first (no column
-        // renames in the same scope as the window — lateral-alias
-        // ambiguity), then flipped: sample vertex = the edge TARGET, key
-        // = source·131071 + target, tiebreak source asc
-        sb ++= s", rs$r AS (SELECT nb AS v, v AS nb, isnew FROM (" +
-          "SELECT v, nb, isnew, row_number() OVER (" +
-          "PARTITION BY nb, isnew ORDER BY " +
-          "((v * 131071 + nb) % 1000000007) * 2654435761 % 1000000007, v) AS srn " +
-          s"FROM g$p) WHERE srn <= $NndSampleK)"
-        sb ++= s", bn$r AS (SELECT DISTINCT v, nb FROM (" +
-          s"SELECT v, nb FROM g$p WHERE isnew UNION ALL " +
-          s"SELECT v, nb FROM rs$r WHERE isnew))"
-        sb ++= s", bo$r AS (SELECT DISTINCT v, nb FROM (" +
-          s"SELECT v, nb FROM g$p WHERE NOT isnew UNION ALL " +
-          s"SELECT v, nb FROM rs$r WHERE NOT isnew))"
-        sb ++= s", c$r AS (SELECT DISTINCT v, nb FROM (" +
-          s"SELECT x.nb AS v, y.nb AS nb FROM bn$r x JOIN bn$r y " +
-          "ON x.v = y.v AND x.nb != y.nb " +
-          s"UNION ALL SELECT x.nb AS v, y.nb AS nb FROM bn$r x JOIN bo$r y " +
-          "ON x.v = y.v AND x.nb != y.nb " +
-          s"UNION ALL SELECT y.nb AS v, x.nb AS nb FROM bn$r x JOIN bo$r y " +
-          "ON x.v = y.v AND x.nb != y.nb " +
-          s"UNION ALL SELECT v, nb FROM g$p) WHERE v != nb)"
-        sb ++= s", s$r AS MATERIALIZED (SELECT v, nb, row_number() OVER " +
-          "(PARTITION BY v ORDER BY cos DESC, nb ASC) AS rn FROM " +
-          s"(SELECT c.v, c.nb, ${oDot("a", "b")} / (${oNorm("a")} * ${oNorm("b")}) AS cos " +
-          s"FROM c$r c JOIN embeddings a ON a.vec_id = c.v " +
-          "JOIN embeddings b ON b.vec_id = c.nb))"
-        sb ++= s", g$r AS MATERIALIZED (SELECT s.v, s.nb, " +
-          s"(p.nb IS NULL) AS isnew FROM (SELECT v, nb FROM s$r " +
-          s"WHERE rn <= $NndBuildK) s LEFT JOIN g$p p ON s.v = p.v AND s.nb = p.nb)"
-      }
-      sb ++= s" SELECT v AS vec_id, CAST(rn AS INT) AS rn, nb FROM s$NndRounds " +
-        s"WHERE rn <= $GraphAnnM ORDER BY vec_id, rn"
-      sb.toString
-    },
+    // the serial NN-descent chain ([[nndChainCtes]] — shared with the
+    // persisted graph-index oracles), final face = top-M of the last
+    // round's ranked frame
+    "sim_ann_graph_nnd" ->
+      (s"WITH $nndChainCtes " +
+       s"SELECT v AS vec_id, CAST(rn AS INT) AS rn, nb FROM s$NndRounds " +
+       s"WHERE rn <= $GraphAnnM ORDER BY vec_id, rn"),
 
     // same cosine fold, rank-only output (the D5 rule)
     "sim_ann_graph_knn" ->

@@ -134,6 +134,33 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(rK > r1 + 0.2, f"no convergence: $rK%.3f vs round-1 $r1%.3f")
   }
 
+  test("persisted graph probe: builds == 0 on re-probe, expansion recall floor") {
+    // the VERDICT r16 #2 contract: after the index exists, the probe plan
+    // reads ONLY the persisted lists/vectors — no descent, no embeddings
+    // scan. builds is the proof (the KmvStoreSpec convention).
+    GraphAnnIndex.ensure(spark, d)
+    val before = GraphAnnIndex.builds.get()
+    val probed = GraphAnnIndex.queries("sim_ann_graph_probe")(spark, d).collect()
+    assert(GraphAnnIndex.builds.get() == before,
+      "probe triggered a graph build — the index contract is broken")
+    // 2-hop expansion over the persisted lists vs brute-force truth: the
+    // dataflow slice of beam search must already carry most of the recall
+    // (full-beam truth stays in the beamSearch tests above)
+    val got = probed.map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val qs = got.keySet.toSeq.sorted
+    assert(qs == (0L until 10L), s"probe set drifted: $qs")
+    val hits = qs.map(q => (bruteTop(q).toSet & got(q)).size).sum
+    val recall = hits.toDouble / (qs.size * TopK)
+    info(f"2-hop expansion recall@10 over persisted lists: $recall%.3f")
+    assert(recall >= 0.80, f"expansion recall $recall%.3f below floor")
+    // a missing marker forces a rebuild (crashed-build safety)
+    assert(new java.io.File(GraphAnnIndex.indexRoot(d), "_GANN_OK").delete())
+    GraphAnnIndex.ensure(spark, d)
+    assert(GraphAnnIndex.builds.get() == before + 1,
+      "markerless index was trusted — a crashed build could serve partial lists")
+  }
+
   test("greedy-only search (ef=1) is strictly worse than the beam — the beam earns its cost") {
     val r1 = recallAt(1)
     val r32 = recallAt(32)
