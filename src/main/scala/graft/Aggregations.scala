@@ -450,8 +450,12 @@ object Aggregations {
         .withColumn("rn", row_number().over(
           wE.orderBy(col("value").asc, col("event_id").asc)))
         .withColumn("n", count(lit(1)).over(wE))
+      // rn is IntegerType (row_number) — the cross-multiplication must run
+      // in LONG or rn·1000 wraps past ~2.1M rows per group (code-review
+      // r17; the oracle's BIGINT arithmetic would expose it as a hash
+      // fail, but the shipped percentile would simply be wrong first)
       def at(numer: Int, denom: Int) =
-        min(when(col("rn") * denom >= col("n") * numer, col("value")))
+        min(when(col("rn").cast("long") * denom >= col("n") * numer, col("value")))
       ranked.groupBy("event_type")
         .agg(
           expr("approx_percentile(value, 0.5, 1000)").as("a50"),

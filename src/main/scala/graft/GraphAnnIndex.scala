@@ -44,8 +44,13 @@ object GraphAnnIndex {
   private[graft] val builds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def indexRoot(d: String): String = {
+    // EVERY geometry dial in the key, init offsets included (code-review
+    // r17: an offsets retune with rounds/K/ρK fixed would otherwise serve
+    // a stale persisted graph — the pqGeometryTag precedent folds all
+    // constants)
     val key = Sources.fixtureKey(d, "embeddings") +
-      s":gann:${Similarity.NndRounds}:${Similarity.NndBuildK}:${Similarity.NndSampleK}"
+      s":gann:${Similarity.NndRounds}:${Similarity.NndBuildK}:${Similarity.NndSampleK}" +
+      s":${Similarity.NndInitOffsets.mkString(",")}"
     val safe = Sources.stableHex64(key)
     val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
     s"$base/graft_gann_index/${new java.io.File(d).getName}_$safe"

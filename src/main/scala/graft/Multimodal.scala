@@ -249,8 +249,7 @@ object Multimodal {
     // characters (codepoints via ascii(); chars = bytes on the ASCII
     // fixture corpus) form a zero-padded 8×8 block-brightness grid
     // (8-char cells, the crop-to-canonical-raster step a real image
-    // pipeline does with a resize — fakeDecode's contract, no codec libs
-    // here), an 8×8
+    // pipeline does with a resize), an 8×8
     // fixed-point DCT-II (integer cosine table, scale 8192, interpolated
     // VERBATIM into query, oracle, and spec — the chi-square/LSH-planes
     // precedent) transforms it, and bit k = sign of the k-th AC

@@ -416,10 +416,17 @@ object ProfScale {
       // reads days × k persisted rows, never raw events; ensured in
       // warmup like the ANN probe)
       "kmv_store_build", "kmv_overlap_probe",
-      // round 16: NN-descent — the LINEAR graph-ANN build (candidates are
-      // ≤ n·M² per round via equi-joins; the exact all-pairs build is the
-      // documented quadratic non-target): the octave is the claim
-      "sim_ann_graph_nnd")
+      // round 16: NN-descent — the LINEAR graph-ANN build (sampled local
+      // join + incremental flags since round 17; the exact all-pairs
+      // build is the documented quadratic non-target): the octave is the
+      // claim (measured r17: 2.2× wall @16×, 12× @64×)
+      "sim_ann_graph_nnd",
+      // round 17: the real-codec media decode (corpus-linear partition-
+      // local PNG encode+decode — the per-doc codec constant is the term
+      // under test) and the persisted graph probe (must stay FLAT like
+      // the IVF-PQ/KMV probes: two self-join hops on the fixed 10-query
+      // probe set against lists that grow k×; ensured in warmup)
+      "mm_decode_features", "sim_ann_graph_probe")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer
@@ -436,6 +443,9 @@ object ProfScale {
       // same probe-only discipline for the KMV store: the build is its own
       // octave entry (kmv_store_build), the probe times sketch-reads only
       if (targets.contains("kmv_overlap_probe")) KmvStore.ensure(spark, dir)
+      // and for the graph-ANN index: the probe row must time artifact
+      // scans only, never the descent build
+      if (targets.contains("sim_ann_graph_probe")) GraphAnnIndex.ensure(spark, dir)
     }
     targets.foreach { q =>
       time(s"$q @1x")(SparkEntry.queries(q)(spark, base).count())

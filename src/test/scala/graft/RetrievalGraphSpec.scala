@@ -169,10 +169,11 @@ class RetrievalGraphSpec extends AnyFunSuite {
       val tk = t.split(" ", -1)
       (id, tk.length.toLong, tk.distinct.length.toLong)
     }.filter { case (_, n, u) => u * 20 >= n * 7 }
-    // stage 5 (late round 11): the full-corpus unigram surprisal filter —
-    // text_lm_surprisal's verified flag column is the reference, so the
-    // spec again pins the COMPOSITION, not the score derivation
-    val surpFlagged = SparkEntry.queries("text_lm_surprisal")(spark, Sf01)
+    // stage 5 (late round 11; Kneser-Ney since round 17 — VERDICT r16
+    // #7): the full-corpus KN surprisal filter — text_lm_surprisal_kn's
+    // verified flag column is the reference, so the spec again pins the
+    // COMPOSITION, not the score derivation
+    val surpFlagged = SparkEntry.queries("text_lm_surprisal_kn")(spark, Sf01)
       .collect().collect { case r if r.getBoolean(3) => r.getLong(0) }.toSet
     val cleaned = floored.filterNot { case (id, _, _) => surpFlagged(id) }
     // stage 6: shard-local exclusive-prefix packing of the survivors
