@@ -93,6 +93,92 @@ object Multimodal {
       sr / n, sg / n, sb / n)
   }
 
+  /** Audio payload geometry: sample count and rate per doc, doc-dependent
+    * so a decode that ignores the actual WAV header fails loudly.
+    */
+  private def audioN(docId: Long): Int = 200 + (docId % 300).toInt
+  private def audioRate(docId: Long): Int = 8000 + 1000 * (docId % 5).toInt
+
+  /** Decoded audio features: header geometry + integer sample statistics. */
+  case class AudioFeatures(
+    doc_id: Long, sample_rate: Int, n_samples: Long,
+    mean_amp: Long, peak_amp: Long, l1_dev: Long)
+
+  /** The WAV codec providers, resolved ONCE per JVM. Measured (32-thread
+    * micro-benchmark, 20k encode+decode ops): AudioSystem's static entry
+    * points funnel EVERY call through a synchronized provider registry —
+    * 2.07 s at 32 threads (worse than 1 thread's 0.79 s: negative
+    * scaling) vs 0.16 s calling the resolved providers directly; the
+    * first 16× octave ran super-linear (0.9 → 23.2 s) purely from that
+    * lock. Still the genuine JDK codec — these are the exact provider
+    * instances AudioSystem dispatches to; only the per-record service
+    * lookup is hoisted, the classic executor-side hot-path rule.
+    */
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException("no WAVE writer provider"))
+  }
+  private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+    import scala.jdk.CollectionConverters._
+    val probe = renderWav(0L, "probe")
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.find { r =>
+        try { r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)); true }
+        catch { case _: Exception => false }
+      }
+      .getOrElse(throw new IllegalStateException("no WAVE reader provider"))
+  }
+
+  /** Render the doc's deterministic 8-bit unsigned mono PCM stream (sample
+    * i = the same [[graySrc]] codepoint formula the image path uses) and
+    * ENCODE it as a real WAV via javax.sound.sampled — the audio analogue
+    * of [[renderPng]]. WAV PCM is lossless, so the decode side recovers
+    * the exact sample integers the oracle recomputes arithmetically.
+    */
+  private[graft] def renderWav(docId: Long, text: String): Array[Byte] = {
+    import javax.sound.sampled._
+    val n = audioN(docId)
+    val cps = text.codePoints().toArray
+    val samples = new Array[Byte](n)
+    var i = 0
+    while (i < n) { samples(i) = graySrc(cps, i).toByte; i += 1 }
+    val rate = audioRate(docId).toFloat
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      rate, 8, 1, 1, rate, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    wavWriter.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode: the WAV reader parses the header (rate, frame
+    * count) and streams the PCM frames; features are integer sample
+    * statistics (floor mean, peak, mean absolute deviation from the 8-bit
+    * midpoint). Nothing here knows the generation formulas.
+    */
+  private[graft] def decodeWav(docId: Long, bytes: Array[Byte]): AudioFeatures = {
+    val ais = wavReader.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    val buf = ais.readAllBytes()
+    val n = buf.length
+    require(n > 0 && fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+      s"doc $docId: payload is not the expected 8-bit mono PCM")
+    var (sum, l1, peak) = (0L, 0L, 0L)
+    var i = 0
+    while (i < n) {
+      val v = (buf(i) & 0xff).toLong
+      sum += v; l1 += math.abs(v - 128); if (v > peak) peak = v
+      i += 1
+    }
+    AudioFeatures(docId, fmt.getSampleRate.toInt, n.toLong,
+      sum / n, peak, l1 / n)
+  }
+
   /** documents.text encoded to a binary payload column — the stand-in for a
     * real media column (opaque `binary` + typed metadata, per north-star).
     */
@@ -125,6 +211,24 @@ object Multimodal {
       import spark.implicits._
       mediaPayload(s, d)
         .mapPartitions(_.map { case (id, bytes) => decodePng(id, bytes) })
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
+    // The AUDIO modality through a second real codec (round 17): each
+    // doc's payload is a genuine WAV (8-bit unsigned mono PCM rendered
+    // from the shared codepoint formula, encoded via javax.sound.sampled)
+    // and the decode stage parses the header + frames back — sample rate
+    // and count from the RIFF header, integer amplitude statistics from
+    // the PCM bytes. Same partition-local mapPartitions shape as the
+    // image path; same shared-formula oracle trick keeps it hash-gated.
+    "mm_audio_features" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) => (id, renderWav(id, t)) })
+        .mapPartitions(_.map { case (id, bytes) => decodeWav(id, bytes) })
         .toDF()
         .orderBy("doc_id")
     }),
@@ -430,6 +534,21 @@ object Multimodal {
        "CAST(SUM(255 - c) // (w * h) AS BIGINT) AS mean_g, " +
        "CAST(SUM((c + 64) % 256) // (w * h) AS BIGINT) AS mean_b " +
        "FROM g GROUP BY doc_id, w, h ORDER BY doc_id"),
+
+    // the audio decode's oracle recomputes the PCM generation formulas:
+    // per-doc header geometry from doc_id, sample values from the shared
+    // codepoint formula, floor means by `//` on the non-negative sums
+    "mm_audio_features" ->
+      ("WITH a AS (SELECT doc_id, len(text) AS ln, 200 + doc_id % 300 AS n, " +
+       "CAST(8000 + 1000 * (doc_id % 5) AS INT) AS sample_rate, text FROM documents), " +
+       "sm AS (SELECT doc_id, n, sample_rate, CASE WHEN ln = 0 THEN 0 ELSE " +
+       "ascii(substr(text, CAST(i % ln AS INT) + 1, 1)) % 256 END AS c " +
+       "FROM a, unnest(range(0, n)) AS u(i)) " +
+       "SELECT doc_id, sample_rate, CAST(n AS BIGINT) AS n_samples, " +
+       "CAST(SUM(c) // n AS BIGINT) AS mean_amp, " +
+       "CAST(MAX(c) AS BIGINT) AS peak_amp, " +
+       "CAST(SUM(abs(c - 128)) // n AS BIGINT) AS l1_dev " +
+       "FROM sm GROUP BY doc_id, n, sample_rate ORDER BY doc_id"),
 
     // nearest-neighbor sample points recomputed arithmetically: thumb t
     // (row-major 4×4) reads pixel (x, y) = (t%4 · w // 4, t//4 · h // 4),

@@ -426,7 +426,13 @@ object ProfScale {
       // under test) and the persisted graph probe (must stay FLAT like
       // the IVF-PQ/KMV probes: two self-join hops on the fixed 10-query
       // probe set against lists that grow k×; ensured in warmup)
-      "mm_decode_features", "sim_ann_graph_probe")
+      "mm_decode_features", "sim_ann_graph_probe",
+      // round 17 (cont.): the NB quality classifier (vocab grows ~k×
+      // under the cipher — the class-aggregate + weight-join terms under
+      // test; the corpus-linear tf⋈w join rides the standing tfIndex) and
+      // the WAV codec path (corpus-linear per-doc encode+decode constant,
+      // the audio twin of mm_decode_features)
+      "text_quality_classifier", "mm_audio_features")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer

@@ -134,6 +134,52 @@ class TextSimilaritySpec extends AnyFunSuite {
     find
   }
 
+  test("text_quality_classifier equals a JVM Naive-Bayes reference; seeds separate") {
+    // the classifier's whole arithmetic (class counts, add-one smoothing,
+    // fixed-point log2 weights, tf-weighted doc sum, sign keep) rebuilt
+    // independently on driver-side maps — the lmScores-spec convention
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    def log2Micro(x: Long): Long = {
+      val i = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      i * 1000000L + (x - (1L << i)) * 1000000L / (1L << i)
+    }
+    val tf = docs.map { case (id, ts) =>
+      id -> ts.groupBy(identity).view.mapValues(_.size.toLong).toMap }.toMap
+    def classCounts(p: Long => Boolean): Map[String, Long] =
+      tf.filter { case (id, _) => p(id) }.values
+        .flatten.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val isPos = (id: Long) => id < TextOps.QcSeedDocs
+    val isNeg = (id: Long) => id >= TextOps.QcSeedDocs && id % 10 == TextOps.QcNegResidue
+    val (cp, cn) = (classCounts(isPos), classCounts(isNeg))
+    val v = tf.values.flatMap(_.keys).toSet.size.toLong
+    val (np, nn) = (cp.values.sum, cn.values.sum)
+    val w = tf.values.flatMap(_.keys).toSet.map { (word: String) =>
+      word -> (log2Micro(cp.getOrElse(word, 0L) + 1) - log2Micro(np + v) -
+        log2Micro(cn.getOrElse(word, 0L) + 1) + log2Micro(nn + v))
+    }.toMap
+    val expected = tf.map { case (id, m) =>
+      id -> m.map { case (word, t) => t * w(word) }.sum }
+    val got = SparkEntry.queries("text_quality_classifier")(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, llr) =>
+      val (gl, keep) = got(id)
+      assert(gl == llr, s"doc $id: llr $gl != $llr")
+      assert(keep == (llr >= 0))
+    }
+    // separation sanity: the positive seed must average ABOVE the negative
+    // seed on the classifier's own score (it was trained to do exactly
+    // that — failure means the class aggregates are crossed), and both
+    // keep classes must be present corpus-wide (non-vacuity)
+    val posMean = expected.collect { case (id, s) if isPos(id) => s }.sum /
+      expected.count(e => isPos(e._1))
+    val negMean = expected.collect { case (id, s) if isNeg(id) => s }.sum /
+      expected.count(e => isNeg(e._1))
+    assert(posMean > negMean, s"seed separation inverted: $posMean <= $negMean")
+    assert(expected.values.exists(_ >= 0) && expected.values.exists(_ < 0))
+  }
+
   test("wordcount total equals token count") {
     val wc = q("text_wordcount").collect().map(_.getLong(1)).sum
     val tokens = Tables.documents(spark, Sf0001)
