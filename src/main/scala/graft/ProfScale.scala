@@ -432,7 +432,10 @@ object ProfScale {
       // test; the corpus-linear tf⋈w join rides the standing tfIndex) and
       // the WAV codec path (corpus-linear per-doc encode+decode constant,
       // the audio twin of mm_decode_features)
-      "text_quality_classifier", "mm_audio_features")
+      "text_quality_classifier", "mm_audio_features",
+      // round 17 (cont.): the multi-frame GIF codec path (corpus-linear
+      // per-doc encode+decode of 2-5 frames)
+      "mm_video_frame_features")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer

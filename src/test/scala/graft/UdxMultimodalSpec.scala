@@ -75,6 +75,24 @@ class UdxMultimodalSpec extends AnyFunSuite {
     assert(f == Multimodal.decodeWav(3L, Multimodal.renderWav(3L, "héllo 中文 𝓌")))
   }
 
+  test("real video decode: payloads are genuine animated GIFs, frames distinct") {
+    val rows = q("mm_video_frame_features").collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, fs) =>
+      assert(fs.length == 2 + (id % 4).toInt, s"doc $id: frame count from container")
+      // the 77-shift makes consecutive frame means differ (mod-256 wrap
+      // keeps them within 255 of each other but never equal for a
+      // non-degenerate raster)
+      assert(fs.map(_.getLong(4)).distinct.length > 1 || fs.length == 1,
+        s"doc $id: frames collapsed to one mean")
+    }
+    val gif = Multimodal.renderGif(5L, "héllo 中文 𝓌")
+    assert(new String(gif.take(6), "US-ASCII") == "GIF89a", "not a GIF container")
+    val fr = Multimodal.decodeGif(5L, gif)
+    assert(fr.length == 2 + (5 % 4) && fr.forall(f => f.width == 8 + 5 % 9 && f.height == 8 + 5 % 7))
+    assert(fr == Multimodal.decodeGif(5L, Multimodal.renderGif(5L, "héllo 中文 𝓌")))
+  }
+
   test("binary meta byte length equals UTF-8 text length") {
     val meta = q("mm_binary_meta").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     Tables.documents(spark, Sf0001).select("doc_id", "text").limit(20).collect()
