@@ -770,27 +770,33 @@ object Multimodal {
     * verification. Mirrors [[phashOf]] stage for stage with the SAME
     * interpolated constants.
     */
-  private def phashPairsCte: String =
-    "b0 AS (SELECT doc_id, unnest(bs) AS b, " +
+  private[graft] def phashPairsCte: String = phashPairsCteP("")
+
+  /** [[phashPairsCte]] with every CTE name prefixed — lets the cross-modal
+    * oracle compose this chain with the minhash chain in one WITH (their
+    * generic names otherwise collide, e.g. `sg`).
+    */
+  private[graft] def phashPairsCteP(px: String): String =
+    s"${px}b0 AS (SELECT doc_id, unnest(bs) AS b, " +
     "unnest(generate_series(1, len(bs))) AS pos " +
     s"FROM (SELECT doc_id, list_transform(string_split(substr(text, 1, $PhashWindow), ''), " +
     "c -> CAST(ascii(c) AS BIGINT)) AS bs FROM documents) WHERE len(bs) > 0), " +
-    s"cl AS (SELECT doc_id, (pos - 1) // ${PhashWindow / 64} AS ci, " +
-    s"CAST(sum(b) AS BIGINT) AS g FROM b0 GROUP BY doc_id, (pos - 1) // ${PhashWindow / 64}), " +
-    s"dt(u, i, t) AS (VALUES $dctValuesSql), " +
-    "rt AS (SELECT cl.doc_id, dt.u, cl.ci % 8 AS j, " +
+    s"${px}cl AS (SELECT doc_id, (pos - 1) // ${PhashWindow / 64} AS ci, " +
+    s"CAST(sum(b) AS BIGINT) AS g FROM ${px}b0 GROUP BY doc_id, (pos - 1) // ${PhashWindow / 64}), " +
+    s"${px}dt(u, i, t) AS (VALUES $dctValuesSql), " +
+    s"${px}rt AS (SELECT cl.doc_id, dt.u, cl.ci % 8 AS j, " +
     "CAST(sum(cl.g * dt.t) AS BIGINT) AS r " +
-    "FROM cl JOIN dt ON dt.i = cl.ci // 8 GROUP BY cl.doc_id, dt.u, cl.ci % 8), " +
-    "ct AS (SELECT rt.doc_id, rt.u, tv.u AS v, " +
+    s"FROM ${px}cl cl JOIN ${px}dt dt ON dt.i = cl.ci // 8 GROUP BY cl.doc_id, dt.u, cl.ci % 8), " +
+    s"${px}ct AS (SELECT rt.doc_id, rt.u, tv.u AS v, " +
     "CAST(sum(rt.r * tv.t) AS BIGINT) AS c " +
-    "FROM rt JOIN dt tv ON tv.i = rt.j GROUP BY rt.doc_id, rt.u, tv.u), " +
-    s"sg AS (SELECT doc_id, CAST(sum(CASE WHEN c > 0 AND u * 8 + v BETWEEN 1 AND $PhashBits " +
+    s"FROM ${px}rt rt JOIN ${px}dt tv ON tv.i = rt.j GROUP BY rt.doc_id, rt.u, tv.u), " +
+    s"${px}sg AS (SELECT doc_id, CAST(sum(CASE WHEN c > 0 AND u * 8 + v BETWEEN 1 AND $PhashBits " +
     s"THEN (CAST(1 AS BIGINT) << CAST($PhashBits - (u * 8 + v) AS INT)) " +
-    "ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS phash FROM ct GROUP BY doc_id), " +
-    s"ks AS (SELECT CAST(unnest(range(0, $PhashBands)) AS BIGINT) AS band), " +
-    s"bd AS (SELECT doc_id, phash, band, (phash >> CAST(band * $PhashBandBits AS INT)) " +
-    s"& ${(1 << PhashBandBits) - 1} AS key FROM sg CROSS JOIN ks), " +
-    "p AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db, " +
-    "x.phash AS pa, y.phash AS pb FROM bd x " +
-    "JOIN bd y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)"
+    s"ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS phash FROM ${px}ct GROUP BY doc_id), " +
+    s"${px}ks AS (SELECT CAST(unnest(range(0, $PhashBands)) AS BIGINT) AS band), " +
+    s"${px}bd AS (SELECT doc_id, phash, band, (phash >> CAST(band * $PhashBandBits AS INT)) " +
+    s"& ${(1 << PhashBandBits) - 1} AS key FROM ${px}sg CROSS JOIN ${px}ks), " +
+    s"${px}p AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db, " +
+    s"x.phash AS pa, y.phash AS pb FROM ${px}bd x " +
+    s"JOIN ${px}bd y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)"
 }

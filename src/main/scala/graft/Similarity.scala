@@ -1451,6 +1451,25 @@ object Similarity {
       base.unionByName(delta).orderBy("doc_id")
     }),
 
+    // CROSS-MODAL dedup (round 17) — the published image-text pair
+    // curation step (LAION/DataComp-style: a pair is a duplicate if its
+    // TEXT is a near-dup OR its IMAGE is a near-dup; either signal alone
+    // misses re-captioned images and re-illustrated text): the union of
+    // the verified MinHash text-pair graph and the pHash payload-pair
+    // graph, clustered transitively through the SAME labelPropagate
+    // engine as the unimodal clusterings. Both pair frames are the
+    // standing fixture-keyed spills — this plan derives nothing, it
+    // composes two verified indexes and runs the cluster loop, which is
+    // exactly the production shape (signals are computed at ingest,
+    // cross-signal policy is a downstream join).
+    "dedup_cross_modal" -> ((s, d) => {
+      val textPairs = minhashCandidates(s, d, 0.8).select("da", "db")
+      val imgPairs = Multimodal.phashPairs(s, d).select("da", "db")
+      labelPropagate(documents(s, d),
+        textPairs.unionAll(imgPairs).distinct(), "cc_xmodal",
+        durableEdges = true)
+    }),
+
     "dedup_cluster_jaccard" -> ((s, d) =>
       // Same component algorithm over the EXACT capped-Jaccard >= 0.5 pair
       // graph — every input is deterministic SQL, so this variant carries a
@@ -2907,6 +2926,22 @@ object Similarity {
        "AND a.len_band = b.len_band AND a.doc_id < b.doc_id " +
        "WHERE levenshtein(a.prefix, b.prefix) <= 10 " +
        "ORDER BY da, db"),
+
+    // union of the two verified pair chains (phash CTEs prefixed — the
+    // fragments share generic names), then the standard recursive-closure
+    // clustering tail
+    "dedup_cross_modal" ->
+      ("WITH RECURSIVE " + minhashPairsCte + ", " +
+       Multimodal.phashPairsCteP("x") + ", " +
+       "xpr AS (SELECT da, db FROM pr UNION " +
+       "SELECT da, db FROM xp WHERE bit_count(xor(pa, pb)) <= " +
+       s"${Multimodal.PhashMaxHamming}), " +
+       "edges AS (SELECT da, db FROM xpr UNION SELECT db, da FROM xpr), " +
+       "walk(wid, reach) AS (SELECT da, db FROM edges UNION " +
+       "SELECT w.wid, e.db FROM walk w JOIN edges e ON w.reach = e.da), " +
+       "labels AS (SELECT wid, least(wid, min(reach)) AS cluster_id FROM walk GROUP BY wid) " +
+       "SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id " +
+       "FROM documents d LEFT JOIN labels l ON d.doc_id = l.wid ORDER BY d.doc_id"),
 
     // CC over the capped-Jaccard pair graph: transitive closure by a
     // recursive CTE (walk = all reachable nodes), component label =

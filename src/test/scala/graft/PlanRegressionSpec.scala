@@ -591,4 +591,35 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 2,
       s"more shuffles than the doc agg + sort need:\n$p")
   }
+
+  test("byte-level encode: codegen'd alias + native fold map-side, no corpus join") {
+    // round 17: the alias rendering and merge fold are per-row
+    // expressions over the pretoken stream — a join on the word would
+    // mean the corpus shuffles to apply a 16-row merge table
+    val p = plan("text_bpe_bytes_encode")
+    assert(!"(?i)join".r.findFirstIn(p).isDefined, s"byte encode plans a join:\n$p")
+    assert(p.contains("utf8_alias") && p.contains("bpe_apply"),
+      s"native alias/fold expressions missing from the plan:\n$p")
+  }
+
+  test("persisted graph probe: artifact scans only, no embeddings-table scan") {
+    // the r16 #2 contract at the PLAN level (the builds==0 spec proves no
+    // training ran; this pins that the plan's inputs are the index files)
+    GraphAnnIndex.ensure(spark, Sf0001)
+    val p = plan("sim_ann_graph_probe")
+    val scans = "FileScan parquet[^\\n]*".r.findAllIn(p).toSeq
+    assert(scans.nonEmpty && scans.forall(s =>
+        s.contains("gann_") || s.contains("graft_gann_index")),
+      s"probe plan reads outside the persisted index:\n${scans.mkString("\n")}")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"probe-side joins lost their broadcasts:\n$p")
+  }
+
+  test("quality classifier: bounded model frames broadcast, corpus never re-scanned for weights") {
+    // two 1-row totals + the vocab-bounded weight join; the corpus-sized
+    // side is the standing tf index, shuffled once on the word key
+    val p = plan("text_quality_classifier")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      s"classifier totals lost their broadcasts:\n$p")
+  }
 }

@@ -180,6 +180,29 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(expected.values.exists(_ >= 0) && expected.values.exists(_ < 0))
   }
 
+  test("dedup_cross_modal equals a union-find over the union of both pair graphs") {
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val textPairs = pairsOf(Similarity.minhashCandidates(spark, Sf0001, 0.8))
+    val imgPairs = pairsOf(Multimodal.phashPairs(spark, Sf0001))
+    assert(imgPairs.nonEmpty, "phash pair graph vacuous at sf0.001")
+    val ids = Tables.documents(spark, Sf0001).select("doc_id").collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    (textPairs ++ imgPairs).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.map(i => i -> find(i)).toMap
+    val got = SparkEntry.queries("dedup_cross_modal")(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "cross-modal clusters diverge from the union-find reference")
+    // the union must merge at least as much as either signal alone (and
+    // exactly as much as their closure — proven by the equality above)
+    val nClusters = expected.values.toSet.size
+    assert(nClusters < ids.length, "no cross-modal merges at all")
+  }
+
   test("wordcount total equals token count") {
     val wc = q("text_wordcount").collect().map(_.getLong(1)).sum
     val tokens = Tables.documents(spark, Sf0001)
