@@ -136,13 +136,27 @@ object Multimodal {
   }
   private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
     import scala.jdk.CollectionConverters._
-    val probe = renderWav(0L, "probe")
+    // selection is ROUND-TRIP-VERIFIED, not merely doesn't-throw
+    // (code-review r17): a permissive third-party SPI earlier in
+    // classpath order could accept the probe and then misparse real
+    // payloads — the chosen reader must reproduce the probe's format AND
+    // exact PCM bytes
+    val probeText = "probe"
+    val probe = renderWav(0L, probeText)
+    val want = {
+      val cps = probeText.codePoints().toArray
+      (0 until audioN(0L)).map(i => graySrc(cps, i).toByte).toArray
+    }
     java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
       .asScala.find { r =>
-        try { r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)); true }
-        catch { case _: Exception => false }
+        try {
+          val ais = r.getAudioInputStream(new java.io.ByteArrayInputStream(probe))
+          val f = ais.getFormat
+          f.getSampleSizeInBits == 8 && f.getChannels == 1 &&
+            java.util.Arrays.equals(ais.readAllBytes(), want)
+        } catch { case _: Exception => false }
       }
-      .getOrElse(throw new IllegalStateException("no WAVE reader provider"))
+      .getOrElse(throw new IllegalStateException("no exact WAVE reader provider"))
   }
 
   /** Render the doc's deterministic 8-bit unsigned mono PCM stream (sample
@@ -206,6 +220,26 @@ object Multimodal {
   case class VideoFrame(
     doc_id: Long, frame_idx: Int, width: Int, height: Int, mean_amp: Long)
 
+  /** GIF codec PROVIDERS (SPIs), resolved once per JVM — the wavWriter
+    * rule applied to ImageIO (code-review r17): getImageWritersByFormatName
+    * walks the IIORegistry per call; the SPI objects are thread-safe
+    * factories, so only the per-record createWriter/ReaderInstance (a
+    * plain allocation) stays in the hot path. Writer/reader INSTANCES are
+    * stateful and must remain per-record.
+    */
+  private lazy val gifWriterSpi: javax.imageio.spi.ImageWriterSpi = {
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val spi = wr.getOriginatingProvider
+    wr.dispose()
+    spi
+  }
+  private lazy val gifReaderSpi: javax.imageio.spi.ImageReaderSpi = {
+    val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val spi = rd.getOriginatingProvider
+    rd.dispose()
+    spi
+  }
+
   /** Render the doc's deterministic multi-frame grayscale raster sequence
     * and ENCODE it as a real animated GIF (javax.imageio sequence writer)
     * — the video analogue of [[renderPng]]/[[renderWav]]. GIF's LZW +
@@ -217,29 +251,29 @@ object Multimodal {
     val (w, h) = dims(docId)
     val cps = text.codePoints().toArray
     val bos = new java.io.ByteArrayOutputStream()
-    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val wr = gifWriterSpi.createWriterInstance()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    wr.setOutput(ios)
-    wr.prepareWriteSequence(null)
-    var f = 0
-    while (f < videoFrames(docId)) {
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          img.getRaster.setSample(x, y, 0, videoPix(cps, f, y * w + x))
-          x += 1
+    try {
+      wr.setOutput(ios)
+      wr.prepareWriteSequence(null)
+      var f = 0
+      while (f < videoFrames(docId)) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.getRaster.setSample(x, y, 0, videoPix(cps, f, y * w + x))
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
       }
-      wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-      f += 1
-    }
-    wr.endWriteSequence()
-    ios.close()
-    wr.dispose()
+      wr.endWriteSequence()
+    } finally { wr.dispose(); ios.close() }
     bos.toByteArray
   }
 
@@ -249,7 +283,7 @@ object Multimodal {
     * knows the generation formulas.
     */
   private[graft] def decodeGif(docId: Long, bytes: Array[Byte]): Seq[VideoFrame] = {
-    val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val rd = gifReaderSpi.createReaderInstance()
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     rd.setInput(iis)

@@ -456,9 +456,16 @@ object ProfScale {
       // scans only, never the descent build
       if (targets.contains("sim_ann_graph_probe")) GraphAnnIndex.ensure(spark, dir)
     }
+    // fullCount, not count() — the r13 Bench finding applies to octaves
+    // too: Catalyst prunes projected expressions through the final
+    // aggregate under a bare count (text_quality_classifier's fixed-point
+    // weight expressions would be dropped), so a count-timed row measures
+    // a partially-executed plan (code-review r17)
     targets.foreach { q =>
-      time(s"$q @1x")(SparkEntry.queries(q)(spark, base).count())
-      time(s"$q @${k}x")(SparkEntry.queries(q)(spark, big).count())
+      time(s"$q @1x")(
+        org.apache.spark.sql.graft.Exec.fullCount(SparkEntry.queries(q)(spark, base)))
+      time(s"$q @${k}x")(
+        org.apache.spark.sql.graft.Exec.fullCount(SparkEntry.queries(q)(spark, big)))
     }
     // Per-stage drop accounting for the composed pipeline (VERDICT r11 #4):
     // the same stage frames the query composes, counted at each cut — run

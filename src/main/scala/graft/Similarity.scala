@@ -1465,9 +1465,15 @@ object Similarity {
     "dedup_cross_modal" -> ((s, d) => {
       val textPairs = minhashCandidates(s, d, 0.8).select("da", "db")
       val imgPairs = Multimodal.phashPairs(s, d).select("da", "db")
+      // durableEdges=false: the union is a DERIVED frame, not a bare
+      // spill scan — the durable flag's precondition (code-review r17:
+      // with it set, a forced/over-cap loop would re-execute the union
+      // per round); labelPropagate spills it once itself. No distinct:
+      // propagation is insensitive to duplicate edges, and the cross-
+      // signal overlap is tiny
       labelPropagate(documents(s, d),
-        textPairs.unionAll(imgPairs).distinct(), "cc_xmodal",
-        durableEdges = true)
+        textPairs.unionAll(imgPairs), "cc_xmodal",
+        durableEdges = false)
     }),
 
     "dedup_cluster_jaccard" -> ((s, d) =>

@@ -80,12 +80,17 @@ class UdxMultimodalSpec extends AnyFunSuite {
     val byDoc = rows.groupBy(_.getLong(0))
     byDoc.foreach { case (id, fs) =>
       assert(fs.length == 2 + (id % 4).toInt, s"doc $id: frame count from container")
-      // the 77-shift makes consecutive frame means differ (mod-256 wrap
-      // keeps them within 255 of each other but never equal for a
-      // non-degenerate raster)
-      assert(fs.map(_.getLong(4)).distinct.length > 1 || fs.length == 1,
-        s"doc $id: frames collapsed to one mean")
     }
+    // the 77-shift makes frame means differ for MOST docs, but a specific
+    // wrap pattern can legitimately floor two frames to the same mean
+    // (code-review r17: a per-doc assertion would be flaky on correct
+    // code) — pin the corpus-level property instead: the overwhelming
+    // majority of docs must show distinct per-frame means, or the decode
+    // collapsed the sequence
+    val distinctFrac = byDoc.values.count(fs =>
+      fs.map(_.getLong(4)).distinct.length > 1).toDouble / byDoc.size
+    assert(distinctFrac >= 0.9,
+      f"only $distinctFrac%.2f of docs show distinct frame means — sequence collapsed?")
     val gif = Multimodal.renderGif(5L, "héllo 中文 𝓌")
     assert(new String(gif.take(6), "US-ASCII") == "GIF89a", "not a GIF container")
     val fr = Multimodal.decodeGif(5L, gif)
