@@ -19,7 +19,19 @@ object Bench {
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
       .map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
 
+  /** 1-minute system load average (OS-level, all processes) — the
+    * contention witness VERDICT r17 #6 asked for: BENCH_r17's driver run
+    * read 145.1 s against two same-HEAD builder runs at 134.1/143.0 s,
+    * and nothing in the artifact said whether the machine was busy.
+    * Sampled at start and end so a round-over-round reader can discard
+    * contended runs instead of chasing phantom regressions.
+    */
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -213,7 +225,9 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"warm_total":$total,""" +
       f""""cold_extra":$coldExtra%.3f,"disp_med":$dispMed%.3f,""" +
       s""""unit":"sec","cold_top":$coldTop,"gc_top":$gcTop,""" +
-      s""""disp_top":$dispTop,"sf":"$sfDir"}""")
+      s""""disp_top":$dispTop,""" +
+      f""""load_start":$loadStart%.2f,"load_end":$loadAvg%.2f,""" +
+      s""""ncpu":${Runtime.getRuntime.availableProcessors},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -68,6 +68,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(json.count() == Tables.supplier(spark, Sf0001).count())
   }
 
+  test("avro roundtrip writes genuine container files and preserves every row") {
+    // the files must be REAL avro object-container files (magic "Obj\1"),
+    // not parquet-in-disguise — and the read side must reproduce the
+    // source table exactly, doubles bit-for-bit
+    val got = q("source_avro_roundtrip").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getString(4)))
+    val want = Tables.customer(spark, Sf0001)
+      .orderBy("c_custkey").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getString(4)))
+    assert(got.sameElements(want))
+    val dir = new java.io.File(Sources.tmp("customer_avro", Sf0001))
+    val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".avro"))
+    assert(parts.nonEmpty, s"no .avro part files under $dir")
+    parts.foreach { f =>
+      val hdr = new Array[Byte](4)
+      val in = new java.io.FileInputStream(f)
+      try assert(in.read(hdr) == 4 &&
+        hdr.sameElements(Array[Byte]('O', 'b', 'j', 1)),
+        s"${f.getName} is not an avro container file")
+      finally in.close()
+    }
+  }
+
   test("snapshot diff classes partition the union of both snapshots") {
     val rows = q("etl_snapshot_diff").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
