@@ -548,7 +548,7 @@ object Bpe {
     * bpe_apply output). DuckDB-side literals escape quotes only
     * ([[aliasLitDuck]]) — standard SQL strings there are backslash-inert.
     */
-  private def sqlLit(x: String): String =
+  private[graft] def sqlLit(x: String): String =
     x.replace("\\", "\\\\").replace("'", "''")
 
   /** Driver-side (rank, s1, s2) merge list — bounded (BpeMerges rows). */
@@ -929,7 +929,7 @@ object Bpe {
     * on the frames referenced more than once per round — inlined CTEs
     * would expand the reference tree exponentially in rounds.
     */
-  private def roundCtes: String = roundCtesWith("", None)
+  private[graft] def roundCtes: String = roundCtesWith("", None)
 
   /** The byte-level chain (GPT-2 alias space since round 17): the
     * perturbed corpus ([[pertCaseSql]]), regex pretokens with positions

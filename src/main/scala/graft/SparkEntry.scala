@@ -21,7 +21,8 @@ object SparkEntry {
       Similarity.queries ++ Streaming.queries ++ Udx.queries ++
       Multimodal.queries ++ Sources.queries ++ Etl.queries ++
       Analytics.queries ++ Graph.queries ++ AnnIndex.queries ++ Bpe.queries ++
-      Unigram.queries ++ KmvStore.queries ++ GraphAnnIndex.queries
+      Unigram.queries ++ KmvStore.queries ++ GraphAnnIndex.queries ++
+      TokenizerStore.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       Similarity.oracles ++ Streaming.oracles ++ Udx.oracles ++
       Multimodal.oracles ++ Sources.oracles ++ Etl.oracles ++
       Analytics.oracles ++ Graph.oracles ++ AnnIndex.oracles ++ Bpe.oracles ++
-      Unigram.oracles ++ KmvStore.oracles ++ GraphAnnIndex.oracles
+      Unigram.oracles ++ KmvStore.oracles ++ GraphAnnIndex.oracles ++
+      TokenizerStore.oracles
 }

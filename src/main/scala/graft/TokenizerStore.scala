@@ -1,0 +1,230 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import Tables._
+
+/** Cross-session persisted TOKENIZER artifacts (VERDICT r17 #1 — the
+  * KmvStore/AnnIndex/GraphAnnIndex convention applied to the learned
+  * vocabularies): every encode key previously re-learned its vocab per
+  * process (memoSpilled but process-local), while production pipelines
+  * tokenize with a FROZEN artifact — the merge table / unigram model is
+  * trained once, versioned, and shipped to every encode job. These stores
+  * make that the engine's shape: the build writes the learned tables to a
+  * stable parquet layout keyed by the fixture fingerprint AND every learn
+  * geometry dial, completion marker last; the frozen encode keys read ONLY
+  * the store (a bounded vocabulary-sized driver collect — the tokenizer is
+  * broadcast into the encode expressions, never joined against the corpus)
+  * and reproduce the in-process encoders row for row.
+  *
+  * Layouts:
+  *   graft_bpe_store/<fixture>_<hex64>/merges/  (rank, s1, s2, merged, pair_count)
+  *                                    /vocab/   (sym, id)
+  *                                    /_BPE_OK  — marker, written LAST
+  *   graft_uni_store/<fixture>_<hex64>/vocab/   (token, cnt, cost_micro)
+  *                                    /_UNI_OK
+  * The unigram total (the cost normalizer) is Σ cnt by the model's own
+  * definition, so the vocab table alone IS the full artifact.
+  *
+  * At 100 TB the build runs once per corpus release on the training
+  * cluster and the store lands in object storage; encode fleets read the
+  * few-KB artifact at job start — the exact split these keys rehearse.
+  */
+object TokenizerStore {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Build invocations this process — the specs' proof that the frozen
+    * encode paths never trigger a learn (the KmvStoreSpec convention).
+    */
+  private[graft] val bpeBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val uniBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Every dial that can change the learned CONTENT is folded into the
+    * root (the r17 code-review rule: a retune with the others fixed must
+    * never serve a stale artifact). BpeLocalWordCap only switches the
+    * serial/distributed regime — proven result-identical — but it costs
+    * nothing to fold and removes the proof from the staleness argument.
+    */
+  def bpeRoot(d: String): String = {
+    val key = Sources.fixtureKey(d, "documents") +
+      s":bpestore:${Bpe.BpeMerges}:${Bpe.BpeBatchK}:${Bpe.BpeLocalWordCap}"
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    s"$base/graft_bpe_store/${new java.io.File(d).getName}_${Sources.stableHex64(key)}"
+  }
+
+  def uniRoot(d: String): String = {
+    val key = Sources.fixtureKey(d, "documents") +
+      s":unistore:${Unigram.MaxSub}:${Unigram.SeedK}:${Unigram.EmRounds}"
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    s"$base/graft_uni_store/${new java.io.File(d).getName}_${Sources.stableHex64(key)}"
+  }
+
+  private def marker(root: String, name: String) = new java.io.File(root, name)
+
+  /** True if the store already existed (frozen-probe path). */
+  def ensureBpe(s: SparkSession, d: String): Boolean =
+    if (marker(bpeRoot(d), "_BPE_OK").isFile) true
+    else { buildBpe(s, d).count(); false }
+
+  def ensureUni(s: SparkSession, d: String): Boolean =
+    if (marker(uniRoot(d), "_UNI_OK").isFile) true
+    else { buildUni(s, d).count(); false }
+
+  /** Build (or rebuild) the BPE store from the SAME learned frames the
+    * in-process encoders use (so persisted and process-local artifacts are
+    * bit-identical), marker last; returns a 1-row artifact summary — the
+    * content-sensitive audit a tokenizer release job logs: merge count,
+    * total merged-pair weight, vocabulary size, and the id-assignment
+    * checksum (any id-map drift moves it).
+    */
+  def buildBpe(s: SparkSession, d: String): DataFrame = {
+    bpeBuilds.incrementAndGet()
+    val root = bpeRoot(d)
+    marker(root, "_BPE_OK").delete()
+    Bpe.mergesFrame(s, d).orderBy("rank")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/merges")
+    import s.implicits._
+    Bpe.vocabIds(s, d).sortBy(_._1).toDF("sym", "id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/vocab")
+    val ok = marker(root, "_BPE_OK")
+    ok.getParentFile.mkdirs()
+    java.nio.file.Files.write(ok.toPath, Array.emptyByteArray)
+    bpeSummary(s, root)
+  }
+
+  private def bpeSummary(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(s"$root/merges")
+      .agg(count(lit(1)).as("n_merges"),
+        sum(col("pair_count")).cast(LongType).as("pair_weight"))
+      .crossJoin(broadcast(s.read.parquet(s"$root/vocab")
+        .agg(count(lit(1)).as("n_vocab"),
+          sum(col("id")).cast(LongType).as("id_sum"))))
+
+  def buildUni(s: SparkSession, d: String): DataFrame = {
+    uniBuilds.incrementAndGet()
+    val root = uniRoot(d)
+    marker(root, "_UNI_OK").delete()
+    val (vocab, _) = Unigram.learn(s, d)
+    import s.implicits._
+    vocab.toDF("token", "cnt", "cost_micro")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/vocab")
+    val ok = marker(root, "_UNI_OK")
+    ok.getParentFile.mkdirs()
+    java.nio.file.Files.write(ok.toPath, Array.emptyByteArray)
+    s.read.parquet(s"$root/vocab")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cnt")).cast(LongType).as("total_cnt"),
+        sum(col("cost_micro")).cast(LongType).as("cost_sum"))
+  }
+
+  /** The frozen BPE merge list + id map, read from the persisted store —
+    * bounded collects (|merges| and |vocab| rows), never a learn.
+    */
+  private def frozenBpe(s: SparkSession, d: String)
+      : (Seq[(String, String)], Seq[(String, Long)]) = {
+    ensureBpe(s, d)
+    val root = bpeRoot(d)
+    val ml = s.read.parquet(s"$root/merges").orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = s.read.parquet(s"$root/vocab").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    (ml, vocab)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Always REBUILD (the ann_index_build/gann_index_build convention):
+    // the bench times the cold learn+write explicitly; the frozen keys
+    // below are the warm probe-only consumers.
+    "bpe_store_build" -> ((s, d) => buildBpe(s, d)),
+    "unigram_store_build" -> ((s, d) => buildUni(s, d)),
+
+    // Frozen-vocabulary encode: identical output contract to
+    // text_bpe_encode, but the tokenizer comes from the persisted store
+    // (builds == 0 on re-probe, TokenizerStoreSpec) and the plan is one
+    // corpus scan + the per-doc re-aggregate — the merge fold and id map
+    // ride inside map-side expressions (native BpeApply + literal map),
+    // so there is no learn aggregate, no spill read, and no join at all.
+    "text_bpe_encode_frozen" -> ((s, d) => {
+      val (ml, vocab) = frozenBpe(s, d)
+      val mapArgs = vocab.sortBy(_._1)
+        .map { case (sym, id) => s"'${Bpe.sqlLit(sym)}', ${id}L" }.mkString(", ")
+      documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .where(col("word") =!= "")
+        .withColumn("subs",
+          org.apache.spark.sql.graft.BpeOps.bpe_apply(col("word"), ml))
+        .select(col("doc_id"), col("pos"),
+          size(col("subs")).cast(LongType).as("n_sub"),
+          expr(s"concat_ws(' ', transform(subs, x -> CAST(element_at(map($mapArgs), x) AS STRING)))")
+            .as("ids_w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum("n_sub").as("n_sub"),
+          collect_list(struct(col("pos"), col("ids_w"))).as("pid"))
+        .withColumn("ids_str",
+          expr("concat_ws(' ', transform(array_sort(pid), x -> x.ids_w))"))
+        .select("doc_id", "n_tok", "n_sub", "ids_str")
+        .orderBy("doc_id")
+    }),
+
+    // Frozen unigram encode: text_unigram_encode's exact output from the
+    // persisted model — costs come from the stored cost_micro column, the
+    // UNK normalizer is log2µ(Σ cnt) by the model's own definition, and
+    // the id space is the same UTF-8-ordered assignment from 2.
+    "text_unigram_encode_frozen" -> ((s, d) => {
+      ensureUni(s, d)
+      val rows = s.read.parquet(s"${uniRoot(d)}/vocab").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val costs = rows.map { case (t, _, cm) => (t, cm) }
+      val tot = rows.map(_._2).sum
+      val ids = rows.map(_._1).sortWith(Unigram.utf8Less).zipWithIndex
+        .map { case (t, i) => (t, i + 2L) }
+      documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .where(col("word") =!= "")
+        .withColumn("ids", org.apache.spark.sql.graft.UnigramOps
+          .unigram_encode_ids(col("word"), costs, ids, Unigram.MaxSub,
+            Unigram.log2Micro(tot)))
+        .select(col("doc_id"), col("pos"),
+          size(col("ids")).cast(LongType).as("n_sub"),
+          expr("concat_ws(' ', transform(ids, x -> CAST(x AS STRING)))").as("ids_w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum("n_sub").as("n_sub"),
+          collect_list(struct(col("pos"), col("ids_w"))).as("pid"))
+        .withColumn("ids_str",
+          expr("concat_ws(' ', transform(array_sort(pid), x -> x.ids_w))"))
+        .select("doc_id", "n_tok", "n_sub", "ids_str")
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the merge chain's own counts/weights + the min-id vocab assignment
+    // (the text_bpe_encode vocab CTE verbatim) — any drift in the learned
+    // merges, the collision rule, or the id base moves a column
+    "bpe_store_build" ->
+      (s"WITH ${Bpe.roundCtes}, mall AS (" +
+        (1 to Bpe.BpeMerges).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS rank, s1 || s2 AS merged, c FROM b$r")
+          .mkString(" UNION ALL ") + "), " +
+        "chars AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym ASC) + 1 AS BIGINT) AS id " +
+        "FROM (SELECT DISTINCT sym FROM s0)), " +
+        "vocab AS (SELECT sym, CAST(min(id) AS BIGINT) AS id FROM " +
+        "(SELECT sym, id FROM chars UNION ALL SELECT merged AS sym, " +
+        "(SELECT count(*) FROM chars) + 1 + rank AS id FROM mall) GROUP BY sym) " +
+        "SELECT (SELECT count(*) FROM mall) AS n_merges, " +
+        "(SELECT CAST(sum(c) AS BIGINT) FROM mall) AS pair_weight, " +
+        "(SELECT count(*) FROM vocab) AS n_vocab, " +
+        "(SELECT CAST(sum(id) AS BIGINT) FROM vocab) AS id_sum"),
+
+    "unigram_store_build" ->
+      (s"WITH ${Unigram.modelCtes} " +
+        "SELECT count(*) AS n_tokens, CAST(sum(cnt) AS BIGINT) AS total_cnt, " +
+        s"CAST(sum(cost) AS BIGINT) AS cost_sum FROM v${Unigram.EmRounds}"),
+
+    // identical output contract ⇒ identical oracle (the sim_ann_ivfpq_probe
+    // convention: the frozen probe reproduces the in-process operator)
+    "text_bpe_encode_frozen" -> Bpe.oracles("text_bpe_encode"),
+    "text_unigram_encode_frozen" -> Unigram.oracles("text_unigram_encode")
+  )
+}

@@ -70,7 +70,7 @@ object Unigram {
     i * 1000000L + (x - p) * 1000000L / p
   }
 
-  private def utf8Less(a: String, b: String): Boolean =
+  private[graft] def utf8Less(a: String, b: String): Boolean =
     UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
 
   /** Learned model: (token, final count, cost micro-bits) plus the final
@@ -389,7 +389,7 @@ object Unigram {
     * the default the generated SQL is byte-identical to the original
     * single-corpus chain.
     */
-  private def modelCtes: String = modelCtesWhere("")
+  private[graft] def modelCtes: String = modelCtesWhere("")
 
   private def modelCtesWhere(docWhere: String): String = {
     val sb = new StringBuilder

@@ -615,6 +615,29 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"probe-side joins lost their broadcasts:\n$p")
   }
 
+  test("frozen encodes: one corpus scan, tokenizer rides in expressions, no join, no spill read") {
+    // the VERDICT r17 #1 contract at the PLAN level (TokenizerStoreSpec's
+    // builds==0 proves no learn ran; this pins that the only distributed
+    // input is the documents table — the store artifacts enter as bounded
+    // DRIVER collects compiled into map-side expressions, so neither the
+    // bpe_enc spill nor any learn aggregate can appear)
+    TokenizerStore.ensureBpe(spark, Sf0001)
+    TokenizerStore.ensureUni(spark, Sf0001)
+    for (name <- Seq("text_bpe_encode_frozen", "text_unigram_encode_frozen")) {
+      val p = plan(name)
+      val scans = "FileScan parquet[^\\n]*".r.findAllIn(p).toSeq
+      assert(scans.size == 1 && scans.head.contains("documents"),
+        s"$name reads outside the corpus:\n${scans.mkString("\n")}")
+      assert(!"(?i)join".r.findFirstIn(p).isDefined, s"$name plans a join:\n$p")
+      assert("Exchange".r.findAllIn(p).size <= 2,
+        s"$name: more shuffles than the doc agg + sort need:\n$p")
+    }
+    assert(plan("text_bpe_encode_frozen").contains("bpe_apply"),
+      "native merge fold missing from the frozen BPE plan")
+    assert(plan("text_unigram_encode_frozen").contains("unigram_encode_ids"),
+      "fused native Viterbi+id-map expression missing from the frozen unigram plan")
+  }
+
   test("quality classifier: bounded model frames broadcast, corpus never re-scanned for weights") {
     // two 1-row totals + the vocab-bounded weight join; the corpus-sized
     // side is the standing tf index, shuffled once on the word key

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-session contract of the persisted tokenizer stores (VERDICT r17
+  * #1): the frozen encode keys answer from the parquet artifacts alone —
+  * no learn loop, no per-process spill — and agree with the in-process
+  * encoders row for row (same merge table / unigram model serialized, same
+  * encode expressions).
+  */
+class TokenizerStoreSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val d = TestSpark.Sf0001
+
+  test("frozen BPE encode equals text_bpe_encode row-for-row") {
+    val frozen = SparkEntry.queries("text_bpe_encode_frozen")(spark, d).collect().toSeq
+    val direct = SparkEntry.queries("text_bpe_encode")(spark, d).collect().toSeq
+    assert(frozen.nonEmpty && frozen == direct,
+      s"frozen encode diverged: ${frozen.take(2)} vs ${direct.take(2)}")
+  }
+
+  test("frozen unigram encode equals text_unigram_encode row-for-row") {
+    val frozen = SparkEntry.queries("text_unigram_encode_frozen")(spark, d).collect().toSeq
+    val direct = SparkEntry.queries("text_unigram_encode")(spark, d).collect().toSeq
+    assert(frozen.nonEmpty && frozen == direct,
+      s"frozen encode diverged: ${frozen.take(2)} vs ${direct.take(2)}")
+  }
+
+  test("re-encode is probe-only: no build after the stores exist") {
+    TokenizerStore.ensureBpe(spark, d)
+    TokenizerStore.ensureUni(spark, d)
+    val (b0, u0) = (TokenizerStore.bpeBuilds.get(), TokenizerStore.uniBuilds.get())
+    SparkEntry.queries("text_bpe_encode_frozen")(spark, d).collect()
+    SparkEntry.queries("text_unigram_encode_frozen")(spark, d).collect()
+    assert(TokenizerStore.bpeBuilds.get() == b0,
+      "frozen BPE encode triggered a vocab build — the store contract is broken")
+    assert(TokenizerStore.uniBuilds.get() == u0,
+      "frozen unigram encode triggered a model build — the store contract is broken")
+  }
+
+  test("a missing completion marker forces a rebuild (crashed-build safety)") {
+    TokenizerStore.ensureBpe(spark, d)
+    assert(new java.io.File(TokenizerStore.bpeRoot(d), "_BPE_OK").delete(),
+      "marker should exist")
+    val before = TokenizerStore.bpeBuilds.get()
+    TokenizerStore.ensureBpe(spark, d)
+    assert(TokenizerStore.bpeBuilds.get() == before + 1,
+      "markerless store was trusted — a crashed build could serve a partial vocab")
+  }
+
+  test("store roots fold every learn-geometry dial (a retune cannot serve stale vocabs)") {
+    // recompute the key by hand the way bpeRoot/uniRoot do and check each
+    // geometry term is load-bearing (the KmvStoreSpec convention)
+    val f = Sources.fixtureKey(d, "documents")
+    val a = f + s":bpestore:${Bpe.BpeMerges}:${Bpe.BpeBatchK}:${Bpe.BpeLocalWordCap}"
+    assert(Sources.stableHex64(a) !=
+      Sources.stableHex64(f + s":bpestore:${Bpe.BpeMerges * 2}:${Bpe.BpeBatchK}:${Bpe.BpeLocalWordCap}"))
+    assert(Sources.stableHex64(a) !=
+      Sources.stableHex64(f + s":bpestore:${Bpe.BpeMerges}:${Bpe.BpeBatchK + 1}:${Bpe.BpeLocalWordCap}"))
+    val u = f + s":unistore:${Unigram.MaxSub}:${Unigram.SeedK}:${Unigram.EmRounds}"
+    assert(Sources.stableHex64(u) !=
+      Sources.stableHex64(f + s":unistore:${Unigram.MaxSub}:${Unigram.SeedK * 2}:${Unigram.EmRounds}"))
+    assert(Sources.stableHex64(u) !=
+      Sources.stableHex64(f + s":unistore:${Unigram.MaxSub}:${Unigram.SeedK}:${Unigram.EmRounds + 1}"))
+  }
+
+  test("build summaries are content-sensitive and structurally sane") {
+    val b = SparkEntry.queries("bpe_store_build")(spark, d).collect()(0)
+    assert(b.getLong(0) == Bpe.BpeMerges.toLong, "merge count drifted")
+    // vocab = chars + merges − collisions ⇒ bounded both sides
+    assert(b.getLong(2) > b.getLong(0) && b.getLong(3) > 0)
+    val u = SparkEntry.queries("unigram_store_build")(spark, d).collect()(0)
+    assert(u.getLong(0) >= 2 && u.getLong(1) > 0 && u.getLong(2) > 0)
+  }
+}
