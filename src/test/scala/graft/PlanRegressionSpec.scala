@@ -615,6 +615,19 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"probe-side joins lost their broadcasts:\n$p")
   }
 
+  test("in-engine beam search: every scan is an artifact — index files or round spills") {
+    // the search loop's distributed inputs must be the persisted lists/
+    // vectors and its own bounded per-round spills; an embeddings-table
+    // scan would mean the index stopped carrying the data (the
+    // sim_ann_graph_probe contract extended to the iterative loop)
+    GraphAnnIndex.ensure(spark, Sf0001)
+    val p = plan("sim_ann_graph_search")
+    val scans = "FileScan parquet[^\\n]*".r.findAllIn(p).toSeq
+    assert(scans.nonEmpty && scans.forall(s =>
+        s.contains("graft_gann_index") || s.contains("beam_r")),
+      s"search plan reads outside the artifacts:\n${scans.mkString("\n")}")
+  }
+
   test("frozen encodes: one corpus scan, tokenizer rides in expressions, no join, no spill read") {
     // the VERDICT r17 #1 contract at the PLAN level (TokenizerStoreSpec's
     // builds==0 proves no learn ran; this pins that the only distributed
