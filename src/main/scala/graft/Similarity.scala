@@ -1476,6 +1476,27 @@ object Similarity {
         durableEdges = false)
     }),
 
+    // 3-WAY cross-modal dedup (round 18, VERDICT r17 #4): the third
+    // modality joins the union — a pair is duplicate if its TEXT is a
+    // near-dup (MinHash) OR its IMAGE is (pHash) OR its AUDIO fingerprint
+    // matches exactly (decoded-PCM prefix; Multimodal.audioPairs ships
+    // star edges, connectivity-equivalent to the pairwise form). On THIS
+    // fixture the audio signal is text-derived, so its pairs are measured
+    // contained in the MinHash graph (every audio edge at sf0.001 has
+    // Jaccard ≥ 0.96 — DESIGN r18) and the 3-way clusters coincide with
+    // the 2-way ones BY MEASUREMENT, not assumption; the spec proves the
+    // mechanism independently discriminates on an engineered looped
+    // corpus (identical cyclic PCM, word-Jaccard < threshold) — the
+    // re-encoded/looped-audio dup class real audio fingerprints exist for.
+    "dedup_cross_modal_3way" -> ((s, d) => {
+      val textPairs = minhashCandidates(s, d, 0.8).select("da", "db")
+      val imgPairs = Multimodal.phashPairs(s, d).select("da", "db")
+      val audPairs = Multimodal.audioPairs(s, d).select("da", "db")
+      labelPropagate(documents(s, d),
+        textPairs.unionAll(imgPairs).unionAll(audPairs), "cc_xmodal3",
+        durableEdges = false)
+    }),
+
     "dedup_cluster_jaccard" -> ((s, d) =>
       // Same component algorithm over the EXACT capped-Jaccard >= 0.5 pair
       // graph — every input is deterministic SQL, so this variant carries a
@@ -2942,6 +2963,22 @@ object Similarity {
        "xpr AS (SELECT da, db FROM pr UNION " +
        "SELECT da, db FROM xp WHERE bit_count(xor(pa, pb)) <= " +
        s"${Multimodal.PhashMaxHamming}), " +
+       "edges AS (SELECT da, db FROM xpr UNION SELECT db, da FROM xpr), " +
+       "walk(wid, reach) AS (SELECT da, db FROM edges UNION " +
+       "SELECT w.wid, e.db FROM walk w JOIN edges e ON w.reach = e.da), " +
+       "labels AS (SELECT wid, least(wid, min(reach)) AS cluster_id FROM walk GROUP BY wid) " +
+       "SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id " +
+       "FROM documents d LEFT JOIN labels l ON d.doc_id = l.wid ORDER BY d.doc_id"),
+
+    // the 2-way chain + the audio star-edge CTEs in the union
+    "dedup_cross_modal_3way" ->
+      ("WITH RECURSIVE " + minhashPairsCte + ", " +
+       Multimodal.phashPairsCteP("x") + ", " +
+       Multimodal.audioPairsCte + ", " +
+       "xpr AS (SELECT da, db FROM pr UNION " +
+       "SELECT da, db FROM xp WHERE bit_count(xor(pa, pb)) <= " +
+       s"${Multimodal.PhashMaxHamming} UNION " +
+       "SELECT da, db FROM audp), " +
        "edges AS (SELECT da, db FROM xpr UNION SELECT db, da FROM xpr), " +
        "walk(wid, reach) AS (SELECT da, db FROM edges UNION " +
        "SELECT w.wid, e.db FROM walk w JOIN edges e ON w.reach = e.da), " +

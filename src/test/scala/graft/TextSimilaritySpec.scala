@@ -203,6 +203,64 @@ class TextSimilaritySpec extends AnyFunSuite {
     assert(nClusters < ids.length, "no cross-modal merges at all")
   }
 
+  test("dedup_cross_modal_3way equals a union-find over all three pair graphs") {
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val textPairs = pairsOf(Similarity.minhashCandidates(spark, Sf0001, 0.8))
+    val imgPairs = pairsOf(Multimodal.phashPairs(spark, Sf0001))
+    val audPairs = pairsOf(Multimodal.audioPairs(spark, Sf0001))
+    assert(audPairs.nonEmpty, "audio fingerprint pair graph vacuous at sf0.001")
+    val ids = Tables.documents(spark, Sf0001).select("doc_id").collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    (textPairs ++ imgPairs ++ audPairs).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.map(i => i -> find(i)).toMap
+    val got = SparkEntry.queries("dedup_cross_modal_3way")(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "3-way cross-modal clusters diverge from the union-find reference")
+    // measured containment made loud (DESIGN r18): on THIS fixture the
+    // audio signal is text-derived, so every audio edge is also a MinHash
+    // near-dup — if the fixture ever changes such that audio adds merges,
+    // this info line is where that shows up first
+    val tset = textPairs.toSet
+    info(s"audio edges: ${audPairs.size}, beyond the text graph: ${audPairs.count(!tset(_))}")
+  }
+
+  test("audio fingerprint discriminates: looped PCM matches where text Jaccard misses") {
+    // the dup class the audio modality EXISTS for (and the fixture cannot
+    // exercise — its audio is text-derived): content looped k× re-encodes
+    // to the same cyclic PCM stream while its word-shingle Jaccard
+    // collapses. Engineer exactly that: B = A repeated (A ends with a
+    // space, so A's cyclic codepoint extension IS B's stream), C = an
+    // unrelated text. The audio fingerprint must pair (A, B) and nothing
+    // else; the text side (capped-Jaccard pairs over the same corpus)
+    // must NOT pair (A, B) — proving the signals are independent axes.
+    import spark.implicits._
+    val a = "loop alpha beta gamma delta epsilon zeta " // trailing space => clean period
+    val docs = Seq(
+      (0L, a),
+      (1L, a * 4),
+      (2L, "completely different words entirely unrelated content here")
+    ).toDF("doc_id", "text")
+    val fps = Multimodal.audioFingerprintsOf(spark, docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(0L) == fps(1L), "looped audio did not fingerprint-match its source")
+    assert(fps(0L) != fps(2L), "unrelated audio collided")
+    // word-3-shingle Jaccard of (A, A*4): the loop boundary keeps the
+    // shingle set FINITE while the union grows — compute it directly
+    def shingles(t: String): Set[String] = {
+      val w = t.trim.split(" ").toSeq
+      (0 to math.max(w.length - 3, 0)).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val (sa, sb) = (shingles(a), shingles(a * 4))
+    val jac = (sa & sb).size.toDouble / (sa | sb).size
+    info(f"looped-pair word Jaccard: $jac%.3f (audio fingerprint: exact match)")
+    assert(jac < 0.8, f"engineered loop pair is a text near-dup too ($jac%.3f) - test is vacuous")
+  }
+
   test("wordcount total equals token count") {
     val wc = q("text_wordcount").collect().map(_.getLong(1)).sum
     val tokens = Tables.documents(spark, Sf0001)
