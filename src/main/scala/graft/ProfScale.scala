@@ -435,7 +435,28 @@ object ProfScale {
       "text_quality_classifier", "mm_audio_features",
       // round 17 (cont.): the multi-frame GIF codec path (corpus-linear
       // per-doc encode+decode of 2-5 frames)
-      "mm_video_frame_features")
+      "mm_video_frame_features",
+      // round 18 (VERDICT r17 #5): the cross-modal union clusterings join
+      // the static targets (r17 measured them via ad-hoc args only) — the
+      // term under test is the pair-union + labelPropagate over spilled
+      // edges; the per-copy Caesar+rotation keeps copies from pairing
+      // ACROSS copies, so edges grow ~k
+      "dedup_cross_modal", "dedup_cross_modal_3way",
+      // round 18: the audio fingerprint pair graph (corpus-linear render+
+      // decode through the real WAV codec + one sig-keyed window)
+      "dedup_audio_fingerprint",
+      // round 18 (VERDICT r17 #2): the in-engine beam search — must stay
+      // ~FLAT like the other persisted-index probes (fixed 10-query probe
+      // set; per-round frontier bounded by ef·K regardless of corpus
+      // size; lists ensured in warmup so the row times search only)
+      "sim_ann_graph_search",
+      // round 18 (VERDICT r17 #1): tokenizer store builds (the
+      // vocabulary-linear learn + a vocab-sized write — the cold release
+      // term) and the frozen encodes (corpus-linear native fold with NO
+      // learn term — the store read is a bounded driver collect; contrast
+      // text_bpe_encode, whose spill build pays the learn)
+      "bpe_store_build", "unigram_store_build",
+      "text_bpe_encode_frozen", "text_unigram_encode_frozen")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer
@@ -454,7 +475,12 @@ object ProfScale {
       if (targets.contains("kmv_overlap_probe")) KmvStore.ensure(spark, dir)
       // and for the graph-ANN index: the probe row must time artifact
       // scans only, never the descent build
-      if (targets.contains("sim_ann_graph_probe")) GraphAnnIndex.ensure(spark, dir)
+      if (targets.contains("sim_ann_graph_probe") ||
+          targets.contains("sim_ann_graph_search")) GraphAnnIndex.ensure(spark, dir)
+      // frozen-encode rows time encode only — the store build is its own
+      // octave entry (the kmv_store_build/kmv_overlap_probe split)
+      if (targets.contains("text_bpe_encode_frozen")) TokenizerStore.ensureBpe(spark, dir)
+      if (targets.contains("text_unigram_encode_frozen")) TokenizerStore.ensureUni(spark, dir)
     }
     // fullCount, not count() — the r13 Bench finding applies to octaves
     // too: Catalyst prunes projected expressions through the final
