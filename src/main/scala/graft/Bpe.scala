@@ -264,7 +264,7 @@ object Bpe {
     * literal (it contains `'` — byte 39 is printable and maps to itself;
     * Spark additionally treats backslash as an escape, hence [[sqlLit]]).
     */
-  private def aliasLitSpark: String =
+  private[graft] def aliasLitSpark: String =
     sqlLit(org.apache.spark.sql.graft.ByteAlias.aliasStr)
   private[graft] def aliasLitDuck: String =
     org.apache.spark.sql.graft.ByteAlias.aliasStr.replace("'", "''")
@@ -527,7 +527,7 @@ object Bpe {
   private[graft] def mergesFrame(s: SparkSession, d: String): DataFrame =
     mergesFrameFrom(s, learn(s, d))
 
-  private def mergesFrameFrom(s: SparkSession, art: (String, String, String)): DataFrame =
+  private[graft] def mergesFrameFrom(s: SparkSession, art: (String, String, String)): DataFrame =
     s.read.parquet(art._1)
       .select(col("rank"), col("s1"), col("s2"),
         concat(col("s1"), col("s2")).as("merged"), col("pair_count"))
@@ -943,7 +943,7 @@ object Bpe {
     * (doc_id, lang, pos, word0) are exported for the encode/fertility
     * tails.
     */
-  private def byteRoundCtes: String = {
+  private[graft] def byteRoundCtes: String = {
     val sb = new StringBuilder
     sb ++= s"bdocs AS MATERIALIZED (SELECT doc_id, lang, $pertCaseSql AS text " +
       "FROM documents), "

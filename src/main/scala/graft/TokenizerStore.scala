@@ -39,6 +39,7 @@ object TokenizerStore {
     */
   private[graft] val bpeBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
   private[graft] val uniBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val byteBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Every dial that can change the learned CONTENT is folded into the
     * root (the r17 code-review rule: a retune with the others fixed must
@@ -51,6 +52,19 @@ object TokenizerStore {
       s":bpestore:${Bpe.BpeMerges}:${Bpe.BpeBatchK}:${Bpe.BpeLocalWordCap}"
     val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
     s"$base/graft_bpe_store/${new java.io.File(d).getName}_${Sources.stableHex64(key)}"
+  }
+
+  /** The byte-level family's store: merges only — the id space is
+    * STRUCTURAL (byte value + 1, merge rank + 256), so there is no vocab
+    * table to persist; the merge list IS the whole artifact, which is
+    * exactly how GPT-2-family tokenizers ship (merges.txt + the fixed
+    * byte alias table).
+    */
+  def byteRoot(d: String): String = {
+    val key = Sources.fixtureKey(d, "documents") +
+      s":bpebytestore:${Bpe.BpeMerges}:${Bpe.BpeBatchK}:${Bpe.BpeLocalWordCap}"
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    s"$base/graft_bpeb_store/${new java.io.File(d).getName}_${Sources.stableHex64(key)}"
   }
 
   def uniRoot(d: String): String = {
@@ -70,6 +84,31 @@ object TokenizerStore {
   def ensureUni(s: SparkSession, d: String): Boolean =
     if (marker(uniRoot(d), "_UNI_OK").isFile) true
     else { buildUni(s, d).count(); false }
+
+  def ensureByte(s: SparkSession, d: String): Boolean =
+    if (marker(byteRoot(d), "_BPEB_OK").isFile) true
+    else { buildByte(s, d).count(); false }
+
+  /** Byte-level BPE store build: the merge table under the geometry-keyed
+    * root, marker last; 1-row audit = merge count, total merged-pair
+    * weight, and the summed byte-length of the merged tokens (the
+    * structural-id space needs no vocab table, so the length checksum is
+    * the content witness the id_sum plays for the char family).
+    */
+  def buildByte(s: SparkSession, d: String): DataFrame = {
+    byteBuilds.incrementAndGet()
+    val root = byteRoot(d)
+    marker(root, "_BPEB_OK").delete()
+    Bpe.mergesFrameFrom(s, Bpe.learnBytes(s, d)).orderBy("rank")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/merges")
+    val ok = marker(root, "_BPEB_OK")
+    ok.getParentFile.mkdirs()
+    java.nio.file.Files.write(ok.toPath, Array.emptyByteArray)
+    s.read.parquet(s"$root/merges")
+      .agg(count(lit(1)).as("n_merges"),
+        sum(col("pair_count")).cast(LongType).as("pair_weight"),
+        sum(length(col("merged"))).cast(LongType).as("merged_len_sum"))
+  }
 
   /** Build (or rebuild) the BPE store from the SAME learned frames the
     * in-process encoders use (so persisted and process-local artifacts are
@@ -167,6 +206,42 @@ object TokenizerStore {
         .orderBy("doc_id")
     }),
 
+    // Frozen BYTE-level encode: text_bpe_bytes_encode's exact output with
+    // the merge table read from the persisted store — the GPT-2 serving
+    // shape (frozen merges.txt + the fixed byte alias; ids are STRUCTURAL
+    // so no vocab artifact exists to go stale). Same one-scan no-join
+    // plan: codegen'd alias + native fold + literal min-rank map.
+    "bpe_bytes_store_build" -> ((s, d) => buildByte(s, d)),
+    "text_bpe_bytes_encode_frozen" -> ((s, d) => {
+      ensureByte(s, d)
+      val ml = s.read.parquet(s"${byteRoot(d)}/merges").orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      val mapArgs = ml.groupBy { case (_, s1, s2) => s1 + s2 }
+        .map { case (m, rs) => (m, rs.map(_._1).min) }.toSeq.sortBy(_._1)
+        .map { case (m, r) => s"'${Bpe.sqlLit(m)}', ${Bpe.ByteIdBase + r}L" }
+        .mkString(", ")
+      Bpe.byteDocs(s, d)
+        .select(col("doc_id"),
+          posexplode(expr(s"regexp_extract_all(text, '${Bpe.BytePretokRe}', 0)"))
+            .as(Seq("pos", "word0")))
+        .withColumn("subs",
+          org.apache.spark.sql.graft.BpeOps.bpe_apply(
+            org.apache.spark.sql.graft.BpeOps.utf8_alias(col("word0")),
+            ml.map { case (_, s1, s2) => (s1, s2) }))
+        .select(col("doc_id"), col("pos"),
+          size(col("subs")).cast(LongType).as("n_sub"),
+          expr(s"concat_ws(' ', transform(subs, x -> CAST(CASE WHEN length(x) = 1 " +
+            s"THEN instr('${Bpe.aliasLitSpark}', x) ELSE element_at(map($mapArgs), x) END AS STRING)))")
+            .as("ids_w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum("n_sub").as("n_sub"),
+          collect_list(struct(col("pos"), col("ids_w"))).as("pid"))
+        .withColumn("ids_str",
+          expr("concat_ws(' ', transform(array_sort(pid), x -> x.ids_w))"))
+        .select("doc_id", "n_tok", "n_sub", "ids_str")
+        .orderBy("doc_id")
+    }),
+
     // Frozen unigram encode: text_unigram_encode's exact output from the
     // persisted model — costs come from the stored cost_micro column, the
     // UNK normalizer is log2µ(Σ cnt) by the model's own definition, and
@@ -222,9 +297,20 @@ object TokenizerStore {
         "SELECT count(*) AS n_tokens, CAST(sum(cnt) AS BIGINT) AS total_cnt, " +
         s"CAST(sum(cost) AS BIGINT) AS cost_sum FROM v${Unigram.EmRounds}"),
 
+    // merge chain counts/weights + the merged-token length checksum (the
+    // byte family has no vocab table — ids are structural)
+    "bpe_bytes_store_build" ->
+      (s"WITH ${Bpe.byteRoundCtes}, mall AS (" +
+        (1 to Bpe.BpeMerges).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS rank, s1 || s2 AS merged, c FROM b$r")
+          .mkString(" UNION ALL ") + ") " +
+        "SELECT count(*) AS n_merges, CAST(sum(c) AS BIGINT) AS pair_weight, " +
+        "CAST(sum(len(merged)) AS BIGINT) AS merged_len_sum FROM mall"),
+
     // identical output contract ⇒ identical oracle (the sim_ann_ivfpq_probe
     // convention: the frozen probe reproduces the in-process operator)
     "text_bpe_encode_frozen" -> Bpe.oracles("text_bpe_encode"),
+    "text_bpe_bytes_encode_frozen" -> Bpe.oracles("text_bpe_bytes_encode"),
     "text_unigram_encode_frozen" -> Unigram.oracles("text_unigram_encode")
   )
 }

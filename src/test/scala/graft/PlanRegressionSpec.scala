@@ -636,7 +636,9 @@ class PlanRegressionSpec extends AnyFunSuite {
     // bpe_enc spill nor any learn aggregate can appear)
     TokenizerStore.ensureBpe(spark, Sf0001)
     TokenizerStore.ensureUni(spark, Sf0001)
-    for (name <- Seq("text_bpe_encode_frozen", "text_unigram_encode_frozen")) {
+    TokenizerStore.ensureByte(spark, Sf0001)
+    for (name <- Seq("text_bpe_encode_frozen", "text_unigram_encode_frozen",
+        "text_bpe_bytes_encode_frozen")) {
       val p = plan(name)
       val scans = "FileScan parquet[^\\n]*".r.findAllIn(p).toSeq
       assert(scans.size == 1 && scans.head.contains("documents"),

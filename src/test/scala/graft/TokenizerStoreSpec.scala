@@ -27,16 +27,28 @@ class TokenizerStoreSpec extends AnyFunSuite {
       s"frozen encode diverged: ${frozen.take(2)} vs ${direct.take(2)}")
   }
 
+  test("frozen byte-level encode equals text_bpe_bytes_encode row-for-row") {
+    val frozen = SparkEntry.queries("text_bpe_bytes_encode_frozen")(spark, d).collect().toSeq
+    val direct = SparkEntry.queries("text_bpe_bytes_encode")(spark, d).collect().toSeq
+    assert(frozen.nonEmpty && frozen == direct,
+      s"frozen byte encode diverged: ${frozen.take(2)} vs ${direct.take(2)}")
+  }
+
   test("re-encode is probe-only: no build after the stores exist") {
     TokenizerStore.ensureBpe(spark, d)
     TokenizerStore.ensureUni(spark, d)
-    val (b0, u0) = (TokenizerStore.bpeBuilds.get(), TokenizerStore.uniBuilds.get())
+    TokenizerStore.ensureByte(spark, d)
+    val (b0, u0, y0) = (TokenizerStore.bpeBuilds.get(),
+      TokenizerStore.uniBuilds.get(), TokenizerStore.byteBuilds.get())
     SparkEntry.queries("text_bpe_encode_frozen")(spark, d).collect()
     SparkEntry.queries("text_unigram_encode_frozen")(spark, d).collect()
+    SparkEntry.queries("text_bpe_bytes_encode_frozen")(spark, d).collect()
     assert(TokenizerStore.bpeBuilds.get() == b0,
       "frozen BPE encode triggered a vocab build — the store contract is broken")
     assert(TokenizerStore.uniBuilds.get() == u0,
       "frozen unigram encode triggered a model build — the store contract is broken")
+    assert(TokenizerStore.byteBuilds.get() == y0,
+      "frozen byte encode triggered a merge-table build — the store contract is broken")
   }
 
   test("a missing completion marker forces a rebuild (crashed-build safety)") {
