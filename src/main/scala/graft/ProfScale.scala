@@ -450,6 +450,9 @@ object ProfScale {
       // set; per-round frontier bounded by ef·K regardless of corpus
       // size; lists ensured in warmup so the row times search only)
       "sim_ann_graph_search",
+      // and its out-of-index twin (novel queries start cold at the entry
+      // point — more rounds, same corpus-independent per-round bound)
+      "sim_ann_graph_search_novel",
       // round 18 (VERDICT r17 #1): tokenizer store builds (the
       // vocabulary-linear learn + a vocab-sized write — the cold release
       // term) and the frozen encodes (corpus-linear native fold with NO
@@ -476,7 +479,8 @@ object ProfScale {
       // and for the graph-ANN index: the probe row must time artifact
       // scans only, never the descent build
       if (targets.contains("sim_ann_graph_probe") ||
-          targets.contains("sim_ann_graph_search")) GraphAnnIndex.ensure(spark, dir)
+          targets.contains("sim_ann_graph_search") ||
+          targets.contains("sim_ann_graph_search_novel")) GraphAnnIndex.ensure(spark, dir)
       // frozen-encode rows time encode only — the store build is its own
       // octave entry (the kmv_store_build/kmv_overlap_probe split)
       if (targets.contains("text_bpe_encode_frozen")) TokenizerStore.ensureBpe(spark, dir)

@@ -2388,11 +2388,11 @@ object Similarity {
   /** [[oDot]]/[[oNorm]] over explicit list-expressions (the IVF oracle dots
     * query vectors against derived centroid lists, not `alias.embedding`).
     */
-  private def oDotE(a: String, b: String): String =
+  private[graft] def oDotE(a: String, b: String): String =
     seededFold(s"list_transform(list_zip($a, $b), " +
       "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))")
 
-  private def oNormE(a: String): String =
+  private[graft] def oNormE(a: String): String =
     s"sqrt(${seededFold(s"list_transform($a, " +
       "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
 
