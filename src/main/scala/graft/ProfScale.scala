@@ -458,8 +458,9 @@ object ProfScale {
       // term) and the frozen encodes (corpus-linear native fold with NO
       // learn term — the store read is a bounded driver collect; contrast
       // text_bpe_encode, whose spill build pays the learn)
-      "bpe_store_build", "unigram_store_build",
-      "text_bpe_encode_frozen", "text_unigram_encode_frozen")
+      "bpe_store_build", "unigram_store_build", "bpe_bytes_store_build",
+      "text_bpe_encode_frozen", "text_unigram_encode_frozen",
+      "text_bpe_bytes_encode_frozen")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer
@@ -485,6 +486,7 @@ object ProfScale {
       // octave entry (the kmv_store_build/kmv_overlap_probe split)
       if (targets.contains("text_bpe_encode_frozen")) TokenizerStore.ensureBpe(spark, dir)
       if (targets.contains("text_unigram_encode_frozen")) TokenizerStore.ensureUni(spark, dir)
+      if (targets.contains("text_bpe_bytes_encode_frozen")) TokenizerStore.ensureByte(spark, dir)
     }
     // fullCount, not count() — the r13 Bench finding applies to octaves
     // too: Catalyst prunes projected expressions through the final
