@@ -247,27 +247,34 @@ object GraphAnnIndex {
     var done = false
     for (r <- 1 to rounds if !done) {
       val st = s.read.parquet(curPath)
+      // the frontier is consumed three times per round (emptiness check,
+      // candidate expansion, ex-flag update) — cache it so the window job
+      // over the spilled state runs ONCE (code-review r18: the uncached
+      // form re-executed the shuffle+window per consumer)
       val tx = st
         .withColumn("rn", row_number().over(
           Window.partitionBy("qid").orderBy(col("cs").desc, col("nb").asc)))
         .where(col("rn") <= BeamEf && !col("ex"))
         .select("qid", "nb")
-      if (tx.isEmpty) done = true
-      else {
-        val nc = tx.join(lists, col("nb") === col("v"))
-          .select(col("qid"), col("nb2").as("nb")).distinct()
-          .join(st.select(col("qid"), col("nb"), lit(true).as("seen")),
-            Seq("qid", "nb"), "left")
-          .where(col("seen").isNull).select("qid", "nb")
-        val next = st
-          .join(tx.withColumn("f", lit(true)), Seq("qid", "nb"), "left")
-          .select(col("qid"), col("nb"), col("cs"),
-            (col("ex") || coalesce(col("f"), lit(false))).as("ex"))
-          .unionAll(scored(nc).withColumn("ex", lit(false)))
-        val p = Sources.tmpUnique(s"beam_r$r")
-        next.write.mode(ow).parquet(p)
-        curPath = p
-      }
+        .persist()
+      try {
+        if (tx.isEmpty) done = true
+        else {
+          val nc = tx.join(lists, col("nb") === col("v"))
+            .select(col("qid"), col("nb2").as("nb")).distinct()
+            .join(st.select(col("qid"), col("nb"), lit(true).as("seen")),
+              Seq("qid", "nb"), "left")
+            .where(col("seen").isNull).select("qid", "nb")
+          val next = st
+            .join(tx.withColumn("f", lit(true)), Seq("qid", "nb"), "left")
+            .select(col("qid"), col("nb"), col("cs"),
+              (col("ex") || coalesce(col("f"), lit(false))).as("ex"))
+            .unionAll(scored(nc).withColumn("ex", lit(false)))
+          val p = Sources.tmpUnique(s"beam_r$r")
+          next.write.mode(ow).parquet(p)
+          curPath = p
+        }
+      } finally tx.unpersist(blocking = false)
     }
     s.read.parquet(curPath)
   }

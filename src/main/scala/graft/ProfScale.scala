@@ -436,15 +436,19 @@ object ProfScale {
       // round 17 (cont.): the multi-frame GIF codec path (corpus-linear
       // per-doc encode+decode of 2-5 frames)
       "mm_video_frame_features",
+      // round 18: the audio fingerprint pair graph — runs BEFORE the
+      // cross-modal unions so ITS row pays the corpus-linear render+
+      // decode through the real WAV codec (the aud_pairs spill build;
+      // code-review r18: list order determines which row absorbs a
+      // shared memoSpill build, so the order must match the comments)
+      "dedup_audio_fingerprint",
       // round 18 (VERDICT r17 #5): the cross-modal union clusterings join
       // the static targets (r17 measured them via ad-hoc args only) — the
-      // term under test is the pair-union + labelPropagate over spilled
-      // edges; the per-copy Caesar+rotation keeps copies from pairing
-      // ACROSS copies, so edges grow ~k
+      // 2-way row pays the minhash+phash pair-spill builds, the 3-way row
+      // then times the union + labelPropagate over all three spills; the
+      // per-copy Caesar+rotation keeps copies from pairing ACROSS copies,
+      // so edges grow ~k
       "dedup_cross_modal", "dedup_cross_modal_3way",
-      // round 18: the audio fingerprint pair graph (corpus-linear render+
-      // decode through the real WAV codec + one sig-keyed window)
-      "dedup_audio_fingerprint",
       // round 18 (VERDICT r17 #2): the in-engine beam search — must stay
       // ~FLAT like the other persisted-index probes (fixed 10-query probe
       // set; per-round frontier bounded by ef·K regardless of corpus
@@ -453,11 +457,15 @@ object ProfScale {
       // and its out-of-index twin (novel queries start cold at the entry
       // point — more rounds, same corpus-independent per-round bound)
       "sim_ann_graph_search_novel",
-      // round 18 (VERDICT r17 #1): tokenizer store builds (the
-      // vocabulary-linear learn + a vocab-sized write — the cold release
-      // term) and the frozen encodes (corpus-linear native fold with NO
-      // learn term — the store read is a bounded driver collect; contrast
-      // text_bpe_encode, whose spill build pays the learn)
+      // round 18 (VERDICT r17 #1): tokenizer store builds — timed against
+      // a deterministically WARM in-process learn (warmup below memoizes
+      // it; code-review r18: otherwise whether the row paid the learn
+      // depended on run history), so these rows measure the ARTIFACT
+      // WRITE path; the learn term has its own rows (text_bpe_vocab /
+      // text_bpe_bytes_vocab / text_unigram_vocab). The frozen encodes
+      // are corpus-linear native folds with NO learn term at all — the
+      // store read is a bounded driver collect; contrast
+      // text_bpe_encode, whose spill build pays the learn
       "bpe_store_build", "unigram_store_build", "bpe_bytes_store_build",
       "text_bpe_encode_frozen", "text_unigram_encode_frozen",
       "text_bpe_bytes_encode_frozen")
@@ -487,6 +495,14 @@ object ProfScale {
       if (targets.contains("text_bpe_encode_frozen")) TokenizerStore.ensureBpe(spark, dir)
       if (targets.contains("text_unigram_encode_frozen")) TokenizerStore.ensureUni(spark, dir)
       if (targets.contains("text_bpe_bytes_encode_frozen")) TokenizerStore.ensureByte(spark, dir)
+      // store_build rows must be learn-warm DETERMINISTICALLY (not only
+      // when a frozen-encode ensure happened to build): memoize the
+      // in-process learn here so the timed rows isolate the artifact
+      // write+audit path regardless of what already exists on disk
+      if (targets.contains("bpe_store_build")) Bpe.mergesFrame(spark, dir).count()
+      if (targets.contains("bpe_bytes_store_build"))
+        Bpe.mergesFrameFrom(spark, Bpe.learnBytes(spark, dir)).count()
+      if (targets.contains("unigram_store_build")) Unigram.learn(spark, dir)
     }
     // fullCount, not count() — the r13 Bench finding applies to octaves
     // too: Catalyst prunes projected expressions through the final

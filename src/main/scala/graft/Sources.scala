@@ -24,15 +24,20 @@ object Sources {
   // round-trip data mid-read) + per-sfDir discriminator (two scale factors in
   // one JVM would otherwise share a path and lazily-read the wrong data).
   // The process dir is removed on JVM exit so repeated runs don't leak /tmp.
+  /** Recursive best-effort delete — ONE definition site (code-review r18:
+    * three verbatim copies had accreted in this file alone).
+    */
+  private[graft] def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val fs = f.listFiles(); if (fs != null) fs.foreach(rmTree)
+    }
+    f.delete()
+  }
+
   private lazy val procDir: String = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io_${ProcessHandle.current().pid()}"
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
-        f.delete()
-      }
-      rm(new java.io.File(dir))
-    }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      rmTree(new java.io.File(dir))))
     dir
   }
 
@@ -150,12 +155,7 @@ object Sources {
   def evictSpills(): Unit = {
     evictHooks.forEach(_.run())
     spillCache.clear()
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(procDir))
+    rmTree(new java.io.File(procDir))
   }
 
   val queries: Map[String, Q] = Map(
@@ -246,11 +246,7 @@ object Sources {
       val dir = tmp("customer_avro", d)
       // Hadoop output committers refuse an existing target (no Overwrite
       // mode at this API level) — bench reruns hit the same path
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(dir))
+      rmTree(new java.io.File(dir))
       val schemaJson =
         """{"type":"record","name":"customer","fields":[
           |{"name":"c_custkey","type":"long"},

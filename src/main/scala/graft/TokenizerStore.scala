@@ -61,8 +61,16 @@ object TokenizerStore {
     * byte alias table).
     */
   def byteRoot(d: String): String = {
+    // the byte family's learned content additionally depends on the
+    // pretokenizer regex, the per-language perturbation table, and the
+    // byte→alias rendering (code-review r18: a pretok-regex retune with
+    // the merge dials fixed would otherwise serve a stale merge table —
+    // the same omission class the r17 review caught on the gann key);
+    // fold their rendered text, not just the numeric dials
     val key = Sources.fixtureKey(d, "documents") +
-      s":bpebytestore:${Bpe.BpeMerges}:${Bpe.BpeBatchK}:${Bpe.BpeLocalWordCap}"
+      s":bpebytestore:${Bpe.BpeMerges}:${Bpe.BpeBatchK}:${Bpe.BpeLocalWordCap}:" +
+      Sources.stableHex64(Bpe.BytePretokRe + "|" + Bpe.pertCaseSql + "|" +
+        org.apache.spark.sql.graft.ByteAlias.aliasStr)
     val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
     s"$base/graft_bpeb_store/${new java.io.File(d).getName}_${Sources.stableHex64(key)}"
   }
@@ -157,6 +165,18 @@ object TokenizerStore {
         sum(col("cost_micro")).cast(LongType).as("cost_sum"))
   }
 
+  /** Round-robin the exploded token stream across the executor slots
+    * when the scan is under-split (the encodedCorpusBuild rule,
+    * code-review r18: the fixture is a single parquet row group, so the
+    * per-token fold/DP would otherwise run in ONE task; at production
+    * input sizes the scan has natural splits and this is a no-op). NOT a
+    * keyed shuffle — the no-corpus-join invariant is untouched.
+    */
+  private def spread(s: SparkSession, exploded: DataFrame): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    if (exploded.rdd.getNumPartitions < par) exploded.repartition(par) else exploded
+  }
+
   /** The frozen BPE merge list + id map, read from the persisted store —
     * bounded collects (|merges| and |vocab| rows), never a learn.
     */
@@ -188,9 +208,9 @@ object TokenizerStore {
       val (ml, vocab) = frozenBpe(s, d)
       val mapArgs = vocab.sortBy(_._1)
         .map { case (sym, id) => s"'${Bpe.sqlLit(sym)}', ${id}L" }.mkString(", ")
-      documents(s, d)
+      spread(s, documents(s, d)
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-        .where(col("word") =!= "")
+        .where(col("word") =!= ""))
         .withColumn("subs",
           org.apache.spark.sql.graft.BpeOps.bpe_apply(col("word"), ml))
         .select(col("doc_id"), col("pos"),
@@ -220,10 +240,10 @@ object TokenizerStore {
         .map { case (m, rs) => (m, rs.map(_._1).min) }.toSeq.sortBy(_._1)
         .map { case (m, r) => s"'${Bpe.sqlLit(m)}', ${Bpe.ByteIdBase + r}L" }
         .mkString(", ")
-      Bpe.byteDocs(s, d)
+      spread(s, Bpe.byteDocs(s, d)
         .select(col("doc_id"),
           posexplode(expr(s"regexp_extract_all(text, '${Bpe.BytePretokRe}', 0)"))
-            .as(Seq("pos", "word0")))
+            .as(Seq("pos", "word0"))))
         .withColumn("subs",
           org.apache.spark.sql.graft.BpeOps.bpe_apply(
             org.apache.spark.sql.graft.BpeOps.utf8_alias(col("word0")),
@@ -254,9 +274,9 @@ object TokenizerStore {
       val tot = rows.map(_._2).sum
       val ids = rows.map(_._1).sortWith(Unigram.utf8Less).zipWithIndex
         .map { case (t, i) => (t, i + 2L) }
-      documents(s, d)
+      spread(s, documents(s, d)
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-        .where(col("word") =!= "")
+        .where(col("word") =!= ""))
         .withColumn("ids", org.apache.spark.sql.graft.UnigramOps
           .unigram_encode_ids(col("word"), costs, ids, Unigram.MaxSub,
             Unigram.log2Micro(tot)))
