@@ -165,17 +165,19 @@ object TokenizerStore {
         sum(col("cost_micro")).cast(LongType).as("cost_sum"))
   }
 
-  /** Round-robin the exploded token stream across the executor slots
-    * when the scan is under-split (the encodedCorpusBuild rule,
-    * code-review r18: the fixture is a single parquet row group, so the
-    * per-token fold/DP would otherwise run in ONE task; at production
-    * input sizes the scan has natural splits and this is a no-op). NOT a
-    * keyed shuffle — the no-corpus-join invariant is untouched.
+  /** Identity hook where encodedCorpusBuild's round-robin spread WOULD
+    * go — evaluated and rejected on measurement (code-review r18 raised
+    * it; the octave answered): these paths run the NATIVE fold/DP
+    * (~1µs/word — the single-task 1× rows cost ~2s, nothing like the
+    * 14s interpreted aggregate() chain the spread was invented for),
+    * and adding the repartition shuffled the 8M-row exploded stream at
+    * 16× for a measured net LOSS (text_bpe_encode_frozen 3.0 → 11.9 s).
+    * The spread is the interpreted-HOF remedy and stays with
+    * encodedCorpusBuild; kept as a def so the decision has a name and a
+    * doc, and the call sites mark exactly where to re-spread if a
+    * future frozen path ever grows an interpreted hot loop.
     */
-  private def spread(s: SparkSession, exploded: DataFrame): DataFrame = {
-    val par = s.sparkContext.defaultParallelism
-    if (exploded.rdd.getNumPartitions < par) exploded.repartition(par) else exploded
-  }
+  private def spread(s: SparkSession, exploded: DataFrame): DataFrame = exploded
 
   /** The frozen BPE merge list + id map, read from the persisted store —
     * bounded collects (|merges| and |vocab| rows), never a learn.

@@ -644,12 +644,12 @@ class PlanRegressionSpec extends AnyFunSuite {
       assert(scans.size == 1 && scans.head.contains("documents"),
         s"$name reads outside the corpus:\n${scans.mkString("\n")}")
       assert(!"(?i)join".r.findFirstIn(p).isDefined, s"$name plans a join:\n$p")
-      // ≤ 3: the under-split round-robin spread (a no-op at production
-      // split counts) + the doc agg + the presentation sort; nothing may
-      // be KEYED on word (that would mean a corpus shuffle to apply a
-      // broadcastable tokenizer)
-      assert("Exchange".r.findAllIn(p).size <= 3,
-        s"$name: more shuffles than spread + doc agg + sort need:\n$p")
+      // ≤ 2: the doc agg + the presentation sort (the round-robin spread
+      // was measured a net loss on these native-fold paths — see
+      // TokenizerStore.spread); nothing may be KEYED on word (that would
+      // mean a corpus shuffle to apply a broadcastable tokenizer)
+      assert("Exchange".r.findAllIn(p).size <= 2,
+        s"$name: more shuffles than the doc agg + sort need:\n$p")
       assert(!p.contains("hashpartitioning(word"),
         s"$name shuffles the corpus on the token key:\n$p")
     }
