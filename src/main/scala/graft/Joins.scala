@@ -507,12 +507,7 @@ object Joins {
         val table = s"graft_${name}_b_$disc"
         val path = Sources.tmp(s"${name}_bucketed", d)
         s.sql(s"DROP TABLE IF EXISTS $table")
-        val f = new java.io.File(path)
-        def rm(x: java.io.File): Unit = {
-          if (x.isDirectory) { val fs = x.listFiles(); if (fs != null) fs.foreach(rm) }
-          x.delete()
-        }
-        rm(f)
+        Sources.rmTree(new java.io.File(path))
         df.write.bucketBy(8, key).sortBy(key)
           .option("path", path).mode("overwrite").saveAsTable(table)
         table

@@ -498,11 +498,19 @@ object ProfScale {
       // store_build rows must be learn-warm DETERMINISTICALLY (not only
       // when a frozen-encode ensure happened to build): memoize the
       // in-process learn here so the timed rows isolate the artifact
-      // write+audit path regardless of what already exists on disk
-      if (targets.contains("bpe_store_build")) Bpe.mergesFrame(spark, dir).count()
-      if (targets.contains("bpe_bytes_store_build"))
+      // write+audit path regardless of what already exists on disk —
+      // UNLESS the corresponding vocab row is also in this run: the
+      // vocab row is where the learn term is timed, it runs BEFORE the
+      // store row (list order), and pre-warming here would de-cool it
+      // (second review pass: a full-target run otherwise had NO row
+      // paying the learn)
+      if (targets.contains("bpe_store_build") &&
+          !targets.contains("text_bpe_vocab")) Bpe.mergesFrame(spark, dir).count()
+      if (targets.contains("bpe_bytes_store_build") &&
+          !targets.contains("text_bpe_bytes_vocab"))
         Bpe.mergesFrameFrom(spark, Bpe.learnBytes(spark, dir)).count()
-      if (targets.contains("unigram_store_build")) Unigram.learn(spark, dir)
+      if (targets.contains("unigram_store_build") &&
+          !targets.contains("text_unigram_vocab")) Unigram.learn(spark, dir)
     }
     // fullCount, not count() — the r13 Bench finding applies to octaves
     // too: Catalyst prunes projected expressions through the final

@@ -67,10 +67,13 @@ object TokenizerStore {
     // the merge dials fixed would otherwise serve a stale merge table —
     // the same omission class the r17 review caught on the gann key);
     // fold their rendered text, not just the numeric dials
+    // raw rendered text, not a nested hash — the whole key is hashed once
+    // below, and a second 64-bit pre-fold would only narrow the content
+    // fingerprint (second review pass)
     val key = Sources.fixtureKey(d, "documents") +
       s":bpebytestore:${Bpe.BpeMerges}:${Bpe.BpeBatchK}:${Bpe.BpeLocalWordCap}:" +
-      Sources.stableHex64(Bpe.BytePretokRe + "|" + Bpe.pertCaseSql + "|" +
-        org.apache.spark.sql.graft.ByteAlias.aliasStr)
+      Bpe.BytePretokRe + "|" + Bpe.pertCaseSql + "|" +
+      org.apache.spark.sql.graft.ByteAlias.aliasStr
     val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
     s"$base/graft_bpeb_store/${new java.io.File(d).getName}_${Sources.stableHex64(key)}"
   }
@@ -194,9 +197,15 @@ object TokenizerStore {
   }
 
   val queries: Map[String, Q] = Map(
-    // Always REBUILD (the ann_index_build/gann_index_build convention):
-    // the bench times the cold learn+write explicitly; the frozen keys
-    // below are the warm probe-only consumers.
+    // Always REBUILD the ARTIFACT (the ann_index_build/gann_index_build
+    // convention); what a timed row measures depends on the in-process
+    // learn memo: cross-session cold = learn + write, but under the
+    // octave/bench protocol the learn is deliberately warm (ProfScale
+    // learn-warms it; the vocab rows — text_bpe_vocab /
+    // text_bpe_bytes_vocab / text_unigram_vocab — are where the
+    // vocabulary-linear learn term is timed), so these rows isolate the
+    // artifact write+audit path. The frozen keys below are the
+    // probe-only consumers.
     "bpe_store_build" -> ((s, d) => buildBpe(s, d)),
     "unigram_store_build" -> ((s, d) => buildUni(s, d)),
 
