@@ -63,6 +63,11 @@ object GraphAnnIndex {
     */
   private[graft] val builds = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Base-slice graph builds this process — the append contract's proof
+    * (re-append must never rebuild the base graph).
+    */
+  private[graft] val baseBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def indexRoot(d: String): String = {
     // EVERY geometry dial in the key, init offsets included (code-review
     // r17: an offsets retune with rounds/K/ρK fixed would otherwise serve
@@ -77,6 +82,85 @@ object GraphAnnIndex {
   }
 
   private def marker(root: String) = new java.io.File(root, "_GANN_OK")
+
+  /** Root of the BASE-slice graph (vec_id·IncrCutDen ≤ mx·IncrCutNum —
+    * the standing corpus the incremental-ingest story appends to); the
+    * cut constants join the geometry dials in the key.
+    */
+  def baseRoot(d: String): String = {
+    val key = Sources.fixtureKey(d, "embeddings") +
+      s":gannbase:${Similarity.NndRounds}:${Similarity.NndBuildK}:${Similarity.NndSampleK}" +
+      s":${Similarity.NndInitOffsets.mkString(",")}" +
+      s":${Similarity.IncrCutNum}/${Similarity.IncrCutDen}"
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    s"$base/graft_gann_index/${new java.io.File(d).getName}_base_${Sources.stableHex64(key)}"
+  }
+
+  def ensureBase(s: SparkSession, d: String): Boolean =
+    if (marker(baseRoot(d)).isFile) true else { buildBase(s, d).count(); false }
+
+  /** Build the base-slice index: the SAME NN-descent pipeline over the
+    * base vectors only (ids 0..C−1 stay contiguous because the delta is
+    * the TOP id slice), persisted under [[baseRoot]] with the standard
+    * lists/vectors/marker layout.
+    */
+  def buildBase(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graft.VectorOps.vec_norm
+    baseBuilds.incrementAndGet()
+    val root = baseRoot(d)
+    val ow = org.apache.spark.sql.SaveMode.Overwrite
+    marker(root).delete()
+    val emb = Tables.embeddings(s, d)
+    val mx = emb.agg(max(col("vec_id")).as("mx"))
+    val baseVecs = emb.crossJoin(broadcast(mx))
+      .where(col("vec_id") * Similarity.IncrCutDen <= col("mx") * Similarity.IncrCutNum)
+      .select("vec_id", "embedding")
+    Similarity.nndGraphFrameOf(s, d, Similarity.NndRounds, ":base", baseVecs)
+      .write.mode(ow).parquet(s"$root/lists")
+    baseVecs
+      .select(col("vec_id"), col("embedding"), vec_norm(col("embedding")).as("nrm"))
+      .write.mode(ow).parquet(s"$root/vectors")
+    val ok = marker(root)
+    ok.getParentFile.mkdirs()
+    java.nio.file.Files.write(ok.toPath, Array.emptyByteArray)
+    summary(s, root)
+  }
+
+  /** Incremental graph-index ingest (round 18 — the ann_index_append
+    * convention on the graph family): DELTA vectors (the top ~20% id
+    * slice, the shared IncrCut arrival-order contract) get their
+    * neighbor lists by the SAME batched beam search the serving path
+    * runs — each delta vector is an out-of-index query over the
+    * persisted BASE lists, and its appended list is the top-NndBuildK of
+    * its final visited state. This is exactly HNSW's insert primitive
+    * (search-then-connect), minus the reverse-edge updates: the appended
+    * edges point delta→base only, and back-links wait for the next full
+    * build — the standard batch-ingest trade (documented, not hidden:
+    * queries entering via appended vectors would need those reverse
+    * edges; queries over base+delta content work immediately because the
+    * beam scores delta lists' targets exactly). Work ∝ |delta| · ef · K
+    * per round — the base graph is never re-descended (baseBuilds == 0
+    * pinned on re-append).
+    */
+  def appendGraph(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graft.VectorOps.vec_norm
+    ensureBase(s, d)
+    val root = baseRoot(d)
+    val emb = Tables.embeddings(s, d)
+    val mx = emb.agg(max(col("vec_id")).as("mx"))
+    val delta = emb.crossJoin(broadcast(mx))
+      .where(col("vec_id") * Similarity.IncrCutDen > col("mx") * Similarity.IncrCutNum)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        vec_norm(col("embedding")).as("qn"))
+    val lists = beamLoop(s, d, delta, NovelBeamRounds, root)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cs").desc, col("nb").asc)))
+      .where(col("rn") <= Similarity.NndBuildK)
+      .select(col("qid").as("vec_id"), col("rn").cast("int").as("rn"), col("nb"))
+    lists.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/lists_delta")
+    s.read.parquet(s"$root/lists_delta").orderBy("vec_id", "rn")
+  }
 
   /** True if the persisted index already existed (probe-only path). */
   def ensure(s: SparkSession, d: String): Boolean =
@@ -223,9 +307,9 @@ object GraphAnnIndex {
     * algorithm story; callers apply their own final ranking/filters.
     */
   private def beamLoop(s: SparkSession, d: String, q: DataFrame,
-      rounds: Int): DataFrame = {
+      rounds: Int, rootOverride: String = null): DataFrame = {
     import org.apache.spark.sql.graft.VectorOps.vec_dot
-    val root = indexRoot(d)
+    val root = if (rootOverride != null) rootOverride else indexRoot(d)
     val ow = org.apache.spark.sql.SaveMode.Overwrite
     val lists = s.read.parquet(s"$root/lists")
       .select(col("vec_id").as("v"), col("nb").as("nb2"))
@@ -286,7 +370,8 @@ object GraphAnnIndex {
     "gann_index_build" -> ((s, d) => build(s, d)),
     "sim_ann_graph_probe" -> (probe _),
     "sim_ann_graph_search" -> (search _),
-    "sim_ann_graph_search_novel" -> (searchNovel _)
+    "sim_ann_graph_search_novel" -> (searchNovel _),
+    "gann_index_append" -> (appendGraph _)
   )
 
   /** The beam loop, serialized: one (tx, nc, sc, beam) CTE quartet per
@@ -301,11 +386,17 @@ object GraphAnnIndex {
     * the novel variant derives the query vector from it.
     */
   private def beamSql(g: String, qCos: String, rounds: Int,
-      selfFilter: String): String = {
+      selfFilter: String,
+      chain: String = Similarity.nndChainCtes,
+      qCte: String = s"SELECT vec_id AS qid FROM embeddings WHERE vec_id < $ProbeQids",
+      entSrc: String = "embeddings",
+      topK: Int = ProbeTopK,
+      outSel: String = "qid, CAST(rn AS INT) AS rn, nb AS nn",
+      ordBy: String = "qid, rn"): String = {
     val sb = new StringBuilder
-    sb ++= s"WITH ${Similarity.nndChainCtes}, gg AS (SELECT v, nb FROM $g), "
-    sb ++= s"q AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < $ProbeQids), "
-    sb ++= "ent AS (SELECT min(vec_id) AS e FROM embeddings), "
+    sb ++= s"WITH $chain, gg AS (SELECT v, nb FROM $g), "
+    sb ++= s"q AS ($qCte), "
+    sb ++= s"ent AS (SELECT min(vec_id) AS e FROM $entSrc), "
     sb ++= s"beam0 AS MATERIALIZED (SELECT q.qid, ent.e AS nb, $qCos AS cs, FALSE AS ex " +
       "FROM q CROSS JOIN ent JOIN embeddings a ON a.vec_id = q.qid " +
       "JOIN embeddings b ON b.vec_id = ent.e)"
@@ -325,11 +416,11 @@ object GraphAnnIndex {
         s"(SELECT 1 FROM tx$r t WHERE t.qid = s.qid AND t.nb = s.nb) AS ex " +
         s"FROM beam$p s UNION ALL SELECT qid, nb, cs, ex FROM sc$r)"
     }
-    sb ++= s" SELECT qid, CAST(rn AS INT) AS rn, nb AS nn FROM " +
+    sb ++= s" SELECT $outSel FROM " +
       "(SELECT qid, nb, row_number() OVER " +
       s"(PARTITION BY qid ORDER BY cs DESC, nb ASC) AS rn " +
       s"FROM beam$rounds $selfFilter) " +
-      s"WHERE rn <= $ProbeTopK ORDER BY qid, rn"
+      s"WHERE rn <= $topK ORDER BY $ordBy"
     sb.toString
   }
 
@@ -367,6 +458,28 @@ object GraphAnnIndex {
             s"(${Similarity.oNormE(qv)} * ${Similarity.oNorm("b")})",
           rounds = NovelBeamRounds, selfFilter = "")
       },
+
+      // the append oracle: the SAME beam chain, but (a) the NN-descent
+      // chain runs over the base slice `bemb` only, (b) the queries are
+      // the DELTA slice, (c) the output is each delta vector's appended
+      // top-NndBuildK list. The delta's source embedding rows ARE in the
+      // embeddings table, and every candidate id is a base id ⊂
+      // embeddings, so both cosine joins stay against `embeddings`.
+      "gann_index_append" -> beamSql(g,
+        qCos = s"${Similarity.oDot("a", "b")} / " +
+          s"(${Similarity.oNorm("a")} * ${Similarity.oNorm("b")})",
+        rounds = NovelBeamRounds, selfFilter = "",
+        chain = "bemb AS MATERIALIZED (SELECT e.vec_id, e.embedding " +
+          "FROM embeddings e, (SELECT max(vec_id) AS mx FROM embeddings) m " +
+          s"WHERE e.vec_id * ${Similarity.IncrCutDen} <= m.mx * ${Similarity.IncrCutNum}), " +
+          Similarity.nndChainCtesFor("bemb"),
+        qCte = "SELECT e.vec_id AS qid FROM embeddings e, " +
+          "(SELECT max(vec_id) AS mx FROM embeddings) m " +
+          s"WHERE e.vec_id * ${Similarity.IncrCutDen} > m.mx * ${Similarity.IncrCutNum}",
+        entSrc = "bemb",
+        topK = Similarity.NndBuildK,
+        outSel = "qid AS vec_id, CAST(rn AS INT) AS rn, nb",
+        ordBy = "vec_id, rn"),
 
       "sim_ann_graph_probe" ->
         (s"WITH ${Similarity.nndChainCtes}, gg AS (SELECT v, nb FROM $g), " +

@@ -457,6 +457,11 @@ object ProfScale {
       // and its out-of-index twin (novel queries start cold at the entry
       // point — more rounds, same corpus-independent per-round bound)
       "sim_ann_graph_search_novel",
+      // round 18: incremental graph ingest — work ∝ |delta|·ef·K (delta
+      // grows ~k under replication, so the row should scale ~linearly in
+      // k while the base graph is never re-descended; base ensured in
+      // warmup so the row times the append only)
+      "gann_index_append",
       // round 18 (VERDICT r17 #1): tokenizer store builds — timed against
       // a deterministically WARM in-process learn (warmup below memoizes
       // it; code-review r18: otherwise whether the row paid the learn
@@ -490,6 +495,7 @@ object ProfScale {
       if (targets.contains("sim_ann_graph_probe") ||
           targets.contains("sim_ann_graph_search") ||
           targets.contains("sim_ann_graph_search_novel")) GraphAnnIndex.ensure(spark, dir)
+      if (targets.contains("gann_index_append")) GraphAnnIndex.ensureBase(spark, dir)
       // frozen-encode rows time encode only — the store build is its own
       // octave entry (the kmv_store_build/kmv_overlap_probe split)
       if (targets.contains("text_bpe_encode_frozen")) TokenizerStore.ensureBpe(spark, dir)

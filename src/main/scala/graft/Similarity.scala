@@ -500,11 +500,20 @@ object Similarity {
     * paper's default.
     */
   private[graft] def nndGraphFrame(s: SparkSession, d: String, rounds: Int): DataFrame =
+    nndGraphFrameOf(s, d, rounds, "", embeddings(s, d))
+
+  /** [[nndGraphFrame]] over an ARBITRARY (vec_id, embedding) frame —
+    * round 18: the incremental graph-index story needs a BASE-slice
+    * build (gann_index_append searches delta vectors against a graph
+    * over the base vectors only). `tag` keys the memo per source.
+    */
+  private[graft] def nndGraphFrameOf(s: SparkSession, d: String, rounds: Int,
+      tag: String, src: DataFrame): DataFrame =
     Sources.memoSpill(s,
-        Sources.fixtureKey(d, "embeddings") + s":nnd2:$rounds:$GraphAnnM", "nnd") {
+        Sources.fixtureKey(d, "embeddings") + s":nnd2$tag:$rounds:$GraphAnnM", "nnd") {
       import org.apache.spark.sql.graft.VectorOps.{vec_dot, vec_norm}
       val ow = org.apache.spark.sql.SaveMode.Overwrite
-      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      val e = src.select(col("vec_id"), col("embedding"),
         vec_norm(col("embedding")).as("nrm"))
       val st = e.agg(min(col("vec_id")), max(col("vec_id")), count(lit(1))).collect()(0)
       val n = st.getLong(2)
@@ -2336,12 +2345,17 @@ object Similarity {
     * Shared by the sim_ann_graph_nnd oracle and the persisted graph-index
     * oracles ([[GraphAnnIndex]]).
     */
-  private[graft] def nndChainCtes: String = {
+  private[graft] def nndChainCtes: String = nndChainCtesFor("embeddings")
+
+  /** [[nndChainCtes]] over an arbitrary source CTE/table name (round 18:
+    * the append oracle runs the chain over the base slice `bemb`).
+    */
+  private[graft] def nndChainCtesFor(src: String): String = {
     val offs = NndInitOffsets.mkString(", ")
     val sb = new StringBuilder
-    sb ++= "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings), "
+    sb ++= s"nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM $src), "
     sb ++= "g0 AS MATERIALIZED (SELECT e.vec_id AS v, " +
-      "(e.vec_id + o.off) % nn.n AS nb, TRUE AS isnew FROM embeddings e CROSS JOIN nn " +
+      s"(e.vec_id + o.off) % nn.n AS nb, TRUE AS isnew FROM $src e CROSS JOIN nn " +
       s"CROSS JOIN (SELECT unnest([$offs]) AS off) o)"
     for (r <- 1 to NndRounds) {
       val p = r - 1
@@ -2371,8 +2385,8 @@ object Similarity {
       sb ++= s", s$r AS MATERIALIZED (SELECT v, nb, row_number() OVER " +
         "(PARTITION BY v ORDER BY cos DESC, nb ASC) AS rn FROM " +
         s"(SELECT c.v, c.nb, ${oDot("a", "b")} / (${oNorm("a")} * ${oNorm("b")}) AS cos " +
-        s"FROM c$r c JOIN embeddings a ON a.vec_id = c.v " +
-        "JOIN embeddings b ON b.vec_id = c.nb))"
+        s"FROM c$r c JOIN $src a ON a.vec_id = c.v " +
+        s"JOIN $src b ON b.vec_id = c.nb))"
       sb ++= s", g$r AS MATERIALIZED (SELECT s.v, s.nb, " +
         s"(p.nb IS NULL) AS isnew FROM (SELECT v, nb FROM s$r " +
         s"WHERE rn <= $NndBuildK) s LEFT JOIN g$p p ON s.v = p.v AND s.nb = p.nb)"

@@ -239,6 +239,42 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(recall >= 0.90, f"novel-query recall $recall%.3f below the measured floor")
   }
 
+  test("incremental append: delta-only work, base never rebuilt, lists near-exact") {
+    // round 18 (the ann_index_append convention on the graph family):
+    // delta vectors (top ~20% id slice) get lists by beam-searching the
+    // persisted BASE graph — HNSW's search-then-connect insert primitive.
+    GraphAnnIndex.ensureBase(spark, d)
+    val before = GraphAnnIndex.baseBuilds.get()
+    val got = SparkEntry.queries("gann_index_append")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(GraphAnnIndex.baseBuilds.get() == before,
+      "append re-built the base graph — the incremental contract is broken")
+    val mx = emb.keys.max
+    val cutoff = (mx * Similarity.IncrCutNum) / Similarity.IncrCutDen
+    val deltaIds = emb.keys.filter(v =>
+      v * Similarity.IncrCutDen > mx * Similarity.IncrCutNum).toSeq.sorted
+    val byV = got.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    // every delta vector gets exactly NndBuildK DISTINCT base neighbors
+    assert(byV.keySet.toSeq.sorted == deltaIds, "appended set != the delta slice")
+    byV.foreach { case (v, l) =>
+      assert(l.length == Similarity.NndBuildK && l.distinct.length == l.length)
+      assert(l.forall(nb => nb * Similarity.IncrCutDen <= mx * Similarity.IncrCutNum),
+        s"delta $v linked to a non-base id")
+    }
+    // appended-list quality: recall of each delta's list vs its EXACT
+    // top-NndBuildK over the base slice (brute cosine)
+    val baseIds = emb.keys.filter(_ <= cutoff).toSeq
+    def bruteBase(v: Long): Seq[Long] = {
+      val q = emb(v)
+      baseIds.map(b => (b, cos(q, emb(b))))
+        .sortBy { case (b, c) => (-c, b) }.take(Similarity.NndBuildK).map(_._1)
+    }
+    val hits = deltaIds.map(v => (bruteBase(v).toSet & byV(v).toSet).size).sum
+    val recall = hits.toDouble / (deltaIds.size * Similarity.NndBuildK)
+    info(f"append recall@${Similarity.NndBuildK} vs exact base top-K: $recall%.3f over ${deltaIds.size} delta vectors")
+    assert(recall >= 0.85, f"append recall $recall%.3f below floor")
+  }
+
   test("greedy-only search (ef=1) is strictly worse than the beam — the beam earns its cost") {
     val r1 = recallAt(1)
     val r32 = recallAt(32)
