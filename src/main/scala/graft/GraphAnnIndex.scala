@@ -112,14 +112,17 @@ object GraphAnnIndex {
     marker(root).delete()
     val emb = Tables.embeddings(s, d)
     val mx = emb.agg(max(col("vec_id")).as("mx"))
-    val baseVecs = emb.crossJoin(broadcast(mx))
+    // vectors FIRST, descent from the written artifact: one embeddings
+    // scan + cut pass total (third review pass: the previous shape
+    // re-derived the slice for each artifact), and the lists provably
+    // build from the exact vectors the probe will read
+    emb.crossJoin(broadcast(mx))
       .where(col("vec_id") * Similarity.IncrCutDen <= col("mx") * Similarity.IncrCutNum)
-      .select("vec_id", "embedding")
-    Similarity.nndGraphFrameOf(s, d, Similarity.NndRounds, ":base", baseVecs)
-      .write.mode(ow).parquet(s"$root/lists")
-    baseVecs
       .select(col("vec_id"), col("embedding"), vec_norm(col("embedding")).as("nrm"))
       .write.mode(ow).parquet(s"$root/vectors")
+    Similarity.nndGraphFrameOf(s, d, Similarity.NndRounds, ":base",
+        s.read.parquet(s"$root/vectors").select("vec_id", "embedding"))
+      .write.mode(ow).parquet(s"$root/lists")
     val ok = marker(root)
     ok.getParentFile.mkdirs()
     java.nio.file.Files.write(ok.toPath, Array.emptyByteArray)
@@ -152,7 +155,7 @@ object GraphAnnIndex {
       .where(col("vec_id") * Similarity.IncrCutDen > col("mx") * Similarity.IncrCutNum)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         vec_norm(col("embedding")).as("qn"))
-    val lists = beamLoop(s, d, delta, NovelBeamRounds, root)
+    val lists = beamLoop(s, root, delta, NovelBeamRounds, broadcastQ = false)
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("cs").desc, col("nb").asc)))
       .where(col("rn") <= Similarity.NndBuildK)
@@ -264,7 +267,7 @@ object GraphAnnIndex {
     val vecs = s.read.parquet(s"${indexRoot(d)}/vectors")
     val q = vecs.where(col("vec_id") < ProbeQids)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-    beamLoop(s, d, q, BeamRounds)
+    beamLoop(s, indexRoot(d), q, BeamRounds, broadcastQ = true)
       // in-index probes exclude themselves from their own result list
       .where(col("nb") =!= col("qid"))
       .withColumn("rn", row_number().over(
@@ -293,7 +296,7 @@ object GraphAnnIndex {
     val q = vecs.where(col("vec_id") < ProbeQids)
       .select(col("vec_id").as("qid"), reverse(col("embedding")).as("qe"),
         vec_norm(reverse(col("embedding"))).as("qn"))
-    beamLoop(s, d, q, NovelBeamRounds)
+    beamLoop(s, indexRoot(d), q, NovelBeamRounds, broadcastQ = true)
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("cs").desc, col("nb").asc)))
       .where(col("rn") <= ProbeTopK)
@@ -306,10 +309,17 @@ object GraphAnnIndex {
     * (qid, nb, cs, ex). See the sim_ann_graph_search registration for the
     * algorithm story; callers apply their own final ranking/filters.
     */
-  private def beamLoop(s: SparkSession, d: String, q: DataFrame,
-      rounds: Int, rootOverride: String = null): DataFrame = {
+  /** `root` is REQUIRED (third review pass: a null-sentinel default fell
+    * back to the full-index root — a caller bug would beam the wrong
+    * graph silently). `broadcastQ` = true only for the BOUNDED probe
+    * sets (10 fixed queries); the append path passes false because its
+    * query frame is the delta slice — corpus-proportional, and a forced
+    * broadcast would collect it to the driver once per round and hit the
+    * broadcast hard limit long before the keyed join would struggle.
+    */
+  private def beamLoop(s: SparkSession, root: String, q: DataFrame,
+      rounds: Int, broadcastQ: Boolean): DataFrame = {
     import org.apache.spark.sql.graft.VectorOps.vec_dot
-    val root = if (rootOverride != null) rootOverride else indexRoot(d)
     val ow = org.apache.spark.sql.SaveMode.Overwrite
     val lists = s.read.parquet(s"$root/lists")
       .select(col("vec_id").as("v"), col("nb").as("nb2"))
@@ -321,7 +331,7 @@ object GraphAnnIndex {
       cand
         .join(vecs.select(col("vec_id").as("nb"), col("embedding").as("ne"),
           col("nrm").as("nn")), "nb")
-        .join(broadcast(q), "qid")
+        .join(if (broadcastQ) broadcast(q) else q, "qid")
         .select(col("qid"), col("nb"),
           (vec_dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cs"))
     var curPath = Sources.tmpUnique("beam_r0")
