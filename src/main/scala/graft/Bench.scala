@@ -26,9 +26,16 @@ object Bench {
     * Sampled at start and end so a round-over-round reader can discard
     * contended runs instead of chasing phantom regressions.
     */
-  private def loadAvg: Double =
-    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+  private def loadAvg: Option[Double] = {
+    // getSystemLoadAverage returns -1.0 where unsupported — emit null, not
+    // a plausible-looking bogus contention witness (ADVICE r18)
+    val v = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
+    if (v < 0) None else Some(v)
+  }
+
+  private def loadJson(v: Option[Double]): String =
+    v.map(x => f"$x%.2f").getOrElse("null")
 
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg
@@ -226,7 +233,7 @@ object Bench {
       f""""cold_extra":$coldExtra%.3f,"disp_med":$dispMed%.3f,""" +
       s""""unit":"sec","cold_top":$coldTop,"gc_top":$gcTop,""" +
       s""""disp_top":$dispTop,""" +
-      f""""load_start":$loadStart%.2f,"load_end":$loadAvg%.2f,""" +
+      s""""load_start":${loadJson(loadStart)},"load_end":${loadJson(loadAvg)},""" +
       s""""ncpu":${Runtime.getRuntime.availableProcessors},"sf":"$sfDir"}""")
     spark.stop()
   }

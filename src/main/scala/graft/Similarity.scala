@@ -654,6 +654,36 @@ object Similarity {
   val IncrCutNum = 8
   val IncrCutDen = 10
 
+  /** Tombstone selector for the index-level DELETE verb (VERDICT r18 #3):
+    * ids in the MID-SLICE (40%, 45%] of the id range —
+    * mx·DelCutLoNum < vec_id·DelCutDen ≤ mx·DelCutHiNum, integer
+    * cross-multiplication like [[IncrCutNum]]. Mid-slice by design: it
+    * never intersects the probe query set (ids 0..9) nor the append delta
+    * (top 20%), so delete composes with append in one lifecycle, and the
+    * slice is non-vacuous at every SF (25/25/100 ids; measured, and the
+    * probes' pre-delete results contain slice members at all three SFs —
+    * the "present before, absent after" pin cannot pass vacuously). A
+    * derivation rule, not a stored list, so query/oracle/spec interpolate
+    * the same predicate — production would feed an explicit GDPR id list
+    * through the identical anti-join.
+    */
+  val DelCutLoNum = 8
+  val DelCutHiNum = 9
+  val DelCutDen = 20
+
+  /** Directory tag folding every tombstone dial — artifacts derived from
+    * the delete rule live under rule-keyed paths, so a dial retune can
+    * never serve stale tombstones/compactions (the persisted-store keying
+    * rule the r17/r18 reviews enforced).
+    */
+  private[graft] def delTag: String = s"${DelCutLoNum}_${DelCutHiNum}_$DelCutDen"
+
+  /** The tombstone predicate over DuckDB column expression `c`, with `mx`
+    * the max-id scalar subquery/CTE reference supplied by the caller.
+    */
+  private[graft] def tombPredSql(c: String, mx: String): String =
+    s"$c * $DelCutDen > $mx * $DelCutLoNum AND $c * $DelCutDen <= $mx * $DelCutHiNum"
+
   /** 1-row broadcast frame (mx = max doc_id) anchoring the delta cutoff. */
   private def incrMaxId(s: SparkSession, d: String): DataFrame =
     broadcast(documents(s, d).agg(max("doc_id").as("mx")))
@@ -2676,14 +2706,21 @@ object Similarity {
     * top-10 directly) and the recall-eval oracle (which joins `r` against
     * the exact ranking).
     */
-  private def annIvfPqCtes: String = {
+  private def annIvfPqCtes: String = annIvfPqCtesWhere("")
+
+  /** [[annIvfPqCtes]] with an extra predicate on the candidate ids (round
+    * 19: the tombstoned-probe oracle anti-filters deleted ids exactly
+    * where the Spark plan anti-joins the tombstone artifact — at candidate
+    * generation, before the ADC ranking).
+    */
+  private def annIvfPqCtesWhere(candExtra: String): String = {
     s"$pqLegCtes, " +
     s"$ivfPqCoarseCtes, " +
     "kpb AS (SELECT qid, cid FROM (SELECT e.vec_id AS qid, c.cid, " +
     s"${oDistE("e.embedding", "c.ce")} AS dd FROM ke e CROSS JOIN kc1 c WHERE e.vec_id < 10) t " +
     s"QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dd ASC, cid ASC) <= $IvfPqProbe), " +
     "cand AS (SELECT pb.qid, l.vec_id AS nn FROM kpb pb JOIN kb2 l USING (cid) " +
-    "WHERE l.vec_id != pb.qid), " +
+    s"WHERE l.vec_id != pb.qid$candExtra), " +
     s"$pqLutCte, " +
     "p AS (SELECT cand.qid, cand.nn, a.m, l.dqc FROM cand " +
     "JOIN a2 a ON a.vec_id = cand.nn " +
@@ -2694,6 +2731,46 @@ object Similarity {
   private[graft] def annIvfPqOracle: String =
     s"WITH $annIvfPqCtes " +
     "SELECT qid, nn, CAST(rn AS INT) AS rn FROM r WHERE rn <= 10 ORDER BY qid, rn"
+
+  /** IVF-PQ probe with the tombstone slice deleted (round 19): identical
+    * pipeline, candidates anti-filtered by the [[tombPredSql]] rule —
+    * mirrors the Spark merged-probe's anti-join against the persisted
+    * `tombstones_*` artifact. Measured non-vacuous before wiring: the
+    * undeleted probe returns 6/3/9 tombstone-slice ids at the three SFs,
+    * so this oracle provably differs from [[annIvfPqOracle]].
+    */
+  private[graft] def annIvfPqDeletedOracle: String =
+    s"WITH ${annIvfPqCtesWhere(" AND NOT (" +
+      tombPredSql("l.vec_id", "(SELECT max(vec_id) FROM embeddings)") + ")")} " +
+    "SELECT qid, nn, CAST(rn AS INT) AS rn FROM r WHERE rn <= 10 ORDER BY qid, rn"
+
+  /** Tombstone-audit oracle shared by both index families' delete verbs:
+    * the rule is a derivation, so the audit is one predicate scan.
+    */
+  private[graft] def tombAuditOracle: String =
+    "SELECT CAST(count(*) AS BIGINT) AS n_tombstoned, " +
+    "CAST(sum(e.vec_id) AS BIGINT) AS id_sum " +
+    "FROM embeddings e, (SELECT max(vec_id) AS mx FROM embeddings) m " +
+    s"WHERE ${tombPredSql("e.vec_id", "m.mx")}"
+
+  /** SQL mirror of [[AnnIndex.compact]]: the surviving ids (everything
+    * outside the tombstone slice — base ∪ delta minus deletes, and the
+    * delta codes are bit-identical to the build's rows for those ids, so
+    * survivors of the FULL chain are exactly the compacted row set) with
+    * per-list occupancy + the integer code checksum.
+    */
+  private[graft] def annIndexCompactOracle: String =
+    s"WITH $pqLegCtes, " +
+    s"$ivfPqCoarseCtes, " +
+    "kmx AS (SELECT max(vec_id) AS mx FROM embeddings), " +
+    "surv AS (SELECT e.vec_id FROM embeddings e, kmx " +
+    s"WHERE NOT (${tombPredSql("e.vec_id", "kmx.mx")})), " +
+    "kdc AS (SELECT b.vec_id, b.cid FROM kb2 b JOIN surv dl ON b.vec_id = dl.vec_id), " +
+    "kcodes AS (SELECT a.vec_id, a.code FROM a2 a JOIN surv dl ON a.vec_id = dl.vec_id) " +
+    "SELECT kdc.cid, count(DISTINCT kdc.vec_id) AS n_vectors, " +
+    "CAST(SUM(kcodes.code) AS BIGINT) AS sum_code " +
+    "FROM kdc JOIN kcodes ON kdc.vec_id = kcodes.vec_id " +
+    "GROUP BY kdc.cid ORDER BY kdc.cid"
 
   /** SQL mirror of [[AnnIndex.append]]: re-derive the SAME refined coarse
     * centroids (kb2 assignment) and PQ codebooks (a2 codes), restrict to

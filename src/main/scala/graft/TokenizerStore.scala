@@ -215,6 +215,13 @@ object TokenizerStore {
     // corpus scan + the per-doc re-aggregate — the merge fold and id map
     // ride inside map-side expressions (native BpeApply + literal map),
     // so there is no learn aggregate, no spill read, and no join at all.
+    // SCALE BOUND (ADVICE r18): the literal map() inlines the whole vocab
+    // into the expression tree, so plan size — and codegen method size —
+    // grows linearly with |vocab|. Fine at this fixture's vocab and safe
+    // to a few thousand entries; a production 50k-token vocab must switch
+    // the id lookup to a broadcast-map expression (the bpe_apply merge
+    // list already rides a broadcast-style constant inside the native
+    // expression — the map is the only literal-inlined half).
     "text_bpe_encode_frozen" -> ((s, d) => {
       val (ml, vocab) = frozenBpe(s, d)
       val mapArgs = vocab.sortBy(_._1)

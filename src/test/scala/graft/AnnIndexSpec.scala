@@ -62,20 +62,67 @@ class AnnIndexSpec extends AnyFunSuite {
     // the delta ids were part of the original training corpus, so the
     // frozen-assignment MUST reproduce the base index's rows exactly —
     // list assignment and all PqM codes per vector
-    val deltaIds = spark.read.parquet(s"$root/lists_delta")
+    val dd = AnnIndex.deltaDir(root)
+    val deltaIds = spark.read.parquet(s"$dd/lists")
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(deltaIds.nonEmpty, "empty delta batch — cutoff broken")
     val baseLists = spark.read.parquet(s"$root/lists")
       .where(col("vec_id").isin(deltaIds.toSeq: _*))
       .collect().map(r => r.getLong(0) -> r.getAs[Number](1).intValue).toMap
-    val apLists = spark.read.parquet(s"$root/lists_delta")
+    val apLists = spark.read.parquet(s"$dd/lists")
       .collect().map(r => r.getLong(0) -> r.getAs[Number](1).intValue).toMap
     assert(apLists == baseLists, "appended list assignment diverged from the base index")
     val baseCodes = spark.read.parquet(s"$root/codes")
       .where(col("vec_id").isin(deltaIds.toSeq: _*))
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
-    val apCodes = spark.read.parquet(s"$root/codes_delta")
+    val apCodes = spark.read.parquet(s"$dd/codes")
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
     assert(apCodes == baseCodes, "appended PQ codes diverged from the base index")
+  }
+
+  test("lifecycle: merged serving sees delta ids, delete hides them, compact drops them") {
+    import org.apache.spark.sql.functions._
+    val d = Sf0001
+    AnnIndex.ensure(spark, d)
+    val root = AnnIndex.indexRoot(d)
+    val mx = spark.read.parquet(s"$root/codes").agg(max("vec_id")).collect()(0).getLong(0)
+    def isDelta(id: Long) = id * Similarity.IncrCutDen > mx * Similarity.IncrCutNum
+    def isTomb(id: Long) =
+      id * Similarity.DelCutDen > mx * Similarity.DelCutLoNum &&
+      id * Similarity.DelCutDen <= mx * Similarity.DelCutHiNum
+    val b0 = AnnIndex.builds.get()
+    // merged probe: identical to the one-shot probe AND the appended
+    // content is genuinely served (delta ids appear as results)
+    val merged = AnnIndex.probeMerged(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val oneShot = AnnIndex.probe(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(merged == oneShot,
+      "merged base∪delta serving diverged from the one-shot index")
+    assert(merged.exists { case (_, nn, _) => isDelta(nn) },
+      "probe-after-append returned no delta ids — appended content is not being served")
+    // tombstoned ids: present before delete, absent after, everything else
+    // ranked identically up to re-ranking
+    assert(merged.exists { case (_, nn, _) => isTomb(nn) },
+      "pre-delete results contain no tombstone-slice ids — the deletion pin would be vacuous")
+    val deleted = AnnIndex.probeDeleted(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(!deleted.exists { case (_, nn, _) => isTomb(nn) },
+      "deleted probe returned a tombstoned id")
+    assert(deleted != merged, "delete changed nothing — vacuous")
+    // compaction serves the exact deleted-view answers from one artifact set
+    val compacted = AnnIndex.probeCompacted(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(compacted == deleted,
+      "compacted index changed an answer — compaction must only change layout")
+    // physical drop: compacted codes == full codes minus tombstoned rows
+    val fullMinusTomb = spark.read.parquet(s"$root/codes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).filterNot(t => isTomb(t._1)).toSet
+    val compCodes = spark.read.parquet(s"${AnnIndex.compactDir(root)}/codes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(compCodes == fullMinusTomb,
+      "compacted codes are not exactly (base ∪ delta) − tombstones")
+    // the whole lifecycle above trained nothing
+    assert(AnnIndex.builds.get() == b0, "a serving/maintenance verb triggered training")
   }
 }

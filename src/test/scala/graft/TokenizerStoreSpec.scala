@@ -66,6 +66,20 @@ class TokenizerStoreSpec extends AnyFunSuite {
     // geometry term is load-bearing (the KmvStoreSpec convention)
     val f = Sources.fixtureKey(d, "documents")
     val a = f + s":bpestore:${Bpe.BpeMerges}:${Bpe.BpeBatchK}:${Bpe.BpeLocalWordCap}"
+    // pin the REAL root functions to the hand-built keys (ADVICE r18: the
+    // dial assertions below only exercise stableHex64 — if bpeRoot/uniRoot
+    // ever drop a dial or change key format, these contains() fail loudly
+    // instead of the dial checks passing vacuously)
+    assert(TokenizerStore.bpeRoot(d).endsWith("_" + Sources.stableHex64(a)),
+      "bpeRoot key format drifted from the spec's hand-built key")
+    assert(TokenizerStore.uniRoot(d).endsWith("_" + Sources.stableHex64(
+        f + s":unistore:${Unigram.MaxSub}:${Unigram.SeedK}:${Unigram.EmRounds}")),
+      "uniRoot key format drifted from the spec's hand-built key")
+    assert(TokenizerStore.byteRoot(d).endsWith("_" + Sources.stableHex64(
+        f + s":bpebytestore:${Bpe.BpeMerges}:${Bpe.BpeBatchK}:${Bpe.BpeLocalWordCap}:" +
+        Bpe.BytePretokRe + "|" + Bpe.pertCaseSql + "|" +
+        org.apache.spark.sql.graft.ByteAlias.aliasStr)),
+      "byteRoot key format drifted from the spec's hand-built key")
     assert(Sources.stableHex64(a) !=
       Sources.stableHex64(f + s":bpestore:${Bpe.BpeMerges * 2}:${Bpe.BpeBatchK}:${Bpe.BpeLocalWordCap}"))
     assert(Sources.stableHex64(a) !=
