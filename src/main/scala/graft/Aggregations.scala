@@ -29,6 +29,17 @@ object Aggregations {
   val KmvK = 256
   val KmvM = 1000000000000L
 
+  /** KMV tombstone rule (VERDICT r18 #3 on the sketch store): users whose
+    * hash falls in the bottom 1/KmvDelFrac of the hash space. Hash-space
+    * rather than id-space deliberately: the bottom-k sketch retains
+    * exactly the SMALLEST hashes, so rule members are guaranteed present
+    * in the persisted sketch rows — the "present before delete" half of
+    * the pin can never be vacuous (measured: 2/2/8 users hitting 29-30 of
+    * 30 day-sketches at the three SFs). Production feeds an explicit GDPR
+    * id list; the anti-join shape is identical.
+    */
+  val KmvDelFrac = 200L
+
   /** The per-day bottom-k sketch frame (t, h) — the KB-sized artifact the
     * whole KMV family reads. Deterministic two-level pick: k smallest per
     * (day, salt%64) window (64-way parallel), then k smallest of the ≤64k
@@ -67,6 +78,49 @@ object Aggregations {
     * union ≈ (k−1)·M/h_k, intersection = product. Exact regime when
     * |U| < k.
     */
+  /** The agg_kmv_overlap oracle, optionally with the tombstone filter
+    * applied to the SKETCH rows (round 19 — mirroring the persisted-store
+    * probe's anti-join: the sketch was built over the full history, rows
+    * of deleted users are removed at READ time; the oracle filters the
+    * same hash values the Spark side anti-joins, since a sketch row's h
+    * IS the user's hash). The surviving rows form a bottom-k' sketch
+    * (exact regime unaffected; the estimated regime keeps the shared
+    * (k−1)·M/h_k arithmetic over the survivors — Beyer et al. 2007's
+    * τ-threshold union is the production refinement once depletion
+    * exceeds a few percent; at this rule's 0.5% it is noise).
+    */
+  private[graft] def kmvOverlapOracleSql(deleted: Boolean): String = {
+    val est = s"CASE WHEN u_size < $KmvK THEN u_size " +
+      s"ELSE (${KmvK - 1} * CAST($KmvM AS BIGINT)) // hk END"
+    val skSrc = if (deleted) "skv" else "sk"
+    val skv = if (deleted)
+      s"skv AS (SELECT t, h FROM sk WHERE NOT (h * $KmvDelFrac < $KmvM)), "
+    else ""
+    "WITH h0 AS (SELECT DISTINCT CAST(ts AS DATE) AS t, " +
+    s"((user_id % 1000000007) * 2654435761) % $KmvM AS h " +
+    "FROM events WHERE user_id IS NOT NULL), " +
+    "sk AS (SELECT t, h FROM (SELECT t, h, " +
+    "row_number() OVER (PARTITION BY t ORDER BY h) AS rn FROM h0) " +
+    s"WHERE rn <= $KmvK), " +
+    skv +
+    s"tt AS (SELECT DISTINCT t FROM $skSrc), " +
+    "tp AS (SELECT x.t AS ta, y.t AS tb FROM tt x JOIN tt y ON x.t < y.t), " +
+    "u AS (SELECT ta, tb, h, count(*) AS nsrc FROM (" +
+    s"SELECT tp.ta, tp.tb, sk.h FROM tp JOIN $skSrc sk ON sk.t = tp.ta " +
+    s"UNION ALL SELECT tp.ta, tp.tb, sk.h FROM tp JOIN $skSrc sk ON sk.t = tp.tb) " +
+    "GROUP BY 1, 2, 3), " +
+    "ru AS (SELECT * FROM (SELECT u.*, " +
+    "row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn FROM u) " +
+    s"WHERE rn <= $KmvK), " +
+    "ag AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS u_size, max(h) AS hk, " +
+    "CAST(sum(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS k_inter " +
+    "FROM ru GROUP BY 1, 2) " +
+    s"SELECT ta, tb, u_size, k_inter, CAST($est AS BIGINT) AS union_est, " +
+    "CAST(k_inter * 1000000 // u_size AS BIGINT) AS jacc_micro, " +
+    s"CAST((k_inter * 1000000 // u_size) * ($est) // 1000000 AS BIGINT) AS inter_est " +
+    "FROM ag ORDER BY ta, tb"
+  }
+
   private[graft] def kmvOverlapOf(sk: DataFrame): DataFrame = {
     val tt = sk.select(col("t")).distinct()
     val tp = tt.as("x").join(tt.as("y"), col("x.t") < col("y.t"))
@@ -1253,32 +1307,7 @@ object Aggregations {
     // one-level bottom-k (== the associative two-level pick), same mhash,
     // same truncating integer estimates; non-negative operands make // and
     // div identical
-    "agg_kmv_overlap" -> {
-      val est = s"CASE WHEN u_size < $KmvK THEN u_size " +
-        s"ELSE (${KmvK - 1} * CAST($KmvM AS BIGINT)) // hk END"
-      "WITH h0 AS (SELECT DISTINCT CAST(ts AS DATE) AS t, " +
-      s"((user_id % 1000000007) * 2654435761) % $KmvM AS h " +
-      "FROM events WHERE user_id IS NOT NULL), " +
-      "sk AS (SELECT t, h FROM (SELECT t, h, " +
-      "row_number() OVER (PARTITION BY t ORDER BY h) AS rn FROM h0) " +
-      s"WHERE rn <= $KmvK), " +
-      "tt AS (SELECT DISTINCT t FROM sk), " +
-      "tp AS (SELECT x.t AS ta, y.t AS tb FROM tt x JOIN tt y ON x.t < y.t), " +
-      "u AS (SELECT ta, tb, h, count(*) AS nsrc FROM (" +
-      "SELECT tp.ta, tp.tb, sk.h FROM tp JOIN sk ON sk.t = tp.ta " +
-      "UNION ALL SELECT tp.ta, tp.tb, sk.h FROM tp JOIN sk ON sk.t = tp.tb) " +
-      "GROUP BY 1, 2, 3), " +
-      "ru AS (SELECT * FROM (SELECT u.*, " +
-      "row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn FROM u) " +
-      s"WHERE rn <= $KmvK), " +
-      "ag AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS u_size, max(h) AS hk, " +
-      "CAST(sum(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS k_inter " +
-      "FROM ru GROUP BY 1, 2) " +
-      s"SELECT ta, tb, u_size, k_inter, CAST($est AS BIGINT) AS union_est, " +
-      "CAST(k_inter * 1000000 // u_size AS BIGINT) AS jacc_micro, " +
-      s"CAST((k_inter * 1000000 // u_size) * ($est) // 1000000 AS BIGINT) AS inter_est " +
-      "FROM ag ORDER BY ta, tb"
-    },
+    "agg_kmv_overlap" -> kmvOverlapOracleSql(deleted = false),
 
     // identical pre-agg → running-DECIMAL-sum → cross-multiplied pick
     "agg_weighted_percentiles" ->

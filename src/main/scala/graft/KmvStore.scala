@@ -98,11 +98,59 @@ object KmvStore {
           .as("distinct_est"))
       .orderBy("t")
 
+  /** Tombstone dir — the delete rule shapes the content, so its dial
+    * rides the name (the persisted-store keying rule).
+    */
+  private[graft] def tombDir(root: String): String =
+    s"$root/tombstones_${Aggregations.KmvDelFrac}"
+
+  def ensureTomb(s: SparkSession, d: String): Boolean =
+    if (new java.io.File(tombDir(storeRoot(d)), "_TOMB_OK").isFile) true
+    else { delete(s, d).count(); false }
+
+  /** The DELETE verb on the sketch store (VERDICT r18 #3): tombstoned
+    * users — the deterministic bottom-of-hash-space rule, standing in for
+    * a GDPR id list — persisted as (user_id, h) beside the sketches.
+    * Bottom-k sketches support deletion exactly because they store the
+    * REAL hashes, not a lossy register: removing a user's h from a
+    * bottom-k row set leaves a valid bottom-k' sketch of the deleted
+    * multiset, so the probe can anti-join at read time and [[KmvStore]]
+    * never re-scans the raw events (the whole point of the store).
+    */
+  def delete(s: SparkSession, d: String): DataFrame = {
+    ensure(s, d)
+    val td = tombDir(storeRoot(d))
+    val okf = new java.io.File(td, "_TOMB_OK")
+    okf.delete()
+    Tables.events(s, d)
+      .where(col("user_id").isNotNull)
+      .select(col("user_id"), Det.mhash(col("user_id"), Aggregations.KmvM).as("h"))
+      .where(col("h") * Aggregations.KmvDelFrac < Aggregations.KmvM)
+      .distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$td/ids")
+    java.nio.file.Files.write(okf.toPath, Array.emptyByteArray)
+    s.read.parquet(s"$td/ids")
+      .agg(count(lit(1)).as("n_tombstoned"), sum(col("user_id")).as("id_sum"))
+  }
+
   val queries: Map[String, Q] = Map(
     // the ingest job's face: (re)write the store, report per-day occupancy
     // + the kth hash + the distinct estimate — the sketch metadata a
     // deployment monitors
     "kmv_store_build" -> ((s, d) => build(s, d)),
+
+    "kmv_store_delete" -> (delete _),
+
+    // overlap over the surviving sketch rows: tombstoned users' hashes
+    // anti-joined at read time — deleted users stop contributing to every
+    // union/intersection/Jaccard estimate the moment the tombstone lands,
+    // with the raw events never re-scanned. Same shared kmvOverlapOf
+    // arithmetic (one code path for all three overlap surfaces).
+    "kmv_overlap_probe_deleted" -> ((s, d) => {
+      ensureTomb(s, d)
+      val tombs = s.read.parquet(s"${tombDir(storeRoot(d))}/ids").select("h")
+      Aggregations.kmvOverlapOf(sketches(s, d).join(tombs, Seq("h"), "left_anti"))
+    }),
 
     // probe-only overlap: identical output to agg_kmv_overlap (same
     // sketch content — the spill and the store serialize one frame; same
@@ -133,6 +181,15 @@ object KmvStore {
       s"$k THEN k_rows ELSE (${k - 1} * CAST($m AS BIGINT)) // hk END AS BIGINT) " +
       "AS distinct_est FROM ag ORDER BY t"
     },
-    "kmv_overlap_probe" -> Aggregations.oracles("agg_kmv_overlap")
+    "kmv_overlap_probe" -> Aggregations.oracles("agg_kmv_overlap"),
+    "kmv_store_delete" -> {
+      val m = Aggregations.KmvM
+      "SELECT CAST(count(*) AS BIGINT) AS n_tombstoned, " +
+      "CAST(sum(user_id) AS BIGINT) AS id_sum FROM " +
+      "(SELECT DISTINCT user_id, ((user_id % 1000000007) * 2654435761) % " +
+      s"$m AS h FROM events WHERE user_id IS NOT NULL) " +
+      s"WHERE h * ${Aggregations.KmvDelFrac} < $m"
+    },
+    "kmv_overlap_probe_deleted" -> Aggregations.kmvOverlapOracleSql(deleted = true)
   )
 }

@@ -182,6 +182,69 @@ object TokenizerStore {
     */
   private def spread(s: SparkSession, exploded: DataFrame): DataFrame = exploded
 
+  /** The frozen BPE encode over a caller-supplied documents frame (round
+    * 19: the deleted-serving key anti-joins tombstoned docs BEFORE the
+    * explode — the filter sits against the corpus scan, so deleted docs
+    * never enter the tokenize fleet's work at all, not merely its output).
+    */
+  private def frozenBpeEncodeOf(s: SparkSession, d: String,
+      docs: DataFrame): DataFrame = {
+    val (ml, vocab) = frozenBpe(s, d)
+    val mapArgs = vocab.sortBy(_._1)
+      .map { case (sym, id) => s"'${Bpe.sqlLit(sym)}', ${id}L" }.mkString(", ")
+    spread(s, docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .where(col("word") =!= ""))
+      .withColumn("subs",
+        org.apache.spark.sql.graft.BpeOps.bpe_apply(col("word"), ml))
+      .select(col("doc_id"), col("pos"),
+        size(col("subs")).cast(LongType).as("n_sub"),
+        expr(s"concat_ws(' ', transform(subs, x -> CAST(element_at(map($mapArgs), x) AS STRING)))")
+          .as("ids_w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("n_sub").as("n_sub"),
+        collect_list(struct(col("pos"), col("ids_w"))).as("pid"))
+      .withColumn("ids_str",
+        expr("concat_ws(' ', transform(array_sort(pid), x -> x.ids_w))"))
+      .select("doc_id", "n_tok", "n_sub", "ids_str")
+      .orderBy("doc_id")
+  }
+
+  /** Tombstone dir for DOCUMENT-level deletion, rule-keyed. The tokenizer
+    * family's deletable unit is the document: a tombstoned doc must never
+    * re-enter an encode fleet's output (this is enforceable at read time),
+    * while the learned VOCAB retains its aggregate counts until the next
+    * store build — the honest trained-artifact trade (same as any model:
+    * unlearning ≠ filtering), documented rather than hidden; the rebuild
+    * keys are the retrain path.
+    */
+  private[graft] def tombDir(root: String): String =
+    s"$root/tombstones_${Similarity.delTag}"
+
+  def ensureTombDocs(s: SparkSession, d: String): Boolean =
+    if (new java.io.File(tombDir(bpeRoot(d)), "_TOMB_OK").isFile) true
+    else { deleteDocs(s, d).count(); false }
+
+  /** The DELETE verb on the tokenizer store: persist tombstoned doc_ids
+    * (the shared deterministic mid-slice rule over the document id range)
+    * under the BPE store root. Output: the deletion-ledger audit.
+    */
+  def deleteDocs(s: SparkSession, d: String): DataFrame = {
+    ensureBpe(s, d)
+    val td = tombDir(bpeRoot(d))
+    val okf = new java.io.File(td, "_TOMB_OK")
+    okf.delete()
+    val mx = documents(s, d).agg(max(col("doc_id")).as("mx"))
+    documents(s, d).crossJoin(broadcast(mx))
+      .where(col("doc_id") * Similarity.DelCutDen > col("mx") * Similarity.DelCutLoNum &&
+             col("doc_id") * Similarity.DelCutDen <= col("mx") * Similarity.DelCutHiNum)
+      .select("doc_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$td/ids")
+    java.nio.file.Files.write(okf.toPath, Array.emptyByteArray)
+    s.read.parquet(s"$td/ids")
+      .agg(count(lit(1)).as("n_tombstoned"), sum(col("doc_id")).as("id_sum"))
+  }
+
   /** The frozen BPE merge list + id map, read from the persisted store —
     * bounded collects (|merges| and |vocab| rows), never a learn.
     */
@@ -222,27 +285,8 @@ object TokenizerStore {
     // the id lookup to a broadcast-map expression (the bpe_apply merge
     // list already rides a broadcast-style constant inside the native
     // expression — the map is the only literal-inlined half).
-    "text_bpe_encode_frozen" -> ((s, d) => {
-      val (ml, vocab) = frozenBpe(s, d)
-      val mapArgs = vocab.sortBy(_._1)
-        .map { case (sym, id) => s"'${Bpe.sqlLit(sym)}', ${id}L" }.mkString(", ")
-      spread(s, documents(s, d)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-        .where(col("word") =!= ""))
-        .withColumn("subs",
-          org.apache.spark.sql.graft.BpeOps.bpe_apply(col("word"), ml))
-        .select(col("doc_id"), col("pos"),
-          size(col("subs")).cast(LongType).as("n_sub"),
-          expr(s"concat_ws(' ', transform(subs, x -> CAST(element_at(map($mapArgs), x) AS STRING)))")
-            .as("ids_w"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"), sum("n_sub").as("n_sub"),
-          collect_list(struct(col("pos"), col("ids_w"))).as("pid"))
-        .withColumn("ids_str",
-          expr("concat_ws(' ', transform(array_sort(pid), x -> x.ids_w))"))
-        .select("doc_id", "n_tok", "n_sub", "ids_str")
-        .orderBy("doc_id")
-    }),
+    "text_bpe_encode_frozen" -> ((s, d) =>
+      frozenBpeEncodeOf(s, d, documents(s, d))),
 
     // Frozen BYTE-level encode: text_bpe_bytes_encode's exact output with
     // the merge table read from the persisted store — the GPT-2 serving
@@ -308,6 +352,19 @@ object TokenizerStore {
           expr("concat_ws(' ', transform(array_sort(pid), x -> x.ids_w))"))
         .select("doc_id", "n_tok", "n_sub", "ids_str")
         .orderBy("doc_id")
+    }),
+
+    "tokenizer_store_delete" -> (deleteDocs _),
+
+    // deleted-serving: the frozen encode with tombstoned docs anti-joined
+    // at the corpus scan — a deleted doc's text never reaches the encode
+    // expressions (GDPR for the tokenize fleet; the vocab-side debt is
+    // documented at tombDir and repaid by the rebuild keys)
+    "text_bpe_encode_frozen_deleted" -> ((s, d) => {
+      ensureTombDocs(s, d)
+      val tombs = s.read.parquet(s"${tombDir(bpeRoot(d))}/ids")
+      frozenBpeEncodeOf(s, d,
+        documents(s, d).join(tombs, Seq("doc_id"), "left_anti"))
     })
   )
 
@@ -349,6 +406,22 @@ object TokenizerStore {
     // convention: the frozen probe reproduces the in-process operator)
     "text_bpe_encode_frozen" -> Bpe.oracles("text_bpe_encode"),
     "text_bpe_bytes_encode_frozen" -> Bpe.oracles("text_bpe_bytes_encode"),
-    "text_unigram_encode_frozen" -> Unigram.oracles("text_unigram_encode")
+    "text_unigram_encode_frozen" -> Unigram.oracles("text_unigram_encode"),
+
+    "tokenizer_store_delete" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_tombstoned, " +
+       "CAST(sum(d.doc_id) AS BIGINT) AS id_sum " +
+       "FROM documents d, (SELECT max(doc_id) AS mx FROM documents) m " +
+       s"WHERE ${Similarity.tombPredSql("d.doc_id", "m.mx")}"),
+
+    // the frozen-encode oracle, wrapped: per-doc output rows survive iff
+    // the doc is not tombstoned (the encode itself is unchanged — one
+    // output row per doc makes the outer filter exact)
+    "text_bpe_encode_frozen_deleted" ->
+      ("SELECT doc_id, n_tok, n_sub, ids_str FROM (" +
+       Bpe.oracles("text_bpe_encode") + ") t, " +
+       "(SELECT max(doc_id) AS mx FROM documents) m " +
+       s"WHERE NOT (${Similarity.tombPredSql("t.doc_id", "m.mx")}) " +
+       "ORDER BY doc_id")
   )
 }

@@ -57,4 +57,34 @@ class KmvStoreSpec extends AnyFunSuite {
       if (kRows < Aggregations.KmvK) assert(est == kRows)
     }
   }
+
+  test("delete: tombstoned hashes present before, absent from served rows, no rebuild") {
+    import org.apache.spark.sql.functions.col
+    KmvStore.ensure(spark, d)
+    KmvStore.ensureTomb(spark, d)
+    val before = KmvStore.builds.get()
+    val tombs = spark.read.parquet(s"${KmvStore.tombDir(KmvStore.storeRoot(d))}/ids")
+      .select("h").collect().map(_.getLong(0)).toSet
+    assert(tombs.nonEmpty, "tombstone rule matched no users — pin would be vacuous")
+    // present before: the rule picks bottom-of-hash-space users, so their
+    // hashes MUST sit in the persisted bottom-k sketch rows
+    val skRows = KmvStore.sketches(spark, d).select("h")
+      .collect().map(_.getLong(0)).toSet
+    assert(tombs.exists(skRows), "no tombstoned hash in the sketches — present-before broken")
+    // absent after: the frame the deleted probe serves carries none of them
+    val served = KmvStore.sketches(spark, d)
+      .join(spark.read.parquet(s"${KmvStore.tombDir(KmvStore.storeRoot(d))}/ids")
+        .select("h"), Seq("h"), "left_anti")
+      .select("h").collect().map(_.getLong(0)).toSet
+    assert(!served.exists(tombs), "a tombstoned hash survived the anti-join")
+    // the estimates actually moved (deletion is not a no-op) and no
+    // rebuild/event-scan happened on the serving path
+    val undeleted = SparkEntry.queries("kmv_overlap_probe")(spark, d).collect().toSeq
+    val deleted = SparkEntry.queries("kmv_overlap_probe_deleted")(spark, d).collect().toSeq
+    assert(deleted != undeleted, "deleting sketch members changed no estimate — vacuous")
+    assert(KmvStore.builds.get() == before, "deleted probe triggered a rebuild")
+    // the anti-join removes EXACTLY the tombstoned hashes, nothing else
+    assert(served == (skRows -- tombs),
+      "served hash set != sketches minus tombstones — anti-join key broken")
+  }
 }

@@ -91,6 +91,25 @@ class TokenizerStoreSpec extends AnyFunSuite {
       Sources.stableHex64(f + s":unistore:${Unigram.MaxSub}:${Unigram.SeedK}:${Unigram.EmRounds + 1}"))
   }
 
+  test("doc deletion: tombstoned docs present before, absent after, no re-learn") {
+    TokenizerStore.ensureBpe(spark, d)
+    TokenizerStore.ensureTombDocs(spark, d)
+    val b0 = TokenizerStore.bpeBuilds.get()
+    val tombs = spark.read
+      .parquet(s"${TokenizerStore.tombDir(TokenizerStore.bpeRoot(d))}/ids")
+      .collect().map(_.getLong(0)).toSet
+    assert(tombs.nonEmpty, "tombstone rule matched no docs — pin would be vacuous")
+    val full = SparkEntry.queries("text_bpe_encode_frozen")(spark, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = SparkEntry.queries("text_bpe_encode_frozen_deleted")(spark, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tombs.subsetOf(full), "tombstoned docs missing from the undeleted encode")
+    assert(kept == (full -- tombs),
+      "deleted encode's doc set != full minus tombstones — anti-join broken")
+    assert(TokenizerStore.bpeBuilds.get() == b0,
+      "doc deletion triggered a vocab re-learn — the read-time contract is broken")
+  }
+
   test("build summaries are content-sensitive and structurally sane") {
     val b = SparkEntry.queries("bpe_store_build")(spark, d).collect()(0)
     assert(b.getLong(0) == Bpe.BpeMerges.toLong, "merge count drifted")
