@@ -473,7 +473,25 @@ object ProfScale {
       // text_bpe_encode, whose spill build pays the learn
       "bpe_store_build", "unigram_store_build", "bpe_bytes_store_build",
       "text_bpe_encode_frozen", "text_unigram_encode_frozen",
-      "text_bpe_bytes_encode_frozen")
+      "text_bpe_bytes_encode_frozen",
+      // round 19 — the lifecycle serving/maintenance keys. The serving
+      // rows (merged/deleted/compacted probes+searches) must stay in the
+      // probe-family ~flat regime: fixed 10-query probe sets, bounded
+      // per-round frontiers, artifact scans only (append/tomb/compact
+      // ensured in warmup below). The VERB rows (delete/compact) time
+      // their own artifact work: delete is one predicate scan + write
+      // (~flat in corpus... linear in the scan), compact is O(edges) —
+      // expected ~linear in k
+      "ann_index_delete", "sim_ann_ivfpq_probe_merged",
+      "sim_ann_ivfpq_probe_deleted", "ann_index_compact",
+      "sim_ann_ivfpq_probe_compacted",
+      "gann_index_delete", "sim_ann_graph_search_merged",
+      "sim_ann_graph_search_deleted", "gann_index_compact",
+      "sim_ann_graph_search_compacted",
+      "kmv_store_delete", "kmv_overlap_probe_deleted",
+      "tokenizer_store_delete", "text_bpe_encode_frozen_deleted",
+      // corpus-linear map-only string pipeline — must scale ~k
+      "text_extract_markup")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer
@@ -510,6 +528,33 @@ object ProfScale {
       // store row (list order), and pre-warming here would de-cool it
       // (second review pass: a full-target run otherwise had NO row
       // paying the learn)
+      // round-19 lifecycle serving rows time SERVING only: the artifacts
+      // they read (delta staging, tombstones, compactions) are ensured
+      // here; the verb rows (delete/compact) re-run their writes by
+      // design and are the entries that time that work
+      if (targets.contains("sim_ann_ivfpq_probe_merged") ||
+          targets.contains("sim_ann_ivfpq_probe_deleted"))
+        AnnIndex.ensureAppend(spark, dir)
+      if (targets.contains("sim_ann_ivfpq_probe_deleted"))
+        AnnIndex.ensureTomb(spark, dir)
+      if (targets.contains("sim_ann_ivfpq_probe_compacted"))
+        AnnIndex.ensureCompact(spark, dir)
+      if (targets.contains("ann_index_compact")) {
+        AnnIndex.ensureAppend(spark, dir); AnnIndex.ensureTomb(spark, dir)
+      }
+      if (targets.contains("sim_ann_graph_search_merged") ||
+          targets.contains("sim_ann_graph_search_deleted"))
+        GraphAnnIndex.ensureAppend(spark, dir)
+      if (targets.contains("sim_ann_graph_search_deleted"))
+        GraphAnnIndex.ensureTomb(spark, dir)
+      if (targets.contains("sim_ann_graph_search_compacted"))
+        GraphAnnIndex.ensureCompact(spark, dir)
+      if (targets.contains("gann_index_compact")) {
+        GraphAnnIndex.ensureAppend(spark, dir); GraphAnnIndex.ensureTomb(spark, dir)
+      }
+      if (targets.contains("kmv_overlap_probe_deleted")) KmvStore.ensureTomb(spark, dir)
+      if (targets.contains("text_bpe_encode_frozen_deleted"))
+        TokenizerStore.ensureTombDocs(spark, dir)
       if (targets.contains("bpe_store_build") &&
           !targets.contains("text_bpe_vocab")) Bpe.mergesFrame(spark, dir).count()
       if (targets.contains("bpe_bytes_store_build") &&

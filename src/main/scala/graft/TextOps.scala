@@ -604,6 +604,50 @@ object TextOps {
         .select("doc_id", "n_copies")
         .orderBy("doc_id")),
 
+    // Raw-markup text extraction (VERDICT r18 #4): real pretraining
+    // corpora start at HTML, not clean text — the trafilatura/jusText
+    // step. The codec-family convention gives it an oracle: each doc is
+    // rendered into DETERMINISTIC synthetic HTML in-plan (head with
+    // title/style/script, nav links, a promo div on every third doc,
+    // the text as an article with inline <em> markup around a content
+    // word, a footer), then the extractor runs the published pipeline —
+    // drop script/style WITH their content, drop boilerplate blocks
+    // (title/nav/promo/footer), strip remaining tags to spaces, normalize
+    // whitespace — plus the audit columns a cleaning pipeline reports
+    // (tag count, raw vs kept chars) and the title as extracted metadata.
+    // Extraction exactly recovers the original text (pinned in spec), and
+    // the kept/raw ratio spans mostly-boilerplate to mostly-content docs
+    // (fixture text runs 44-577 chars against ~290 boilerplate chars).
+    // Every stage is a codegen'd string expression — one corpus scan, no
+    // shuffle, no UDF; at 100 TB this is the embarrassingly parallel map
+    // the crawl-cleaning stage actually is.
+    "text_extract_markup" -> ((s, d) => {
+      val mk = expr(
+        "concat('<html><head><title>doc-', CAST(doc_id AS STRING), '</title>', " +
+        "'<style>.x{color:#000}</style>', " +
+        "'<script>var id=', CAST(doc_id AS STRING), ';track();</script></head>', " +
+        "'<body><nav><a href=\"/\">home</a><a href=\"/a\">about</a></nav>', " +
+        "CASE WHEN doc_id % 3 = 0 THEN '<div class=\"promo\">subscribe now limited offer click here</div>' ELSE '' END, " +
+        "'<article><p>', replace(text, 'spark', '<em>spark</em>'), '</p></article>', " +
+        "'<footer>copyright example corp all rights reserved</footer></body></html>')")
+      documents(s, d)
+        .withColumn("html", mk)
+        .withColumn("r1", regexp_replace(col("html"),
+          "<script>[^<]*</script>|<style>[^<]*</style>", ""))
+        .withColumn("r2", regexp_replace(col("r1"),
+          "<title>[^<]*</title>|<nav>.*?</nav>|<div class=\"promo\">[^<]*</div>|<footer>[^<]*</footer>", ""))
+        .withColumn("extracted",
+          trim(regexp_replace(regexp_replace(col("r2"), "<[^>]*>", " "), " +", " ")))
+        .select(col("doc_id"),
+          regexp_extract(col("html"), "<title>([^<]*)</title>", 1).as("title"),
+          (length(col("html")) - length(expr("replace(html, '<', '')")))
+            .cast(LongType).as("n_tags"),
+          length(col("html")).cast(LongType).as("html_chars"),
+          length(col("extracted")).cast(LongType).as("kept_chars"),
+          col("extracted"))
+        .orderBy("doc_id")
+    }),
+
     "text_langid" -> (langId _),
 
     "text_quality" -> ((s, d) =>
@@ -1336,6 +1380,31 @@ object TextOps {
     "dedup_exact" ->
       ("SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents " +
        "GROUP BY text ORDER BY doc_id"),
+
+    // the same deterministic HTML rendered with ||/CASE, the same
+    // four-stage extraction (DuckDB regexp_replace needs the explicit 'g'
+    // flag — Spark's is always global); regexes stay in the shared
+    // Java/RE2 subset (char classes + lazy quantifier, no lookaround)
+    "text_extract_markup" ->
+      ("WITH h AS (SELECT doc_id, text, " +
+       "'<html><head><title>doc-' || doc_id || '</title>" +
+       "<style>.x{color:#000}</style><script>var id=' || doc_id || " +
+       "';track();</script></head><body>" +
+       "<nav><a href=\"/\">home</a><a href=\"/a\">about</a></nav>' || " +
+       "CASE WHEN doc_id % 3 = 0 THEN '<div class=\"promo\">subscribe now limited offer click here</div>' ELSE '' END || " +
+       "'<article><p>' || replace(text, 'spark', '<em>spark</em>') || " +
+       "'</p></article><footer>copyright example corp all rights reserved</footer></body></html>' AS html " +
+       "FROM documents), " +
+       "e AS (SELECT doc_id, html, trim(regexp_replace(regexp_replace(" +
+       "regexp_replace(regexp_replace(html, " +
+       "'<script>[^<]*</script>|<style>[^<]*</style>', '', 'g'), " +
+       "'<title>[^<]*</title>|<nav>.*?</nav>|<div class=\"promo\">[^<]*</div>|<footer>[^<]*</footer>', '', 'g'), " +
+       "'<[^>]*>', ' ', 'g'), ' +', ' ', 'g')) AS extracted FROM h) " +
+       "SELECT doc_id, regexp_extract(html, '<title>([^<]*)</title>', 1) AS title, " +
+       "CAST(length(html) - length(replace(html, '<', '')) AS BIGINT) AS n_tags, " +
+       "CAST(length(html) AS BIGINT) AS html_chars, " +
+       "CAST(length(extracted) AS BIGINT) AS kept_chars, extracted " +
+       "FROM e ORDER BY doc_id"),
 
     "text_quality" ->
       ("SELECT doc_id, n_tokens, n_uniq, n_stop, " +

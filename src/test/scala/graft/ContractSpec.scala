@@ -19,7 +19,7 @@ class ContractSpec extends AnyFunSuite {
     // driver-verified > scalatest-only: deleting an oracle silently
     // downgrades a query to the weaker rows-only check — pin the floor
     // (raise it when adding oracles, never lower without cause)
-    assert(SparkEntry.oracleSql.size >= 276,
+    assert(SparkEntry.oracleSql.size >= 291,
       s"oracle count fell to ${SparkEntry.oracleSql.size}")
   }
 
@@ -48,7 +48,10 @@ class ContractSpec extends AnyFunSuite {
     // single-row global aggregates are exempt (no row order to pin)
     val singleRow = Set("agg_global", "etl_dq_checks", "etl_compact_small_files",
       "agg_ab_test", "agg_chi_square", "agg_mann_whitney", "agg_ks_test",
-      "tpch_q6_like", "tpch_q14_like", "tpch_q19_like")
+      "tpch_q6_like", "tpch_q14_like", "tpch_q19_like",
+      // round 19: the delete-verb audits are 1-row (count, id_sum) scans
+      "ann_index_delete", "gann_index_delete", "kmv_store_delete",
+      "tokenizer_store_delete")
     val unordered = SparkEntry.oracleSql.collect {
       case (k, sql) if !singleRow.contains(k) && !sql.toUpperCase.contains("ORDER BY") => k
     }

@@ -7,6 +7,30 @@ import TestSpark.{spark, Sf0001, Sf01}
 class TextSimilaritySpec extends AnyFunSuite {
   private def q(name: String) = SparkEntry.queries(name)(spark, Sf0001)
 
+  test("text_extract_markup: extraction recovers the original text, ratios span both regimes") {
+    val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = q("text_extract_markup").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(got.length == docs.size)
+    got.foreach { case (id, title, nTags, htmlChars, keptChars, extracted) =>
+      // the whole point of the synthetic-payload convention: boilerplate
+      // strip must return EXACTLY the content that went in — any regex
+      // over/under-reach (eaten words, leaked nav text, surviving tags)
+      // breaks equality on some doc
+      assert(extracted == docs(id), s"doc $id: extraction did not recover the text")
+      assert(title == s"doc-$id", s"doc $id: title metadata wrong: $title")
+      assert(keptChars == extracted.length.toLong && htmlChars > keptChars)
+      // ≥ the fixed structural tags; every third doc carries the promo div
+      assert(nTags >= (if (id % 3 == 0) 21 else 19), s"doc $id: tag count $nTags")
+    }
+    // non-vacuity: the corpus spans mostly-boilerplate and mostly-content
+    val ratios = got.map { case (_, _, _, h, k, _) => k.toDouble / h }
+    assert(ratios.min < 0.30, f"no mostly-boilerplate doc (min ratio ${ratios.min}%.2f)")
+    assert(ratios.max > 0.50, f"no mostly-content doc (max ratio ${ratios.max}%.2f)")
+  }
+
   test("dedup_minhash_recall: truth equals a brute-force Jaccard sweep; found ⊆ truth") {
     val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
