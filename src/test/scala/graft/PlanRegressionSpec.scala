@@ -96,6 +96,29 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
   }
 
+  test("text_extract_markup is map-side only (no shuffle before the presentation sort)") {
+    // render + 4-stage extraction are all string expressions over one
+    // scan: any hashpartitioning exchange means an accidental join or
+    // aggregation crept into the cleaning map
+    val p = plan("text_extract_markup")
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+  }
+
+  test("compacted serving reads ONE artifact set: no staging, no tombstones in-plan") {
+    // the entire point of compaction is bounded read amplification — a
+    // compacted probe whose plan still scans the delta staging or the
+    // tombstone list has silently regressed to merged-serving cost
+    AnnIndex.ensureCompact(spark, Sf0001)
+    val pq = plan("sim_ann_ivfpq_probe_compacted")
+    assert(pq.contains("compacted_"), "compacted probe does not scan the compacted artifacts")
+    assert(!pq.contains("delta_") && !pq.contains("tombstones_"),
+      s"compacted IVF-PQ probe still reads staging/tombstone artifacts:\n$pq")
+    // the graph twin executes its beam rounds eagerly (the returned frame
+    // reads the final bounded spill), so ITS single-artifact-set property
+    // is pinned behaviorally instead: GraphAnnSpec's lifecycle test proves
+    // tombstoned/delta handling from outputs with builds==0
+  }
+
   test("bm25 probe terms ride a broadcast; top-5 prunes map-side (WindowGroupLimit)") {
     // the probe/query side is small by definition — shuffling the corpus tf
     // table against it would be the 100 TB regression; the per-query top-5
