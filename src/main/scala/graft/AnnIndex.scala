@@ -262,12 +262,10 @@ object AnnIndex {
     * id (the codes table indexes the full corpus, so its max IS the
     * corpus max — the plan stays artifact-only).
     */
-  private def baseCut(s: SparkSession, root: String, df: DataFrame): DataFrame = {
-    val mx = broadcast(s.read.parquet(s"$root/codes").agg(max(col("vec_id")).as("mx")))
+  private def baseCut(mx: DataFrame, df: DataFrame): DataFrame =
     df.crossJoin(mx)
       .where(col("vec_id") * Similarity.IncrCutDen <= col("mx") * Similarity.IncrCutNum)
       .drop("mx")
-  }
 
   /** Merged serving frames: base-slice rows from the full artifacts ∪ the
     * appended staging rows. The delta rows are bit-identical to the
@@ -277,13 +275,22 @@ object AnnIndex {
     * the staging layout must reproduce the one-shot index exactly.
     */
   private def mergedFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    // the delta marker alone does NOT imply a whole base: build() deletes
+    // _INDEX_OK before overwriting, so a crash mid-rebuild leaves a torn
+    // base under an intact _DELTA_OK — check BOTH markers (code-review
+    // r19: the crashed-build contract probe() honors applies here too)
+    ensure(s, d)
     ensureAppend(s, d)
     val root = indexRoot(d)
     val dd = deltaDir(root)
-    val lists = baseCut(s, root, s.read.parquet(s"$root/lists"))
+    // the max-id scalar is computed ONCE and shared by both cuts — a
+    // per-cut derivation would rescan the corpus-sized codes artifact
+    // twice per probe just to recompute the same number (code-review r19)
+    val mx = broadcast(s.read.parquet(s"$root/codes").agg(max(col("vec_id")).as("mx")))
+    val lists = baseCut(mx, s.read.parquet(s"$root/lists"))
       .select("vec_id", "cid")
       .unionByName(s.read.parquet(s"$dd/lists").select("vec_id", "cid"))
-    val codes = baseCut(s, root, s.read.parquet(s"$root/codes"))
+    val codes = baseCut(mx, s.read.parquet(s"$root/codes"))
       .unionByName(s.read.parquet(s"$dd/codes"))
     (lists, codes)
   }

@@ -380,6 +380,10 @@ object GraphAnnIndex {
     * them permanently.
     */
   private def mergedFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    // BOTH markers: buildBase deletes _GANN_OK before overwriting, so a
+    // crash mid-rebuild leaves a torn base under an intact delta marker
+    // (code-review r19 — the crashed-build contract applies transitively)
+    ensureBase(s, d)
     ensureAppend(s, d)
     val root = baseRoot(d)
     val dl = s.read.parquet(s"$root/lists_delta")
@@ -399,17 +403,31 @@ object GraphAnnIndex {
     * sit in those exact top-10s, so this key is the difference between
     * an ingested vector existing and it being findable.
     */
-  def searchMerged(s: SparkSession, d: String): DataFrame = {
-    val (lists, vecs) = mergedFrames(s, d)
+  /** One serving pipeline for the merged/deleted/compacted beam keys
+    * (code-review r19: three verbatim copies of the rank/cut/select tail
+    * would let a tiebreak edit silently fork the serving keys — the
+    * probeFrom convention applied to the graph side): in-index probe set
+    * from the supplied vectors, beam, self-exclusion, optional tombstone
+    * anti-join, top-K.
+    */
+  private def searchOver(s: SparkSession, lists: DataFrame, vecs: DataFrame,
+      tombs: Option[DataFrame]): DataFrame = {
     val q = vecs.where(col("vec_id") < ProbeQids)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-    beamLoop(s, lists, vecs, q, BeamRounds, broadcastQ = true)
+    val state = beamLoop(s, lists, vecs, q, BeamRounds, broadcastQ = true)
       .where(col("nb") =!= col("qid"))
+    tombs.fold(state)(t =>
+        state.join(t.withColumnRenamed("vec_id", "nb"), Seq("nb"), "left_anti"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("cs").desc, col("nb").asc)))
       .where(col("rn") <= ProbeTopK)
       .select(col("qid"), col("rn").cast("int").as("rn"), col("nb").as("nn"))
       .orderBy("qid", "rn")
+  }
+
+  def searchMerged(s: SparkSession, d: String): DataFrame = {
+    val (lists, vecs) = mergedFrames(s, d)
+    searchOver(s, lists, vecs, tombs = None)
   }
 
   /** Merged beam with mark-deleted serving: tombstoned ids still route
@@ -422,17 +440,8 @@ object GraphAnnIndex {
   def searchDeleted(s: SparkSession, d: String): DataFrame = {
     ensureTomb(s, d)
     val (lists, vecs) = mergedFrames(s, d)
-    val tombs = s.read.parquet(s"${tombDir(baseRoot(d))}/ids")
-    val q = vecs.where(col("vec_id") < ProbeQids)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-    beamLoop(s, lists, vecs, q, BeamRounds, broadcastQ = true)
-      .where(col("nb") =!= col("qid"))
-      .join(tombs.withColumnRenamed("vec_id", "nb"), Seq("nb"), "left_anti")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cs").desc, col("nb").asc)))
-      .where(col("rn") <= ProbeTopK)
-      .select(col("qid"), col("rn").cast("int").as("rn"), col("nb").as("nn"))
-      .orderBy("qid", "rn")
+    searchOver(s, lists, vecs,
+      tombs = Some(s.read.parquet(s"${tombDir(baseRoot(d))}/ids")))
   }
 
   /** COMPACT (VERDICT r18 #1's second half): fold the delta lists into
@@ -494,16 +503,8 @@ object GraphAnnIndex {
   def searchCompacted(s: SparkSession, d: String): DataFrame = {
     ensureCompact(s, d)
     val cd = compactDir(baseRoot(d))
-    val vecs = s.read.parquet(s"$cd/vectors")
-    val q = vecs.where(col("vec_id") < ProbeQids)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-    beamLoop(s, s.read.parquet(s"$cd/lists"), vecs, q, BeamRounds, broadcastQ = true)
-      .where(col("nb") =!= col("qid"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cs").desc, col("nb").asc)))
-      .where(col("rn") <= ProbeTopK)
-      .select(col("qid"), col("rn").cast("int").as("rn"), col("nb").as("nn"))
-      .orderBy("qid", "rn")
+    searchOver(s, s.read.parquet(s"$cd/lists"),
+      s.read.parquet(s"$cd/vectors"), tombs = None)
   }
 
   /** The shared batched-frontier loop over the persisted index: takes any

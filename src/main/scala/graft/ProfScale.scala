@@ -531,7 +531,15 @@ object ProfScale {
       // round-19 lifecycle serving rows time SERVING only: the artifacts
       // they read (delta staging, tombstones, compactions) are ensured
       // here; the verb rows (delete/compact) re-run their writes by
-      // design and are the entries that time that work
+      // design and are the entries that time that work. The delete verbs
+      // ensure their BASE STORE here too — delete() calls ensure()
+      // internally, so a cold-tmpdir subset run would otherwise fold a
+      // full index/store build into a row documented as "one predicate
+      // scan + write" (code-review r19)
+      if (targets.contains("ann_index_delete")) AnnIndex.ensure(spark, dir)
+      if (targets.contains("gann_index_delete")) GraphAnnIndex.ensureBase(spark, dir)
+      if (targets.contains("kmv_store_delete")) KmvStore.ensure(spark, dir)
+      if (targets.contains("tokenizer_store_delete")) TokenizerStore.ensureBpe(spark, dir)
       if (targets.contains("sim_ann_ivfpq_probe_merged") ||
           targets.contains("sim_ann_ivfpq_probe_deleted"))
         AnnIndex.ensureAppend(spark, dir)

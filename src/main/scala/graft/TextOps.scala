@@ -628,7 +628,12 @@ object TextOps {
         "'<script>var id=', CAST(doc_id AS STRING), ';track();</script></head>', " +
         "'<body><nav><a href=\"/\">home</a><a href=\"/a\">about</a></nav>', " +
         "CASE WHEN doc_id % 3 = 0 THEN '<div class=\"promo\">subscribe now limited offer click here</div>' ELSE '' END, " +
-        "'<article><p>', replace(text, 'spark', '<em>spark</em>'), '</p></article>', " +
+        // WORD-BOUNDARY wrap (code-review r19): a substring replace would
+        // render 'sparkle' as '<em>spark</em>le' and the tag-strip stage
+        // would split it to 'spark le' — breaking the exact-recovery
+        // contract on any fixture word containing the marker as a proper
+        // substring. \b is ASCII-equivalent in Java and RE2 on this text.
+        "'<article><p>', regexp_replace(text, '\\\\bspark\\\\b', '<em>spark</em>'), '</p></article>', " +
         "'<footer>copyright example corp all rights reserved</footer></body></html>')")
       documents(s, d)
         .withColumn("html", mk)
@@ -1392,7 +1397,7 @@ object TextOps {
        "';track();</script></head><body>" +
        "<nav><a href=\"/\">home</a><a href=\"/a\">about</a></nav>' || " +
        "CASE WHEN doc_id % 3 = 0 THEN '<div class=\"promo\">subscribe now limited offer click here</div>' ELSE '' END || " +
-       "'<article><p>' || replace(text, 'spark', '<em>spark</em>') || " +
+       "'<article><p>' || regexp_replace(text, '\\bspark\\b', '<em>spark</em>', 'g') || " +
        "'</p></article><footer>copyright example corp all rights reserved</footer></body></html>' AS html " +
        "FROM documents), " +
        "e AS (SELECT doc_id, html, trim(regexp_replace(regexp_replace(" +

@@ -10,6 +10,16 @@ class TextSimilaritySpec extends AnyFunSuite {
   test("text_extract_markup: extraction recovers the original text, ratios span both regimes") {
     val docs = Tables.documents(spark, Sf0001).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the exact-recovery contract below ASSUMES html-safe, space-normalized
+    // fixture text; assert the premise explicitly so a fixture regeneration
+    // that violates it fails HERE with a clear message, not as a mysterious
+    // equality mismatch downstream (code-review r19)
+    docs.foreach { case (id, t) =>
+      assert(!t.exists(c => c == '<' || c == '>') && !t.contains("  ") &&
+        t == t.trim && t.nonEmpty,
+        s"doc $id: fixture text is no longer html-safe/space-normalized — " +
+        "the markup round-trip premise broke; revisit text_extract_markup")
+    }
     val got = q("text_extract_markup").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getString(5)))
