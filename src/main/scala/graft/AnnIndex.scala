@@ -84,6 +84,10 @@ object AnnIndex {
     else { delete(s, d).count(); false }
 
   /** True if the compacted artifacts already existed. */
+  def ensureAppend2(s: SparkSession, d: String): Boolean =
+    if (new java.io.File(compactDir(indexRoot(d)), "_DELTA2_OK").isFile) true
+    else { append2(s, d).count(); false }
+
   def ensureCompact(s: SparkSession, d: String): Boolean =
     if (new java.io.File(compactDir(indexRoot(d)), "_COMPACT_OK").isFile) true
     else { compact(s, d).count(); false }
@@ -365,6 +369,74 @@ object AnnIndex {
     probeFrom(s, d, s.read.parquet(s"$cd/lists"), s.read.parquet(s"$cd/codes"))
   }
 
+  /** GENERATION-2 ingest (round 19, second session — the graph family's
+    * appendGen2 on the IVF-PQ side): encode a new batch against the SAME
+    * frozen codebooks and stage it under the COMPACTED root — proving the
+    * compaction's output is a valid base for the next cycle. The
+    * deterministic gen-2 batch is the tombstoned slice re-arriving
+    * (re-insertion after deletion); like gen-1, zero training jobs —
+    * coarse assignment and PQ codes probe the persisted constants, work
+    * linear in the batch.
+    */
+  def append2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graft.VectorOps.vec_argmin_dist
+    import s.implicits._
+    ensureCompact(s, d)
+    val root = indexRoot(d)
+    val cd = compactDir(root)
+    val ow = org.apache.spark.sql.SaveMode.Overwrite
+    val centRows = s.read.parquet(s"$root/coarse_centroids").orderBy("cid")
+      .select("ce").as[Seq[Double]].collect().toSeq
+    val cbByM = broadcast(
+      s.read.parquet(s"$root/codebooks").as[(Int, Int, Seq[Double])].collect()
+        .toSeq.groupBy(_._1).toSeq.map { case (m, rs) =>
+          val sorted = rs.sortBy(_._2)
+          (m, sorted.map(_._2), sorted.map(_._3))
+        }.toDF("m", "codes", "cws"))
+    val mx = Tables.embeddings(s, d).agg(max(col("vec_id")).as("mx"))
+    val delta = Tables.embeddings(s, d).crossJoin(broadcast(mx))
+      .where(col("vec_id") * Similarity.DelCutDen > col("mx") * Similarity.DelCutLoNum &&
+             col("vec_id") * Similarity.DelCutDen <= col("mx") * Similarity.DelCutHiNum)
+      .select(col("vec_id"), col("embedding"))
+    val assigned = delta.select(col("vec_id"),
+      vec_argmin_dist(col("embedding"), typedLit(centRows)).as("cid"))
+    val codes = Similarity.pqSubspaces(s, d)
+      .join(delta.select("vec_id"), Seq("vec_id"))
+      .join(cbByM, Seq("m"))
+      .select(col("vec_id"), col("m"),
+        element_at(col("codes"), vec_argmin_dist(col("sub"), col("cws"))).as("code"))
+    val okf = new java.io.File(cd, "_DELTA2_OK")
+    okf.delete()
+    codes.write.mode(ow).parquet(s"$cd/codes_delta2")
+    assigned.write.mode(ow).partitionBy("cid").parquet(s"$cd/lists_delta2")
+    java.nio.file.Files.write(okf.toPath, Array.emptyByteArray)
+    s.read.parquet(s"$cd/lists_delta2")
+      .join(s.read.parquet(s"$cd/codes_delta2"), Seq("vec_id"))
+      .groupBy("cid")
+      .agg(countDistinct(col("vec_id")).as("n_appended"),
+        sum(col("code").cast("long")).as("sum_code"))
+      .select(col("cid").cast("int").as("cid"), col("n_appended"), col("sum_code"))
+      .orderBy("cid")
+  }
+
+  /** Probe over compacted ∪ gen-2 staging. Compacted = (base ∪ delta) −
+    * tombstones, and by frozen-assignment consistency the re-ingested
+    * rows are bit-identical to the original build's rows for those ids —
+    * so this union EQUALS the one-shot index and the probe must reproduce
+    * `sim_ann_ivfpq_probe` row for row (the oracle string is reused
+    * verbatim, and AnnIndexSpec pins the frame equality directly): a full
+    * delete→compact→re-ingest cycle is answer-invariant.
+    */
+  def probeGen2(s: SparkSession, d: String): DataFrame = {
+    ensureAppend2(s, d)
+    val cd = compactDir(indexRoot(d))
+    val lists = s.read.parquet(s"$cd/lists").select("vec_id", "cid")
+      .unionByName(s.read.parquet(s"$cd/lists_delta2").select("vec_id", "cid"))
+    val codes = s.read.parquet(s"$cd/codes")
+      .unionByName(s.read.parquet(s"$cd/codes_delta2"))
+    probeFrom(s, d, lists, codes)
+  }
+
   val queries: Map[String, Q] = Map(
     // Always REBUILDS (never served from the marker): the bench then times
     // the cold build cost explicitly as its own entry, keeping warm-probe
@@ -378,7 +450,11 @@ object AnnIndex {
     "sim_ann_ivfpq_probe_merged" -> (probeMerged _),
     "sim_ann_ivfpq_probe_deleted" -> (probeDeleted _),
     "ann_index_compact" -> ((s, d) => compact(s, d)),
-    "sim_ann_ivfpq_probe_compacted" -> (probeCompacted _)
+    "sim_ann_ivfpq_probe_compacted" -> (probeCompacted _),
+    // round 19 session 2 — generation-2: the compacted artifact as the
+    // next cycle's base
+    "ann_index_append2" -> (append2 _),
+    "sim_ann_ivfpq_probe_gen2" -> (probeGen2 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -401,6 +477,11 @@ object AnnIndex {
     "ann_index_compact" -> Similarity.annIndexCompactOracle,
     // compaction must not change any answer — same oracle as the deleted
     // probe, now served from one artifact set
-    "sim_ann_ivfpq_probe_compacted" -> Similarity.annIvfPqDeletedOracle
+    "sim_ann_ivfpq_probe_compacted" -> Similarity.annIvfPqDeletedOracle,
+    // gen-2 ingest: the append oracle with the tombstone slice as the batch
+    "ann_index_append2" -> Similarity.annIndexAppend2Oracle,
+    // compacted ∪ delta2 == the one-shot index (frozen-assignment
+    // consistency both generations) — the original oracle verbatim
+    "sim_ann_ivfpq_probe_gen2" -> Similarity.annIvfPqOracle
   )
 }

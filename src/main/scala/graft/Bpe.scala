@@ -569,7 +569,7 @@ object Bpe {
   private[graft] def vocabIds(s: SparkSession, d: String): Seq[(String, Long)] =
     vocabIdsFrom(s, learn(s, d))
 
-  private def vocabIdsFrom(s: SparkSession, art: (String, String, String))
+  private[graft] def vocabIdsFrom(s: SparkSession, art: (String, String, String))
       : Seq[(String, Long)] = {
     // alphabet comes from learn()'s spilled word-frequency frame — a
     // vocabulary-sized parquet read, NOT a fresh corpus scan+shuffle per
@@ -930,6 +930,13 @@ object Bpe {
     * would expand the reference tree exponentially in rounds.
     */
   private[graft] def roundCtes: String = roundCtesWith("", None)
+
+  /** The chain trained on a RESTRICTED corpus (round 19 — the tokenizer
+    * retrain oracle learns on documents minus the tombstoned slice; the
+    * novel-encode oracle below passes its own filter plus extra words).
+    */
+  private[graft] def roundCtesTrainedOn(trainWhere: String): String =
+    roundCtesWith(trainWhere, None)
 
   /** The byte-level chain (GPT-2 alias space since round 17): the
     * perturbed corpus ([[pertCaseSql]]), regex pretokens with positions

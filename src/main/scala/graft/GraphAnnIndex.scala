@@ -67,6 +67,7 @@ object GraphAnnIndex {
     * (re-append must never rebuild the base graph).
     */
   private[graft] val baseBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val compactBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def indexRoot(d: String): String = {
     // EVERY geometry dial in the key, init offsets included (code-review
@@ -123,6 +124,10 @@ object GraphAnnIndex {
   def ensureCompact(s: SparkSession, d: String): Boolean =
     if (new java.io.File(compactDir(baseRoot(d)), "_GANN_COMPACT_OK").isFile) true
     else { compact(s, d).count(); false }
+
+  def ensureAppend2(s: SparkSession, d: String): Boolean =
+    if (new java.io.File(compactDir(baseRoot(d)), "_GANN_DELTA2_OK").isFile) true
+    else { appendGen2(s, d).count(); false }
 
   /** Build the base-slice index: the SAME NN-descent pipeline over the
     * base vectors only (ids 0..C−1 stay contiguous because the delta is
@@ -199,6 +204,67 @@ object GraphAnnIndex {
     lists.write.mode(ow).parquet(s"$root/lists_delta")
     java.nio.file.Files.write(okf.toPath, Array.emptyByteArray)
     s.read.parquet(s"$root/lists_delta").orderBy("vec_id", "rn")
+  }
+
+  /** GENERATION-2 ingest (round 19, second session): append a NEW delta
+    * onto the COMPACTED index — the multi-generation contract of
+    * log-structured index maintenance: a compaction's output must be a
+    * valid BASE for the next ingest cycle, or the lifecycle only works
+    * once. The deterministic gen-2 batch is the TOMBSTONED slice arriving
+    * again (re-insertion after deletion — the same users' data returning
+    * is the GDPR-era shape; production feeds any id batch through the
+    * identical path). Mechanics are [[appendGraph]] verbatim with the
+    * compacted artifacts as the base: vectors first under compactDir,
+    * HNSW search-then-connect beam over cd/lists (back-links REAL this
+    * time — the compaction materialized them, so gen-2 descends a
+    * better-connected graph than gen-1 did), top-NndBuildK per query,
+    * marker last. Work ∝ |delta2| · ef · K; the compacted graph is never
+    * re-ranked (compactBuilds == 0 pinned on re-append).
+    */
+  def appendGen2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graft.VectorOps.vec_norm
+    ensureCompact(s, d)
+    val cd = compactDir(baseRoot(d))
+    val ow = org.apache.spark.sql.SaveMode.Overwrite
+    val okf = new java.io.File(cd, "_GANN_DELTA2_OK")
+    okf.delete()
+    val emb = Tables.embeddings(s, d)
+    val mx = emb.agg(max(col("vec_id")).as("mx"))
+    emb.crossJoin(broadcast(mx))
+      .where(col("vec_id") * Similarity.DelCutDen > col("mx") * Similarity.DelCutLoNum &&
+             col("vec_id") * Similarity.DelCutDen <= col("mx") * Similarity.DelCutHiNum)
+      .select(col("vec_id"), col("embedding"), vec_norm(col("embedding")).as("nrm"))
+      .write.mode(ow).parquet(s"$cd/vectors_delta2")
+    val delta = s.read.parquet(s"$cd/vectors_delta2")
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    beamLoop(s,
+        s.read.parquet(s"$cd/lists"), s.read.parquet(s"$cd/vectors"),
+        delta, NovelBeamRounds, broadcastQ = false)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cs").desc, col("nb").asc)))
+      .where(col("rn") <= Similarity.NndBuildK)
+      .select(col("qid").as("vec_id"), col("rn").cast("int").as("rn"), col("nb"))
+      .write.mode(ow).parquet(s"$cd/lists_delta2")
+    java.nio.file.Files.write(okf.toPath, Array.emptyByteArray)
+    s.read.parquet(s"$cd/lists_delta2").orderBy("vec_id", "rn")
+  }
+
+  /** Serving over the generation-2 view: compacted lists ∪ delta2 lists ∪
+    * reversed delta2 edges (the [[mergedFrames]] move, one generation
+    * later) — re-ingested ids are RETURNABLE again, closing the full
+    * cycle: present (merged) → absent (deleted/compacted) → present
+    * (gen-2). GraphAnnSpec pins each transition on the same ids.
+    */
+  def searchGen2(s: SparkSession, d: String): DataFrame = {
+    ensureAppend2(s, d)
+    val cd = compactDir(baseRoot(d))
+    val dl = s.read.parquet(s"$cd/lists_delta2")
+    val lists = s.read.parquet(s"$cd/lists").select("vec_id", "nb")
+      .unionByName(dl.select("vec_id", "nb"))
+      .unionByName(dl.select(col("nb").as("vec_id"), col("vec_id").as("nb")))
+    val vecs = s.read.parquet(s"$cd/vectors")
+      .unionByName(s.read.parquet(s"$cd/vectors_delta2"))
+    searchOver(s, lists, vecs, tombs = None)
   }
 
   /** True if the persisted index already existed (probe-only path). */
@@ -458,6 +524,7 @@ object GraphAnnIndex {
     */
   def compact(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.graft.VectorOps.vec_dot
+    compactBuilds.incrementAndGet()
     ensureAppend(s, d)
     ensureTomb(s, d)
     val root = baseRoot(d)
@@ -592,7 +659,11 @@ object GraphAnnIndex {
     "sim_ann_graph_search_merged" -> (searchMerged _),
     "sim_ann_graph_search_deleted" -> (searchDeleted _),
     "gann_index_compact" -> ((s, d) => compact(s, d)),
-    "sim_ann_graph_search_compacted" -> (searchCompacted _)
+    "sim_ann_graph_search_compacted" -> (searchCompacted _),
+    // round 19 session 2 — generation-2: the compacted artifact as the
+    // next cycle's base (append onto it, serve the union)
+    "gann_index_append2" -> (appendGen2 _),
+    "sim_ann_graph_search_gen2" -> (searchGen2 _)
   )
 
   /** The beam loop, serialized: one (tx, nc, sc, beam) CTE quartet per
@@ -816,6 +887,52 @@ object GraphAnnIndex {
          " SELECT qid, CAST(rn AS INT) AS rn, nb AS nn FROM " +
          "(SELECT qid, nb, row_number() OVER " +
          s"(PARTITION BY qid ORDER BY cs DESC, nb ASC) AS rn FROM kbeam$BeamRounds " +
+         "WHERE nb != qid) " +
+         s"WHERE rn <= $ProbeTopK ORDER BY qid, rn"),
+
+      // GENERATION-2 ingest oracle: the compacted chain (compactCtes →
+      // cg), then the SAME append-beam machinery one generation later —
+      // queries are the tombstoned slice re-arriving, the graph is cg,
+      // entry from the surviving-vertex set. Both the delta2 queries and
+      // every cg candidate id are embeddings rows, so the cosine joins
+      // stay against `embeddings`.
+      "gann_index_append2" ->
+        ("WITH " + compactCtes +
+         ", cemb AS (SELECT vec_id FROM embeddings WHERE NOT (" +
+         Similarity.tombPredSql("vec_id", embMaxSql) + "))" +
+         beamChainCtes("x", "(SELECT v, nb FROM cg)", inCosSql, NovelBeamRounds,
+           qCte = "SELECT vec_id AS qid FROM embeddings WHERE " +
+             Similarity.tombPredSql("vec_id", embMaxSql),
+           entSrc = "cemb") +
+         " SELECT qid AS vec_id, CAST(rn AS INT) AS rn, nb FROM " +
+         "(SELECT qid, nb, row_number() OVER " +
+         s"(PARTITION BY qid ORDER BY cs DESC, nb ASC) AS rn FROM xbeam$NovelBeamRounds) " +
+         s"WHERE rn <= ${Similarity.NndBuildK} ORDER BY vec_id, rn"),
+
+      // gen-2 serving: compacted chain → gen-2 append beam (prefix x) →
+      // gen-2 merged graph (cg ∪ delta2 ∪ reversed delta2) → serving
+      // beam (prefix y) — the mergedPrefixCtes composition one
+      // generation later
+      "sim_ann_graph_search_gen2" ->
+        ("WITH " + compactCtes +
+         ", cemb AS (SELECT vec_id FROM embeddings WHERE NOT (" +
+         Similarity.tombPredSql("vec_id", embMaxSql) + "))" +
+         beamChainCtes("x", "(SELECT v, nb FROM cg)", inCosSql, NovelBeamRounds,
+           qCte = "SELECT vec_id AS qid FROM embeddings WHERE " +
+             Similarity.tombPredSql("vec_id", embMaxSql),
+           entSrc = "cemb") +
+         // xdl/xmg, not dl2/g2 — the NND chain already owns g1..gN round
+         // names (DuckDB rejects the duplicate CTE)
+         s", xdl AS (SELECT qid AS v, nb FROM (SELECT qid, nb, row_number() OVER " +
+         s"(PARTITION BY qid ORDER BY cs DESC, nb ASC) AS rn FROM xbeam$NovelBeamRounds) " +
+         s"WHERE rn <= ${Similarity.NndBuildK})" +
+         ", xmg AS (SELECT v, nb FROM cg UNION ALL SELECT v, nb FROM xdl " +
+         "UNION ALL SELECT nb AS v, v AS nb FROM xdl)" +
+         beamChainCtes("y", "(SELECT v, nb FROM xmg)", inCosSql, BeamRounds,
+           probeQCte, "cemb") +
+         " SELECT qid, CAST(rn AS INT) AS rn, nb AS nn FROM " +
+         "(SELECT qid, nb, row_number() OVER " +
+         s"(PARTITION BY qid ORDER BY cs DESC, nb ASC) AS rn FROM ybeam$BeamRounds " +
          "WHERE nb != qid) " +
          s"WHERE rn <= $ProbeTopK ORDER BY qid, rn"),
 

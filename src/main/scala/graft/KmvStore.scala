@@ -133,11 +133,65 @@ object KmvStore {
       .agg(count(lit(1)).as("n_tombstoned"), sum(col("user_id")).as("id_sum"))
   }
 
+  private[graft] def compactDir(root: String): String =
+    s"$root/compacted_${Aggregations.KmvDelFrac}"
+
+  def ensureCompact(s: SparkSession, d: String): Boolean =
+    if (new java.io.File(compactDir(storeRoot(d)), "_KMV_COMPACT_OK").isFile) true
+    else { compact(s, d).count(); false }
+
+  /** COMPACT (round 19, second session — the verb matrix completed on the
+    * sketch store): physically drop the tombstoned hashes from the
+    * persisted sketches, so probes stop paying the read-time anti-join
+    * (the ann/gann compact convention: deletion's serving half is
+    * immediate, this is the offline layout half). Same day-partitioned
+    * layout under the rule-keyed compacted dir, marker last. The audit
+    * output is layout-facing like ann_index_compact's (per-day surviving
+    * occupancy, the surviving max hash, rows dropped) — the ESTIMATOR
+    * question a depleted bottom-k sketch raises (Beyer et al.: survivors
+    * form a valid bottom-k' sketch; at this rule's ~0.5% depletion the
+    * difference is noise, past a few percent the τ-threshold estimator
+    * count·M/τ takes over) is documented, not silently re-answered.
+    */
+  def compact(s: SparkSession, d: String): DataFrame = {
+    ensureTomb(s, d)
+    val root = storeRoot(d)
+    val cd = compactDir(root)
+    val okf = new java.io.File(cd, "_KMV_COMPACT_OK")
+    okf.delete()
+    val tombs = s.read.parquet(s"${tombDir(root)}/ids").select("h")
+    sketches(s, d).join(tombs, Seq("h"), "left_anti")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("t").parquet(s"$cd/sketches")
+    java.nio.file.Files.write(okf.toPath, Array.emptyByteArray)
+    val base = sketches(s, d).groupBy("t").agg(count(lit(1)).as("base_rows"))
+    s.read.parquet(s"$cd/sketches")
+      .select(col("t").cast("date").as("t"), col("h"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("k_rows"), max("h").as("hk"))
+      .join(base, Seq("t"))
+      .select(col("t"), col("k_rows"), col("hk"),
+        (col("base_rows") - col("k_rows")).as("n_dropped"))
+      .orderBy("t")
+  }
+
   val queries: Map[String, Q] = Map(
     // the ingest job's face: (re)write the store, report per-day occupancy
     // + the kth hash + the distinct estimate — the sketch metadata a
     // deployment monitors
     "kmv_store_build" -> ((s, d) => build(s, d)),
+
+    "kmv_store_compact" -> ((s, d) => compact(s, d)),
+
+    // overlap over the compacted sketches alone — must answer exactly what
+    // the deleted probe answers (compaction changes layout, never
+    // answers), now with zero tombstone frames in the plan
+    "kmv_overlap_probe_compacted" -> ((s, d) => {
+      ensureCompact(s, d)
+      Aggregations.kmvOverlapOf(
+        s.read.parquet(s"${compactDir(storeRoot(d))}/sketches")
+          .select(col("t").cast("date").as("t"), col("h")))
+    }),
 
     "kmv_store_delete" -> (delete _),
 
@@ -190,6 +244,24 @@ object KmvStore {
       s"$m AS h FROM events WHERE user_id IS NOT NULL) " +
       s"WHERE h * ${Aggregations.KmvDelFrac} < $m"
     },
-    "kmv_overlap_probe_deleted" -> Aggregations.kmvOverlapOracleSql(deleted = true)
+    "kmv_overlap_probe_deleted" -> Aggregations.kmvOverlapOracleSql(deleted = true),
+    // compaction is answer-invariant: the deleted-probe oracle verbatim
+    "kmv_overlap_probe_compacted" -> Aggregations.kmvOverlapOracleSql(deleted = true),
+    // per-day surviving occupancy + max hash + rows dropped
+    "kmv_store_compact" -> {
+      val k = Aggregations.KmvK
+      val m = Aggregations.KmvM
+      "WITH h0 AS (SELECT DISTINCT CAST(ts AS DATE) AS t, user_id, " +
+      s"((user_id % 1000000007) * 2654435761) % $m AS h " +
+      "FROM events WHERE user_id IS NOT NULL), " +
+      "sk AS (SELECT t, h FROM (SELECT t, h, " +
+      "row_number() OVER (PARTITION BY t ORDER BY h) AS rn FROM " +
+      "(SELECT DISTINCT t, h FROM h0)) " +
+      s"WHERE rn <= $k), " +
+      s"surv AS (SELECT t, h FROM sk WHERE NOT (h * ${Aggregations.KmvDelFrac} < $m)) " +
+      "SELECT s.t, CAST(count(*) AS BIGINT) AS k_rows, max(s.h) AS hk, " +
+      "CAST((SELECT count(*) FROM sk WHERE sk.t = s.t) - count(*) AS BIGINT) AS n_dropped " +
+      "FROM surv s GROUP BY s.t ORDER BY s.t"
+    }
   )
 }

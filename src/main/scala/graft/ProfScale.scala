@@ -491,7 +491,31 @@ object ProfScale {
       "kmv_store_delete", "kmv_overlap_probe_deleted",
       "tokenizer_store_delete", "text_bpe_encode_frozen_deleted",
       // corpus-linear map-only string pipeline — must scale ~k
-      "text_extract_markup")
+      "text_extract_markup",
+      // round 19 session 2 — hybrid retrieval: both rows read the standing
+      // bm25_tf posting artifact (ensured in warmup — probe-only timing,
+      // the posting-list build is the ingest job) + the embeddings scan;
+      // the fuse/rerank tail is probes × PoolN rows regardless of corpus,
+      // so growth should be the two scan widths, not the fusion
+      "retrieval_rrf_fusion", "retrieval_dense_rerank",
+      // and the tokenizer RETRAIN verb — a full train-from-scratch on the
+      // tombstone-filtered corpus by design (unlearning a merge table
+      // cannot be incremental), so the honest expectation is the learn's
+      // own scaling: corpus-linear wordFreq + the vocabulary-bounded loop
+      // (the in-process learn memo is per-key; the @kx row pays its own
+      // learn on the replicated corpus)
+      "tokenizer_store_retrain",
+      // round 19 session 2 — generation-2 lifecycle: the ingest row times
+      // the delta2 beam over the compacted graph (compaction ensured in
+      // warmup; work ∝ |delta2| · ef · K, delta2 grows ~k), the serving
+      // row times the gen-2 union beam (probe-family ~flat envelope)
+      "gann_index_append2", "sim_ann_graph_search_gen2",
+      // IVF-PQ gen-2 twins: assignment-only ingest (linear in the batch),
+      // probe over compacted ∪ delta2 (scan-width growth only)
+      "ann_index_append2", "sim_ann_ivfpq_probe_gen2",
+      // KMV compact: one anti-join + day-partitioned write over days×k
+      // rows; the compacted probe drops the tombstone frame from the plan
+      "kmv_store_compact", "kmv_overlap_probe_compacted")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer
@@ -570,6 +594,32 @@ object ProfScale {
         Bpe.mergesFrameFrom(spark, Bpe.learnBytes(spark, dir)).count()
       if (targets.contains("unigram_store_build") &&
           !targets.contains("text_unigram_vocab")) Unigram.learn(spark, dir)
+      // hybrid-retrieval rows time retrieval, not posting-list ingest:
+      // materialize the bm25_tf memoSpill here (the standing artifact a
+      // retrieval stack probes; text_bm25_topk's own bench row is where
+      // the build cost shows cold)
+      if (targets.contains("retrieval_rrf_fusion") ||
+          targets.contains("retrieval_dense_rerank"))
+        TextOps.bm25Scored(spark, dir).count()
+      // the retrain verb needs the tombstones (the delete verb's artifact,
+      // not the retrain's work) — the learn itself is deliberately NOT
+      // pre-warmed: retraining IS a training job and its row must pay it
+      if (targets.contains("tokenizer_store_retrain"))
+        TokenizerStore.ensureTombDocs(spark, dir)
+      // gen-2 rows: the ingest row times the delta2 beam only (compaction
+      // is the gen-1 verb's work); the serving row additionally gets its
+      // delta2 artifacts ensured
+      if (targets.contains("gann_index_append2"))
+        GraphAnnIndex.ensureCompact(spark, dir)
+      if (targets.contains("sim_ann_graph_search_gen2"))
+        GraphAnnIndex.ensureAppend2(spark, dir)
+      if (targets.contains("ann_index_append2"))
+        AnnIndex.ensureCompact(spark, dir)
+      if (targets.contains("sim_ann_ivfpq_probe_gen2"))
+        AnnIndex.ensureAppend2(spark, dir)
+      if (targets.contains("kmv_store_compact")) KmvStore.ensureTomb(spark, dir)
+      if (targets.contains("kmv_overlap_probe_compacted"))
+        KmvStore.ensureCompact(spark, dir)
     }
     // fullCount, not count() — the r13 Bench finding applies to octaves
     // too: Catalyst prunes projected expressions through the final

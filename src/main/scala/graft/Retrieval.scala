@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import Tables._
+
+/** HYBRID retrieval — the stage that sits between the standing indexes
+  * (BM25 posting lists, the ANN families) and a RAG / retrieval consumer:
+  * fusing a lexical and a dense ranked list into one (reciprocal-rank
+  * fusion, Cormack, Clarke & Büttcher SIGIR 2009), and the two-stage
+  * cascade (cheap recall-oriented candidate generation → exact dense
+  * rerank of the small pool) every production retrieval stack runs.
+  *
+  * Both keys consume [[TextOps.bm25Scored]] — the SAME integer-scaled
+  * candidate generator `text_bm25_topk` certifies — so the lexical half
+  * carries no new arithmetic, and the dense half is the codegen'd
+  * `vec_dot` cosine already certified by the sim_* family. Probe
+  * convention: query ids < 20 exist in BOTH tables at every SF (query
+  * text = the document's text, query vector = its embedding row); the
+  * corpus sides are each system's OWN collection (doc_id >= 20 /
+  * vec_id >= 20), which at sf0.1 genuinely diverge (5 000 docs vs 2 000
+  * vectors) — exactly the partial-coverage shape hybrid retrieval exists
+  * for, and what makes the fusion/rerank behavior non-vacuous here.
+  *
+  * Determinism (rule D5): RRF contributions are integer —
+  * 1e6 div (k + rank) with the paper's k = 60 — so the fused score is a
+  * BIGINT sum and ships in the output; the dense ranking's float cosine
+  * never ships (rank-only), and its oracle reproduces the exact fold
+  * order of the compiled kernel (the oDot/seededFold convention), so the
+  * ranks compare bit-exactly cross-engine.
+  *
+  * At 100 TB: each system's list is already bounded per query (PoolN
+  * rows) before fusion, so the fuse/rerank stage is probes × PoolN rows
+  * regardless of corpus size — the heavy lifting stays in the index
+  * scans, which is the entire point of the cascade architecture. The
+  * rerank's embedding fetch is an equi-join of the tiny candidate frame
+  * against the vector store (id-keyed, broadcast-able), not a scan.
+  */
+object Retrieval {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** RRF's smoothing constant — the k = 60 of the original paper. */
+  val RrfK = 60
+
+  /** Per-system pool width fed into fusion / rerank (the candidate list a
+    * first-stage retriever would return).
+    */
+  val PoolN = 20
+
+  /** Final answer width per query. */
+  val TopK = 5
+
+  /** Lexical pool: per-query BM25 top-[[PoolN]] with rank. */
+  private def lexPool(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    TextOps.bm25Scored(s, d).withColumn("rn", row_number().over(w))
+      .where(col("rn") <= PoolN)
+  }
+
+  /** Dense pool: per-query exact-cosine top-[[PoolN]] over the embedding
+    * corpus (vec_id >= 20), queries broadcast — the sim_topk shape with a
+    * bounded probe set. At scale this list comes from an ANN probe
+    * (sim_ann_ivfpq_probe / graph search); the exact kernel here makes
+    * the fusion semantics oracle-checkable end to end.
+    */
+  private def densePool(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graft.VectorOps.{vec_dot, vec_norm}
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      vec_norm(col("embedding")).as("nrm"))
+    val q = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("item_id").asc)
+    e.where(col("vec_id") >= 20)
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id").as("item_id"),
+        (vec_dot(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= PoolN)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Reciprocal-rank fusion of the BM25 and dense lists: each system
+    // contributes 1e6 div (60 + rank) for its pooled items, the fused
+    // score is the integer sum, and the per-query top-5 ships with the
+    // contributing-system count (n_systems = 2 marks consensus items —
+    // present and non-vacuous at every SF).
+    "retrieval_rrf_fusion" -> ((s, d) => {
+      val contrib = (pool: DataFrame, item: String) => pool
+        .select(col("query_id"), col(item).as("item_id"),
+          expr(s"1000000L div ($RrfK + rn)").as("c"))
+      val fused = contrib(lexPool(s, d), "doc_id")
+        .unionByName(contrib(densePool(s, d), "item_id"))
+        .groupBy("query_id", "item_id")
+        .agg(sum("c").cast(LongType).as("rrf_micro"),
+          count(lit(1)).as("n_systems"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("rrf_micro").desc, col("item_id").asc)
+      fused.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= TopK)
+        .select("query_id", "rn", "item_id", "rrf_micro", "n_systems")
+        .orderBy("query_id", "rn")
+    }),
+
+    // Two-stage cascade: BM25 recall pool → exact dense rerank. The
+    // candidate frame (probes × PoolN rows) equi-joins its embeddings
+    // from the vector store; candidates without a stored vector drop at
+    // the join (at sf0.1 the doc corpus outgrows the embedding corpus —
+    // the real partial-coverage case a cascade must tolerate). Output is
+    // rank-only (D5) and carries the pre-rerank bm25_rn so the reorder
+    // is visible in the answer itself.
+    "retrieval_dense_rerank" -> ((s, d) => {
+      import org.apache.spark.sql.graft.VectorOps.{vec_dot, vec_norm}
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        vec_norm(col("embedding")).as("nrm"))
+      val q = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val cands = lexPool(s, d)
+        .select(col("query_id"), col("doc_id"), col("rn").as("bm25_rn"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("doc_id").asc)
+      // the candidate frame (probes × PoolN rows) is the broadcast side BY
+      // CONTRACT — without the hint Spark's size estimate builds the
+      // embeddings scan, which at 100 TB means broadcasting the vector
+      // store instead of the bounded pool
+      broadcast(cands).join(e, cands("doc_id") === e("vec_id"))
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("doc_id"), col("bm25_rn"),
+          (vec_dot(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= TopK)
+        .select("query_id", "rn", "doc_id", "bm25_rn")
+        .orderBy("query_id", "rn")
+    })
+  )
+
+  private def rrfC(rnExpr: String) = s"1000000 // ($RrfK + $rnExpr)"
+
+  val oracles: Map[String, String] = Map(
+    "retrieval_rrf_fusion" ->
+      (s"WITH ${TextOps.bm25ScoredCtes}, " +
+       "lexr AS (SELECT query_id, doc_id AS item_id, row_number() OVER " +
+       "(PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rn FROM scored), " +
+       s"lexc AS (SELECT query_id, item_id, ${rrfC("rn")} AS c FROM lexr WHERE rn <= $PoolN), " +
+       "dnsr AS (SELECT q.vec_id AS query_id, e.vec_id AS item_id, " +
+       "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+       s"${Similarity.oDot("q", "e")} / (${Similarity.oNorm("q")} * ${Similarity.oNorm("e")}) DESC, " +
+       "e.vec_id ASC) AS rn " +
+       "FROM embeddings q JOIN embeddings e ON e.vec_id >= 20 AND q.vec_id < 20), " +
+       s"dnsc AS (SELECT query_id, item_id, ${rrfC("rn")} AS c FROM dnsr WHERE rn <= $PoolN), " +
+       "fused AS (SELECT query_id, item_id, CAST(sum(c) AS BIGINT) AS rrf_micro, " +
+       "CAST(count(*) AS BIGINT) AS n_systems " +
+       "FROM (SELECT * FROM lexc UNION ALL SELECT * FROM dnsc) GROUP BY 1, 2) " +
+       "SELECT query_id, CAST(rn AS INT) AS rn, item_id, rrf_micro, n_systems FROM " +
+       "(SELECT *, row_number() OVER (PARTITION BY query_id " +
+       "ORDER BY rrf_micro DESC, item_id ASC) AS rn FROM fused) " +
+       s"WHERE rn <= $TopK ORDER BY query_id, rn"),
+
+    "retrieval_dense_rerank" ->
+      (s"WITH ${TextOps.bm25ScoredCtes}, " +
+       "cand AS (SELECT query_id, doc_id, rn AS bm25_rn FROM " +
+       "(SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id " +
+       "ORDER BY score_micro DESC, doc_id ASC) AS rn FROM scored) " +
+       s"WHERE rn <= $PoolN), " +
+       "rr AS (SELECT c.query_id, c.doc_id, c.bm25_rn, " +
+       "row_number() OVER (PARTITION BY c.query_id ORDER BY " +
+       s"${Similarity.oDot("q", "e")} / (${Similarity.oNorm("q")} * ${Similarity.oNorm("e")}) DESC, " +
+       "c.doc_id ASC) AS rn " +
+       "FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id " +
+       "JOIN embeddings q ON q.vec_id = c.query_id) " +
+       "SELECT query_id, CAST(rn AS INT) AS rn, doc_id, CAST(bm25_rn AS INT) AS bm25_rn " +
+       s"FROM rr WHERE rn <= $TopK ORDER BY query_id, rn")
+  )
+}

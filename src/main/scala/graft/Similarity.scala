@@ -2791,6 +2791,23 @@ object Similarity {
     "FROM kdc JOIN kcodes ON kdc.vec_id = kcodes.vec_id " +
     "GROUP BY kdc.cid ORDER BY kdc.cid"
 
+  /** [[annIndexAppendOracle]] with the tombstone slice as the batch — the
+    * GENERATION-2 ingest (round 19 session 2): re-insertion after
+    * deletion, assignments still from the one re-derived train.
+    */
+  private[graft] def annIndexAppend2Oracle: String =
+    s"WITH $pqLegCtes, " +
+    s"$ivfPqCoarseCtes, " +
+    "kmx AS (SELECT max(vec_id) AS mx FROM embeddings), " +
+    "kdelta AS (SELECT e.vec_id FROM embeddings e, kmx " +
+    s"WHERE ${tombPredSql("e.vec_id", "kmx.mx")}), " +
+    "kdc AS (SELECT b.vec_id, b.cid FROM kb2 b JOIN kdelta dl ON b.vec_id = dl.vec_id), " +
+    "kcodes AS (SELECT a.vec_id, a.code FROM a2 a JOIN kdelta dl ON a.vec_id = dl.vec_id) " +
+    "SELECT kdc.cid, count(DISTINCT kdc.vec_id) AS n_appended, " +
+    "CAST(SUM(kcodes.code) AS BIGINT) AS sum_code " +
+    "FROM kdc JOIN kcodes ON kdc.vec_id = kcodes.vec_id " +
+    "GROUP BY kdc.cid ORDER BY kdc.cid"
+
   val oracles: Map[String, String] = Map(
     "sim_ann_lsh" -> annLshOracle,
     "sim_ann_ivf" -> annIvfOracle,

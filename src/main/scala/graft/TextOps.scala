@@ -25,6 +25,88 @@ object TextOps {
 
   private def toks(c: Column): Column = split(c, " ")
 
+  /** BM25-scored (query_id, doc_id, score_micro, n_terms) — the lexical
+    * candidate generator of every RAG / retrieval stack, shared by
+    * `text_bm25_topk` (its per-query top-5 certification) and the
+    * Retrieval keys (RRF fusion / dense rerank consume a wider pool).
+    * Corpus docs (doc_id >= 20) are ranked for each probe query
+    * (doc_id < 20, its distinct tokens = the query terms): two hash
+    * aggregations (tf, df) + a term-keyed join against the BROADCAST
+    * query-term list (the probe side is small by definition; the corpus
+    * side never self-joins).
+    *
+    * Determinism: INTEGER-SCALED BM25 (rule D5) — k1 = 6/5, b = 3/4 as
+    * exact rationals, micro-unit (1e-6) fixed point, truncating
+    * division. With avgdl = tt/nd, multiplying the saturation term
+    * through by 10*tt gives
+    *   sat_micro = 22*tf*tt*1e6 div (10*tf*tt + 3*tt + 9*dl*nd)
+    *   idf_micro = (2*(nd-df)+1)*1e6 div (2*df+1)   [Robertson idf,
+    *     ln dropped for its argument — rank-equivalent per term]
+    *   term_score = idf_micro * sat_micro div 1e6
+    * Every operand is a non-negative BIGINT, where Spark's `div`
+    * (truncate) and DuckDB's `//` (floor) agree — so unlike float BM25
+    * the summed score itself is cross-engine bit-exact and ships in the
+    * output (text_tfidf_topk must exclude its ln-based score). Headroom:
+    * 22*tf*tt*1e6 stays under 2^63 up to ~40M corpus tokens per shard
+    * of this fixture shape; at larger scale the same formula runs in
+    * DECIMAL(38,0) unchanged.
+    * Single corpus scan (round 6 — VERDICT r5 #5): BOTH df and the
+    * (nd, tt) corpus stats derive from the tf frame instead of
+    * re-scanning documents (every corpus doc appears in tf — split() of
+    * even an empty text yields one token — so the distinct (doc_id, dl)
+    * projection IS the corpus doc list). Since round 9 the tf frame is
+    * a fixture-keyed memoSpill rather than a persist: the posting-list
+    * index of a retrieval stack is a STANDING artifact (built at
+    * ingest, probed per query), and the spill both realizes that shape
+    * and frees the consumers' plans from the cached candidate lineage
+    * (same lesson as the pair spills).
+    */
+  private[graft] def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), toks(col("text")).as("tk"))
+    val tf = Sources.memoSpill(s,
+        Sources.fixtureKey(d, "documents") + ":bm25_tf", "bm25_tf") {
+      docs.where(col("doc_id") >= 20)
+        .select(col("doc_id"), size(col("tk")).cast(LongType).as("dl"),
+          explode(col("tk")).as("term"))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    }
+    val stats = tf.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("nd"), sum("dl").cast(LongType).as("tt"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val q = docs.where(col("doc_id") < 20)
+      .select(col("doc_id").as("query_id"), explode(col("tk")).as("term"))
+      .distinct()
+    tf.join(broadcast(q), "term")
+      .join(df, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_micro", expr("((2 * (nd - df) + 1) * 1000000L) div (2 * df + 1)"))
+      .withColumn("sat_micro",
+        expr("(22 * tf * tt * 1000000L) div (10 * tf * tt + 3 * tt + 9 * dl * nd)"))
+      .withColumn("term_score", expr("(idf_micro * sat_micro) div 1000000L"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("term_score").cast(LongType).as("score_micro"),
+        count(lit(1)).as("n_terms"))
+  }
+
+  /** The DuckDB CTE chain ending at `scored` (query_id, doc_id,
+    * score_micro, n_terms) — [[bm25Scored]]'s oracle twin, shared verbatim
+    * by text_bm25_topk and the Retrieval oracles.
+    */
+  private[graft] val bm25ScoredCtes: String =
+    "docs AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+    "corpus AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl FROM docs WHERE doc_id >= 20), " +
+    "stats AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(dl) AS BIGINT) AS tt FROM corpus), " +
+    "tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM " +
+    "(SELECT doc_id, dl, unnest(tk) AS term FROM corpus) GROUP BY 1, 2, 3), " +
+    "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
+    "q AS (SELECT DISTINCT query_id, term FROM " +
+    "(SELECT doc_id AS query_id, unnest(tk) AS term FROM docs WHERE doc_id < 20)), " +
+    "scored AS (SELECT q.query_id, tf.doc_id, " +
+    "CAST(sum((((2 * (nd - df) + 1) * 1000000) // (2 * df + 1)) * " +
+    "((22 * tf * tt * 1000000) // (10 * tf * tt + 3 * tt + 9 * dl * nd)) // 1000000) AS BIGINT) AS score_micro, " +
+    "count(*) AS n_terms " +
+    "FROM tf JOIN q USING (term) JOIN df USING (term) CROSS JOIN stats GROUP BY 1, 2)"
+
   /** Deterministic language-ID heuristic: score each language by marker-token
     * hits; equal scores resolve by fixed priority order en > de > es > fr > zh
     * (so an all-zero doc classifies as 'en'). The fixture vocabulary is
@@ -1002,66 +1084,13 @@ object TextOps {
     }),
 
     "text_bm25_topk" -> ((s, d) => {
-      // BM25 retrieval: rank corpus docs (doc_id >= 20) for each probe
-      // query (doc_id < 20, its distinct tokens = the query terms) — the
-      // lexical half of every RAG / retrieval stack. Two hash aggregations
-      // (tf, df) + a term-keyed join against the BROADCAST query-term list
-      // (the probe side is small by definition; the corpus side never
-      // self-joins), then one per-query top-5 window.
-      //
-      // Determinism: INTEGER-SCALED BM25 (rule D5) — k1 = 6/5, b = 3/4 as
-      // exact rationals, micro-unit (1e-6) fixed point, truncating
-      // division. With avgdl = tt/nd, multiplying the saturation term
-      // through by 10*tt gives
-      //   sat_micro = 22*tf*tt*1e6 div (10*tf*tt + 3*tt + 9*dl*nd)
-      //   idf_micro = (2*(nd-df)+1)*1e6 div (2*df+1)   [Robertson idf,
-      //     ln dropped for its argument — rank-equivalent per term]
-      //   term_score = idf_micro * sat_micro div 1e6
-      // Every operand is a non-negative BIGINT, where Spark's `div`
-      // (truncate) and DuckDB's `//` (floor) agree — so unlike float BM25
-      // the summed score itself is cross-engine bit-exact and ships in the
-      // output (text_tfidf_topk must exclude its ln-based score). Headroom:
-      // 22*tf*tt*1e6 stays under 2^63 up to ~40M corpus tokens per shard
-      // of this fixture shape; at larger scale the same formula runs in
-      // DECIMAL(38,0) unchanged.
-      // Single corpus scan (round 6 — VERDICT r5 #5): BOTH df and the
-      // (nd, tt) corpus stats derive from the tf frame instead of
-      // re-scanning documents (every corpus doc appears in tf — split() of
-      // even an empty text yields one token — so the distinct (doc_id, dl)
-      // projection IS the corpus doc list). Since round 9 the tf frame is
-      // a fixture-keyed memoSpill rather than a persist: the posting-list
-      // index of a retrieval stack is a STANDING artifact (built at
-      // ingest, probed per query), and the spill both realizes that shape
-      // and frees the consumers' plans from the cached candidate lineage
-      // (same lesson as the pair spills).
-      val docs = documents(s, d).select(col("doc_id"), toks(col("text")).as("tk"))
-      val tf = Sources.memoSpill(s,
-          Sources.fixtureKey(d, "documents") + ":bm25_tf", "bm25_tf") {
-        docs.where(col("doc_id") >= 20)
-          .select(col("doc_id"), size(col("tk")).cast(LongType).as("dl"),
-            explode(col("tk")).as("term"))
-          .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-      }
-      val stats = tf.select("doc_id", "dl").distinct()
-        .agg(count(lit(1)).as("nd"), sum("dl").cast(LongType).as("tt"))
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val q = docs.where(col("doc_id") < 20)
-        .select(col("doc_id").as("query_id"), explode(col("tk")).as("term"))
-        .distinct()
-      val scored = tf
-        .join(broadcast(q), "term")
-        .join(df, "term")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf_micro", expr("((2 * (nd - df) + 1) * 1000000L) div (2 * df + 1)"))
-        .withColumn("sat_micro",
-          expr("(22 * tf * tt * 1000000L) div (10 * tf * tt + 3 * tt + 9 * dl * nd)"))
-        .withColumn("term_score", expr("(idf_micro * sat_micro) div 1000000L"))
-        .groupBy("query_id", "doc_id")
-        .agg(sum("term_score").cast(LongType).as("score_micro"),
-          count(lit(1)).as("n_terms"))
+      // Per-query top-5 over the shared [[bm25Scored]] frame (round 19:
+      // the scored frame factored out so the Retrieval keys — RRF fusion,
+      // dense rerank — consume the SAME candidate generator this key
+      // certifies, query and oracle alike).
       val w = Window.partitionBy("query_id")
         .orderBy(col("score_micro").desc, col("doc_id").asc)
-      scored.withColumn("rn", row_number().over(w))
+      bm25Scored(s, d).withColumn("rn", row_number().over(w))
         .where(col("rn") <= 5)
         .select("query_id", "rn", "doc_id", "score_micro", "n_terms")
         .orderBy("query_id", "rn")
@@ -1593,19 +1622,7 @@ object TextOps {
        "ORDER BY doc_id"),
 
     "text_bm25_topk" ->
-      ("WITH docs AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
-       "corpus AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl FROM docs WHERE doc_id >= 20), " +
-       "stats AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(dl) AS BIGINT) AS tt FROM corpus), " +
-       "tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM " +
-       "(SELECT doc_id, dl, unnest(tk) AS term FROM corpus) GROUP BY 1, 2, 3), " +
-       "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
-       "q AS (SELECT DISTINCT query_id, term FROM " +
-       "(SELECT doc_id AS query_id, unnest(tk) AS term FROM docs WHERE doc_id < 20)), " +
-       "scored AS (SELECT q.query_id, tf.doc_id, " +
-       "CAST(sum((((2 * (nd - df) + 1) * 1000000) // (2 * df + 1)) * " +
-       "((22 * tf * tt * 1000000) // (10 * tf * tt + 3 * tt + 9 * dl * nd)) // 1000000) AS BIGINT) AS score_micro, " +
-       "count(*) AS n_terms " +
-       "FROM tf JOIN q USING (term) JOIN df USING (term) CROSS JOIN stats GROUP BY 1, 2) " +
+      (s"WITH $bm25ScoredCtes " +
        "SELECT query_id, CAST(rn AS INT) AS rn, doc_id, score_micro, n_terms FROM " +
        "(SELECT *, row_number() OVER (PARTITION BY query_id " +
        "ORDER BY score_micro DESC, doc_id ASC) AS rn FROM scored) " +

@@ -40,6 +40,7 @@ object TokenizerStore {
   private[graft] val bpeBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
   private[graft] val uniBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
   private[graft] val byteBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val retrainBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Every dial that can change the learned CONTENT is folded into the
     * root (the r17 code-review rule: a retune with the others fixed must
@@ -245,6 +246,57 @@ object TokenizerStore {
       .agg(count(lit(1)).as("n_tombstoned"), sum(col("doc_id")).as("id_sum"))
   }
 
+  /** Retrained-store root — the RETRAIN half of the unlearning contract
+    * the tombDir scaladoc documents: document-level deletion is enforced
+    * at read time (the deleted-serving keys), but the learned VOCAB still
+    * aggregates the deleted docs' counts until a rebuild. This root holds
+    * that rebuild: the same learn geometry over documents MINUS the
+    * tombstoned slice, keyed by every learn dial AND the delete rule (a
+    * rule retune must never serve a stale retrained vocab — the r17
+    * staleness convention).
+    */
+  def bpeRetrainRoot(d: String): String = {
+    val key = Sources.fixtureKey(d, "documents") +
+      s":bpestore:${Bpe.BpeMerges}:${Bpe.BpeBatchK}:${Bpe.BpeLocalWordCap}" +
+      s":retrain:${Similarity.delTag}"
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    s"$base/graft_bpe_store/${new java.io.File(d).getName}_retrained_${Sources.stableHex64(key)}"
+  }
+
+  /** The RETRAIN verb: rebuild the BPE store from scratch on the
+    * tombstone-filtered corpus (true unlearning for the tokenizer
+    * artifact — deleted text stops influencing merge choices, counts,
+    * and ids, not merely encode outputs). Same loop, same artifact
+    * layout, marker last; the audit row is bpe_store_build's, recomputed
+    * by the oracle over the FILTERED corpus end to end, so a single
+    * deleted doc leaking into training moves pair_weight. At 100 TB this
+    * is the periodic tokenizer-release job after a GDPR batch: corpus
+    * scan + the vocabulary-bounded learn, delta-independent by design
+    * (unlearning a merge table cannot be incremental — every argmax
+    * after the first changed count is suspect).
+    */
+  def retrainBpe(s: SparkSession, d: String): DataFrame = {
+    ensureTombDocs(s, d)
+    retrainBuilds.incrementAndGet()
+    val root = bpeRetrainRoot(d)
+    marker(root, "_BPE_OK").delete()
+    val tombs = s.read.parquet(s"${tombDir(bpeRoot(d))}/ids")
+    val corpus = documents(s, d).join(tombs, Seq("doc_id"), "left_anti")
+    val art = Bpe.learnLoop(s, corpus,
+      Sources.fixtureKey(d, "documents") +
+        s":bpe_retrain_${Similarity.delTag}:${Bpe.BpeMerges}",
+      Bpe.BpeMerges, Bpe.BpeBatchK)
+    Bpe.mergesFrameFrom(s, art).orderBy("rank")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/merges")
+    import s.implicits._
+    Bpe.vocabIdsFrom(s, art).sortBy(_._1).toDF("sym", "id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/vocab")
+    val ok = marker(root, "_BPE_OK")
+    ok.getParentFile.mkdirs()
+    java.nio.file.Files.write(ok.toPath, Array.emptyByteArray)
+    bpeSummary(s, root)
+  }
+
   /** The frozen BPE merge list + id map, read from the persisted store —
     * bounded collects (|merges| and |vocab| rows), never a learn.
     */
@@ -356,6 +408,11 @@ object TokenizerStore {
 
     "tokenizer_store_delete" -> (deleteDocs _),
 
+    // the retrain verb (see [[retrainBpe]]) — the vocab-side repayment of
+    // the deletion debt; oracle = the full merge chain re-learned by
+    // DuckDB on the tombstone-filtered corpus
+    "tokenizer_store_retrain" -> (retrainBpe _),
+
     // deleted-serving: the frozen encode with tombstoned docs anti-joined
     // at the corpus scan — a deleted doc's text never reaches the encode
     // expressions (GDPR for the tokenize fleet; the vocab-side debt is
@@ -407,6 +464,26 @@ object TokenizerStore {
     "text_bpe_encode_frozen" -> Bpe.oracles("text_bpe_encode"),
     "text_bpe_bytes_encode_frozen" -> Bpe.oracles("text_bpe_bytes_encode"),
     "text_unigram_encode_frozen" -> Unigram.oracles("text_unigram_encode"),
+
+    // bpe_store_build's audit oracle with the whole merge chain trained on
+    // documents minus the tombstoned slice — the same four columns, every
+    // one sensitive to a deleted doc leaking into (or a kept doc missing
+    // from) the retrain corpus
+    "tokenizer_store_retrain" ->
+      (s"WITH ${Bpe.roundCtesTrainedOn("NOT (" + Similarity.tombPredSql(
+          "doc_id", "(SELECT max(doc_id) FROM documents)") + ")")}, mall AS (" +
+        (1 to Bpe.BpeMerges).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS rank, s1 || s2 AS merged, c FROM b$r")
+          .mkString(" UNION ALL ") + "), " +
+        "chars AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym ASC) + 1 AS BIGINT) AS id " +
+        "FROM (SELECT DISTINCT sym FROM s0)), " +
+        "vocab AS (SELECT sym, CAST(min(id) AS BIGINT) AS id FROM " +
+        "(SELECT sym, id FROM chars UNION ALL SELECT merged AS sym, " +
+        "(SELECT count(*) FROM chars) + 1 + rank AS id FROM mall) GROUP BY sym) " +
+        "SELECT (SELECT count(*) FROM mall) AS n_merges, " +
+        "(SELECT CAST(sum(c) AS BIGINT) FROM mall) AS pair_weight, " +
+        "(SELECT count(*) FROM vocab) AS n_vocab, " +
+        "(SELECT CAST(sum(id) AS BIGINT) FROM vocab) AS id_sum"),
 
     "tokenizer_store_delete" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_tombstoned, " +

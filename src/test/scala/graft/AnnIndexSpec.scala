@@ -125,4 +125,39 @@ class AnnIndexSpec extends AnyFunSuite {
     // the whole lifecycle above trained nothing
     assert(AnnIndex.builds.get() == b0, "a serving/maintenance verb triggered training")
   }
+
+  test("generation-2: re-ingest onto the compacted index restores the one-shot answers") {
+    import org.apache.spark.sql.functions._
+    val d = Sf0001
+    AnnIndex.ensureCompact(spark, d)
+    AnnIndex.ensureAppend2(spark, d)
+    val root = AnnIndex.indexRoot(d)
+    val cd = AnnIndex.compactDir(root)
+    val mx = spark.read.parquet(s"$root/codes").agg(max("vec_id")).collect()(0).getLong(0)
+    def isTomb(id: Long) =
+      id * Similarity.DelCutDen > mx * Similarity.DelCutLoNum &&
+      id * Similarity.DelCutDen <= mx * Similarity.DelCutHiNum
+    // frozen-assignment consistency ACROSS generations: the re-ingested
+    // rows must be bit-identical to the original build's rows for those
+    // ids (the gen-1 append pin, one compaction later)
+    val gen2Codes = spark.read.parquet(s"$cd/codes_delta2").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val baseTombCodes = spark.read.parquet(s"$root/codes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).filter(t => isTomb(t._1)).toSet
+    assert(gen2Codes == baseTombCodes,
+      "gen-2 encode diverged from the original build's rows for the re-ingested ids")
+    // the full delete→compact→re-ingest cycle is answer-invariant: the
+    // gen-2 probe reproduces the ONE-SHOT probe row for row
+    val b0 = AnnIndex.builds.get()
+    val gen2 = AnnIndex.probeGen2(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val oneShot = AnnIndex.probe(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(gen2 == oneShot,
+      "gen-2 serving diverged from the one-shot index — the cycle is not answer-invariant")
+    assert(gen2.exists { case (_, nn, _) => isTomb(nn) },
+      "re-ingested ids absent from gen-2 results — the pin is vacuous " +
+      "(they were pinned PRESENT in merged and ABSENT in deleted/compacted)")
+    assert(AnnIndex.builds.get() == b0, "gen-2 serving triggered training")
+  }
 }

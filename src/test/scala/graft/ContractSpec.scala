@@ -19,7 +19,7 @@ class ContractSpec extends AnyFunSuite {
     // driver-verified > scalatest-only: deleting an oracle silently
     // downgrades a query to the weaker rows-only check — pin the floor
     // (raise it when adding oracles, never lower without cause)
-    assert(SparkEntry.oracleSql.size >= 291,
+    assert(SparkEntry.oracleSql.size >= 300,
       s"oracle count fell to ${SparkEntry.oracleSql.size}")
   }
 
@@ -51,7 +51,9 @@ class ContractSpec extends AnyFunSuite {
       "tpch_q6_like", "tpch_q14_like", "tpch_q19_like",
       // round 19: the delete-verb audits are 1-row (count, id_sum) scans
       "ann_index_delete", "gann_index_delete", "kmv_store_delete",
-      "tokenizer_store_delete")
+      "tokenizer_store_delete",
+      // and the retrain verb's audit (n_merges, pair_weight, n_vocab, id_sum)
+      "tokenizer_store_retrain")
     val unordered = SparkEntry.oracleSql.collect {
       case (k, sql) if !singleRow.contains(k) && !sql.toUpperCase.contains("ORDER BY") => k
     }

@@ -340,6 +340,50 @@ class GraphAnnSpec extends AnyFunSuite {
       "a lifecycle serving key triggered a graph build")
   }
 
+  test("generation-2: the compacted index is a valid base, re-ingested ids served again") {
+    // round 19 session 2 — the multi-generation contract: compaction's
+    // output must support the NEXT ingest cycle, or the lifecycle only
+    // works once. The gen-2 batch is the tombstoned slice re-arriving;
+    // the full cycle on the same ids is pinned end to end: present
+    // (merged, asserted in the lifecycle test) → absent
+    // (deleted/compacted, ditto) → PRESENT AGAIN (gen-2 serving, here).
+    GraphAnnIndex.ensureCompact(spark, d)
+    GraphAnnIndex.ensureAppend2(spark, d)
+    val mx = emb.keys.max
+    def isTomb(v: Long) =
+      v * Similarity.DelCutDen > mx * Similarity.DelCutLoNum &&
+      v * Similarity.DelCutDen <= mx * Similarity.DelCutHiNum
+    def isDelta(v: Long) = v * Similarity.IncrCutDen > mx * Similarity.IncrCutNum
+    val cd = GraphAnnIndex.compactDir(GraphAnnIndex.baseRoot(d))
+    val dl2 = spark.read.parquet(s"$cd/lists_delta2").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(dl2.nonEmpty && dl2.forall { case (v, _) => isTomb(v) },
+      "gen-2 lists carry non-tombstone sources — the delta2 cut leaked")
+    assert(dl2.forall { case (_, nb) => !isTomb(nb) },
+      "gen-2 lists point at tombstoned ids — candidates must come from the compacted graph")
+    val tombIds = emb.keys.filter(isTomb).toSet
+    assert(dl2.map(_._1).toSet == tombIds,
+      "not every re-ingested vector got a neighbor list")
+    // serving the gen-2 union trains nothing and re-ranks nothing
+    val before = (GraphAnnIndex.builds.get(), GraphAnnIndex.baseBuilds.get(),
+      GraphAnnIndex.compactBuilds.get())
+    val gen2 = GraphAnnIndex.queries("sim_ann_graph_search_gen2")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert((GraphAnnIndex.builds.get(), GraphAnnIndex.baseBuilds.get(),
+      GraphAnnIndex.compactBuilds.get()) == before,
+      "gen-2 serving triggered a build or a re-compaction")
+    assert(gen2.exists { case (_, nn) => isTomb(nn) },
+      "re-ingested ids still unservable — the lifecycle does not close")
+    assert(gen2.exists { case (_, nn) => isDelta(nn) },
+      "gen-1 appended content lost in gen-2 serving")
+    // recall vs the full exact truth — tombstoned ids are legitimately
+    // servable again, so the truth is the unfiltered top-10
+    val truth = (0L until 10L).map(q => q -> bruteTop(q).toSet).toMap
+    val hits = gen2.count { case (q, nn) => truth(q)(nn) }
+    info(f"gen-2 serving recall@10 vs full truth: ${hits / 100.0}%.3f")
+    assert(hits >= 85, "gen-2 serving recall below the measured floor")
+  }
+
   test("greedy-only search (ef=1) is strictly worse than the beam — the beam earns its cost") {
     val r1 = recallAt(1)
     val r32 = recallAt(32)

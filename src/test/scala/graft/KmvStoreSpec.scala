@@ -87,4 +87,26 @@ class KmvStoreSpec extends AnyFunSuite {
     assert(served == (skRows -- tombs),
       "served hash set != sketches minus tombstones — anti-join key broken")
   }
+
+  test("compact: physical drop only — answers equal the deleted probe, no rebuild") {
+    KmvStore.ensureCompact(spark, d)
+    val before = KmvStore.builds.get()
+    // the compacted rows are exactly sketches minus tombstones
+    val tombs = spark.read.parquet(s"${KmvStore.tombDir(KmvStore.storeRoot(d))}/ids")
+      .select("h").collect().map(_.getLong(0)).toSet
+    val skRows = KmvStore.sketches(spark, d)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+    val compRows = spark.read
+      .parquet(s"${KmvStore.compactDir(KmvStore.storeRoot(d))}/sketches")
+      .selectExpr("CAST(t AS DATE) AS t", "h")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+    assert(compRows == skRows.filterNot { case (_, h) => tombs(h) },
+      "compacted sketches are not exactly sketches minus tombstones")
+    // compaction is answer-invariant vs the deleted probe
+    val deleted = SparkEntry.queries("kmv_overlap_probe_deleted")(spark, d).collect().toSeq
+    val compacted = SparkEntry.queries("kmv_overlap_probe_compacted")(spark, d).collect().toSeq
+    assert(compacted == deleted,
+      "compacted probe changed an answer — compaction must only change layout")
+    assert(KmvStore.builds.get() == before, "compacted probe triggered a rebuild")
+  }
 }

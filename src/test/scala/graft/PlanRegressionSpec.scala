@@ -682,6 +682,22 @@ class PlanRegressionSpec extends AnyFunSuite {
       "fused native Viterbi+id-map expression missing from the frozen unigram plan")
   }
 
+  test("hybrid retrieval: bounded pools ride broadcasts, per-query top-k group-limits") {
+    // rerank: the candidate pool (probes × PoolN) is the BUILD side of the
+    // vector-store join — without the explicit hint Spark's estimate
+    // broadcast the embeddings scan, which at 100 TB is the vector store
+    val pr = plan("retrieval_dense_rerank")
+    assert(!pr.contains("SortMergeJoin"),
+      s"rerank regressed to a shuffle join on a bounded pool:\n$pr")
+    assert("BroadcastHashJoin".r.findAllIn(pr).size >= 2,
+      s"rerank lost the pool/query broadcasts:\n$pr")
+    // fusion: every rank filter compiles to WindowGroupLimit (per-group
+    // top-k pushdown), never a full-window materialize-then-filter
+    val pf = plan("retrieval_rrf_fusion")
+    assert("WindowGroupLimit".r.findAllIn(pf).size >= 3,
+      s"fusion lost its group-limit pushdowns:\n$pf")
+  }
+
   test("quality classifier: bounded model frames broadcast, corpus never re-scanned for weights") {
     // two 1-row totals + the vocab-bounded weight join; the corpus-sized
     // side is the standing tf index, shuffled once on the word key

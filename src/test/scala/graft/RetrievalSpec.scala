@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import TestSpark.spark
+
+/** Hybrid-retrieval contract: the RRF fusion and the dense rerank are
+  * recomputed here INDEPENDENTLY — plain driver-side Scala over collected
+  * frames, no Spark expressions — and compared row-for-row to the
+  * registered keys (the DuckDB oracle is the cross-engine check; this is
+  * the cross-implementation one). The JVM cosine reproduces the compiled
+  * vec_dot kernel's left-to-right 0.0-seeded fold, so ranks agree
+  * bit-exactly by construction, not by luck.
+  */
+class RetrievalSpec extends AnyFunSuite {
+
+  private val d = TestSpark.Sf0001
+
+  private def dot(a: Seq[Float], b: Seq[Float]): Double =
+    a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+  private def nrm(a: Seq[Float]): Double =
+    math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+
+  /** (query_id, item_id, rank) dense pool — brute force over collected
+    * embeddings (bounded: the smoke fixture).
+    */
+  private def densePool: Seq[(Long, Long, Int)] = {
+    val rows = Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val qs = rows.filter(_._1 < 20)
+    val corpus = rows.filter(_._1 >= 20)
+    qs.flatMap { case (qid, qe) =>
+      val qn = nrm(qe)
+      corpus.map { case (cid, ce) => (cid, dot(qe, ce) / (qn * nrm(ce))) }
+        .sortBy { case (cid, cos) => (-cos, cid) }
+        .take(Retrieval.PoolN).zipWithIndex
+        .map { case ((cid, _), i) => (qid, cid, i + 1) }
+    }.toSeq
+  }
+
+  /** (query_id, doc_id, rank) lexical pool from the certified scored frame. */
+  private def lexPool: Seq[(Long, Long, Int)] =
+    TextOps.bm25Scored(spark, d)
+      .select("query_id", "doc_id", "score_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy { case (_, did, sc) => (-sc, did) }
+          .take(Retrieval.PoolN).zipWithIndex
+          .map { case ((_, did, _), i) => (qid, did, i + 1) }
+      }
+
+  test("RRF fusion equals the driver-side recomputation row-for-row") {
+    val contrib = (lexPool ++ densePool)
+      .map { case (q, it, rn) => ((q, it), 1000000L / (Retrieval.RrfK + rn)) }
+    val expected = contrib.groupBy(_._1).toSeq
+      .map { case ((q, it), cs) => (q, it, cs.map(_._2).sum, cs.size.toLong) }
+      .groupBy(_._1).toSeq.flatMap { case (q, items) =>
+        items.sortBy { case (_, it, rrf, _) => (-rrf, it) }
+          .take(Retrieval.TopK).zipWithIndex
+          .map { case ((_, it, rrf, ns), i) => (q, i + 1, it, rrf, ns) }
+      }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("retrieval_rrf_fusion")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected, s"fusion diverged: ${got.take(3)} vs ${expected.take(3)}")
+    assert(got.exists(_._5 == 2L),
+      "no consensus (n_systems = 2) item in the fused top-k — the fusion pin is vacuous")
+    assert(got.exists(_._5 == 1L),
+      "every fused item is two-system — the partial-coverage shape is gone")
+  }
+
+  test("dense rerank: candidates from the BM25 pool, genuinely reordered") {
+    val lexRank = lexPool.map { case (q, it, rn) => ((q, it), rn) }.toMap
+    val got = SparkEntry.queries("retrieval_dense_rerank")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, _, doc, brn) =>
+      assert(lexRank.get((q, doc)).contains(brn),
+        s"rerank row ($q, $doc) carries bm25_rn=$brn but the pool says ${lexRank.get((q, doc))}")
+    }
+    assert(got.exists { case (_, rn, _, brn) => rn != brn },
+      "rerank never changed an order — the cascade pin is vacuous")
+    // the rerank ORDER matches the driver-side cosine over the same pool
+    val emb = Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    val expected = lexPool
+      .filter { case (q, it, _) => emb.contains(q) && emb.contains(it) }
+      .groupBy(_._1).toSeq.flatMap { case (q, cands) =>
+        val qe = emb(q); val qn = nrm(qe)
+        cands.map { case (_, it, brn) =>
+          (it, brn, dot(qe, emb(it)) / (qn * nrm(emb(it)))) }
+          .sortBy { case (it, _, cos) => (-cos, it) }
+          .take(Retrieval.TopK).zipWithIndex
+          .map { case ((it, brn, _), i) => (q, i + 1, it, brn) }
+      }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expected,
+      s"rerank diverged: ${got.take(3).toSeq} vs ${expected.take(3)}")
+  }
+}

@@ -110,6 +110,35 @@ class TokenizerStoreSpec extends AnyFunSuite {
       "doc deletion triggered a vocab re-learn — the read-time contract is broken")
   }
 
+  test("retrain: unlearns the tombstoned slice, under a rule-keyed root") {
+    // the retrained audit must DIFFER from the base build's (deleted docs
+    // really did influence the base vocab — pair counts at minimum) while
+    // staying structurally identical (same merge count); both sides are
+    // independently DuckDB-verified by the gate, this pins non-vacuity
+    val base = SparkEntry.queries("bpe_store_build")(spark, d).collect()(0)
+    val b0 = TokenizerStore.bpeBuilds.get()
+    val rt = SparkEntry.queries("tokenizer_store_retrain")(spark, d).collect()(0)
+    assert(rt.getLong(0) == base.getLong(0), "retrain changed the merge count")
+    assert(rt.getLong(1) != base.getLong(1),
+      "retrained pair_weight equals the base build's — deletion had no " +
+      "training effect; the unlearning pin is vacuous")
+    assert(TokenizerStore.bpeBuilds.get() == b0,
+      "retrain rebuilt the BASE store — it must write only the retrained root")
+    // staleness keying: the retrained root folds the delete rule (the
+    // ADVICE r18 convention — pin the REAL root function to the hand-built
+    // key so format drift fails loudly)
+    val f = Sources.fixtureKey(d, "documents")
+    val key = f + s":bpestore:${Bpe.BpeMerges}:${Bpe.BpeBatchK}:${Bpe.BpeLocalWordCap}" +
+      s":retrain:${Similarity.delTag}"
+    assert(TokenizerStore.bpeRetrainRoot(d).endsWith("_" + Sources.stableHex64(key)),
+      "bpeRetrainRoot key format drifted from the spec's hand-built key")
+    assert(Sources.stableHex64(key) != Sources.stableHex64(
+      f + s":bpestore:${Bpe.BpeMerges}:${Bpe.BpeBatchK}:${Bpe.BpeLocalWordCap}" +
+      ":retrain:9_10_20"), "a delete-rule retune must move the retrained root")
+    assert(new java.io.File(TokenizerStore.bpeRetrainRoot(d), "_BPE_OK").isFile,
+      "retrain did not leave a completion marker")
+  }
+
   test("build summaries are content-sensitive and structurally sane") {
     val b = SparkEntry.queries("bpe_store_build")(spark, d).collect()(0)
     assert(b.getLong(0) == Bpe.BpeMerges.toLong, "merge count drifted")
