@@ -191,16 +191,19 @@ object TokenizerStore {
   private def frozenBpeEncodeOf(s: SparkSession, d: String,
       docs: DataFrame): DataFrame = {
     val (ml, vocab) = frozenBpe(s, d)
-    val mapArgs = vocab.sortBy(_._1)
-      .map { case (sym, id) => s"'${Bpe.sqlLit(sym)}', ${id}L" }.mkString(", ")
+    // merge fold + id lookup fused in one native expression whose id
+    // table is a plan CONSTANT — the literal map() this replaced grew the
+    // expression tree (and codegen method size) linearly with |vocab|,
+    // the ADVICE r18 production-scale wall; now plan size is
+    // vocab-independent and the 50k-token story holds
     spread(s, docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
       .where(col("word") =!= ""))
-      .withColumn("subs",
-        org.apache.spark.sql.graft.BpeOps.bpe_apply(col("word"), ml))
+      .withColumn("ids", org.apache.spark.sql.graft.BpeOps.bpe_apply_ids(
+        col("word"), ml, vocab.toMap, byteStructural = false))
       .select(col("doc_id"), col("pos"),
-        size(col("subs")).cast(LongType).as("n_sub"),
-        expr(s"concat_ws(' ', transform(subs, x -> CAST(element_at(map($mapArgs), x) AS STRING)))")
+        size(col("ids")).cast(LongType).as("n_sub"),
+        expr("concat_ws(' ', transform(ids, x -> CAST(x AS STRING)))")
           .as("ids_w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"), sum("n_sub").as("n_sub"),
@@ -327,16 +330,12 @@ object TokenizerStore {
     // Frozen-vocabulary encode: identical output contract to
     // text_bpe_encode, but the tokenizer comes from the persisted store
     // (builds == 0 on re-probe, TokenizerStoreSpec) and the plan is one
-    // corpus scan + the per-doc re-aggregate — the merge fold and id map
-    // ride inside map-side expressions (native BpeApply + literal map),
-    // so there is no learn aggregate, no spill read, and no join at all.
-    // SCALE BOUND (ADVICE r18): the literal map() inlines the whole vocab
-    // into the expression tree, so plan size — and codegen method size —
-    // grows linearly with |vocab|. Fine at this fixture's vocab and safe
-    // to a few thousand entries; a production 50k-token vocab must switch
-    // the id lookup to a broadcast-map expression (the bpe_apply merge
-    // list already rides a broadcast-style constant inside the native
-    // expression — the map is the only literal-inlined half).
+    // corpus scan + the per-doc re-aggregate — the merge fold AND the id
+    // map both ride inside one native map-side expression
+    // (bpe_apply_ids), so there is no learn aggregate, no spill read, no
+    // join, and (round 19 session 2, closing ADVICE r18's scale bound) no
+    // vocab-proportional literal tree: the id table is an expression
+    // constant, so the plan is the same size at 40 tokens or 50k.
     "text_bpe_encode_frozen" -> ((s, d) =>
       frozenBpeEncodeOf(s, d, documents(s, d))),
 
@@ -350,22 +349,23 @@ object TokenizerStore {
       ensureByte(s, d)
       val ml = s.read.parquet(s"${byteRoot(d)}/merges").orderBy("rank").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
-      val mapArgs = ml.groupBy { case (_, s1, s2) => s1 + s2 }
-        .map { case (m, rs) => (m, rs.map(_._1).min) }.toSeq.sortBy(_._1)
-        .map { case (m, r) => s"'${Bpe.sqlLit(m)}', ${Bpe.ByteIdBase + r}L" }
-        .mkString(", ")
+      // merged tokens → ByteIdBase + min rank (collision rule unchanged);
+      // single alias chars take the STRUCTURAL id inside the fused
+      // expression (byteStructural — the instr(aliasStr, c) the SQL CASE
+      // computed), so like the char path the plan carries no
+      // vocab-proportional literal tree (ADVICE r18)
+      val idMap = ml.groupBy { case (_, s1, s2) => s1 + s2 }
+        .map { case (m, rs) => (m, Bpe.ByteIdBase + rs.map(_._1).min) }
       spread(s, Bpe.byteDocs(s, d)
         .select(col("doc_id"),
           posexplode(expr(s"regexp_extract_all(text, '${Bpe.BytePretokRe}', 0)"))
             .as(Seq("pos", "word0"))))
-        .withColumn("subs",
-          org.apache.spark.sql.graft.BpeOps.bpe_apply(
-            org.apache.spark.sql.graft.BpeOps.utf8_alias(col("word0")),
-            ml.map { case (_, s1, s2) => (s1, s2) }))
+        .withColumn("ids", org.apache.spark.sql.graft.BpeOps.bpe_apply_ids(
+          org.apache.spark.sql.graft.BpeOps.utf8_alias(col("word0")),
+          ml.map { case (_, s1, s2) => (s1, s2) }, idMap, byteStructural = true))
         .select(col("doc_id"), col("pos"),
-          size(col("subs")).cast(LongType).as("n_sub"),
-          expr(s"concat_ws(' ', transform(subs, x -> CAST(CASE WHEN length(x) = 1 " +
-            s"THEN instr('${Bpe.aliasLitSpark}', x) ELSE element_at(map($mapArgs), x) END AS STRING)))")
+          size(col("ids")).cast(LongType).as("n_sub"),
+          expr("concat_ws(' ', transform(ids, x -> CAST(x AS STRING)))")
             .as("ids_w"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tok"), sum("n_sub").as("n_sub"),

@@ -40,36 +40,58 @@ case class BpeApply(child: Expression, merges: Seq[(String, String)])
   @transient private lazy val mergeArr: Array[(String, String)] = merges.toArray
 
   override def nullSafeEval(w: Any): Any = {
-    val word = w.asInstanceOf[UTF8String].toString
-    var syms: Array[String] = {
-      val cps = word.codePoints().toArray
-      val out = new Array[String](cps.length)
-      var i = 0
-      while (i < cps.length) { out(i) = new String(Character.toChars(cps(i))); i += 1 }
-      out
-    }
-    var m = 0
-    while (m < mergeArr.length) {
-      val (s1, s2) = mergeArr(m)
-      val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
-      var i = 0
-      while (i < syms.length) {
-        // greedy-leftmost fold: merge when the accumulator's last symbol
-        // is s1 and the current is s2 — a merged token (s1+s2) can never
-        // equal s1 again (s2 nonempty), so merges never chain onto their
-        // own output within a round (the BpeSpec-pinned equivalence)
-        if (out.nonEmpty && out.last == s1 && syms(i) == s2)
-          out(out.length - 1) = s1 + s2
-        else out += syms(i)
-        i += 1
-      }
-      syms = out.toArray
-      m += 1
-    }
+    val syms = BpeOps.applyMerges(w.asInstanceOf[UTF8String].toString, mergeArr)
     new GenericArrayData(syms.map(UTF8String.fromString(_)))
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeApply =
+    copy(child = newChild)
+}
+
+/** [[BpeApply]] fused with the vocabulary-id lookup (round 19 session 2 —
+  * the ADVICE r18 expression-size wall): the frozen encodes previously
+  * mapped each subword through a literal SQL `map()` whose expression
+  * tree — and codegen method size — grew linearly with |vocab|, capping
+  * the "50k-token production vocab" story at a few thousand entries. Here
+  * the id table rides the expression CONSTRUCTOR (a plan constant, the
+  * same transport as the merge table and the unigram model in
+  * `unigram_encode_ids`), so plan size is independent of |vocab| and the
+  * lookup is one JVM hash probe per subword instead of an O(|vocab|)
+  * literal tree. `byteStructural` mirrors the byte family's id rule:
+  * single alias chars take the STRUCTURAL id (byte value + 1 — the
+  * `instr(aliasStr, c)` the SQL form computed), merged tokens take the
+  * supplied map's id. An unmapped multi-char token throws — the literal
+  * map's element_at returned NULL and concat_ws silently DROPPED the
+  * token, which would corrupt an id stream without a trace; coverage is
+  * structurally total for both families, so the behaviors only diverge
+  * on a bug, and loud beats silent there.
+  */
+case class BpeApplyIds(child: Expression, merges: Seq[(String, String)],
+    ids: Map[String, Long], byteStructural: Boolean)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bpe_apply_ids"
+
+  @transient private lazy val mergeArr: Array[(String, String)] = merges.toArray
+
+  override def nullSafeEval(w: Any): Any = {
+    val syms = BpeOps.applyMerges(w.asInstanceOf[UTF8String].toString, mergeArr)
+    val out = new Array[Long](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      val sym = syms(i)
+      out(i) =
+        if (byteStructural && sym.length == 1) ByteAlias.byteOf(sym.charAt(0)) + 1L
+        else ids.getOrElse(sym,
+          throw new IllegalStateException(s"bpe_apply_ids: no id for token [$sym]"))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeApplyIds =
     copy(child = newChild)
 }
 
@@ -234,8 +256,45 @@ case class Utf8Alias(child: Expression)
 }
 
 object BpeOps {
+  /** The greedy-leftmost merge fold shared by [[BpeApply]] and
+    * [[BpeApplyIds]]: merge when the accumulator's last symbol is s1 and
+    * the current is s2 — a merged token (s1+s2) can never equal s1 again
+    * (s2 nonempty), so merges never chain onto their own output within a
+    * round (the BpeSpec-pinned equivalence with the SQL aggregate() fold
+    * and the per-round windowed training segmentation).
+    */
+  private[graft] def applyMerges(word: String,
+      mergeArr: Array[(String, String)]): Array[String] = {
+    var syms: Array[String] = {
+      val cps = word.codePoints().toArray
+      val out = new Array[String](cps.length)
+      var i = 0
+      while (i < cps.length) { out(i) = new String(Character.toChars(cps(i))); i += 1 }
+      out
+    }
+    var m = 0
+    while (m < mergeArr.length) {
+      val (s1, s2) = mergeArr(m)
+      val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+      var i = 0
+      while (i < syms.length) {
+        if (out.nonEmpty && out.last == s1 && syms(i) == s2)
+          out(out.length - 1) = s1 + s2
+        else out += syms(i)
+        i += 1
+      }
+      syms = out.toArray
+      m += 1
+    }
+    syms
+  }
+
   def bpe_apply(w: Column, merges: Seq[(String, String)]): Column =
     ExpressionUtils.column(BpeApply(ExpressionUtils.expression(w), merges))
+  def bpe_apply_ids(w: Column, merges: Seq[(String, String)],
+      ids: Map[String, Long], byteStructural: Boolean): Column =
+    ExpressionUtils.column(BpeApplyIds(ExpressionUtils.expression(w), merges,
+      ids, byteStructural))
   def poly_hash(w: Column, mod: Long): Column =
     ExpressionUtils.column(PolyHash(ExpressionUtils.expression(w), mod))
   def utf8_alias(w: Column): Column =

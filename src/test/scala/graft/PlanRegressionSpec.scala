@@ -676,8 +676,16 @@ class PlanRegressionSpec extends AnyFunSuite {
       assert(!p.contains("hashpartitioning(word"),
         s"$name shuffles the corpus on the token key:\n$p")
     }
-    assert(plan("text_bpe_encode_frozen").contains("bpe_apply"),
-      "native merge fold missing from the frozen BPE plan")
+    // round 19 session 2 (ADVICE r18): the id lookup is fused into the
+    // native expression — NO literal map() may remain in the frozen
+    // plans, or plan size grows with |vocab| again
+    for (name <- Seq("text_bpe_encode_frozen", "text_bpe_bytes_encode_frozen")) {
+      val p = plan(name)
+      assert(p.contains("bpe_apply_ids"),
+        s"fused native merge-fold+id-map expression missing from $name")
+      assert(!p.contains("element_at(map("),
+        s"$name still carries a vocab-sized literal map() tree:\n$p")
+    }
     assert(plan("text_unigram_encode_frozen").contains("unigram_encode_ids"),
       "fused native Viterbi+id-map expression missing from the frozen unigram plan")
   }
