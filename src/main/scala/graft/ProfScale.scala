@@ -515,7 +515,11 @@ object ProfScale {
       "ann_index_append2", "sim_ann_ivfpq_probe_gen2",
       // KMV compact: one anti-join + day-partitioned write over days×k
       // rows; the compacted probe drops the tombstone frame from the plan
-      "kmv_store_compact", "kmv_overlap_probe_compacted")
+      "kmv_store_compact", "kmv_overlap_probe_compacted",
+      // retrained-store serving: the frozen-encode scan-bound shape with
+      // the retrained artifacts (retrain ensured in warmup — this row
+      // times serving; tokenizer_store_retrain's row pays the learn)
+      "text_bpe_encode_retrained")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer
@@ -620,6 +624,8 @@ object ProfScale {
       if (targets.contains("kmv_store_compact")) KmvStore.ensureTomb(spark, dir)
       if (targets.contains("kmv_overlap_probe_compacted"))
         KmvStore.ensureCompact(spark, dir)
+      if (targets.contains("text_bpe_encode_retrained"))
+        TokenizerStore.ensureRetrain(spark, dir)
     }
     // fullCount, not count() — the r13 Bench finding applies to octaves
     // too: Catalyst prunes projected expressions through the final

@@ -183,6 +183,10 @@ object TokenizerStore {
     */
   private def spread(s: SparkSession, exploded: DataFrame): DataFrame = exploded
 
+  def ensureRetrain(s: SparkSession, d: String): Boolean =
+    if (marker(bpeRetrainRoot(d), "_BPE_OK").isFile) true
+    else { retrainBpe(s, d).count(); false }
+
   /** The frozen BPE encode over a caller-supplied documents frame (round
     * 19: the deleted-serving key anti-joins tombstoned docs BEFORE the
     * explode — the filter sits against the corpus scan, so deleted docs
@@ -191,6 +195,14 @@ object TokenizerStore {
   private def frozenBpeEncodeOf(s: SparkSession, d: String,
       docs: DataFrame): DataFrame = {
     val (ml, vocab) = frozenBpe(s, d)
+    frozenEncodeWith(s, docs, ml, vocab)
+  }
+
+  /** The encode pipeline over an explicit (merge list, vocab) artifact —
+    * shared by the base-store and retrained-store serving keys.
+    */
+  private def frozenEncodeWith(s: SparkSession, docs: DataFrame,
+      ml: Seq[(String, String)], vocab: Seq[(String, Long)]): DataFrame = {
     // merge fold + id lookup fused in one native expression whose id
     // table is a plan CONSTANT — the literal map() this replaced grew the
     // expression tree (and codegen method size) linearly with |vocab|,
@@ -422,6 +434,24 @@ object TokenizerStore {
       val tombs = s.read.parquet(s"${tombDir(bpeRoot(d))}/ids")
       frozenBpeEncodeOf(s, d,
         documents(s, d).join(tombs, Seq("doc_id"), "left_anti"))
+    }),
+
+    // retrained-serving: the encode fleet AFTER the retrain verb — the
+    // surviving corpus tokenized with the RETRAINED store's merges/ids
+    // (deleted text no longer shapes even the vocabulary). Genuinely a
+    // different tokenizer on this fixture: deletion moved merges 14-16 at
+    // every SF, so affected words segment differently than under the
+    // base-vocab deleted encode — the spec pins that divergence.
+    "text_bpe_encode_retrained" -> ((s, d) => {
+      ensureRetrain(s, d)
+      val root = bpeRetrainRoot(d)
+      val ml = s.read.parquet(s"$root/merges").orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = s.read.parquet(s"$root/vocab").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val tombs = s.read.parquet(s"${tombDir(bpeRoot(d))}/ids")
+      frozenEncodeWith(s,
+        documents(s, d).join(tombs, Seq("doc_id"), "left_anti"), ml, vocab)
     })
   )
 
@@ -490,6 +520,33 @@ object TokenizerStore {
        "CAST(sum(d.doc_id) AS BIGINT) AS id_sum " +
        "FROM documents d, (SELECT max(doc_id) AS mx FROM documents) m " +
        s"WHERE ${Similarity.tombPredSql("d.doc_id", "m.mx")}"),
+
+    // the full retrained pipeline end to end: the merge chain LEARNED on
+    // the tombstone-filtered corpus, the vocab derived from it, and the
+    // encode tail scanning only the surviving docs — a deleted doc
+    // leaking into either the learn or the encode moves the hash
+    "text_bpe_encode_retrained" -> {
+      val notTomb = "NOT (" + Similarity.tombPredSql(
+        "doc_id", "(SELECT max(doc_id) FROM documents)") + ")"
+      s"WITH ${Bpe.roundCtesTrainedOn(notTomb)}, " +
+        "mtab AS (" +
+        (1 to Bpe.BpeMerges).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS rank, s1 || s2 AS merged FROM b$r")
+          .mkString(" UNION ALL ") + "), " +
+        "chars AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym ASC) + 1 AS BIGINT) AS id " +
+        "FROM (SELECT DISTINCT sym FROM s0)), " +
+        "vocab AS (SELECT sym, CAST(min(id) AS BIGINT) AS id FROM " +
+        "(SELECT sym, id FROM chars UNION ALL SELECT merged AS sym, " +
+        "(SELECT count(*) FROM chars) + 1 + rank AS id FROM mtab) GROUP BY sym), " +
+        "wsub AS (SELECT word, string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY pos) AS ids_w, " +
+        s"CAST(count(*) AS BIGINT) AS n_sub FROM s${Bpe.BpeMerges} JOIN vocab v USING (sym) GROUP BY word), " +
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word, " +
+        "unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos " +
+        s"FROM documents WHERE $notTomb) " +
+        "SELECT doc_id, count(*) AS n_tok, CAST(sum(n_sub) AS BIGINT) AS n_sub, " +
+        "string_agg(ids_w, ' ' ORDER BY pos) AS ids_str " +
+        "FROM tok JOIN wsub USING (word) GROUP BY doc_id ORDER BY doc_id"
+    },
 
     // the frozen-encode oracle, wrapped: per-doc output rows survive iff
     // the doc is not tombstoned (the encode itself is unchanged — one

@@ -139,6 +139,23 @@ class TokenizerStoreSpec extends AnyFunSuite {
       "retrain did not leave a completion marker")
   }
 
+  test("retrained serving: same survivors, genuinely different tokenizer") {
+    // the retrained encode serves exactly the surviving doc set (as the
+    // deleted encode does) but with the RETRAINED merges/ids — and on
+    // this fixture deletion really moved the learned merges (14-16 at
+    // every SF), so at least one doc must tokenize differently; identical
+    // outputs would mean the retrain key is serving the stale base vocab
+    val deleted = SparkEntry.queries("text_bpe_encode_frozen_deleted")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    val retrained = SparkEntry.queries("text_bpe_encode_retrained")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(retrained.keySet == deleted.keySet,
+      "retrained encode serves a different doc set than the deleted encode")
+    assert(retrained.exists { case (id, ids) => deleted(id) != ids },
+      "retrained encode identical to the base-vocab deleted encode — " +
+      "either deletion did not move the merges or the stale vocab is being served")
+  }
+
   test("build summaries are content-sensitive and structurally sane") {
     val b = SparkEntry.queries("bpe_store_build")(spark, d).collect()(0)
     assert(b.getLong(0) == Bpe.BpeMerges.toLong, "merge count drifted")
