@@ -84,9 +84,16 @@ object AnnIndex {
     else { delete(s, d).count(); false }
 
   /** True if the compacted artifacts already existed. */
-  def ensureAppend2(s: SparkSession, d: String): Boolean =
-    if (new java.io.File(compactDir(indexRoot(d)), "_DELTA2_OK").isFile) true
+  def ensureAppend2(s: SparkSession, d: String): Boolean = {
+    // BOTH markers: compact() deletes _COMPACT_OK before overwriting the
+    // compacted base, so a crash mid-rebuild leaves torn cd/codes+lists
+    // under an intact _DELTA2_OK — the mergedFrames two-marker contract
+    // applies one generation later (code-review, this session)
+    val cd = compactDir(indexRoot(d))
+    if (new java.io.File(cd, "_COMPACT_OK").isFile &&
+        new java.io.File(cd, "_DELTA2_OK").isFile) true
     else { append2(s, d).count(); false }
+  }
 
   def ensureCompact(s: SparkSession, d: String): Boolean =
     if (new java.io.File(compactDir(indexRoot(d)), "_COMPACT_OK").isFile) true
@@ -191,16 +198,33 @@ object AnnIndex {
     * integer PQ-code checksum (the encode path, driver-verified).
     */
   def append(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.graft.VectorOps.vec_argmin_dist
-    import s.implicits._
     ensure(s, d)
     val root = indexRoot(d)
+    val dd = deltaDir(root)
+    val mx = Tables.embeddings(s, d).agg(max(col("vec_id")).as("mx"))
+    val delta = Tables.embeddings(s, d).crossJoin(broadcast(mx))
+      .where(col("vec_id") * Similarity.IncrCutDen > col("mx") * Similarity.IncrCutNum)
+      .select(col("vec_id"), col("embedding"))
+    ingestBatch(s, d, delta, s"$dd/codes", s"$dd/lists",
+      new java.io.File(dd, "_DELTA_OK"))
+  }
+
+  /** The shared frozen-codebook ingest body (code-review, this session:
+    * append and append2 differ ONLY in which id slice arrives and where
+    * the staging lands — one body, so an encode/audit fix cannot fork the
+    * generations): bounded collects of the persisted constants (16
+    * centroid rows / M×K codebook rows — the sanctioned pattern), feeding
+    * the fused round-11 vec_argmin_dist assignments; positions are cids
+    * (the build writes them contiguous 1-based), codes map back through
+    * the code-ascending parallel arrays exactly as in trainPq. Marker
+    * last; audit = per-list appended occupancy + integer code checksum.
+    */
+  private def ingestBatch(s: SparkSession, d: String, batch: DataFrame,
+      codesPath: String, listsPath: String, okf: java.io.File): DataFrame = {
+    import org.apache.spark.sql.graft.VectorOps.vec_argmin_dist
+    import s.implicits._
+    val root = indexRoot(d)
     val ow = org.apache.spark.sql.SaveMode.Overwrite
-    // bounded collects of the persisted constants (16 centroid rows /
-    // M×K codebook rows — the sanctioned pattern), feeding the fused
-    // round-11 vec_argmin_dist assignments: positions are cids (the
-    // build writes them contiguous 1-based), codes map back through the
-    // code-ascending parallel arrays exactly as in trainPq
     val centRows = s.read.parquet(s"$root/coarse_centroids").orderBy("cid")
       .select("ce").as[Seq[Double]].collect().toSeq
     val cbByM = broadcast(
@@ -209,25 +233,19 @@ object AnnIndex {
           val sorted = rs.sortBy(_._2)
           (m, sorted.map(_._2), sorted.map(_._3))
         }.toDF("m", "codes", "cws"))
-    val mx = Tables.embeddings(s, d).agg(max(col("vec_id")).as("mx"))
-    val delta = Tables.embeddings(s, d).crossJoin(broadcast(mx))
-      .where(col("vec_id") * Similarity.IncrCutDen > col("mx") * Similarity.IncrCutNum)
-      .select(col("vec_id"), col("embedding"))
-    val assigned = delta.select(col("vec_id"),
+    val assigned = batch.select(col("vec_id"),
       vec_argmin_dist(col("embedding"), typedLit(centRows)).as("cid"))
     val codes = Similarity.pqSubspaces(s, d)
-      .join(delta.select("vec_id"), Seq("vec_id"))
+      .join(batch.select("vec_id"), Seq("vec_id"))
       .join(cbByM, Seq("m"))
       .select(col("vec_id"), col("m"),
         element_at(col("codes"), vec_argmin_dist(col("sub"), col("cws"))).as("code"))
-    val dd = deltaDir(root)
-    val okf = new java.io.File(dd, "_DELTA_OK")
     okf.delete()
-    codes.write.mode(ow).parquet(s"$dd/codes")
-    assigned.write.mode(ow).partitionBy("cid").parquet(s"$dd/lists")
+    codes.write.mode(ow).parquet(codesPath)
+    assigned.write.mode(ow).partitionBy("cid").parquet(listsPath)
     java.nio.file.Files.write(okf.toPath, Array.emptyByteArray)
-    s.read.parquet(s"$dd/lists")
-      .join(s.read.parquet(s"$dd/codes"), Seq("vec_id"))
+    s.read.parquet(listsPath)
+      .join(s.read.parquet(codesPath), Seq("vec_id"))
       .groupBy("cid")
       .agg(countDistinct(col("vec_id")).as("n_appended"),
         sum(col("code").cast("long")).as("sum_code"))
@@ -379,44 +397,15 @@ object AnnIndex {
     * linear in the batch.
     */
   def append2(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.graft.VectorOps.vec_argmin_dist
-    import s.implicits._
     ensureCompact(s, d)
-    val root = indexRoot(d)
-    val cd = compactDir(root)
-    val ow = org.apache.spark.sql.SaveMode.Overwrite
-    val centRows = s.read.parquet(s"$root/coarse_centroids").orderBy("cid")
-      .select("ce").as[Seq[Double]].collect().toSeq
-    val cbByM = broadcast(
-      s.read.parquet(s"$root/codebooks").as[(Int, Int, Seq[Double])].collect()
-        .toSeq.groupBy(_._1).toSeq.map { case (m, rs) =>
-          val sorted = rs.sortBy(_._2)
-          (m, sorted.map(_._2), sorted.map(_._3))
-        }.toDF("m", "codes", "cws"))
+    val cd = compactDir(indexRoot(d))
     val mx = Tables.embeddings(s, d).agg(max(col("vec_id")).as("mx"))
     val delta = Tables.embeddings(s, d).crossJoin(broadcast(mx))
       .where(col("vec_id") * Similarity.DelCutDen > col("mx") * Similarity.DelCutLoNum &&
              col("vec_id") * Similarity.DelCutDen <= col("mx") * Similarity.DelCutHiNum)
       .select(col("vec_id"), col("embedding"))
-    val assigned = delta.select(col("vec_id"),
-      vec_argmin_dist(col("embedding"), typedLit(centRows)).as("cid"))
-    val codes = Similarity.pqSubspaces(s, d)
-      .join(delta.select("vec_id"), Seq("vec_id"))
-      .join(cbByM, Seq("m"))
-      .select(col("vec_id"), col("m"),
-        element_at(col("codes"), vec_argmin_dist(col("sub"), col("cws"))).as("code"))
-    val okf = new java.io.File(cd, "_DELTA2_OK")
-    okf.delete()
-    codes.write.mode(ow).parquet(s"$cd/codes_delta2")
-    assigned.write.mode(ow).partitionBy("cid").parquet(s"$cd/lists_delta2")
-    java.nio.file.Files.write(okf.toPath, Array.emptyByteArray)
-    s.read.parquet(s"$cd/lists_delta2")
-      .join(s.read.parquet(s"$cd/codes_delta2"), Seq("vec_id"))
-      .groupBy("cid")
-      .agg(countDistinct(col("vec_id")).as("n_appended"),
-        sum(col("code").cast("long")).as("sum_code"))
-      .select(col("cid").cast("int").as("cid"), col("n_appended"), col("sum_code"))
-      .orderBy("cid")
+    ingestBatch(s, d, delta, s"$cd/codes_delta2", s"$cd/lists_delta2",
+      new java.io.File(cd, "_DELTA2_OK"))
   }
 
   /** Probe over compacted ∪ gen-2 staging. Compacted = (base ∪ delta) −

@@ -125,9 +125,16 @@ object GraphAnnIndex {
     if (new java.io.File(compactDir(baseRoot(d)), "_GANN_COMPACT_OK").isFile) true
     else { compact(s, d).count(); false }
 
-  def ensureAppend2(s: SparkSession, d: String): Boolean =
-    if (new java.io.File(compactDir(baseRoot(d)), "_GANN_DELTA2_OK").isFile) true
+  def ensureAppend2(s: SparkSession, d: String): Boolean = {
+    // BOTH markers (the mergedFrames crashed-build contract one
+    // generation later): compact() overwrites cd/vectors+lists after
+    // deleting _GANN_COMPACT_OK, so _GANN_DELTA2_OK alone can sit over a
+    // torn compacted graph (code-review, this session)
+    val cd = compactDir(baseRoot(d))
+    if (new java.io.File(cd, "_GANN_COMPACT_OK").isFile &&
+        new java.io.File(cd, "_GANN_DELTA2_OK").isFile) true
     else { appendGen2(s, d).count(); false }
+  }
 
   /** Build the base-slice index: the SAME NN-descent pipeline over the
     * base vectors only (ids 0..C−1 stay contiguous because the delta is
@@ -176,34 +183,49 @@ object GraphAnnIndex {
     * pinned on re-append).
     */
   def appendGraph(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.graft.VectorOps.vec_norm
     ensureBase(s, d)
     val root = baseRoot(d)
+    ingestBeam(s, d,
+      (vid, mx) => vid * Similarity.IncrCutDen > mx * Similarity.IncrCutNum,
+      s"$root/lists", s"$root/vectors",
+      s"$root/vectors_delta", s"$root/lists_delta",
+      new java.io.File(root, "_GANN_DELTA_OK"))
+  }
+
+  /** The shared search-then-connect ingest body (code-review, this
+    * session: gen-1 and gen-2 differ only in the arriving id slice and
+    * the base/staging artifact paths — one body so a beam/ranking fix
+    * cannot fork the generations). Delta vectors persist FIRST (the
+    * vectors-first convention of buildBase): the merged serving keys read
+    * them as index content — graph-ANN indexes ship vectors with the
+    * graph — and the beam derives its queries from the written artifact,
+    * one cut pass total.
+    */
+  private def ingestBeam(s: SparkSession, d: String,
+      cut: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      baseListsPath: String, baseVecsPath: String,
+      vecsPath: String, listsPath: String, okf: java.io.File): DataFrame = {
+    import org.apache.spark.sql.graft.VectorOps.vec_norm
     val ow = org.apache.spark.sql.SaveMode.Overwrite
-    val okf = new java.io.File(root, "_GANN_DELTA_OK")
     okf.delete()
     val emb = Tables.embeddings(s, d)
     val mx = emb.agg(max(col("vec_id")).as("mx"))
-    // delta vectors persist FIRST (vectors-first convention of buildBase):
-    // the merged serving keys read them as index content — graph-ANN
-    // indexes ship vectors with the graph — and the beam derives its
-    // queries from the written artifact, one cut pass total
     emb.crossJoin(broadcast(mx))
-      .where(col("vec_id") * Similarity.IncrCutDen > col("mx") * Similarity.IncrCutNum)
+      .where(cut(col("vec_id"), col("mx")))
       .select(col("vec_id"), col("embedding"), vec_norm(col("embedding")).as("nrm"))
-      .write.mode(ow).parquet(s"$root/vectors_delta")
-    val delta = s.read.parquet(s"$root/vectors_delta")
+      .write.mode(ow).parquet(vecsPath)
+    val delta = s.read.parquet(vecsPath)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-    val lists = beamLoop(s,
-        s.read.parquet(s"$root/lists"), s.read.parquet(s"$root/vectors"),
+    beamLoop(s,
+        s.read.parquet(baseListsPath), s.read.parquet(baseVecsPath),
         delta, NovelBeamRounds, broadcastQ = false)
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("cs").desc, col("nb").asc)))
       .where(col("rn") <= Similarity.NndBuildK)
       .select(col("qid").as("vec_id"), col("rn").cast("int").as("rn"), col("nb"))
-    lists.write.mode(ow).parquet(s"$root/lists_delta")
+      .write.mode(ow).parquet(listsPath)
     java.nio.file.Files.write(okf.toPath, Array.emptyByteArray)
-    s.read.parquet(s"$root/lists_delta").orderBy("vec_id", "rn")
+    s.read.parquet(listsPath).orderBy("vec_id", "rn")
   }
 
   /** GENERATION-2 ingest (round 19, second session): append a NEW delta
@@ -222,31 +244,14 @@ object GraphAnnIndex {
     * re-ranked (compactBuilds == 0 pinned on re-append).
     */
   def appendGen2(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.graft.VectorOps.vec_norm
     ensureCompact(s, d)
     val cd = compactDir(baseRoot(d))
-    val ow = org.apache.spark.sql.SaveMode.Overwrite
-    val okf = new java.io.File(cd, "_GANN_DELTA2_OK")
-    okf.delete()
-    val emb = Tables.embeddings(s, d)
-    val mx = emb.agg(max(col("vec_id")).as("mx"))
-    emb.crossJoin(broadcast(mx))
-      .where(col("vec_id") * Similarity.DelCutDen > col("mx") * Similarity.DelCutLoNum &&
-             col("vec_id") * Similarity.DelCutDen <= col("mx") * Similarity.DelCutHiNum)
-      .select(col("vec_id"), col("embedding"), vec_norm(col("embedding")).as("nrm"))
-      .write.mode(ow).parquet(s"$cd/vectors_delta2")
-    val delta = s.read.parquet(s"$cd/vectors_delta2")
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-    beamLoop(s,
-        s.read.parquet(s"$cd/lists"), s.read.parquet(s"$cd/vectors"),
-        delta, NovelBeamRounds, broadcastQ = false)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cs").desc, col("nb").asc)))
-      .where(col("rn") <= Similarity.NndBuildK)
-      .select(col("qid").as("vec_id"), col("rn").cast("int").as("rn"), col("nb"))
-      .write.mode(ow).parquet(s"$cd/lists_delta2")
-    java.nio.file.Files.write(okf.toPath, Array.emptyByteArray)
-    s.read.parquet(s"$cd/lists_delta2").orderBy("vec_id", "rn")
+    ingestBeam(s, d,
+      (vid, mx) => vid * Similarity.DelCutDen > mx * Similarity.DelCutLoNum &&
+        vid * Similarity.DelCutDen <= mx * Similarity.DelCutHiNum,
+      s"$cd/lists", s"$cd/vectors",
+      s"$cd/vectors_delta2", s"$cd/lists_delta2",
+      new java.io.File(cd, "_GANN_DELTA2_OK"))
   }
 
   /** Serving over the generation-2 view: compacted lists ∪ delta2 lists ∪

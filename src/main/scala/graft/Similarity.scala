@@ -2779,11 +2779,18 @@ object Similarity {
     * of retraining — equality proves frozen-assignment consistency.
     */
   private[graft] def annIndexAppendOracle: String =
+    annIndexAppendOracleFor(s"e.vec_id * $IncrCutDen > kmx.mx * $IncrCutNum")
+
+  /** The append-audit chain parameterized by the arriving batch's
+    * predicate (code-review, this session: gen-1 and gen-2 share one
+    * body, differing only in which id slice arrives).
+    */
+  private def annIndexAppendOracleFor(batchPred: String): String =
     s"WITH $pqLegCtes, " +
     s"$ivfPqCoarseCtes, " +
     "kmx AS (SELECT max(vec_id) AS mx FROM embeddings), " +
     "kdelta AS (SELECT e.vec_id FROM embeddings e, kmx " +
-    s"WHERE e.vec_id * $IncrCutDen > kmx.mx * $IncrCutNum), " +
+    s"WHERE $batchPred), " +
     "kdc AS (SELECT b.vec_id, b.cid FROM kb2 b JOIN kdelta dl ON b.vec_id = dl.vec_id), " +
     "kcodes AS (SELECT a.vec_id, a.code FROM a2 a JOIN kdelta dl ON a.vec_id = dl.vec_id) " +
     "SELECT kdc.cid, count(DISTINCT kdc.vec_id) AS n_appended, " +
@@ -2796,17 +2803,7 @@ object Similarity {
     * deletion, assignments still from the one re-derived train.
     */
   private[graft] def annIndexAppend2Oracle: String =
-    s"WITH $pqLegCtes, " +
-    s"$ivfPqCoarseCtes, " +
-    "kmx AS (SELECT max(vec_id) AS mx FROM embeddings), " +
-    "kdelta AS (SELECT e.vec_id FROM embeddings e, kmx " +
-    s"WHERE ${tombPredSql("e.vec_id", "kmx.mx")}), " +
-    "kdc AS (SELECT b.vec_id, b.cid FROM kb2 b JOIN kdelta dl ON b.vec_id = dl.vec_id), " +
-    "kcodes AS (SELECT a.vec_id, a.code FROM a2 a JOIN kdelta dl ON a.vec_id = dl.vec_id) " +
-    "SELECT kdc.cid, count(DISTINCT kdc.vec_id) AS n_appended, " +
-    "CAST(SUM(kcodes.code) AS BIGINT) AS sum_code " +
-    "FROM kdc JOIN kcodes ON kdc.vec_id = kcodes.vec_id " +
-    "GROUP BY kdc.cid ORDER BY kdc.cid"
+    annIndexAppendOracleFor(tombPredSql("e.vec_id", "kmx.mx"))
 
   val oracles: Map[String, String] = Map(
     "sim_ann_lsh" -> annLshOracle,

@@ -444,6 +444,12 @@ object TokenizerStore {
     // base-vocab deleted encode — the spec pins that divergence.
     "text_bpe_encode_retrained" -> ((s, d) => {
       ensureRetrain(s, d)
+      // the tombstones are read directly below — a warm retrain marker
+      // does NOT imply an intact tombstone artifact (deleteDocs crashes
+      // after okf.delete(), or the dir was cleaned independently); the
+      // sibling deleted key ensures them, so must this one (code-review,
+      // this session)
+      ensureTombDocs(s, d)
       val root = bpeRetrainRoot(d)
       val ml = s.read.parquet(s"$root/merges").orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq

@@ -147,8 +147,15 @@ class TokenizerStoreSpec extends AnyFunSuite {
     // outputs would mean the retrain key is serving the stale base vocab
     val deleted = SparkEntry.queries("text_bpe_encode_frozen_deleted")(spark, d)
       .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    // probe-only contract on the retrained store too: once the artifact
+    // exists, serving must never re-run the retrain (the bpeBuilds
+    // convention; code-review, this session — the counter was dead state)
+    TokenizerStore.ensureRetrain(spark, d)
+    val r0 = TokenizerStore.retrainBuilds.get()
     val retrained = SparkEntry.queries("text_bpe_encode_retrained")(spark, d)
       .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(TokenizerStore.retrainBuilds.get() == r0,
+      "retrained serving re-ran the retrain — the store contract is broken")
     assert(retrained.keySet == deleted.keySet,
       "retrained encode serves a different doc set than the deleted encode")
     assert(retrained.exists { case (id, ids) => deleted(id) != ids },
