@@ -155,7 +155,9 @@ object AnnIndex {
     * code path, so a serving variant can never drift from the §2.9 probe).
     */
   private def probeFrom(s: SparkSession, d: String,
-      lists: DataFrame, codes: DataFrame): DataFrame = {
+      lists: DataFrame, codes: DataFrame,
+      candFilter: DataFrame => DataFrame = identity,
+      nprobe: Int = Similarity.IvfPqProbe): DataFrame = {
     import org.apache.spark.sql.graft.VectorOps.vec_dist_sq
     val root = indexRoot(d)
     val cents = broadcast(s.read.parquet(s"$root/coarse_centroids"))
@@ -166,11 +168,11 @@ object AnnIndex {
       .select(col("qid"), col("cid"), vec_dist_sq(col("qe"), col("ce")).as("dd"))
       .withColumn("pk", row_number().over(
         Window.partitionBy("qid").orderBy(col("dd").asc, col("cid").asc)))
-      .where(col("pk") <= Similarity.IvfPqProbe)
+      .where(col("pk") <= nprobe)
       .select("qid", "cid")
-    val cand = lists.join(broadcast(probes), Seq("cid"))
+    val cand = candFilter(lists.join(broadcast(probes), Seq("cid"))
       .where(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id").as("nn"))
+      .select(col("qid"), col("vec_id").as("nn")))
     val lut = Similarity.pqSubspaces(s, d).where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("m"), col("sub").as("qsub"))
       .join(cb1, "m")
@@ -387,6 +389,35 @@ object AnnIndex {
     probeFrom(s, d, s.read.parquet(s"$cd/lists"), s.read.parquet(s"$cd/codes"))
   }
 
+  /** FILTERED probe (round 19, second session): top-k among the corpus
+    * vectors whose label equals the QUERY's label — metadata-constrained
+    * vector search, the table-stakes feature of every production vector
+    * store ("top-k products in my category"). This is the PRE-FILTER
+    * strategy: the predicate lands at candidate generation, before any
+    * ADC work, so distance compute is spent only on admissible rows —
+    * the right trade when the filter is selective (here ~10% per label).
+    * The label metadata joins id-keyed from the vector table; at 100 TB
+    * it rides the lists artifact itself (a metadata column beside the
+    * cid), making the filter a scan-level predicate. Queries with fewer
+    * than k admissible candidates in their probed lists legitimately
+    * return fewer rows — the filtered-search recall trade the nprobe
+    * dial buys back.
+    */
+  def probeFiltered(s: SparkSession, d: String): DataFrame = {
+    ensure(s, d)
+    val root = indexRoot(d)
+    val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val qlab = lab.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+    probeFrom(s, d, s.read.parquet(s"$root/lists"), s.read.parquet(s"$root/codes"),
+      cand => cand
+        .join(lab.select(col("vec_id").as("nn"), col("label")), Seq("nn"))
+        .join(broadcast(qlab), Seq("qid"))
+        .where(col("label") === col("qlabel"))
+        .select("qid", "nn"),
+      nprobe = Similarity.IvfPqProbeFiltered)
+  }
+
   /** GENERATION-2 ingest (round 19, second session — the graph family's
     * appendGen2 on the IVF-PQ side): encode a new batch against the SAME
     * frozen codebooks and stage it under the COMPACTED root — proving the
@@ -443,7 +474,9 @@ object AnnIndex {
     // round 19 session 2 — generation-2: the compacted artifact as the
     // next cycle's base
     "ann_index_append2" -> (append2 _),
-    "sim_ann_ivfpq_probe_gen2" -> (probeGen2 _)
+    "sim_ann_ivfpq_probe_gen2" -> (probeGen2 _),
+    // metadata-constrained search (pre-filter at candidate generation)
+    "sim_ann_ivfpq_probe_filtered" -> (probeFiltered _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -471,6 +504,8 @@ object AnnIndex {
     "ann_index_append2" -> Similarity.annIndexAppend2Oracle,
     // compacted ∪ delta2 == the one-shot index (frozen-assignment
     // consistency both generations) — the original oracle verbatim
-    "sim_ann_ivfpq_probe_gen2" -> Similarity.annIvfPqOracle
+    "sim_ann_ivfpq_probe_gen2" -> Similarity.annIvfPqOracle,
+    // label pre-filter mirrored in the candidate CTE
+    "sim_ann_ivfpq_probe_filtered" -> Similarity.annIvfPqFilteredOracle
   )
 }

@@ -385,6 +385,39 @@ object GraphAnnIndex {
       .orderBy("qid", "rn")
   }
 
+  /** FILTERED beam search (round 19, second session — the graph twin of
+    * the IVF-PQ pre-filter probe): top-k among same-label vectors. Graphs
+    * take the POST-FILTER strategy — routing is unfiltered (dropping
+    * off-label vertices from the frontier would disconnect the
+    * navigation, exactly why compaction keeps tombstoned nodes routing),
+    * and the predicate applies where results are collected (hnswlib's
+    * allowed-list filter semantics). The filter sits on the final beam
+    * STATE, before ranking, so admissible candidates the beam scored but
+    * would have ranked below top-ef still surface; queries whose visited
+    * set holds fewer than k same-label vectors return fewer rows — the
+    * documented post-filter recall trade (the ef dial buys it back).
+    */
+  def searchFiltered(s: SparkSession, d: String): DataFrame = {
+    ensure(s, d)
+    val vecs = s.read.parquet(s"${indexRoot(d)}/vectors")
+    val q = vecs.where(col("vec_id") < ProbeQids)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val qlab = lab.where(col("vec_id") < ProbeQids)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+    beamLoop(s, s.read.parquet(s"${indexRoot(d)}/lists"), vecs,
+        q, BeamRounds, broadcastQ = true)
+      .where(col("nb") =!= col("qid"))
+      .join(lab.select(col("vec_id").as("nb"), col("label")), Seq("nb"))
+      .join(broadcast(qlab), Seq("qid"))
+      .where(col("label") === col("qlabel"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cs").desc, col("nb").asc)))
+      .where(col("rn") <= ProbeTopK)
+      .select(col("qid"), col("rn").cast("int").as("rn"), col("nb").as("nn"))
+      .orderBy("qid", "rn")
+  }
+
   /** Beam search for OUT-OF-INDEX queries (round 18) — the production
     * serving shape: the query batch is NOT a slice of the index. Here the
     * novel vectors are the element-REVERSED embeddings of vec_id <
@@ -668,7 +701,10 @@ object GraphAnnIndex {
     // round 19 session 2 — generation-2: the compacted artifact as the
     // next cycle's base (append onto it, serve the union)
     "gann_index_append2" -> (appendGen2 _),
-    "sim_ann_graph_search_gen2" -> (searchGen2 _)
+    "sim_ann_graph_search_gen2" -> (searchGen2 _),
+    // metadata-constrained search (post-filter on the beam state — the
+    // graph-family strategy; the IVF-PQ twin pre-filters)
+    "sim_ann_graph_search_filtered" -> (searchFiltered _)
   )
 
   /** The beam loop, serialized: one (tx, nc, sc, beam) CTE quartet per
@@ -817,6 +853,16 @@ object GraphAnnIndex {
         qCos = s"${Similarity.oDot("a", "b")} / " +
           s"(${Similarity.oNorm("a")} * ${Similarity.oNorm("b")})",
         rounds = BeamRounds, selfFilter = "WHERE nb != qid "),
+
+      // label post-filter on the final beam state, before ranking — the
+      // exact spot the Spark plan filters
+      "sim_ann_graph_search_filtered" -> beamSql(g,
+        qCos = s"${Similarity.oDot("a", "b")} / " +
+          s"(${Similarity.oNorm("a")} * ${Similarity.oNorm("b")})",
+        rounds = BeamRounds,
+        selfFilter = "WHERE nb != qid AND " +
+          "(SELECT label FROM embeddings nbe WHERE nbe.vec_id = nb) = " +
+          "(SELECT label FROM embeddings qde WHERE qde.vec_id = qid) "),
 
       // the novel-query twin: the query vector is list_reverse(a.embedding)
       // — a pure permutation, so no float arithmetic needs mirroring; the

@@ -519,7 +519,11 @@ object ProfScale {
       // retrained-store serving: the frozen-encode scan-bound shape with
       // the retrained artifacts (retrain ensured in warmup — this row
       // times serving; tokenizer_store_retrain's row pays the learn)
-      "text_bpe_encode_retrained")
+      "text_bpe_encode_retrained",
+      // metadata-constrained search: the pre-filter probe (2× nprobe, so
+      // ~2× the unfiltered probe's scan+ADC work) and the post-filter
+      // beam (the unfiltered beam + a label join on the final state)
+      "sim_ann_ivfpq_probe_filtered", "sim_ann_graph_search_filtered")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer
@@ -626,6 +630,10 @@ object ProfScale {
         KmvStore.ensureCompact(spark, dir)
       if (targets.contains("text_bpe_encode_retrained"))
         TokenizerStore.ensureRetrain(spark, dir)
+      if (targets.contains("sim_ann_ivfpq_probe_filtered"))
+        AnnIndex.ensure(spark, dir)
+      if (targets.contains("sim_ann_graph_search_filtered"))
+        GraphAnnIndex.ensure(spark, dir)
     }
     // fullCount, not count() — the r13 Bench finding applies to octaves
     // too: Catalyst prunes projected expressions through the final

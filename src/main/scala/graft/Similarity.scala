@@ -296,6 +296,19 @@ object Similarity {
   val IvfPqK = 16
   val IvfPqProbe = 6
 
+  /** nprobe for the LABEL-FILTERED probe (round 19 session 2): a
+    * selective filter thins every probed list to ~1/|labels| admissible
+    * rows, so the same nprobe sees far fewer usable candidates — the
+    * filtered truth scatters across lists the unfiltered probe would
+    * never open. Measured at nprobe=6: filtered recall 0.58; at 12: 0.75
+    * (sf0.001, vs the label-filtered exact truth; the residual gap is PQ
+    * quantization error, the same term the unfiltered probe carries).
+    * Oversampling lists under selective filters is the standard
+    * filtered-IVF remedy; the dial is label-selectivity-dependent in
+    * production (nprobe ≈ base_nprobe / selectivity, capped by latency).
+    */
+  val IvfPqProbeFiltered = 12
+
   /** Deterministic training-sample rule for the quantizer builds (VERDICT
     * r10 #2): PQ codebooks and the IVF-PQ coarse centroids train — seeds
     * AND the Lloyd refinement pass — on the multiplicative-hash sample
@@ -2713,12 +2726,13 @@ object Similarity {
     * where the Spark plan anti-joins the tombstone artifact — at candidate
     * generation, before the ADC ranking).
     */
-  private def annIvfPqCtesWhere(candExtra: String): String = {
+  private def annIvfPqCtesWhere(candExtra: String,
+      nprobe: Int = IvfPqProbe): String = {
     s"$pqLegCtes, " +
     s"$ivfPqCoarseCtes, " +
     "kpb AS (SELECT qid, cid FROM (SELECT e.vec_id AS qid, c.cid, " +
     s"${oDistE("e.embedding", "c.ce")} AS dd FROM ke e CROSS JOIN kc1 c WHERE e.vec_id < 10) t " +
-    s"QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dd ASC, cid ASC) <= $IvfPqProbe), " +
+    s"QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dd ASC, cid ASC) <= $nprobe), " +
     "cand AS (SELECT pb.qid, l.vec_id AS nn FROM kpb pb JOIN kb2 l USING (cid) " +
     s"WHERE l.vec_id != pb.qid$candExtra), " +
     s"$pqLutCte, " +
@@ -2742,6 +2756,17 @@ object Similarity {
   private[graft] def annIvfPqDeletedOracle: String =
     s"WITH ${annIvfPqCtesWhere(" AND NOT (" +
       tombPredSql("l.vec_id", "(SELECT max(vec_id) FROM embeddings)") + ")")} " +
+    "SELECT qid, nn, CAST(rn AS INT) AS rn FROM r WHERE rn <= 10 ORDER BY qid, rn"
+
+  /** Label-filtered IVF-PQ probe (round 19 session 2): the candidate CTE
+    * admits only rows whose label equals the query's — the exact spot the
+    * Spark pre-filter joins, so the filtered ranking mirrors end to end.
+    */
+  private[graft] def annIvfPqFilteredOracle: String =
+    s"WITH ${annIvfPqCtesWhere(
+      " AND (SELECT label FROM embeddings le WHERE le.vec_id = l.vec_id) = " +
+      "(SELECT label FROM embeddings qe WHERE qe.vec_id = pb.qid)",
+      nprobe = IvfPqProbeFiltered)} " +
     "SELECT qid, nn, CAST(rn AS INT) AS rn FROM r WHERE rn <= 10 ORDER BY qid, rn"
 
   /** Tombstone-audit oracle shared by both index families' delete verbs:

@@ -19,7 +19,7 @@ class ContractSpec extends AnyFunSuite {
     // driver-verified > scalatest-only: deleting an oracle silently
     // downgrades a query to the weaker rows-only check — pin the floor
     // (raise it when adding oracles, never lower without cause)
-    assert(SparkEntry.oracleSql.size >= 301,
+    assert(SparkEntry.oracleSql.size >= 303,
       s"oracle count fell to ${SparkEntry.oracleSql.size}")
   }
 

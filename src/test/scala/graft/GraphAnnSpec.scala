@@ -384,6 +384,38 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(hits >= 85, "gen-2 serving recall below the measured floor")
   }
 
+  test("filtered search: same-label only, measured recall vs the filtered exact truth") {
+    // both families' metadata-constrained keys, judged against the RIGHT
+    // truth: the exact same-label top-10 (unfiltered truth would conflate
+    // the filter's correctness with the index's recall)
+    val labels = Tables.embeddings(spark, d).select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    def filteredTruth(qid: Long): Set[Long] = {
+      val q = emb(qid)
+      emb.keys.filter(v => v != qid && labels(v) == labels(qid)).toSeq
+        .map(v => (v, cos(q, emb(v))))
+        .sortBy { case (v, c) => (-c, v) }.take(TopK).map(_._1).toSet
+    }
+    val truth = (0L until 10L).map(q => q -> filteredTruth(q)).toMap
+    for (key <- Seq("sim_ann_ivfpq_probe_filtered", "sim_ann_graph_search_filtered")) {
+      // select by name — the probe emits (qid, nn, rn), the search
+      // (qid, rn, nn)
+      val got = SparkEntry.queries(key)(spark, d).select("qid", "nn").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.nonEmpty && got.forall { case (q, nn) => labels(nn) == labels(q) },
+        s"$key returned an off-label id")
+      val hits = got.count { case (q, nn) => truth(q)(nn) }
+      info(f"$key recall@10 vs filtered exact truth: ${hits / 100.0}%.3f")
+      assert(hits >= 70, s"$key filtered recall below the measured floor")
+    }
+    // non-vacuous: the unfiltered search DOES return off-label ids, so
+    // the filter is doing real work
+    val unf = SparkEntry.queries("sim_ann_graph_search")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(unf.exists { case (q, nn) => labels(nn) != labels(q) },
+      "unfiltered search returned only same-label ids — the filter pin is vacuous")
+  }
+
   test("greedy-only search (ef=1) is strictly worse than the beam — the beam earns its cost") {
     val r1 = recallAt(1)
     val r32 = recallAt(32)
