@@ -157,7 +157,8 @@ object AnnIndex {
   private def probeFrom(s: SparkSession, d: String,
       lists: DataFrame, codes: DataFrame,
       candFilter: DataFrame => DataFrame = identity,
-      nprobe: Int = Similarity.IvfPqProbe): DataFrame = {
+      nprobe: Int = Similarity.IvfPqProbe,
+      rank: DataFrame => DataFrame = Similarity.adcRank): DataFrame = {
     import org.apache.spark.sql.graft.VectorOps.vec_dist_sq
     val root = indexRoot(d)
     val cents = broadcast(s.read.parquet(s"$root/coarse_centroids"))
@@ -178,9 +179,72 @@ object AnnIndex {
       .join(cb1, "m")
       .select(col("qid"), col("m"), col("code"),
         vec_dist_sq(col("qsub"), col("cw")).as("dqc"))
-    Similarity.adcRank(codes.join(cand, codes("vec_id") === cand("nn"))
+    rank(codes.join(cand, codes("vec_id") === cand("nn"))
       .join(broadcast(lut), Seq("qid", "m", "code"))
       .select(col("qid"), col("nn"), col("m"), col("dqc")))
+  }
+
+  /** Exact re-rank tail for the REFINED probes (round 19, third session —
+    * the published refine step: Jégou et al. 2011 §V re-ranking, FAISS
+    * `IndexRefine`): keep an [[Similarity.IvfPqRefinePool]]-deep ADC pool
+    * instead of the final 10, fetch the pool's RAW vectors by id, re-rank
+    * by exact squared L2, serve the top 10. This removes the PQ
+    * quantization error term from the served ranking — the residual gap
+    * the filtered probe documented (recall 0.75 at nprobe=12; what's left
+    * after refine is coarse-pruning error alone, the nprobe dial's term).
+    * Scale shape: the pool is queries × pool ids (broadcast); the vector
+    * fetch is one id-keyed scan-join of the vector store — per-query
+    * exact-distance work drops from |corpus| to pool, which is why every
+    * production ANN stack ships refine rather than raising nprobe until
+    * ADC recall saturates. Query vector cast float→double (exact) so the
+    * codegen'd vec_dist_sq fold is the oracle's [[oDistE]] bit for bit.
+    */
+  private def refineRank(s: SparkSession, d: String)(perSub: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.VectorOps.vec_dist_sq
+    val pool = Similarity.adcTop(perSub, Similarity.IvfPqRefinePool)
+      .select("qid", "nn")
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id").as("nn"), col("embedding").as("ne"))
+    val q = Tables.embeddings(s, d).where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qe"))
+    vecs.join(broadcast(pool), Seq("nn"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("nn"), vec_dist_sq(col("ne"), col("qe")).as("ed"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ed").asc, col("nn").asc)))
+      .where(col("rn") <= 10)
+      .select("qid", "nn", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  /** Refined probe over the base artifacts: ADC pool → exact re-rank. */
+  def probeRefined(s: SparkSession, d: String): DataFrame = {
+    ensure(s, d)
+    val root = indexRoot(d)
+    probeFrom(s, d, s.read.parquet(s"$root/lists"), s.read.parquet(s"$root/codes"),
+      rank = refineRank(s, d))
+  }
+
+  /** Filtered + refined probe: label pre-filter at candidate generation
+    * (the oversampled nprobe), exact re-rank of the admissible pool —
+    * the composition a production store runs for "top-k in my category"
+    * once ADC error dominates the filtered recall gap.
+    */
+  def probeFilteredRefined(s: SparkSession, d: String): DataFrame = {
+    ensure(s, d)
+    val root = indexRoot(d)
+    val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val qlab = lab.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+    probeFrom(s, d, s.read.parquet(s"$root/lists"), s.read.parquet(s"$root/codes"),
+      cand => cand
+        .join(lab.select(col("vec_id").as("nn"), col("label")), Seq("nn"))
+        .join(broadcast(qlab), Seq("qid"))
+        .where(col("label") === col("qlabel"))
+        .select("qid", "nn"),
+      nprobe = Similarity.IvfPqProbeFiltered,
+      rank = refineRank(s, d))
   }
 
   /** Incremental append: encode a delta batch against the FROZEN persisted
@@ -476,7 +540,10 @@ object AnnIndex {
     "ann_index_append2" -> (append2 _),
     "sim_ann_ivfpq_probe_gen2" -> (probeGen2 _),
     // metadata-constrained search (pre-filter at candidate generation)
-    "sim_ann_ivfpq_probe_filtered" -> (probeFiltered _)
+    "sim_ann_ivfpq_probe_filtered" -> (probeFiltered _),
+    // exact re-rank of the ADC pool (the FAISS refine composite)
+    "sim_ann_ivfpq_probe_refined" -> (probeRefined _),
+    "sim_ann_ivfpq_probe_filtered_refined" -> (probeFilteredRefined _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -506,6 +573,10 @@ object AnnIndex {
     // consistency both generations) — the original oracle verbatim
     "sim_ann_ivfpq_probe_gen2" -> Similarity.annIvfPqOracle,
     // label pre-filter mirrored in the candidate CTE
-    "sim_ann_ivfpq_probe_filtered" -> Similarity.annIvfPqFilteredOracle
+    "sim_ann_ivfpq_probe_filtered" -> Similarity.annIvfPqFilteredOracle,
+    // ADC pool cut + exact re-rank mirrored as a CTE tail
+    "sim_ann_ivfpq_probe_refined" -> Similarity.annIvfPqRefinedOracle,
+    "sim_ann_ivfpq_probe_filtered_refined" ->
+      Similarity.annIvfPqFilteredRefinedOracle
   )
 }

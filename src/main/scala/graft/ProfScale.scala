@@ -523,7 +523,11 @@ object ProfScale {
       // metadata-constrained search: the pre-filter probe (2× nprobe, so
       // ~2× the unfiltered probe's scan+ADC work) and the post-filter
       // beam (the unfiltered beam + a label join on the final state)
-      "sim_ann_ivfpq_probe_filtered", "sim_ann_graph_search_filtered")
+      "sim_ann_ivfpq_probe_filtered", "sim_ann_graph_search_filtered",
+      // refine composites: the ADC probe + a broadcast-pool id-keyed
+      // vector fetch and exact re-rank — scan-width growth like the
+      // probe family, plus one more pass over the vector store
+      "sim_ann_ivfpq_probe_refined", "sim_ann_ivfpq_probe_filtered_refined")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer

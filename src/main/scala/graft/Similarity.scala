@@ -309,6 +309,21 @@ object Similarity {
     */
   val IvfPqProbeFiltered = 12
 
+  /** Candidate-pool depth for the REFINED probes (round 19, third
+    * session): the ADC ranking keeps this many candidates per query, then
+    * re-ranks the pool by EXACT squared L2 against the raw vectors — the
+    * published refine step (Jégou et al. 2011 §V "re-ranking with source
+    * coding"; the FAISS `IndexRefine` composite). 4× the served k: the
+    * pool only has to be deep enough that the true top-10 survives the
+    * ADC stage — quantization error reorders neighbors locally, it rarely
+    * throws a true neighbor 30 ranks down. At 100 TB the re-rank is a
+    * queries×pool id-keyed fetch against the vector store (broadcast the
+    * pool, scan-join the vectors) — distance work per query drops from
+    * |corpus| to pool, which is why refine ships in every production ANN
+    * stack instead of raising nprobe until ADC recall saturates.
+    */
+  val IvfPqRefinePool = 40
+
   /** Deterministic training-sample rule for the quantizer builds (VERDICT
     * r10 #2): PQ codebooks and the IVF-PQ coarse centroids train — seeds
     * AND the Lloyd refinement pass — on the multiplicative-hash sample
@@ -2353,14 +2368,19 @@ object Similarity {
     * nondeterministically. Input columns: qid, nn, m, dqc.
     */
   private[graft] def adcRank(perSub: DataFrame): DataFrame =
+    adcTop(perSub, 10).select("qid", "nn", "rn").orderBy("qid", "rn")
+
+  /** [[adcRank]] generalized to an arbitrary per-query cutoff — the
+    * refined probes keep an IvfPqRefinePool-deep ADC pool instead of the
+    * final 10, then re-rank that pool by exact distance.
+    */
+  private[graft] def adcTop(perSub: DataFrame, k: Int): DataFrame =
     perSub.groupBy("qid", "nn")
       .agg(expr("aggregate(transform(array_sort(collect_list(struct(m, dqc))), " +
         "x -> x.dqc), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("adist"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("adist").asc, col("nn").asc)))
-      .where(col("rn") <= 10)
-      .select("qid", "nn", "rn")
-      .orderBy("qid", "rn")
+      .where(col("rn") <= k)
 
   /** DuckDB SQL fragment for the left-to-right double dot product of two
     * float lists — bit-identical to the native vec_dot fold (proven pattern:
@@ -2762,12 +2782,45 @@ object Similarity {
     * admits only rows whose label equals the query's — the exact spot the
     * Spark pre-filter joins, so the filtered ranking mirrors end to end.
     */
+  /** The label-equality candidate predicate shared by the filtered and
+    * filtered+refined oracles — interpolated at candidate generation,
+    * the exact spot the Spark pre-filter joins.
+    */
+  private def filteredLabelPred: String =
+    " AND (SELECT label FROM embeddings le WHERE le.vec_id = l.vec_id) = " +
+    "(SELECT label FROM embeddings qe WHERE qe.vec_id = pb.qid)"
+
   private[graft] def annIvfPqFilteredOracle: String =
-    s"WITH ${annIvfPqCtesWhere(
-      " AND (SELECT label FROM embeddings le WHERE le.vec_id = l.vec_id) = " +
-      "(SELECT label FROM embeddings qe WHERE qe.vec_id = pb.qid)",
-      nprobe = IvfPqProbeFiltered)} " +
+    s"WITH ${annIvfPqCtesWhere(filteredLabelPred, nprobe = IvfPqProbeFiltered)} " +
     "SELECT qid, nn, CAST(rn AS INT) AS rn FROM r WHERE rn <= 10 ORDER BY qid, rn"
+
+  /** The exact re-rank tail shared by the refined-probe oracles: the ADC
+    * chain's full ranking `r` cut at the refine pool, each survivor's RAW
+    * vector fetched by id and re-ranked by exact squared L2 — the same
+    * float-left/double-right [[oDistE]] fold the Spark side computes with
+    * the codegen'd vec_dist_sq (query vector cast to double, exactly).
+    */
+  private def refinedTailSql: String =
+    s"pool AS (SELECT qid, nn FROM r WHERE rn <= $IvfPqRefinePool), " +
+    "ex AS (SELECT pool.qid, pool.nn, " +
+    oDistE("ne.embedding",
+      "list_transform(qe.embedding, x -> CAST(x AS DOUBLE))") + " AS ed " +
+    "FROM pool JOIN embeddings qe ON qe.vec_id = pool.qid " +
+    "JOIN embeddings ne ON ne.vec_id = pool.nn), " +
+    "rr AS (SELECT qid, nn, row_number() OVER (PARTITION BY qid " +
+    "ORDER BY ed ASC, nn ASC) AS rn FROM ex) " +
+    "SELECT qid, nn, CAST(rn AS INT) AS rn FROM rr WHERE rn <= 10 ORDER BY qid, rn"
+
+  /** SQL mirror of the refined probe: ADC pool → exact re-rank. */
+  private[graft] def annIvfPqRefinedOracle: String =
+    s"WITH $annIvfPqCtes, $refinedTailSql"
+
+  /** SQL mirror of the filtered+refined probe: label pre-filter at
+    * candidate generation (oversampled nprobe), then the exact re-rank.
+    */
+  private[graft] def annIvfPqFilteredRefinedOracle: String =
+    s"WITH ${annIvfPqCtesWhere(filteredLabelPred, nprobe = IvfPqProbeFiltered)}, " +
+    refinedTailSql
 
   /** Tombstone-audit oracle shared by both index families' delete verbs:
     * the rule is a derivation, so the audit is one predicate scan.

@@ -160,4 +160,58 @@ class AnnIndexSpec extends AnyFunSuite {
       "(they were pinned PRESENT in merged and ABSENT in deleted/compacted)")
     assert(AnnIndex.builds.get() == b0, "gen-2 serving triggered training")
   }
+
+  test("refined probes: exact re-rank of the ADC pool lifts recall, trains nothing") {
+    val d = Sf0001
+    AnnIndex.ensure(spark, d)
+    val b0 = AnnIndex.builds.get()
+    // exact L2 truth (the metric ADC approximates), unfiltered and
+    // label-filtered — refine is judged against what it optimizes
+    val vecs = Tables.embeddings(spark, d)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val emb = vecs.map(t => t._1 -> t._2).toMap
+    val labels = vecs.map(t => t._1 -> t._3).toMap
+    def d2(a: Array[Float], b: Array[Float]) =
+      a.indices.foldLeft(0.0) { (acc, i) =>
+        val dd = a(i).toDouble - b(i).toDouble; acc + dd * dd }
+    def truth(qid: Long, sameLabel: Boolean): Set[Long] =
+      emb.keys.filter(v => v != qid && (!sameLabel || labels(v) == labels(qid)))
+        .toSeq.map(v => (v, d2(emb(qid), emb(v))))
+        .sortBy { case (v, dd) => (dd, v) }.take(10).map(_._1).toSet
+    def got(key: String): Seq[(Long, Long)] =
+      SparkEntry.queries(key)(spark, d).select("qid", "nn").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def hits(res: Seq[(Long, Long)], sameLabel: Boolean): Int =
+      res.count { case (q, nn) => truth(q, sameLabel)(nn) }
+    val base = got("sim_ann_ivfpq_probe")
+    val refined = got("sim_ann_ivfpq_probe_refined")
+    val baseF = got("sim_ann_ivfpq_probe_filtered")
+    val refinedF = got("sim_ann_ivfpq_probe_filtered_refined")
+    // serving only: no training job ran for any of the four probes
+    assert(AnnIndex.builds.get() == b0, "a refined probe triggered training")
+    // non-vacuous: the exact re-rank genuinely reorders the served top-10
+    // (measured: 81/100 rows differ at sf0.001, both pairs)
+    assert(refined.toSet != base.toSet,
+      "refined probe identical to the ADC ranking — the re-rank is vacuous")
+    assert(refinedF.toSet != baseF.toSet,
+      "filtered refined probe identical to the filtered ADC ranking")
+    // refine can only fix quantization-error reorderings WITHIN the probed
+    // candidate set, so recall must be >= the ADC ranking's on the same
+    // candidates — and measurably is (0.55 -> 0.62 unfiltered, 0.75 ->
+    // 0.90 filtered at sf0.001; the filtered gap was documented as PQ
+    // quantization error when IvfPqProbeFiltered was dialed, and refine
+    // removing most of it confirms that diagnosis)
+    val (hB, hR) = (hits(base, sameLabel = false), hits(refined, sameLabel = false))
+    val (hBF, hRF) = (hits(baseF, sameLabel = true), hits(refinedF, sameLabel = true))
+    info(f"unfiltered recall@10: ADC ${hB / 100.0}%.2f refined ${hR / 100.0}%.2f")
+    info(f"filtered recall@10:   ADC ${hBF / 100.0}%.2f refined ${hRF / 100.0}%.2f")
+    assert(hR >= hB, "exact re-rank LOWERED unfiltered recall")
+    assert(hRF >= hBF, "exact re-rank LOWERED filtered recall")
+    assert(hR >= 58, s"refined recall below the measured floor: $hR/100")
+    assert(hRF >= 85, s"filtered refined recall below the measured floor: $hRF/100")
+    // the filter contract survives the re-rank
+    assert(refinedF.forall { case (q, nn) => labels(nn) == labels(q) },
+      "filtered refined probe returned an off-label id")
+  }
 }
