@@ -527,7 +527,11 @@ object ProfScale {
       // refine composites: the ADC probe + a broadcast-pool id-keyed
       // vector fetch and exact re-rank — scan-width growth like the
       // probe family, plus one more pass over the vector store
-      "sim_ann_ivfpq_probe_refined", "sim_ann_ivfpq_probe_filtered_refined")
+      "sim_ann_ivfpq_probe_refined", "sim_ann_ivfpq_probe_filtered_refined",
+      // residual IVFADC: the raw composite's cost + the residual forms
+      // (one zip per corpus vector at train, per (query, probed list) at
+      // query) and the nprobe-wide LUT
+      "sim_ann_ivfpq_residual")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer

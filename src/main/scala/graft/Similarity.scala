@@ -2120,6 +2120,63 @@ object Similarity {
         .select(col("qid"), col("nn"), col("m"), col("dqc")))
     }),
 
+    "sim_ann_ivfpq_residual" -> ((s, d) => {
+      // RESIDUAL-encoding IVFADC (round 19, third session) — the published
+      // system proper (Jégou et al. 2011 §IV: "IVFADC" encodes the residual
+      // r(x) = x − q1(x), not x): sim_ann_ivfpq quantizes raw vectors, so
+      // PQ spends its 256 codewords per subspace covering the WHOLE data
+      // spread; encoding residuals re-centers every list at the origin and
+      // the same codebook budget covers only the within-list spread —
+      // strictly less quantization error at identical index geometry and
+      // identical probe cost. The price is query-side: the ADC lookup
+      // table depends on the PROBED LIST (query residual q − c_list per
+      // list), so LUT work is nprobe× the raw-vector probe's — the
+      // documented IVFADC trade, still bounded (queries × nprobe × M × K)
+      // and broadcast here. Residuals cast back to float (one IEEE
+      // round-to-nearest per component, mirrored exactly in the oracle),
+      // so the entire trained-PQ machinery — seeds, Lloyd, assignment,
+      // spilled codes — applies to the residual frame verbatim.
+      import org.apache.spark.sql.graft.VectorOps.vec_dist_sq
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val (centroidRows, listsPath) = ivfPqCoarseIndex(s, d)
+      val refined = centFrame(centroidRows)(s)
+      val lists = s.read.parquet(listsPath)
+      val (cbRows, codesPath) = pqResidIndex(s, d)
+      val cb1 = cbFrame(cbRows)(s)
+      val codes = s.read.parquet(codesPath)
+      // queries probe the IvfPqProbe nearest coarse centroids by L2,
+      // carrying the query vector through for the per-list residual
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .crossJoin(refined)
+        .select(col("qid"), col("qe"), col("cid"),
+          vec_dist_sq(col("qe"), col("ce")).as("dd"))
+        .withColumn("pk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("dd").asc, col("cid").asc)))
+        .where(col("pk") <= IvfPqProbe)
+        .select("qid", "qe", "cid")
+      // per-(query, probed list) residual LUT: slices of q − c_list vs the
+      // residual codebook — queries × nprobe × PqM × PqK rows, broadcast
+      val qres = probes.join(refined, "cid")
+        .select(col("qid"), col("cid"), expr(
+          "transform(arrays_zip(qe, ce), " +
+          "x -> CAST(CAST(x.qe AS DOUBLE) - x.ce AS FLOAT))").as("qr"))
+      val lut = qres.select(col("qid"), col("cid"), posexplode(expr(
+          s"transform(sequence(0, ${PqM - 1}), m -> slice(qr, m * $PqDim + 1, $PqDim))"))
+          .as(Seq("m", "qsub")))
+        .join(cb1, "m")
+        .select(col("qid"), col("cid"), col("m"), col("code"),
+          vec_dist_sq(col("qsub"), col("cw")).as("dqc"))
+      // candidates keep their list id: a code's ADC distance is defined
+      // against the LUT of the list the vector lives in
+      val cand = lists.join(broadcast(probes.select("qid", "cid")), Seq("cid"))
+        .where(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("cid"), col("vec_id").as("nn"))
+      adcRank(codes.join(cand, codes("vec_id") === cand("nn"))
+        .join(broadcast(lut), Seq("qid", "cid", "m", "code"))
+        .select(col("qid"), col("nn"), col("m"), col("dqc")))
+    }),
+
     "sim_ann_recall_eval" -> ((s, d) => {
       // Index-quality regression as an OPERATOR, not just a CI spec:
       // recall@10 of the IVF-PQ composite against the exact L2 top-10 per
@@ -2278,9 +2335,50 @@ object Similarity {
 
   /** Subspace slices of every embedding — (vec_id, m, sub). */
   private[graft] def pqSubspaces(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).select(col("vec_id"), posexplode(expr(
+    subsOf(embeddings(s, d))
+
+  /** Subspace slices of an arbitrary (vec_id, embedding) frame — the PQ
+    * leg runs over raw vectors (sim_ann_pq / sim_ann_ivfpq) or over the
+    * coarse residuals (sim_ann_ivfpq_residual) through the same slicer.
+    */
+  private def subsOf(src: DataFrame): DataFrame =
+    src.select(col("vec_id"), posexplode(expr(
       s"transform(sequence(0, ${PqM - 1}), m -> slice(embedding, m * $PqDim + 1, $PqDim))"))
       .as(Seq("m", "sub")))
+
+  /** Coarse residuals r(x) = x − q1(x) as a (vec_id, embedding) frame,
+    * cast back to float (one IEEE round-to-nearest per component — the
+    * oracle mirrors the cast exactly): the input of the residual PQ leg.
+    * Derived from the build-once coarse artifacts (centroid rows + the
+    * spilled list assignment), never retrained here.
+    */
+  private[graft] def residualFrame(s: SparkSession, d: String): DataFrame = {
+    val (centroidRows, listsPath) = ivfPqCoarseIndex(s, d)
+    implicit val sp: SparkSession = s
+    embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .join(s.read.parquet(listsPath), "vec_id")
+      .join(centFrame(centroidRows), "cid")
+      .select(col("vec_id"), expr(
+        "transform(arrays_zip(embedding, ce), " +
+        "x -> CAST(CAST(x.embedding AS DOUBLE) - x.ce AS FLOAT))").as("embedding"))
+  }
+
+  /** Memoized RESIDUAL PQ index (codebook rows + codes spill) — the same
+    * build-once artifact contract as [[pqIndex]], trained on
+    * [[residualFrame]] instead of raw vectors.
+    */
+  private val pqResidCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Int, Int, Seq[Double])], String)]()
+
+  private[graft] def pqResidIndex(s: SparkSession, d: String): (Seq[(Int, Int, Seq[Double])], String) = {
+    val key = Sources.fixtureKey(d, "embeddings")
+    val cached = pqResidCache.get(key)
+    if (cached != null) cached else {
+      val built = trainPq(s, d, residualFrame(s, d))
+      val prev = pqResidCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
 
   /** Memoized PQ index accessor (refined codebook rows + codes spill path)
     * — shared by the ANN queries and [[AnnIndex]]; keyed like
@@ -2290,7 +2388,7 @@ object Similarity {
     val key = Sources.fixtureKey(d, "embeddings")
     val cached = pqIndexCache.get(key)
     if (cached != null) cached else {
-      val built = trainPq(s, d, pqSubspaces(s, d))
+      val built = trainPq(s, d, embeddings(s, d).select(col("vec_id"), col("embedding")))
       val prev = pqIndexCache.putIfAbsent(key, built)
       if (prev != null) prev else built
     }
@@ -2299,15 +2397,16 @@ object Similarity {
   /** One-time PQ training for [[pqTrained]]: returns the refined codebook
     * rows and the spilled codes-table path.
     */
-  private def trainPq(s: SparkSession, d: String,
-      subs: DataFrame): (Seq[(Int, Int, Seq[Double])], String) = {
+  private[graft] def trainPq(s: SparkSession, d: String,
+      src: DataFrame): (Seq[(Int, Int, Seq[Double])], String) = {
     import org.apache.spark.sql.graft.VectorOps.vec_dist_sq
     import s.implicits._
     implicit val sp: SparkSession = s
     // seeds + Lloyd on the hash-sample; only the final codes assignment
     // below scans every vector (VERDICT r10 #2)
+    val subs = subsOf(src)
     val tsubs = subs.where(expr(annTrainPredSql))
-    val seedRows = embeddings(s, d).where(expr(annTrainPredSql)).withColumn("hk",
+    val seedRows = src.where(expr(annTrainPredSql)).withColumn("hk",
         expr(s"pmod(pmod(vec_id, ${SigP}L) * ${sigA(21)}L + ${sigB(21)}L, ${SigP}L)"))
       .orderBy(col("hk"), col("vec_id")).limit(PqK)
       .select(col("embedding")).as[Array[Float]].collect()
@@ -2641,7 +2740,12 @@ object Similarity {
     * means. `cb1` is the refined codebook, `a2` the per-vector codes —
     * consumed by both [[annPqOracle]] and [[annIvfPqOracle]].
     */
-  private def pqLegCtes: String = {
+  private def pqLegCtes: String = pqLegCtesOn("embeddings")
+
+  /** [[pqLegCtes]] over an arbitrary (vec_id, embedding) source CTE — the
+    * residual oracle trains the identical chain on the coarse residuals.
+    */
+  private def pqLegCtesOn(srcCte: String): String = {
     val hk = s"((vec_id % $SigP) * ${sigA(21)} + ${sigB(21)}) % $SigP"
     def assignCte(cb: String, src: String): String =
       s"(SELECT vec_id, m, sub, code FROM (SELECT s.vec_id, s.m, s.sub, c.code, " +
@@ -2650,12 +2754,12 @@ object Similarity {
     s"ms AS (SELECT CAST(unnest(range(0, $PqM)) AS INT) AS m), " +
     "subs AS (SELECT vec_id, m, " +
     s"embedding[m * $PqDim + 1 : m * $PqDim + $PqDim] AS sub " +
-    "FROM embeddings CROSS JOIN ms), " +
+    s"FROM $srcCte CROSS JOIN ms), " +
     // seeds + Lloyd restricted to the annTrainPredSql hash-sample — the
     // exact mirror of trainPq's sample-bounded training pass
     s"tsubs AS (SELECT * FROM subs WHERE $annTrainPredSql), " +
     "sd AS (SELECT embedding AS ce, CAST(row_number() OVER (ORDER BY hk, vec_id) AS INT) AS code " +
-    s"FROM (SELECT vec_id, embedding, $hk AS hk FROM embeddings WHERE $annTrainPredSql) " +
+    s"FROM (SELECT vec_id, embedding, $hk AS hk FROM $srcCte WHERE $annTrainPredSql) " +
     s"ORDER BY hk, vec_id LIMIT $PqK), " +
     "cb0 AS (SELECT m, code, " +
     s"list_transform(ce[m * $PqDim + 1 : m * $PqDim + $PqDim], x -> CAST(x AS DOUBLE)) AS cw " +
@@ -2822,6 +2926,38 @@ object Similarity {
     s"WITH ${annIvfPqCtesWhere(filteredLabelPred, nprobe = IvfPqProbeFiltered)}, " +
     refinedTailSql
 
+  /** SQL mirror of sim_ann_ivfpq_residual — the IVFADC chain on coarse
+    * RESIDUALS: the coarse quantizer trains as usual (ivfPqCoarseCtes),
+    * `rsv` forms r(x) = x − q1(x) with the exact float round-trip the
+    * Spark side applies, the PQ leg ([[pqLegCtesOn]]) trains on `rsv`
+    * verbatim, and the probe builds one lookup table PER (query, probed
+    * list) from the per-list query residual before the shared ADC tail.
+    */
+  private[graft] def annIvfPqResidualOracle: String = {
+    val resid = "list_transform(list_zip(e.embedding, c.ce), " +
+      "x -> CAST(CAST(x[1] AS DOUBLE) - x[2] AS FLOAT))"
+    s"WITH $ivfPqCoarseCtes, " +
+    s"rsv AS (SELECT e.vec_id, $resid AS embedding " +
+    "FROM ke e JOIN kb2 b ON e.vec_id = b.vec_id JOIN kc1 c ON b.cid = c.cid), " +
+    s"${pqLegCtesOn("rsv")}, " +
+    "kpb AS (SELECT qid, cid FROM (SELECT e.vec_id AS qid, c.cid, " +
+    s"${oDistE("e.embedding", "c.ce")} AS dd FROM ke e CROSS JOIN kc1 c WHERE e.vec_id < 10) t " +
+    s"QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dd ASC, cid ASC) <= $IvfPqProbe), " +
+    s"qr AS (SELECT pb.qid, pb.cid, $resid AS qre " +
+    "FROM kpb pb JOIN ke e ON e.vec_id = pb.qid JOIN kc1 c ON c.cid = pb.cid), " +
+    "qsub AS (SELECT qid, cid, m, " +
+    s"qre[m * $PqDim + 1 : m * $PqDim + $PqDim] AS sub FROM qr CROSS JOIN ms), " +
+    "lut AS (SELECT q.qid, q.cid, q.m, c.code, " +
+    s"${oDistE("q.sub", "c.cw")} AS dqc FROM qsub q JOIN cb1 c ON c.m = q.m), " +
+    "cand AS (SELECT pb.qid, pb.cid, l.vec_id AS nn FROM kpb pb JOIN kb2 l USING (cid) " +
+    "WHERE l.vec_id != pb.qid), " +
+    "p AS (SELECT cand.qid, cand.nn, a.m, l.dqc FROM cand " +
+    "JOIN a2 a ON a.vec_id = cand.nn " +
+    "JOIN lut l ON l.qid = cand.qid AND l.cid = cand.cid " +
+    "AND l.m = a.m AND l.code = a.code), " +
+    adcTailSql
+  }
+
   /** Tombstone-audit oracle shared by both index families' delete verbs:
     * the rule is a derivation, so the audit is one predicate scan.
     */
@@ -2899,6 +3035,7 @@ object Similarity {
        "FROM r ORDER BY vec_id"),
     "sim_ann_pq" -> annPqOracle,
     "sim_ann_ivfpq" -> annIvfPqOracle,
+    "sim_ann_ivfpq_residual" -> annIvfPqResidualOracle,
 
     // the same verified pair CTE, classified by the sample_hash_split rule
     // on doc_id; a pair leaks when its endpoints cross the split boundary
