@@ -247,6 +247,36 @@ object AnnIndex {
       rank = refineRank(s, d))
   }
 
+  /** Index-health statistics over the PERSISTED artifacts (round 19,
+    * third session) — the monitoring verb a production deployment runs
+    * after every build/compact (FAISS exposes the same two quantities as
+    * `imbalance_factor` and codebook histograms): list-occupancy skew and
+    * codeword utilization. All-integer output (D5): `sum_sq_size` over
+    * `n_vectors`²/`n_lists` IS the imbalance factor (= n_lists·Σsz²/N²,
+    * 1.0 = perfectly balanced; readers derive the float), and
+    * `n_codes_used` against M×K exposes dead codewords — a cratered
+    * utilization means degenerate training, caught at the artifact, not
+    * at query time. One scan of each artifact, no training, no join
+    * against the corpus; at 100 TB this is a metadata-scale aggregate
+    * (lists and codes are the index, far smaller than the vectors).
+    */
+  def stats(s: SparkSession, d: String): DataFrame = {
+    ensure(s, d)
+    val root = indexRoot(d)
+    val sizes = s.read.parquet(s"$root/lists")
+      .groupBy("cid").agg(count(lit(1)).as("sz"))
+    val listAgg = sizes.agg(
+      count(lit(1)).cast("long").as("n_lists"),
+      sum(col("sz")).cast("long").as("n_vectors"),
+      min(col("sz")).cast("long").as("min_list"),
+      max(col("sz")).cast("long").as("max_list"),
+      sum(col("sz") * col("sz")).cast("long").as("sum_sq_size"))
+    val codeAgg = s.read.parquet(s"$root/codes").agg(
+      count(lit(1)).cast("long").as("n_code_rows"),
+      countDistinct(col("m"), col("code")).cast("long").as("n_codes_used"))
+    listAgg.crossJoin(broadcast(codeAgg))
+  }
+
   /** Incremental append: encode a delta batch against the FROZEN persisted
     * codebooks — the missing third verb of the index lifecycle (build →
     * probe → APPEND). Zero training jobs: coarse assignment probes the
@@ -543,7 +573,9 @@ object AnnIndex {
     "sim_ann_ivfpq_probe_filtered" -> (probeFiltered _),
     // exact re-rank of the ADC pool (the FAISS refine composite)
     "sim_ann_ivfpq_probe_refined" -> (probeRefined _),
-    "sim_ann_ivfpq_probe_filtered_refined" -> (probeFilteredRefined _)
+    "sim_ann_ivfpq_probe_filtered_refined" -> (probeFilteredRefined _),
+    // index-health monitoring (imbalance + codeword utilization)
+    "ann_index_stats" -> (stats _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -577,6 +609,9 @@ object AnnIndex {
     // ADC pool cut + exact re-rank mirrored as a CTE tail
     "sim_ann_ivfpq_probe_refined" -> Similarity.annIvfPqRefinedOracle,
     "sim_ann_ivfpq_probe_filtered_refined" ->
-      Similarity.annIvfPqFilteredRefinedOracle
+      Similarity.annIvfPqFilteredRefinedOracle,
+    // the artifacts equal the training chains, so the health stats are
+    // one aggregate over kb2 (lists) and a2 (codes)
+    "ann_index_stats" -> Similarity.annIndexStatsOracle
   )
 }

@@ -531,7 +531,13 @@ object ProfScale {
       // residual IVFADC: the raw composite's cost + the residual forms
       // (one zip per corpus vector at train, per (query, probed list) at
       // query) and the nprobe-wide LUT
-      "sim_ann_ivfpq_residual")
+      "sim_ann_ivfpq_residual",
+      // index health: one aggregate over each metadata-scale artifact
+      "ann_index_stats",
+      // range search: probed-candidate scan + exact filter, no window
+      "sim_range_search",
+      // SQ8: one min/max aggregate + a 10×corpus decoded-distance scan
+      "sim_ann_sq8")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer
@@ -642,6 +648,15 @@ object ProfScale {
         AnnIndex.ensure(spark, dir)
       if (targets.contains("sim_ann_graph_search_filtered"))
         GraphAnnIndex.ensure(spark, dir)
+      // the refined probes are serving-only rows like every probe key:
+      // the first 16x run measured 3.2x on the unfiltered refined row
+      // because it ran FIRST on the fresh replica and paid the one-time
+      // index build inside its timing (filtered_refined, next in order,
+      // reused the marker and was flat) — ensure here like the rest
+      if (targets.contains("sim_ann_ivfpq_probe_refined") ||
+          targets.contains("sim_ann_ivfpq_probe_filtered_refined") ||
+          targets.contains("ann_index_stats"))
+        AnnIndex.ensure(spark, dir)
     }
     // fullCount, not count() — the r13 Bench finding applies to octaves
     // too: Catalyst prunes projected expressions through the final

@@ -324,6 +324,17 @@ object Similarity {
     */
   val IvfPqRefinePool = 40
 
+  /** Squared-L2 radius for [[sim_range_search]] (round 19, third
+    * session). The fixture's uniform vectors concentrate pairwise
+    * distances tightly (min ≈ 1.2, 1% quantile ≈ 1.42, median ≈ 2.0 at
+    * every SF — measured via the exact fold), so 1.5 admits roughly the
+    * nearest 1–5% of probed candidates: result sets stay non-empty,
+    * SELECTIVE, and genuinely variable per query — the contract top-k
+    * can't express. Production sets this per collection from the same
+    * distance histogram.
+    */
+  val RangeEpsSq = 1.5
+
   /** Deterministic training-sample rule for the quantizer builds (VERDICT
     * r10 #2): PQ codebooks and the IVF-PQ coarse centroids train — seeds
     * AND the Lloyd refinement pass — on the multiplicative-hash sample
@@ -2177,6 +2188,88 @@ object Similarity {
         .select(col("qid"), col("nn"), col("m"), col("dqc")))
     }),
 
+    "sim_ann_sq8" -> ((s, d) => {
+      // SCALAR quantization, SQ8 (round 19, third session — the FAISS
+      // `ScalarQuantizer` QT_8bit family): each dimension quantizes
+      // independently to one byte against per-dimension [min, max] —
+      // 4× compression like PQ's code table but with NO codebook training
+      // at all (the "trained" state is 2×dim floats from ONE exact
+      // min/max aggregate pass; at 100 TB that is a single map-side
+      // combine over the corpus, vs PQ's Lloyd rounds). Queries rank by
+      // asymmetric distance to the DECODED corpus (reconstruct-and-score,
+      // SQ's standard query path), folded per dimension in fixed order so
+      // both engines run the identical IEEE sequence. Where it sits in
+      // the family: finer than PQ per byte at low dimension counts (8
+      // bits/dim vs PqM/dim codes), no training artifacts to drift, but
+      // codes are dim bytes vs PQ's M — the classic recall/size trade
+      // production stacks pick per collection.
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      // per-dimension min/max: a dim-bounded constant (the sanctioned
+      // collect pattern — this IS the entire trained state of SQ8)
+      val mm = e.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("pos").agg(min("v").as("mn"), max("v").as("mx"))
+        .orderBy("pos").collect()
+      val mnl = typedLit(mm.map(_.getFloat(1).toDouble).toSeq)
+      val mxl = typedLit(mm.map(_.getFloat(2).toDouble).toSeq)
+      val codes = e.withColumn("mnl", mnl).withColumn("mxl", mxl)
+        .select(col("vec_id"), col("mnl"), col("mxl"), expr(
+          s"transform(sequence(1, $dim), i -> CAST(round(" +
+          "CASE WHEN element_at(mxl, i) = element_at(mnl, i) THEN 0.0 " +
+          "ELSE (CAST(element_at(embedding, i) AS DOUBLE) - element_at(mnl, i)) " +
+          "* 255.0 / (element_at(mxl, i) - element_at(mnl, i)) END) AS INT))")
+          .as("codes"))
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      codes.join(broadcast(q), codes("vec_id") =!= q("qid"))
+        .select(col("qid"), col("vec_id").as("nn"), expr(
+          s"aggregate(transform(sequence(1, $dim), i -> " +
+          "(CAST(element_at(qe, i) AS DOUBLE) - (element_at(mnl, i) + " +
+          "CAST(element_at(codes, i) AS DOUBLE) * (element_at(mxl, i) - element_at(mnl, i)) / 255.0)) * " +
+          "(CAST(element_at(qe, i) AS DOUBLE) - (element_at(mnl, i) + " +
+          "CAST(element_at(codes, i) AS DOUBLE) * (element_at(mxl, i) - element_at(mnl, i)) / 255.0))), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("dd"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("dd").asc, col("nn").asc)))
+        .where(col("rn") <= 10)
+        .select("qid", "nn", "rn")
+        .orderBy("qid", "rn")
+    }),
+
+    "sim_range_search" -> ((s, d) => {
+      // RANGE search (round 19, third session — FAISS `range_search` over
+      // an IVF): ALL corpus vectors within exact squared-L2 ≤ RangeEpsSq
+      // of each query, candidates restricted to the IvfPqProbe nearest
+      // coarse lists. Top-k answers "the 10 closest whatever they are";
+      // range answers "everything this similar" — the contract duplicate
+      // sweeps and radius-based candidate pulls actually need, with
+      // genuinely VARIABLE per-query cardinality (zero rows is a legal
+      // answer). Exact distances on the probed candidates (no PQ): the
+      // probed fraction is nprobe/K of the corpus and the filter needs no
+      // ranking window at all — a scan-shaped select, cheaper than top-k.
+      import org.apache.spark.sql.graft.VectorOps.vec_dist_sq
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val (centroidRows, listsPath) = ivfPqCoarseIndex(s, d)
+      val refined = centFrame(centroidRows)(s)
+      val lists = s.read.parquet(listsPath)
+      val probes = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qef"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qe"))
+        .crossJoin(refined)
+        .select(col("qid"), col("qe"), col("cid"),
+          vec_dist_sq(col("qef"), col("ce")).as("dd"))
+        .withColumn("pk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("dd").asc, col("cid").asc)))
+        .where(col("pk") <= IvfPqProbe)
+        .select("qid", "qe", "cid")
+      lists.join(broadcast(probes), Seq("cid"))
+        .where(col("qid") =!= col("vec_id"))
+        .join(e.select(col("vec_id"), col("embedding").as("ne")), Seq("vec_id"))
+        .where(vec_dist_sq(col("ne"), col("qe")) <= RangeEpsSq)
+        .select(col("qid"), col("vec_id").as("nn"))
+        .orderBy("qid", "nn")
+    }),
+
     "sim_ann_recall_eval" -> ((s, d) => {
       // Index-quality regression as an OPERATOR, not just a CI spec:
       // recall@10 of the IVF-PQ composite against the exact L2 top-10 per
@@ -2958,6 +3051,71 @@ object Similarity {
     adcTailSql
   }
 
+  /** SQL mirror of sim_ann_sq8: per-dimension min/max lists, the same
+    * round-to-byte encode (HALF_UP equals DuckDB's half-away-from-zero on
+    * the non-negative encode range), decoded asymmetric distance folded
+    * per dimension ascending — textually parallel to the Spark
+    * expressions so both engines run the identical IEEE sequence.
+    */
+  private[graft] def annSq8Oracle: String = {
+    val dec = "(mnl[i] + CAST(c.codes[i] AS DOUBLE) * (mxl[i] - mnl[i]) / 255.0)"
+    "WITH mm AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM " +
+    "(SELECT unnest(embedding) AS v, " +
+    "unnest(generate_series(1, len(embedding))) AS pos FROM embeddings) GROUP BY pos), " +
+    "mnx AS (SELECT list(CAST(mn AS DOUBLE) ORDER BY pos) AS mnl, " +
+    "list(CAST(mx AS DOUBLE) ORDER BY pos) AS mxl FROM mm), " +
+    "codes AS (SELECT vec_id, list_transform(generate_series(1, len(embedding)), " +
+    "i -> CAST(round(CASE WHEN mxl[i] = mnl[i] THEN 0.0 " +
+    "ELSE (CAST(embedding[i] AS DOUBLE) - mnl[i]) * 255.0 / (mxl[i] - mnl[i]) END) AS INT)) AS codes " +
+    "FROM embeddings CROSS JOIN mnx), " +
+    "q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10), " +
+    "dd AS (SELECT q.qid, c.vec_id AS nn, " +
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+    "list_transform(generate_series(1, len(q.qe)), i -> " +
+    s"(CAST(q.qe[i] AS DOUBLE) - $dec) * (CAST(q.qe[i] AS DOUBLE) - $dec))), " +
+    "(acc, x) -> acc + x) AS dd " +
+    "FROM q JOIN codes c ON c.vec_id != q.qid CROSS JOIN mnx) " +
+    "SELECT qid, nn, CAST(rn AS INT) AS rn FROM (SELECT qid, nn, " +
+    "row_number() OVER (PARTITION BY qid ORDER BY dd ASC, nn ASC) AS rn FROM dd) " +
+    "WHERE rn <= 10 ORDER BY qid, rn"
+  }
+
+  /** SQL mirror of sim_range_search: the coarse chain, the kpb probe cut,
+    * candidates from probed lists, then the exact-distance radius filter —
+    * no ranking window, matching the scan-shaped Spark plan.
+    */
+  private[graft] def rangeSearchOracle: String =
+    s"WITH $ivfPqCoarseCtes, " +
+    "kpb AS (SELECT qid, cid FROM (SELECT e.vec_id AS qid, c.cid, " +
+    s"${oDistE("e.embedding", "c.ce")} AS dd FROM ke e CROSS JOIN kc1 c WHERE e.vec_id < 10) t " +
+    s"QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dd ASC, cid ASC) <= $IvfPqProbe), " +
+    "cand AS (SELECT pb.qid, l.vec_id AS nn FROM kpb pb JOIN kb2 l USING (cid) " +
+    "WHERE l.vec_id != pb.qid) " +
+    "SELECT cand.qid, cand.nn FROM cand " +
+    "JOIN ke qe ON qe.vec_id = cand.qid JOIN ke ne ON ne.vec_id = cand.nn " +
+    s"WHERE ${oDistE("ne.embedding",
+      "list_transform(qe.embedding, x -> CAST(x AS DOUBLE))")} <= $RangeEpsSq " +
+    "ORDER BY qid, nn"
+
+  /** SQL mirror of [[AnnIndex.stats]]: the persisted lists/codes equal the
+    * training chains' kb2/a2 rows (the build-summary oracle's standing
+    * equivalence), so the health aggregate derives from them directly.
+    * Codeword distinctness counted as m·1024+code — PqK=256 < 1024, so
+    * the packing is collision-free and portable (DuckDB's multi-column
+    * DISTINCT row syntax avoided).
+    */
+  private[graft] def annIndexStatsOracle: String =
+    s"WITH $pqLegCtes, $ivfPqCoarseCtes, " +
+    "sz AS (SELECT cid, count(*) AS sz FROM kb2 GROUP BY cid) " +
+    "SELECT CAST(count(*) AS BIGINT) AS n_lists, " +
+    "CAST(sum(sz) AS BIGINT) AS n_vectors, " +
+    "CAST(min(sz) AS BIGINT) AS min_list, " +
+    "CAST(max(sz) AS BIGINT) AS max_list, " +
+    "CAST(sum(sz * sz) AS BIGINT) AS sum_sq_size, " +
+    "(SELECT CAST(count(*) AS BIGINT) FROM a2) AS n_code_rows, " +
+    "(SELECT CAST(count(DISTINCT m * 1024 + code) AS BIGINT) FROM a2) AS n_codes_used " +
+    "FROM sz"
+
   /** Tombstone-audit oracle shared by both index families' delete verbs:
     * the rule is a derivation, so the audit is one predicate scan.
     */
@@ -3036,6 +3194,8 @@ object Similarity {
     "sim_ann_pq" -> annPqOracle,
     "sim_ann_ivfpq" -> annIvfPqOracle,
     "sim_ann_ivfpq_residual" -> annIvfPqResidualOracle,
+    "sim_range_search" -> rangeSearchOracle,
+    "sim_ann_sq8" -> annSq8Oracle,
 
     // the same verified pair CTE, classified by the sample_hash_split rule
     // on doc_id; a pair leaks when its endpoints cross the split boundary

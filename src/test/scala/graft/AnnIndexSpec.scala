@@ -214,4 +214,31 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(refinedF.forall { case (q, nn) => labels(nn) == labels(q) },
       "filtered refined probe returned an off-label id")
   }
+
+  test("stats verb recounts the persisted artifacts exactly and trains nothing") {
+    val d = Sf0001
+    AnnIndex.ensure(spark, d)
+    val b0 = AnnIndex.builds.get()
+    val row = AnnIndex.stats(spark, d).collect()(0)
+    assert(AnnIndex.builds.get() == b0, "stats triggered training")
+    // independent recount straight off the artifacts
+    val root = AnnIndex.indexRoot(d)
+    val sizes = spark.read.parquet(s"$root/lists").collect()
+      .groupBy(_.getAs[Int]("cid")).view.mapValues(_.length.toLong).toMap
+    val codes = spark.read.parquet(s"$root/codes").collect()
+      .map(r => (r.getInt(1), r.getInt(2)))
+    assert(row.getLong(0) == sizes.size, "n_lists")
+    assert(row.getLong(1) == sizes.values.sum, "n_vectors")
+    assert(row.getLong(2) == sizes.values.min, "min_list")
+    assert(row.getLong(3) == sizes.values.max, "max_list")
+    assert(row.getLong(4) == sizes.values.map(v => v * v).sum, "sum_sq_size")
+    assert(row.getLong(5) == codes.length, "n_code_rows")
+    assert(row.getLong(6) == codes.distinct.length, "n_codes_used")
+    // the two health reads: imbalance factor n·Σsz²/N² near 1 would be a
+    // balanced index; utilization strictly positive and bounded by M×K
+    val imbalance = sizes.size.toDouble * row.getLong(4) /
+      (row.getLong(1).toDouble * row.getLong(1))
+    info(f"imbalance factor ${imbalance}%.3f, codes used ${row.getLong(6)}")
+    assert(row.getLong(6) > 0 && row.getLong(6) <= 32L * 256L)
+  }
 }

@@ -321,4 +321,50 @@ class AnnRecallSpec extends AnyFunSuite {
       f"residual encoding did not at least halve distortion on clustered data: " +
       f"$residD%.2f vs $rawD%.2f")
   }
+
+  test("sim_ann_sq8 recall@10 vs exact L2 top-10 at sf0.1") {
+    val got = SparkEntry.queries("sim_ann_sq8")(spark, Sf01).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = groundTruthL2.toSeq.map { case (qid, exact) =>
+      (exact intersect got.getOrElse(qid, Set.empty)).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.length
+    info(f"SQ8 mean recall@10 over ${groundTruthL2.size} queries: $mean%.3f")
+    // 8 bits PER DIMENSION is far finer than PQ's 8 bits per 2-dim
+    // subspace: per-dim quantization error ≤ (max−min)/512, so the decoded
+    // ranking should track the exact one almost perfectly even on uniform
+    // random vectors — a cratered value means a broken encode/decode pair,
+    // not fixture luck.
+    assert(mean >= 0.9, f"SQ8 recall collapsed: $mean%.3f")
+  }
+
+  test("sim_range_search: every hit within the radius, variable cardinality, measured recall") {
+    val d = Sf01
+    val got = SparkEntry.queries("sim_range_search")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val vecs = Tables.embeddings(spark, d).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def d2(a: Array[Float], b: Array[Float]) =
+      a.indices.foldLeft(0.0) { (acc, i) =>
+        val dd = a(i).toDouble - b(i).toDouble; acc + dd * dd }
+    // soundness: every returned pair really is within the radius (driver-
+    // side plain-Scala fold — cross-implementation vs both engines)
+    got.foreach { case (q, nn) =>
+      assert(d2(vecs(q), vecs(nn)) <= Similarity.RangeEpsSq,
+        s"($q, $nn) returned outside the radius") }
+    // the contract top-k can't express: per-query cardinality VARIES
+    val counts = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(counts.nonEmpty && counts.values.toSet.size > 1,
+      "all queries returned identical counts — the radius semantics are vacuous")
+    // recall vs the FULL-corpus radius truth: probing misses only what
+    // falls outside the IvfPqProbe nearest lists
+    val truth = (0L until 10L).flatMap { q =>
+      vecs.keys.filter(v => v != q && d2(vecs(q), vecs(v)) <= Similarity.RangeEpsSq)
+        .map(v => (q, v))
+    }.toSet
+    val recall = got.count(truth) .toDouble / truth.size
+    info(f"range-search recall vs full-corpus radius truth: $recall%.3f " +
+      s"(${got.length}/${truth.size} pairs)")
+    assert(recall >= 0.35, f"range recall collapsed: $recall%.3f")
+  }
 }

@@ -53,7 +53,9 @@ class ContractSpec extends AnyFunSuite {
       "ann_index_delete", "gann_index_delete", "kmv_store_delete",
       "tokenizer_store_delete",
       // and the retrain verb's audit (n_merges, pair_weight, n_vocab, id_sum)
-      "tokenizer_store_retrain")
+      "tokenizer_store_retrain",
+      // round 19: the index-health aggregate is 1-row by construction
+      "ann_index_stats")
     val unordered = SparkEntry.oracleSql.collect {
       case (k, sql) if !singleRow.contains(k) && !sql.toUpperCase.contains("ORDER BY") => k
     }
