@@ -537,7 +537,10 @@ object ProfScale {
       // range search: probed-candidate scan + exact filter, no window
       "sim_range_search",
       // SQ8: one min/max aggregate + a 10×corpus decoded-distance scan
-      "sim_ann_sq8")
+      "sim_ann_sq8",
+      // streaming ingest: |delta| assignment work split across segments,
+      // plus the per-micro-batch job floor — the streaming tax itself
+      "stream_index_ingest")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer
@@ -655,7 +658,8 @@ object ProfScale {
       // reused the marker and was flat) — ensure here like the rest
       if (targets.contains("sim_ann_ivfpq_probe_refined") ||
           targets.contains("sim_ann_ivfpq_probe_filtered_refined") ||
-          targets.contains("ann_index_stats"))
+          targets.contains("ann_index_stats") ||
+          targets.contains("stream_index_ingest"))
         AnnIndex.ensure(spark, dir)
     }
     // fullCount, not count() — the r13 Bench finding applies to octaves

@@ -241,4 +241,66 @@ class AnnIndexSpec extends AnyFunSuite {
     info(f"imbalance factor ${imbalance}%.3f, codes used ${row.getLong(6)}")
     assert(row.getLong(6) > 0 && row.getLong(6) <= 32L * 256L)
   }
+
+  test("streaming ingest through a real MemoryStream reproduces the one-shot append bit for bit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = Sf0001
+    AnnIndex.ensure(spark, d)
+    AnnIndex.ensureAppend(spark, d) // the one-shot reference artifact
+    val b0 = AnnIndex.builds.get()
+    val root = AnnIndex.indexRoot(d)
+    val sd = AnnIndex.streamDir(root)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+      f.delete()
+    }
+    rm(new java.io.File(sd))
+    // the append delta, streamed in three engine-delimited micro-batches
+    val emb = Tables.embeddings(spark, d).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val mxId = emb.map(_._1).max
+    val delta = emb.filter { case (id, _) =>
+      id * Similarity.IncrCutDen > mxId * Similarity.IncrCutNum }.sortBy(_._1)
+    assert(delta.nonEmpty)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        AnnIndex.ingestStreamBatch(spark, d, batch, id)
+      }
+      .start()
+    try {
+      val (a, rest) = delta.splitAt(delta.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      for (grp <- Seq(a, b, c) if grp.nonEmpty) {
+        input.addData(grp.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the stream trained nothing — frozen codebooks per micro-batch
+    assert(AnnIndex.builds.get() == b0, "streaming ingest triggered training")
+    def segUnion(prefix: String): Set[Seq[Any]] = {
+      val segs = new java.io.File(sd).listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith(prefix)).map(_.getPath)
+      assert(segs.length >= 2, s"expected multiple $prefix segments, got ${segs.length}")
+      segs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+        .collect().map(_.toSeq).toSet
+    }
+    // segment union == the one-shot append's artifacts, bit for bit:
+    // micro-batch boundaries are invisible in the ingested index
+    val oneCodes = spark.read.parquet(s"${AnnIndex.deltaDir(root)}/codes")
+      .collect().map(_.toSeq).toSet
+    val oneLists = spark.read.parquet(s"${AnnIndex.deltaDir(root)}/lists")
+      .select("vec_id", "cid").collect().map(_.toSeq).toSet
+    assert(segUnion("codes_sb") == oneCodes,
+      "stream-ingested codes diverge from the one-shot append")
+    val streamLists = new java.io.File(sd).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("lists_sb")).map(_.getPath)
+      .map(spark.read.parquet(_).select("vec_id", "cid")).reduce(_ unionByName _)
+      .collect().map(_.toSeq).toSet
+    assert(streamLists == oneLists,
+      "stream-ingested lists diverge from the one-shot append")
+  }
 }
