@@ -205,13 +205,25 @@ object GraphAnnIndex {
       cut: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
       baseListsPath: String, baseVecsPath: String,
       vecsPath: String, listsPath: String, okf: java.io.File): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val mx = emb.agg(max(col("vec_id")).as("mx"))
+    ingestBeamFrom(s,
+      emb.crossJoin(broadcast(mx)).where(cut(col("vec_id"), col("mx")))
+        .select(col("vec_id"), col("embedding")),
+      baseListsPath, baseVecsPath, vecsPath, listsPath, okf)
+  }
+
+  /** [[ingestBeam]] over a caller-supplied (vec_id, embedding) batch — the
+    * streaming micro-batch ingest feeds foreachBatch frames through the
+    * same body, so the stream path cannot drift from the batch ingest.
+    */
+  private def ingestBeamFrom(s: SparkSession, batch: DataFrame,
+      baseListsPath: String, baseVecsPath: String,
+      vecsPath: String, listsPath: String, okf: java.io.File): DataFrame = {
     import org.apache.spark.sql.graft.VectorOps.vec_norm
     val ow = org.apache.spark.sql.SaveMode.Overwrite
     okf.delete()
-    val emb = Tables.embeddings(s, d)
-    val mx = emb.agg(max(col("vec_id")).as("mx"))
-    emb.crossJoin(broadcast(mx))
-      .where(cut(col("vec_id"), col("mx")))
+    batch
       .select(col("vec_id"), col("embedding"), vec_norm(col("embedding")).as("nrm"))
       .write.mode(ow).parquet(vecsPath)
     val delta = s.read.parquet(vecsPath)
@@ -226,6 +238,57 @@ object GraphAnnIndex {
       .write.mode(ow).parquet(listsPath)
     java.nio.file.Files.write(okf.toPath, Array.emptyByteArray)
     s.read.parquet(listsPath).orderBy("vec_id", "rn")
+  }
+
+  /** Streaming-segment staging dir (the IVF-PQ family's streamDir twin —
+    * delta-rule-keyed so a changed cut rule cannot serve stale segments).
+    */
+  private[graft] def streamDir(root: String): String =
+    s"$root/stream_${Similarity.IncrCutNum}_${Similarity.IncrCutDen}"
+
+  /** One micro-batch of STREAMING graph ingest — the foreachBatch body:
+    * each arriving batch runs the shared search-then-connect beam against
+    * the persisted BASE into its own log-structured segment. Batching is
+    * answer-invariant by construction here too: every delta vector's beam
+    * descends the base artifacts only (appendGraph's documented contract
+    * — appended edges point delta→base), so a vector's list is
+    * independent of which micro-batch carried it.
+    */
+  def ingestStreamBatch(s: SparkSession, d: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    val root = baseRoot(d)
+    val sd = streamDir(root)
+    ingestBeamFrom(s, batch, s"$root/lists", s"$root/vectors",
+      s"$sd/vectors_sb$batchId", s"$sd/lists_sb$batchId",
+      new java.io.File(sd, s"_SSEG${batchId}_OK")).count()
+  }
+
+  /** The GATE form of streaming graph ingest (the IVF-PQ family's
+    * stream_index_ingest on this family): the append delta arrives as
+    * [[AnnIndex.StreamIngestBatches]] deterministic micro-batches, each
+    * beamed into its own segment; output is the SEGMENT UNION, and the
+    * oracle is gann_index_append's verbatim — the driver gate pins that
+    * micro-batching is invisible in the ingested graph.
+    */
+  def streamIngest(s: SparkSession, d: String): DataFrame = {
+    ensureBase(s, d)
+    val root = baseRoot(d)
+    val sd = streamDir(root)
+    val nb = AnnIndex.StreamIngestBatches
+    val emb = Tables.embeddings(s, d)
+    val mx = emb.agg(max(col("vec_id")).as("mx"))
+    val delta = emb.crossJoin(broadcast(mx))
+      .where(col("vec_id") * Similarity.IncrCutDen > col("mx") * Similarity.IncrCutNum)
+      .select(col("vec_id"), col("embedding"))
+    (0 until nb).foreach { b =>
+      ingestBeamFrom(s, delta.where(pmod(col("vec_id"), lit(nb.toLong)) === b),
+        s"$root/lists", s"$root/vectors",
+        s"$sd/vectors_b$b", s"$sd/lists_b$b",
+        new java.io.File(sd, s"_SEG${b}_OK")).count()
+    }
+    (0 until nb).map(b => s.read.parquet(s"$sd/lists_b$b"))
+      .reduce(_ unionByName _)
+      .orderBy("vec_id", "rn")
   }
 
   /** GENERATION-2 ingest (round 19, second session): append a NEW delta
@@ -692,6 +755,9 @@ object GraphAnnIndex {
     "sim_ann_graph_search" -> (search _),
     "sim_ann_graph_search_novel" -> (searchNovel _),
     "gann_index_append" -> (appendGraph _),
+    // streaming ingest: the delta as deterministic micro-batches, each a
+    // log-structured beam segment; output over the segment union
+    "stream_gann_ingest" -> (streamIngest _),
     // round 19 — serving + deletion over the appended index
     "gann_index_delete" -> (delete _),
     "sim_ann_graph_search_merged" -> (searchMerged _),
@@ -834,6 +900,25 @@ object GraphAnnIndex {
   val oracles: Map[String, String] = {
     val g = s"(SELECT v, nb FROM s${Similarity.NndRounds} " +
       s"WHERE rn <= ${Similarity.NndBuildK})"
+    // shared by gann_index_append and its streaming twin: (a) the NND
+    // chain runs over the base slice `bemb` only, (b) the queries are the
+    // DELTA slice, (c) the output is each delta vector's appended
+    // top-NndBuildK list
+    val gannAppendOracle = beamSql(g,
+      qCos = s"${Similarity.oDot("a", "b")} / " +
+        s"(${Similarity.oNorm("a")} * ${Similarity.oNorm("b")})",
+      rounds = NovelBeamRounds, selfFilter = "",
+      chain = "bemb AS MATERIALIZED (SELECT e.vec_id, e.embedding " +
+        "FROM embeddings e, (SELECT max(vec_id) AS mx FROM embeddings) m " +
+        s"WHERE e.vec_id * ${Similarity.IncrCutDen} <= m.mx * ${Similarity.IncrCutNum}), " +
+        Similarity.nndChainCtesFor("bemb"),
+      qCte = "SELECT e.vec_id AS qid FROM embeddings e, " +
+        "(SELECT max(vec_id) AS mx FROM embeddings) m " +
+        s"WHERE e.vec_id * ${Similarity.IncrCutDen} > m.mx * ${Similarity.IncrCutNum}",
+      entSrc = "bemb",
+      topK = Similarity.NndBuildK,
+      outSel = "qid AS vec_id, CAST(rn AS INT) AS rn, nb",
+      ordBy = "vec_id, rn")
     Map(
       "gann_index_build" ->
         (s"WITH ${Similarity.nndChainCtes}, gg AS (SELECT v, nb FROM $g) " +
@@ -882,21 +967,10 @@ object GraphAnnIndex {
       // top-NndBuildK list. The delta's source embedding rows ARE in the
       // embeddings table, and every candidate id is a base id ⊂
       // embeddings, so both cosine joins stay against `embeddings`.
-      "gann_index_append" -> beamSql(g,
-        qCos = s"${Similarity.oDot("a", "b")} / " +
-          s"(${Similarity.oNorm("a")} * ${Similarity.oNorm("b")})",
-        rounds = NovelBeamRounds, selfFilter = "",
-        chain = "bemb AS MATERIALIZED (SELECT e.vec_id, e.embedding " +
-          "FROM embeddings e, (SELECT max(vec_id) AS mx FROM embeddings) m " +
-          s"WHERE e.vec_id * ${Similarity.IncrCutDen} <= m.mx * ${Similarity.IncrCutNum}), " +
-          Similarity.nndChainCtesFor("bemb"),
-        qCte = "SELECT e.vec_id AS qid FROM embeddings e, " +
-          "(SELECT max(vec_id) AS mx FROM embeddings) m " +
-          s"WHERE e.vec_id * ${Similarity.IncrCutDen} > m.mx * ${Similarity.IncrCutNum}",
-        entSrc = "bemb",
-        topK = Similarity.NndBuildK,
-        outSel = "qid AS vec_id, CAST(rn AS INT) AS rn, nb",
-        ordBy = "vec_id, rn"),
+      "gann_index_append" -> gannAppendOracle,
+      // micro-batching is invisible in the ingested graph (every delta
+      // beam descends base-only): the append oracle verbatim
+      "stream_gann_ingest" -> gannAppendOracle,
 
       // deterministic-rule audit (count + id checksum)
       "gann_index_delete" -> Similarity.tombAuditOracle,

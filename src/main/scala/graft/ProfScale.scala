@@ -540,7 +540,9 @@ object ProfScale {
       "sim_ann_sq8",
       // streaming ingest: |delta| assignment work split across segments,
       // plus the per-micro-batch job floor — the streaming tax itself
-      "stream_index_ingest")
+      "stream_index_ingest",
+      // the graph twin: |delta| beam work split across segments + floors
+      "stream_gann_ingest")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer
@@ -562,7 +564,8 @@ object ProfScale {
       if (targets.contains("sim_ann_graph_probe") ||
           targets.contains("sim_ann_graph_search") ||
           targets.contains("sim_ann_graph_search_novel")) GraphAnnIndex.ensure(spark, dir)
-      if (targets.contains("gann_index_append")) GraphAnnIndex.ensureBase(spark, dir)
+      if (targets.contains("gann_index_append") ||
+          targets.contains("stream_gann_ingest")) GraphAnnIndex.ensureBase(spark, dir)
       // frozen-encode rows time encode only — the store build is its own
       // octave entry (the kmv_store_build/kmv_overlap_probe split)
       if (targets.contains("text_bpe_encode_frozen")) TokenizerStore.ensureBpe(spark, dir)

@@ -423,4 +423,49 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(r1 < r32,
       "pure greedy matches the beam — the measurement is not exercising the search")
   }
+
+  test("streaming graph ingest through a real MemoryStream equals the one-shot append") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    GraphAnnIndex.ensureBase(spark, d)
+    GraphAnnIndex.ensureAppend(spark, d) // the one-shot reference artifact
+    val bb0 = GraphAnnIndex.baseBuilds.get()
+    val root = GraphAnnIndex.baseRoot(d)
+    val sd = GraphAnnIndex.streamDir(root)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+      f.delete()
+    }
+    rm(new java.io.File(sd))
+    val mxId = emb.keys.max
+    val delta = emb.toSeq.filter { case (id, _) =>
+      id * Similarity.IncrCutDen > mxId * Similarity.IncrCutNum }.sortBy(_._1)
+    assert(delta.nonEmpty)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        GraphAnnIndex.ingestStreamBatch(spark, d, batch, id)
+      }
+      .start()
+    try {
+      val (a, b) = delta.splitAt(delta.length / 2)
+      for (grp <- Seq(a, b) if grp.nonEmpty) {
+        input.addData(grp.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // streaming never re-descends the base graph
+    assert(GraphAnnIndex.baseBuilds.get() == bb0,
+      "streaming graph ingest rebuilt the base")
+    val segs = new java.io.File(sd).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("lists_sb")).map(_.getPath)
+    assert(segs.length >= 2, s"expected multiple stream segments, got ${segs.length}")
+    val streamed = segs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      .collect().map(_.toSeq).toSet
+    val oneShot = spark.read.parquet(s"$root/lists_delta")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == oneShot,
+      "stream-ingested neighbor lists diverge from the one-shot append")
+  }
 }
