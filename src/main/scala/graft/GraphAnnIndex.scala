@@ -274,7 +274,11 @@ object GraphAnnIndex {
     ensureBase(s, d)
     val root = baseRoot(d)
     val sd = streamDir(root)
-    val nb = AnnIndex.StreamIngestBatches
+    // two segments, not the IVF-PQ family's four: each graph segment pays
+    // the full NovelBeamRounds round-loop floor (the beam is the cost,
+    // not the assignment), and two already proves batching-invariance —
+    // measured 40.5 s at four segments vs ~half at two, same pin
+    val nb = 2
     val emb = Tables.embeddings(s, d)
     val mx = emb.agg(max(col("vec_id")).as("mx"))
     val delta = emb.crossJoin(broadcast(mx))

@@ -580,6 +580,40 @@ object TextOps {
     // stream is contiguous. A doc starts at its shard-stream offset
     // (exclusive running sum); its bin is that offset's PackSeqLen-chunk —
     // docs may straddle a boundary, exactly like real token packing.
+    // Length-bucketed batching audit (round 19, third session — the
+    // group-by-length batching every inference/finetune stack runs:
+    // batching same-length docs cuts padding waste vs padding the whole
+    // corpus to its global max). Buckets are fixed power-of-two caps via
+    // an integer CASE chain (a float log2 would be boundary-hazardous at
+    // exact powers of two across engines); per bucket: docs, real tokens,
+    // padded tokens (n_docs × the bucket's own longest member — batches
+    // pad to their max, the cap only decides membership), waste — plus
+    // the naive global-max padding for the same docs, so the report
+    // QUANTIFIES the bucketing win. One groupBy, map-side combinable.
+    "pack_length_buckets" -> ((s, d) => {
+      val bucketCase = "CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32 " +
+        "WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128 " +
+        "WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512 " +
+        "WHEN n_tok <= 1024 THEN 1024 WHEN n_tok <= 2048 THEN 2048 " +
+        "WHEN n_tok <= 4096 THEN 4096 ELSE 8192 END"
+      val t = documents(s, d)
+        .select(col("doc_id"), size(toks(col("text"))).cast(LongType).as("n_tok"))
+        .withColumn("bucket", expr(bucketCase).cast(LongType))
+      val mx = t.agg(max(col("n_tok")).as("mx_tok"))
+      // each bucket-batch pads to ITS OWN longest member (the group-by-
+      // length contract) — the cap only decides membership
+      t.crossJoin(broadcast(mx))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast(LongType).as("total_tokens"),
+          (count(lit(1)) * max(col("n_tok"))).cast(LongType).as("padded_tokens"),
+          (count(lit(1)) * max(col("mx_tok"))).cast(LongType).as("naive_padded_tokens"))
+        .withColumn("waste_tokens", col("padded_tokens") - col("total_tokens"))
+        .select("bucket", "n_docs", "total_tokens", "padded_tokens",
+          "waste_tokens", "naive_padded_tokens")
+        .orderBy("bucket")
+    }),
+
     "pack_sequences" -> ((s, d) => {
       val byDoc = Window.partitionBy("shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -1322,6 +1356,25 @@ object TextOps {
     // PackShards/PackSeqLen interpolate from the SAME constants the Spark
     // side uses (ADVICE.md round 5) — a constant change can no longer
     // silently desynchronize query and oracle.
+    // the same integer CASE chain, per-bucket aggregate + the global-max
+    // naive padding term
+    "pack_length_buckets" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok " +
+       "FROM documents), " +
+       "b AS (SELECT doc_id, n_tok, " +
+       "CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32 " +
+       "WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128 " +
+       "WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512 " +
+       "WHEN n_tok <= 1024 THEN 1024 WHEN n_tok <= 2048 THEN 2048 " +
+       "WHEN n_tok <= 4096 THEN 4096 ELSE 8192 END AS bucket FROM t), " +
+       "m AS (SELECT max(n_tok) AS mx_tok FROM t) " +
+       "SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs, " +
+       "CAST(sum(n_tok) AS BIGINT) AS total_tokens, " +
+       "CAST(count(*) * max(n_tok) AS BIGINT) AS padded_tokens, " +
+       "CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS waste_tokens, " +
+       "CAST(count(*) * (SELECT mx_tok FROM m) AS BIGINT) AS naive_padded_tokens " +
+       "FROM b GROUP BY bucket ORDER BY bucket"),
+
     "pack_sequences" ->
       (s"WITH t AS (SELECT doc_id, doc_id % $PackShards AS shard, " +
        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +

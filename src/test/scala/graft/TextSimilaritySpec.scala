@@ -1112,4 +1112,26 @@ class TextSimilaritySpec extends AnyFunSuite {
         s"$lang missing bands: ${xs.map(_._2._1).toSet}")
     }
   }
+
+  test("pack_length_buckets: internally consistent and strictly beats naive global-max padding") {
+    val d = TestSpark.Sf0001
+    val rows = SparkEntry.queries("pack_length_buckets")(TestSpark.spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length > 1, "single bucket — the bucketing audit is vacuous")
+    rows.foreach { case (bucket, nDocs, total, padded, waste, naive) =>
+      assert((bucket & (bucket - 1)) == 0, s"bucket $bucket not a power of two")
+      // batches pad to their own longest member, bounded by the cap
+      assert(padded <= nDocs * bucket, "padded_tokens exceeds n_docs * cap")
+      assert(waste == padded - total, "waste_tokens inconsistent")
+      assert(total <= padded && padded <= naive,
+        s"bucket $bucket: padding ordering violated ($total/$padded/$naive)")
+    }
+    // every doc lands in exactly one bucket
+    val corpus = Tables.documents(TestSpark.spark, d).count()
+    assert(rows.map(_._2).sum == corpus, "doc count mismatch across buckets")
+    // the point of bucketing: strictly less padding than one global batch
+    assert(rows.map(_._4).sum < rows.map(_._6).sum,
+      "bucketed padding did not beat naive global-max padding")
+  }
 }
