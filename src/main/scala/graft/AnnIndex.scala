@@ -263,8 +263,18 @@ object AnnIndex {
   def stats(s: SparkSession, d: String): DataFrame = {
     ensure(s, d)
     val root = indexRoot(d)
-    val sizes = s.read.parquet(s"$root/lists")
-      .groupBy("cid").agg(count(lit(1)).as("sz"))
+    // sizes over the CONFIGURED lists (the centroid artifact), not just
+    // the occupied ones (code-review, this session): a maximally
+    // degenerate assignment — all vectors in one list — must read as
+    // n_lists=IvfPqK / min_list=0 / imbalance=IvfPqK, not as one
+    // "perfectly balanced" list; empty lists never appear in the lists
+    // parquet, so the occupied-only count was blind to exactly the
+    // failure this verb monitors (FAISS's imbalance_factor divides by
+    // the configured nlist for the same reason)
+    val sizes = s.read.parquet(s"$root/coarse_centroids").select("cid")
+      .join(s.read.parquet(s"$root/lists")
+        .groupBy("cid").agg(count(lit(1)).as("occ")), Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("occ"), lit(0L)).as("sz"))
     val listAgg = sizes.agg(
       count(lit(1)).cast("long").as("n_lists"),
       sum(col("sz")).cast("long").as("n_vectors"),
@@ -295,15 +305,33 @@ object AnnIndex {
     */
   def append(s: SparkSession, d: String): DataFrame = {
     ensure(s, d)
-    val root = indexRoot(d)
-    val dd = deltaDir(root)
-    val mx = Tables.embeddings(s, d).agg(max(col("vec_id")).as("mx"))
-    val delta = Tables.embeddings(s, d).crossJoin(broadcast(mx))
-      .where(col("vec_id") * Similarity.IncrCutDen > col("mx") * Similarity.IncrCutNum)
-      .select(col("vec_id"), col("embedding"))
-    ingestBatch(s, d, delta, s"$dd/codes", s"$dd/lists",
+    val dd = deltaDir(indexRoot(d))
+    ingestBatch(s, d, deltaFrame(s, d), s"$dd/codes", s"$dd/lists",
       new java.io.File(dd, "_DELTA_OK"))
   }
+
+  /** The arrival-order delta slice (the IncrCut contract) — one
+    * derivation shared by append and streamIngest, so the two ingest
+    * forms cannot fork on the cut rule (code-review, this session).
+    */
+  private def deltaFrame(s: SparkSession, d: String): DataFrame = {
+    val mx = Tables.embeddings(s, d).agg(max(col("vec_id")).as("mx"))
+    Tables.embeddings(s, d).crossJoin(broadcast(mx))
+      .where(col("vec_id") * Similarity.IncrCutDen > col("mx") * Similarity.IncrCutNum)
+      .select(col("vec_id"), col("embedding"))
+  }
+
+  /** The ingest audit (per-list appended occupancy + integer code
+    * checksum) over arbitrary lists/codes frames — shared by the
+    * one-shot ingest and the segment-union form.
+    */
+  private def ingestAudit(lists: DataFrame, codes: DataFrame): DataFrame =
+    lists.join(codes, Seq("vec_id"))
+      .groupBy("cid")
+      .agg(countDistinct(col("vec_id")).as("n_appended"),
+        sum(col("code").cast("long")).as("sum_code"))
+      .select(col("cid").cast("int").as("cid"), col("n_appended"), col("sum_code"))
+      .orderBy("cid")
 
   /** The shared frozen-codebook ingest body (code-review, this session:
     * append and append2 differ ONLY in which id slice arrives and where
@@ -331,8 +359,13 @@ object AnnIndex {
         }.toDF("m", "codes", "cws"))
     val assigned = batch.select(col("vec_id"),
       vec_argmin_dist(col("embedding"), typedLit(centRows)).as("cid"))
-    val codes = Similarity.pqSubspaces(s, d)
-      .join(batch.select("vec_id"), Seq("vec_id"))
+    // codes from the BATCH's own embeddings (code-review, this session):
+    // the former pqSubspaces(table)-join-batch-ids shape silently encoded
+    // the TABLE's vector for an id — for the documented continuous-ingest
+    // use (ids not in the corpus table) that wrote torn segments (listed
+    // but codeless); the fixtures' batches are corpus slices, so the
+    // assignments are bit-identical either way (the frozen-key spec pins)
+    val codes = Similarity.subsOf(batch)
       .join(cbByM, Seq("m"))
       .select(col("vec_id"), col("m"),
         element_at(col("codes"), vec_argmin_dist(col("sub"), col("cws"))).as("code"))
@@ -340,13 +373,7 @@ object AnnIndex {
     codes.write.mode(ow).parquet(codesPath)
     assigned.write.mode(ow).partitionBy("cid").parquet(listsPath)
     java.nio.file.Files.write(okf.toPath, Array.emptyByteArray)
-    s.read.parquet(listsPath)
-      .join(s.read.parquet(codesPath), Seq("vec_id"))
-      .groupBy("cid")
-      .agg(countDistinct(col("vec_id")).as("n_appended"),
-        sum(col("code").cast("long")).as("sum_code"))
-      .select(col("cid").cast("int").as("cid"), col("n_appended"), col("sum_code"))
-      .orderBy("cid")
+    ingestAudit(s.read.parquet(listsPath), s.read.parquet(codesPath))
   }
 
   /** Streaming-segment staging dir — delta-rule-keyed like [[deltaDir]]
@@ -389,27 +416,18 @@ object AnnIndex {
     */
   def streamIngest(s: SparkSession, d: String): DataFrame = {
     ensure(s, d)
-    val root = indexRoot(d)
-    val sd = streamDir(root)
-    val mx = Tables.embeddings(s, d).agg(max(col("vec_id")).as("mx"))
-    val delta = Tables.embeddings(s, d).crossJoin(broadcast(mx))
-      .where(col("vec_id") * Similarity.IncrCutDen > col("mx") * Similarity.IncrCutNum)
-      .select(col("vec_id"), col("embedding"))
+    val sd = streamDir(indexRoot(d))
+    val delta = deltaFrame(s, d)
     (0 until StreamIngestBatches).foreach { b =>
       ingestBatch(s, d, delta.where(pmod(col("vec_id"), lit(StreamIngestBatches.toLong)) === b),
         s"$sd/codes_b$b", s"$sd/lists_b$b",
         new java.io.File(sd, s"_SEG${b}_OK")).count()
     }
-    val lists = (0 until StreamIngestBatches)
-      .map(b => s.read.parquet(s"$sd/lists_b$b")).reduce(_ unionByName _)
-    val codes = (0 until StreamIngestBatches)
-      .map(b => s.read.parquet(s"$sd/codes_b$b")).reduce(_ unionByName _)
-    lists.join(codes, Seq("vec_id"))
-      .groupBy("cid")
-      .agg(countDistinct(col("vec_id")).as("n_appended"),
-        sum(col("code").cast("long")).as("sum_code"))
-      .select(col("cid").cast("int").as("cid"), col("n_appended"), col("sum_code"))
-      .orderBy("cid")
+    ingestAudit(
+      (0 until StreamIngestBatches)
+        .map(b => s.read.parquet(s"$sd/lists_b$b")).reduce(_ unionByName _),
+      (0 until StreamIngestBatches)
+        .map(b => s.read.parquet(s"$sd/codes_b$b")).reduce(_ unionByName _))
   }
 
   /** The DELETE verb (VERDICT r18 #3 — the other half of the ingest

@@ -185,11 +185,22 @@ object GraphAnnIndex {
   def appendGraph(s: SparkSession, d: String): DataFrame = {
     ensureBase(s, d)
     val root = baseRoot(d)
-    ingestBeam(s, d,
-      (vid, mx) => vid * Similarity.IncrCutDen > mx * Similarity.IncrCutNum,
+    ingestBeamFrom(s, deltaFrame(s, d),
       s"$root/lists", s"$root/vectors",
       s"$root/vectors_delta", s"$root/lists_delta",
       new java.io.File(root, "_GANN_DELTA_OK"))
+  }
+
+  /** The arrival-order delta slice — one derivation shared by appendGraph
+    * and streamIngest (the AnnIndex.deltaFrame convention), so the two
+    * ingest forms cannot fork on the cut rule.
+    */
+  private def deltaFrame(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val mx = emb.agg(max(col("vec_id")).as("mx"))
+    emb.crossJoin(broadcast(mx))
+      .where(col("vec_id") * Similarity.IncrCutDen > col("mx") * Similarity.IncrCutNum)
+      .select(col("vec_id"), col("embedding"))
   }
 
   /** The shared search-then-connect ingest body (code-review, this
@@ -265,10 +276,11 @@ object GraphAnnIndex {
 
   /** The GATE form of streaming graph ingest (the IVF-PQ family's
     * stream_index_ingest on this family): the append delta arrives as
-    * [[AnnIndex.StreamIngestBatches]] deterministic micro-batches, each
-    * beamed into its own segment; output is the SEGMENT UNION, and the
-    * oracle is gann_index_append's verbatim — the driver gate pins that
-    * micro-batching is invisible in the ingested graph.
+    * TWO deterministic micro-batches (not the IVF-PQ family's four — see
+    * the inline note), each beamed into its own segment; output is the
+    * SEGMENT UNION, and the oracle is gann_index_append's verbatim — the
+    * driver gate pins that micro-batching is invisible in the ingested
+    * graph.
     */
   def streamIngest(s: SparkSession, d: String): DataFrame = {
     ensureBase(s, d)
@@ -279,11 +291,7 @@ object GraphAnnIndex {
     // not the assignment), and two already proves batching-invariance —
     // measured 40.5 s at four segments vs ~half at two, same pin
     val nb = 2
-    val emb = Tables.embeddings(s, d)
-    val mx = emb.agg(max(col("vec_id")).as("mx"))
-    val delta = emb.crossJoin(broadcast(mx))
-      .where(col("vec_id") * Similarity.IncrCutDen > col("mx") * Similarity.IncrCutNum)
-      .select(col("vec_id"), col("embedding"))
+    val delta = deltaFrame(s, d)
     (0 until nb).foreach { b =>
       ingestBeamFrom(s, delta.where(pmod(col("vec_id"), lit(nb.toLong)) === b),
         s"$root/lists", s"$root/vectors",

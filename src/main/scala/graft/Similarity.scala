@@ -429,6 +429,7 @@ object Similarity {
   Sources.onSpillEvict(() => {
     minhashIndexCache.clear(); fpIndexCache.clear()
     jaccardShingleCache.clear(); ivfPqCoarseCache.clear(); pqIndexCache.clear()
+    pqResidCache.clear()
   })
 
   private def minhashIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
@@ -2434,7 +2435,7 @@ object Similarity {
     * leg runs over raw vectors (sim_ann_pq / sim_ann_ivfpq) or over the
     * coarse residuals (sim_ann_ivfpq_residual) through the same slicer.
     */
-  private def subsOf(src: DataFrame): DataFrame =
+  private[graft] def subsOf(src: DataFrame): DataFrame =
     src.select(col("vec_id"), posexplode(expr(
       s"transform(sequence(0, ${PqM - 1}), m -> slice(embedding, m * $PqDim + 1, $PqDim))"))
       .as(Seq("m", "sub")))
@@ -2467,7 +2468,7 @@ object Similarity {
     val key = Sources.fixtureKey(d, "embeddings")
     val cached = pqResidCache.get(key)
     if (cached != null) cached else {
-      val built = trainPq(s, d, residualFrame(s, d))
+      val built = trainPq(s, residualFrame(s, d))
       val prev = pqResidCache.putIfAbsent(key, built)
       if (prev != null) prev else built
     }
@@ -2481,7 +2482,7 @@ object Similarity {
     val key = Sources.fixtureKey(d, "embeddings")
     val cached = pqIndexCache.get(key)
     if (cached != null) cached else {
-      val built = trainPq(s, d, embeddings(s, d).select(col("vec_id"), col("embedding")))
+      val built = trainPq(s, embeddings(s, d).select(col("vec_id"), col("embedding")))
       val prev = pqIndexCache.putIfAbsent(key, built)
       if (prev != null) prev else built
     }
@@ -2490,7 +2491,7 @@ object Similarity {
   /** One-time PQ training for [[pqTrained]]: returns the refined codebook
     * rows and the spilled codes-table path.
     */
-  private[graft] def trainPq(s: SparkSession, d: String,
+  private[graft] def trainPq(s: SparkSession,
       src: DataFrame): (Seq[(Int, Int, Seq[Double])], String) = {
     import org.apache.spark.sql.graft.VectorOps.vec_dist_sq
     import s.implicits._
@@ -3106,7 +3107,11 @@ object Similarity {
     */
   private[graft] def annIndexStatsOracle: String =
     s"WITH $pqLegCtes, $ivfPqCoarseCtes, " +
-    "sz AS (SELECT cid, count(*) AS sz FROM kb2 GROUP BY cid) " +
+    // sizes over the CONFIGURED lists (kc1), zero-filled — empty lists
+    // must be visible to the health read (the Spark side's centroid-left-
+    // join shape)
+    "sz AS (SELECT c.cid, coalesce(k.sz, 0) AS sz FROM kc1 c LEFT JOIN " +
+    "(SELECT cid, count(*) AS sz FROM kb2 GROUP BY cid) k ON c.cid = k.cid) " +
     "SELECT CAST(count(*) AS BIGINT) AS n_lists, " +
     "CAST(sum(sz) AS BIGINT) AS n_vectors, " +
     "CAST(min(sz) AS BIGINT) AS min_list, " +

@@ -571,15 +571,6 @@ object TextOps {
           lit(1.0) - col("sumsq") / (col("n_tokens") * col("n_tokens")))
         .orderBy("lang")),
 
-    // Training-sequence packing: concatenate documents into fixed-length
-    // token streams (the LLM pretraining "pack then chunk" step) and report
-    // per-bin fill. A single GLOBAL running sum would serialize the corpus
-    // through one partition — instead docs shard deterministically by
-    // doc_id % PackShards and each shard packs independently (window
-    // running-sum per shard), so parallelism = shard count and each shard's
-    // stream is contiguous. A doc starts at its shard-stream offset
-    // (exclusive running sum); its bin is that offset's PackSeqLen-chunk —
-    // docs may straddle a boundary, exactly like real token packing.
     // Length-bucketed batching audit (round 19, third session — the
     // group-by-length batching every inference/finetune stack runs:
     // batching same-length docs cuts padding waste vs padding the whole
@@ -614,6 +605,15 @@ object TextOps {
         .orderBy("bucket")
     }),
 
+    // Training-sequence packing: concatenate documents into fixed-length
+    // token streams (the LLM pretraining "pack then chunk" step) and report
+    // per-bin fill. A single GLOBAL running sum would serialize the corpus
+    // through one partition — instead docs shard deterministically by
+    // doc_id % PackShards and each shard packs independently (window
+    // running-sum per shard), so parallelism = shard count and each shard's
+    // stream is contiguous. A doc starts at its shard-stream offset
+    // (exclusive running sum); its bin is that offset's PackSeqLen-chunk —
+    // docs may straddle a boundary, exactly like real token packing.
     "pack_sequences" -> ((s, d) => {
       val byDoc = Window.partitionBy("shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -227,7 +227,13 @@ class AnnIndexSpec extends AnyFunSuite {
       .groupBy(_.getAs[Int]("cid")).view.mapValues(_.length.toLong).toMap
     val codes = spark.read.parquet(s"$root/codes").collect()
       .map(r => (r.getInt(1), r.getInt(2)))
-    assert(row.getLong(0) == sizes.size, "n_lists")
+    // n_lists counts the CONFIGURED geometry (the centroid artifact) —
+    // on this fixture every list is occupied, so the occupied recount
+    // below coincides; the zero-fill path is what the op guards
+    val nCents = spark.read.parquet(s"$root/coarse_centroids").count()
+    assert(row.getLong(0) == nCents, "n_lists != configured lists")
+    assert(sizes.size == nCents,
+      "fixture has empty lists — the occupied recount below is invalid")
     assert(row.getLong(1) == sizes.values.sum, "n_vectors")
     assert(row.getLong(2) == sizes.values.min, "min_list")
     assert(row.getLong(3) == sizes.values.max, "max_list")

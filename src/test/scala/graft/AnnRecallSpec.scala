@@ -26,6 +26,28 @@ class AnnRecallSpec extends AnyFunSuite {
     }.toMap
   }
 
+  /** Total squared PQ reconstruction error of a trained index over the
+    * vectors it encoded — the distortion measure shared by both residual
+    * tests (one driver-side plain-Scala fold, cross-implementation vs
+    * both engines).
+    */
+  private def pqDistortion(index: (Seq[(Int, Int, Seq[Double])], String),
+      vecs: Map[Long, Array[Float]]): Double = {
+    val (cb, path) = index
+    val dim = vecs.head._2.length
+    val pqM = cb.map(_._1).max + 1
+    val pqDim = dim / pqM
+    val cw = cb.map { case (m, c, w) => (m, c) -> w }.toMap
+    spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .foldLeft(0.0) { case (acc, (vid, m, code)) =>
+        val sub = vecs(vid).slice(m * pqDim, (m + 1) * pqDim)
+        val w = cw((m, code))
+        acc + sub.indices.foldLeft(0.0) { (a, i) =>
+          val dd = sub(i).toDouble - w(i); a + dd * dd }
+      }
+  }
+
   private def meanRecall(queryName: String): Double = {
     val got = SparkEntry.queries(queryName)(spark, Sf01).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
@@ -233,28 +255,12 @@ class AnnRecallSpec extends AnyFunSuite {
     // apples to apples — residual re-centers every list, and the same
     // codebook budget must cover no MORE spread than the raw spread.
     // Driver-side plain-Scala fold: cross-implementation vs both engines.
-    def distortion(index: (Seq[(Int, Int, Seq[Double])], String),
-        vecs: Map[Long, Array[Float]]): Double = {
-      val (cb, path) = index
-      val dim = vecs.head._2.length
-      val pqM = cb.map(_._1).max + 1
-      val pqDim = dim / pqM
-      val cw = cb.map { case (m, c, w) => (m, c) -> w }.toMap
-      spark.read.parquet(path).collect()
-        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
-        .foldLeft(0.0) { case (acc, (vid, m, code)) =>
-          val sub = vecs(vid).slice(m * pqDim, (m + 1) * pqDim)
-          val w = cw((m, code))
-          acc + sub.indices.foldLeft(0.0) { (a, i) =>
-            val dd = sub(i).toDouble - w(i); a + dd * dd }
-        }
-    }
     val rawVecs = Tables.embeddings(spark, d).select("vec_id", "embedding")
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
     val residVecs = Similarity.residualFrame(spark, d)
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    val raw = distortion(Similarity.pqIndex(spark, d), rawVecs)
-    val resid = distortion(Similarity.pqResidIndex(spark, d), residVecs)
+    val raw = pqDistortion(Similarity.pqIndex(spark, d), rawVecs)
+    val resid = pqDistortion(Similarity.pqResidIndex(spark, d), residVecs)
     info(f"total PQ distortion: raw $raw%.2f residual $resid%.2f (ratio ${resid / raw}%.4f)")
     // Parity on THIS fixture too (measured ratio 1.018): the removable
     // between-list variance is ~0 on uniform data, so the two trainings
@@ -293,24 +299,9 @@ class AnnRecallSpec extends AnyFunSuite {
       val k = vid % 8
       (vid, Array.tabulate(dim)(p => v(p) - center(k, p)))
     }.toDF("vec_id", "embedding")
-    def distortionOf(index: (Seq[(Int, Int, Seq[Double])], String),
-        vecs: Map[Long, Array[Float]]): Double = {
-      val (cb, path) = index
-      val pqM = cb.map(_._1).max + 1
-      val pqDim = dim / pqM
-      val cw = cb.map { case (m, c, w) => (m, c) -> w }.toMap
-      spark.read.parquet(path).collect()
-        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
-        .foldLeft(0.0) { case (acc, (vid, m, code)) =>
-          val sub = vecs(vid).slice(m * pqDim, (m + 1) * pqDim)
-          val w = cw((m, code))
-          acc + sub.indices.foldLeft(0.0) { (a, i) =>
-            val dd = sub(i).toDouble - w(i); a + dd * dd }
-        }
-    }
-    val rawD = distortionOf(Similarity.trainPq(spark, Sf01, src),
+    val rawD = pqDistortion(Similarity.trainPq(spark, src),
       rows.toMap)
-    val residD = distortionOf(Similarity.trainPq(spark, Sf01, residSrc),
+    val residD = pqDistortion(Similarity.trainPq(spark, residSrc),
       rows.map { case (vid, v) =>
         val k = vid % 8
         vid -> Array.tabulate(dim)(p => v(p) - center(k, p))

@@ -713,4 +713,28 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert("BroadcastExchange".r.findAllIn(p).size >= 2,
       s"classifier totals lost their broadcasts:\n$p")
   }
+
+  test("refined probe: the exact-rerank vector fetch is a broadcast of the pool, never a shuffle of the store") {
+    // the 100 TB claim: the queries×pool id set broadcasts onto ONE scan
+    // of the vector store — a SortMergeJoin here would shuffle the whole
+    // store for a 400-row fetch
+    AnnIndex.ensure(spark, Sf0001)
+    val p = plan("sim_ann_ivfpq_probe_refined")
+    assert(!p.contains("SortMergeJoin"), s"refine fetch shuffled the store:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"refine pool not broadcast:\n$p")
+  }
+
+  test("range search is scan-shaped: no ranking window at all") {
+    // range's whole point vs top-k: the radius filter needs no per-query
+    // window — a Window here means someone re-introduced ranking
+    AnnIndex.ensure(spark, Sf0001)
+    val p = plan("sim_range_search")
+    // the only ranking allowed is the nprobe probe cut (one row_number
+    // over the 10×IvfPqK probe frame — it surfaces as a single Window
+    // node plus its WindowGroupLimit pushdown pair); the candidate tail
+    // must be filter-only
+    assert("Window \\[row_number".r.findAllIn(p).size <= 1,
+      s"range search grew a ranking window beyond the probe cut:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"range candidates shuffled:\n$p")
+  }
 }
