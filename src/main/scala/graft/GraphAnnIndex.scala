@@ -251,6 +251,36 @@ object GraphAnnIndex {
     s.read.parquet(listsPath).orderBy("vec_id", "rn")
   }
 
+  /** Index-health statistics over the PERSISTED graph artifacts (the
+    * ann_index_stats twin on this family), serving-side — builds==0, one
+    * scan of the lists. Out-degree is NndBuildK for every vertex by
+    * construction, so the health signal lives in the IN-degree
+    * distribution: `max_in_deg` exposes hub formation (a runaway hub
+    * degrades beam diversity), `n_unreferenced` counts vertices NO edge
+    * points at — reachable only as entry points, i.e. effectively
+    * unservable content the next compaction's back-link pass should
+    * repair — and `n_mutual` is the standing back-link coverage read.
+    * All-integer single row; at 100 TB the lists artifact is
+    * metadata-scale next to the vectors.
+    */
+  def stats(s: SparkSession, d: String): DataFrame = {
+    ensure(s, d)
+    val root = indexRoot(d)
+    val g = s.read.parquet(s"$root/lists").select("vec_id", "nb")
+    val inDeg = g.groupBy("nb").agg(count(lit(1)).as("ind"))
+    val unref = g.select(col("vec_id")).distinct()
+      .join(inDeg, col("vec_id") === col("nb"), "left_anti")
+      .agg(count(lit(1)).as("n_unreferenced"))
+    g.agg(countDistinct(col("vec_id")).as("n_vertices"),
+        count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(
+        g.as("a").join(g.as("b"),
+            col("a.vec_id") === col("b.nb") && col("a.nb") === col("b.vec_id"))
+          .agg(count(lit(1)).as("n_mutual"))))
+      .crossJoin(broadcast(inDeg.agg(max(col("ind")).as("max_in_deg"))))
+      .crossJoin(broadcast(unref))
+  }
+
   /** Streaming-segment staging dir (the IVF-PQ family's streamDir twin —
     * delta-rule-keyed so a changed cut rule cannot serve stale segments).
     */
@@ -770,6 +800,8 @@ object GraphAnnIndex {
     // streaming ingest: the delta as deterministic micro-batches, each a
     // log-structured beam segment; output over the segment union
     "stream_gann_ingest" -> (streamIngest _),
+    // index health: in-degree hubs, unreferenced vertices, back-links
+    "gann_index_stats" -> (stats _),
     // round 19 — serving + deletion over the appended index
     "gann_index_delete" -> (delete _),
     "sim_ann_graph_search_merged" -> (searchMerged _),
@@ -983,6 +1015,18 @@ object GraphAnnIndex {
       // micro-batching is invisible in the ingested graph (every delta
       // beam descends base-only): the append oracle verbatim
       "stream_gann_ingest" -> gannAppendOracle,
+      // health stats from the same final-graph CTE the build pins
+      "gann_index_stats" ->
+        (s"WITH ${Similarity.nndChainCtes}, gg AS (SELECT v, nb FROM $g) " +
+         "SELECT CAST(count(DISTINCT v) AS BIGINT) AS n_vertices, " +
+         "CAST(count(*) AS BIGINT) AS n_edges, " +
+         "CAST((SELECT count(*) FROM gg a JOIN gg b " +
+         "ON a.v = b.nb AND a.nb = b.v) AS BIGINT) AS n_mutual, " +
+         "CAST((SELECT max(ind) FROM (SELECT count(*) AS ind FROM gg GROUP BY nb)) " +
+         "AS BIGINT) AS max_in_deg, " +
+         "CAST((SELECT count(*) FROM (SELECT DISTINCT v FROM gg) t " +
+         "WHERE t.v NOT IN (SELECT nb FROM gg)) AS BIGINT) AS n_unreferenced " +
+         "FROM gg"),
 
       // deterministic-rule audit (count + id checksum)
       "gann_index_delete" -> Similarity.tombAuditOracle,

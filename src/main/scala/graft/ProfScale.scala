@@ -542,7 +542,9 @@ object ProfScale {
       // plus the per-micro-batch job floor — the streaming tax itself
       "stream_index_ingest",
       // the graph twin: |delta| beam work split across segments + floors
-      "stream_gann_ingest")
+      "stream_gann_ingest",
+      // graph health: one lists scan + in-degree aggregates
+      "gann_index_stats")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer
@@ -563,7 +565,8 @@ object ProfScale {
       // scans only, never the descent build
       if (targets.contains("sim_ann_graph_probe") ||
           targets.contains("sim_ann_graph_search") ||
-          targets.contains("sim_ann_graph_search_novel")) GraphAnnIndex.ensure(spark, dir)
+          targets.contains("sim_ann_graph_search_novel") ||
+          targets.contains("gann_index_stats")) GraphAnnIndex.ensure(spark, dir)
       if (targets.contains("gann_index_append") ||
           targets.contains("stream_gann_ingest")) GraphAnnIndex.ensureBase(spark, dir)
       // frozen-encode rows time encode only — the store build is its own

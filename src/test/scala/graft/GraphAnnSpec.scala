@@ -424,6 +424,25 @@ class GraphAnnSpec extends AnyFunSuite {
       "pure greedy matches the beam — the measurement is not exercising the search")
   }
 
+  test("graph stats verb recounts the persisted lists exactly and never rebuilds") {
+    GraphAnnIndex.ensure(spark, d)
+    val b0 = GraphAnnIndex.builds.get()
+    val row = GraphAnnIndex.stats(spark, d).collect()(0)
+    assert(GraphAnnIndex.builds.get() == b0, "stats triggered a rebuild")
+    val edges = spark.read.parquet(s"${GraphAnnIndex.indexRoot(d)}/lists")
+      .select("vec_id", "nb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val inDeg = edges.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val edgeSet = edges.toSet
+    assert(row.getLong(0) == edges.map(_._1).distinct.length, "n_vertices")
+    assert(row.getLong(1) == edges.length, "n_edges")
+    assert(row.getLong(2) == edges.count { case (v, nb) => edgeSet((nb, v)) }, "n_mutual")
+    assert(row.getLong(3) == inDeg.values.max, "max_in_deg")
+    assert(row.getLong(4) ==
+      edges.map(_._1).distinct.count(v => !inDeg.contains(v)), "n_unreferenced")
+    info(s"back-link coverage ${row.getLong(2)}/${row.getLong(1)}, " +
+      s"max in-degree ${row.getLong(3)}, unreferenced ${row.getLong(4)}")
+  }
+
   test("streaming graph ingest through a real MemoryStream equals the one-shot append") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
