@@ -113,6 +113,52 @@ object Multimodal {
   private def audioRate(docId: Long): Int = 8000 + 1000 * (docId % 5).toInt
 
   /** Decoded audio features: header geometry + integer sample statistics. */
+  case class ImageHistogram(doc_id: Long, width: Int, height: Int,
+    b0: Long, b1: Long, b2: Long, b3: Long)
+
+  case class AudioWindow(doc_id: Long, win: Int, n_samples: Long, energy: Long)
+
+  /** REAL image decode → 4-bin intensity histogram of the red channel
+    * (bins [0,64) [64,128) [128,192) [192,256) — the 2-bit luminance
+    * quantization every CV preprocessing stack computes for exposure /
+    * content screening). Dimensions from the decoded header, counts from
+    * the decoded pixels; nothing here knows the generation formulas.
+    */
+  private[graft] def decodeHistogram(docId: Long, bytes: Array[Byte]): ImageHistogram = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"doc $docId: payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val b = new Array[Long](4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        b(((img.getRGB(x, y) >> 16) & 0xff) / 64) += 1
+        x += 1
+      }
+      y += 1
+    }
+    ImageHistogram(docId, w, h, b(0), b(1), b(2), b(3))
+  }
+
+  /** REAL audio decode → fixed 50-sample frame energies (L1 deviation
+    * from the 8-bit midpoint per frame — the framing primitive under
+    * VAD/silence segmentation; the last frame is legitimately partial).
+    * One row per (doc, frame): a generator like the video path.
+    */
+  private[graft] def decodeWavWindows(docId: Long, bytes: Array[Byte]): Seq[AudioWindow] = {
+    val ais = wavReader.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    val buf = ais.readAllBytes()
+    require(buf.nonEmpty && fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+      s"doc $docId: payload is not the expected 8-bit mono PCM")
+    buf.grouped(50).zipWithIndex.map { case (chunk, wi) =>
+      AudioWindow(docId, wi, chunk.length.toLong,
+        chunk.foldLeft(0L)((acc, s) => acc + math.abs((s & 0xff) - 128)))
+    }.toSeq
+  }
+
   case class AudioFeatures(
     doc_id: Long, sample_rate: Int, n_samples: Long,
     mean_amp: Long, peak_amp: Long, l1_dev: Long)
@@ -358,6 +404,33 @@ object Multimodal {
         .mapPartitions(_.map { case (id, bytes) => decodeWav(id, bytes) })
         .toDF()
         .orderBy("doc_id")
+    }),
+
+    // Image intensity histogram through the real PNG decode (round 19,
+    // third session): 4-bin red-channel histogram per doc — the 2-bit
+    // luminance screening feature. Partition-local decode, no shuffle
+    // before the presentation sort.
+    "mm_image_histogram" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      mediaPayload(s, d)
+        .mapPartitions(_.map { case (id, bytes) => decodeHistogram(id, bytes) })
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
+    // Audio frame energies through the real WAV decode (round 19, third
+    // session): fixed 50-sample frames, L1 energy per frame, one row per
+    // (doc, frame) — the framing generator under VAD/silence work.
+    "mm_audio_energy_windows" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) => (id, renderWav(id, t)) })
+        .mapPartitions(_.flatMap { case (id, bytes) => decodeWavWindows(id, bytes) })
+        .toDF()
+        .orderBy("doc_id", "win")
     }),
 
     // The VIDEO modality through a third real codec (round 17): each
@@ -773,6 +846,32 @@ object Multimodal {
        "CAST(MAX(c) AS BIGINT) AS peak_amp, " +
        "CAST(SUM(abs(c - 128)) // n AS BIGINT) AS l1_dev " +
        "FROM sm GROUP BY doc_id, n, sample_rate ORDER BY doc_id"),
+
+    // histogram bins recomputed arithmetically from the shared pixel rule
+    // (red channel = c itself)
+    "mm_image_histogram" ->
+      ("WITH px AS (SELECT doc_id, len(text) AS ln, " +
+       "8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h, text FROM documents), " +
+       "g AS (SELECT doc_id, w, h, " +
+       "(CASE WHEN ln = 0 THEN 0 ELSE ascii(substr(text, CAST(i % ln AS INT) + 1, 1)) % 256 END) AS c " +
+       "FROM px, unnest(range(0, w * h)) AS u(i)) " +
+       "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+       "CAST(sum(CASE WHEN c < 64 THEN 1 ELSE 0 END) AS BIGINT) AS b0, " +
+       "CAST(sum(CASE WHEN c >= 64 AND c < 128 THEN 1 ELSE 0 END) AS BIGINT) AS b1, " +
+       "CAST(sum(CASE WHEN c >= 128 AND c < 192 THEN 1 ELSE 0 END) AS BIGINT) AS b2, " +
+       "CAST(sum(CASE WHEN c >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS b3 " +
+       "FROM g GROUP BY doc_id, w, h ORDER BY doc_id"),
+
+    // per-frame L1 energies recomputed from the shared PCM formula; the
+    // last frame is legitimately partial (n % 50)
+    "mm_audio_energy_windows" ->
+      ("WITH a AS (SELECT doc_id, len(text) AS ln, 200 + doc_id % 300 AS n, text FROM documents), " +
+       "sm AS (SELECT doc_id, CAST(i // 50 AS INT) AS win, " +
+       "CASE WHEN ln = 0 THEN 0 ELSE ascii(substr(text, CAST(i % ln AS INT) + 1, 1)) % 256 END AS c " +
+       "FROM a, unnest(range(0, n)) AS u(i)) " +
+       "SELECT doc_id, win, count(*) AS n_samples, " +
+       "CAST(sum(abs(c - 128)) AS BIGINT) AS energy " +
+       "FROM sm GROUP BY doc_id, win ORDER BY doc_id, win"),
 
     // the video decode's oracle recomputes the frame-shifted pixel rule
     // per (doc, frame): same dims CTE as the image path, frame count from

@@ -544,7 +544,9 @@ object ProfScale {
       // the graph twin: |delta| beam work split across segments + floors
       "stream_gann_ingest",
       // graph health: one lists scan + in-degree aggregates
-      "gann_index_stats")
+      "gann_index_stats",
+      // codec features: partition-local render+decode, corpus-linear
+      "mm_image_histogram", "mm_audio_energy_windows")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer

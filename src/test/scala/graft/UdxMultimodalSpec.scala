@@ -286,4 +286,45 @@ class UdxMultimodalSpec extends AnyFunSuite {
     // diagonal = Σ micro² must be strictly positive (no dead fixture dims)
     (0 until 64).foreach(i => assert(got((i, i))._2 > 0, s"dead dim $i"))
   }
+
+  test("image histogram: bins conserve the pixel count and spread beyond one bucket") {
+    val rows = q("mm_image_histogram").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h) = (r.getInt(1), r.getInt(2))
+      val bins = (3 to 6).map(r.getLong)
+      assert(bins.sum == w.toLong * h,
+        s"doc ${r.getLong(0)}: bins ${bins.sum} != $w x $h pixels")
+      assert(bins.forall(_ >= 0))
+    }
+    // non-vacuous: real text pixels are not monochrome — at least one doc
+    // populates 2+ bins, and 2+ bins are hit corpus-wide (ASCII codepoints
+    // land in bins 0-1 only; the upper bins fill on non-Latin content, so
+    // all-four coverage would be a fixture assumption, not a decode pin)
+    assert(rows.exists(r => (3 to 6).count(i => r.getLong(i) > 0) >= 2),
+      "every image collapsed into a single intensity bin")
+    assert((3 to 6).count(i => rows.exists(_.getLong(i) > 0)) >= 2,
+      "the whole corpus collapsed into one intensity bin")
+  }
+
+  test("audio frame energies: frame count and widths follow the decoded PCM length") {
+    val rows = q("mm_audio_energy_windows").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, frames) =>
+      val n = 200 + (doc % 300) // the decoded PCM length (header-verified
+                                // by the features spec; framing must match)
+      val sorted = frames.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(sorted.indices),
+        s"doc $doc: frame indices not contiguous")
+      assert(sorted.map(_._3).sum == n, s"doc $doc: frames lose samples")
+      // all full frames are 50 samples; only the LAST may be partial
+      sorted.init.foreach { case (_, _, ns, _) => assert(ns == 50) }
+      assert(sorted.last._3 == (if (n % 50 == 0) 50 else n % 50))
+    }
+    // non-vacuous: energies differ across frames somewhere (a flat corpus
+    // would make the framing pointless)
+    assert(rows.groupBy(_._1).exists(_._2.map(_._4).distinct.length > 1),
+      "every doc has identical frame energies")
+  }
 }
