@@ -546,7 +546,9 @@ object ProfScale {
       // graph health: one lists scan + in-degree aggregates
       "gann_index_stats",
       // codec features: partition-local render+decode, corpus-linear
-      "mm_image_histogram", "mm_audio_energy_windows")
+      "mm_image_histogram", "mm_audio_energy_windows",
+      // CUSUM: two user-partitioned windows over events — one shuffle
+      "window_cusum")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer

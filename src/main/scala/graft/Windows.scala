@@ -18,7 +18,42 @@ import Tables._
 object Windows {
   type Q = (SparkSession, String) => DataFrame
 
+  /** CUSUM dials (window_cusum): reference level μ + slack k folded into
+    * one per-step drift term (value − 60 = value − (μ=50) − (k=10); the
+    * fixture's value mean is ~50), and the alarm threshold h=200. Page's
+    * one-sided CUSUM in its prefix-sum closed form: S_n = P_n − min_{j≤n}
+    * P_j where P is the running drift sum — two window functions, no
+    * recursion, so the published change-point statistic is pure dataflow.
+    * Production estimates μ from a reference window and sets (k, h) from
+    * the acceptable drift / ARL trade; here they are fixture-visible
+    * dials the oracle interpolates.
+    */
+  val CusumDrift = 60
+  val CusumThresholdMicro = 200000000L // h = 200, in the micro-unit output scale
+
   val queries: Map[String, Q] = Map(
+    "window_cusum" -> ((s, d) => {
+      // exact-decimal running sums (float window sums would re-associate
+      // across engines); the statistic ships as INTEGER micro-units —
+      // DuckDB's DECIMAL→DOUBLE cast is off by an ulp (it multiplies by
+      // the inexact 1e-6; measured: 83.510000 → 83.50999999999999), so a
+      // double final cannot hash-match even though both chains are exact
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          dec(col("value"), 20, 6).as("v"))
+        .withColumn("p", sum(col("v") - lit(CusumDrift)).over(w))
+        // the prefix minimum must include the EMPTY prefix P_0 = 0 (the
+        // recursion restarts at 0, not at the first row's drift)
+        .withColumn("mp", least(min(col("p")).over(w), lit(0)))
+        .withColumn("cusum_micro",
+          ((col("p") - col("mp")) * lit(1000000)).cast(LongType))
+        .withColumn("flag", col("cusum_micro") > lit(CusumThresholdMicro))
+        .select("user_id", "event_id", "cusum_micro", "flag")
+        .orderBy("user_id", "event_id")
+    }),
+
     "window_rank" -> ((s, d) => {
       val byBal = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc)
       val byBalKey = Window.partitionBy("c_mktsegment")
@@ -440,6 +475,23 @@ object Windows {
   val EwmaHistory = 64
 
   val oracles: Map[String, String] = Map(
+    // Page's CUSUM in the prefix-sum closed form, dials interpolated from
+    // the same constants; exact-decimal windows, DOUBLE finals
+    "window_cusum" ->
+      (s"WITH t AS (SELECT user_id, event_id, ts, CAST(value AS DECIMAL(20,6)) AS v FROM events), " +
+       s"c AS (SELECT user_id, event_id, ts, sum(v - $CusumDrift) OVER " +
+       "(PARTITION BY user_id ORDER BY ts, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p FROM t), " +
+       // 0 CAST to the window sum's decimal type: DuckDB's least(DECIMAL,
+       // INTEGER) otherwise resolves through DOUBLE and the exactness is
+       // gone (caught by the gate: cusum '0.01999999999998181')
+       "m AS (SELECT user_id, event_id, p, least(min(p) OVER " +
+       "(PARTITION BY user_id ORDER BY ts, event_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), CAST(0 AS DECIMAL(38,6))) AS mp FROM c) " +
+       "SELECT user_id, event_id, CAST((p - mp) * 1000000 AS BIGINT) AS cusum_micro, " +
+       s"(CAST((p - mp) * 1000000 AS BIGINT) > $CusumThresholdMicro) AS flag " +
+       "FROM m ORDER BY user_id, event_id"),
+
     "window_rank" ->
       ("SELECT c_mktsegment, c_custkey, c_acctbal, " +
        "CAST(rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS INT) AS rnk, " +

@@ -809,4 +809,40 @@ class AggWindowSpec extends AnyFunSuite {
     got.values.foreach { case (p25, p50, p75, _) =>
       assert(p25 <= p50 && p50 <= p75) }
   }
+
+  test("window_cusum: the prefix-sum closed form equals Page's sequential recursion") {
+    // the operator computes S_n = P_n - min_{j<=n} P_j (two windows); the
+    // PUBLISHED definition is the recursion S_n = max(0, S_{n-1} + x_n - drift).
+    // Recompute the recursion driver-side over the same (ts, event_id)
+    // order and require equality — the algebraic identity, asserted on
+    // real data, not assumed.
+    val rows = Tables.events(spark, Sf0001)
+      .select("user_id", "event_id", "ts", "value").collect()
+      .map { r =>
+        val t = r.getAs[java.time.LocalDateTime](2)
+        (r.getLong(0), r.getLong(1),
+          t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L + t.getNano,
+          r.getDouble(3))
+      }
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      var st = BigDecimal(0)
+      es.sortBy(e => (e._3, e._2)).toSeq.map { case (u, eid, _, v) =>
+        // the operator quantizes inputs to 6 dp (DECIMAL(20,6)) before
+        // summing — mirror the quantization, then the exact recursion
+        st = (st + (BigDecimal(v.toString).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP) - Windows.CusumDrift)).max(0)
+        (u, eid) -> (st * 1000000).toLongExact
+      }
+    }.toMap
+    val got = q("window_cusum").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (cusum, flag)) =>
+      assert(cusum == expected(k), s"$k: closed form $cusum != recursion ${expected(k)}")
+      assert(flag == (cusum > Windows.CusumThresholdMicro))
+    }
+    // the alarm is non-trivial on the fixture: both states occur
+    val flags = got.values.map(_._2).toSet
+    assert(flags == Set(true, false), s"degenerate alarm mix: $flags")
+  }
 }
