@@ -281,6 +281,35 @@ object GraphAnnIndex {
       .crossJoin(broadcast(unref))
   }
 
+  /** Recall evaluation for the graph serving path (the family twin of
+    * sim_ann_recall_eval): recall@10 of the in-engine batched beam over
+    * the persisted index against the exact cosine top-10 per probe query
+    * — the post-maintenance regression a production graph-ANN deployment
+    * runs (a broken reverse-edge fold or beam state craters it where it
+    * happens). Integer hits-of-10 per query (D5); exact side is the
+    * bounded 10-probe brute-force kernel.
+    */
+  def recallEval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graft.VectorOps.{vec_dot, vec_norm}
+    val ann = search(s, d).select(col("qid"), col("nn"))
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = e.where(col("vec_id") < ProbeQids)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(col("cs").desc, col("nn").asc)
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nn"),
+        (vec_dot(col("embedding"), col("qe")) /
+          (vec_norm(col("embedding")) * vec_norm(col("qe")))).as("cs"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= ProbeTopK)
+      .select("qid", "nn")
+    val hits = exact.join(broadcast(ann), Seq("qid", "nn"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    q.select("qid").join(broadcast(hits), Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .orderBy("qid")
+  }
+
   /** Streaming-segment staging dir (the IVF-PQ family's streamDir twin —
     * delta-rule-keyed so a changed cut rule cannot serve stale segments).
     */
@@ -802,6 +831,8 @@ object GraphAnnIndex {
     "stream_gann_ingest" -> (streamIngest _),
     // index health: in-degree hubs, unreferenced vertices, back-links
     "gann_index_stats" -> (stats _),
+    // serving-quality regression: beam recall vs the exact cosine truth
+    "gann_recall_eval" -> (recallEval _),
     // round 19 — serving + deletion over the appended index
     "gann_index_delete" -> (delete _),
     "sim_ann_graph_search_merged" -> (searchMerged _),
@@ -963,6 +994,10 @@ object GraphAnnIndex {
       topK = Similarity.NndBuildK,
       outSel = "qid AS vec_id, CAST(rn AS INT) AS rn, nb",
       ordBy = "vec_id, rn")
+    val searchOracle = beamSql(g,
+      qCos = s"${Similarity.oDot("a", "b")} / " +
+        s"(${Similarity.oNorm("a")} * ${Similarity.oNorm("b")})",
+      rounds = BeamRounds, selfFilter = "WHERE nb != qid ")
     Map(
       "gann_index_build" ->
         (s"WITH ${Similarity.nndChainCtes}, gg AS (SELECT v, nb FROM $g) " +
@@ -978,10 +1013,23 @@ object GraphAnnIndex {
       // all-expanded frontier; here the full BeamRounds budget runs and
       // the idempotent tail reproduces the same state (validated against
       // the numpy prototype before wiring).
-      "sim_ann_graph_search" -> beamSql(g,
-        qCos = s"${Similarity.oDot("a", "b")} / " +
-          s"(${Similarity.oNorm("a")} * ${Similarity.oNorm("b")})",
-        rounds = BeamRounds, selfFilter = "WHERE nb != qid "),
+      "sim_ann_graph_search" -> searchOracle,
+
+      // the serving beam's top-10 (the search oracle verbatim, as a CTE)
+      // joined against the exact cosine ranking — integer hits per query
+      "gann_recall_eval" ->
+        (s"WITH ann AS ($searchOracle), " +
+         s"exq AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < $ProbeQids), " +
+         "exs AS (SELECT q.qid, e.vec_id AS nn, row_number() OVER (PARTITION BY q.qid " +
+         s"ORDER BY ${Similarity.oDotE("e.embedding", "q.embedding")} / " +
+         s"(${Similarity.oNormE("e.embedding")} * ${Similarity.oNormE("q.embedding")}) DESC, " +
+         "e.vec_id ASC) AS rn " +
+         "FROM embeddings e JOIN exq q ON e.vec_id != q.qid), " +
+         s"ext AS (SELECT qid, nn FROM exs WHERE rn <= $ProbeTopK), " +
+         "hits AS (SELECT x.qid, count(*) AS n_hits FROM ext x " +
+         "JOIN ann a ON x.qid = a.qid AND x.nn = a.nn GROUP BY x.qid) " +
+         "SELECT q.qid, COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits " +
+         "FROM exq q LEFT JOIN hits h ON q.qid = h.qid ORDER BY q.qid"),
 
       // label post-filter on the final beam state, before ranking — the
       // exact spot the Spark plan filters

@@ -548,7 +548,9 @@ object ProfScale {
       // codec features: partition-local render+decode, corpus-linear
       "mm_image_histogram", "mm_audio_energy_windows",
       // CUSUM: two user-partitioned windows over events — one shuffle
-      "window_cusum")
+      "window_cusum",
+      // beam recall eval: the serving beam + a 10-probe brute kernel
+      "gann_recall_eval")
       .filter(q => only.isEmpty || only(q))
     // warm BOTH corpora once with cheap queries touching EVERY table the
     // targets read — documents AND orders/lineitem (file listing + footer
@@ -570,7 +572,8 @@ object ProfScale {
       if (targets.contains("sim_ann_graph_probe") ||
           targets.contains("sim_ann_graph_search") ||
           targets.contains("sim_ann_graph_search_novel") ||
-          targets.contains("gann_index_stats")) GraphAnnIndex.ensure(spark, dir)
+          targets.contains("gann_index_stats") ||
+          targets.contains("gann_recall_eval")) GraphAnnIndex.ensure(spark, dir)
       if (targets.contains("gann_index_append") ||
           targets.contains("stream_gann_ingest")) GraphAnnIndex.ensureBase(spark, dir)
       // frozen-encode rows time encode only — the store build is its own

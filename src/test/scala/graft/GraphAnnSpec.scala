@@ -424,6 +424,22 @@ class GraphAnnSpec extends AnyFunSuite {
       "pure greedy matches the beam — the measurement is not exercising the search")
   }
 
+  test("gann_recall_eval reports exactly the beam's hits vs the JVM cosine ground truth") {
+    val ann = SparkEntry.queries("sim_ann_graph_search")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = SparkEntry.queries("gann_recall_eval")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (0L until 10L).toSet)
+    (0L until 10L).foreach { qid =>
+      val expected = (bruteTop(qid).toSet intersect ann.getOrElse(qid, Set.empty)).size.toLong
+      assert(got(qid) == expected, s"qid $qid: ${got(qid)} vs $expected")
+    }
+    val mean = got.values.sum.toDouble / (10 * got.size)
+    info(f"graph serving recall@10 via the operator: $mean%.3f")
+    assert(mean >= 0.85, f"operator-reported beam recall collapsed: $mean%.3f")
+  }
+
   test("graph stats verb recounts the persisted lists exactly and never rebuilds") {
     GraphAnnIndex.ensure(spark, d)
     val b0 = GraphAnnIndex.builds.get()
