@@ -260,8 +260,11 @@ object GraphAnnIndex {
     * points at — reachable only as entry points, i.e. effectively
     * unservable content the next compaction's back-link pass should
     * repair — and `n_mutual` is the standing back-link coverage read.
-    * All-integer single row; at 100 TB the lists artifact is
-    * metadata-scale next to the vectors.
+    * All-integer single row. The plan scans the lists artifact several
+    * times (the edge aggregate, both sides of the mutual self-join, the
+    * in-degree and unreferenced legs) — acceptable because at 100 TB the
+    * lists are metadata-scale next to the vectors; a one-pass rewrite
+    * buys nothing until the artifact itself is big.
     */
   def stats(s: SparkSession, d: String): DataFrame = {
     ensure(s, d)
@@ -292,14 +295,20 @@ object GraphAnnIndex {
   def recallEval(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.graft.VectorOps.{vec_dot, vec_norm}
     val ann = search(s, d).select(col("qid"), col("nn"))
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // exact side reads the PERSISTED vectors (which carry their norms —
+    // the same vec_norm bits the build wrote), and the 10 query norms
+    // compute once: per-pair work is one dot, not three O(dim) folds
+    // (code-review, this session)
+    val e = s.read.parquet(s"${indexRoot(d)}/vectors")
+      .select(col("vec_id"), col("embedding"), col("nrm"))
     val q = e.where(col("vec_id") < ProbeQids)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
     val w = Window.partitionBy("qid").orderBy(col("cs").desc, col("nn").asc)
     val exact = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nn"),
         (vec_dot(col("embedding"), col("qe")) /
-          (vec_norm(col("embedding")) * vec_norm(col("qe")))).as("cs"))
+          (col("nrm") * col("qn"))).as("cs"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= ProbeTopK)
       .select("qid", "nn")

@@ -369,6 +369,20 @@ object Multimodal {
       .mapPartitions(_.map { case (id, t) => (id, renderPng(id, t)) })
   }
 
+  /** WAV payloads of an arbitrary doc frame — the audio twin of
+    * [[mediaPayload]], shared by every WAV consumer so a change to the
+    * render wiring cannot silently fork the verbs (code-review, round 19
+    * third session: the chain existed at four sites).
+    */
+  private[graft] def wavPayload(s: SparkSession, docs: DataFrame)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    val spark = s
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, renderWav(id, t)) })
+  }
+
   val queries: Map[String, Q] = Map(
     // Pure-SQL metadata over the binary column — oracle-checkable.
     "mm_binary_meta" -> ((s, d) =>
@@ -398,9 +412,7 @@ object Multimodal {
     "mm_audio_features" -> ((s, d) => {
       val spark = s
       import spark.implicits._
-      documents(s, d).select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .mapPartitions(_.map { case (id, t) => (id, renderWav(id, t)) })
+      wavPayload(s, documents(s, d))
         .mapPartitions(_.map { case (id, bytes) => decodeWav(id, bytes) })
         .toDF()
         .orderBy("doc_id")
@@ -425,9 +437,7 @@ object Multimodal {
     "mm_audio_energy_windows" -> ((s, d) => {
       val spark = s
       import spark.implicits._
-      documents(s, d).select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .mapPartitions(_.map { case (id, t) => (id, renderWav(id, t)) })
+      wavPayload(s, documents(s, d))
         .mapPartitions(_.flatMap { case (id, bytes) => decodeWavWindows(id, bytes) })
         .toDF()
         .orderBy("doc_id", "win")
@@ -632,8 +642,7 @@ object Multimodal {
   private[graft] def audioFingerprintsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     val spark = s
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) => (id, renderWav(id, t)) })
+    wavPayload(s, docs)
       .mapPartitions(_.map { case (id, bytes) =>
         val ais = wavReader.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))

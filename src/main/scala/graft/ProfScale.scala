@@ -543,7 +543,7 @@ object ProfScale {
       "stream_index_ingest",
       // the graph twin: |delta| beam work split across segments + floors
       "stream_gann_ingest",
-      // graph health: one lists scan + in-degree aggregates
+      // graph health: a few scans of the metadata-scale lists artifact
       "gann_index_stats",
       // codec features: partition-local render+decode, corpus-linear
       "mm_image_histogram", "mm_audio_energy_windows",
