@@ -231,6 +231,31 @@ object Sources {
         .orderBy("s_suppkey")
     }),
 
+    // GZIP-compressed JSONL round trip (round 19, third session): the
+    // format pretraining corpora actually ARRIVE in (Common Crawl WET/
+    // WARC derivatives, most public text dumps ship as *.jsonl.gz). The
+    // write pins codec=gzip; the read proves Spark's transparent codec
+    // path end-to-end. The scale note is the honest one: gzip is NOT
+    // splittable, so at 100 TB one .jsonl.gz = one task — the ingest job
+    // relies on MANY files for parallelism (exactly how crawl dumps ship,
+    // thousands of shards), and the FIRST thing this engine does with
+    // them is rewrite to splittable parquet (every downstream operator
+    // here reads that). Explicit schema: no inference pass.
+    "source_jsonl_gzip_roundtrip" -> ((s, d) => {
+      val dir = tmp("documents_jsonl_gz", d)
+      documents(s, d).select("doc_id", "lang", "text")
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", "gzip").json(dir)
+      s.read
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("lang", StringType),
+          StructField("text", StringType))))
+        .json(dir)
+        .select(col("doc_id"), col("lang"), length(col("text")).as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Avro round trip (VERDICT r17 #3 — the last common interchange format):
     // the image ships avro core/ipc/mapred but NOT the spark-avro
     // DataSource, so this rides the public Hadoop-Avro bridge instead —
@@ -347,6 +372,13 @@ object Sources {
 
     "source_orc_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    // codec transparency: the gz hop must be invisible — the roundtrip
+    // equals a direct projection of the source table (n_chars, not the
+    // raw text, keeps the final scalar)
+    "source_jsonl_gzip_roundtrip" ->
+      ("SELECT doc_id, lang, CAST(length(text) AS INT) AS n_chars " +
+       "FROM documents ORDER BY doc_id"),
 
     // avro long/string/int/double round-trip bit-exactly (IEEE doubles are
     // stored as raw little-endian bits in the container)

@@ -248,6 +248,26 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(row.getLong(6) > 0 && row.getLong(6) <= 32L * 256L)
   }
 
+  test("streaming ingest self-heals: a torn segment is rebuilt by the next run") {
+    // the crash contract of the log-structured segments: marker-last
+    // means a crashed micro-batch leaves no half-visible segment, and a
+    // re-run (Structured Streaming's replay) overwrites it idempotently —
+    // tear segment 0 (marker gone, artifact truncated) and require the
+    // next run to converge to the identical audit
+    val d = Sf0001
+    AnnIndex.ensure(spark, d)
+    val a1 = AnnIndex.streamIngest(spark, d).collect().map(_.toSeq).toSeq
+    val sd = AnnIndex.streamDir(AnnIndex.indexRoot(d))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+      f.delete()
+    }
+    assert(new java.io.File(sd, "_SEG0_OK").delete(), "segment marker missing")
+    rm(new java.io.File(sd, "codes_b0"))
+    val a2 = AnnIndex.streamIngest(spark, d).collect().map(_.toSeq).toSeq
+    assert(a2 == a1, "re-run after a torn segment diverged")
+  }
+
   test("streaming ingest through a real MemoryStream reproduces the one-shot append bit for bit") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
