@@ -545,6 +545,11 @@ object ProfScale {
       "stream_gann_ingest",
       // graph health: a few scans of the metadata-scale lists artifact
       "gann_index_stats",
+      // round 20 — ANN-served retrieval: the dense leg reads the persisted
+      // IVF-PQ artifacts (index + posting artifact ensured in warmup —
+      // probe-only timing); growth = the probe family's ~flat envelope +
+      // the lexical scan; the fuse/rerank tail stays probes × pool rows
+      "retrieval_rrf_fusion_ann", "retrieval_dense_rerank_ann",
       // codec features: partition-local render+decode, corpus-linear
       "mm_image_histogram", "mm_audio_energy_windows",
       // CUSUM: two user-partitioned windows over events — one shuffle
@@ -639,6 +644,14 @@ object ProfScale {
       if (targets.contains("retrieval_rrf_fusion") ||
           targets.contains("retrieval_dense_rerank"))
         TextOps.bm25Scored(spark, dir).count()
+      // ANN-served retrieval rows time serving only: both standing
+      // artifacts (the IVF-PQ index AND the posting frame) are the
+      // ingest side's work
+      if (targets.contains("retrieval_rrf_fusion_ann") ||
+          targets.contains("retrieval_dense_rerank_ann")) {
+        AnnIndex.ensure(spark, dir)
+        TextOps.bm25Scored(spark, dir).count()
+      }
       // the retrain verb needs the tombstones (the delete verb's artifact,
       // not the retrain's work) — the learn itself is deliberately NOT
       // pre-warmed: retraining IS a training job and its row must pay it

@@ -83,6 +83,22 @@ object Retrieval {
       .where(col("rn") <= PoolN)
   }
 
+  /** Dense pool served from the PERSISTED IVF-PQ artifacts (round 20,
+    * VERDICT r19 #1 — "the serving layer eats its own artifacts"): the
+    * §2.9 probe's (qid, nn, rn) top-10, read probe-only from the
+    * coarse_centroids / codebooks / codes / lists parquet (builds==0
+    * pinned by RetrievalSpec). Two deliberate differences from
+    * [[densePool]]: query ids follow the INDEX's probe convention
+    * (vec_id < 10 — the lexical side filters to match), and the dense
+    * collection is whatever the index serves (the full vector corpus
+    * minus self, including ids 10..19) rather than the >= 20 slice —
+    * a production index answers from ITS corpus, and fusion tolerates
+    * collection mismatch by construction (the partial-coverage point).
+    */
+  private def annPool(s: SparkSession, d: String): DataFrame =
+    AnnIndex.probe(s, d)
+      .select(col("qid").as("query_id"), col("nn").as("item_id"), col("rn"))
+
   val queries: Map[String, Q] = Map(
     // Reciprocal-rank fusion of the BM25 and dense lists: each system
     // contributes 1e6 div (60 + rank) for its pooled items, the fused
@@ -136,6 +152,64 @@ object Retrieval {
         .where(col("rn") <= TopK)
         .select("query_id", "rn", "doc_id", "bm25_rn")
         .orderBy("query_id", "rn")
+    }),
+
+    // RRF fusion SERVED FROM THE INDEX (round 20): the dense list is the
+    // persisted IVF-PQ probe's ranking — no exact corpus scan anywhere in
+    // the dense leg; the heavy lifting is nprobe inverted-list shards + ADC
+    // table lookups, which is the at-scale shape the exact key's scaladoc
+    // names. Same integer RRF arithmetic; query ids < 10 (the index's probe
+    // convention).
+    "retrieval_rrf_fusion_ann" -> ((s, d) => {
+      val contrib = (pool: DataFrame, item: String) => pool
+        .select(col("query_id"), col(item).as("item_id"),
+          expr(s"1000000L div ($RrfK + rn)").as("c"))
+      val fused = contrib(lexPool(s, d).where(col("query_id") < 10), "doc_id")
+        .unionByName(contrib(annPool(s, d), "item_id"))
+        .groupBy("query_id", "item_id")
+        .agg(sum("c").cast(LongType).as("rrf_micro"),
+          count(lit(1)).as("n_systems"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("rrf_micro").desc, col("item_id").asc)
+      fused.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= TopK)
+        .select("query_id", "rn", "item_id", "rrf_micro", "n_systems")
+        .orderBy("query_id", "rn")
+    }),
+
+    // Two-stage cascade SERVED FROM THE INDEX (round 20): candidates =
+    // BM25 top-PoolN ∪ the persisted IVF-PQ probe's top-10 (the hybrid
+    // candidate union a production RAG stack runs — each system recalls
+    // what the other misses), exact dense rerank of the bounded union.
+    // n_sources counts which systems nominated each candidate BEFORE the
+    // vector fetch (a lexical candidate without a stored vector drops at
+    // the join exactly as in retrieval_dense_rerank). Per query the rerank
+    // touches ≤ PoolN + 10 vectors regardless of corpus size; output is
+    // rank-only (D5).
+    "retrieval_dense_rerank_ann" -> ((s, d) => {
+      import org.apache.spark.sql.graft.VectorOps.{vec_dot, vec_norm}
+      val cands = lexPool(s, d).where(col("query_id") < 10)
+        .select(col("query_id"), col("doc_id").as("item_id"))
+        .unionByName(annPool(s, d).select("query_id", "item_id"))
+        .groupBy("query_id", "item_id")
+        .agg(count(lit(1)).as("n_sources"))
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        vec_norm(col("embedding")).as("nrm"))
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("item_id").asc)
+      // candidate frame broadcast BY CONTRACT (the retrieval_dense_rerank
+      // size-estimate note applies verbatim)
+      broadcast(cands).join(e, cands("item_id") === e("vec_id"))
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("item_id"), col("n_sources"),
+          (vec_dot(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= TopK)
+        .select("query_id", "rn", "item_id", "n_sources")
+        .orderBy("query_id", "rn")
     })
   )
 
@@ -174,6 +248,46 @@ object Retrieval {
        "FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id " +
        "JOIN embeddings q ON q.vec_id = c.query_id) " +
        "SELECT query_id, CAST(rn AS INT) AS rn, doc_id, CAST(bm25_rn AS INT) AS bm25_rn " +
-       s"FROM rr WHERE rn <= $TopK ORDER BY query_id, rn")
+       s"FROM rr WHERE rn <= $TopK ORDER BY query_id, rn"),
+
+    // The ANN-served variants mirror the dense leg with the FULL IVF-PQ
+    // oracle chain ([[Similarity.annIvfPqCtes]], ending in r(qid, nn, rn))
+    // — the same CTEs the sim_ann_ivfpq_probe key certifies, so the dense
+    // ranking being fused/pooled is provably the index's answer, not a
+    // re-derived approximation. Lexical CTE names (docs..scored) and the
+    // ANN chain's (ms..r) are disjoint; the rerank uses fresh names
+    // (uc/cand2/rr2) because `cand`/`q` are taken.
+    "retrieval_rrf_fusion_ann" ->
+      (s"WITH ${Similarity.annIvfPqCtes}, ${TextOps.bm25ScoredCtes}, " +
+       "lexr AS (SELECT query_id, doc_id AS item_id, row_number() OVER " +
+       "(PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rn " +
+       "FROM scored WHERE query_id < 10), " +
+       s"lexc AS (SELECT query_id, item_id, ${rrfC("rn")} AS c FROM lexr WHERE rn <= $PoolN), " +
+       s"dnsc AS (SELECT qid AS query_id, nn AS item_id, ${rrfC("rn")} AS c FROM r WHERE rn <= 10), " +
+       "fused AS (SELECT query_id, item_id, CAST(sum(c) AS BIGINT) AS rrf_micro, " +
+       "CAST(count(*) AS BIGINT) AS n_systems " +
+       "FROM (SELECT * FROM lexc UNION ALL SELECT * FROM dnsc) GROUP BY 1, 2) " +
+       "SELECT query_id, CAST(rn AS INT) AS rn, item_id, rrf_micro, n_systems FROM " +
+       "(SELECT *, row_number() OVER (PARTITION BY query_id " +
+       "ORDER BY rrf_micro DESC, item_id ASC) AS rn FROM fused) " +
+       s"WHERE rn <= $TopK ORDER BY query_id, rn"),
+
+    "retrieval_dense_rerank_ann" ->
+      (s"WITH ${Similarity.annIvfPqCtes}, ${TextOps.bm25ScoredCtes}, " +
+       "lexr AS (SELECT query_id, doc_id AS item_id, row_number() OVER " +
+       "(PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rn " +
+       "FROM scored WHERE query_id < 10), " +
+       s"uc AS (SELECT query_id, item_id FROM lexr WHERE rn <= $PoolN " +
+       "UNION ALL SELECT qid, nn FROM r WHERE rn <= 10), " +
+       "cand2 AS (SELECT query_id, item_id, CAST(count(*) AS BIGINT) AS n_sources " +
+       "FROM uc GROUP BY 1, 2), " +
+       "rr2 AS (SELECT c.query_id, c.item_id, c.n_sources, " +
+       "row_number() OVER (PARTITION BY c.query_id ORDER BY " +
+       s"${Similarity.oDot("qv", "e")} / (${Similarity.oNorm("qv")} * ${Similarity.oNorm("e")}) DESC, " +
+       "c.item_id ASC) AS rn " +
+       "FROM cand2 c JOIN embeddings e ON e.vec_id = c.item_id " +
+       "JOIN embeddings qv ON qv.vec_id = c.query_id) " +
+       "SELECT query_id, CAST(rn AS INT) AS rn, item_id, n_sources " +
+       s"FROM rr2 WHERE rn <= $TopK ORDER BY query_id, rn")
   )
 }

@@ -2937,7 +2937,7 @@ object Similarity {
     * top-10 directly) and the recall-eval oracle (which joins `r` against
     * the exact ranking).
     */
-  private def annIvfPqCtes: String = annIvfPqCtesWhere("")
+  private[graft] def annIvfPqCtes: String = annIvfPqCtesWhere("")
 
   /** [[annIvfPqCtes]] with an extra predicate on the candidate ids (round
     * 19: the tombstoned-probe oracle anti-filters deleted ids exactly
