@@ -418,7 +418,11 @@ object AnnIndex {
     ensure(s, d)
     val sd = streamDir(indexRoot(d))
     val delta = deltaFrame(s, d)
-    (0 until StreamIngestBatches).foreach { b =>
+    // segments are independent assignment jobs over the frozen constants —
+    // run them from separate threads like the graph family's streamIngest
+    // (VERDICT r19 #2): same artifacts, same per-segment markers, the
+    // serial job floors overlapped
+    Sources.concurrently(0 until StreamIngestBatches) { b =>
       ingestBatch(s, d, delta.where(pmod(col("vec_id"), lit(StreamIngestBatches.toLong)) === b),
         s"$sd/codes_b$b", s"$sd/lists_b$b",
         new java.io.File(sd, s"_SEG${b}_OK")).count()

@@ -642,8 +642,6 @@ object Bpe {
   private[graft] def encodedCorpusBuild(s: SparkSession, d: String): DataFrame = {
     val ml = mergeList(s, d)
     val vocab = vocabIds(s, d)
-    val mapArgs = vocab.sortBy(_._1)
-      .map { case (sym, id) => s"'${sqlLit(sym)}', ${id}L" }.mkString(", ")
     val exploded = documents(s, d)
       .select(col("doc_id"), pmod(col("doc_id"), lit(TextOps.PackShards.toLong)).as("shard"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
@@ -667,17 +665,19 @@ object Bpe {
     val spread = if (exploded.rdd.getNumPartitions < par)
       exploded.repartition(par) else exploded
     spread
-      // the native BpeApply expression replaces the 16-deep aggregate()
-      // fold chain for the BUILD (same algorithm, one tight JVM loop —
-      // HOFs evaluate interpretively at ~50µs/word; BpeSpec pins native
-      // == SQL fold == greedy reference on an adversarial corpus).
-      // encodeExpr remains the portable SQL form the oracle and the
-      // equivalence spec exercise.
-      .withColumn("subs",
-        org.apache.spark.sql.graft.BpeOps.bpe_apply(col("word"),
-          ml.map { case (_, s1, s2) => (s1, s2) }))
+      // merge fold + id lookup fused in the native BpeApplyIds expression
+      // (round 20 — the literal map() this replaced was the last
+      // vocab-proportional expression tree on this path; the id table now
+      // rides the expression constructor like the frozen-store encodes,
+      // so plan size is vocab-independent). BpeSpec pins native == SQL
+      // fold == greedy reference on an adversarial corpus; encodeExpr
+      // remains the portable SQL form the oracle and the equivalence
+      // spec exercise. No UNK here: the build corpus IS the train corpus,
+      // so an unmapped token is a bug and throws.
       .select(col("doc_id"), col("shard"), col("pos"),
-        expr(s"transform(subs, x -> element_at(map($mapArgs), x))").as("ids"))
+        org.apache.spark.sql.graft.BpeOps.bpe_apply_ids(col("word"),
+          ml.map { case (_, s1, s2) => (s1, s2) }, vocab.toMap,
+          byteStructural = false).as("ids"))
   }
 
   /** Tokenize-at-ingest: the STREAMING form of the encoder — the same
@@ -694,23 +694,21 @@ object Bpe {
   private[graft] def encodeStream(s: SparkSession, d: String, docs: DataFrame): DataFrame = {
     val ml = mergeList(s, d)
     val vocab = vocabIds(s, d)
-    val mapArgs = vocab.sortBy(_._1)
-      .map { case (sym, id) => s"'${sqlLit(sym)}', ${id}L" }.mkString(", ")
     docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
       .where(col("word") =!= "")
-      .withColumn("subs",
-        org.apache.spark.sql.graft.BpeOps.bpe_apply(col("word"),
-          ml.map { case (_, s1, s2) => (s1, s2) }))
       // UNK=1 fallback, same contract as text_bpe_encode_novel: streaming
-      // ingest is exactly where unseen text appears, and a bare element_at
-      // would return null — concat_ws silently drops nulls while size()
-      // still counts them, an inconsistent row (ADVICE r15). With coalesce
-      // the row degrades to UNK=1 and n_sub == tokens in ids_w always.
+      // ingest is exactly where unseen text appears. The fused expression
+      // (unkId = 1) replaces the coalesce(element_at(literal map), 1L)
+      // form — same ADVICE r15 rationale (n_sub == tokens in ids_w
+      // always), now without the vocab-proportional literal tree.
+      .withColumn("ids",
+        org.apache.spark.sql.graft.BpeOps.bpe_apply_ids(col("word"),
+          ml.map { case (_, s1, s2) => (s1, s2) }, vocab.toMap,
+          byteStructural = false, unkId = Some(1L)))
       .select(col("doc_id"), col("pos"),
-        expr(s"size(transform(subs, x -> coalesce(element_at(map($mapArgs), x), 1L)))")
-          .cast(LongType).as("n_sub"),
-        expr(s"concat_ws(' ', transform(subs, x -> CAST(coalesce(element_at(map($mapArgs), x), 1L) AS STRING)))")
+        size(col("ids")).cast(LongType).as("n_sub"),
+        expr("concat_ws(' ', transform(ids, x -> CAST(x AS STRING)))")
           .as("ids_w"))
   }
 
@@ -826,22 +824,25 @@ object Bpe {
     "text_bpe_bytes_encode" -> ((s, d) => {
       val art = learnBytes(s, d)
       val ml = mergeListFrom(s, art)
-      val mapArgs = ml.groupBy { case (_, s1, s2) => s1 + s2 }
-        .map { case (m, rs) => (m, rs.map(_._1).min) }.toSeq.sortBy(_._1)
-        .map { case (m, r) => s"'${sqlLit(m)}', ${ByteIdBase + r}L" }
-        .mkString(", ")
+      // merged tokens → ByteIdBase + min rank; single alias chars take the
+      // structural id inside the fused expression (byteStructural — the
+      // instr(aliasStr, c) the CASE computed), the exact pattern the
+      // frozen-store twin certifies; the literal map() this replaced was
+      // the vocab-proportional tree (round 20)
+      val idMap = ml.groupBy { case (_, s1, s2) => s1 + s2 }
+        .map { case (m, rs) => (m, ByteIdBase + rs.map(_._1).min) }
       byteDocs(s, d)
         .select(col("doc_id"),
           posexplode(expr(s"regexp_extract_all(text, '$BytePretokRe', 0)"))
             .as(Seq("pos", "word0")))
-        .withColumn("subs",
-          org.apache.spark.sql.graft.BpeOps.bpe_apply(
+        .withColumn("ids",
+          org.apache.spark.sql.graft.BpeOps.bpe_apply_ids(
             org.apache.spark.sql.graft.BpeOps.utf8_alias(col("word0")),
-            ml.map { case (_, s1, s2) => (s1, s2) }))
+            ml.map { case (_, s1, s2) => (s1, s2) }, idMap,
+            byteStructural = true))
         .select(col("doc_id"), col("pos"),
-          size(col("subs")).cast(LongType).as("n_sub"),
-          expr(s"concat_ws(' ', transform(subs, x -> CAST(CASE WHEN length(x) = 1 " +
-            s"THEN instr('$aliasLitSpark', x) ELSE element_at(map($mapArgs), x) END AS STRING)))")
+          size(col("ids")).cast(LongType).as("n_sub"),
+          expr("concat_ws(' ', transform(ids, x -> CAST(x AS STRING)))")
             .as("ids_w"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tok"), sum("n_sub").as("n_sub"),
@@ -889,8 +890,6 @@ object Bpe {
       val art = learnTrain(s, d)
       val ml = mergeListFrom(s, art)
       val vocab = vocabIdsFrom(s, art)
-      val mapArgs = vocab.sortBy(_._1)
-        .map { case (sym, id) => s"'${sqlLit(sym)}', ${id}L" }.mkString(", ")
       documents(s, d)
         .where(pmod(col("doc_id"), lit(10L)) === lit(NovelResidue))
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word0")))
@@ -902,13 +901,14 @@ object Bpe {
             .when(pmod(col("pos") + lit(1), lit(7)) === 4, reverse(col("word0")))
             .otherwise(col("word0")))
         .where(col("word") =!= "")
-        .withColumn("subs",
-          org.apache.spark.sql.graft.BpeOps.bpe_apply(col("word"),
-            ml.map { case (_, s1, s2) => (s1, s2) }))
-        // UNK=1 fallback: ids never collide with it (chars start at 2,
-        // merges above them), so id == 1 <=> symbol outside the train vocab
+        // UNK=1 fallback via the fused expression (ids never collide with
+        // it: chars start at 2, merges above them, so id == 1 <=> symbol
+        // outside the train vocab); the literal map() this replaced was
+        // the last vocab-proportional tree on the novel path (round 20)
         .withColumn("ids",
-          expr(s"transform(subs, x -> coalesce(element_at(map($mapArgs), x), 1L))"))
+          org.apache.spark.sql.graft.BpeOps.bpe_apply_ids(col("word"),
+            ml.map { case (_, s1, s2) => (s1, s2) }, vocab.toMap,
+            byteStructural = false, unkId = Some(1L)))
         .select(col("doc_id"), col("pos"),
           size(col("ids")).cast(LongType).as("n_sub"),
           expr("size(filter(ids, x -> x = 1))").cast(LongType).as("n_unk_w"),

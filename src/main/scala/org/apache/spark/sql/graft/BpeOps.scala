@@ -64,10 +64,17 @@ case class BpeApply(child: Expression, merges: Seq[(String, String)])
   * map's element_at returned NULL and concat_ws silently DROPPED the
   * token, which would corrupt an id stream without a trace; coverage is
   * structurally total for both families, so the behaviors only diverge
-  * on a bug, and loud beats silent there.
+  * on a bug, and loud beats silent there. `unkId` (round 20 — the last
+  * literal-map sites in Bpe.scala converted to this expression) opts into
+  * the NOVEL-text contract instead: an unmapped token takes the reserved
+  * UNK id (the coalesce(element_at(…), 1L) the SQL form computed), the
+  * correct semantics exactly where unseen text is expected (novel encode,
+  * tokenize-at-ingest) and a bug everywhere else — so it stays opt-in
+  * per call site.
   */
 case class BpeApplyIds(child: Expression, merges: Seq[(String, String)],
-    ids: Map[String, Long], byteStructural: Boolean)
+    ids: Map[String, Long], byteStructural: Boolean,
+    unkId: Option[Long] = None)
   extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
@@ -84,8 +91,8 @@ case class BpeApplyIds(child: Expression, merges: Seq[(String, String)],
       val sym = syms(i)
       out(i) =
         if (byteStructural && sym.length == 1) ByteAlias.byteOf(sym.charAt(0)) + 1L
-        else ids.getOrElse(sym,
-          throw new IllegalStateException(s"bpe_apply_ids: no id for token [$sym]"))
+        else ids.getOrElse(sym, unkId.getOrElse(
+          throw new IllegalStateException(s"bpe_apply_ids: no id for token [$sym]")))
       i += 1
     }
     new GenericArrayData(out)
@@ -292,9 +299,10 @@ object BpeOps {
   def bpe_apply(w: Column, merges: Seq[(String, String)]): Column =
     ExpressionUtils.column(BpeApply(ExpressionUtils.expression(w), merges))
   def bpe_apply_ids(w: Column, merges: Seq[(String, String)],
-      ids: Map[String, Long], byteStructural: Boolean): Column =
+      ids: Map[String, Long], byteStructural: Boolean,
+      unkId: Option[Long] = None): Column =
     ExpressionUtils.column(BpeApplyIds(ExpressionUtils.expression(w), merges,
-      ids, byteStructural))
+      ids, byteStructural, unkId))
   def poly_hash(w: Column, mod: Long): Column =
     ExpressionUtils.column(PolyHash(ExpressionUtils.expression(w), mod))
   def utf8_alias(w: Column): Column =
