@@ -1016,9 +1016,9 @@ object Aggregations {
   val QuantileSketchBins = 256
   val QuantileSketchWidth = 4
   /** Shared pmod-prime affine hash family (count-min + linear counting). */
-  private val SketchP = 1000000007L
-  private val SketchA = 2654435761L
-  private val SketchB = 374761393L
+  private[graft] val SketchP = 1000000007L
+  private[graft] val SketchA = 2654435761L
+  private[graft] val SketchB = 374761393L
 
   /** Count-min geometry + portable hash family (agg_heavy_hitters and its
     * streaming twin [[Streaming.cmStream]]): CmRows seeded hash rows ×

@@ -550,6 +550,9 @@ object ProfScale {
       // probe-only timing); growth = the probe family's ~flat envelope +
       // the lexical scan; the fuse/rerank tail stays probes × pool rows
       "retrieval_rrf_fusion_ann", "retrieval_dense_rerank_ann",
+      // ANALYZE: one stacked corpus scan + a 1-row min/max aggregate —
+      // must scale with the two scan widths, groups stay 6
+      "catalog_column_stats",
       // codec features: partition-local render+decode, corpus-linear
       "mm_image_histogram", "mm_audio_energy_windows",
       // CUSUM: two user-partitioned windows over events — one shuffle

@@ -22,7 +22,7 @@ object SparkEntry {
       Multimodal.queries ++ Sources.queries ++ Etl.queries ++
       Analytics.queries ++ Graph.queries ++ AnnIndex.queries ++ Bpe.queries ++
       Unigram.queries ++ KmvStore.queries ++ GraphAnnIndex.queries ++
-      TokenizerStore.queries ++ Retrieval.queries
+      TokenizerStore.queries ++ Retrieval.queries ++ Catalog.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +33,5 @@ object SparkEntry {
       Multimodal.oracles ++ Sources.oracles ++ Etl.oracles ++
       Analytics.oracles ++ Graph.oracles ++ AnnIndex.oracles ++ Bpe.oracles ++
       Unigram.oracles ++ KmvStore.oracles ++ GraphAnnIndex.oracles ++
-      TokenizerStore.oracles ++ Retrieval.oracles
+      TokenizerStore.oracles ++ Retrieval.oracles ++ Catalog.oracles
 }
