@@ -310,16 +310,12 @@ object AnnIndex {
       new java.io.File(dd, "_DELTA_OK"))
   }
 
-  /** The arrival-order delta slice (the IncrCut contract) — one
-    * derivation shared by append and streamIngest, so the two ingest
-    * forms cannot fork on the cut rule (code-review, this session).
+  /** The arrival-order delta slice (the IncrCut contract) — the ONE
+    * shared derivation ([[Similarity.incrDeltaSlice]], ADVICE r19), so no
+    * ingest form in either family can fork on the cut rule.
     */
-  private def deltaFrame(s: SparkSession, d: String): DataFrame = {
-    val mx = Tables.embeddings(s, d).agg(max(col("vec_id")).as("mx"))
-    Tables.embeddings(s, d).crossJoin(broadcast(mx))
-      .where(col("vec_id") * Similarity.IncrCutDen > col("mx") * Similarity.IncrCutNum)
-      .select(col("vec_id"), col("embedding"))
-  }
+  private def deltaFrame(s: SparkSession, d: String): DataFrame =
+    Similarity.incrDeltaSlice(s, d)
 
   /** The ingest audit (per-list appended occupancy + integer code
     * checksum) over arbitrary lists/codes frames — shared by the
@@ -427,6 +423,15 @@ object AnnIndex {
         s"$sd/codes_b$b", s"$sd/lists_b$b",
         new java.io.File(sd, s"_SEG${b}_OK")).count()
     }
+    // segment readers REQUIRE the markers (ADVICE r19: a write-only
+    // marker is a dead contract): the union must never serve a torn
+    // segment. Unreachable on THIS path — every segment was just
+    // re-ingested above, which is also why a torn segment self-heals
+    // (AnnIndexSpec pins it) — but any future consumer that reads
+    // segments WITHOUT re-ingesting inherits the check, not the trap.
+    val torn = (0 until StreamIngestBatches)
+      .filterNot(b => new java.io.File(sd, s"_SEG${b}_OK").isFile)
+    require(torn.isEmpty, s"torn stream segments (no marker): $torn")
     ingestAudit(
       (0 until StreamIngestBatches)
         .map(b => s.read.parquet(s"$sd/lists_b$b")).reduce(_ unionByName _),
@@ -609,12 +614,8 @@ object AnnIndex {
   def append2(s: SparkSession, d: String): DataFrame = {
     ensureCompact(s, d)
     val cd = compactDir(indexRoot(d))
-    val mx = Tables.embeddings(s, d).agg(max(col("vec_id")).as("mx"))
-    val delta = Tables.embeddings(s, d).crossJoin(broadcast(mx))
-      .where(col("vec_id") * Similarity.DelCutDen > col("mx") * Similarity.DelCutLoNum &&
-             col("vec_id") * Similarity.DelCutDen <= col("mx") * Similarity.DelCutHiNum)
-      .select(col("vec_id"), col("embedding"))
-    ingestBatch(s, d, delta, s"$cd/codes_delta2", s"$cd/lists_delta2",
+    ingestBatch(s, d, Similarity.delCutSlice(s, d),
+      s"$cd/codes_delta2", s"$cd/lists_delta2",
       new java.io.File(cd, "_DELTA2_OK"))
   }
 

@@ -191,17 +191,12 @@ object GraphAnnIndex {
       new java.io.File(root, "_GANN_DELTA_OK"))
   }
 
-  /** The arrival-order delta slice — one derivation shared by appendGraph
-    * and streamIngest (the AnnIndex.deltaFrame convention), so the two
-    * ingest forms cannot fork on the cut rule.
+  /** The arrival-order delta slice — the ONE shared derivation
+    * ([[Similarity.incrDeltaSlice]], ADVICE r19), so no ingest form in
+    * either family can fork on the cut rule.
     */
-  private def deltaFrame(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val mx = emb.agg(max(col("vec_id")).as("mx"))
-    emb.crossJoin(broadcast(mx))
-      .where(col("vec_id") * Similarity.IncrCutDen > col("mx") * Similarity.IncrCutNum)
-      .select(col("vec_id"), col("embedding"))
-  }
+  private def deltaFrame(s: SparkSession, d: String): DataFrame =
+    Similarity.incrDeltaSlice(s, d)
 
   /** The shared search-then-connect ingest body (code-review, this
     * session: gen-1 and gen-2 differ only in the arriving id slice and
@@ -215,14 +210,9 @@ object GraphAnnIndex {
   private def ingestBeam(s: SparkSession, d: String,
       cut: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
       baseListsPath: String, baseVecsPath: String,
-      vecsPath: String, listsPath: String, okf: java.io.File): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val mx = emb.agg(max(col("vec_id")).as("mx"))
-    ingestBeamFrom(s,
-      emb.crossJoin(broadcast(mx)).where(cut(col("vec_id"), col("mx")))
-        .select(col("vec_id"), col("embedding")),
+      vecsPath: String, listsPath: String, okf: java.io.File): DataFrame =
+    ingestBeamFrom(s, Similarity.embCutSlice(s, d, cut),
       baseListsPath, baseVecsPath, vecsPath, listsPath, okf)
-  }
 
   /** [[ingestBeam]] over a caller-supplied (vec_id, embedding) batch — the
     * streaming micro-batch ingest feeds foreachBatch frames through the
@@ -374,6 +364,12 @@ object GraphAnnIndex {
         s"$sd/vectors_b$b", s"$sd/lists_b$b",
         new java.io.File(sd, s"_SEG${b}_OK")).count()
     }
+    // union readers require the segment markers — the AnnIndex.streamIngest
+    // contract (ADVICE r19); unreachable here (all segments just re-beamed)
+    // but inherited by any consumer that reads without re-ingesting
+    val torn = (0 until nb)
+      .filterNot(b => new java.io.File(sd, s"_SEG${b}_OK").isFile)
+    require(torn.isEmpty, s"torn stream segments (no marker): $torn")
     (0 until nb).map(b => s.read.parquet(s"$sd/lists_b$b"))
       .reduce(_ unionByName _)
       .orderBy("vec_id", "rn")

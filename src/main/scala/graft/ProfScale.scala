@@ -690,6 +690,13 @@ object ProfScale {
           targets.contains("ann_index_stats") ||
           targets.contains("stream_index_ingest"))
         AnnIndex.ensure(spark, dir)
+      // Similarity-side trained caches (ADVICE r19 — the same first-run
+      // distortion the AnnIndex ensure above fixes): the residual PQ
+      // index, the SQ8 min/max state, and the coarse index otherwise
+      // train inside the first timed run on a fresh replica
+      if (targets.contains("sim_ann_ivfpq_residual")) Similarity.pqResidIndex(spark, dir)
+      if (targets.contains("sim_ann_sq8")) Similarity.sq8Train(spark, dir)
+      if (targets.contains("sim_range_search")) Similarity.ivfPqCoarseIndex(spark, dir)
     }
     // fullCount, not count() — the r13 Bench finding applies to octaves
     // too: Catalyst prunes projected expressions through the final
