@@ -992,9 +992,24 @@ object GraphAnnIndex {
     "JOIN embeddings b ON b.vec_id = ce.nb)) " +
     s"WHERE rn <= ${Similarity.NndBuildK})"
 
+  /** The NND-built graph as a subquery — shared by every base-graph oracle. */
+  private def gSql: String =
+    s"(SELECT v, nb FROM s${Similarity.NndRounds} " +
+    s"WHERE rn <= ${Similarity.NndBuildK})"
+
+  /** The in-index serving beam's full oracle (the sim_ann_graph_search
+    * string) — exposed so consumers that serve FROM the graph index
+    * (gann_recall_eval, the ANN-served retrieval fusion) can wrap it
+    * verbatim as a CTE: their dense ranking is provably the index's
+    * answer, not a re-derivation.
+    */
+  private[graft] def searchOracleSql: String = beamSql(gSql,
+    qCos = s"${Similarity.oDot("a", "b")} / " +
+      s"(${Similarity.oNorm("a")} * ${Similarity.oNorm("b")})",
+    rounds = BeamRounds, selfFilter = "WHERE nb != qid ")
+
   val oracles: Map[String, String] = {
-    val g = s"(SELECT v, nb FROM s${Similarity.NndRounds} " +
-      s"WHERE rn <= ${Similarity.NndBuildK})"
+    val g = gSql
     // shared by gann_index_append and its streaming twin: (a) the NND
     // chain runs over the base slice `bemb` only, (b) the queries are the
     // DELTA slice, (c) the output is each delta vector's appended
@@ -1014,10 +1029,7 @@ object GraphAnnIndex {
       topK = Similarity.NndBuildK,
       outSel = "qid AS vec_id, CAST(rn AS INT) AS rn, nb",
       ordBy = "vec_id, rn")
-    val searchOracle = beamSql(g,
-      qCos = s"${Similarity.oDot("a", "b")} / " +
-        s"(${Similarity.oNorm("a")} * ${Similarity.oNorm("b")})",
-      rounds = BeamRounds, selfFilter = "WHERE nb != qid ")
+    val searchOracle = searchOracleSql
     Map(
       "gann_index_build" ->
         (s"WITH ${Similarity.nndChainCtes}, gg AS (SELECT v, nb FROM $g) " +

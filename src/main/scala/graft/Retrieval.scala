@@ -99,28 +99,51 @@ object Retrieval {
     AnnIndex.probe(s, d)
       .select(col("qid").as("query_id"), col("nn").as("item_id"), col("rn"))
 
+  /** Dense pool served from the persisted GRAPH-ANN index — the beam
+    * search's top-10, same serving contract as [[annPool]] on the other
+    * index family (RetrievalSpec pins builds==0 for it too).
+    */
+  private def gannPool(s: SparkSession, d: String): DataFrame =
+    GraphAnnIndex.search(s, d)
+      .select(col("qid").as("query_id"), col("nn").as("item_id"), col("rn"))
+
+  /** The RRF fuse + top-k tail over two ranked pools of
+    * (query_id, item_id, rn) — ONE definition for the exact and the two
+    * index-served fusions, so the fuse arithmetic cannot fork.
+    */
+  private def fuseTop(lex: DataFrame, dense: DataFrame): DataFrame = {
+    val contrib = (pool: DataFrame) => pool
+      .select(col("query_id"), col("item_id"),
+        expr(s"1000000L div ($RrfK + rn)").as("c"))
+    val fused = contrib(lex).unionByName(contrib(dense))
+      .groupBy("query_id", "item_id")
+      .agg(sum("c").cast(LongType).as("rrf_micro"),
+        count(lit(1)).as("n_systems"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("item_id").asc)
+    fused.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= TopK)
+      .select("query_id", "rn", "item_id", "rrf_micro", "n_systems")
+      .orderBy("query_id", "rn")
+  }
+
+  /** The lexical pool as a (query_id, item_id, rn) frame, cut to the
+    * index families' probe-query convention.
+    */
+  private def lexPool10(s: SparkSession, d: String): DataFrame =
+    lexPool(s, d).where(col("query_id") < 10)
+      .select(col("query_id"), col("doc_id").as("item_id"), col("rn"))
+
   val queries: Map[String, Q] = Map(
     // Reciprocal-rank fusion of the BM25 and dense lists: each system
     // contributes 1e6 div (60 + rank) for its pooled items, the fused
     // score is the integer sum, and the per-query top-5 ships with the
     // contributing-system count (n_systems = 2 marks consensus items —
     // present and non-vacuous at every SF).
-    "retrieval_rrf_fusion" -> ((s, d) => {
-      val contrib = (pool: DataFrame, item: String) => pool
-        .select(col("query_id"), col(item).as("item_id"),
-          expr(s"1000000L div ($RrfK + rn)").as("c"))
-      val fused = contrib(lexPool(s, d), "doc_id")
-        .unionByName(contrib(densePool(s, d), "item_id"))
-        .groupBy("query_id", "item_id")
-        .agg(sum("c").cast(LongType).as("rrf_micro"),
-          count(lit(1)).as("n_systems"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("rrf_micro").desc, col("item_id").asc)
-      fused.withColumn("rn", row_number().over(w))
-        .where(col("rn") <= TopK)
-        .select("query_id", "rn", "item_id", "rrf_micro", "n_systems")
-        .orderBy("query_id", "rn")
-    }),
+    "retrieval_rrf_fusion" -> ((s, d) =>
+      fuseTop(
+        lexPool(s, d).select(col("query_id"), col("doc_id").as("item_id"), col("rn")),
+        densePool(s, d).select("query_id", "item_id", "rn"))),
 
     // Two-stage cascade: BM25 recall pool → exact dense rerank. The
     // candidate frame (probes × PoolN rows) equi-joins its embeddings
@@ -160,22 +183,16 @@ object Retrieval {
     // table lookups, which is the at-scale shape the exact key's scaladoc
     // names. Same integer RRF arithmetic; query ids < 10 (the index's probe
     // convention).
-    "retrieval_rrf_fusion_ann" -> ((s, d) => {
-      val contrib = (pool: DataFrame, item: String) => pool
-        .select(col("query_id"), col(item).as("item_id"),
-          expr(s"1000000L div ($RrfK + rn)").as("c"))
-      val fused = contrib(lexPool(s, d).where(col("query_id") < 10), "doc_id")
-        .unionByName(contrib(annPool(s, d), "item_id"))
-        .groupBy("query_id", "item_id")
-        .agg(sum("c").cast(LongType).as("rrf_micro"),
-          count(lit(1)).as("n_systems"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("rrf_micro").desc, col("item_id").asc)
-      fused.withColumn("rn", row_number().over(w))
-        .where(col("rn") <= TopK)
-        .select("query_id", "rn", "item_id", "rrf_micro", "n_systems")
-        .orderBy("query_id", "rn")
-    }),
+    "retrieval_rrf_fusion_ann" -> ((s, d) =>
+      fuseTop(lexPool10(s, d), annPool(s, d))),
+
+    // The graph-family twin (round 20): the dense list is the persisted
+    // graph index's serving beam — both standing vector indexes now feed
+    // the retrieval layer. The oracle wraps the certified
+    // sim_ann_graph_search chain verbatim as a CTE (the gann_recall_eval
+    // composition move).
+    "retrieval_rrf_fusion_gann" -> ((s, d) =>
+      fuseTop(lexPool10(s, d), gannPool(s, d))),
 
     // Two-stage cascade SERVED FROM THE INDEX (round 20): candidates =
     // BM25 top-PoolN ∪ the persisted IVF-PQ probe's top-10 (the hybrid
@@ -214,6 +231,25 @@ object Retrieval {
   )
 
   private def rrfC(rnExpr: String) = s"1000000 // ($RrfK + $rnExpr)"
+
+  /** The lexical-pool CTE pair (lexr → lexc) cut to the index families'
+    * probe-query convention — shared by both index-served fusion oracles.
+    */
+  private def lexCtes10: String =
+    "lexr AS (SELECT query_id, doc_id AS item_id, row_number() OVER " +
+    "(PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rn " +
+    "FROM scored WHERE query_id < 10), " +
+    s"lexc AS (SELECT query_id, item_id, ${rrfC("rn")} AS c FROM lexr WHERE rn <= $PoolN)"
+
+  /** The fuse + top-k oracle tail over CTEs `lexc` and `dnsc`. */
+  private def fuseTailSql: String =
+    "fused AS (SELECT query_id, item_id, CAST(sum(c) AS BIGINT) AS rrf_micro, " +
+    "CAST(count(*) AS BIGINT) AS n_systems " +
+    "FROM (SELECT * FROM lexc UNION ALL SELECT * FROM dnsc) GROUP BY 1, 2) " +
+    "SELECT query_id, CAST(rn AS INT) AS rn, item_id, rrf_micro, n_systems FROM " +
+    "(SELECT *, row_number() OVER (PARTITION BY query_id " +
+    "ORDER BY rrf_micro DESC, item_id ASC) AS rn FROM fused) " +
+    s"WHERE rn <= $TopK ORDER BY query_id, rn"
 
   val oracles: Map[String, String] = Map(
     "retrieval_rrf_fusion" ->
@@ -259,18 +295,19 @@ object Retrieval {
     // (uc/cand2/rr2) because `cand`/`q` are taken.
     "retrieval_rrf_fusion_ann" ->
       (s"WITH ${Similarity.annIvfPqCtes}, ${TextOps.bm25ScoredCtes}, " +
-       "lexr AS (SELECT query_id, doc_id AS item_id, row_number() OVER " +
-       "(PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rn " +
-       "FROM scored WHERE query_id < 10), " +
-       s"lexc AS (SELECT query_id, item_id, ${rrfC("rn")} AS c FROM lexr WHERE rn <= $PoolN), " +
+       s"$lexCtes10, " +
        s"dnsc AS (SELECT qid AS query_id, nn AS item_id, ${rrfC("rn")} AS c FROM r WHERE rn <= 10), " +
-       "fused AS (SELECT query_id, item_id, CAST(sum(c) AS BIGINT) AS rrf_micro, " +
-       "CAST(count(*) AS BIGINT) AS n_systems " +
-       "FROM (SELECT * FROM lexc UNION ALL SELECT * FROM dnsc) GROUP BY 1, 2) " +
-       "SELECT query_id, CAST(rn AS INT) AS rn, item_id, rrf_micro, n_systems FROM " +
-       "(SELECT *, row_number() OVER (PARTITION BY query_id " +
-       "ORDER BY rrf_micro DESC, item_id ASC) AS rn FROM fused) " +
-       s"WHERE rn <= $TopK ORDER BY query_id, rn"),
+       fuseTailSql),
+
+    // the graph-index twin: the certified serving-beam oracle wrapped as
+    // the `ann` CTE (its internal WITH chain stays scoped inside the
+    // parens — the gann_recall_eval composition)
+    "retrieval_rrf_fusion_gann" ->
+      (s"WITH ann AS (${GraphAnnIndex.searchOracleSql}), " +
+       s"${TextOps.bm25ScoredCtes}, " +
+       s"$lexCtes10, " +
+       s"dnsc AS (SELECT qid AS query_id, nn AS item_id, ${rrfC("rn")} AS c FROM ann), " +
+       fuseTailSql),
 
     "retrieval_dense_rerank_ann" ->
       (s"WITH ${Similarity.annIvfPqCtes}, ${TextOps.bm25ScoredCtes}, " +

@@ -148,4 +148,24 @@ class RetrievalSpec extends AnyFunSuite {
     info(f"hybrid-rerank recall@5 vs exact dense: $recall%.2f")
     assert(recall >= 0.64, f"recall $recall%.2f fell below the measured 0.64 floor")
   }
+
+  test("graph-served fusion: beam-only serving (builds==0), beam items genuinely fused") {
+    GraphAnnIndex.ensure(spark, d)
+    val b0 = GraphAnnIndex.builds.get()
+    val fused = SparkEntry.queries("retrieval_rrf_fusion_gann")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(GraphAnnIndex.builds.get() == b0,
+      "graph-served fusion triggered an NND rebuild — serving must be beam-only")
+    val beamRows = GraphAnnIndex.search(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lexSet = lexPool.filter(_._1 < 10).map { case (q, it, _) => (q, it) }.toSet
+    fused.foreach { case (q, _, it, _, _) =>
+      assert(beamRows((q, it)) || lexSet((q, it)),
+        s"fused item ($q, $it) is in neither system's pool")
+    }
+    val beamContrib = fused.count { case (q, _, it, _, _) =>
+      beamRows((q, it)) && !lexSet((q, it)) }
+    info(s"beam-only items in fused top-5: $beamContrib/${fused.length}")
+    assert(beamContrib >= 20, s"beam side contributed only $beamContrib fused items")
+  }
 }
