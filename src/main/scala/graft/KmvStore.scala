@@ -136,6 +136,21 @@ object KmvStore {
   private[graft] def compactDir(root: String): String =
     s"$root/compacted_${Aggregations.KmvDelFrac}"
 
+  /** The compacted artifact read with its schema stated EXPLICITLY
+    * (round 20): a fully-depleted store is an EMPTY directory, and a
+    * schema-inferring read crashes on it ("unable to infer schema"). The
+    * 64× octave produced exactly this state — with 64× the users, every
+    * per-day bottom-k hash lives inside the bottom-1/200 tombstone band,
+    * so compaction legitimately drops every row (the depleted-sketch
+    * regime the compact scaladoc documents, taken to its limit). A
+    * production compaction can empty a partition; the reader must not
+    * equate "empty" with "unreadable".
+    */
+  private def compactedSketches(s: SparkSession, d: String): DataFrame =
+    s.read.schema("h BIGINT, t DATE")
+      .parquet(s"${compactDir(storeRoot(d))}/sketches")
+      .select(col("t").cast("date").as("t"), col("h"))
+
   def ensureCompact(s: SparkSession, d: String): Boolean =
     if (new java.io.File(compactDir(storeRoot(d)), "_KMV_COMPACT_OK").isFile) true
     else { compact(s, d).count(); false }
@@ -164,14 +179,21 @@ object KmvStore {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("t").parquet(s"$cd/sketches")
     java.nio.file.Files.write(okf.toPath, Array.emptyByteArray)
+    // audit anchored on the BASE days (left join, round 20): a fully
+    // depleted day — possible at scale, see compactedSketches — reports
+    // k_rows = 0 / hk = 0 / n_dropped = base rather than vanishing from
+    // the ledger (an inner join read "day gone" as "nothing to report",
+    // exactly backwards for a deletion audit). Identical output at the
+    // gate SFs, where depletion is ~0.5% and no day empties.
     val base = sketches(s, d).groupBy("t").agg(count(lit(1)).as("base_rows"))
-    s.read.parquet(s"$cd/sketches")
-      .select(col("t").cast("date").as("t"), col("h"))
-      .groupBy("t")
-      .agg(count(lit(1)).as("k_rows"), max("h").as("hk"))
-      .join(base, Seq("t"))
-      .select(col("t"), col("k_rows"), col("hk"),
-        (col("base_rows") - col("k_rows")).as("n_dropped"))
+    base.join(
+        compactedSketches(s, d)
+          .groupBy("t")
+          .agg(count(lit(1)).as("kr"), max("h").as("mh")),
+        Seq("t"), "left")
+      .select(col("t"), coalesce(col("kr"), lit(0L)).as("k_rows"),
+        coalesce(col("mh"), lit(0L)).as("hk"),
+        (col("base_rows") - coalesce(col("kr"), lit(0L))).as("n_dropped"))
       .orderBy("t")
   }
 
@@ -188,9 +210,7 @@ object KmvStore {
     // answers), now with zero tombstone frames in the plan
     "kmv_overlap_probe_compacted" -> ((s, d) => {
       ensureCompact(s, d)
-      Aggregations.kmvOverlapOf(
-        s.read.parquet(s"${compactDir(storeRoot(d))}/sketches")
-          .select(col("t").cast("date").as("t"), col("h")))
+      Aggregations.kmvOverlapOf(compactedSketches(s, d))
     }),
 
     "kmv_store_delete" -> (delete _),

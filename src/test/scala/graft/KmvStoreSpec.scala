@@ -109,4 +109,17 @@ class KmvStoreSpec extends AnyFunSuite {
       "compacted probe changed an answer — compaction must only change layout")
     assert(KmvStore.builds.get() == before, "compacted probe triggered a rebuild")
   }
+
+  test("compact audit is anchored on the base days (a depleted day stays in the ledger)") {
+    // the 64× octave found the limit case: with enough users, a whole
+    // day's bottom-k lives inside the tombstone hash band and compaction
+    // legitimately empties it — the audit must report that day with
+    // k_rows = 0, not drop it (and the empty artifact must READ; the
+    // schema-explicit reader covers that)
+    val audit = SparkEntry.queries("kmv_store_compact")(spark, d).collect()
+    val baseDays = KmvStore.sketches(spark, d).select("t").distinct().count()
+    assert(audit.length.toLong == baseDays,
+      s"audit covers ${audit.length} days, base has $baseDays")
+    assert(audit.forall(r => r.getLong(1) + r.getLong(3) > 0L))
+  }
 }
