@@ -550,7 +550,7 @@ object ProfScale {
       // probe-only timing); growth = the probe family's ~flat envelope +
       // the lexical scan; the fuse/rerank tail stays probes × pool rows
       "retrieval_rrf_fusion_ann", "retrieval_dense_rerank_ann",
-      "retrieval_rrf_fusion_gann",
+      "retrieval_rrf_fusion_gann", "retrieval_dense_rerank_gann",
       // ANALYZE: one stacked corpus scan + a 1-row min/max aggregate —
       // must scale with the two scan widths, groups stay 6
       "catalog_column_stats",
@@ -656,7 +656,8 @@ object ProfScale {
         AnnIndex.ensure(spark, dir)
         TextOps.bm25Scored(spark, dir).count()
       }
-      if (targets.contains("retrieval_rrf_fusion_gann")) {
+      if (targets.contains("retrieval_rrf_fusion_gann") ||
+          targets.contains("retrieval_dense_rerank_gann")) {
         GraphAnnIndex.ensure(spark, dir)
         TextOps.bm25Scored(spark, dir).count()
       }

@@ -203,32 +203,44 @@ object Retrieval {
     // the join exactly as in retrieval_dense_rerank). Per query the rerank
     // touches ≤ PoolN + 10 vectors regardless of corpus size; output is
     // rank-only (D5).
-    "retrieval_dense_rerank_ann" -> ((s, d) => {
-      import org.apache.spark.sql.graft.VectorOps.{vec_dot, vec_norm}
-      val cands = lexPool(s, d).where(col("query_id") < 10)
-        .select(col("query_id"), col("doc_id").as("item_id"))
-        .unionByName(annPool(s, d).select("query_id", "item_id"))
-        .groupBy("query_id", "item_id")
-        .agg(count(lit(1)).as("n_sources"))
-      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
-        vec_norm(col("embedding")).as("nrm"))
-      val q = e.where(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          col("nrm").as("qn"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("item_id").asc)
-      // candidate frame broadcast BY CONTRACT (the retrieval_dense_rerank
-      // size-estimate note applies verbatim)
-      broadcast(cands).join(e, cands("item_id") === e("vec_id"))
-        .join(broadcast(q), "query_id")
-        .select(col("query_id"), col("item_id"), col("n_sources"),
-          (vec_dot(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") <= TopK)
-        .select("query_id", "rn", "item_id", "n_sources")
-        .orderBy("query_id", "rn")
-    })
+    "retrieval_dense_rerank_ann" -> ((s, d) =>
+      hybridRerank(s, d, annPool(s, d))),
+
+    // the graph-family twin: BM25 ∪ serving-beam candidates, exact rerank
+    "retrieval_dense_rerank_gann" -> ((s, d) =>
+      hybridRerank(s, d, gannPool(s, d)))
   )
+
+  /** The hybrid two-stage cascade over a caller-supplied index-served
+    * dense pool: candidates = BM25 top-[[PoolN]] ∪ the pool's top-10
+    * (n_sources marks dual nominations, counted BEFORE the vector fetch),
+    * exact cosine rerank of the bounded union. One definition for both
+    * index families.
+    */
+  private def hybridRerank(s: SparkSession, d: String, dense: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.VectorOps.{vec_dot, vec_norm}
+    val cands = lexPool10(s, d).select("query_id", "item_id")
+      .unionByName(dense.select("query_id", "item_id"))
+      .groupBy("query_id", "item_id")
+      .agg(count(lit(1)).as("n_sources"))
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      vec_norm(col("embedding")).as("nrm"))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("item_id").asc)
+    // candidate frame broadcast BY CONTRACT (the retrieval_dense_rerank
+    // size-estimate note applies verbatim)
+    broadcast(cands).join(e, cands("item_id") === e("vec_id"))
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("item_id"), col("n_sources"),
+        (vec_dot(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= TopK)
+      .select("query_id", "rn", "item_id", "n_sources")
+      .orderBy("query_id", "rn")
+  }
 
   private def rrfC(rnExpr: String) = s"1000000 // ($RrfK + $rnExpr)"
 
@@ -311,20 +323,32 @@ object Retrieval {
 
     "retrieval_dense_rerank_ann" ->
       (s"WITH ${Similarity.annIvfPqCtes}, ${TextOps.bm25ScoredCtes}, " +
-       "lexr AS (SELECT query_id, doc_id AS item_id, row_number() OVER " +
-       "(PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rn " +
-       "FROM scored WHERE query_id < 10), " +
-       s"uc AS (SELECT query_id, item_id FROM lexr WHERE rn <= $PoolN " +
-       "UNION ALL SELECT qid, nn FROM r WHERE rn <= 10), " +
-       "cand2 AS (SELECT query_id, item_id, CAST(count(*) AS BIGINT) AS n_sources " +
-       "FROM uc GROUP BY 1, 2), " +
-       "rr2 AS (SELECT c.query_id, c.item_id, c.n_sources, " +
-       "row_number() OVER (PARTITION BY c.query_id ORDER BY " +
-       s"${Similarity.oDot("qv", "e")} / (${Similarity.oNorm("qv")} * ${Similarity.oNorm("e")}) DESC, " +
-       "c.item_id ASC) AS rn " +
-       "FROM cand2 c JOIN embeddings e ON e.vec_id = c.item_id " +
-       "JOIN embeddings qv ON qv.vec_id = c.query_id) " +
-       "SELECT query_id, CAST(rn AS INT) AS rn, item_id, n_sources " +
-       s"FROM rr2 WHERE rn <= $TopK ORDER BY query_id, rn")
+       rerankTailSql("SELECT qid, nn FROM r WHERE rn <= 10")),
+
+    // graph-family twin: the serving-beam oracle as the dense nominator
+    "retrieval_dense_rerank_gann" ->
+      (s"WITH ann AS (${GraphAnnIndex.searchOracleSql}), " +
+       s"${TextOps.bm25ScoredCtes}, " +
+       rerankTailSql("SELECT qid, nn FROM ann"))
   )
+
+  /** The hybrid-rerank oracle tail over a caller-supplied dense nominator
+    * select (qid, nn) — mirrors [[hybridRerank]] CTE for CTE.
+    */
+  private def rerankTailSql(denseSel: String): String =
+    "lexr AS (SELECT query_id, doc_id AS item_id, row_number() OVER " +
+    "(PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rn " +
+    "FROM scored WHERE query_id < 10), " +
+    s"uc AS (SELECT query_id, item_id FROM lexr WHERE rn <= $PoolN " +
+    s"UNION ALL $denseSel), " +
+    "cand2 AS (SELECT query_id, item_id, CAST(count(*) AS BIGINT) AS n_sources " +
+    "FROM uc GROUP BY 1, 2), " +
+    "rr2 AS (SELECT c.query_id, c.item_id, c.n_sources, " +
+    "row_number() OVER (PARTITION BY c.query_id ORDER BY " +
+    s"${Similarity.oDot("qv", "e")} / (${Similarity.oNorm("qv")} * ${Similarity.oNorm("e")}) DESC, " +
+    "c.item_id ASC) AS rn " +
+    "FROM cand2 c JOIN embeddings e ON e.vec_id = c.item_id " +
+    "JOIN embeddings qv ON qv.vec_id = c.query_id) " +
+    "SELECT query_id, CAST(rn AS INT) AS rn, item_id, n_sources " +
+    s"FROM rr2 WHERE rn <= $TopK ORDER BY query_id, rn"
 }

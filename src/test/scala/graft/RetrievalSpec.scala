@@ -154,8 +154,11 @@ class RetrievalSpec extends AnyFunSuite {
     val b0 = GraphAnnIndex.builds.get()
     val fused = SparkEntry.queries("retrieval_rrf_fusion_gann")(spark, d).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val rer = SparkEntry.queries("retrieval_dense_rerank_gann")(spark, d).collect()
     assert(GraphAnnIndex.builds.get() == b0,
       "graph-served fusion triggered an NND rebuild — serving must be beam-only")
+    assert(rer.length == 50 && rer.exists(_.getLong(3) == 2L),
+      "graph-served rerank lost rows or has no dual-nominated candidate")
     val beamRows = GraphAnnIndex.search(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val lexSet = lexPool.filter(_._1 < 10).map { case (q, it, _) => (q, it) }.toSet
