@@ -631,7 +631,8 @@ object Bpe {
 
   /** The spill-build plan behind [[encodedCorpus]] — the merge-fold shape
     * the plan pin audits (the merge list compiles into per-row fold
-    * expressions; ids attach via a literal map; the corpus is NEVER
+    * expressions; ids attach inside the fused bpe_apply_ids expression;
+    * the corpus is NEVER
     * joined on `word`). Kept as its own def so (a) the mergeList/vocabIds
     * driver collects run only on a spill MISS (memoSpill's build is
     * by-name — computing them outside charged two wasted driver jobs to

@@ -106,11 +106,15 @@ object Catalog {
         StatCols.map(c => s"'$c', mn_$c, mx_$c").mkString(", ") +
         ") AS (col_name, min_s, max_s)"
       val mm = view(s, d).agg(aggs.head, aggs.tail: _*).select(expr(mmStack))
-      base.join(ndv, Seq("col_name"))
+      // ndv joins LEFT (the kmv_store_compact audit convention): an
+      // all-null column has no register rows, and an inner join would
+      // read "no registers" as "column gone" — it must report NDV 0
+      base.join(ndv, Seq("col_name"), "left")
         .join(broadcast(mm), Seq("col_name"))
         .select(col("col_name"), col("n_rows"), col("n_nulls"),
           expr("n_nulls * 1000000L div n_rows").as("null_micro"),
-          col("hll_occupied"), col("hll_sum_rho"),
+          coalesce(col("hll_occupied"), lit(0L)).as("hll_occupied"),
+          coalesce(col("hll_sum_rho"), lit(0L)).as("hll_sum_rho"),
           col("min_s"), col("max_s"))
         .orderBy("col_name")
     })
@@ -149,8 +153,10 @@ object Catalog {
          s"mm AS ($mmUnions) " +
          "SELECT col_name, n_rows, n_nulls, " +
          "n_nulls * 1000000 // n_rows AS null_micro, " +
-         "hll_occupied, hll_sum_rho, min_s, max_s " +
-         "FROM base JOIN ndv USING (col_name) JOIN mm USING (col_name) " +
+         "COALESCE(hll_occupied, CAST(0 AS BIGINT)) AS hll_occupied, " +
+         "COALESCE(hll_sum_rho, CAST(0 AS BIGINT)) AS hll_sum_rho, " +
+         "min_s, max_s " +
+         "FROM base LEFT JOIN ndv USING (col_name) JOIN mm USING (col_name) " +
          "ORDER BY col_name")
     )
   }

@@ -220,7 +220,8 @@ object GraphAnnIndex {
     */
   private def ingestBeamFrom(s: SparkSession, batch: DataFrame,
       baseListsPath: String, baseVecsPath: String,
-      vecsPath: String, listsPath: String, okf: java.io.File): DataFrame = {
+      vecsPath: String, listsPath: String, okf: java.io.File,
+      manageEdgeCache: Boolean = true): DataFrame = {
     import org.apache.spark.sql.graft.VectorOps.vec_norm
     val ow = org.apache.spark.sql.SaveMode.Overwrite
     okf.delete()
@@ -231,7 +232,8 @@ object GraphAnnIndex {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
     beamLoop(s,
         s.read.parquet(baseListsPath), s.read.parquet(baseVecsPath),
-        delta, NovelBeamRounds, broadcastQ = false)
+        delta, NovelBeamRounds, broadcastQ = false,
+        manageEdgeCache = manageEdgeCache)
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("cs").desc, col("nb").asc)))
       .where(col("rn") <= Similarity.NndBuildK)
@@ -358,12 +360,20 @@ object GraphAnnIndex {
     // #2; A/B in DESIGN.md). Semantics untouched: every segment keeps its
     // own beam, artifacts, and marker-last crash contract — this is
     // exactly what concurrent micro-batches on a real cluster do.
-    Sources.concurrently(0 until nb) { b =>
-      ingestBeamFrom(s, delta.where(pmod(col("vec_id"), lit(nb.toLong)) === b),
-        s"$root/lists", s"$root/vectors",
-        s"$sd/vectors_b$b", s"$sd/lists_b$b",
-        new java.io.File(sd, s"_SEG${b}_OK")).count()
-    }
+    // ONE shared persisted edge frame for both segments (code-review r20
+    // finding 3): Spark dedupes cached plans, so per-beam persist/unpersist
+    // had the first-finishing segment evict the entry from under the other
+    // — the caller owns the cache here, materialized before the race
+    val shared = edgeFrame(s.read.parquet(s"$root/lists")).persist()
+    shared.count()
+    try {
+      Sources.concurrently(0 until nb) { b =>
+        ingestBeamFrom(s, delta.where(pmod(col("vec_id"), lit(nb.toLong)) === b),
+          s"$root/lists", s"$root/vectors",
+          s"$sd/vectors_b$b", s"$sd/lists_b$b",
+          new java.io.File(sd, s"_SEG${b}_OK"), manageEdgeCache = false).count()
+      }
+    } finally shared.unpersist(blocking = false)
     // union readers require the segment markers — the AnnIndex.streamIngest
     // contract (ADVICE r19); unreachable here (all segments just re-beamed)
     // but inherited by any consumer that reads without re-ingesting
@@ -775,66 +785,79 @@ object GraphAnnIndex {
     * driver once per round and hit the broadcast hard limit long before
     * the keyed join would struggle.
     */
+  /** The beam's edge projection — one definition so a caller pre-caching
+    * the frame (streamIngest's shared-across-segments persist) builds the
+    * IDENTICAL logical plan Spark's cache manager will match.
+    */
+  private def edgeFrame(listsIn: DataFrame): DataFrame =
+    listsIn.select(col("vec_id").as("v"), col("nb").as("nb2"))
+
   private def beamLoop(s: SparkSession, listsIn: DataFrame, vecs: DataFrame,
-      q: DataFrame, rounds: Int, broadcastQ: Boolean): DataFrame = {
+      q: DataFrame, rounds: Int, broadcastQ: Boolean,
+      manageEdgeCache: Boolean = true): DataFrame = {
     import org.apache.spark.sql.graft.VectorOps.vec_dot
     val ow = org.apache.spark.sql.SaveMode.Overwrite
     // the graph edges are consumed once per round for all `rounds` rounds
     // — cache the projection instead of re-scanning the lists artifact
     // every round (round 20, VERDICT r19 #2: the beam family's constant
     // factors). The frame is index metadata (corpus × K edge rows), the
-    // smallest thing in the loop; unpersisted before return
-    val lists = listsIn
-      .select(col("vec_id").as("v"), col("nb").as("nb2"))
-      .persist()
-    // deterministic entry point — the JVM beam's min vec_id; a bounded
-    // 1-row driver scalar off the persisted vectors
-    val entry = vecs.agg(min(col("vec_id"))).collect()(0).getLong(0)
-    def scored(cand: DataFrame): DataFrame =
-      cand
-        .join(vecs.select(col("vec_id").as("nb"), col("embedding").as("ne"),
-          col("nrm").as("nn")), "nb")
-        .join(if (broadcastQ) broadcast(q) else q, "qid")
-        .select(col("qid"), col("nb"),
-          (vec_dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cs"))
-    var curPath = Sources.tmpUnique("beam_r0")
-    scored(q.select(col("qid"), lit(entry).as("nb")))
-      .withColumn("ex", lit(false))
-      .write.mode(ow).parquet(curPath)
-    var done = false
-    for (r <- 1 to rounds if !done) {
-      val st = s.read.parquet(curPath)
-      // the frontier is consumed three times per round (emptiness check,
-      // candidate expansion, ex-flag update) — cache it so the window job
-      // over the spilled state runs ONCE (code-review r18: the uncached
-      // form re-executed the shuffle+window per consumer)
-      val tx = st
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("qid").orderBy(col("cs").desc, col("nb").asc)))
-        .where(col("rn") <= BeamEf && !col("ex"))
-        .select("qid", "nb")
-        .persist()
-      try {
-        if (tx.isEmpty) done = true
-        else {
-          val nc = tx.join(lists, col("nb") === col("v"))
-            .select(col("qid"), col("nb2").as("nb")).distinct()
-            .join(st.select(col("qid"), col("nb"), lit(true).as("seen")),
-              Seq("qid", "nb"), "left")
-            .where(col("seen").isNull).select("qid", "nb")
-          val next = st
-            .join(tx.withColumn("f", lit(true)), Seq("qid", "nb"), "left")
-            .select(col("qid"), col("nb"), col("cs"),
-              (col("ex") || coalesce(col("f"), lit(false))).as("ex"))
-            .unionAll(scored(nc).withColumn("ex", lit(false)))
-          val p = Sources.tmpUnique(s"beam_r$r")
-          next.write.mode(ow).parquet(p)
-          curPath = p
-        }
-      } finally tx.unpersist(blocking = false)
-    }
-    lists.unpersist(blocking = false)
-    s.read.parquet(curPath)
+    // smallest thing in the loop; unpersisted before return (in a finally,
+    // so a failed round cannot leak the cache entry). manageEdgeCache =
+    // false when the CALLER owns the cache entry: Spark dedupes cached
+    // plans, so with two concurrent segment beams the first to finish
+    // would otherwise unpersist the shared entry out from under the other
+    // (code-review r20 finding 3).
+    val lists = edgeFrame(listsIn)
+    if (manageEdgeCache) lists.persist()
+    try {
+      // deterministic entry point — the JVM beam's min vec_id; a bounded
+      // 1-row driver scalar off the persisted vectors
+      val entry = vecs.agg(min(col("vec_id"))).collect()(0).getLong(0)
+      def scored(cand: DataFrame): DataFrame =
+        cand
+          .join(vecs.select(col("vec_id").as("nb"), col("embedding").as("ne"),
+            col("nrm").as("nn")), "nb")
+          .join(if (broadcastQ) broadcast(q) else q, "qid")
+          .select(col("qid"), col("nb"),
+            (vec_dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("cs"))
+      var curPath = Sources.tmpUnique("beam_r0")
+      scored(q.select(col("qid"), lit(entry).as("nb")))
+        .withColumn("ex", lit(false))
+        .write.mode(ow).parquet(curPath)
+      var done = false
+      for (r <- 1 to rounds if !done) {
+        val st = s.read.parquet(curPath)
+        // the frontier is consumed three times per round (emptiness check,
+        // candidate expansion, ex-flag update) — cache it so the window job
+        // over the spilled state runs ONCE (code-review r18: the uncached
+        // form re-executed the shuffle+window per consumer)
+        val tx = st
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cs").desc, col("nb").asc)))
+          .where(col("rn") <= BeamEf && !col("ex"))
+          .select("qid", "nb")
+          .persist()
+        try {
+          if (tx.isEmpty) done = true
+          else {
+            val nc = tx.join(lists, col("nb") === col("v"))
+              .select(col("qid"), col("nb2").as("nb")).distinct()
+              .join(st.select(col("qid"), col("nb"), lit(true).as("seen")),
+                Seq("qid", "nb"), "left")
+              .where(col("seen").isNull).select("qid", "nb")
+            val next = st
+              .join(tx.withColumn("f", lit(true)), Seq("qid", "nb"), "left")
+              .select(col("qid"), col("nb"), col("cs"),
+                (col("ex") || coalesce(col("f"), lit(false))).as("ex"))
+              .unionAll(scored(nc).withColumn("ex", lit(false)))
+            val p = Sources.tmpUnique(s"beam_r$r")
+            next.write.mode(ow).parquet(p)
+            curPath = p
+          }
+        } finally tx.unpersist(blocking = false)
+      }
+      s.read.parquet(curPath)
+    } finally if (manageEdgeCache) lists.unpersist(blocking = false)
   }
 
   val queries: Map[String, Q] = Map(

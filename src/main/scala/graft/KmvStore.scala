@@ -278,10 +278,17 @@ object KmvStore {
       "row_number() OVER (PARTITION BY t ORDER BY h) AS rn FROM " +
       "(SELECT DISTINCT t, h FROM h0)) " +
       s"WHERE rn <= $k), " +
-      s"surv AS (SELECT t, h FROM sk WHERE NOT (h * ${Aggregations.KmvDelFrac} < $m)) " +
-      "SELECT s.t, CAST(count(*) AS BIGINT) AS k_rows, max(s.h) AS hk, " +
-      "CAST((SELECT count(*) FROM sk WHERE sk.t = s.t) - count(*) AS BIGINT) AS n_dropped " +
-      "FROM surv s GROUP BY s.t ORDER BY s.t"
+      s"surv AS (SELECT t, h FROM sk WHERE NOT (h * ${Aggregations.KmvDelFrac} < $m)), " +
+      // anchored on the BASE days like the Spark audit (round 20): a fully
+      // depleted day reports k_rows = 0 / hk = 0 / n_dropped = base rather
+      // than vanishing from the ledger
+      "base AS (SELECT t, CAST(count(*) AS BIGINT) AS base_rows FROM sk GROUP BY t), " +
+      "ag AS (SELECT t, CAST(count(*) AS BIGINT) AS k_rows, max(h) AS hk " +
+      "FROM surv GROUP BY t) " +
+      "SELECT b.t, COALESCE(a.k_rows, CAST(0 AS BIGINT)) AS k_rows, " +
+      "COALESCE(a.hk, CAST(0 AS BIGINT)) AS hk, " +
+      "CAST(b.base_rows - COALESCE(a.k_rows, 0) AS BIGINT) AS n_dropped " +
+      "FROM base b LEFT JOIN ag a ON a.t = b.t ORDER BY b.t"
     }
   )
 }
