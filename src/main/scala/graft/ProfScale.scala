@@ -551,6 +551,7 @@ object ProfScale {
       // the lexical scan; the fuse/rerank tail stays probes × pool rows
       "retrieval_rrf_fusion_ann", "retrieval_dense_rerank_ann",
       "retrieval_rrf_fusion_gann", "retrieval_dense_rerank_gann",
+      "retrieval_rrf_fusion_3way",
       // ANALYZE: one stacked corpus scan + a 1-row min/max aggregate —
       // must scale with the two scan widths, groups stay 6
       "catalog_column_stats",
@@ -658,6 +659,11 @@ object ProfScale {
       }
       if (targets.contains("retrieval_rrf_fusion_gann") ||
           targets.contains("retrieval_dense_rerank_gann")) {
+        GraphAnnIndex.ensure(spark, dir)
+        TextOps.bm25Scored(spark, dir).count()
+      }
+      if (targets.contains("retrieval_rrf_fusion_3way")) {
+        AnnIndex.ensure(spark, dir)
         GraphAnnIndex.ensure(spark, dir)
         TextOps.bm25Scored(spark, dir).count()
       }

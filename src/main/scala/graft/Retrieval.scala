@@ -107,15 +107,17 @@ object Retrieval {
     GraphAnnIndex.search(s, d)
       .select(col("qid").as("query_id"), col("nn").as("item_id"), col("rn"))
 
-  /** The RRF fuse + top-k tail over two ranked pools of
-    * (query_id, item_id, rn) — ONE definition for the exact and the two
-    * index-served fusions, so the fuse arithmetic cannot fork.
+  /** The RRF fuse + top-k tail over N ranked pools of
+    * (query_id, item_id, rn) — ONE definition for the exact, the two
+    * index-served, and the 3-way fusions, so the fuse arithmetic cannot
+    * fork. n_systems counts nominating pools (RRF is defined for any N —
+    * the original paper fuses dozens of runs).
     */
-  private def fuseTop(lex: DataFrame, dense: DataFrame): DataFrame = {
+  private def fuseTop(pools: DataFrame*): DataFrame = {
     val contrib = (pool: DataFrame) => pool
       .select(col("query_id"), col("item_id"),
         expr(s"1000000L div ($RrfK + rn)").as("c"))
-    val fused = contrib(lex).unionByName(contrib(dense))
+    val fused = pools.map(contrib).reduce(_ unionByName _)
       .groupBy("query_id", "item_id")
       .agg(sum("c").cast(LongType).as("rrf_micro"),
         count(lit(1)).as("n_systems"))
@@ -193,6 +195,15 @@ object Retrieval {
     // composition move).
     "retrieval_rrf_fusion_gann" -> ((s, d) =>
       fuseTop(lexPool10(s, d), gannPool(s, d))),
+
+    // THREE-system fusion (round 20): BM25 ∪ IVF-PQ probe ∪ graph beam —
+    // the multi-run case RRF was published for (Cormack et al. fuse
+    // dozens of runs), and the shape a production stack with several
+    // retrievers actually serves. Both dense lists read persisted
+    // artifacts only; n_systems now ranges 1..3 and triple-consensus
+    // items rank first by construction.
+    "retrieval_rrf_fusion_3way" -> ((s, d) =>
+      fuseTop(lexPool10(s, d), annPool(s, d), gannPool(s, d))),
 
     // Two-stage cascade SERVED FROM THE INDEX (round 20): candidates =
     // BM25 top-PoolN ∪ the persisted IVF-PQ probe's top-10 (the hybrid
@@ -319,6 +330,19 @@ object Retrieval {
        s"${TextOps.bm25ScoredCtes}, " +
        s"$lexCtes10, " +
        s"dnsc AS (SELECT qid AS query_id, nn AS item_id, ${rrfC("rn")} AS c FROM ann), " +
+       fuseTailSql),
+
+    // 3-way: BOTH certified dense chains composed — the IVF-PQ CTE chain
+    // at the outer level (ends in r), the beam chain nested (its inner
+    // WITH shadows nothing it reads: the base `embeddings` table is not a
+    // CTE) — their contributions unioned into one dnsc
+    "retrieval_rrf_fusion_3way" ->
+      (s"WITH ${Similarity.annIvfPqCtes}, " +
+       s"gb AS (${GraphAnnIndex.searchOracleSql}), " +
+       s"${TextOps.bm25ScoredCtes}, " +
+       s"$lexCtes10, " +
+       s"dnsc AS (SELECT qid AS query_id, nn AS item_id, ${rrfC("rn")} AS c FROM r WHERE rn <= 10 " +
+       s"UNION ALL SELECT qid, nn, ${rrfC("rn")} FROM gb), " +
        fuseTailSql),
 
     "retrieval_dense_rerank_ann" ->

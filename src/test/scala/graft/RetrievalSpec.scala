@@ -171,4 +171,27 @@ class RetrievalSpec extends AnyFunSuite {
     info(s"beam-only items in fused top-5: $beamContrib/${fused.length}")
     assert(beamContrib >= 20, s"beam side contributed only $beamContrib fused items")
   }
+
+  test("3-way fusion: dense-dense consensus dominates and every item has a nominator") {
+    AnnIndex.ensure(spark, d); GraphAnnIndex.ensure(spark, d)
+    val got = SparkEntry.queries("retrieval_rrf_fusion_3way")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == 50)
+    // membership: every fused item was nominated by at least one system
+    val probeRows = AnnIndex.probe(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val beamRows = GraphAnnIndex.search(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lexSet = lexPool.filter(_._1 < 10).map { case (q, it, _) => (q, it) }.toSet
+    got.foreach { case (q, _, it, _, ns) =>
+      val n = Seq(probeRows((q, it)), beamRows((q, it)), lexSet((q, it))).count(identity)
+      assert(n == ns, s"item ($q, $it): n_systems=$ns but $n pools nominate it")
+    }
+    // the two dense retrievers approximate the SAME cosine truth, so
+    // their agreement should dominate the fused top-5 (measured 46/50
+    // two-system rows at sf0.001, one triple-consensus item)
+    val multi = got.count(_._5 >= 2L)
+    info(s"multi-system rows in fused top-5: $multi/50")
+    assert(multi >= 40, s"only $multi multi-system rows — dense-dense consensus collapsed")
+  }
 }
