@@ -90,14 +90,34 @@ object Catalog {
         .as("rho"))
   }
 
+  /** The stats row assembled from per-column count/NDV/min-max frames —
+    * shared by the direct key and the merged-partials key, so the output
+    * contract has one definition.
+    */
+  private def assemble(base: DataFrame, ndv: DataFrame, mm: DataFrame): DataFrame =
+    base.join(ndv, Seq("col_name"), "left")
+      .join(broadcast(mm), Seq("col_name"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        expr("n_nulls * 1000000L div n_rows").as("null_micro"),
+        coalesce(col("hll_occupied"), lit(0L)).as("hll_occupied"),
+        coalesce(col("hll_sum_rho"), lit(0L)).as("hll_sum_rho"),
+        col("min_s"), col("max_s"))
+      .orderBy("col_name")
+
+  private def ndvOf(regs: DataFrame): DataFrame =
+    regs.groupBy("col_name")
+      .agg(count(lit(1)).as("hll_occupied"), sum("rho").as("hll_sum_rho"))
+
   val queries: Map[String, Q] = Map(
     "catalog_column_stats" -> ((s, d) => {
       val st = stacked(s, d)
       val base = st.groupBy("col_name").agg(
         count(lit(1)).as("n_rows"),
         (count(lit(1)) - count(col("sval"))).as("n_nulls"))
-      val ndv = registers(st).groupBy("col_name")
-        .agg(count(lit(1)).as("hll_occupied"), sum("rho").as("hll_sum_rho"))
+      // ndv joins LEFT inside assemble (the kmv_store_compact audit
+      // convention): an all-null column has no register rows, and an
+      // inner join would read "no registers" as "column gone" — it must
+      // report NDV 0
       // typed min/max: one 1-row aggregate over the view, then unpivot
       val aggs = StatCols.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"mn_$c"),
@@ -106,17 +126,46 @@ object Catalog {
         StatCols.map(c => s"'$c', mn_$c, mx_$c").mkString(", ") +
         ") AS (col_name, min_s, max_s)"
       val mm = view(s, d).agg(aggs.head, aggs.tail: _*).select(expr(mmStack))
-      // ndv joins LEFT (the kmv_store_compact audit convention): an
-      // all-null column has no register rows, and an inner join would
-      // read "no registers" as "column gone" — it must report NDV 0
-      base.join(ndv, Seq("col_name"), "left")
-        .join(broadcast(mm), Seq("col_name"))
-        .select(col("col_name"), col("n_rows"), col("n_nulls"),
-          expr("n_nulls * 1000000L div n_rows").as("null_micro"),
-          coalesce(col("hll_occupied"), lit(0L)).as("hll_occupied"),
-          coalesce(col("hll_sum_rho"), lit(0L)).as("hll_sum_rho"),
-          col("min_s"), col("max_s"))
-        .orderBy("col_name")
+      assemble(base, ndvOf(registers(st)), mm)
+    }),
+
+    // Stats from MERGED per-partition partials (round 20): the ANALYZE
+    // maintenance path — each partition (here: the deterministic
+    // o_orderkey parity halves, standing in for ingest partitions)
+    // computes its own count/register/min-max partials, and the final
+    // stats row is assembled purely from partial-merges: counts by SUM,
+    // registers by per-bucket MAX, min/max by least/greatest IN THE
+    // COLUMN'S OWN TYPE (string-cast only after the merge — "10" < "9"
+    // lexicographically). The oracle is the direct key's verbatim: at
+    // 100 TB this is what makes stats maintainable — partials persist
+    // per partition (KBs) and any rollup merges at metadata scale, raw
+    // data never re-scanned (the agg_sketch_merge contract, certified
+    // here at the gate on the full ANALYZE row).
+    "catalog_column_stats_merge" -> ((s, d) => {
+      val halves = Seq(0, 1).map(p =>
+        view(s, d).where(pmod(col("o_orderkey"), lit(2L)) === p))
+      val base = halves.map(h => stackedOf(h).groupBy("col_name").agg(
+          count(lit(1)).as("nr"), (count(lit(1)) - count(col("sval"))).as("nn")))
+        .reduce(_ unionByName _)
+        .groupBy("col_name")
+        .agg(sum("nr").as("n_rows"), sum("nn").as("n_nulls"))
+      val regs = halves.map(h => registers(stackedOf(h)))
+        .reduce(_ unionByName _)
+        .groupBy("col_name", "bucket").agg(max("rho").as("rho"))
+      // typed per-half min/max partials, merged via least/greatest in
+      // type, cast to string only at the end
+      val aggs = StatCols.flatMap(c => Seq(
+        min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+      val Seq(a, b) = halves.map(h =>
+        h.agg(aggs.head, aggs.tail: _*))
+      val bb = b.select(b.columns.map(c => col(c).as(s"r_$c")): _*)
+      val mmStack = s"stack(${StatCols.length}, " +
+        StatCols.map(c =>
+          s"'$c', CAST(least(mn_$c, r_mn_$c) AS STRING), " +
+          s"CAST(greatest(mx_$c, r_mx_$c) AS STRING)").mkString(", ") +
+        ") AS (col_name, min_s, max_s)"
+      val mm = a.crossJoin(broadcast(bb)).select(expr(mmStack))
+      assemble(base, ndvOf(regs), mm)
     })
   )
 
@@ -131,8 +180,7 @@ object Catalog {
     val mmUnions = StatCols.map(c =>
       s"SELECT '$c' AS col_name, CAST(min($c) AS VARCHAR) AS min_s, " +
       s"CAST(max($c) AS VARCHAR) AS max_s FROM v").mkString(" UNION ALL ")
-    Map(
-      "catalog_column_stats" ->
+    val direct =
         ("WITH v AS (SELECT o_orderkey, o_orderstatus, o_orderpriority, " +
          "l_partkey, l_suppkey, l_linestatus FROM orders " +
          "LEFT JOIN (SELECT * FROM lineitem WHERE l_returnflag = 'R') " +
@@ -158,6 +206,10 @@ object Catalog {
          "min_s, max_s " +
          "FROM base LEFT JOIN ndv USING (col_name) JOIN mm USING (col_name) " +
          "ORDER BY col_name")
+    Map(
+      "catalog_column_stats" -> direct,
+      // partial-merge must be answer-invariant: the direct oracle verbatim
+      "catalog_column_stats_merge" -> direct
     )
   }
 }

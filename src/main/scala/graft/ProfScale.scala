@@ -553,8 +553,9 @@ object ProfScale {
       "retrieval_rrf_fusion_gann", "retrieval_dense_rerank_gann",
       "retrieval_rrf_fusion_3way",
       // ANALYZE: one stacked corpus scan + a 1-row min/max aggregate —
-      // must scale with the two scan widths, groups stay 6
-      "catalog_column_stats",
+      // must scale with the two scan widths, groups stay 6; the merge
+      // form re-reads per-half (2× the partial scans, merge is free)
+      "catalog_column_stats", "catalog_column_stats_merge",
       // codec features: partition-local render+decode, corpus-linear
       "mm_image_histogram", "mm_audio_energy_windows",
       // CUSUM: two user-partitioned windows over events — one shuffle
