@@ -552,6 +552,8 @@ object ProfScale {
       "retrieval_rrf_fusion_ann", "retrieval_dense_rerank_ann",
       "retrieval_rrf_fusion_gann", "retrieval_dense_rerank_gann",
       "retrieval_rrf_fusion_3way",
+      // recall canary: the rerank plan + a 10-probe exact kernel
+      "retrieval_recall_eval",
       // ANALYZE: one stacked corpus scan + a 1-row min/max aggregate —
       // must scale with the two scan widths, groups stay 6; the merge
       // form re-reads per-half (2× the partial scans, merge is free)
@@ -666,6 +668,10 @@ object ProfScale {
       if (targets.contains("retrieval_rrf_fusion_3way")) {
         AnnIndex.ensure(spark, dir)
         GraphAnnIndex.ensure(spark, dir)
+        TextOps.bm25Scored(spark, dir).count()
+      }
+      if (targets.contains("retrieval_recall_eval")) {
+        AnnIndex.ensure(spark, dir)
         TextOps.bm25Scored(spark, dir).count()
       }
       // the retrain verb needs the tombstones (the delete verb's artifact,

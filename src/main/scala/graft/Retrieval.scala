@@ -219,7 +219,39 @@ object Retrieval {
 
     // the graph-family twin: BM25 ∪ serving-beam candidates, exact rerank
     "retrieval_dense_rerank_gann" -> ((s, d) =>
-      hybridRerank(s, d, gannPool(s, d)))
+      hybridRerank(s, d, gannPool(s, d))),
+
+    // End-quality REGRESSION for the ANN-served cascade (round 20 — the
+    // gann_recall_eval convention on the retrieval layer): per query, how
+    // many of the hybrid rerank's top-5 are in the EXACT dense top-5 over
+    // the index's collection. Integer hits, queries with zero hits still
+    // reported (left join from the query set) — the driver gate now pins
+    // the 0.64 recall the spec measured, per query, cross-engine, every
+    // round. At 100 TB this is the serving-quality canary a retrieval
+    // deployment runs on a fixed probe set after every index rebuild.
+    "retrieval_recall_eval" -> ((s, d) => {
+      import org.apache.spark.sql.graft.VectorOps.{vec_dot, vec_norm}
+      val got = hybridRerank(s, d, annPool(s, d))
+        .select(col("query_id"), col("item_id"))
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        vec_norm(col("embedding")).as("nrm"))
+      val q = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cs").desc, col("item_id").asc)
+      val exact = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("item_id"),
+          (vec_dot(col("embedding"), col("qe")) / (col("nrm") * col("qn"))).as("cs"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= TopK)
+        .select("query_id", "item_id")
+      val hits = exact.join(broadcast(got), Seq("query_id", "item_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      q.select("query_id").join(broadcast(hits), Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .orderBy("query_id")
+    })
   )
 
   /** The hybrid two-stage cascade over a caller-supplied index-served
@@ -353,13 +385,35 @@ object Retrieval {
     "retrieval_dense_rerank_gann" ->
       (s"WITH ann AS (${GraphAnnIndex.searchOracleSql}), " +
        s"${TextOps.bm25ScoredCtes}, " +
-       rerankTailSql("SELECT qid, nn FROM ann"))
+       rerankTailSql("SELECT qid, nn FROM ann")),
+
+    // served top-5 (the rerank chain as CTEs) joined against the exact
+    // cosine top-5 — the gann_recall_eval oracle shape on this layer;
+    // cosine fold order (corpus · query) matches the Spark side exactly
+    "retrieval_recall_eval" ->
+      (s"WITH ${Similarity.annIvfPqCtes}, ${TextOps.bm25ScoredCtes}, " +
+       rerankCtes("SELECT qid, nn FROM r WHERE rn <= 10") + ", " +
+       s"srv AS (SELECT query_id, item_id FROM rr2 WHERE rn <= $TopK), " +
+       "exq AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10), " +
+       "exs AS (SELECT qx.query_id, e.vec_id AS item_id, row_number() OVER " +
+       "(PARTITION BY qx.query_id ORDER BY " +
+       s"${Similarity.oDotE("e.embedding", "qx.embedding")} / " +
+       s"(${Similarity.oNormE("e.embedding")} * ${Similarity.oNormE("qx.embedding")}) DESC, " +
+       "e.vec_id ASC) AS rn " +
+       "FROM embeddings e JOIN exq qx ON e.vec_id != qx.query_id), " +
+       s"ext AS (SELECT query_id, item_id FROM exs WHERE rn <= $TopK), " +
+       "hits AS (SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_hits " +
+       "FROM ext x JOIN srv USING (query_id, item_id) GROUP BY 1) " +
+       "SELECT query_id, COALESCE(n_hits, CAST(0 AS BIGINT)) AS n_hits " +
+       "FROM exq LEFT JOIN hits USING (query_id) ORDER BY query_id")
   )
 
-  /** The hybrid-rerank oracle tail over a caller-supplied dense nominator
-    * select (qid, nn) — mirrors [[hybridRerank]] CTE for CTE.
+  /** The hybrid-rerank CTE chain (lexr → uc → cand2 → rr2) over a
+    * caller-supplied dense nominator select (qid, nn) — mirrors
+    * [[hybridRerank]] CTE for CTE; shared by the rerank keys and the
+    * recall eval.
     */
-  private def rerankTailSql(denseSel: String): String =
+  private def rerankCtes(denseSel: String): String =
     "lexr AS (SELECT query_id, doc_id AS item_id, row_number() OVER " +
     "(PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rn " +
     "FROM scored WHERE query_id < 10), " +
@@ -372,7 +426,10 @@ object Retrieval {
     s"${Similarity.oDot("qv", "e")} / (${Similarity.oNorm("qv")} * ${Similarity.oNorm("e")}) DESC, " +
     "c.item_id ASC) AS rn " +
     "FROM cand2 c JOIN embeddings e ON e.vec_id = c.item_id " +
-    "JOIN embeddings qv ON qv.vec_id = c.query_id) " +
+    "JOIN embeddings qv ON qv.vec_id = c.query_id)"
+
+  private def rerankTailSql(denseSel: String): String =
+    rerankCtes(denseSel) + " " +
     "SELECT query_id, CAST(rn AS INT) AS rn, item_id, n_sources " +
     s"FROM rr2 WHERE rn <= $TopK ORDER BY query_id, rn"
 }
